@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run DuckDB oracle SQL
+against the testdata tables and compare with the Spark results dumped by
+graft.Verify. Columns sorted by name, rows sorted, exact value compare
+(floats via repr after round-trip)."""
+import json, sys, glob, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = canon(con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df())
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"ERROR    {name}: {e}"); n_bad += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"SCHEMA   {name}: spark={list(got.columns)} oracle={list(want.columns)}")
+            n_bad += 1; continue
+        if len(got) != len(want):
+            print(f"ROWS     {name}: spark={len(got)} oracle={len(want)}")
+            n_bad += 1; continue
+        if got.equals(want):
+            print(f"OK       {name} ({len(got)} rows)"); n_ok += 1; continue
+        # tolerate tiny float jitter, flag everything else
+        import pandas as pd
+        diff_cols = []
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if a.equals(b):
+                continue
+            try:
+                import numpy as np
+                if np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
+                    diff_cols.append((c, "float-jitter")); continue
+            except Exception:
+                pass
+            diff_cols.append((c, "MISMATCH"))
+        hard = [c for c, k in diff_cols if k == "MISMATCH"]
+        if hard:
+            print(f"VALUES   {name}: mismatched cols {hard}")
+            for c in hard[:2]:
+                neq = got[c] != want[c]
+                print(f"   {c}: spark={got[c][neq].head(3).tolist()} oracle={want[c][neq].head(3).tolist()}")
+            n_bad += 1
+        else:
+            print(f"OK~      {name} (float jitter only: {[c for c,_ in diff_cols]})"); n_ok += 1
+    # queries with no oracle: rows-only check
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            files = glob.glob(f"{d}/*.parquet")
+            n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+            print(f"{'ROWSONLY' if n > 0 else 'EMPTY!  '} {name} ({n} rows)")
+            if n == 0: n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"))
