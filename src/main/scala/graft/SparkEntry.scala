@@ -1,6 +1,7 @@
 package graft
 
 import graft.model.{EdgeSpec, GraphModel, NodeSpec}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.ops.{GraphOps, Stats}
 import graft.pipeline.GraphProjection
 import graft.sink.ParquetWireSink
@@ -88,6 +89,34 @@ object SparkEntry {
         .withColumn("b", lit(16L)), "b", "edge")
       Stats.combineFinal(Seq(n, e))
     }),
+
+    // ==== extension operators: text analysis ====
+    "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
+
+    // ==== extension operators: deduplication ====
+    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshCandidates(t(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => // no SQL oracle: rows-only check
+      Dedup.simhashBuckets(t(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), blockCols = Seq("lang", "source"),
+        minJaccard = 0.30)),
+
+    // ==== extension operators: similarity search ====
+    "sim_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8))
+    }),
+    "sim_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), blockCol = "label",
+        threshold = 0.40)),
+    "sim_lsh_topk" -> ((s, dir) => { // no SQL oracle: rows-only check
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +143,126 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM orders) AS "count",
                 (SELECT count(*)*8 FROM customer) + (SELECT count(*)*16 FROM orders) AS nbytes,
                 'final' AS kind""",
+    "text_stats" -> OracleFragments.textStats,
+    "text_langid" -> OracleFragments.textLangid,
+    "text_fingerprint" -> OracleFragments.textFingerprint,
+    "dedup_exact" -> OracleFragments.dedupExact,
+    "dedup_minhash_lsh" -> OracleFragments.dedupMinhashLsh(bands = 4, rowsPerBand = 2),
+    "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
+    "sim_cosine_topk" -> OracleFragments.simCosineTopK(maxQueryId = 8, k = 5),
+    "sim_cosine_pairs" -> OracleFragments.simCosinePairs(threshold = 0.40),
   )
+}
+
+/** DuckDB SQL mirroring the extension operators' Scala expressions exactly
+  * (same normalization, same md5-family hashes, same rounding). Kept as
+  * generated strings so the hash seeds / band structure can't drift from
+  * the Spark side. */
+object OracleFragments {
+  /** lower(trim(ws-collapsed)) — mirrors TextFunctions.normalizeText. */
+  val norm = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  val toks = s"string_split($norm, ' ')"
+
+  def shingles(k: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(length($norm)-${k - 1}, 1)), i -> substr($norm, i, $k)))"
+
+  def minhashExpr(k: Int, seed: Int): String =
+    s"list_aggregate(list_transform(${shingles(k)}, g -> md5('$seed' || ':' || g)), 'min')"
+
+  val textStats: String = {
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopRaw = s"len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    s"""SELECT doc_id,
+          length(text)::INT AS n_chars_actual,
+          $nToks::INT AS n_tokens_ws,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::INT AS n_tokens_bpe,
+          round($punctRaw, 6) AS punct_ratio,
+          round($stopRaw, 6) AS stopword_ratio,
+          round(list_aggregate(list_transform($toks, t -> length(t)), 'sum')::DOUBLE / greatest($nToks, 1)::DOUBLE, 6) AS avg_token_len,
+          round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
+              + least(($stopRaw) * 4.0, 1.0) * 0.3, 6) AS quality
+        FROM documents"""
+  }
+
+  val textLangid: String = {
+    val markers = graft.functions.TextFunctions.LangMarkers
+    val hitExprs = markers.map { case (lang, ms) =>
+      val lst = ms.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toks, t -> t IN ($lst)))::INT AS hits_$lang"
+    }
+    val best = "greatest(" + markers.map { case (l, _) => s"hits_$l" }.mkString(", ") + ")"
+    val caseChain = markers.map { case (l, _) =>
+      s"WHEN hits_$l = $best AND hits_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, ${markers.map { case (l, _) => s"hits_$l" }.mkString(", ")},
+          CASE $caseChain ELSE 'und' END AS lang_pred
+        FROM (SELECT doc_id, ${hitExprs.mkString(", ")} FROM documents)"""
+  }
+
+  val textFingerprint: String =
+    s"""SELECT doc_id, md5($norm) AS fp_exact,
+          list_aggregate(list_transform(${shingles(8)}, g -> md5(g)), 'min') AS fp_rolling
+        FROM documents"""
+
+  val dedupExact: String =
+    s"""SELECT md5($norm) AS fingerprint, min(doc_id) AS keep_id,
+          count(*) AS n_dups
+        FROM documents GROUP BY 1"""
+
+  def dedupMinhashLsh(bands: Int, rowsPerBand: Int): String = {
+    val mh = Seq.tabulate(bands * rowsPerBand)(i => s"${minhashExpr(5, i)} AS mh$i").mkString(", ")
+    val bandSelects = Seq.tabulate(bands) { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH sigs AS (SELECT doc_id, $mh FROM documents),
+          bandkeys AS ($bandSelects)
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bandkeys l JOIN bandkeys r
+          ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id"""
+  }
+
+  def dedupNgramJaccard(minJaccard: Double): String =
+    s"""WITH grams AS (
+          SELECT doc_id AS id, lang, source, unnest(${shingles(5)}) AS gram FROM documents),
+        sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+        inter AS (
+          SELECT g1.id AS a, g2.id AS b, count(*) AS inter
+          FROM grams g1 JOIN grams g2
+            ON g1.lang = g2.lang AND g1.source = g2.source
+           AND g1.gram = g2.gram AND g1.id < g2.id
+          GROUP BY 1, 2)
+        SELECT a, b, round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+        WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $minJaccard"""
+
+  /** Sequential-fold dot/norm identical to Similarity.dot/norm. */
+  val cosineExpr: String = {
+    val dot = "list_aggregate(list_transform(list_zip(q.qv, c.cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
+    val nq = "sqrt(list_aggregate(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    val nc = "sqrt(list_aggregate(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    s"round($dot / ($nq * $nc), 6)"
+  }
+
+  def simCosineTopK(maxQueryId: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $maxQueryId),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          scored AS (
+            SELECT q.query_id, c.neighbor_id, $cosineExpr AS sim
+            FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= $k"""
+
+  def simCosinePairs(threshold: Double): String =
+    s"""WITH q AS (SELECT label, vec_id AS a, embedding AS qv FROM embeddings),
+          c AS (SELECT label, vec_id AS b, embedding AS cv FROM embeddings)
+        SELECT q.a, c.b, $cosineExpr AS sim
+        FROM q JOIN c ON q.label = c.label AND q.a < c.b
+        WHERE $cosineExpr >= $threshold"""
 }

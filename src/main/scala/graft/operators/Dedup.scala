@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale text corpora. All variants are
+ * expressed as declarative plans over built-in functions:
+ *
+ *  - exact: hash-groupBy on a normalized-text fingerprint — one shuffle on
+ *    the fingerprint; map-side partial agg keeps the shuffle tiny.
+ *  - MinHash + LSH: shingle → H minhashes → B bands → self-join on band
+ *    key. The join key is (band_index, band_hash): high-cardinality, so
+ *    the shuffle partitions evenly; candidate pairs come from within-bucket
+ *    pairs only — never the O(n²) cross product.
+ *  - SimHash: per-token 64-bit hashes folded into a weighted bit vector;
+ *    near-dup buckets via the simhash prefix.
+ *  - n-gram Jaccard: exact similarity, but only within candidate blocks
+ *    (never all-pairs); the shingle-explode join carries (doc, gram)
+ *    pairs deduped before joining.
+ *
+ * Scale note: at 100 TB the only all-to-all movement is the band-key /
+ * fingerprint shuffles, all key-partitioned and AQE-coalescible. Skewed
+ * fingerprints (empty docs, boilerplate) are the classic hazard — the
+ * group-by keys here include the full hash, so skew only appears for true
+ * mass duplicates, which is exactly the signal we want.
+ */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per normalized-text
+    * fingerprint, with the duplicate count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), md5Fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature columns: H independent hashes (md5-family, oracle-
+    * reproducible; swap `minhash` for an xxhash64 variant at prod scale). */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Seq[Column] =
+    Seq.tabulate(numHashes)(i => minhash(text, k, i))
+
+  /** MinHash+LSH candidate pairs: B bands of R rows each; a pair is a
+    * candidate if ANY band agrees on all R minhashes. Output: distinct
+    * (a, b) with a < b. Cost: n×B rows through one band-key shuffle. */
+  def minhashLshCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(col(textCol), shingleK, bands * rowsPerBand)
+    val bandCols = Seq.tabulate(bands) { b =>
+      val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("h"))
+    }
+    val banded = docs.select(
+      col(idCol).as("id"),
+      explode(array(bandCols: _*)).as("bk"))
+    val l = banded.select(col("id").as("a"), col("bk"))
+    val r = banded.select(col("id").as("b"), col("bk"))
+    l.join(r, l("bk") === r("bk") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** 32-bit SimHash: per whitespace token take xxhash64, then for each bit
+    * sum +1/-1 across tokens; the sign vector is the fingerprint.
+    * Built-ins only — the bit loop unrolls into 32 codegen'd aggregates
+    * folded per-row (no explode, no shuffle beyond the final projection). */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val toks = tokens(text)
+    val contributions = Seq.tabulate(bits) { j =>
+      // sum over tokens of (bit j set ? 1 : -1), then sign → bit j
+      val bitSum = aggregate(
+        toks,
+        lit(0L),
+        (acc, t) =>
+          acc + when(shiftrightunsigned(xxhash64(t), j) % 2 === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    contributions.reduce(_ + _)
+  }
+
+  /** Per-doc simhash fingerprints plus a bucket key (top `prefixBits`) for
+    * near-dup candidate grouping. */
+  def simhashBuckets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bits: Int = 32,
+      prefixBits: Int = 8): DataFrame =
+    docs.select(
+      col(idCol),
+      simhash(col(textCol), bits).as("simhash"),
+      shiftrightunsigned(simhash(col(textCol), bits), bits - prefixBits).as("bucket"))
+
+  /** Exact n-gram Jaccard similarity, computed only within blocks (e.g.
+    * same source+lang) — the blocking keeps this linear-ish; an unblocked
+    * version of this op at 100 TB would be the O(n²) anti-pattern. */
+  def ngramJaccard(
+      docs: DataFrame,
+      blockCols: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      minJaccard: Double = 0.0): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("id"),
+      struct(blockCols.map(col): _*).as("blk"),
+      explode(shingles(col(textCol), shingleK)).as("gram"))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = grams.select(col("blk"), col("id").as("a"), col("gram"))
+    val b = grams.select(col("blk").as("blk_b"), col("id").as("b"), col("gram").as("gram_b"))
+    val inter = a
+      .join(b, col("blk") === col("blk_b") && col("gram") === col("gram_b") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sz_a"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sz_b"), "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * - Brute-force cosine top-k: broadcast the (small) query set, cross-join
+ *   against the corpus, rank per query. The corpus side streams through
+ *   whole-stage codegen — no shuffle except the final per-query top-k
+ *   (partial top-k per partition via window over a repartition by query).
+ * - LSH ANN (random hyperplanes): deterministic pseudo-random hyperplanes
+ *   derived from xxhash64(plane, dim) — no RNG state to ship; candidates
+ *   only within matching sign-buckets, turning O(n·q) into O(bucket).
+ *
+ * The dot product / norms use `zip_with` + `aggregate` over doubles —
+ * sequential fold, bit-reproducible, codegen'd (no UDF).
+ */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). `queries` must be small enough to
+    * broadcast — that's the point of the baseline. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** All pairs with cosine ≥ threshold, blocked by a partition column
+    * (e.g. an IVF cluster / class label) so the pair space stays linear
+    * per block instead of O(n²) global. */
+  def cosinePairs(
+      corpus: DataFrame,
+      blockCol: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9): DataFrame = {
+    val a = corpus.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("va"))
+    val b = corpus.select(col(blockCol).as("blk_b"), col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("blk") === col("blk_b") && col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 scaled into [-0.5, 0.5). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / lit(1000000.0)) - lit(0.5)
+
+  /** Sign-LSH bucket id from `numPlanes` hyperplanes (bit i = sign of
+    * dot(vec, plane_i)). Vectors in the same bucket are ANN candidates. */
+  def lshBucket(vec: Column, numPlanes: Int = 12): Column = {
+    val d = transform(vec, _.cast("double"))
+    val bits = Seq.tabulate(numPlanes) { p =>
+      val proj = aggregate(
+        zip_with(d, sequence(lit(0), size(d) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via sign-LSH: rank only within the query's bucket. Recall
+    * is tunable via numPlanes (fewer planes → bigger buckets). */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      numPlanes: Int = 8,
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class ExtensionOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  test("text stats: ratios bounded, token counts positive") {
+    val st = TextAnalysis.textStats(docs).cache()
+    assert(st.count() == docs.count())
+    assert(st.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
+    assert(st.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    assert(st.filter(col("n_tokens_ws") <= 0).count() == 0)
+  }
+
+  test("langid: picks a language or und, deterministic") {
+    val l1 = TextAnalysis.languageId(docs).collect().toSeq.sortBy(_.getLong(0))
+    val l2 = TextAnalysis.languageId(docs).collect().toSeq.sortBy(_.getLong(0))
+    assert(l1 == l2)
+    val langs = l1.map(_.getAs[String]("lang_pred")).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh", "und")))
+  }
+
+  test("exact dedup: identical normalized text collapses") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(d).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH: exact duplicates are always candidates") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with no overlap at all zzz qqq")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshCandidates(d).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("simhash: identical docs share fingerprint; fingerprint is stable") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "xx yy zz")).toDF("doc_id", "text")
+    val out = Dedup.simhashBuckets(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L)) // extremely unlikely to collide
+  }
+
+  test("ngram jaccard: identical docs in same block score 1.0") {
+    val d = Seq((1L, "aaaa bbbb cccc dddd", "en", "s1"),
+      (2L, "aaaa bbbb cccc dddd", "en", "s1"),
+      (3L, "zzzz yyyy xxxx wwww", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.ngramJaccard(d, Seq("lang", "source"), minJaccard = 0.9).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val sims = d.as("a").crossJoin(d.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+  }
+
+  test("brute-force topk: k rows per query, ranked desc") {
+    val out = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 3), k = 4).cache()
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 4).count() == 0)
+    val r1 = out.filter(col("query_id") === 0).orderBy(col("rank")).collect()
+    assert(r1.map(_.getAs[Double]("sim")).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("lsh topk: neighbors come only from the query's bucket, sims match brute force values") {
+    val out = Similarity.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5)
+    val brute = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8), k = embs.count().toInt)
+    val bruteMap = brute.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteMap(key) == r.getDouble(2)) // same cosine values
+    }
+  }
+
+  test("fingerprints: rolling fingerprint survives local edits, md5 does not") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val edited = base + " extra"
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d, shingleK = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fp(1L)._1 != fp(2L)._1) // exact fingerprint differs
+    assert(fp(1L)._2 == fp(2L)._2) // min-shingle fingerprint robust to suffix edit
+  }
+
+  test("shingles produce k-length grams; short text yields one gram") {
+    val d = Seq(("abcdef"), ("ab")).toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("g"))
+    val rows = d.collect().map(_.getSeq[String](0))
+    assert(rows(0).forall(_.length == 3) && rows(0).length == 4)
+    assert(rows(1) == Seq("ab"))
+  }
+}
