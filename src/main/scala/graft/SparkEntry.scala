@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EdgeSpec, GraphModel, NodeSpec}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.ops.{GraphOps, Stats}
 import graft.pipeline.GraphProjection
 import graft.sink.ParquetWireSink
@@ -19,6 +19,17 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the column
+    * arrives as long nanos — convert to a real timestamp (µs, floored,
+    * matching DuckDB's ns→µs truncation). Integer `div` avoids the
+    * double-precision loss a `/` would introduce on ~1e18 values. */
+  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** The §7.3 minimum end-to-end slice: customer as node source, orders as
     * edge source, regex-routed, canonically projected, written through the
@@ -117,6 +128,74 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8))
     }),
+
+    // ==== extension operators: event analytics (window functions) ====
+    "ev_sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
+    "ev_window_agg" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedCounts(eventsTable(s, dir))),
+    "ev_running_totals" -> ((s, dir) => Events.runningTotals(eventsTable(s, dir))),
+    "ev_top_types" -> ((s, dir) => Events.topEventTypes(eventsTable(s, dir))),
+
+    // ==== extension operators: multimodal binary plumbing ====
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(s, Multimodal.synthesizeMedia(t(s, dir, "documents"))).toDF()),
+    "mm_sample_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.synthesizeMedia(t(s, dir, "documents"))).toDF()),
+    "mm_features" -> ((s, dir) => // no SQL oracle: rows-only (array output)
+      Multimodal.extractFeatures(s, Multimodal.synthesizeMedia(t(s, dir, "documents")))),
+
+    // ==== widened relational surface (classic OLAP over the star schema) ====
+    "q1_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") < 45)
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base"),
+          sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q3_topk_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "semi_join" -> ((s, dir) =>
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+    "anti_join" -> ((s, dir) =>
+      t(s, dir, "customer").join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+    "distinct_op" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct()),
+    "rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))),
+    "topk_sort" -> ((s, dir) =>
+      t(s, dir, "part")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .limit(10)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,6 +230,56 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
     "sim_cosine_topk" -> OracleFragments.simCosineTopK(maxQueryId = 8, k = 5),
     "sim_cosine_pairs" -> OracleFragments.simCosinePairs(threshold = 0.40),
+    "ev_sessionize" -> OracleFragments.evSessionize(gapMinutes = 30),
+    "ev_window_agg" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+                count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "ev_running_totals" ->
+      """SELECT event_id, user_id,
+                row_number() OVER w ::INT AS event_idx,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING), 4) AS running_value
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "ev_top_types" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                    FROM events GROUP BY 1, 2)
+         SELECT user_id, event_type, cnt,
+                row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC)::INT AS rnk
+         FROM c QUALIFY rnk <= 2""",
+    "mm_decode_meta" -> OracleFragments.mmDecodeMeta,
+    "mm_sample_frames" -> OracleFragments.mmSampleFrames(stride = 2),
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+                sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base,
+                sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+                sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem WHERE l_quantity < 45 GROUP BY 1, 2""",
+    "q3_topk_join" ->
+      """SELECT o_orderkey,
+                sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""",
+    "distinct_op" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""",
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS n, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "topk_sort" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""",
   )
 }
 
@@ -258,6 +387,49 @@ object OracleFragments {
                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
             FROM scored)
         SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= $k"""
+
+  def evSessionize(gapMinutes: Int): String = {
+    val gapMs = gapMinutes * 60000L
+    s"""WITH g AS (
+          SELECT user_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events),
+        s AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > $gapMs
+                      THEN 1 ELSE 0 END AS new_session
+          FROM g),
+        c AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+          FROM s)
+        SELECT user_id, session_seq, count(*) AS n_events,
+               epoch_ms(min(ts)) AS session_start_ms,
+               epoch_ms(max(ts)) AS session_end_ms,
+               round(sum(value), 4) AS total_value
+        FROM c GROUP BY 1, 2"""
+  }
+
+  /** Byte i of the (ASCII) text payload, mirroring FakeCodec.b(i). */
+  private def byteAt(i: Int): String =
+    s"CASE WHEN strlen(text) > $i THEN ascii(substr(text, ${i + 1}, 1)) ELSE 0 END"
+
+  val mmDecodeMeta: String =
+    s"""SELECT doc_id,
+          ((${byteAt(0)}) + 256 * (${byteAt(1)})) % 1024 AS width,
+          ((${byteAt(2)}) + 256 * (${byteAt(3)})) % 768 AS height,
+          (1 + (${byteAt(4)}) % 8)::INT AS n_frames,
+          strlen(text)::BIGINT AS media_bytes
+        FROM documents"""
+
+  def mmSampleFrames(stride: Int): String =
+    s"""WITH meta AS ($mmDecodeMeta),
+          fr AS (SELECT doc_id, media_bytes, n_frames,
+                        unnest(range(0, n_frames, $stride)) AS i FROM meta)
+        SELECT doc_id, i::INT AS frame_idx,
+               (i * (media_bytes // greatest(n_frames, 1)))::BIGINT AS frame_offset
+        FROM fr"""
 
   def simCosinePairs(threshold: Double): String =
     s"""WITH q AS (SELECT label, vec_id AS a, embedding AS qv FROM embeddings),

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads ride as opaque
+ * `binary` columns with typed metadata alongside. The Spark-side machinery
+ * here — schema, partition-preserving per-batch processing via typed
+ * `mapPartitions`, deterministic batch shapes — is real and tested; the
+ * codec itself is a STUB (`FakeCodec`): this container has no image/audio
+ * libraries, so decode derives deterministic pseudo-metadata from the
+ * bytes. Swapping `FakeCodec` for a real JNI/library decoder changes no
+ * plan shape.
+ *
+ * Why mapPartitions (not a per-row UDF): a real decoder amortizes codec
+ * init per partition and can batch into native calls — same shape as
+ * PySpark's mapInPandas/mapInArrow. The partition iterator is the batch.
+ */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class MediaMeta(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, media_bytes: Long)
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Long)
+
+  /** Deterministic stand-in for an image/video codec. Real implementation
+    * would be e.g. libjpeg/ffmpeg behind JNI — init once per partition. */
+  object FakeCodec {
+    def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta = {
+      def b(i: Int): Int = if (bytes.length > i) bytes(i) & 0xff else 0
+      MediaMeta(
+        doc_id = id,
+        width = (b(0) + 256 * b(1)) % 1024,
+        height = (b(2) + 256 * b(3)) % 768,
+        n_frames = 1 + b(4) % 8,
+        media_bytes = bytes.length.toLong)
+    }
+  }
+
+  /** Synthesize a binary media column from text (fixtures carry no real
+    * media); in production this column comes straight from parquet/webds. */
+  def synthesizeMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+
+  /** Decode typed metadata from the binary column — partition-wise, codec
+    * initialized once per partition (here: the stub). */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        // real codec: val codec = Codec.open() here, close at end
+        rows.map(r => FakeCodec.decodeMeta(r.doc_id, r.media))
+      }
+  }
+
+  /** Sample every `stride`-th frame of each media payload: one output row
+    * per sampled frame with its byte offset — the fan-out shape of video
+    * frame extraction (explode keeps it fully distributed; no driver loop). */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    decodeMeta(spark, media).flatMap { m =>
+      (0 until m.n_frames by stride).map { i =>
+        Frame(m.doc_id, i, i.toLong * (m.media_bytes / math.max(m.n_frames, 1)))
+      }
+    }
+  }
+
+  /** Fixed-width feature vector from the payload (stub: bucketed byte
+    * sums normalized to [0,1]) — the shape of an embedding-extraction
+    * stage: binary in, dense Array[Float] out, schema declared. */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dims: Int = 8): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .map { r =>
+        val acc = new Array[Long](dims)
+        var i = 0
+        while (i < r.media.length) { acc(i % dims) += (r.media(i) & 0xff); i += 1 }
+        val n = math.max(r.media.length / dims, 1)
+        (r.doc_id, acc.map(s => s.toFloat / (n * 255f)))
+      }
+      .toDF("doc_id", "features")
+  }
+}

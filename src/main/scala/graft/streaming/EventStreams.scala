@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured Streaming renditions of the event analytics. The reference is
+ * batch-only (SURVEY.md §2.8), so this is pure extension surface: the same
+ * windowed aggregation expressed once and bound to either a batch or a
+ * streaming source — `readStream` → watermark → windowed agg → sink.
+ *
+ * The watermark bounds state: at production scale the 1h-window agg keeps
+ * only (watermark horizon / window) panes per key in the state store, and
+ * `dropDuplicates` state is similarly pruned by event-time.
+ */
+object EventStreams {
+
+  /** The shared transform: 1-hour tumbling windows per event_type.
+    * Works on a batch OR streaming DataFrame — same plan either way. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming de-duplication by event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  /** Bind the windowed agg to a parquet directory as a file stream and a
+    * memory sink (for tests / local smoke); returns the running query. */
+  def startFileStream(
+      spark: SparkSession,
+      schema: StructType,
+      srcDir: String,
+      queryName: String,
+      prepare: DataFrame => DataFrame = identity): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    windowedCounts(prepare(stream)).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+}
