@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
+import graft.ops.Par
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -31,19 +32,34 @@ object Dedup {
   /** Exact dedup: one representative (min id) per normalized-text
     * fingerprint, with the duplicate count. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+    Par.fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), md5Fingerprint(col(textCol)).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature columns: H independent hashes (md5-family, oracle-
-    * reproducible; swap `minhash` for an xxhash64 variant at prod scale). */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Seq[Column] =
-    Seq.tabulate(numHashes)(i => minhash(text, k, i))
+  /** MinHash signature as an aggregated DataFrame: shingles are exploded
+    * ONCE to rows, then each of the H hashes is a codegen'd `min`
+    * aggregate over md5(seed:gram). This is the scalable form — one
+    * narrow explode + one partial/final hash aggregate keyed by doc id;
+    * the array-lambda alternative recomputes the shingle pipeline per
+    * hash through interpreted higher-order functions (~20× slower). */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int): DataFrame = {
+    val grams = Par.fanOut(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(shingles(col(textCol), shingleK)).as("gram"))
+    val aggs = Seq.tabulate(numHashes)(i =>
+      min(md5(concat_ws(":", lit(i), col("gram")))).as(s"mh$i"))
+    grams.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** MinHash+LSH candidate pairs: B bands of R rows each; a pair is a
     * candidate if ANY band agrees on all R minhashes. Output: distinct
-    * (a, b) with a < b. Cost: n×B rows through one band-key shuffle. */
+    * (a, b) with a < b. Cost: n×B rows through one band-key shuffle —
+    * never the O(n²) cross product. */
   def minhashLshCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -51,13 +67,13 @@ object Dedup {
       shingleK: Int = 5,
       bands: Int = 4,
       rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(col(textCol), shingleK, bands * rowsPerBand)
+    val sig = minhashSignatures(docs, idCol, textCol, shingleK, bands * rowsPerBand)
     val bandCols = Seq.tabulate(bands) { b =>
-      val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("h"))
     }
-    val banded = docs.select(
-      col(idCol).as("id"),
+    val banded = sig.select(
+      col("id"),
       explode(array(bandCols: _*)).as("bk"))
     val l = banded.select(col("id").as("a"), col("bk"))
     val r = banded.select(col("id").as("b"), col("bk"))
@@ -91,7 +107,7 @@ object Dedup {
       textCol: String = "text",
       bits: Int = 32,
       prefixBits: Int = 8): DataFrame =
-    docs.select(
+    Par.fanOut(docs.select(col(idCol), col(textCol))).select(
       col(idCol),
       simhash(col(textCol), bits).as("simhash"),
       shiftrightunsigned(simhash(col(textCol), bits), bits - prefixBits).as("bucket"))
@@ -106,10 +122,11 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 5,
       minJaccard: Double = 0.0): DataFrame = {
-    val grams = docs.select(
-      col(idCol).as("id"),
-      struct(blockCols.map(col): _*).as("blk"),
-      explode(shingles(col(textCol), shingleK)).as("gram"))
+    val grams = Par.fanOut(docs.select(
+        col(idCol).as("id"),
+        struct(blockCols.map(col): _*).as("blk"),
+        col(textCol)))
+      .select(col("id"), col("blk"), explode(shingles(col(textCol), shingleK)).as("gram"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = grams.select(col("blk"), col("id").as("a"), col("gram"))
     val b = grams.select(col("blk").as("blk_b"), col("id").as("b"), col("gram").as("gram_b"))

@@ -41,7 +41,8 @@ object Multimodal {
   /** Synthesize a binary media column from text (fixtures carry no real
     * media); in production this column comes straight from parquet/webds. */
   def synthesizeMedia(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    graft.ops.Par.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
 
   /** Decode typed metadata from the binary column — partition-wise, codec
     * initialized once per partition (here: the stub). */

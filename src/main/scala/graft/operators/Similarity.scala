@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.ops.Par
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,7 +43,7 @@ object Similarity {
       vecCol: String = "embedding",
       k: Int = 5): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = Par.fanOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = c
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -65,7 +66,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.9): DataFrame = {
-    val a = corpus.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("va"))
+    val a = Par.fanOut(corpus.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("va")))
     val b = corpus.select(col(blockCol).as("blk_b"), col(idCol).as("b"), col(vecCol).as("vb"))
     a.join(b, col("blk") === col("blk_b") && col("a") < col("b"))
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
@@ -99,9 +100,8 @@ object Similarity {
       vecCol: String = "embedding",
       numPlanes: Int = 8,
       k: Int = 5): DataFrame = {
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val c = Par.fanOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+      .select(col("neighbor_id"), col("cv"), lshBucket(col("cv"), numPlanes).as("bucket"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), numPlanes).as("bucket"))
