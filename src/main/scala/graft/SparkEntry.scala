@@ -295,8 +295,20 @@ object OracleFragments {
   def shingles(k: Int): String =
     s"list_distinct(list_transform(generate_series(1, greatest(length($norm)-${k - 1}, 1)), i -> substr($norm, i, $k)))"
 
-  def minhashExpr(k: Int, seed: Int): String =
-    s"list_aggregate(list_transform(${shingles(k)}, g -> md5('$seed' || ':' || g)), 'min')"
+  /** Permutation minhash mirroring graft.functions.MinHashSignature:
+    * x = first 4 md5 bytes of the gram; mh_i = min (A_i*x + B_i) mod P.
+    * A_i/B_i/P come from the SAME Scala constants the expression uses. */
+  def minhashExpr(k: Int, i: Int): String = {
+    val a = graft.functions.MinHashSignature.paramA(i)
+    val b = graft.functions.MinHashSignature.paramB(i)
+    val p = graft.functions.MinHashSignature.P
+    s"list_aggregate(list_transform(${shinglesAll(k)}, g -> ($a * ('0x' || substr(md5(g), 1, 8))::BIGINT + $b) % $p), 'min')"
+  }
+
+  /** Non-distinct sliding shingles (min is distinct-insensitive; the
+    * expression iterates raw windows). */
+  def shinglesAll(k: Int): String =
+    s"list_transform(generate_series(1, greatest(length($norm)-${k - 1}, 1)), i -> substr($norm, i, $k))"
 
   val textStats: String = {
     val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
@@ -344,7 +356,7 @@ object OracleFragments {
   def dedupMinhashLsh(bands: Int, rowsPerBand: Int): String = {
     val mh = Seq.tabulate(bands * rowsPerBand)(i => s"${minhashExpr(5, i)} AS mh$i").mkString(", ")
     val bandSelects = Seq.tabulate(bands) { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM sigs"
     }.mkString(" UNION ALL ")
     s"""WITH sigs AS (SELECT doc_id, $mh FROM documents),

@@ -1,0 +1,103 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * One-pass MinHash signature as a native Catalyst expression.
+ *
+ * Why a custom Expression instead of composing built-ins: the built-in
+ * formulations either (a) materialize the shingle array per row and run H
+ * interpreted higher-order-function passes over it, or (b) explode
+ * shingles to rows and aggregate — which SHUFFLES the exploded gram
+ * stream (k× the input bytes; at 100 TB that is the whole job's cost).
+ * This expression computes all H minhashes in a single tight loop over
+ * the normalized text, map-side, allocation-free per shingle — the
+ * signature computation rides inside WholeStageCodegen via a static call
+ * (preference order (b) of the build rules: custom Expression before
+ * custom physical operator).
+ *
+ * Semantics (mirrored exactly by the DuckDB oracle, see
+ * OracleFragments.minhashPermExpr):
+ *   norm   = lower(trim(ws-collapse(text)))
+ *   grams  = k-char sliding windows of norm (short text → one gram)
+ *   x(g)   = first 4 bytes of md5(g) as unsigned 32-bit
+ *   mh_i   = min over grams of (A_i * x + B_i) mod P,  P = 4294967311
+ * A_i/B_i < 2^30 so A*x + B < 2^62: no 64-bit overflow in either engine.
+ */
+case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs a string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashSignature.compute(input.asInstanceOf[UTF8String].toString, shingleK, numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHashSignature.compute($c.toString(), $shingleK, $numHashes));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Modulus: smallest prime > 2^32. */
+  val P: Long = 4294967311L
+
+  /** Deterministic permutation params, single source of truth for both
+    * the expression and the generated oracle SQL. Odd A, both < 2^30. */
+  def paramA(i: Int): Long = ((2654435761L * (i + 1) + 0x9E3779B9L) % (1L << 30)) | 1L
+  def paramB(i: Int): Long = (40503L * (i + 1) * 69069L + 12345L) % (1L << 30)
+
+  /** Whitespace-collapse + trim + lower — must match
+    * TextFunctions.normalizeText and the oracle's regexp_replace. */
+  def normalize(text: String): String =
+    text.replaceAll("\\s+", " ").trim.toLowerCase(Locale.ROOT)
+
+  def compute(text: String, k: Int, h: Int): Array[Long] = {
+    val norm = normalize(text)
+    val md = MessageDigest.getInstance("MD5")
+    val as = Array.tabulate(h)(paramA)
+    val bs = Array.tabulate(h)(paramB)
+    val mins = Array.fill(h)(Long.MaxValue)
+    val n = math.max(norm.length - k + 1, 1)
+    var i = 0
+    while (i < n) {
+      val g = norm.substring(i, math.min(i + k, norm.length))
+      val d = md.digest(g.getBytes(StandardCharsets.UTF_8))
+      md.reset()
+      val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var j = 0
+      while (j < h) {
+        val v = (as(j) * x + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** Column API. */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      MinHashSignature(org.apache.spark.sql.GraftExpr.expression(text), k, numHashes))
+}

@@ -37,24 +37,21 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature as an aggregated DataFrame: shingles are exploded
-    * ONCE to rows, then each of the H hashes is a codegen'd `min`
-    * aggregate over md5(seed:gram). This is the scalable form — one
-    * narrow explode + one partial/final hash aggregate keyed by doc id;
-    * the array-lambda alternative recomputes the shingle pipeline per
-    * hash through interpreted higher-order functions (~20× slower). */
+  /** MinHash signatures via the native one-pass expression
+    * (graft.functions.MinHashSignature): all H permutation-minhashes per
+    * row in a single map-side loop — no shingle array materialization, no
+    * exploded-gram shuffle. At 100 TB the signature stage is pure
+    * scan-speed map work. */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleK: Int,
-      numHashes: Int): DataFrame = {
-    val grams = Par.fanOut(docs.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), explode(shingles(col(textCol), shingleK)).as("gram"))
-    val aggs = Seq.tabulate(numHashes)(i =>
-      min(md5(concat_ws(":", lit(i), col("gram")))).as(s"mh$i"))
-    grams.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
+      numHashes: Int): DataFrame =
+    Par.fanOut(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
+        graft.functions.MinHashSignature
+          .minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
 
   /** MinHash+LSH candidate pairs: B bands of R rows each; a pair is a
     * candidate if ANY band agrees on all R minhashes. Output: distinct
@@ -69,7 +66,8 @@ object Dedup {
       rowsPerBand: Int = 2): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, shingleK, bands * rowsPerBand)
     val bandCols = Seq.tabulate(bands) { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1).cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("h"))
     }
     val banded = sig.select(
