@@ -101,6 +101,30 @@ object SparkEntry {
       Stats.combineFinal(Seq(n, e))
     }),
 
+    // ---- §2.3 R1/R2: re-batch / reshuffle — assert the partition contract ----
+    "r1_rebatch" -> ((s, dir) => {
+      val re = GraphOps.rebatch(t(s, dir, "customer"), 8)
+      re.select(spark_partition_id().as("pid"))
+        .agg(countDistinct(col("pid")).as("n_partitions"))
+    }),
+    // ---- §3 lifecycle: full projection pipeline with barrier; checks the
+    //      wire-sink stats (incl. nbytes accounting) end to end ----
+    "k3_pipeline_stats" -> ((s, dir) => {
+      val model = GraphModel(
+        name = "gate",
+        nodes = Seq(NodeSpec(".*customer.*parquet", keyField = Some("c_custkey"),
+          properties = Map("c_acctbal" -> "acctbal", "c_mktsegment" -> "segment"))),
+        edges = Seq(EdgeSpec(".*orders.*parquet", sourceField = Some("o_custkey"),
+          targetField = Some("o_orderkey"),
+          properties = Map("o_totalprice" -> "totalprice"))))
+      val out = java.nio.file.Files.createTempDirectory("graft_gate").toString
+      val res = GraphProjection.run(spark = s, model = model,
+        nodePattern = Seq(s"$dir/customer.parquet"),
+        edgePattern = Seq(s"$dir/orders.parquet"),
+        sink = new ParquetWireSink(out))
+      Stats.toDataset(s, Seq(res.finalStats)).toDF()
+    }),
+
     // ==== extension operators: text analysis ====
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
@@ -115,6 +139,15 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), blockCols = Seq("lang", "source"),
         minJaccard = 0.30)),
+
+    "dedup_embedding" -> ((s, dir) => {
+      // embedding-cosine near-dup: duplicates = high-cosine pairs within a
+      // block; representative = min vec_id (same keep-min contract as exact)
+      val pairs = Similarity.cosinePairs(t(s, dir, "embeddings"),
+        blockCol = "label", threshold = 0.40)
+      pairs.groupBy(col("b").as("dup_id"))
+        .agg(min(col("a")).as("kept_id"))
+    }),
 
     // ==== extension operators: similarity search ====
     "sim_cosine_topk" -> ((s, dir) => {
@@ -222,6 +255,21 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM orders) AS "count",
                 (SELECT count(*)*8 FROM customer) + (SELECT count(*)*16 FROM orders) AS nbytes,
                 'final' AS kind""",
+    "r1_rebatch" -> "SELECT 8::BIGINT AS n_partitions",
+    "k3_pipeline_stats" ->
+      // wire bytes: nodes = nodeId(8) + acctbal(8) + octet_length(segment);
+      // edges = sourceNodeId(8) + targetNodeId(8) + totalprice(8)
+      """SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM orders) AS "count",
+                (SELECT CAST(sum(16 + strlen(c_mktsegment)) AS BIGINT) FROM customer)
+              + (SELECT CAST(count(*) * 24 AS BIGINT) FROM orders) AS nbytes,
+                'final' AS kind""",
+    "dedup_embedding" -> s"""
+        WITH q AS (SELECT label, vec_id AS a, embedding AS qv FROM embeddings),
+             c AS (SELECT label, vec_id AS b, embedding AS cv FROM embeddings),
+             pairs AS (
+               SELECT q.a, c.b FROM q JOIN c ON q.label = c.label AND q.a < c.b
+               WHERE ${OracleFragments.cosineExpr} >= 0.40)
+        SELECT b AS dup_id, min(a) AS kept_id FROM pairs GROUP BY 1""",
     "text_stats" -> OracleFragments.textStats,
     "text_langid" -> OracleFragments.textLangid,
     "text_fingerprint" -> OracleFragments.textFingerprint,
