@@ -140,6 +140,12 @@ object SparkEntry {
       Dedup.ngramJaccard(t(s, dir, "documents"), blockCols = Seq("lang", "source"),
         minJaccard = 0.30)),
 
+    "dedup_lsh_jaccard" -> ((s, dir) =>
+      // the scalable near-dup pipeline: LSH candidates -> exact verify
+      Dedup.lshJaccard(t(s, dir, "documents"), minJaccard = 0.30)),
+    "skew_salted_agg" -> ((s, dir) =>
+      graft.ops.SkewAgg.saltedCountSum(eventsTable(s, dir),
+        keyCol = "event_type", valueCol = "value", saltFrom = col("event_id"))),
     "dedup_embedding" -> ((s, dir) => {
       // embedding-cosine near-dup: duplicates = high-cosine pairs within a
       // block; representative = min vec_id (same keep-min contract as exact)
@@ -276,6 +282,12 @@ object SparkEntry {
     "dedup_exact" -> OracleFragments.dedupExact,
     "dedup_minhash_lsh" -> OracleFragments.dedupMinhashLsh(bands = 4, rowsPerBand = 2),
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
+    "dedup_lsh_jaccard" -> OracleFragments.dedupLshJaccard(
+      bands = 4, rowsPerBand = 2, minJaccard = 0.30),
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(value), 4) AS total
+         FROM events GROUP BY 1""",
     "sim_cosine_topk" -> OracleFragments.simCosineTopK(maxQueryId = 8, k = 5),
     "sim_cosine_pairs" -> OracleFragments.simCosinePairs(threshold = 0.40),
     "ev_sessionize" -> OracleFragments.evSessionize(gapMinutes = 30),
@@ -412,6 +424,32 @@ object OracleFragments {
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         FROM bandkeys l JOIN bandkeys r
           ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id"""
+  }
+
+  /** LSH candidates (same SQL as dedup_minhash_lsh) + exact Jaccard on the
+    * candidates' distinct-shingle sets. */
+  def dedupLshJaccard(bands: Int, rowsPerBand: Int, minJaccard: Double): String = {
+    val mh = Seq.tabulate(bands * rowsPerBand)(i => s"${minhashExpr(5, i)} AS mh$i").mkString(", ")
+    val bandSelects = Seq.tabulate(bands) { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH sigs AS (SELECT doc_id, $mh FROM documents),
+          bandkeys AS ($bandSelects),
+          cands AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bandkeys l JOIN bandkeys r
+              ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+          gs AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM documents),
+          scored AS (
+            SELECT a, b,
+                   len(list_intersect(ga.g, gb.g)) AS inter,
+                   len(ga.g) AS sa, len(gb.g) AS sb
+            FROM cands JOIN gs ga ON cands.a = ga.gid
+                       JOIN gs gb ON cands.b = gb.gid)
+        SELECT a, b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
+        FROM scored
+        WHERE round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) >= $minJaccard"""
   }
 
   def dedupNgramJaccard(minJaccard: Double): String =

@@ -110,6 +110,37 @@ object Dedup {
       simhash(col(textCol), bits).as("simhash"),
       shiftrightunsigned(simhash(col(textCol), bits), bits - prefixBits).as("bucket"))
 
+  /** The scalable near-dup pipeline: MinHash+LSH candidate generation
+    * followed by EXACT n-gram Jaccard verification on candidates only.
+    * Pair count is bounded by LSH bucket collisions (linear-ish), never
+    * O(n²); the per-pair verification uses set intersection on the docs'
+    * distinct shingle arrays (two hash-joins keyed by doc id). This is
+    * the form that survives 100 TB — `ngramJaccard` (blocked exact) is
+    * the small-block alternative. */
+  def lshJaccard(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.0): DataFrame = {
+    val candidates = minhashLshCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    val grams = Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("gid"), shingles(col(textCol), shingleK).as("gs"))
+    val withA = candidates.join(grams.select(col("gid"), col("gs").as("gs_a")),
+      col("a") === col("gid")).drop("gid")
+    val withB = withA.join(grams.select(col("gid"), col("gs").as("gs_b")),
+      col("b") === col("gid")).drop("gid")
+    withB
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("gs_a")) + size(col("gs_b")) - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity, computed only within blocks (e.g.
     * same source+lang) — the blocking keeps this linear-ish; an unblocked
     * version of this op at 100 TB would be the O(n²) anti-pattern. */

@@ -40,6 +40,22 @@ object Stats {
         sum(col("nbytes")).cast("long").as("nbytes")))
   }
 
+  /** The LoadResult monoid as a typed `Aggregator` — the Spark-idiomatic
+    * surface for the reference's `sum_results` CombineFn (_dofn.py:34-47):
+    * usable on `Dataset[LoadResult]` via `.select(statsAggregator.toColumn)`
+    * with map-side partial combine, exactly CombineGlobally's contract. */
+  def statsAggregator(kind: String): org.apache.spark.sql.expressions.Aggregator[LoadResult, LoadResult, LoadResult] =
+    new org.apache.spark.sql.expressions.Aggregator[LoadResult, LoadResult, LoadResult] {
+      override def zero: LoadResult = LoadResult(0L, 0L, kind)
+      override def reduce(b: LoadResult, a: LoadResult): LoadResult = b |+| a
+      override def merge(b1: LoadResult, b2: LoadResult): LoadResult = b1 |+| b2
+      override def finish(r: LoadResult): LoadResult = r
+      override def bufferEncoder: org.apache.spark.sql.Encoder[LoadResult] =
+        org.apache.spark.sql.Encoders.product[LoadResult]
+      override def outputEncoder: org.apache.spark.sql.Encoder[LoadResult] =
+        org.apache.spark.sql.Encoders.product[LoadResult]
+    }
+
   /** Typed variant for driver-side folding of already-collected rows. */
   def fold(results: Seq[LoadResult], kind: String): LoadResult =
     results.foldLeft(LoadResult(0L, 0L, kind))(_ |+| _)

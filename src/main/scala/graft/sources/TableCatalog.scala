@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.model.{EdgeSpec, NodeSpec}
+import graft.ops.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Named-table source over a directory of parquet files — the Spark
+ * analogue of the reference's BigQuery table surface (S2/S3/S6,
+ * neo4j_bigquery/_client.py:46-73):
+ *
+ *  - stream planning (`ReadSession` → ≤1000 stream names per table) ≙
+ *    Spark's FileScan partition planning — free and automatic; the
+ *    `planScan` probe exposes the resulting parallelism for inspection.
+ *  - model-driven column pruning (`selected_fields`, pipeline.py:106-127)
+ *    ≙ `select` of the spec's needed columns — Catalyst pushes it into
+ *    the reader (visible as ReadSchema in the plan).
+ *  - worker-side stream consumption ≙ FileScanRDD; nothing to build.
+ *
+ * Provenance for model routing is the table NAME (the reference's BQ
+ * mode routes on table names, e.g. so_model.json's "users").
+ */
+final class TableCatalog(spark: SparkSession, baseDir: String) {
+
+  /** Table names = parquet basenames in the directory. */
+  def tables: Seq[String] = {
+    val dir = new java.io.File(baseDir)
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet")).sorted
+  }
+
+  def read(table: String): DataFrame =
+    spark.read.parquet(s"$baseDir/$table.parquet")
+
+  /** Read a table as a node source under a spec: prune to the spec's
+    * columns (model-driven pruning) and tag provenance with the table
+    * name for routing. */
+  def readForNode(table: String, spec: NodeSpec): DataFrame = {
+    val df = read(table).withColumn(GraphOps.SrcCol,
+      org.apache.spark.sql.functions.lit(table))
+    GraphOps.pruneFor(df, spec.neededColumns)
+  }
+
+  def readForEdge(table: String, spec: EdgeSpec): DataFrame = {
+    val df = read(table).withColumn(GraphOps.SrcCol,
+      org.apache.spark.sql.functions.lit(table))
+    GraphOps.pruneFor(df, spec.neededColumns)
+  }
+
+  /** Scan-parallelism probe (≙ the reference's stream count, capped at
+    * 1000 streams/table): how many partitions the FileScan planned. */
+  def planScan(table: String): Int = read(table).rdd.getNumPartitions
+}

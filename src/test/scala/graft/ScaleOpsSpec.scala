@@ -1,0 +1,58 @@
+package graft
+
+import graft.model.NodeSpec
+import graft.operators.Dedup
+import graft.ops.{LoadResult, SkewAgg, Stats}
+import graft.sources.TableCatalog
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted agg equals plain groupBy agg") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L), ("a", 4.5, 4L))
+      .toDF("k", "v", "id")
+    val salted = SkewAgg.saltedCountSum(df, "k", "v", col("id"), saltBuckets = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted("a") == ((3L, 7.5)) && salted("b") == ((1L, 3.0)))
+  }
+
+  test("lshJaccard: exact duplicates found with jaccard 1.0") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "totally different words here zzz")).toDF("doc_id", "text")
+    val out = Dedup.lshJaccard(d, minJaccard = 0.9).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("lshJaccard is a subset of blocked exact jaccard scores") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val lsh = Dedup.lshJaccard(docs, minJaccard = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH-verified pair has the same jaccard the exact op computes
+    val exact = Dedup.ngramJaccard(docs, blockCols = Seq("lang", "source"), minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (pair, j) =>
+      exact.get(pair).foreach(je => assert(je == j, s"pair $pair: lsh=$j exact=$je"))
+    }
+  }
+
+  test("table catalog: lists tables, prunes columns, tags provenance") {
+    val cat = new TableCatalog(spark, sf())
+    assert(cat.tables.contains("customer") && cat.tables.contains("lineitem"))
+    val spec = NodeSpec("customer", keyField = Some("c_custkey"),
+      properties = Map("c_acctbal" -> "acctbal"))
+    val df = cat.readForNode("customer", spec)
+    assert(df.columns.toSet == Set("c_custkey", "c_acctbal", "src"))
+    assert(df.select("src").distinct().collect().map(_.getString(0)).toSeq == Seq("customer"))
+    assert(cat.planScan("customer") >= 1)
+  }
+
+  test("typed stats Aggregator matches the driver-side fold") {
+    val rs = Seq(LoadResult(1, 10, "node"), LoadResult(2, 20, "node"), LoadResult(4, 40, "node"))
+    val ds = spark.createDataset(rs)
+    val agg = ds.select(Stats.statsAggregator("node").toColumn).head()
+    assert(agg == Stats.fold(rs, "node"))
+  }
+}
