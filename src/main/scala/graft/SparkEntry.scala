@@ -142,7 +142,7 @@ object SparkEntry {
 
     "dedup_lsh_jaccard" -> ((s, dir) =>
       // the scalable near-dup pipeline: LSH candidates -> exact verify
-      Dedup.lshJaccard(t(s, dir, "documents"), minJaccard = 0.30)),
+      Dedup.lshJaccard(t(s, dir, "documents"), minJaccard = 0.20)),
     "skew_salted_agg" -> ((s, dir) =>
       graft.ops.SkewAgg.saltedCountSum(eventsTable(s, dir),
         keyCol = "event_type", valueCol = "value", saltFrom = col("event_id"))),
@@ -172,8 +172,31 @@ object SparkEntry {
     "ev_sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
     "ev_window_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedCounts(eventsTable(s, dir))),
+    "ev_session_window" -> ((s, dir) => Events.sessionWindows(eventsTable(s, dir))),
     "ev_running_totals" -> ((s, dir) => Events.runningTotals(eventsTable(s, dir))),
     "ev_top_types" -> ((s, dir) => Events.topEventTypes(eventsTable(s, dir))),
+
+    "ev_asof_join" -> ((s, dir) => {
+      // each event joined to the user's most recent prior error event
+      val ev = eventsTable(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ms").as("err_ms"))
+      graft.operators.AsOfJoin.asOf(
+        left = ev.select(col("event_id"), col("user_id"), col("ts_ms")),
+        right = errors.withColumnRenamed("err_ms", "ts_ms")
+          .withColumn("err_ms", col("ts_ms")),
+        keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
+        leftCols = Seq("event_id"))
+    }),
+    "agg_distinct" -> ((s, dir) =>
+      eventsTable(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+    "pct_agg" -> ((s, dir) =>
+      eventsTable(s, dir).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))),
 
     // ==== extension operators: multimodal binary plumbing ====
     "mm_decode_meta" -> ((s, dir) =>
@@ -283,7 +306,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleFragments.dedupMinhashLsh(bands = 4, rowsPerBand = 2),
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
     "dedup_lsh_jaccard" -> OracleFragments.dedupLshJaccard(
-      bands = 4, rowsPerBand = 2, minJaccard = 0.30),
+      bands = 4, rowsPerBand = 4, minJaccard = 0.20),
     "skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
                 round(sum(value), 4) AS total
@@ -291,6 +314,24 @@ object SparkEntry {
     "sim_cosine_topk" -> OracleFragments.simCosineTopK(maxQueryId = 8, k = 5),
     "sim_cosine_pairs" -> OracleFragments.simCosinePairs(threshold = 0.40),
     "ev_sessionize" -> OracleFragments.evSessionize(gapMinutes = 30),
+    "ev_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM g),
+         c AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS seq
+           FROM s)
+         SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+                count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM c GROUP BY user_id, seq""",
     "ev_window_agg" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
                 count(*) AS n, round(sum(value), 4) AS total_value
@@ -307,6 +348,19 @@ object SparkEntry {
          SELECT user_id, event_type, cnt,
                 row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC)::INT AS rnk
          FROM c QUALIFY rnk <= 2""",
+    "ev_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+                epoch_ms(r.ts) AS asof_err_ms
+         FROM events e
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') r
+           ON e.user_id = r.user_id AND e.ts >= r.ts""",
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events FROM events GROUP BY 1""",
+    "pct_agg" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+                round(quantile_cont(value, 0.9), 4) AS p90
+         FROM events GROUP BY 1""",
     "mm_decode_meta" -> OracleFragments.mmDecodeMeta,
     "mm_sample_frames" -> OracleFragments.mmSampleFrames(stride = 2),
     "q1_agg" ->

@@ -123,7 +123,7 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 5,
       bands: Int = 4,
-      rowsPerBand: Int = 2,
+      rowsPerBand: Int = 4,
       minJaccard: Double = 0.0): DataFrame = {
     val candidates = minhashLshCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
     val grams = Par.fanOut(docs.select(col(idCol), col(textCol)))

@@ -55,6 +55,18 @@ object Events {
         .as("running_value"))
   }
 
+  /** Sessionization via the built-in `session_window` (gap-merged
+    * windows) — the declarative alternative to the lag/cumsum form that
+    * also runs under Structured Streaming with a watermark. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"), col("total_value"))
+
   /** Top-N event types per user by count (rank + filter — the classic
     * grouped top-k that stays one shuffle). */
   def topEventTypes(events: DataFrame, n: Int = 2): DataFrame = {

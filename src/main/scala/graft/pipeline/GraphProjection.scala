@@ -3,27 +3,30 @@ package graft.pipeline
 import graft.model.GraphModel
 import graft.ops.{GraphOps, LoadResult, Stats}
 import graft.sink.GdsSink
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * End-to-end graph projection — the Spark rendering of the reference's
  * pipeline lifecycle (pipeline.py:57-95 GCS mode; SURVEY.md §3):
  *
- *   job 1: scan node sources → route by regex → canonical node projection
- *          → sink.writeNodes (per spec) → stats
+ *   job 1: route node-source FILES to specs → scan per spec → canonical
+ *          node projection → sink.writeNodes → stats
  *   barrier: sink.nodesDone()        (reference Signal DoFn, _dofn.py:50-77)
  *   job 2: same for edges → sink.writeEdges → stats
  *   sink.edgesDone(); fold stats → final LoadResult
  *
+ * Routing happens at FILE granularity in the driver — exactly the
+ * reference's semantics (provenance is the file path; every row of a file
+ * shares it, pipeline.py:108,118) and the scale-correct plan: each spec's
+ * scan touches ONLY its matching files (no full-corpus scan per spec, no
+ * per-row regex filter), and model-driven column pruning reaches the
+ * reader. Unmatched files are skipped, like batches with no matching
+ * spec in the reference.
+ *
  * The reference's data-driven barrier (edge pattern emitted as data after
  * the node combine) becomes sequential driver code: Spark actions are
  * synchronous, so "all nodes before any edges" is just program order.
- *
- * Scale notes: each spec's scan/filter/projection is one declarative plan —
- * provenance routing compiles to a parquet `FileScan` + filter on
- * `input_file_name()` and model-driven pruning reaches the reader
- * (ReadSchema), so a 100 TB source only reads the spec's columns. No
- * driver-side data movement; stats come back via observed metrics.
  */
 object GraphProjection {
 
@@ -44,25 +47,19 @@ object GraphProjection {
 
     sink.start()
 
-    val nodeStats = nodePattern.flatMap { pattern =>
-      val tagged = GraphOps.scanParquet(spark, pattern)
-      model.nodes.flatMap { spec =>
-        val routed = GraphOps.routeTo(tagged, spec.source)
-        val pruned = GraphOps.pruneFor(routed, spec.neededColumns)
-        if (isEmptyFast(pruned)) None
-        else Some(sink.writeNodes(GraphOps.projectNode(pruned, spec)))
-      }
+    val nodeStats = routedReads(spark, nodePattern, model.nodes.map(_.source)).flatMap {
+      case (specIdx, df) =>
+        val spec = model.nodes(specIdx)
+        val pruned = GraphOps.pruneFor(df, spec.neededColumns)
+        Some(sink.writeNodes(GraphOps.projectNode(pruned, spec)))
     }
     sink.nodesDone() // barrier: all nodes are loaded before any edge ships
 
-    val edgeStats = edgePattern.flatMap { pattern =>
-      val tagged = GraphOps.scanParquet(spark, pattern)
-      model.edges.flatMap { spec =>
-        val routed = GraphOps.routeTo(tagged, spec.source)
-        val pruned = GraphOps.pruneFor(routed, spec.neededColumns)
-        if (isEmptyFast(pruned)) None
-        else Some(sink.writeEdges(GraphOps.projectEdge(pruned, spec)))
-      }
+    val edgeStats = routedReads(spark, edgePattern, model.edges.map(_.source)).flatMap {
+      case (specIdx, df) =>
+        val spec = model.edges(specIdx)
+        val pruned = GraphOps.pruneFor(df, spec.neededColumns)
+        Some(sink.writeEdges(GraphOps.projectEdge(pruned, spec)))
     }
     sink.edgesDone()
 
@@ -70,7 +67,39 @@ object GraphProjection {
     Result(nodeStats, edgeStats, folded.copy(kind = "final"))
   }
 
-  /** Cheap emptiness probe: `isEmpty` on a filtered scan stops at the first
-    * row (LIMIT 1 pushed into the scan) — no full pass. */
-  private def isEmptyFast(df: DataFrame): Boolean = df.isEmpty
+  /** Expand the globs, route each file to its FIRST matching spec regex
+    * (anchored, re.match semantics — same as GraphModel routing), and
+    * build one tagged DataFrame per spec over only that spec's files. */
+  private def routedReads(
+      spark: SparkSession,
+      patterns: Seq[String],
+      specSources: Seq[String]): Seq[(Int, DataFrame)] = {
+    val compiled = specSources.map(s => java.util.regex.Pattern.compile(s))
+    val files = patterns.flatMap(expandGlob(spark, _))
+    val bySpec = files
+      .flatMap { f =>
+        compiled.indexWhere(_.matcher(f).lookingAt()) match {
+          case -1 => None // no matching spec: skipped, like the reference
+          case i  => Some(i -> f)
+        }
+      }
+      .groupBy(_._1)
+    bySpec.toSeq.sortBy(_._1).map { case (specIdx, fs) =>
+      specIdx -> GraphOps.tagProvenance(spark.read.parquet(fs.map(_._2): _*))
+    }
+  }
+
+  private def expandGlob(spark: SparkSession, pattern: String): Seq[String] = {
+    val path = new Path(pattern)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(path)) match {
+      case Some(statuses) if statuses.nonEmpty =>
+        statuses.toSeq.flatMap { st =>
+          if (st.isDirectory)
+            fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath.toString)
+          else Seq(st.getPath.toString)
+        }
+      case _ => Seq.empty
+    }
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.MinHashSignature
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("minhash_signature callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Seq((1L, "hello world document"), (2L, "hello world document"))
+      .toDF("id", "text").createOrReplaceTempView("ext_docs")
+    val rows = spark.sql(
+      "SELECT id, minhash_signature(text, 5, 8) AS sig FROM ext_docs").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+    assert(rows(0).getSeq[Long](1) == MinHashSignature.compute("hello world document", 5, 8).toSeq)
+  }
+
+  test("extension class injects the function into a SparkSessionExtensions") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts) // must not throw; builder validated below
+    intercept[IllegalArgumentException] {
+      GraftExtensions.minhashBuilder(Seq.empty)
+    }
+  }
+
+  test("session_window sessionization groups like the lag-based form") {
+    val events = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val lagBased = Events.sessionize(events)
+    val windowed = Events.sessionWindows(events)
+    // same number of sessions overall and per user
+    assert(windowed.count() == lagBased.count())
+    val a = windowed.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = lagBased.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // event conservation
+    assert(windowed.agg(sum("n_events")).head.getLong(0) == events.count())
+  }
+}

@@ -59,6 +59,24 @@ class GraphPipelineSpec extends SparkTestBase {
     assert(edges.columns.contains("sourceNodeId"))
   }
 
+  test("driver-side file routing: glob fans out to specs, unmatched files skipped") {
+    val out = java.nio.file.Files.createTempDirectory("graft_route").toString
+    val model = GraphModel(name = "multi",
+      nodes = Seq(
+        NodeSpec(".*customer.*parquet", keyField = Some("c_custkey"),
+          properties = Map("c_acctbal" -> "acctbal")),
+        NodeSpec(".*supplier.*parquet", keyField = Some("s_suppkey"),
+          properties = Map("s_acctbal" -> "acctbal"))),
+      edges = Seq(EdgeSpec(".*orders.*parquet", sourceField = Some("o_custkey"),
+        targetField = Some("o_orderkey"))))
+    // glob over the WHOLE directory: region/nation/part/... match no spec
+    val res = GraphProjection.run(spark, model,
+      Seq(s"${sf()}/*.parquet"), Seq(s"${sf()}/orders.parquet"),
+      new ParquetWireSink(out))
+    assert(res.nodeStats.map(_.count).sorted == Seq(10L, 150L)) // supplier + customer
+    assert(res.edgeStats.map(_.count).sum == 1500)
+  }
+
   test("sink enforces nodes-before-edges barrier") {
     val out = java.nio.file.Files.createTempDirectory("graft_barrier").toString
     val sink = new ParquetWireSink(out)
