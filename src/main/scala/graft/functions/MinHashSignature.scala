@@ -101,3 +101,66 @@ object MinHashSignature {
     org.apache.spark.sql.GraftExpr.column(
       MinHashSignature(org.apache.spark.sql.GraftExpr.expression(text), k, numHashes))
 }
+
+/**
+ * Rolling-hash (winnowing-style) document fingerprint: the minimum md5
+ * over all k-char shingles of the normalized text, as lowercase hex —
+ * value-identical to `min(md5(gram))` over exploded shingles, but one
+ * map-side pass with no explode and no shuffle. Hex strings compare like
+ * the underlying digests (hex is byte-order monotonic), so the min is
+ * taken on raw digests and converted once.
+ */
+case class MinShingleMd5(child: Expression, shingleK: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"min_shingle_md5 needs a string input, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_shingle_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      MinShingleMd5.compute(input.asInstanceOf[UTF8String].toString, shingleK))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.MinShingleMd5.compute($c.toString(), $shingleK));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinShingleMd5 =
+    copy(child = newChild)
+}
+
+object MinShingleMd5 {
+  def compute(text: String, k: Int): String = {
+    val norm = MinHashSignature.normalize(text)
+    val md = MessageDigest.getInstance("MD5")
+    val n = math.max(norm.length - k + 1, 1)
+    var min: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      val g = norm.substring(i, math.min(i + k, norm.length))
+      val d = md.digest(g.getBytes(StandardCharsets.UTF_8))
+      md.reset()
+      if (min == null || unsignedLess(d, min)) min = d
+      i += 1
+    }
+    min.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  def minShingleMd5(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      MinShingleMd5(org.apache.spark.sql.GraftExpr.expression(text), k))
+}

@@ -27,11 +27,11 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, _.cast("double"))
-    val bd = transform(b, _.cast("double"))
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  /** Native fused expression (graft.functions.CosineSim) — identical
+    * element-order arithmetic to `dot(a,b)/(norm(a)*norm(b))`, ~10×
+    * faster (no per-pair array allocation, no interpreted lambdas). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). `queries` must be small enough to

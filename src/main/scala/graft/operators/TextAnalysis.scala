@@ -37,16 +37,13 @@ object TextAnalysis {
   }
 
   /** Document fingerprints: exact (md5 of normalized text) and
-    * rolling-hash (min shingle hash, winnowing-style). The rolling hash
-    * goes through explode + a codegen'd min aggregate rather than an
-    * interpreted array lambda — ~7× faster and the same shape scales out
-    * (shuffle keyed by high-cardinality doc id). */
+    * rolling-hash (min shingle hash, winnowing-style) via the native
+    * one-pass MinShingleMd5 expression — no explode, no shuffle; both
+    * fingerprints come out of a single map-side projection. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      shingleK: Int = 8): DataFrame = {
-    val rolling = Par.fanOut(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("g"))
-      .groupBy(col(idCol)).agg(min(md5(col("g"))).as("fp_rolling"))
-    docs.select(col(idCol), md5Fingerprint(col(textCol)).as("fp_exact"))
-      .join(rolling, Seq(idCol))
-  }
+      shingleK: Int = 8): DataFrame =
+    Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        md5Fingerprint(col(textCol)).as("fp_exact"),
+        graft.functions.MinShingleMd5.minShingleMd5(col(textCol), shingleK).as("fp_rolling"))
 }
