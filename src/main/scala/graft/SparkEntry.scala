@@ -253,6 +253,47 @@ object SparkEntry {
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n"), col("sum_qty"))),
+    "cube_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))),
+    "month_trend" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(unix_millis(date_trunc("month", col("o_orderdate"))).as("month_ms"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))),
+    "except_op" -> ((s, dir) =>
+      // nations with customers but no well-capitalized supplier
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        .except(t(s, dir, "supplier").filter(col("s_acctbal") > 7000)
+          .select(col("s_nationkey").as("nationkey")))),
+    "intersect_op" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))),
+    "full_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+    "stateful_running_agg" -> ((s, dir) => {
+      // mapGroupsWithState custom state (batch execution of the same code
+      // path the streaming query uses)
+      import s.implicits._
+      graft.streaming.EventStreams.runningUserAgg(
+        eventsTable(s, dir).select(col("user_id"), col("value"))
+          .as[graft.streaming.EventStreams.UserEvent])
+        .toDF().withColumn("total", round(col("total"), 4))
+    }),
     "topk_sort" -> ((s, dir) =>
       t(s, dir, "part")
         .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
@@ -394,6 +435,32 @@ object SparkEntry {
     "topk_sort" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
          ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""",
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS n, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "month_trend" ->
+      """SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+                count(*) AS n_orders,
+                sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
+         FROM orders GROUP BY 1""",
+    "except_op" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 7000""",
+    "intersect_op" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey AS nationkey FROM supplier""",
+    "full_outer_join" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+                coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+               FROM customer GROUP BY 1) c
+         FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+               FROM supplier GROUP BY 1) s ON c.nationkey = s.nationkey""",
+    "stateful_running_agg" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+         FROM events GROUP BY 1""",
   )
 }
 

@@ -133,7 +133,8 @@ object Dedup {
     val withB = withA.join(grams.select(col("gid"), col("gs").as("gs_b")),
       col("b") === col("gid")).drop("gid")
     withB
-      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn("inter",
+        graft.functions.ArrayIntersectSize.arrayIntersectSize(col("gs_a"), col("gs_b")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (size(col("gs_a")) + size(col("gs_b")) - col("inter")).cast("double"), 6))

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -27,6 +27,24 @@ object EventStreams {
       .select(
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("total_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserAgg(user_id: Long, n: Long, total: Double)
+
+  /** Custom state via `mapGroupsWithState`: per-user running (count, sum)
+    * that persists across micro-batches (update mode). Also runs in batch
+    * — same code path, state folds within the single batch. */
+  def runningUserAgg(ds: Dataset[UserEvent]): Dataset[UserAgg] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[UserEvent], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val agg = events.foldLeft(prev)((a, e) => UserAgg(uid, a.n + 1, a.total + e.value))
+          state.update(agg)
+          agg
+      }
+  }
 
   /** Streaming de-duplication by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
