@@ -285,6 +285,11 @@ object SparkEntry {
           coalesce(col("n_cust"), lit(0L)).as("n_cust"),
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
     }),
+    "sketch_approx" -> ((s, dir) => // no SQL oracle: sketch estimates are
+      // engine-specific (HLL++ / KLL); rows-only check
+      eventsTable(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))),
     "stateful_running_agg" -> ((s, dir) => {
       // mapGroupsWithState custom state (batch execution of the same code
       // path the streaming query uses)

@@ -85,7 +85,10 @@ object GraphProjection {
       }
       .groupBy(_._1)
     bySpec.toSeq.sortBy(_._1).map { case (specIdx, fs) =>
-      specIdx -> GraphOps.tagProvenance(spark.read.parquet(fs.map(_._2): _*))
+      // mergeSchema: the reference tolerates per-file dynamic schemas under
+      // one spec (SURVEY §1.3); the merged footer read is driver-side only
+      specIdx -> GraphOps.tagProvenance(
+        spark.read.option("mergeSchema", "true").parquet(fs.map(_._2): _*))
     }
   }
 
