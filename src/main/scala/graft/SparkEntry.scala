@@ -253,6 +253,40 @@ object SparkEntry {
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n"), col("sum_qty"))),
+    // ---- scalar function families over the same tables ----
+    "json_extract" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"))),
+    "string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 6).as("name6"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        length(col("p_name")).as("name_len"))),
+    "date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))),
+    "pivot_agg" -> ((s, dir) =>
+      eventsTable(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("error"), lit(0L)).as("n_error"))),
+    "posexplode_op" -> ((s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          round(col("col").cast("double"), 6).as("val"))),
     "cube_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -440,6 +474,33 @@ object SparkEntry {
     "topk_sort" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
          ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""",
+    "json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+                json_extract_string(props, '$.k')::BIGINT AS k_num
+         FROM events""",
+    "string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper,
+                substr(p_name, 1, 6) AS name6,
+                concat_ws('-', p_brand, p_type) AS brand_type,
+                lpad(p_partkey::VARCHAR, 8, '0') AS key_padded,
+                length(p_name)::INT AS name_len
+         FROM part""",
+    "date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate)::INT AS yr,
+                month(o_orderdate)::INT AS mo, dayofmonth(o_orderdate)::INT AS dom,
+                strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders""",
+    "pivot_agg" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS n_click,
+                count(*) FILTER (event_type = 'view') AS n_view,
+                count(*) FILTER (event_type = 'error') AS n_error
+         FROM events GROUP BY 1""",
+    "posexplode_op" ->
+      """SELECT vec_id, (idx - 1)::INT AS pos, round(val::DOUBLE, 6) AS val
+         FROM (SELECT vec_id, unnest(embedding) AS val,
+                      generate_subscripts(embedding, 1) AS idx
+               FROM embeddings WHERE vec_id < 3)""",
     "cube_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
                 coalesce(l_linestatus, 'ALL') AS status,
