@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
  *   --node_pattern <globs>     comma-separated parquet globs (≙ --gcs_node_pattern)
  *   --edge_pattern <globs>     comma-separated parquet globs (≙ --gcs_edge_pattern)
  *   --sink parquet:<dir>       wire-schema parquet sink (default)
+ *   --sink arrow:<dir>         Arrow IPC stream files (the do_put payload)
  *   --sink flight:<host>:<port>  live GDS Arrow Flight (config accepted;
  *                              data plane requires the arrow-flight jars,
  *                              absent in this sandbox — fails with guidance)
@@ -45,6 +46,8 @@ object Main {
 
     val sink: GdsSink = opts.getOrElse("sink", "parquet:/tmp/graft_out") match {
       case s if s.startsWith("parquet:") => new ParquetWireSink(s.stripPrefix("parquet:"))
+      case s if s.startsWith("arrow:") =>
+        new graft.sink.ArrowIpcSink(s.stripPrefix("arrow:"))
       case s if s.startsWith("flight:") =>
         val hp = s.stripPrefix("flight:").split(':')
         val cfg = FlightConfig(host = hp(0),
