@@ -205,6 +205,11 @@ object SparkEntry {
       Multimodal.sampleFrames(s, Multimodal.synthesizeMedia(t(s, dir, "documents"))).toDF()),
     "mm_features" -> ((s, dir) => // no SQL oracle: rows-only (array output)
       Multimodal.extractFeatures(s, Multimodal.synthesizeMedia(t(s, dir, "documents")))),
+    "mm_resize" -> ((s, dir) => // oracle checks geometry + content checksum
+      Multimodal.resize(s, Multimodal.synthesizeMedia(t(s, dir, "documents")), 32, 32)
+        .toDF().select(col("doc_id"), col("width"), col("height"),
+          length(col("media")).as("n_bytes"),
+          md5(col("media")).as("checksum"))),
 
     // ==== widened relational surface (classic OLAP over the star schema) ====
     "q1_agg" -> ((s, dir) => {
@@ -443,6 +448,12 @@ object SparkEntry {
          FROM events GROUP BY 1""",
     "mm_decode_meta" -> OracleFragments.mmDecodeMeta,
     "mm_sample_frames" -> OracleFragments.mmSampleFrames(stride = 2),
+    "mm_resize" ->
+      // resized payload = text bytes cycled to 32*32; checksum of the
+      // same cycled string (ASCII text -> string md5 == byte md5)
+      """SELECT doc_id, 32 AS width, 32 AS height, 1024::INT AS n_bytes,
+                md5(substr(repeat(text, ((1024 + length(text) - 1) // length(text))::INT), 1, 1024)) AS checksum
+         FROM documents""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,

@@ -67,6 +67,28 @@ object Multimodal {
     }
   }
 
+  final case class Resized(doc_id: Long, media: Array[Byte], width: Int, height: Int)
+
+  /** "Resize" each media payload to a target geometry — the stub maps the
+    * byte budget deterministically (truncate / cycle-pad to w*h bytes);
+    * a real implementation swaps the per-partition codec call, the plan
+    * (binary in → binary out + typed dims, partition-preserving) stays. */
+  def resize(spark: SparkSession, media: DataFrame, width: Int = 64, height: Int = 64): Dataset[Resized] = {
+    import spark.implicits._
+    val target = width * height
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val out = new Array[Byte](target)
+          if (r.media.nonEmpty) {
+            var i = 0
+            while (i < target) { out(i) = r.media(i % r.media.length); i += 1 }
+          }
+          Resized(r.doc_id, out, width, height)
+        }
+      }
+  }
+
   /** Fixed-width feature vector from the payload (stub: bucketed byte
     * sums normalized to [0,1]) — the shape of an embedding-extraction
     * stage: binary in, dense Array[Float] out, schema declared. */
