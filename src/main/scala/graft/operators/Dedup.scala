@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
  * fingerprints (empty docs, boilerplate) are the classic hazard — the
  * group-by keys here include the full hash, so skew only appears for true
  * mass duplicates, which is exactly the signal we want.
+ *
+ * Algorithms (public literature): MinHash — Broder, "On the resemblance
+ * and containment of documents" (1997); LSH banding — Leskovec/Rajaraman/
+ * Ullman, "Mining of Massive Datasets" ch.3; SimHash — Charikar,
+ * "Similarity estimation techniques from rounding algorithms" (2002);
+ * rolling-hash fingerprinting — Schleimer/Wilkerson/Aiken, "Winnowing:
+ * local algorithms for document fingerprinting" (2003).
  */
 object Dedup {
 
@@ -128,7 +135,19 @@ object Dedup {
     val candidates = minhashLshCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
     val grams = Par.fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("gid"), shingles(col(textCol), shingleK).as("gs"))
-    val withA = candidates.join(grams.select(col("gid"), col("gs").as("gs_a")),
+    // Exact size-ratio prefilter: jaccard = |A∩B|/|A∪B| ≤ min/max of the
+    // set sizes, so pairs with min/max < minJaccard can never pass the
+    // threshold — prune them BEFORE shipping the (heavy) shingle arrays
+    // through the join. Sizes are a tiny broadcastable relation.
+    val sizes = grams.select(col("gid"), size(col("gs")).as("sz"))
+    val sized = candidates
+      .join(broadcast(sizes.select(col("gid"), col("sz").as("sz_a"))), col("a") === col("gid")).drop("gid")
+      .join(broadcast(sizes.select(col("gid"), col("sz").as("sz_b"))), col("b") === col("gid")).drop("gid")
+      .filter(
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")).cast("double") >= minJaccard)
+      .select(col("a"), col("b"))
+    val withA = sized.join(grams.select(col("gid"), col("gs").as("gs_a")),
       col("a") === col("gid")).drop("gid")
     val withB = withA.join(grams.select(col("gid"), col("gs").as("gs_b")),
       col("b") === col("gid")).drop("gid")
