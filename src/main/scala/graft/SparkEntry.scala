@@ -167,6 +167,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8))
     }),
+    "sim_ivf_topk" -> ((s, dir) => { // no SQL oracle: rows-only check
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), nProbe = 4)
+    }),
 
     // ==== extension operators: event analytics (window functions) ====
     "ev_sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),

@@ -73,6 +73,83 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** IVF (inverted-file) index: deterministic k-means-lite — centroids
+    * initialized from the first K vectors by id, refined with `iters`
+    * Lloyd steps expressed as DataFrame ops (assign = broadcast argmin,
+    * update = per-position mean). Returns (assignments, centroids).
+    * At scale: assignment is map-side (centroids broadcast), the update
+    * is one groupBy per iteration over (cell, pos) — no O(n²) anywhere. */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 8,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    val c = Par.fanOut(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")))
+    var centroids = c.filter(col("vid") < k)
+      .select(col("vid").cast("int").as("cell"), transform(col("v"), _.cast("double")).as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(c, centroids)
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cv"))
+      // PIN each iteration's centroids by materializing the (tiny, k×dim)
+      // relation on the driver: `avg` partials are summation-order
+      // sensitive, so leaving this lazy would re-evaluate the subtree
+      // independently in every consumer — probe and assignment could see
+      // ulp-different centroids and disagree on boundary cells.
+      centroids = pin(corpus.sparkSession, updated)
+    }
+    (assignCells(c, centroids), centroids)
+  }
+
+  private def pin(spark: org.apache.spark.sql.SparkSession, centroids: DataFrame): DataFrame = {
+    import spark.implicits._
+    centroids.select(col("cell"), col("cv")).as[(Int, Seq[Double])]
+      .collect().toSeq.toDF("cell", "cv")
+  }
+
+  private def assignCells(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centroids))
+      .select(col("vid"), col("v"), col("cell"), cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vid").orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cell"))
+
+  /** IVF ANN top-k: probe the `nProbe` most-similar cells per query and
+    * rank only vectors in those cells — the classic recall/cost dial. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      cells: Int = 8,
+      nProbe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val (assigned, centroids) = ivfIndex(corpus, idCol, vecCol, cells, iters)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("crn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(broadcast(probed), "cell")
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 scaled into [-0.5, 0.5). */
   private def planeComponent(plane: Int, dim: Column): Column =

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkTestBase {
+
+  private lazy val embs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  test("ivf index: every vector assigned to exactly one of k cells") {
+    val (assigned, centroids) = Similarity.ivfIndex(embs, k = 8, iters = 2)
+    assert(centroids.count() == 8)
+    assert(assigned.count() == embs.count())
+    assert(assigned.select("cell").distinct().count() <= 8)
+    // deterministic across runs
+    val a1 = assigned.select("vid", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Similarity.ivfIndex(embs, k = 8, iters = 2)._1
+      .select("vid", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+  }
+
+  test("ivf topk: k rows per query, sims match brute-force values, decent recall") {
+    val queries = embs.filter(col("vec_id") < 8)
+    val ivf = Similarity.ivfTopK(embs, queries, k = 5, cells = 8, nProbe = 4)
+    val counts = ivf.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 5))
+    val brute = Similarity.bruteForceTopK(embs, queries, k = embs.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.collect().foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) == r.getDouble(2)) // exact sims
+    }
+    // near vectors concentrate in the query's own cell, so recall is high
+    // even probing half the cells. NOTE keys.toSeq before map: mapping a
+    // Set of per-query recalls would dedupe equal values before summing.
+    val bruteTop = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfTop = ivf.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = bruteTop.keys.toSeq
+      .map(q => (ivfTop(q) & bruteTop(q)).size.toDouble / 5).sum / bruteTop.size
+    assert(recall > 0.8, s"recall@5 = $recall")
+  }
+}
