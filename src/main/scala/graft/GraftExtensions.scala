@@ -14,11 +14,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * After registration: `SELECT minhash_signature(text, 5, 8) FROM docs`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       GraftExtensions.minhashInfo,
       GraftExtensions.minhashBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      GraftExtensions.cosineInfo,
+      GraftExtensions.cosineBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("simhash"),
+      GraftExtensions.simhashInfo,
+      GraftExtensions.simhashBuilder))
+  }
 }
 
 object GraftExtensions {
@@ -34,8 +43,28 @@ object GraftExtensions {
       exprs(2).eval().asInstanceOf[Number].intValue())
   }
 
+  private[graft] val cosineInfo = new ExpressionInfo(
+    classOf[graft.functions.CosineSim].getName, "cosine_sim")
+
+  private[graft] val cosineBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "cosine_sim(a, b) takes 2 array arguments")
+    graft.functions.CosineSim(exprs.head, exprs(1))
+  }
+
+  private[graft] val simhashInfo = new ExpressionInfo(
+    classOf[graft.functions.SimHash64].getName, "simhash")
+
+  private[graft] val simhashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "simhash(text, bits) takes 2 arguments")
+    graft.functions.SimHash64(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+
   /** Register on an existing session (tests / REPL). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature", minhashBuilder, "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_signature", minhashBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash", simhashBuilder, "scala_udf")
+  }
 }

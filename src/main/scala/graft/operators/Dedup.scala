@@ -87,22 +87,12 @@ object Dedup {
   }
 
   /** 32-bit SimHash: per whitespace token take xxhash64, then for each bit
-    * sum +1/-1 across tokens; the sign vector is the fingerprint.
-    * Built-ins only — the bit loop unrolls into 32 codegen'd aggregates
-    * folded per-row (no explode, no shuffle beyond the final projection). */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val toks = tokens(text)
-    val contributions = Seq.tabulate(bits) { j =>
-      // sum over tokens of (bit j set ? 1 : -1), then sign → bit j
-      val bitSum = aggregate(
-        toks,
-        lit(0L),
-        (acc, t) =>
-          acc + when(shiftrightunsigned(xxhash64(t), j) % 2 === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    contributions.reduce(_ + _)
-  }
+    * sum +1/-1 across tokens; the sign vector is the fingerprint. Native
+    * one-pass expression (graft.functions.SimHash64) — the composed
+    * alternative unrolls into `bits` interpreted array-aggregate lambdas
+    * that re-tokenize per bit (~10× slower). */
+  def simhash(text: Column, bits: Int = 32): Column =
+    graft.functions.SimHash64.simhash64(text, bits)
 
   /** Per-doc simhash fingerprints plus a bucket key (top `prefixBits`) for
     * near-dup candidate grouping. */

@@ -18,6 +18,16 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows(0).getSeq[Long](1) == MinHashSignature.compute("hello world document", 5, 8).toSeq)
   }
 
+  test("cosine_sim and simhash callable from SQL") {
+    GraftExtensions.register(spark)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val s1 = spark.sql("SELECT simhash('alpha beta gamma', 32) AS s").head.getLong(0)
+    val s2 = spark.sql("SELECT simhash('alpha  beta gamma ', 32) AS s").head.getLong(0)
+    assert(s1 == s2) // whitespace-normalized
+  }
+
   test("extension class injects the function into a SparkSessionExtensions") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder validated below
