@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import graft.ops.Par
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for large-scale text corpora. All variants are
@@ -18,8 +19,8 @@ import org.apache.spark.sql.functions._
  *  - SimHash: per-token 64-bit hashes folded into a weighted bit vector;
  *    near-dup buckets via the simhash prefix.
  *  - n-gram Jaccard: exact similarity, but only within candidate blocks
- *    (never all-pairs); the shingle-explode join carries (doc, gram)
- *    pairs deduped before joining.
+ *    (never all-pairs), with a map-side size-ratio bound in the join
+ *    condition so the intersect only runs on pairs that could pass.
  *
  * Scale note: at 100 TB the only all-to-all movement is the band-key /
  * fingerprint shuffles, all key-partitioned and AQE-coalescible. Skewed
@@ -60,10 +61,38 @@ object Dedup {
         graft.functions.MinHashSignature
           .minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
 
+  /** Per-band LSH keys for a minhash signature column: B structs of
+    * (band index, md5 over that band's R minhash values). */
+  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val bandCols = Seq.tabulate(bands) { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(sig, i + 1).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("h"))
+    }
+    array(bandCols: _*)
+  }
+
+  /** (id, bk) band-key rows from a signature frame (columns `id`, `sig`). */
+  private def bandedKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+
+  /** Candidate pairs from a band-key frame: within-bucket (a < b)
+    * self-join on the band key, streamed (pairs are never materialized
+    * as arrays — a mass-duplicate bucket yields quadratic OUTPUT in any
+    * formulation, but here it flows row-by-row instead of building one
+    * giant in-memory pair list per bucket). */
+  private def candidatePairs(banded: DataFrame): DataFrame = {
+    val l = banded.select(col("id").as("a"), col("bk").as("bka"))
+    val r = banded.select(col("id").as("b"), col("bk").as("bkb"))
+    l.join(r, col("bka") === col("bkb") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   /** MinHash+LSH candidate pairs: B bands of R rows each; a pair is a
     * candidate if ANY band agrees on all R minhashes. Output: distinct
-    * (a, b) with a < b. Cost: n×B rows through one band-key shuffle —
-    * never the O(n²) cross product. */
+    * (a, b) with a < b. Cost: ONE corpus scan (the n×B band-key frame is
+    * persisted, so the self-join re-reads keys, never re-hashes text),
+    * one band-key shuffle — never the O(n²) cross product. */
   def minhashLshCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -71,19 +100,11 @@ object Dedup {
       shingleK: Int = 5,
       bands: Int = 4,
       rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, shingleK, bands * rowsPerBand)
-    val bandCols = Seq.tabulate(bands) { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => element_at(col("sig"), i + 1).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("h"))
-    }
-    val banded = sig.select(
-      col("id"),
-      explode(array(bandCols: _*)).as("bk"))
-    val l = banded.select(col("id").as("a"), col("bk"))
-    val r = banded.select(col("id").as("b"), col("bk"))
-    l.join(r, l("bk") === r("bk") && col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val banded = bandedKeys(
+      minhashSignatures(docs, idCol, textCol, shingleK, bands * rowsPerBand),
+      bands, rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    candidatePairs(banded)
   }
 
   /** 32-bit SimHash: per whitespace token take xxhash64, then for each bit
@@ -122,25 +143,38 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       minJaccard: Double = 0.0): DataFrame = {
-    val candidates = minhashLshCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
-    val grams = Par.fanOut(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("gid"), shingles(col(textCol), shingleK).as("gs"))
+    // Signatures AND shingle sets in ONE pass over the corpus, then
+    // materialized (memory-with-disk-spill) so candidate generation, the
+    // size prefilter and both verification joins re-read the computed
+    // columns instead of re-scanning + re-hashing the corpus — the plan
+    // touches the source parquet exactly once. At warehouse scale the
+    // equivalent is writing this stage as a signature table between two
+    // jobs; within one job, caching is the Spark-native materialization.
+    val base = Par.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(
+        col("id"),
+        graft.functions.MinHashSignature
+          .minhashSignature(col("t"), shingleK, bands * rowsPerBand).as("sig"),
+        shingles(col("t"), shingleK).as("gs"))
+      .withColumn("sz", size(col("gs")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = candidatePairs(
+      bandedKeys(base.select(col("id"), col("sig")), bands, rowsPerBand))
     // Exact size-ratio prefilter: jaccard = |A∩B|/|A∪B| ≤ min/max of the
     // set sizes, so pairs with min/max < minJaccard can never pass the
     // threshold — prune them BEFORE shipping the (heavy) shingle arrays
-    // through the join. Sizes are a tiny broadcastable relation.
-    val sizes = grams.select(col("gid"), size(col("gs")).as("sz"))
+    // through the join. No broadcast hint: sizes is O(corpus) rows, so the
+    // join strategy is AQE's call (shuffle-hash at scale, broadcast only
+    // if the candidate side turns out tiny).
     val sized = candidates
-      .join(broadcast(sizes.select(col("gid"), col("sz").as("sz_a"))), col("a") === col("gid")).drop("gid")
-      .join(broadcast(sizes.select(col("gid"), col("sz").as("sz_b"))), col("b") === col("gid")).drop("gid")
+      .join(base.select(col("id").as("a"), col("sz").as("sz_a")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("sz").as("sz_b")), Seq("b"))
       .filter(
         least(col("sz_a"), col("sz_b")).cast("double") /
           greatest(col("sz_a"), col("sz_b")).cast("double") >= minJaccard)
       .select(col("a"), col("b"))
-    val withA = sized.join(grams.select(col("gid"), col("gs").as("gs_a")),
-      col("a") === col("gid")).drop("gid")
-    val withB = withA.join(grams.select(col("gid"), col("gs").as("gs_b")),
-      col("b") === col("gid")).drop("gid")
+    val withA = sized.join(base.select(col("id").as("a"), col("gs").as("gs_a")), Seq("a"))
+    val withB = withA.join(base.select(col("id").as("b"), col("gs").as("gs_b")), Seq("b"))
     withB
       .withColumn("inter",
         graft.functions.ArrayIntersectSize.arrayIntersectSize(col("gs_a"), col("gs_b")))
@@ -170,9 +204,17 @@ object Dedup {
         struct(blockCols.map(col): _*).as("blk"),
         col(textCol)))
       .select(col("id"), col("blk"), shingles(col(textCol), shingleK).as("gs"))
-    val a = grams.select(col("blk"), col("id").as("a"), col("gs").as("gs_a"))
-    val b = grams.select(col("blk").as("blk_b"), col("id").as("b"), col("gs").as("gs_b"))
-    a.join(b, col("blk") === col("blk_b") && col("a") < col("b"))
+      .withColumn("sz", size(col("gs")))
+    val a = grams.select(col("blk"), col("id").as("a"), col("gs").as("gs_a"), col("sz").as("sz_a"))
+    val b = grams.select(col("blk").as("blk_b"), col("id").as("b"), col("gs").as("gs_b"), col("sz").as("sz_b"))
+    // The size-ratio bound (jaccard ≤ min(sz)/max(sz)) rides IN the join
+    // condition: sizes are computed map-side before the block shuffle, so
+    // pairs that can't reach the threshold are dropped before the O(sz)
+    // intersect — the quadratic-within-block compute only runs on pairs
+    // that could pass. Result-preserving for any minJaccard ≥ 0.
+    a.join(b, col("blk") === col("blk_b") && col("a") < col("b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")).cast("double") >= minJaccard)
       .withColumn("inter",
         graft.functions.ArrayIntersectSize.arrayIntersectSize(col("gs_a"), col("gs_b")))
       .withColumn("jaccard",

@@ -75,21 +75,29 @@ object Similarity {
 
   /** IVF (inverted-file) index: deterministic k-means-lite — centroids
     * initialized from the first K vectors by id, refined with `iters`
-    * Lloyd steps expressed as DataFrame ops (assign = broadcast argmin,
-    * update = per-position mean). Returns (assignments, centroids).
-    * At scale: assignment is map-side (centroids broadcast), the update
-    * is one groupBy per iteration over (cell, pos) — no O(n²) anywhere. */
+    * Lloyd steps expressed as DataFrame ops (assign = map-side argmin
+    * over the pinned centroids, update = per-position mean). Returns
+    * (assignments, centroids). At scale: assignment is a pure projection
+    * (ZERO shuffle — the k×dim centroids ride into the plan as a
+    * literal array), the update is one groupBy per iteration over
+    * (cell, pos) — no O(n²), no per-iteration corpus-wide window. */
   def ivfIndex(
       corpus: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       k: Int = 8,
       iters: Int = 2): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
     val c = Par.fanOut(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")))
-    var centroids = c.filter(col("vid") < k)
-      .select(col("vid").cast("int").as("cell"), transform(col("v"), _.cast("double")).as("cv"))
+    // PIN centroids on the driver each step (tiny: k×dim doubles). Lloyd
+    // iteration is inherently sequential, and `avg` partials are
+    // summation-order sensitive — pinning guarantees every consumer
+    // (assignment, probe) sees the exact same values instead of
+    // re-evaluating an order-sensitive subtree.
+    var cents: Seq[(Int, Seq[Double])] = pin(spark, c.filter(col("vid") < k)
+      .select(col("vid").cast("int").as("cell"), transform(col("v"), _.cast("double")).as("cv")))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(c, centroids)
+      val assigned = assignCells(c, cents)
       val updated = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
@@ -97,29 +105,41 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cv"))
-      // PIN each iteration's centroids by materializing the (tiny, k×dim)
-      // relation on the driver: `avg` partials are summation-order
-      // sensitive, so leaving this lazy would re-evaluate the subtree
-      // independently in every consumer — probe and assignment could see
-      // ulp-different centroids and disagree on boundary cells.
-      centroids = pin(corpus.sparkSession, updated)
+      cents = pin(spark, updated)
     }
-    (assignCells(c, centroids), centroids)
+    val centroids = centroidFrame(spark, cents)
+    (assignCells(c, cents), centroids)
   }
 
-  private def pin(spark: org.apache.spark.sql.SparkSession, centroids: DataFrame): DataFrame = {
+  private def pin(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: DataFrame): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
     centroids.select(col("cell"), col("cv")).as[(Int, Seq[Double])]
-      .collect().toSeq.toDF("cell", "cv")
+      .collect().toSeq.sortBy(_._1)
   }
 
-  private def assignCells(c: DataFrame, centroids: DataFrame): DataFrame =
-    c.crossJoin(broadcast(centroids))
-      .select(col("vid"), col("v"), col("cell"), cosine(col("v"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vid").orderBy(col("sim").desc, col("cell").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("v"), col("cell"))
+  private def centroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cell", "cv")
+  }
+
+  /** Map-side cell assignment: argmax cosine over the pinned centroids,
+    * each embedded in the plan as a constant-folded array literal — k
+    * codegen'd cosine calls per row (no higher-order-function lambda on
+    * the hot path), ONE projection, NO shuffle. Ties break to the lowest
+    * cell id via max over struct(sim, -cell). */
+  private def assignCells(c: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = cents.map { case (cell, cv) =>
+      struct(
+        cosine(col("v"), array(cv.map(lit(_)): _*)).as("sim"),
+        lit(-cell).as("negcell"))
+    }
+    c.withColumn("best", array_max(array(scored: _*)))
+      .select(col("vid"), col("v"), (-col("best.negcell")).cast("int").as("cell"))
+  }
 
   /** IVF ANN top-k: probe the `nProbe` most-similar cells per query and
     * rank only vectors in those cells — the classic recall/cost dial. */
