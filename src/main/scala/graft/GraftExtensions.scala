@@ -55,9 +55,11 @@ object GraftExtensions {
     classOf[graft.functions.SimHash64].getName, "simhash")
 
   private[graft] val simhashBuilder: Seq[Expression] => Expression = { exprs =>
-    require(exprs.length == 2, "simhash(text, bits) takes 2 arguments")
+    require(exprs.length == 2 || exprs.length == 3,
+      "simhash(text, bits[, use_md5_family]) takes 2 or 3 arguments")
     graft.functions.SimHash64(exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue())
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      if (exprs.length == 3) exprs(2).eval().asInstanceOf[Boolean] else false)
   }
 
   /** Register on an existing session (tests / REPL). */

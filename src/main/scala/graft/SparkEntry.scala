@@ -134,8 +134,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshCandidates(t(s, dir, "documents"))),
-    "dedup_simhash" -> ((s, dir) => // no SQL oracle: rows-only check
-      Dedup.simhashBuckets(t(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => // md5 token-hash family: the full
+      // fingerprint is re-derived bit-for-bit by the DuckDB oracle
+      Dedup.simhashBuckets(t(s, dir, "documents"), md5Family = true)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), blockCols = Seq("lang", "source"),
         minJaccard = 0.30)),
@@ -207,8 +208,20 @@ object SparkEntry {
       Multimodal.decodeMeta(s, Multimodal.synthesizeMedia(t(s, dir, "documents"))).toDF()),
     "mm_sample_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.synthesizeMedia(t(s, dir, "documents"))).toDF()),
-    "mm_features" -> ((s, dir) => // no SQL oracle: rows-only (array output)
-      Multimodal.extractFeatures(s, Multimodal.synthesizeMedia(t(s, dir, "documents")))),
+    "mm_features" -> ((s, dir) => {
+      // features[d] = bucket byte-sum / (max(bytes/8,1)*255) as Float32.
+      // The query reconstructs the exact integer bucket sums — Float32
+      // division keeps ≥24 significant bits, so round(v*n*255) is exact —
+      // giving hashable scalar output and an integer-exact DuckDB oracle
+      // (no cross-engine float-formatting hazards).
+      val feats = Multimodal.extractFeatures(s, Multimodal.synthesizeMedia(t(s, dir, "documents")))
+      val lens = t(s, dir, "documents")
+        .select(col("doc_id"), greatest(expr("octet_length(text) div 8"), lit(1L)).as("nb"))
+      feats.join(lens, Seq("doc_id"))
+        .select(col("doc_id"), col("nb"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos"),
+          round(col("col").cast("double") * col("nb") * 255).cast("long").as("bucket_sum"))
+    }),
     "mm_resize" -> ((s, dir) => // oracle checks geometry + content checksum
       Multimodal.resize(s, Multimodal.synthesizeMedia(t(s, dir, "documents")), 32, 32)
         .toDF().select(col("doc_id"), col("width"), col("height"),
@@ -452,6 +465,8 @@ object SparkEntry {
          FROM events GROUP BY 1""",
     "mm_decode_meta" -> OracleFragments.mmDecodeMeta,
     "mm_sample_frames" -> OracleFragments.mmSampleFrames(stride = 2),
+    "mm_features" -> OracleFragments.mmFeatures(dims = 8),
+    "dedup_simhash" -> OracleFragments.dedupSimhash(bits = 32, prefixBits = 8),
     "mm_resize" ->
       // resized payload = text bytes cycled to 32*32; checksum of the
       // same cycled string (ASCII text -> string md5 == byte md5)
@@ -722,6 +737,34 @@ object OracleFragments {
           (1 + (${byteAt(4)}) % 8)::INT AS n_frames,
           strlen(text)::BIGINT AS media_bytes
         FROM documents"""
+
+  /** Integer bucket byte-sums mirroring FakeCodec feature extraction +
+    * the query's exact reconstruction (see mm_features). Bucket d sums
+    * bytes at 0-based offsets ≡ d (mod dims) — 1-based char positions
+    * d+1, d+1+dims, … (documents text is ASCII: chars ≡ bytes, the same
+    * assumption every mm oracle makes). */
+  def mmFeatures(dims: Int): String =
+    s"""WITH dims AS (SELECT unnest(range(0, $dims)) AS pos),
+          x AS (SELECT doc_id, text, strlen(text) AS mb FROM documents)
+        SELECT doc_id, pos::INT AS pos,
+               COALESCE(list_aggregate(list_transform(range(pos + 1, mb + 1, $dims),
+                 i -> ascii(substr(text, i::INT, 1))), 'sum'), 0)::BIGINT AS bucket_sum
+        FROM x CROSS JOIN dims"""
+
+  /** md5-family SimHash re-derived bit-for-bit: token hash = first 4 md5
+    * bytes as unsigned 32-bit (same family as minhashExpr); per bit, sum
+    * ±1 over tokens, keep the sign. Mirrors SimHash64.compute(md5Family). */
+  def dedupSimhash(bits: Int, prefixBits: Int): String = {
+    val bitTerms = (0 until bits).map { b =>
+      s"CASE WHEN list_aggregate(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+            list_transform(string_split($norm, ' '),
+              tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+          FROM documents),
+          s AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM t)
+        SELECT doc_id, simhash, (simhash >> ${bits - prefixBits})::BIGINT AS bucket FROM s"""
+  }
 
   def mmSampleFrames(stride: Int): String =
     s"""WITH meta AS ($mmDecodeMeta),

@@ -107,13 +107,15 @@ object Dedup {
     candidatePairs(banded)
   }
 
-  /** 32-bit SimHash: per whitespace token take xxhash64, then for each bit
-    * sum +1/-1 across tokens; the sign vector is the fingerprint. Native
-    * one-pass expression (graft.functions.SimHash64) — the composed
-    * alternative unrolls into `bits` interpreted array-aggregate lambdas
-    * that re-tokenize per bit (~10× slower). */
-  def simhash(text: Column, bits: Int = 32): Column =
-    graft.functions.SimHash64.simhash64(text, bits)
+  /** 32-bit SimHash: per whitespace token take a token hash, then for
+    * each bit sum +1/-1 across tokens; the sign vector is the
+    * fingerprint. Native one-pass expression (graft.functions.SimHash64)
+    * — the composed alternative unrolls into `bits` interpreted
+    * array-aggregate lambdas that re-tokenize per bit (~10× slower).
+    * `md5Family = true` swaps xxhash64 for the md5-derived token hash
+    * (cross-engine reproducible; same family as the MinHash oracle). */
+  def simhash(text: Column, bits: Int = 32, md5Family: Boolean = false): Column =
+    graft.functions.SimHash64.simhash64(text, bits, md5Family)
 
   /** Per-doc simhash fingerprints plus a bucket key (top `prefixBits`) for
     * near-dup candidate grouping. */
@@ -122,11 +124,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       bits: Int = 32,
-      prefixBits: Int = 8): DataFrame =
+      prefixBits: Int = 8,
+      md5Family: Boolean = false): DataFrame =
     Par.fanOut(docs.select(col(idCol), col(textCol))).select(
       col(idCol),
-      simhash(col(textCol), bits).as("simhash"),
-      shiftrightunsigned(simhash(col(textCol), bits), bits - prefixBits).as("bucket"))
+      simhash(col(textCol), bits, md5Family).as("simhash"),
+      shiftrightunsigned(simhash(col(textCol), bits, md5Family), bits - prefixBits).as("bucket"))
 
   /** The scalable near-dup pipeline: MinHash+LSH candidate generation
     * followed by EXACT n-gram Jaccard verification on candidates only.
