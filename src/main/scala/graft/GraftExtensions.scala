@@ -31,6 +31,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Evaluate a constant argument at plan time: non-foldable or NULL
+    * arguments fail as proper AnalysisExceptions naming the parameter
+    * (instead of a raw NPE/ClassCastException from eval()). */
+  private def constArg(
+      exprs: Seq[Expression], i: Int, fn: String, param: String, tpe: String): Any = {
+    val e = exprs(i)
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException("NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> ("\"" + tpe + "\"")))
+    val v = e.eval()
+    if (v == null)
+      throw new org.apache.spark.sql.AnalysisException("INVALID_PARAMETER_VALUE.NULL",
+        Map("parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
+    v
+  }
+
+  private def constInt(exprs: Seq[Expression], i: Int, fn: String, param: String): Int =
+    constArg(exprs, i, fn, param, "INT").asInstanceOf[Number].intValue()
+
+  private def constBool(exprs: Seq[Expression], i: Int, fn: String, param: String): Boolean =
+    constArg(exprs, i, fn, param, "BOOLEAN").asInstanceOf[Boolean]
+
   private[graft] val minhashInfo = new ExpressionInfo(
     classOf[MinHashSignature].getName, "minhash_signature")
 
@@ -39,8 +62,8 @@ object GraftExtensions {
       "minhash_signature(text, shingleK, numHashes) takes 3 arguments")
     MinHashSignature(
       exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue(),
-      exprs(2).eval().asInstanceOf[Number].intValue())
+      constInt(exprs, 1, "minhash_signature", "shingleK"),
+      constInt(exprs, 2, "minhash_signature", "numHashes"))
   }
 
   private[graft] val cosineInfo = new ExpressionInfo(
@@ -58,8 +81,8 @@ object GraftExtensions {
     require(exprs.length == 2 || exprs.length == 3,
       "simhash(text, bits[, use_md5_family]) takes 2 or 3 arguments")
     graft.functions.SimHash64(exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue(),
-      if (exprs.length == 3) exprs(2).eval().asInstanceOf[Boolean] else false)
+      constInt(exprs, 1, "simhash", "bits"),
+      if (exprs.length == 3) constBool(exprs, 2, "simhash", "use_md5_family") else false)
   }
 
   /** Register on an existing session (tests / REPL). */

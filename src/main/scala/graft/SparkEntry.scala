@@ -125,6 +125,27 @@ object SparkEntry {
       Stats.toDataset(s, Seq(res.finalStats)).toDF()
     }),
 
+    // ---- §2.2 P4 multi-label: label_field holding array<string> (the
+    //      gcs_model.json:7 plural-"labels" case) through the wire sink
+    //      end-to-end; read back and emit hashable scalars ----
+    "p4_multilabel" -> ((s, dir) => {
+      val staged = java.nio.file.Files.createTempDirectory("graft_ml").toString
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          array(lit("Customer"), col("c_mktsegment")).as("labels"))
+        .write.mode("overwrite").parquet(s"$staged/multilabel_nodes.parquet")
+      val model = GraphModel(name = "ml",
+        nodes = Seq(NodeSpec(".*multilabel_nodes.*", labelField = Some("labels"),
+          keyField = Some("c_custkey"), properties = Map("c_acctbal" -> "acctbal"))))
+      val out = java.nio.file.Files.createTempDirectory("graft_ml_out").toString
+      GraphProjection.run(s, model,
+        nodePattern = Seq(s"$staged/multilabel_nodes.parquet"),
+        edgePattern = Seq.empty, sink = new ParquetWireSink(out))
+      s.read.parquet(s"$out/nodes")
+        .select(col("nodeId"), concat_ws("|", col("labels")).as("labels_str"),
+          col("acctbal"))
+    }),
+
     // ==== extension operators: text analysis ====
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
@@ -387,6 +408,9 @@ object SparkEntry {
                 (SELECT count(*)*8 FROM customer) + (SELECT count(*)*16 FROM orders) AS nbytes,
                 'final' AS kind""",
     "r1_rebatch" -> "SELECT 8::BIGINT AS n_partitions",
+    "p4_multilabel" ->
+      """SELECT c_custkey AS "nodeId", 'Customer|' || c_mktsegment AS labels_str,
+                c_acctbal AS acctbal FROM customer""",
     "k3_pipeline_stats" ->
       // wire bytes: nodes = nodeId(8) + acctbal(8) + octet_length(segment);
       // edges = sourceNodeId(8) + targetNodeId(8) + totalprice(8)

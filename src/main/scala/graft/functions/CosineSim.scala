@@ -16,6 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * slower than this single fused loop. Arithmetic is IDENTICAL to the
  * sequential fold (element-order double accumulation of dot and both
  * norms), so results — and the DuckDB oracle — are unchanged.
+ *
+ * Degenerate inputs return NULL rather than garbage: unequal lengths
+ * (the composed `zip_with` form also nulls there) and zero-norm vectors
+ * (where raw IEEE division would produce NaN/±Infinity — a NULL filters
+ * and sorts predictably in SQL; NaN does not).
  */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -30,6 +35,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       s"cosine_sim needs array<float|double> inputs, got ${left.dataType}, ${right.dataType}")
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   private lazy val leftIsFloat = left.dataType match {
@@ -45,8 +51,13 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       b.asInstanceOf[ArrayData], rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.CosineSim.compute($a, $leftIsFloat, $b, $rightIsFloat);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cosBoxed")
+      s"""java.lang.Double $boxed =
+         |  graft.functions.CosineSim.compute($a, $leftIsFloat, $b, $rightIsFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
@@ -54,9 +65,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
 object CosineSim {
   /** Element-order accumulation — bit-compatible with the sequential
-    * zip_with/aggregate fold it replaces. */
-  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * zip_with/aggregate fold it replaces. Returns null (boxed) for
+    * unequal lengths or zero-norm inputs — see the class doc. */
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -69,7 +82,8 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) return null
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   def cosineSim(a: Column, b: Column): Column =

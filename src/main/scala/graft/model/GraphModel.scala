@@ -110,11 +110,26 @@ object GraphModel {
       })
   }
 
-  /** Load a model from a local file path (reference load_model_from_path,
-    * pipeline.py:24-33); capped at 64 KiB like the GCS read (pipeline.py:40). */
-  def fromPath(path: String): GraphModel = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    fromJson(new String(bytes.take(64 * 1024), java.nio.charset.StandardCharsets.UTF_8))
+  /** Load a model from any Hadoop-FS path — local file, `hdfs://`, or an
+    * object store like the reference's `gs://` model location
+    * (load_model_from_path/from_gcs, pipeline.py:24-45); the read is
+    * capped at 64 KiB like the reference's GCS read (pipeline.py:40). */
+  def fromPath(
+      path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): GraphModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val cap = 64 * 1024
+      val buf = new Array[Byte](cap)
+      var off = 0
+      var n = in.read(buf, 0, cap)
+      while (n > 0 && off + n < cap) { off += n; n = in.read(buf, off, cap - off) }
+      if (n > 0) off += n
+      fromJson(new String(buf.take(off), java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
   }
 
   private def write(g: GraphModel): String = {

@@ -67,6 +67,46 @@ object GraphProjection {
     Result(nodeStats, edgeStats, folded.copy(kind = "final"))
   }
 
+  /** Table mode — the Spark rendering of the reference's BigQuery
+    * pipeline (run_bigquery_pipeline + get_streams, pipeline.py:100-178):
+    * provenance is the TABLE NAME, routed through the model's spec
+    * regexes; each matched table reads through the catalog with
+    * model-driven column pruning (≙ ReadSession `selected_fields`,
+    * _client.py:55-56), and scan parallelism is capped at `maxStreams`
+    * (≙ `bq_max_stream_count` / the ReadSession 1000-stream cap,
+    * pipeline.py:264-269, _client.py:30,46-54). Unmatched tables are
+    * skipped like unmatched batches in the reference. */
+  def runTables(
+      spark: SparkSession,
+      model: GraphModel,
+      catalog: graft.sources.TableCatalog,
+      nodeTables: Seq[String],
+      edgeTables: Seq[String],
+      sink: GdsSink,
+      maxStreams: Int = 16384): Result = {
+    sink.start()
+    val nodeStats = nodeTables.flatMap { tbl =>
+      model.nodeForSrc(tbl).map { spec =>
+        val df = capStreams(catalog.readForNode(tbl, spec), maxStreams)
+        sink.writeNodes(GraphOps.projectNode(df, spec))
+      }
+    }
+    sink.nodesDone()
+    val edgeStats = edgeTables.flatMap { tbl =>
+      model.edgeForSrc(tbl).map { spec =>
+        val df = capStreams(catalog.readForEdge(tbl, spec), maxStreams)
+        sink.writeEdges(GraphOps.projectEdge(df, spec))
+      }
+    }
+    sink.edgesDone()
+    val folded = Stats.fold(nodeStats, "node") |+| Stats.fold(edgeStats, "edge")
+    Result(nodeStats, edgeStats, folded.copy(kind = "final"))
+  }
+
+  /** Cap scan parallelism without a shuffle (coalesce merges splits). */
+  private def capStreams(df: DataFrame, maxStreams: Int): DataFrame =
+    if (df.rdd.getNumPartitions > maxStreams) df.coalesce(maxStreams) else df
+
   /** Expand the globs, route each file to its FIRST matching spec regex
     * (anchored, re.match semantics — same as GraphModel routing), and
     * build one tagged DataFrame per spec over only that spec's files. */

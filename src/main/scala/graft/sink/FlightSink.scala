@@ -1,0 +1,125 @@
+package graft.sink
+
+import graft.ops.LoadResult
+import org.apache.spark.sql.DataFrame
+
+/**
+ * The Arrow Flight verbs the reference's sink uses, as a minimal
+ * transport abstraction (call sites: `client.start()` ≙ the CREATE_GRAPH
+ * action, pipeline.py:56; `write_nodes`/`write_edges` ≙ `do_put` of
+ * Arrow record batches, _dofn.py:96-141; `nodes_done`/`edges_done` ≙
+ * the NODE_LOAD_DONE / RELATIONSHIP_LOAD_DONE actions, _dofn.py:50-77 —
+ * action/stream names [inferred from the neo4j_arrow client call sites;
+ * the package itself is not vendored in the reference]).
+ *
+ * Implementations must be cheap to construct and are cached per executor
+ * JVM (`FlightTransport.cached`) — the Spark answer to the reference's
+ * `client.copy()` pickling workaround (_dofn.py:58,101,125): the factory
+ * closure ships to executors, the live connection never does.
+ */
+trait FlightTransport {
+  /** Fire a Flight action (control plane), e.g. CREATE_GRAPH. */
+  def action(name: String, bodyJson: String): Unit
+  /** Ship one Arrow IPC stream for `descriptor` (data plane do_put). */
+  def putStream(descriptor: String, ipcStream: Array[Byte]): Unit
+}
+
+object FlightTransport {
+  /** Factory closures serialize into write tasks; transports do not. */
+  type Factory = FlightConfig => FlightTransport
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[FlightConfig, FlightTransport]()
+
+  /** Per-executor transport: connect once per (JVM, config), reuse across
+    * partitions and phases. */
+  def cached(cfg: FlightConfig, factory: Factory): FlightTransport =
+    cache.computeIfAbsent(cfg, c => factory(c))
+
+  private[graft] def resetCacheForTests(): Unit = cache.clear()
+
+  /** Live-endpoint factory. The Arrow Flight jars
+    * (org.apache.arrow:flight-core) are optional at compile time and
+    * absent in this environment, so this factory verifies their presence
+    * and fails with guidance; with the jars on the classpath the
+    * remaining delta is one FlightClient-backed FlightTransport class —
+    * every byte it would ship is already produced (and round-trip tested)
+    * by GraftArrow's IPC stream writer. */
+  val live: Factory = cfg => {
+    try Class.forName("org.apache.arrow.flight.FlightClient")
+    catch {
+      case _: ClassNotFoundException =>
+        throw new UnsupportedOperationException(
+          s"flight transport to ${cfg.host}:${cfg.port} needs " +
+            "org.apache.arrow:flight-core on the classpath (absent in this " +
+            "build); the parquet/arrow sinks produce the identical wire payload")
+    }
+    throw new UnsupportedOperationException(
+      "flight-core detected but no client binding is compiled into this " +
+        "build; provide a FlightTransport.Factory wrapping FlightClient")
+  }
+}
+
+/**
+ * Live GDS sink over Arrow Flight: the reference's actual destination
+ * (`Neo4jArrowClient`, pipeline.py:304-308), with the same lifecycle and
+ * ordering contract as the offline sinks:
+ *
+ *   start (CREATE_GRAPH) → do_put(nodes)* → NODE_LOAD_DONE →
+ *   do_put(edges)* → RELATIONSHIP_LOAD_DONE
+ *
+ * Data plane: each partition's rows stream as per-batch Arrow IPC
+ * payloads (GraftArrow.sendIpcStream) to a per-executor cached transport
+ * — fully distributed, executor memory bounded by `batchSize`, exact
+ * wire-byte stats via accumulators. Control plane actions run
+ * driver-side between the synchronous write jobs, which is what makes
+ * the nodes-before-edges barrier program order rather than a dataflow
+ * trick (pipeline.py:68-77).
+ */
+final class FlightSink(
+    cfg: FlightConfig,
+    factory: FlightTransport.Factory = FlightTransport.live,
+    batchSize: Int = 4096) extends GdsSink {
+
+  private var started = false
+  private var nodesFinished = false
+  @transient private lazy val control: FlightTransport = factory(cfg)
+
+  override def start(): Unit = {
+    control.action("CREATE_GRAPH",
+      s"""{"name":"${cfg.graphName}","database_name":"${cfg.database}",""" +
+        s""""concurrency":${cfg.concurrency}}""")
+    started = true
+  }
+
+  override def writeNodes(nodes: DataFrame): LoadResult = {
+    require(started, "sink not started (reference: client.start() precedes writes)")
+    put(nodes, "nodes", "node")
+  }
+
+  override def nodesDone(): Unit = {
+    require(started, "nodesDone() before start()")
+    control.action("NODE_LOAD_DONE", "{}")
+    nodesFinished = true
+  }
+
+  override def writeEdges(edges: DataFrame): LoadResult = {
+    require(nodesFinished,
+      "edges before nodesDone() — the reference enforces all nodes load first " +
+        "(pipeline.py:68-77 barrier)")
+    put(edges, "edges", "edge")
+  }
+
+  override def edgesDone(): Unit = {
+    require(nodesFinished, "edgesDone() before nodesDone()")
+    control.action("RELATIONSHIP_LOAD_DONE", "{}")
+  }
+
+  private def put(df: DataFrame, descriptor: String, kind: String): LoadResult = {
+    val (c, f) = (cfg, factory) // close over the pieces, not the sink
+    val (rows, bytes) = org.apache.spark.sql.GraftArrow.sendIpcStream(df, batchSize) {
+      (_, ipc) => FlightTransport.cached(c, f).putStream(descriptor, ipc)
+    }
+    LoadResult(rows, bytes, kind)
+  }
+}

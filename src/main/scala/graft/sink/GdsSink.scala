@@ -34,13 +34,11 @@ trait GdsSink {
  * reference's client ctor args (pipeline.py:304-308) and flag defaults
  * (port 8491 / TLS on / concurrency 4, pipeline.py:208-234).
  *
- * The Flight data plane (`org.apache.arrow.flight`) is not on this
- * sandbox's classpath (no egress, jars absent), so the live sink is
- * config-only here; `ParquetWireSink` produces byte-identical canonical
- * tables and is the tested path. On a real cluster the implementation is
- * `df.mapInArrow(batches => put(batches))` with a per-executor
- * `@transient lazy val` FlightClient — replacing the reference's
- * `client.copy()` pickling workaround (_dofn.py:58,101,125).
+ * The full sink (lifecycle + distributed per-batch IPC data plane) is
+ * `FlightSink`; only the innermost gRPC binding (`FlightTransport.live`)
+ * requires the arrow-flight jars, which are absent on this sandbox's
+ * classpath (no egress). `ParquetWireSink` / `ArrowIpcSink` produce
+ * byte-identical canonical payloads and are the offline-tested paths.
  */
 final case class FlightConfig(
     host: String,
@@ -49,4 +47,5 @@ final case class FlightConfig(
     graphName: String = "graph",
     database: String = "neo4j",
     user: String = "neo4j",
+    password: String = "",
     concurrency: Int = 4)

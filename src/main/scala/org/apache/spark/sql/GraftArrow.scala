@@ -1,32 +1,88 @@
 package org.apache.spark.sql
 
-import java.io.FileOutputStream
+import java.io.ByteArrayOutputStream
+import java.nio.channels.Channels
 
 import org.apache.arrow.vector.VectorSchemaRoot
 import org.apache.arrow.vector.ipc.ArrowStreamWriter
+import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.execution.arrow.ArrowWriter
 import org.apache.spark.sql.util.ArrowUtils
+import org.apache.spark.util.SerializableConfiguration
 
 /**
  * Distributed Arrow IPC stream writer — the data plane of an Arrow
- * Flight `do_put` without the network transport (the Flight jars are not
- * on this classpath; the stream framing is identical, so a transport
- * swap is the only delta for a live GDS target).
+ * Flight `do_put` with a pluggable byte destination: a filesystem
+ * (`writeIpcStream`, one stream file per partition through the Hadoop
+ * FileSystem API, so any configured scheme works from executors) or a
+ * transport callback (`sendIpcStream`, one self-contained IPC stream per
+ * row batch — the exact per-batch `write_nodes`/`write_edges` unit the
+ * reference ships over Flight, _dofn.py:96-141, with executor memory
+ * bounded by the batch size).
  *
  * Lives in org.apache.spark.sql to reach the private[sql] Arrow
  * conversion machinery (ArrowUtils / ArrowWriter) — the same classes
- * Spark's own Arrow collect path uses. One IPC stream file per non-empty
- * partition, rows batched `batchSize` at a time; row/byte counts come
- * back through accumulators, so the stats are EXACT wire bytes (unlike
- * schema-based estimates) and cost no second pass.
+ * Spark's own Arrow collect path uses. Row/byte counts come back through
+ * accumulators, so the stats are EXACT wire bytes (unlike schema-based
+ * estimates) and cost no second pass.
  */
 object GraftArrow {
 
+  /** One Arrow IPC stream file per non-empty partition under `dir`,
+    * written through the partition-resolved Hadoop FileSystem (works on
+    * any scheme the cluster has configured, not just local disk). */
   def writeIpcStream(df: DataFrame, dir: String, batchSize: Int = 4096): (Long, Long) = {
     val schema = df.schema
     val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
-    new java.io.File(dir).mkdirs()
+    val sc = df.sparkSession.sparkContext
+    val conf = new SerializableConfiguration(sc.hadoopConfiguration)
+    val rowsAcc = sc.longAccumulator("graft_arrow_rows")
+    val bytesAcc = sc.longAccumulator("graft_arrow_bytes")
+
+    df.queryExecution.toRdd.foreachPartition { iter =>
+      if (iter.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val path = new Path(dir, f"part-$pid%05d.arrow")
+        val fs = path.getFileSystem(conf.value)
+        val out = fs.create(path, true)
+        withRoot(schema, tz, s"graft-ipc-$pid") { (root, writer) =>
+          val ipc = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+          try {
+            ipc.start()
+            var pending = 0
+            var total = 0L
+            while (iter.hasNext) {
+              writer.write(iter.next())
+              pending += 1
+              total += 1
+              if (pending == batchSize) {
+                writer.finish(); ipc.writeBatch(); writer.reset(); pending = 0
+              }
+            }
+            if (pending > 0) { writer.finish(); ipc.writeBatch(); writer.reset() }
+            ipc.end()
+            rowsAcc.add(total)
+            bytesAcc.add(ipc.bytesWritten())
+          } finally {
+            ipc.close(); out.close()
+          }
+        }
+      }
+    }
+    (rowsAcc.value, bytesAcc.value)
+  }
+
+  /** Serialize every `batchSize` rows of each partition as ONE
+    * self-contained Arrow IPC stream and hand the bytes to
+    * `send(partitionId, bytes)` executor-side — the per-batch do_put
+    * payload unit. `send` must be serializable; it typically resolves a
+    * per-executor cached client. */
+  def sendIpcStream(
+      df: DataFrame,
+      batchSize: Int = 4096)(send: (Int, Array[Byte]) => Unit): (Long, Long) = {
+    val schema = df.schema
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
     val sc = df.sparkSession.sparkContext
     val rowsAcc = sc.longAccumulator("graft_arrow_rows")
     val bytesAcc = sc.longAccumulator("graft_arrow_bytes")
@@ -34,35 +90,45 @@ object GraftArrow {
     df.queryExecution.toRdd.foreachPartition { iter =>
       if (iter.hasNext) {
         val pid = TaskContext.getPartitionId()
-        val arrowSchema = ArrowUtils.toArrowSchema(
-          schema, tz, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
-        val alloc = ArrowUtils.rootAllocator
-          .newChildAllocator(s"graft-ipc-$pid", 0, Long.MaxValue)
-        val root = VectorSchemaRoot.create(arrowSchema, alloc)
-        val writer = ArrowWriter.create(root)
-        val out = new FileOutputStream(new java.io.File(dir, f"part-$pid%05d.arrow"))
-        val ipc = new ArrowStreamWriter(root, null, out.getChannel)
-        try {
-          ipc.start()
+        withRoot(schema, tz, s"graft-put-$pid") { (root, writer) =>
           var pending = 0
           var total = 0L
+          def flush(): Unit = if (pending > 0) {
+            writer.finish()
+            val bos = new ByteArrayOutputStream()
+            val ipc = new ArrowStreamWriter(root, null, Channels.newChannel(bos))
+            try { ipc.start(); ipc.writeBatch(); ipc.end() } finally ipc.close()
+            send(pid, bos.toByteArray)
+            bytesAcc.add(bos.size().toLong)
+            writer.reset()
+            pending = 0
+          }
           while (iter.hasNext) {
             writer.write(iter.next())
             pending += 1
             total += 1
-            if (pending == batchSize) {
-              writer.finish(); ipc.writeBatch(); writer.reset(); pending = 0
-            }
+            if (pending == batchSize) flush()
           }
-          if (pending > 0) { writer.finish(); ipc.writeBatch(); writer.reset() }
-          ipc.end()
+          flush()
           rowsAcc.add(total)
-          bytesAcc.add(ipc.bytesWritten())
-        } finally {
-          ipc.close(); out.close(); root.close(); alloc.close()
         }
       }
     }
     (rowsAcc.value, bytesAcc.value)
+  }
+
+  /** Allocate a VectorSchemaRoot + row writer for `schema`, run `f`,
+    * always release the Arrow allocations. */
+  private def withRoot(
+      schema: types.StructType,
+      tz: String,
+      allocName: String)(f: (VectorSchemaRoot, ArrowWriter) => Unit): Unit = {
+    val arrowSchema = ArrowUtils.toArrowSchema(
+      schema, tz, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+    val alloc = ArrowUtils.rootAllocator
+      .newChildAllocator(allocName, 0, Long.MaxValue)
+    val root = VectorSchemaRoot.create(arrowSchema, alloc)
+    try f(root, ArrowWriter.create(root))
+    finally { root.close(); alloc.close() }
   }
 }

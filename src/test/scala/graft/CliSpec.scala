@@ -1,0 +1,58 @@
+package graft
+
+import graft.model.{EdgeSpec, GraphModel, NodeSpec}
+import graft.pipeline.{Cli, GraphProjection}
+import graft.sink.ParquetWireSink
+import graft.sources.TableCatalog
+
+class CliSpec extends SparkTestBase {
+
+  test("strtobool matches the reference truth table (test_util.py:1-14)") {
+    val cases = Seq( // the reference's table, extended with the full sets
+      "yes" -> true, "Yes" -> true, "Y" -> true, "T" -> true,
+      "OFF" -> false, "0" -> false,
+      "y" -> true, "t" -> true, "true" -> true, "on" -> true, "1" -> true,
+      "n" -> false, "no" -> false, "f" -> false, "false" -> false, "N" -> false)
+    cases.foreach { case (in, want) => assert(Cli.strtobool(in) == want, in) }
+    intercept[IllegalArgumentException](Cli.strtobool("maybe"))
+    intercept[IllegalArgumentException](Cli.strtobool(""))
+  }
+
+  test("parseArgs: --k v pairs, bare boolean flags, list splitting") {
+    val opts = Cli.parseArgs(Array(
+      "--graph_json", "m.json", "--debug", "--neo4j_use_tls", "false",
+      "--node_tables", "users, posts"))
+    assert(opts("graph_json") == "m.json")
+    assert(opts("debug") == "true") // store_true flag
+    assert(Cli.strtobool(opts("neo4j_use_tls")) == false)
+    assert(Cli.splitList(opts("node_tables")) == Seq("users", "posts"))
+    assert(!opts.contains("missing"))
+  }
+
+  test("table mode: route table names, prune, cap streams, keep barrier") {
+    // stage a tiny named-table catalog dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+    spark.read.parquet(s"${sf()}/customer.parquet").write
+      .mode("overwrite").parquet(s"$dir/users.parquet")
+    spark.read.parquet(s"${sf()}/orders.parquet").write
+      .mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val model = GraphModel(name = "bq",
+      nodes = Seq(NodeSpec("users", keyField = Some("c_custkey"),
+        properties = Map("c_acctbal" -> "acctbal"))),
+      edges = Seq(EdgeSpec("orders", sourceField = Some("o_custkey"),
+        targetField = Some("o_orderkey"))))
+    val out = java.nio.file.Files.createTempDirectory("graft_tbl_out").toString
+    val res = GraphProjection.runTables(spark, model,
+      new TableCatalog(spark, dir),
+      nodeTables = Seq("users", "unmatched_table"), // unmatched → skipped
+      edgeTables = Seq("orders"),
+      sink = new ParquetWireSink(out),
+      maxStreams = 1) // cap ≙ bq_max_stream_count
+    val nodes = spark.read.parquet(s"$out/nodes")
+    assert(nodes.columns.toSeq == Seq("nodeId", "acctbal"))
+    assert(nodes.count() == spark.read.parquet(s"${sf()}/customer.parquet").count())
+    assert(res.nodeStats.size == 1 && res.edgeStats.size == 1)
+    assert(res.finalStats.kind == "final")
+  }
+}

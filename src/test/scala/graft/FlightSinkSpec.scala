@@ -1,0 +1,99 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import graft.model.{EdgeSpec, GraphModel, NodeSpec}
+import graft.pipeline.GraphProjection
+import graft.sink.{FlightConfig, FlightSink, FlightTransport}
+
+import scala.jdk.CollectionConverters._
+
+/** In-JVM transport double: records every Flight verb in arrival order
+  * (a ConcurrentLinkedQueue linearizes concurrent partition puts). */
+class RecordingFlightTransport extends FlightTransport {
+  override def action(name: String, bodyJson: String): Unit =
+    RecordingFlightTransport.events.add(s"action:$name")
+  override def putStream(descriptor: String, ipcStream: Array[Byte]): Unit = {
+    require(ipcStream.length > 0, "empty IPC payload")
+    // every payload must be a self-contained Arrow IPC stream: read it back
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(ipcStream), alloc)
+    var rows = 0L
+    try {
+      while (rdr.loadNextBatch()) rows += rdr.getVectorSchemaRoot.getRowCount
+    } finally { rdr.close(); alloc.close() }
+    RecordingFlightTransport.events.add(s"put:$descriptor")
+    RecordingFlightTransport.bytes.addAndGet(ipcStream.length.toLong)
+    RecordingFlightTransport.rows.addAndGet(rows)
+  }
+}
+
+object RecordingFlightTransport {
+  val events = new ConcurrentLinkedQueue[String]()
+  val bytes = new java.util.concurrent.atomic.AtomicLong()
+  val rows = new java.util.concurrent.atomic.AtomicLong()
+  def reset(): Unit = { events.clear(); bytes.set(0); rows.set(0) }
+}
+
+class FlightSinkSpec extends SparkTestBase {
+
+  private def model = GraphModel(
+    name = "fl",
+    nodes = Seq(NodeSpec(".*customer.*", keyField = Some("c_custkey"),
+      properties = Map("c_acctbal" -> "acctbal"))),
+    edges = Seq(EdgeSpec(".*orders.*", sourceField = Some("o_custkey"),
+      targetField = Some("o_orderkey"))))
+
+  test("flight sink drives the reference lifecycle in order") {
+    RecordingFlightTransport.reset()
+    FlightTransport.resetCacheForTests()
+    val cfg = FlightConfig(host = "test", graphName = "fl", database = "neo4j")
+    val sink = new FlightSink(cfg, _ => new RecordingFlightTransport, batchSize = 256)
+    val res = GraphProjection.run(spark, model,
+      Seq(s"${sf()}/customer.parquet"), Seq(s"${sf()}/orders.parquet"), sink)
+
+    val ev = RecordingFlightTransport.events.asScala.toSeq
+    // start → put(nodes)* → NODE_LOAD_DONE → put(edges)* → RELATIONSHIP_LOAD_DONE
+    assert(ev.head == "action:CREATE_GRAPH")
+    assert(ev.last == "action:RELATIONSHIP_LOAD_DONE")
+    val nodeDone = ev.indexOf("action:NODE_LOAD_DONE")
+    assert(nodeDone > 0)
+    val (before, after) = ev.zipWithIndex.partition(_._2 < nodeDone)
+    assert(before.map(_._1).count(_ == "put:nodes") > 0)
+    assert(before.map(_._1).forall(e => e == "action:CREATE_GRAPH" || e == "put:nodes"))
+    assert(after.map(_._1).count(_ == "put:edges") > 0)
+    assert(after.map(_._1).forall(e =>
+      e == "action:NODE_LOAD_DONE" || e == "put:edges" || e == "action:RELATIONSHIP_LOAD_DONE"))
+
+    // stats: counts match the source tables; bytes match what the transport saw
+    val nCust = spark.read.parquet(s"${sf()}/customer.parquet").count()
+    val nOrd = spark.read.parquet(s"${sf()}/orders.parquet").count()
+    assert(res.finalStats.count == nCust + nOrd)
+    assert(RecordingFlightTransport.rows.get() == nCust + nOrd) // IPC decodes row-exact
+    assert(res.finalStats.nbytes == RecordingFlightTransport.bytes.get())
+    assert(res.finalStats.nbytes > 0)
+  }
+
+  test("flight sink enforces the nodes-before-edges barrier") {
+    RecordingFlightTransport.reset()
+    FlightTransport.resetCacheForTests()
+    val sink = new FlightSink(FlightConfig(host = "test2"),
+      _ => new RecordingFlightTransport)
+    val nodes = spark.read.parquet(s"${sf()}/customer.parquet")
+      .selectExpr("c_custkey AS nodeId")
+    intercept[IllegalArgumentException](sink.writeNodes(nodes)) // before start
+    sink.start()
+    intercept[IllegalArgumentException](sink.writeEdges(nodes)) // before nodesDone
+    sink.writeNodes(nodes)
+    sink.nodesDone()
+    sink.writeEdges(nodes.selectExpr("nodeId AS sourceNodeId", "nodeId AS targetNodeId"))
+    sink.edgesDone()
+  }
+
+  test("live transport factory fails with guidance when flight jars are absent") {
+    val e = intercept[UnsupportedOperationException](
+      FlightTransport.live(FlightConfig(host = "nope")))
+    assert(e.getMessage.contains("flight"))
+  }
+}
