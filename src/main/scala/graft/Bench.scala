@@ -6,11 +6,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * Each query is forced through the `noop` sink: full computation of
   * every output row/column, no result materialization on the driver and
-  * no metadata-only count() shortcuts. */
+  * no metadata-only count() shortcuts.
+  *
+  * Each query runs SPARK_GRAFT_REPS times (default 3) and the reported
+  * per-query value (and the total) is the MEDIAN; min/max ride along in
+  * "spread". Single-shot timings on a shared box swing up to ~3× with
+  * ambient load (round-2 recorded 93s for a query that reruns at 5.5s),
+  * so medians are the only trustworthy per-round signal. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,15 +33,22 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(f => run(f(spark, sfDir)))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def median(ts: Seq[Double]): Double = ts(ts.size / 2)
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f"${median(ts)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, ts) =>
+      "\"" + k + "\":" + f"[${ts.head}%.3f,${ts.last}%.3f]"
+    }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -185,11 +185,11 @@ object SparkEntry {
     "sim_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), blockCol = "label",
         threshold = 0.40)),
-    "sim_lsh_topk" -> ((s, dir) => { // no SQL oracle: rows-only check
+    "sim_lsh_topk" -> ((s, dir) => { // full oracle: md5-literal planes
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8))
     }),
-    "sim_ivf_topk" -> ((s, dir) => { // no SQL oracle: rows-only check
+    "sim_ivf_topk" -> ((s, dir) => { // full oracle: unrolled Lloyd steps
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), nProbe = 4)
     }),
@@ -439,6 +439,13 @@ object SparkEntry {
          FROM events GROUP BY 1""",
     "sim_cosine_topk" -> OracleFragments.simCosineTopK(maxQueryId = 8, k = 5),
     "sim_cosine_pairs" -> OracleFragments.simCosinePairs(threshold = 0.40),
+    // embeddings dim is 64 at every sf (TESTDATA.md); the plane matrix and
+    // the unrolled Lloyd steps below are generated from the SAME Scala
+    // constants the Spark plans embed, so nothing can drift.
+    "sim_lsh_topk" -> OracleFragments.simLshTopK(
+      numPlanes = 8, dim = 64, maxQueryId = 8, k = 5),
+    "sim_ivf_topk" -> OracleFragments.simIvfTopK(
+      cells = 8, iters = 2, nProbe = 4, maxQueryId = 8, k = 5),
     "ev_sessionize" -> OracleFragments.evSessionize(gapMinutes = 30),
     "ev_session_window" ->
       """WITH g AS (
@@ -707,12 +714,97 @@ object OracleFragments {
         FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
         WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $minJaccard"""
 
+  /** Sequential-fold dot/norm identical to Similarity.dot/norm, over any
+    * two SQL list expressions. */
+  def cosineOf(a: String, b: String): String = {
+    val dot = s"list_aggregate(list_transform(list_zip($a, $b), z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum')"
+    val na = s"sqrt(list_aggregate(list_transform($a, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    val nb = s"sqrt(list_aggregate(list_transform($b, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    s"round($dot / ($na * $nb), 6)"
+  }
+
   /** Sequential-fold dot/norm identical to Similarity.dot/norm. */
-  val cosineExpr: String = {
-    val dot = "list_aggregate(list_transform(list_zip(q.qv, c.cv), p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
-    val nq = "sqrt(list_aggregate(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
-    val nc = "sqrt(list_aggregate(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
-    s"round($dot / ($nq * $nc), 6)"
+  val cosineExpr: String = cosineOf("q.qv", "c.cv")
+
+  /** Sign-LSH ANN top-k re-derived in full: the SAME md5-derived
+    * hyperplane matrix (Similarity.planeMatrix — computed here in Scala
+    * and embedded as double literals, exactly as the Spark plan embeds
+    * it), the same 6-dp-rounded projection sign per plane, the same
+    * in-bucket cosine ranking. `Double.toString` round-trips, so the SQL
+    * literals are bit-identical to the plan's. */
+  def simLshTopK(numPlanes: Int, dim: Int, maxQueryId: Int, k: Int): String = {
+    def bucketExpr(vcol: String): String =
+      graft.operators.Similarity.planeMatrix(numPlanes, dim).zipWithIndex.map {
+        case (plane, p) =>
+          val planeLit = plane.map(_.toString).mkString("[", ", ", "]")
+          val proj = s"list_aggregate(list_transform(list_zip($vcol, $planeLit), z -> z[1]::DOUBLE * z[2]), 'sum')"
+          s"CASE WHEN round($proj, 6) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                          ${bucketExpr("embedding")} AS bucket FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qv,
+                       ${bucketExpr("embedding")} AS bucket
+                FROM embeddings WHERE vec_id < $maxQueryId),
+          scored AS (
+            SELECT q.query_id, c.neighbor_id, $cosineExpr AS sim
+            FROM c JOIN q ON c.bucket = q.bucket
+            WHERE c.neighbor_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= $k"""
+  }
+
+  /** IVF ANN top-k re-derived in full: deterministic k-means-lite with
+    * the Lloyd loop UNROLLED ($iters fixed steps), mirroring
+    * Similarity.ivfIndex exactly — init centroids = first `cells` vectors
+    * by id (6-dp-rounded doubles, as `pin` rounds), assign = argmax of
+    * 6-dp-rounded cosine with ties to the lowest cell, update = per-(cell,
+    * pos) mean rounded to 6 dp (the rounding is what makes Spark's
+    * summation-order-sensitive `avg` and DuckDB's agree). Probe + rank as
+    * in ivfTopK. */
+  def simIvfTopK(cells: Int, iters: Int, nProbe: Int, maxQueryId: Int, k: Int): String = {
+    def assign(name: String, centsCte: String): String =
+      s"""$name AS (
+            SELECT vid, v, cell FROM (
+              SELECT vv.vid, vv.v, cc.cell,
+                     row_number() OVER (PARTITION BY vv.vid
+                       ORDER BY ${cosineOf("vv.v", "cc.cv")} DESC, cc.cell ASC) AS rn
+              FROM v vv CROSS JOIN $centsCte cc) WHERE rn = 1)"""
+    def update(name: String, assignCte: String): String =
+      s"""$name AS (
+            SELECT cell, list(mr ORDER BY pos) AS cv FROM (
+              SELECT cell, pos, round(avg(x), 6) AS mr FROM (
+                SELECT cell, unnest(v)::DOUBLE AS x, generate_subscripts(v, 1) AS pos
+                FROM $assignCte)
+              GROUP BY cell, pos) GROUP BY cell)"""
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i"))
+    }
+    s"""WITH v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+          c0 AS (SELECT vid::INT AS cell,
+                        list_transform(v, x -> round(x::DOUBLE, 6)) AS cv
+                 FROM v WHERE vid < $cells),
+          ${steps.mkString(",\n          ")},
+          ${assign("af", s"c$iters")},
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < $maxQueryId),
+          probed AS (
+            SELECT query_id, qv, cell FROM (
+              SELECT q.query_id, q.qv, cc.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${cosineOf("q.qv", "cc.cv")} DESC, cc.cell ASC) AS crn
+              FROM q CROSS JOIN c$iters cc) WHERE crn <= $nProbe),
+          scored AS (
+            SELECT p.query_id, a.vid AS neighbor_id, ${cosineOf("p.qv", "a.v")} AS sim
+            FROM af a JOIN probed p ON a.cell = p.cell
+            WHERE a.vid <> p.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= $k"""
   }
 
   def simCosineTopK(maxQueryId: Int, k: Int): String =

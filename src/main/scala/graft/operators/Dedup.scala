@@ -1,10 +1,10 @@
 package graft.operators
 
+import graft.functions.OptimizerFence.fence
 import graft.functions.TextFunctions._
-import graft.ops.Par
+import graft.ops.{Par, Scratch}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for large-scale text corpora. All variants are
@@ -90,9 +90,11 @@ object Dedup {
 
   /** MinHash+LSH candidate pairs: B bands of R rows each; a pair is a
     * candidate if ANY band agrees on all R minhashes. Output: distinct
-    * (a, b) with a < b. Cost: ONE corpus scan (the n×B band-key frame is
-    * persisted, so the self-join re-reads keys, never re-hashes text),
-    * one band-key shuffle — never the O(n²) cross product. */
+    * (a, b) with a < b. Cost: ONE corpus scan — the n×B band-key frame is
+    * written once as a scratch table (Scratch.materialize) so the
+    * self-join reads keys, never re-hashes text; one band-key shuffle —
+    * never the O(n²) cross product. No `persist`: the scratch table
+    * needs no unpersist hand-off (the round-2 cache-leak fix). */
   def minhashLshCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -100,10 +102,11 @@ object Dedup {
       shingleK: Int = 5,
       bands: Int = 4,
       rowsPerBand: Int = 2): DataFrame = {
-    val banded = bandedKeys(
-      minhashSignatures(docs, idCol, textCol, shingleK, bands * rowsPerBand),
-      bands, rowsPerBand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = Scratch.materialize(
+      bandedKeys(
+        minhashSignatures(docs, idCol, textCol, shingleK, bands * rowsPerBand),
+        bands, rowsPerBand),
+      "lsh_bandkeys")
     candidatePairs(banded)
   }
 
@@ -146,47 +149,62 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       minJaccard: Double = 0.0): DataFrame = {
-    // Signatures AND shingle sets in ONE pass over the corpus, then
-    // materialized (memory-with-disk-spill) so candidate generation, the
+    // Signatures AND shingle sets in ONE pass over the corpus, written
+    // once as a scratch signature table so candidate generation, the
     // size prefilter and both verification joins re-read the computed
-    // columns instead of re-scanning + re-hashing the corpus — the plan
-    // touches the source parquet exactly once. At warehouse scale the
-    // equivalent is writing this stage as a signature table between two
-    // jobs; within one job, caching is the Spark-native materialization.
-    val base = Par.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(
-        col("id"),
-        graft.functions.MinHashSignature
-          .minhashSignature(col("t"), shingleK, bands * rowsPerBand).as("sig"),
-        shingles(col("t"), shingleK).as("gs"))
-      .withColumn("sz", size(col("gs")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // columns instead of re-scanning + re-hashing the corpus — the
+    // source parquet is touched exactly once, and (unlike the round-2
+    // `persist`) nothing stays pinned in executor storage memory after
+    // the query: this IS the "signature table between two jobs" form
+    // that the warehouse-scale pipeline would use.
+    val base = Scratch.materialize(
+      Par.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(
+          col("id"),
+          graft.functions.MinHashSignature
+            .minhashSignature(col("t"), shingleK, bands * rowsPerBand).as("sig"),
+          shingles(col("t"), shingleK).as("gs"))
+        .withColumn("sz", size(col("gs"))),
+      "lsh_signatures")
     val candidates = candidatePairs(
       bandedKeys(base.select(col("id"), col("sig")), bands, rowsPerBand))
     // Exact size-ratio prefilter: jaccard = |A∩B|/|A∪B| ≤ min/max of the
-    // set sizes, so pairs with min/max < minJaccard can never pass the
-    // threshold — prune them BEFORE shipping the (heavy) shingle arrays
-    // through the join. No broadcast hint: sizes is O(corpus) rows, so the
-    // join strategy is AQE's call (shuffle-hash at scale, broadcast only
-    // if the candidate side turns out tiny).
+    // set sizes, so pairs that cannot reach the threshold are pruned
+    // BEFORE shipping the (heavy) shingle arrays through the join.
+    // Multiplication form (no division → no 0/0 NaN; sz > 0 excludes
+    // degenerate null-shingle docs explicitly), with 1e-6 slack because
+    // the final filter compares round(jaccard, 6). No broadcast hint:
+    // sizes is O(corpus) rows, so the join strategy is AQE's call.
     val sized = candidates
       .join(base.select(col("id").as("a"), col("sz").as("sz_a")), Seq("a"))
       .join(base.select(col("id").as("b"), col("sz").as("sz_b")), Seq("b"))
-      .filter(
-        least(col("sz_a"), col("sz_b")).cast("double") /
-          greatest(col("sz_a"), col("sz_b")).cast("double") >= minJaccard)
+      .filter(col("sz_a") > 0 && col("sz_b") > 0 &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(minJaccard - 1e-6) * greatest(col("sz_a"), col("sz_b")).cast("double"))
       .select(col("a"), col("b"))
-    val withA = sized.join(base.select(col("id").as("a"), col("gs").as("gs_a")), Seq("a"))
-    val withB = withA.join(base.select(col("id").as("b"), col("gs").as("gs_b")), Seq("b"))
-    withB
-      .withColumn("inter",
-        graft.functions.ArrayIntersectSize.arrayIntersectSize(col("gs_a"), col("gs_b")))
+    val withA = sized.join(base.select(col("id").as("a"), col("gs").as("gs_a"),
+      col("sz").as("sz_a")), Seq("a"))
+    val withB = withA.join(base.select(col("id").as("b"), col("gs").as("gs_b"),
+      col("sz").as("sz_b")), Seq("b"))
+    exactJaccard(withB, minJaccard)
+  }
+
+  /** Shared verification tail: ONE fenced set-intersection per pair, the
+    * exact (rounded) jaccard derived from it, the threshold applied above
+    * the fence. The fence (OptimizerFence) stops Catalyst inlining the
+    * jaccard filter back into the join condition, where it would
+    * re-evaluate the intersect per reference ahead of the cheap pruning
+    * conjuncts — the measured round-2 regression. */
+  private def exactJaccard(pairs: DataFrame, minJaccard: Double): DataFrame =
+    pairs
+      .select(col("a"), col("b"), col("sz_a"), col("sz_b"),
+        fence(graft.functions.ArrayIntersectSize
+          .arrayIntersectSize(col("gs_a"), col("gs_b"))).as("inter"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (size(col("gs_a")) + size(col("gs_b")) - col("inter")).cast("double"), 6))
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
-  }
 
   /** Exact n-gram Jaccard similarity, computed only within blocks (e.g.
     * same source+lang) — the blocking keeps this linear-ish; an unblocked
@@ -210,20 +228,29 @@ object Dedup {
       .withColumn("sz", size(col("gs")))
     val a = grams.select(col("blk"), col("id").as("a"), col("gs").as("gs_a"), col("sz").as("sz_a"))
     val b = grams.select(col("blk").as("blk_b"), col("id").as("b"), col("gs").as("gs_b"), col("sz").as("sz_b"))
-    // The size-ratio bound (jaccard ≤ min(sz)/max(sz)) rides IN the join
-    // condition: sizes are computed map-side before the block shuffle, so
-    // pairs that can't reach the threshold are dropped before the O(sz)
-    // intersect — the quadratic-within-block compute only runs on pairs
-    // that could pass. Result-preserving for any minJaccard ≥ 0.
-    a.join(b, col("blk") === col("blk_b") && col("a") < col("b") &&
-        least(col("sz_a"), col("sz_b")).cast("double") /
-          greatest(col("sz_a"), col("sz_b")).cast("double") >= minJaccard)
-      .withColumn("inter",
-        graft.functions.ArrayIntersectSize.arrayIntersectSize(col("gs_a"), col("gs_b")))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("gs_a")) + size(col("gs_b")) - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("jaccard"))
+    // Join condition: cheap conjuncts ONLY, ordered cheap-first — a < b,
+    // then the size-ratio bound (jaccard ≤ min(sz)/max(sz)) in
+    // multiplication form (no division → no 0/0-NaN escape hatch; an
+    // explicit sz > 0 guard would be pushed to the scan and recompute
+    // the shingles per input row — `shingles` yields ≥ 1 element by
+    // construction and null text nulls the condition out, so the guard
+    // is redundant here) with 1e-6 slack for the rounded final filter.
+    // Sizes are computed map-side before the block shuffle, so pairs
+    // that cannot reach the threshold are dropped before any O(sz)
+    // intersect runs; the intersect itself is evaluated exactly once per
+    // surviving pair, above the join, behind the optimizer fence (see
+    // exactJaccard). Result-preserving for any minJaccard ≥ 0.
+    //
+    // shuffle_hash hint: both self-join sides derive from the corpus;
+    // Spark's size estimate comes from the parquet TEXT bytes and badly
+    // underestimates the in-memory shingle arrays (~k× the text), so
+    // near the autoBroadcast threshold at scale the planner would
+    // broadcast a NOT-small side — a driver/executor OOM at 100×. A
+    // shuffle-hash join is the scale-safe strategy for same-size sides.
+    a.hint("shuffle_hash")
+      .join(b, col("blk") === col("blk_b") && col("a") < col("b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(minJaccard - 1e-6) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .transform(exactJaccard(_, minJaccard))
   }
 }

