@@ -20,6 +20,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Gate-query staging dirs live under the per-JVM scratch root, which a
+    * shutdown hook removes — no orphaned graft_* dirs after Verify/Bench. */
+  private def tmpDir(prefix: String): String = graft.ops.Scratch.dir(None, prefix)
+
   /** events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the column
     * arrives as long nanos — convert to a real timestamp (µs, floored,
     * matching DuckDB's ns→µs truncation). Integer `div` avoids the
@@ -48,7 +52,7 @@ object SparkEntry {
         sourceField = Some("o_custkey"),
         targetField = Some("o_orderkey"),
         properties = Map("o_totalprice" -> "totalprice"))))
-    val out = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val out = tmpDir("entry")
     val res = GraphProjection.run(
       spark, model,
       nodePattern = Seq(s"$dir/customer.parquet"),
@@ -117,7 +121,7 @@ object SparkEntry {
         edges = Seq(EdgeSpec(".*orders.*parquet", sourceField = Some("o_custkey"),
           targetField = Some("o_orderkey"),
           properties = Map("o_totalprice" -> "totalprice"))))
-      val out = java.nio.file.Files.createTempDirectory("graft_gate").toString
+      val out = tmpDir("gate")
       val res = GraphProjection.run(spark = s, model = model,
         nodePattern = Seq(s"$dir/customer.parquet"),
         edgePattern = Seq(s"$dir/orders.parquet"),
@@ -129,7 +133,7 @@ object SparkEntry {
     //      gcs_model.json:7 plural-"labels" case) through the wire sink
     //      end-to-end; read back and emit hashable scalars ----
     "p4_multilabel" -> ((s, dir) => {
-      val staged = java.nio.file.Files.createTempDirectory("graft_ml").toString
+      val staged = tmpDir("ml")
       t(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"),
           array(lit("Customer"), col("c_mktsegment")).as("labels"))
@@ -137,7 +141,7 @@ object SparkEntry {
       val model = GraphModel(name = "ml",
         nodes = Seq(NodeSpec(".*multilabel_nodes.*", labelField = Some("labels"),
           keyField = Some("c_custkey"), properties = Map("c_acctbal" -> "acctbal"))))
-      val out = java.nio.file.Files.createTempDirectory("graft_ml_out").toString
+      val out = tmpDir("ml_out")
       GraphProjection.run(s, model,
         nodePattern = Seq(s"$staged/multilabel_nodes.parquet"),
         edgePattern = Seq.empty, sink = new ParquetWireSink(out))

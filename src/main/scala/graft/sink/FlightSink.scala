@@ -38,25 +38,23 @@ object FlightTransport {
 
   private[graft] def resetCacheForTests(): Unit = cache.clear()
 
-  /** Live-endpoint factory. The Arrow Flight jars
-    * (org.apache.arrow:flight-core) are optional at compile time and
-    * absent in this environment, so this factory verifies their presence
-    * and fails with guidance; with the jars on the classpath the
-    * remaining delta is one FlightClient-backed FlightTransport class —
-    * every byte it would ship is already produced (and round-trip tested)
-    * by GraftArrow's IPC stream writer. */
+  /** Live-endpoint factory: a reflection-bound FlightClient
+    * (`LiveFlightTransport`) when org.apache.arrow:flight-core is on the
+    * runtime classpath, a guidance failure when it is not (this sandbox —
+    * no egress, jars can't be vendored). The jars stay optional at
+    * COMPILE time either way; every byte the live path ships is already
+    * produced (and round-trip tested) by GraftArrow's IPC stream writer. */
   val live: Factory = cfg => {
-    try Class.forName("org.apache.arrow.flight.FlightClient")
-    catch {
-      case _: ClassNotFoundException =>
-        throw new UnsupportedOperationException(
-          s"flight transport to ${cfg.host}:${cfg.port} needs " +
-            "org.apache.arrow:flight-core on the classpath (absent in this " +
-            "build); the parquet/arrow sinks produce the identical wire payload")
-    }
-    throw new UnsupportedOperationException(
-      "flight-core detected but no client binding is compiled into this " +
-        "build; provide a FlightTransport.Factory wrapping FlightClient")
+    if (!LiveFlightTransport.available)
+      throw new UnsupportedOperationException(
+        s"flight transport to ${cfg.host}:${cfg.port} needs " +
+          "org.apache.arrow:flight-core on the classpath (absent in this " +
+          "build); the parquet/arrow sinks produce the identical wire payload")
+    val t = new LiveFlightTransport(cfg)
+    // executor JVMs give no per-transport close callback; release the
+    // gRPC channel + allocator with the JVM
+    Runtime.getRuntime.addShutdownHook(new Thread(() => t.close()))
+    t
   }
 }
 
@@ -87,7 +85,8 @@ final class FlightSink(
 
   override def start(): Unit = {
     control.action("CREATE_GRAPH",
-      s"""{"name":"${cfg.graphName}","database_name":"${cfg.database}",""" +
+      s"""{"name":${FlightSink.jsonStr(cfg.graphName)},""" +
+        s""""database_name":${FlightSink.jsonStr(cfg.database)},""" +
         s""""concurrency":${cfg.concurrency}}""")
     started = true
   }
@@ -121,5 +120,21 @@ final class FlightSink(
       (_, ipc) => FlightTransport.cached(c, f).putStream(descriptor, ipc)
     }
     LoadResult(rows, bytes, kind)
+  }
+}
+
+object FlightSink {
+  /** Quote a string as a JSON literal (escapes quotes, backslashes and
+    * control chars) — graph/database names are user input and must not
+    * be able to break the action payload. */
+  private[sink] def jsonStr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
   }
 }

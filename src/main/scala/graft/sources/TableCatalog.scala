@@ -22,12 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 final class TableCatalog(spark: SparkSession, baseDir: String) {
 
-  /** Table names = parquet basenames in the directory. */
+  /** Table names = parquet basenames in the directory, listed through
+    * the Hadoop FileSystem API so ANY configured scheme works (file:,
+    * hdfs:, gs:-style object stores) — same remote-table surface as the
+    * reference's BQ dataset listing (_client.py:46-63) and same plumbing
+    * as GraphProjection.expandGlob / GraphModel.fromPath. */
   def tables: Seq[String] = {
-    val dir = new java.io.File(baseDir)
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(_.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet")).sorted
+    val path = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).sorted
   }
 
   def read(table: String): DataFrame =

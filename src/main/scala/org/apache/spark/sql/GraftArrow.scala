@@ -77,7 +77,15 @@ object GraftArrow {
     * self-contained Arrow IPC stream and hand the bytes to
     * `send(partitionId, bytes)` executor-side — the per-batch do_put
     * payload unit. `send` must be serializable; it typically resolves a
-    * per-executor cached client. */
+    * per-executor cached client.
+    *
+    * Delivery contract: AT-LEAST-ONCE. `send` runs inside the task, so a
+    * task retry or a speculative duplicate re-sends batches that already
+    * reached the endpoint, while the accumulators count each SUCCESSFUL
+    * task once — delivered rows/bytes can exceed the reported stats. The
+    * reference's Beam DoFn has the same contract (_dofn.py:96-141; Beam
+    * bundles retry whole). Run sink jobs with speculation off, or key
+    * batches idempotently server-side if exactly-once matters. */
   def sendIpcStream(
       df: DataFrame,
       batchSize: Int = 4096)(send: (Int, Array[Byte]) => Unit): (Long, Long) = {

@@ -92,8 +92,56 @@ class FlightSinkSpec extends SparkTestBase {
   }
 
   test("live transport factory fails with guidance when flight jars are absent") {
+    assume(!graft.sink.LiveFlightTransport.available)
     val e = intercept[UnsupportedOperationException](
       FlightTransport.live(FlightConfig(host = "nope")))
     assert(e.getMessage.contains("flight"))
   }
+
+  test("live transport batch decode: GraftArrow payloads round-trip batch-by-batch") {
+    // the exact decode loop putStream drives between startPut/putNext —
+    // unit-tested here without flight-core on the classpath
+    FlightSinkSpec.payloads.clear()
+    val payloads = FlightSinkSpec.payloads // static: survives closure serialization
+    val df = spark.read.parquet(s"${sf()}/customer.parquet")
+      .selectExpr("c_custkey AS nodeId", "c_acctbal AS acctbal")
+    val (rows, _) = org.apache.spark.sql.GraftArrow.sendIpcStream(df, batchSize = 64) {
+      (_, ipc) => FlightSinkSpec.payloads.add(ipc); ()
+    }
+    assert(rows == df.count())
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    var decoded = 0L
+    var batches = 0L
+    try payloads.asScala.foreach { ipc =>
+      graft.sink.LiveFlightTransport.streamBatches(ipc, alloc) { root =>
+        assert(root.getSchema.getFields.size() == 2) // schema visible at begin
+        root
+      } { root => batches += 1; decoded += root.getRowCount }
+    } finally alloc.close()
+    assert(decoded == rows)
+    assert(batches >= payloads.size()) // >= 1 batch per payload
+  }
+
+  test("CREATE_GRAPH action body is valid JSON even for hostile names") {
+    RecordingFlightTransport.reset()
+    FlightTransport.resetCacheForTests()
+    var body: String = null
+    val sink = new FlightSink(
+      FlightConfig(host = "t3", graphName = "g\"}\\evil\n", database = "db"),
+      _ => new RecordingFlightTransport {
+        override def action(name: String, bodyJson: String): Unit = { body = bodyJson }
+      })
+    sink.start()
+    // must parse as JSON and preserve the name exactly
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(body))(org.apache.spark.sql.Encoders.STRING))
+    val row = parsed.select("name", "database_name", "concurrency").head()
+    assert(row.getString(0) == "g\"}\\evil\n")
+    assert(row.getString(1) == "db")
+    assert(row.getLong(2) == 4L)
+  }
+}
+
+object FlightSinkSpec {
+  val payloads = new ConcurrentLinkedQueue[Array[Byte]]()
 }

@@ -49,6 +49,29 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(cat.planScan("customer") >= 1)
   }
 
+  test("table catalog lists through the Hadoop FS API (file: URI scheme)") {
+    // non-local-scheme path: the java.io.File listing of round 2 returned
+    // empty here; FileSystem.listStatus resolves the scheme
+    val cat = new TableCatalog(spark, s"file://${sf()}")
+    assert(cat.tables.contains("customer") && cat.tables.contains("orders"))
+    assert(new TableCatalog(spark, s"file://${sf()}/absent_subdir").tables.isEmpty)
+  }
+
+  test("dedup and IVF queries pin nothing in executor storage after running") {
+    // round-2 leak regression guard: the dedup ops use scratch tables
+    // (not persist) and ivfIndex unpersists its build-time cache
+    val before = spark.sparkContext.getPersistentRDDs.keySet // other suites may cache
+    val dir = sf()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.minhashLshCandidates(docs).write.format("noop").mode("overwrite").save()
+    Dedup.lshJaccard(docs, minJaccard = 0.2).write.format("noop").mode("overwrite").save()
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 4))
+      .write.format("noop").mode("overwrite").save()
+    val leaked = spark.sparkContext.getPersistentRDDs.filterNot(kv => before(kv._1))
+    assert(leaked.isEmpty, s"leaked caches: ${leaked.values.map(_.name)}")
+  }
+
   test("typed stats Aggregator matches the driver-side fold") {
     val rs = Seq(LoadResult(1, 10, "node"), LoadResult(2, 20, "node"), LoadResult(4, 40, "node"))
     val ds = spark.createDataset(rs)
