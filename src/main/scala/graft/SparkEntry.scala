@@ -169,6 +169,13 @@ object SparkEntry {
     "dedup_lsh_jaccard" -> ((s, dir) =>
       // the scalable near-dup pipeline: LSH candidates -> exact verify
       Dedup.lshJaccard(t(s, dir, "documents"), minJaccard = 0.20)),
+    "dedup_clusters" -> ((s, dir) => {
+      // pairs -> clusters (connected components), every doc labeled by
+      // its component's min id; keep-one dedup = doc_id == cluster_id
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.dupClusters(
+        docs, Dedup.lshJaccard(docs, minJaccard = 0.20))
+    }),
     "skew_salted_agg" -> ((s, dir) =>
       graft.ops.SkewAgg.saltedCountSum(eventsTable(s, dir),
         keyCol = "event_type", valueCol = "value", saltFrom = col("event_id"))),
@@ -197,6 +204,16 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), nProbe = 4)
     }),
+
+    // ==== extension operators: corpus assembly (training mixture) ====
+    "sample_mixture" -> ((s, dir) =>
+      graft.operators.Corpus.mixtureSample(t(s, dir, "documents"),
+          rates = Map("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25)
+        .select(col("doc_id"), col("source"))),
+    "pack_chunks" -> ((s, dir) =>
+      graft.operators.Corpus.packChunks(t(s, dir, "documents"), targetTokens = 512)),
+    "tfidf_terms" -> ((s, dir) =>
+      graft.operators.Corpus.tfidfTopTerms(t(s, dir, "documents"), k = 3)),
 
     // ==== extension operators: event analytics (window functions) ====
     "ev_sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
@@ -437,6 +454,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
     "dedup_lsh_jaccard" -> OracleFragments.dedupLshJaccard(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
+    "dedup_clusters" -> OracleFragments.dedupClusters(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.20),
+    "sample_mixture" -> OracleFragments.sampleMixture(
+      rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
+    "pack_chunks" -> OracleFragments.packChunks(targetTokens = 512),
+    "tfidf_terms" -> OracleFragments.tfidfTerms(k = 3),
     "skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
                 round(sum(value), 4) AS total
@@ -703,6 +726,57 @@ object OracleFragments {
         FROM scored
         WHERE round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) >= $minJaccard"""
   }
+
+  /** Dup clusters = connected components over the LSH-verified pairs,
+    * re-derived with a recursive CTE (transitive closure over
+    * both-direction edges; cluster id = min reachable id). */
+  def dedupClusters(bands: Int, rowsPerBand: Int, minJaccard: Double): String =
+    s"""WITH RECURSIVE pairs AS (${dedupLshJaccard(bands, rowsPerBand, minJaccard)}),
+          edges AS (SELECT a AS s, b AS d FROM pairs
+                    UNION SELECT b AS s, a AS d FROM pairs),
+          reach AS (
+            SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
+          cc AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x)
+        SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
+
+  /** Integer-threshold md5-coin sampling (Corpus.mixtureSample): same
+    * ⌊rate·2^32⌋ literals, same first-4-md5-bytes hash family. */
+  def sampleMixture(rates: Seq[(String, Double)], defaultRate: Double): String = {
+    val coin = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT"
+    val cases = rates.map { case (src, r) =>
+      s"WHEN source = '$src' THEN ${(r * 4294967296L).toLong}"
+    }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+        WHERE $coin < CASE $cases ELSE ${(defaultRate * 4294967296L).toLong} END"""
+  }
+
+  def packChunks(targetTokens: Int): String =
+    s"""WITH t AS (SELECT lang AS part, doc_id,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens
+          FROM documents)
+        SELECT part, doc_id, n_tokens,
+               ((sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) // $targetTokens)::BIGINT AS chunk_id
+        FROM t"""
+
+  def tfidfTerms(k: Int): String =
+    s"""WITH terms AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+          df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+          n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf::DOUBLE * ln(n.n_docs / df.df::DOUBLE), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored)
+        SELECT doc_id, term, tf, df, tfidf, rank::INT AS rank
+        FROM ranked WHERE rank <= $k"""
 
   def dedupNgramJaccard(minJaccard: Double): String =
     s"""WITH grams AS (

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-assembly operators: the steps a training-data pipeline runs
+ * AFTER dedup/scoring to turn a scored document pool into a training
+ * mixture — cluster resolution for near-dup pairs, deterministic
+ * mixture sampling, token-budget sequence packing, and tf-idf term
+ * scoring. (Extension surface beyond the reference, like Dedup/
+ * Similarity/TextAnalysis; the reference itself stops at graph
+ * projection — README.md:1-40.)
+ *
+ * All operators are deterministic and built from codegen'd built-ins —
+ * no UDFs, no driver-side loops over data (the CC driver loop iterates
+ * O(graph diameter) times over AGGREGATES, never over rows).
+ */
+object Corpus {
+
+  /**
+   * Connected components over an undirected pair list — resolves dup
+   * PAIRS (LSH/exact verify output) into dup CLUSTERS, each labeled by
+   * its minimum member id: the "keep one representative per cluster"
+   * step that pair output alone cannot answer (a~b, b~c must collapse
+   * to ONE cluster {a,b,c}).
+   *
+   * Algorithm: min-label propagation WITH pointer jumping —
+   *
+   *   label_i(v) = min( label_{i-1}(v),                 // self
+   *                     min over neighbors u of label_{i-1}(u),  // propagate
+   *                     label_{i-1}(label_{i-1}(v)) )   // pointer jump
+   *
+   * The neighbor step alone needs O(diameter) rounds (a 1000-link chain
+   * of near-dups would need 1000 shuffles); the pointer-jump term
+   * (labels joined with labels on label = id) halves remaining chain
+   * length every round, so convergence is O(log diameter) — the same
+   * round bound as the large-star/small-star formulation (Kiveris et
+   * al., "Connected Components in MapReduce and Beyond", SoCC'14),
+   * with two keyed joins + one min-agg per round.
+   *
+   * Every iteration writes its (id, label) frame as a scratch table and
+   * computes from the previous iteration's TABLE, not its lineage — the
+   * plan is constant-size regardless of round count (a persist-based
+   * loop doubles the logical plan every round: the round-3 OOM), no
+   * executor storage is pinned, and the driver-side fixpoint check on
+   * sum(label) (labels only decrease ⇒ the sum is a monotone
+   * convergence witness) scans a tiny table. No row-level collect
+   * anywhere.
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 30): DataFrame = {
+    import graft.ops.Scratch
+    val edges = Scratch.materialize(
+      pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+        .union(pairs.select(col(bCol).as("s"), col(aCol).as("d"))),
+      "cc_edges")
+    var labels = Scratch.materialize(
+      edges.select(col("s").as("id")).distinct()
+        .select(col("id"), col("id").as("label")),
+      "cc_labels")
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = labels
+        .join(edges, col("id") === col("s"))
+        .select(col("d").as("id"), col("label"))
+      val jump = labels.select(col("id"), col("label").as("l0"))
+        .join(labels.select(col("id").as("l0"), col("label")), Seq("l0"))
+        .select(col("id"), col("label"))
+      val next = Scratch.materialize(
+        nbrMin.union(labels).union(jump)
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("label")),
+        "cc_labels")
+      val s = labelSum(next)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    labels
+  }
+
+  /** connectedComponents over dup pairs, closed over the corpus: every
+    * document gets a cluster id (its component's min doc id; singletons
+    * map to themselves). Downstream keep-one dedup is then
+    * `filter(doc_id === cluster_id)`. */
+  def dupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    // materialize the pair list first: the CC loop re-reads its input
+    // once per iteration AND per join side — over a live LSH+verify
+    // pipeline that would re-run the whole verification each time (and
+    // blow the plan tree up with it); over a written pair table each
+    // re-read is a cheap 2-column scan. Same shape a warehouse pipeline
+    // uses: dup pairs are a produced artifact, clustering consumes it.
+    val p = graft.ops.Scratch.materialize(
+      pairs.select(col("a"), col("b")), "dup_pairs")
+    val cc = connectedComponents(p)
+    docs.select(col(idCol).as("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Deterministic per-source mixture sampling: keep a document iff the
+    * first 4 md5 bytes of its id (as an unsigned 32-bit integer — the
+    * same hash family as MinHashSignature) fall under the source's
+    * rate threshold. The comparison is INTEGER (thresholds precomputed
+    * as ⌊rate·2^32⌋), so there is no float-boundary hazard, the sample
+    * is reproducible across engines/runs, and resampling with a higher
+    * rate yields a superset (nested samples — the property mixture
+    * tuning needs). Pure map-side filter: scan-speed at any scale. */
+  def mixtureSample(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val threshold = rates.foldLeft(lit((defaultRate * 4294967296L).toLong)) {
+      case (acc, (src, rate)) =>
+        when(col(sourceCol) === src, lit((rate * 4294967296L).toLong)).otherwise(acc)
+    }
+    docs.filter(coin < threshold)
+  }
+
+  /** Greedy token-budget packing: within each `partCol` stream (ordered
+    * by id), documents are concatenated and split into chunks of
+    * ~`targetTokens` — chunk k holds the docs whose cumulative token
+    * START offset falls in [k·target, (k+1)·target). One window over one
+    * keyed shuffle; deterministic integer arithmetic. The sequence-
+    * packing step before tokenized training shards are written. */
+  def packChunks(
+      docs: DataFrame,
+      targetTokens: Int,
+      partCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("part")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(partCol).as("part"), col(idCol).as("doc_id"),
+        tokenCountBpe(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_id", expr(s"start_tok div ${targetTokens.toLong}"))
+      .select("part", "doc_id", "n_tokens", "chunk_id")
+  }
+
+  /** Per-document top-k terms by tf-idf (whitespace tokens of the
+    * normalized text): tf = in-doc occurrences, idf = ln(N/df), score
+    * rounded to 6 dp BEFORE ranking so the ordering is reproducible
+    * across engines (ties then break on the term). Two keyed shuffles
+    * (per-(doc,term) tf, per-term df) + one broadcast of the O(vocab)
+    * df side's count — the document-frequency table is the classic
+    * small dimension. */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // N rides in as a broadcast 1-row frame — no driver action, the
+    // whole operator stays one lazy plan
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val terms = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n_docs") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+}

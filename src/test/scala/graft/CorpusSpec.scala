@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connected components: chains collapse to min-id clusters") {
+    // 1-2, 2-3 chain + separate 10-11 pair: transitivity must fire
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val cc = Corpus.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters: singletons label themselves; nothing stays persisted") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq((1L, "x"), (2L, "x"), (5L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val out = Corpus.dupClusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    val leaked = spark.sparkContext.getPersistentRDDs.filterNot(kv => before(kv._1))
+    assert(leaked.isEmpty)
+  }
+
+  test("mixtureSample: deterministic and nested across rates") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    def ids(rate: Double) = Corpus.mixtureSample(docs, Map.empty, rate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = ids(0.5)
+    assert(ids(0.5) == half) // reproducible
+    assert(half.subsetOf(ids(0.75))) // nested samples
+    assert(ids(1.0).size == docs.count()) // rate 1 keeps everything
+    val n = docs.count().toDouble
+    assert(math.abs(half.size / n - 0.5) < 0.15) // roughly the rate
+  }
+
+  test("packChunks: chunk ids are the greedy token-budget assignment") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = Corpus.packChunks(docs, targetTokens = 512)
+    val rows = out.filter(col("part") === "en").orderBy("doc_id").collect()
+    assume(rows.length > 2)
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(3) == cum / 512) // chunk_id = start div target
+      cum += r.getLong(2)
+    }
+  }
+
+  test("tfidf: rare terms outrank ubiquitous ones") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(docs, k = 2).collect()
+    val top1 = out.filter(r => r.getLong(0) == 1L && r.getInt(5) == 1).head
+    assert(top1.getString(1) == "apple") // df=1, tf=2 beats banana (df=3 -> idf 0)
+    assert(out.forall(_.getInt(5) <= 2))
+    // banana appears in every doc: idf = ln(1) = 0 everywhere
+    assert(out.filter(_.getString(1) == "banana").forall(_.getDouble(4) == 0.0))
+  }
+}
