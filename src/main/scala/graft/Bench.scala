@@ -32,7 +32,12 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q1_agg").foreach(f => run(f(spark, sfDir)))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c limits the run to named queries (iterating
+    // on one operator locally); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir))

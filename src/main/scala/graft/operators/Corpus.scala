@@ -44,11 +44,11 @@ object Corpus {
    * Every iteration writes its (id, label) frame as a scratch table and
    * computes from the previous iteration's TABLE, not its lineage — the
    * plan is constant-size regardless of round count (a persist-based
-   * loop doubles the logical plan every round: the round-3 OOM), no
-   * executor storage is pinned, and the driver-side fixpoint check on
-   * sum(label) (labels only decrease ⇒ the sum is a monotone
-   * convergence witness) scans a tiny table. No row-level collect
-   * anywhere.
+   * loop doubles the logical plan every round: the round-3 OOM) and no
+   * executor storage is pinned. The driver-side fixpoint check on
+   * sum(label) (labels only decrease ⇒ the sum is a monotone convergence
+   * witness) rides on the write job itself via `Dataset.observe` — ONE
+   * job per iteration, no second scan. No row-level collect anywhere.
    */
   def connectedComponents(
       pairs: DataFrame,
@@ -56,17 +56,21 @@ object Corpus {
       bCol: String = "b",
       maxIters: Int = 30): DataFrame = {
     import graft.ops.Scratch
-    val edges = Scratch.materialize(
-      pairs.select(col(aCol).as("s"), col(bCol).as("d"))
-        .union(pairs.select(col(bCol).as("s"), col(aCol).as("d"))),
-      "cc_edges")
-    var labels = Scratch.materialize(
-      edges.select(col("s").as("id")).distinct()
-        .select(col("id"), col("id").as("label")),
-      "cc_labels")
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
+    // one scratch write of the (possibly expensive) pair producer; both
+    // union branches below re-read the cheap 2-column table, not the
+    // producing plan
+    val p = Scratch.materialize(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")), "cc_pairs")
+    val edges = p.select(col("a").as("s"), col("b").as("d"))
+      .union(p.select(col("b").as("s"), col("a").as("d")))
+    val witness = coalesce(sum(col("label")), lit(0L)).as("label_sum")
+    // initial labels fold in the first propagation round: label(v) =
+    // min(v, min neighbor) in a single groupBy, no distinct+join
+    var (labels, m0) = Scratch.materializeObserved(
+      edges.groupBy(col("s").as("id"))
+        .agg(least(col("s"), min(col("d"))).as("label")),
+      "cc_labels", witness)
+    var prevSum = m0("label_sum").asInstanceOf[Long]
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -76,12 +80,12 @@ object Corpus {
       val jump = labels.select(col("id"), col("label").as("l0"))
         .join(labels.select(col("id").as("l0"), col("label")), Seq("l0"))
         .select(col("id"), col("label"))
-      val next = Scratch.materialize(
+      val (next, m) = Scratch.materializeObserved(
         nbrMin.union(labels).union(jump)
           .groupBy(col("id"))
           .agg(min(col("label")).as("label")),
-        "cc_labels")
-      val s = labelSum(next)
+        "cc_labels", witness)
+      val s = m("label_sum").asInstanceOf[Long]
       labels = next
       converged = s == prevSum
       prevSum = s
@@ -98,15 +102,12 @@ object Corpus {
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    // materialize the pair list first: the CC loop re-reads its input
-    // once per iteration AND per join side — over a live LSH+verify
-    // pipeline that would re-run the whole verification each time (and
-    // blow the plan tree up with it); over a written pair table each
-    // re-read is a cheap 2-column scan. Same shape a warehouse pipeline
-    // uses: dup pairs are a produced artifact, clustering consumes it.
-    val p = graft.ops.Scratch.materialize(
-      pairs.select(col("a"), col("b")), "dup_pairs")
-    val cc = connectedComponents(p)
+    // connectedComponents scratch-materializes the pair list up front,
+    // so the (possibly expensive) LSH+verify producer runs exactly once
+    // and every CC iteration re-reads a cheap 2-column table — the
+    // warehouse shape: dup pairs are a produced artifact, clustering
+    // consumes it.
+    val cc = connectedComponents(pairs)
     docs.select(col(idCol).as("doc_id"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 
 /**
  * Scratch-table materialization for multi-consumer intermediates.
@@ -29,6 +29,22 @@ object Scratch {
     val path = dir(spark.conf.getOption("spark.graft.scratchDir"), prefix)
     df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
+  }
+
+  /** Like `materialize`, but also computes aggregate `metrics` over the
+    * written rows DURING the write job (via `Dataset.observe`) — an
+    * iterative driver loop gets its convergence witness for free instead
+    * of scheduling a second scan per iteration. */
+  def materializeObserved(
+      df: DataFrame,
+      prefix: String,
+      metrics: Column*): (DataFrame, Map[String, Any]) = {
+    val spark = df.sparkSession
+    val path = dir(spark.conf.getOption("spark.graft.scratchDir"), prefix)
+    val obs = Observation()
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode("overwrite").parquet(path)
+    (spark.read.parquet(path), obs.get)
   }
 
   /** A fresh scratch directory path (created only for the local default
