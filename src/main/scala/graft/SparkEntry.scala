@@ -210,6 +210,13 @@ object SparkEntry {
       graft.operators.Corpus.mixtureSample(t(s, dir, "documents"),
           rates = Map("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25)
         .select(col("doc_id"), col("source"))),
+    "decontaminate" -> ((s, dir) => {
+      // every 20th doc plays the held-out benchmark; 12-char shingles
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.operators.Corpus.decontaminate(docs, bench)
+    }),
     "pack_chunks" -> ((s, dir) =>
       graft.operators.Corpus.packChunks(t(s, dir, "documents"), targetTokens = 512)),
     "tfidf_terms" -> ((s, dir) =>
@@ -458,6 +465,8 @@ object SparkEntry {
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
     "sample_mixture" -> OracleFragments.sampleMixture(
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
+    "decontaminate" -> OracleFragments.decontaminate(
+      shingleK = 12, minHits = 1, benchMod = 20),
     "pack_chunks" -> OracleFragments.packChunks(targetTokens = 512),
     "tfidf_terms" -> OracleFragments.tfidfTerms(k = 3),
     "skew_salted_agg" ->
@@ -752,6 +761,27 @@ object OracleFragments {
     s"""SELECT doc_id, source FROM documents
         WHERE $coin < CASE $cases ELSE ${(defaultRate * 4294967296L).toLong} END"""
   }
+
+  /** Benchmark-overlap decontamination (Corpus.decontaminate): same
+    * normalized k-shingles, bench side = every `benchMod`-th doc. */
+  def decontaminate(shingleK: Int, minHits: Int, benchMod: Int): String =
+    s"""WITH bg AS (
+          SELECT DISTINCT bench_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+          FROM (SELECT doc_id AS bench_id, unnest(${shingles(shingleK)}) AS g
+                FROM documents WHERE doc_id % $benchMod = 0)),
+        dg AS (
+          SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+          FROM (SELECT doc_id, unnest(${shingles(shingleK)}) AS g FROM documents)),
+        hits AS (
+          SELECT dg.doc_id,
+                 count(DISTINCT dg.gram)::INT AS n_gram_hits,
+                 count(DISTINCT bg.bench_id)::INT AS n_bench_docs
+          FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id)
+        SELECT d.doc_id,
+               coalesce(h.n_gram_hits, 0)::INT AS n_gram_hits,
+               coalesce(h.n_bench_docs, 0)::INT AS n_bench_docs,
+               coalesce(h.n_gram_hits, 0) >= $minHits AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)"""
 
   def packChunks(targetTokens: Int): String =
     s"""WITH t AS (SELECT lang AS part, doc_id,

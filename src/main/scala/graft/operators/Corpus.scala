@@ -158,6 +158,60 @@ object Corpus {
       .select("part", "doc_id", "n_tokens", "chunk_id")
   }
 
+  /** Benchmark decontamination: flag training documents that share at
+    * least `minHits` distinct character `shingleK`-grams with any
+    * benchmark/eval document — the leakage check a training pipeline
+    * runs before a corpus ships. Long shingles (default 12 chars over
+    * normalized text) keep the false-positive rate low; `minHits` dials
+    * strictness.
+    *
+    * Scale shape: the benchmark side is small (eval sets are thousands
+    * of documents), so its distinct gram table is BROADCAST and the
+    * corpus-side probe is map-side — the only shuffle is the per-doc
+    * hit count; the flag left-join back onto the corpus is AQE's choice
+    * (broadcast when contamination is sparse). The corpus is scanned
+    * twice (probe + closure); at warehouse scale the hits frame is the
+    * artifact to persist between the two.
+    *
+    * Output: every corpus document with `n_gram_hits` (distinct
+    * contaminated grams), `n_bench_docs` (distinct benchmark documents
+    * hit), and the `contaminated` verdict. */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      shingleK: Int = 12,
+      minHits: Int = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id"): DataFrame = {
+    // grams travel as 60-bit md5-derived longs, not k-char strings: the
+    // broadcast table, the probe compares, and the count-distinct Expand
+    // all operate on fixed-width integers (same hash family as the
+    // minhash signatures; collision odds at 2^-60 are immaterial to a
+    // contamination VERDICT and identical on the oracle side)
+    def gramHash(gram: org.apache.spark.sql.Column) =
+      conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+    val bg = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(shingles(col(textCol), shingleK)).as("g"))
+      .select(col("bench_id"), gramHash(col("g")).as("gram"))
+      .distinct()
+    val dg = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleK)).as("g"))
+      .select(col("doc_id"), gramHash(col("g")).as("gram"))
+    val hits = dg.join(broadcast(bg), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).cast("int").as("n_gram_hits"),
+        countDistinct(col("bench_id")).cast("int").as("n_bench_docs"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_gram_hits"), lit(0)).as("n_gram_hits"),
+        coalesce(col("n_bench_docs"), lit(0)).as("n_bench_docs"),
+        (coalesce(col("n_gram_hits"), lit(0)) >= minHits).as("contaminated"))
+  }
+
   /** Per-document top-k terms by tf-idf (whitespace tokens of the
     * normalized text): tf = in-doc occurrences, idf = ln(N/df), score
     * rounded to 6 dp BEFORE ranking so the ordering is reproducible

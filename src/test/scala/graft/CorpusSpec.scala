@@ -49,6 +49,21 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminate: shared long n-grams flag docs; clean docs pass") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bench_id", "text")
+    val docs = Seq(
+      (1L, "totally unrelated content with no overlap at all here"),
+      (2L, "i saw the quick brown fox jumps over a fence yesterday"), // shares 12-grams
+      (3L, "short")).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs, bench, shingleK = 12)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(3))).toMap
+    assert(out(1L)._2 == false && out(1L)._1 == 0)
+    assert(out(2L)._2 == true && out(2L)._1 > 0)
+    assert(out(3L)._2 == false)
+    assert(out.size == 3) // closure over ALL docs, not just hits
+  }
+
   test("tfidf: rare terms outrank ubiquitous ones") {
     val docs = Seq(
       (1L, "apple banana apple"),
