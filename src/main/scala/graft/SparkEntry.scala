@@ -205,6 +205,19 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), nProbe = 4)
     }),
 
+    "emb_normalize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(Similarity.l2Normalize(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          round(col("col"), 6).as("val"))),
+    "emb_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"), round(col("qz.scale"), 9).as("scale"),
+          posexplode(col("qz.q")))
+        .select(col("vec_id"), col("scale"), col("pos").cast("int").as("pos"),
+          col("col").as("q"))),
+
     // ==== extension operators: corpus assembly (training mixture) ====
     "sample_mixture" -> ((s, dir) =>
       graft.operators.Corpus.mixtureSample(t(s, dir, "documents"),
@@ -467,6 +480,8 @@ object SparkEntry {
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
     "decontaminate" -> OracleFragments.decontaminate(
       shingleK = 12, minHits = 1, benchMod = 20),
+    "emb_normalize" -> OracleFragments.embNormalize,
+    "emb_quantize" -> OracleFragments.embQuantize,
     "pack_chunks" -> OracleFragments.packChunks(targetTokens = 512),
     "tfidf_terms" -> OracleFragments.tfidfTerms(k = 3),
     "skew_salted_agg" ->
@@ -821,6 +836,32 @@ object OracleFragments {
         SELECT a, b, round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
         FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
         WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $minJaccard"""
+
+  /** L2 normalization (Similarity.l2Normalize): same double-promoted
+    * norm fold, zero-norm vectors pass through, 6-dp rounding. Parallel
+    * unnests zip pos with value. */
+  val embNormalize: String =
+    """WITH t AS (SELECT vec_id, embedding,
+          sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+        FROM embeddings)
+      SELECT vec_id,
+             (unnest(range(len(embedding))))::INT AS pos,
+             unnest(list_transform(embedding,
+               x -> round(CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END, 6))) AS val
+      FROM t"""
+
+  /** Symmetric int8 quantization (Similarity.quantizeInt8): same
+    * amax/127 scale, same clamp(round(x·127/amax)) codes. */
+  val embQuantize: String =
+    """WITH t AS (SELECT vec_id, embedding,
+          list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS amax
+        FROM embeddings)
+      SELECT vec_id, round(amax / 127.0, 9) AS scale,
+             (unnest(range(len(embedding))))::INT AS pos,
+             unnest(list_transform(embedding,
+               x -> CASE WHEN amax = 0 THEN 0
+                    ELSE least(greatest(round(x::DOUBLE * 127.0 / amax), -127), 127)::INT END)) AS q
+      FROM t"""
 
   /** Sequential-fold dot/norm identical to Similarity.dot/norm, over any
     * two SQL list expressions. */

@@ -21,17 +21,49 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  // elements promote to double BEFORE multiplying — float32 products
+  // differ from the native CosineSim (and the DuckDB oracles) in the
+  // low bits, which surfaces as half-ulp flips after 6-dp rounding
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   /** Native fused expression (graft.functions.CosineSim) — identical
     * element-order arithmetic to `dot(a,b)/(norm(a)*norm(b))`, ~10×
     * faster (no per-pair array allocation, no interpreted lambdas). */
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim.cosineSim(a, b)
+
+  /** L2-normalized copy of an embedding (zero vectors pass through as
+    * doubles, unscaled) — the prep step that turns cosine retrieval into
+    * plain dot products and precedes quantization. The norm is bound
+    * ONCE per row via a single-element transform lambda (inlining
+    * `norm(vec)` in the per-element lambda would refold the array per
+    * element — O(dim²)). Pure projection: scan-speed at any scale. */
+  def l2Normalize(vec: Column): Column =
+    transform(array(norm(vec)), n =>
+      transform(vec, x =>
+        when(n === 0.0d, x.cast("double")).otherwise(x / n))).getItem(0)
+
+  /** Symmetric linear int8 quantization — the storage form embedding
+    * warehouses ship (4× smaller than fp32, dot products stay within
+    * ~1% for retrieval): scale = max|x|/127, q_i = clamp(round(x_i /
+    * scale), ±127); a zero vector quantizes to scale 0 + all-zero
+    * codes. Returns struct(scale double, q array<int>); amax is bound
+    * once per row (same trick as l2Normalize). Pure projection. */
+  def quantizeInt8(vec: Column): Column =
+    transform(
+      array(aggregate(vec, lit(0.0d), (acc, x) => greatest(acc, abs(x)))),
+      m =>
+        struct(
+          (m / 127.0d).as("scale"),
+          transform(vec, x =>
+            when(m === 0.0d, lit(0))
+              .otherwise(least(greatest(round(x * 127.0d / m), lit(-127.0d)), lit(127.0d))
+                .cast("int"))).as("q"))).getItem(0)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). `queries` must be small enough to

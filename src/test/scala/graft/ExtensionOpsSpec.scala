@@ -95,6 +95,29 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(fp(1L)._2 == fp(2L)._2) // min-shingle fingerprint robust to suffix edit
   }
 
+  test("l2Normalize: unit norm out, zero vector untouched") {
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select($"vec_id",
+        graft.operators.Similarity.l2Normalize($"embedding").as("nv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0))
+  }
+
+  test("quantizeInt8: codes reconstruct within one scale step; extremes hit ±127") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 1.0f))).toDF("vec_id", "embedding")
+    val r = df.select(graft.operators.Similarity.quantizeInt8($"embedding").as("qz"))
+      .select($"qz.scale", $"qz.q").head()
+    val scale = r.getDouble(0)
+    val q = r.getSeq[Int](1)
+    assert(q == Seq(64, -127, 32, 127)) // round(0.5*127), -127, round(.25*127)=31.75->32
+    val recon = q.map(_ * scale)
+    Seq(0.5, -1.0, 0.25, 1.0).zip(recon).foreach { case (orig, rec) =>
+      assert(math.abs(orig - rec) <= scale / 2 + 1e-9)
+    }
+  }
+
   test("shingles produce k-length grams; short text yields one gram") {
     val d = Seq(("abcdef"), ("ab")).toDF("text")
       .select(TextFunctions.shingles(col("text"), 3).as("g"))
