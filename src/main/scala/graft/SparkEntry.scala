@@ -223,6 +223,10 @@ object SparkEntry {
       graft.operators.Corpus.mixtureSample(t(s, dir, "documents"),
           rates = Map("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25)
         .select(col("doc_id"), col("source"))),
+    "split_assign" -> ((s, dir) =>
+      graft.operators.Corpus.assignSplits(t(s, dir, "documents"),
+          Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))),
     "decontaminate" -> ((s, dir) => {
       // every 20th doc plays the held-out benchmark; 12-char shingles
       val docs = t(s, dir, "documents")
@@ -480,6 +484,8 @@ object SparkEntry {
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
     "decontaminate" -> OracleFragments.decontaminate(
       shingleK = 12, minHits = 1, benchMod = 20),
+    "split_assign" -> OracleFragments.assignSplits(
+      Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
     "emb_normalize" -> OracleFragments.embNormalize,
     "emb_quantize" -> OracleFragments.embQuantize,
     "pack_chunks" -> OracleFragments.packChunks(targetTokens = 512),
@@ -836,6 +842,20 @@ object OracleFragments {
         SELECT a, b, round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
         FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
         WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $minJaccard"""
+
+  /** Split assignment (Corpus.assignSplits): same md5 coin and the same
+    * cumulative ⌊(w/Σw)·2^32⌋ integer thresholds, computed HERE from the
+    * same inputs so the literals cannot drift. */
+  def assignSplits(splits: Seq[(String, Double)]): String = {
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => ((c / total) * 4294967296L).toLong)
+    val coin = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT"
+    val whens = splits.map(_._1).zip(bounds).init
+      .map { case (name, b) => s"WHEN $coin < $b THEN '$name'" }.mkString(" ")
+    s"""SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split
+        FROM documents"""
+  }
 
   /** L2 normalization (Similarity.l2Normalize): same double-promoted
     * norm fold, zero-norm vectors pass through, 6-dp rounding. Parallel

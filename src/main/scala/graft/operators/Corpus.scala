@@ -136,6 +136,33 @@ object Corpus {
     docs.filter(coin < threshold)
   }
 
+  /** Deterministic train/validation/test assignment: the same integer
+    * md5 coin as [[mixtureSample]], partitioned by cumulative weight
+    * thresholds — every document lands in exactly one split, assignment
+    * is reproducible across engines/runs, and reweighting keeps
+    * documents in the same relative coin order (a doc can only move to
+    * an ADJACENT split when boundaries shift). Pure map-side projection.
+    *
+    * `splits` maps name → weight (weights need not sum to 1; they are
+    * normalized). Order of assignment follows the Seq order. */
+  def assignSplits(
+      docs: DataFrame,
+      splits: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val total = splits.map(_._2).sum
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // cumulative integer thresholds over the same 2^32 coin space
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => ((c / total) * 4294967296L).toLong)
+    val expr = splits.map(_._1).zip(bounds).init.reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, bound)) =>
+        when(coin < bound, name).otherwise(acc)
+      }
+    docs.withColumn("split", expr)
+  }
+
   /** Greedy token-budget packing: within each `partCol` stream (ordered
     * by id), documents are concatenated and split into chunks of
     * ~`targetTokens` — chunk k holds the docs whose cumulative token

@@ -37,6 +37,22 @@ class CorpusSpec extends SparkTestBase {
     assert(math.abs(half.size / n - 0.5) < 0.15) // roughly the rate
   }
 
+  test("assignSplits: total, disjoint, deterministic, ~proportional") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = Corpus.assignSplits(docs, splits)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum == n) // total: every doc in exactly one split
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.1)
+    // deterministic across invocations
+    val again = Corpus.assignSplits(docs, splits).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
   test("packChunks: chunk ids are the greedy token-budget assignment") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val out = Corpus.packChunks(docs, targetTokens = 512)
