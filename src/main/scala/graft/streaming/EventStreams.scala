@@ -46,6 +46,66 @@ object EventStreams {
       }
   }
 
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessState(start_ms: Long, end_ms: Long, n: Long, total: Double)
+  final case class ClosedSession(
+      user_id: Long, session_start_ms: Long, session_end_ms: Long,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization as a STREAM — the custom-state counterpart
+    * of `Events.sessionize`: sessions accumulate in `GroupState`, merge
+    * with in-gap events across micro-batches (late data within the
+    * watermark re-opens bounds), and CLOSE — emit — when the event-time
+    * timeout fires one gap after the session's last event. Emission is
+    * append-mode (each session exactly once), so downstream sinks never
+    * see retractions; state per user is one fixed-size session record,
+    * pruned on close — bounded by active users regardless of history
+    * length. */
+  def sessionizeStream(
+      events: Dataset[SessEvent],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(uid, s.start_ms, s.end_ms, s.n, s.total))
+          } else {
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  cur = Some(SessState(math.min(t, s.start_ms),
+                    math.max(t, s.end_ms), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= ClosedSession(uid, s.start_ms, s.end_ms, s.n, s.total)
+                  cur = Some(SessState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout one gap after the last event; a timeout in the
+              // event-time past is illegal, so clamp past the watermark
+              state.setTimeoutTimestamp(
+                math.max(s.end_ms + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming de-duplication by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")

@@ -27,6 +27,48 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeStream: gap-closed sessions match batch sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.SessEvent
+    // day-1 base: an event AT the initial watermark (epoch 0) would be
+    // filtered as late by the stateful operator's late-row predicate
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val input = MemoryStream[SessEvent]
+    val q = EventStreams.sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_stream").start()
+    try {
+      // batch 1: u1 opens a session (0,10); u2 a singleton (5)
+      input.addData(SessEvent(1, ts(0), 1.0), SessEvent(1, ts(10), 2.0),
+        SessEvent(2, ts(5), 7.0))
+      q.processAllAvailable()
+      // batch 2: u1 extends within gap across the batch boundary; the
+      // sentinel user advances the watermark far past everyone
+      input.addData(SessEvent(1, ts(20), 4.0), SessEvent(99, ts(1000), 0.0))
+      q.processAllAvailable()
+      // batch 3: timeouts fire against the advanced watermark
+      input.addData(SessEvent(99, ts(1001), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user_id, session_start_ms, session_end_ms, n_events, total_value
+           FROM sess_stream WHERE user_id < 99 ORDER BY user_id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      // batch reference over the same (non-sentinel) events
+      val batch = graft.operators.Events.sessionize(
+        Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(20), 4.0), (2L, ts(5), 7.0))
+          .toDF("user_id", "ts", "value"), gapMinutes = 30)
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(_._1)
+      assert(got.toSeq == batch.toSeq)
+      val base = 1440L * 60000L
+      assert(got.toSeq == Seq(
+        (1L, base, base + 1200000L, 3L, 7.0), // one merged session spanning both batches
+        (2L, base + 300000L, base + 300000L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("runningUserAgg in batch mode equals groupBy aggregate") {
     import spark.implicits._
     val ds = Seq(UserEvent(1, 1.5), UserEvent(1, 2.5), UserEvent(2, 7.0)).toDS()
