@@ -239,6 +239,32 @@ object Corpus {
         (coalesce(col("n_gram_hits"), lit(0)) >= minHits).as("contaminated"))
   }
 
+  /** Write the corpus as deterministic training shards:
+    * `outDir/split=<s>/shard=<k>/part-*.parquet`, where shard k is the
+    * md5-coin mod `nShards` — stable across runs AND across cluster
+    * layout (executor count never changes which shard a document lands
+    * in, unlike round-robin). One shuffle keyed exactly by the output
+    * layout: `repartition(split, shard)` routes each directory's rows to
+    * one task, `sortWithinPartitions` fixes the in-file order, so each
+    * leaf directory holds ONE reproducible file. Size shards via
+    * `nShards` (≈ corpus size / target shard size); at warehouse scale
+    * add `spark.sql.files.maxRecordsPerFile` as the per-file backstop. */
+  def writeShards(
+      docs: DataFrame,
+      outDir: String,
+      nShards: Int,
+      splitCol: String = "split",
+      idCol: String = "doc_id"): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs
+      .withColumn("shard", pmod(coin, lit(nShards.toLong)).cast("int"))
+      .repartition(col(splitCol), col("shard"))
+      .sortWithinPartitions(col(idCol))
+      .write.partitionBy(splitCol, "shard").mode("overwrite").parquet(outDir)
+  }
+
   /** Per-document top-k terms by tf-idf (whitespace tokens of the
     * normalized text): tf = in-doc occurrences, idf = ln(N/df), score
     * rounded to 6 dp BEFORE ranking so the ordering is reproducible

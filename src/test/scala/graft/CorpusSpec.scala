@@ -65,6 +65,35 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("writeShards: one file per leaf dir, deterministic, lossless") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val withSplit = Corpus.assignSplits(docs, Seq("train" -> 0.9, "test" -> 0.1))
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      Corpus.writeShards(withSplit, out, nShards = 4)
+      val back = spark.read.parquet(out)
+      assert(back.count() == docs.count())
+      assert(back.select("doc_id").distinct().count() == docs.count())
+      // one data file per split=/shard= leaf directory
+      val leaves = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles().filter(_.isDirectory))
+      assert(leaves.nonEmpty)
+      leaves.foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1, d.toString)
+      }
+      // shard assignment is a pure function of doc_id: rewriting yields
+      // identical (doc_id, split, shard) triples
+      val a = back.select("doc_id", "split", "shard").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      Corpus.writeShards(withSplit, out, nShards = 4)
+      val b = spark.read.parquet(out).select("doc_id", "split", "shard").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(a == b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("decontaminate: shared long n-grams flag docs; clean docs pass") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("bench_id", "text")
