@@ -228,7 +228,7 @@ object SparkEntry {
           Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
     "decontaminate" -> ((s, dir) => {
-      // every 20th doc plays the held-out benchmark; 12-char shingles
+      // every 20th doc plays the held-out benchmark; 8-token grams
       val docs = t(s, dir, "documents")
       val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
@@ -483,7 +483,7 @@ object SparkEntry {
     "sample_mixture" -> OracleFragments.sampleMixture(
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
     "decontaminate" -> OracleFragments.decontaminate(
-      shingleK = 12, minHits = 1, benchMod = 20),
+      nTokens = 8, minHits = 1, benchMod = 20),
     "split_assign" -> OracleFragments.assignSplits(
       Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
     "emb_normalize" -> OracleFragments.embNormalize,
@@ -783,16 +783,23 @@ object OracleFragments {
         WHERE $coin < CASE $cases ELSE ${(defaultRate * 4294967296L).toLong} END"""
   }
 
+  /** Token n-grams mirroring TextFunctions.tokenShingles: distinct
+    * space-rejoined n-token windows of the normalized text. */
+  def tokenShingles(n: Int): String =
+    s"""list_distinct(list_transform(
+          range(1, greatest(len($toks) - ${n - 1}, 1) + 1),
+          i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))"""
+
   /** Benchmark-overlap decontamination (Corpus.decontaminate): same
-    * normalized k-shingles, bench side = every `benchMod`-th doc. */
-  def decontaminate(shingleK: Int, minHits: Int, benchMod: Int): String =
+    * token n-grams, bench side = every `benchMod`-th doc. */
+  def decontaminate(nTokens: Int, minHits: Int, benchMod: Int): String =
     s"""WITH bg AS (
           SELECT DISTINCT bench_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
-          FROM (SELECT doc_id AS bench_id, unnest(${shingles(shingleK)}) AS g
+          FROM (SELECT doc_id AS bench_id, unnest(${tokenShingles(nTokens)}) AS g
                 FROM documents WHERE doc_id % $benchMod = 0)),
         dg AS (
           SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
-          FROM (SELECT doc_id, unnest(${shingles(shingleK)}) AS g FROM documents)),
+          FROM (SELECT doc_id, unnest(${tokenShingles(nTokens)}) AS g FROM documents)),
         hits AS (
           SELECT dg.doc_id,
                  count(DISTINCT dg.gram)::INT AS n_gram_hits,

@@ -52,6 +52,19 @@ object TextFunctions {
             sequence(lit(1), greatest(length(nt) - (k - 1), lit(1))),
             i => nt.substr(i, lit(k))))).getItem(0)
 
+  /** Token n-grams of the normalized text (distinct, space-rejoined) —
+    * the decontamination granularity (8-token overlap is the published
+    * convention); ~wordcount grams per doc vs ~charcount for character
+    * shingles. Tokens bind once per row (same trick as [[shingles]]);
+    * texts shorter than n tokens yield one truncated gram, mirroring
+    * the character form. */
+  def tokenShingles(text: Column, n: Int): Column =
+    transform(array(tokens(text)), tk =>
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(tk, i, lit(n)))))).getItem(0)
+
   /** Exact-dup fingerprint: md5 of the normalized text. */
   def md5Fingerprint(text: Column): Column =
     md5(normalizeText(text))

@@ -186,11 +186,11 @@ object Corpus {
   }
 
   /** Benchmark decontamination: flag training documents that share at
-    * least `minHits` distinct character `shingleK`-grams with any
+    * least `minHits` distinct `nTokens`-token n-grams with any
     * benchmark/eval document — the leakage check a training pipeline
-    * runs before a corpus ships. Long shingles (default 12 chars over
-    * normalized text) keep the false-positive rate low; `minHits` dials
-    * strictness.
+    * runs before a corpus ships. 8-token grams over normalized text are
+    * the published convention (long enough for a low false-positive
+    * rate, ~wordcount grams per document); `minHits` dials strictness.
     *
     * Scale shape: the benchmark side is small (eval sets are thousands
     * of documents), so its distinct gram table is BROADCAST and the
@@ -206,7 +206,7 @@ object Corpus {
   def decontaminate(
       docs: DataFrame,
       benchmark: DataFrame,
-      shingleK: Int = 12,
+      nTokens: Int = 8,
       minHits: Int = 1,
       idCol: String = "doc_id",
       textCol: String = "text",
@@ -220,12 +220,12 @@ object Corpus {
       conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
     val bg = benchmark
       .select(col(benchIdCol).as("bench_id"),
-        explode(shingles(col(textCol), shingleK)).as("g"))
+        explode(tokenShingles(col(textCol), nTokens)).as("g"))
       .select(col("bench_id"), gramHash(col("g")).as("gram"))
       .distinct()
     val dg = docs
       .select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleK)).as("g"))
+        explode(tokenShingles(col(textCol), nTokens)).as("g"))
       .select(col("doc_id"), gramHash(col("g")).as("gram"))
     val hits = dg.join(broadcast(bg), Seq("gram"))
       .groupBy(col("doc_id"))

@@ -94,14 +94,14 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
-  test("decontaminate: shared long n-grams flag docs; clean docs pass") {
-    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+  test("decontaminate: shared token n-grams flag docs; clean docs pass") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog sat down"))
       .toDF("bench_id", "text")
     val docs = Seq(
-      (1L, "totally unrelated content with no overlap at all here"),
-      (2L, "i saw the quick brown fox jumps over a fence yesterday"), // shares 12-grams
+      (1L, "totally unrelated content with no overlap at all here today"),
+      (2L, "so the quick brown fox jumps over the lazy dog again"), // shares an 8-token gram
       (3L, "short")).toDF("doc_id", "text")
-    val out = Corpus.decontaminate(docs, bench, shingleK = 12)
+    val out = Corpus.decontaminate(docs, bench, nTokens = 8)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(3))).toMap
     assert(out(1L)._2 == false && out(1L)._1 == 0)
     assert(out(2L)._2 == true && out(2L)._1 > 0)
