@@ -77,6 +77,11 @@ object Corpus {
       val nbrMin = labels
         .join(edges, col("id") === col("s"))
         .select(col("d").as("id"), col("label"))
+      // one composed jump per round: guards the O(log diameter) bound on
+      // adversarial chains. (Measured on the sf0.1 LSH pair graph:
+      // labels mostly point at roots already, so deeper compositions
+      // (label³) cost two extra joins and cut ZERO rounds — convergence
+      // there is neighbor-propagation-limited by true graph diameter.)
       val jump = labels.select(col("id"), col("label").as("l0"))
         .join(labels.select(col("id").as("l0"), col("label")), Seq("l0"))
         .select(col("id"), col("label"))
@@ -86,11 +91,15 @@ object Corpus {
           .agg(min(col("label")).as("label")),
         "cc_labels", witness)
       val s = m("label_sum").asInstanceOf[Long]
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round ${it + 1}: sum $prevSum -> $s")
       labels = next
       converged = s == prevSum
       prevSum = s
       it += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged after $it propagation rounds")
     labels
   }
 
