@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash"),
       GraftExtensions.simhashInfo,
       GraftExtensions.simhashBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("min_shingle_md5"),
+      GraftExtensions.minShingleInfo,
+      GraftExtensions.minShingleBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("array_intersect_size"),
+      GraftExtensions.intersectSizeInfo,
+      GraftExtensions.intersectSizeBuilder))
   }
 }
 
@@ -85,11 +93,30 @@ object GraftExtensions {
       if (exprs.length == 3) constBool(exprs, 2, "simhash", "use_md5_family") else false)
   }
 
+  private[graft] val minShingleInfo = new ExpressionInfo(
+    classOf[graft.functions.MinShingleMd5].getName, "min_shingle_md5")
+
+  private[graft] val minShingleBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "min_shingle_md5(text, shingleK) takes 2 arguments")
+    graft.functions.MinShingleMd5(exprs.head,
+      constInt(exprs, 1, "min_shingle_md5", "shingleK"))
+  }
+
+  private[graft] val intersectSizeInfo = new ExpressionInfo(
+    classOf[graft.functions.ArrayIntersectSize].getName, "array_intersect_size")
+
+  private[graft] val intersectSizeBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "array_intersect_size(a, b) takes 2 array arguments")
+    graft.functions.ArrayIntersectSize(exprs.head, exprs(1))
+  }
+
   /** Register on an existing session (tests / REPL). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_signature", minhashBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("simhash", simhashBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("min_shingle_md5", minShingleBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("array_intersect_size", intersectSizeBuilder, "scala_udf")
   }
 }

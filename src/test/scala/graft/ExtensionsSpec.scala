@@ -28,6 +28,19 @@ class ExtensionsSpec extends SparkTestBase {
     assert(s1 == s2) // whitespace-normalized
   }
 
+  test("min_shingle_md5 and array_intersect_size callable from SQL") {
+    GraftExtensions.register(spark)
+    val fp1 = spark.sql("SELECT min_shingle_md5('a long enough sample text', 5) AS f")
+      .head.getString(0)
+    val fp2 = spark.sql("SELECT min_shingle_md5('a long  enough sample TEXT', 5) AS f")
+      .head.getString(0) // normalization-insensitive
+    assert(fp1 == fp2 && fp1.nonEmpty)
+    val n = spark.sql(
+      "SELECT array_intersect_size(array('a','b','c'), array('b','c','d','b')) AS n")
+      .head.getInt(0)
+    assert(n == 2)
+  }
+
   test("extension class injects the function into a SparkSessionExtensions") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder validated below
