@@ -69,6 +69,60 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("property: streaming sessions equal batch sessions on random event sets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.SessEvent
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val base = 1440L * 60000L
+    val eventGen = for {
+      user <- Gen.choose(1L, 3L)
+      minute <- Gen.choose(0L, 300L)
+      value <- Gen.choose(1, 9) // integer-valued doubles: exact sums
+    } yield (user, minute, value.toDouble)
+    var round = 0
+    val prop = Prop.forAll(Gen.listOfN(25, eventGen), Gen.choose(1, 3)) {
+      (evs, nBatches) =>
+        round += 1
+        val sorted = evs.sortBy(_._2)
+        val input = MemoryStream[SessEvent]
+        val qn = s"sess_prop_$round"
+        val q = EventStreams.sessionizeStream(input.toDS(), gapMinutes = 30)
+          .writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(qn).start()
+        try {
+          // time-ordered batch splits keep every event ahead of the
+          // watermark, matching batch semantics (no late drops)
+          sorted.grouped(math.max(1, sorted.size / nBatches)).foreach { chunk =>
+            input.addData(chunk.map(e =>
+              SessEvent(e._1, new java.sql.Timestamp(base + e._2 * 60000L), e._3)))
+            q.processAllAvailable()
+          }
+          input.addData(SessEvent(99, new java.sql.Timestamp(base + 100000L * 60000L), 0.0))
+          q.processAllAvailable()
+          input.addData(SessEvent(99, new java.sql.Timestamp(base + 100001L * 60000L), 0.0))
+          q.processAllAvailable()
+          val got = spark.table(qn).filter($"user_id" < 99)
+            .select("user_id", "session_start_ms", "session_end_ms", "n_events", "total_value")
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+            .sorted.toSeq
+          val want =
+            if (evs.isEmpty) Seq.empty
+            else graft.operators.Events.sessionize(
+              sorted.map(e => (e._1, new java.sql.Timestamp(base + e._2 * 60000L), e._3))
+                .toDF("user_id", "ts", "value"), gapMinutes = 30)
+              .select("user_id", "session_start_ms", "session_end_ms", "n_events", "total_value")
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+              .sorted.toSeq
+          got == want
+        } finally q.stop()
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("runningUserAgg in batch mode equals groupBy aggregate") {
     import spark.implicits._
     val ds = Seq(UserEvent(1, 1.5), UserEvent(1, 2.5), UserEvent(2, 7.0)).toDS()
