@@ -241,6 +241,20 @@ object SparkEntry {
 
     // ==== extension operators: event analytics (window functions) ====
     "ev_sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
+    "ev_interval_join" -> ((s, dir) => {
+      // bucketized range join: each event counted against every session
+      // (any user) whose [start, end] contains it — no cross product
+      val ev = eventsTable(s, dir)
+      val sessions = Events.sessionize(ev)
+        .select(col("session_start_ms").as("s_start"),
+          col("session_end_ms").as("s_end"))
+      val points = ev.select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      graft.operators.RangeJoin.intervalJoin(points, sessions,
+          pointCol = "ts_ms", startCol = "s_start", endCol = "s_end",
+          chunkWidth = 30 * 60000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_active_sessions"))
+    }),
     "ev_window_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedCounts(eventsTable(s, dir))),
     "ev_session_window" -> ((s, dir) => Events.sessionWindows(eventsTable(s, dir))),
@@ -504,6 +518,7 @@ object SparkEntry {
     "sim_ivf_topk" -> OracleFragments.simIvfTopK(
       cells = 8, iters = 2, nProbe = 4, maxQueryId = 8, k = 5),
     "ev_sessionize" -> OracleFragments.evSessionize(gapMinutes = 30),
+    "ev_interval_join" -> OracleFragments.evIntervalJoin(gapMinutes = 30),
     "ev_session_window" ->
       """WITH g AS (
            SELECT user_id, ts, value,
@@ -1017,6 +1032,17 @@ object OracleFragments {
                round(sum(value), 4) AS total_value
         FROM c GROUP BY 1, 2"""
   }
+
+  /** Interval-containment join (RangeJoin.intervalJoin) re-derived as a
+    * plain theta join over the same sessionization — DuckDB's IEJoin
+    * handles it; Spark needs the chunk-bucketized form. */
+  def evIntervalJoin(gapMinutes: Int): String =
+    s"""WITH sess AS (${evSessionize(gapMinutes)})
+        SELECT e.event_id, count(*) AS n_active_sessions
+        FROM events e JOIN sess s
+          ON epoch_ms(e.ts) >= s.session_start_ms
+         AND epoch_ms(e.ts) <= s.session_end_ms
+        GROUP BY 1"""
 
   /** Byte i of the (ASCII) text payload, mirroring FakeCodec.b(i). */
   private def byteAt(i: Int): String =

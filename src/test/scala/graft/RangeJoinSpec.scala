@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("intervalJoin equals the naive theta join on random intervals") {
+    val rng = new scala.util.Random(42)
+    val points = (1 to 300).map(i => (i.toLong, rng.nextInt(10000).toLong))
+      .toDF("pid", "ts")
+    val intervals = (1 to 80).map { i =>
+      val s = rng.nextInt(9000).toLong
+      (i.toLong, s, s + rng.nextInt(800).toLong)
+    }.toDF("iid", "s", "e")
+    val fast = RangeJoin.intervalJoin(points, intervals, "ts", "s", "e", chunkWidth = 500L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, $"ts" >= $"s" && $"ts" <= $"e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive && naive.nonEmpty)
+  }
+
+  test("intervalJoin plans as an equi-join, not a nested loop") {
+    val points = Seq((1L, 10L)).toDF("pid", "ts")
+    val intervals = Seq((1L, 5L, 15L)).toDF("iid", "s", "e")
+    val plan = RangeJoin.intervalJoin(points, intervals, "ts", "s", "e", chunkWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    // the naive form really does degrade to a nested loop — the thing
+    // this operator exists to avoid
+    val naivePlan = points.join(intervals, $"ts" >= $"s" && $"ts" <= $"e")
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"))
+  }
+
+  test("boundary containment is inclusive on both ends") {
+    val points = Seq((1L, 5L), (2L, 15L), (3L, 4L), (4L, 16L)).toDF("pid", "ts")
+    val intervals = Seq((7L, 5L, 15L)).toDF("iid", "s", "e")
+    val hits = RangeJoin.intervalJoin(points, intervals, "ts", "s", "e", chunkWidth = 7L)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L))
+  }
+}
