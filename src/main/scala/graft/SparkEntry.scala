@@ -223,6 +223,10 @@ object SparkEntry {
       graft.operators.Corpus.mixtureSample(t(s, dir, "documents"),
           rates = Map("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25)
         .select(col("doc_id"), col("source"))),
+    "sample_fixed_k" -> ((s, dir) =>
+      graft.operators.Corpus.sampleFixedPerGroup(
+          t(s, dir, "documents"), k = 25, groupCol = "source")
+        .select(col("doc_id"), col("source"))),
     "split_assign" -> ((s, dir) =>
       graft.operators.Corpus.assignSplits(t(s, dir, "documents"),
           Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
@@ -498,6 +502,7 @@ object SparkEntry {
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
     "decontaminate" -> OracleFragments.decontaminate(
       nTokens = 8, minHits = 1, benchMod = 20),
+    "sample_fixed_k" -> OracleFragments.sampleFixedPerGroup(k = 25),
     "split_assign" -> OracleFragments.assignSplits(
       Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
     "emb_normalize" -> OracleFragments.embNormalize,
@@ -864,6 +869,17 @@ object OracleFragments {
         SELECT a, b, round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
         FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
         WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $minJaccard"""
+
+  /** Fixed-size per-group sample (Corpus.sampleFixedPerGroup): k
+    * smallest md5 coins per group, id-tiebroken. */
+  def sampleFixedPerGroup(k: Int): String =
+    s"""SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                            doc_id ASC) AS rnk
+          FROM documents)
+        WHERE rnk <= $k"""
 
   /** Split assignment (Corpus.assignSplits): same md5 coin and the same
     * cumulative ⌊(w/Σw)·2^32⌋ integer thresholds, computed HERE from the

@@ -145,6 +145,28 @@ object Corpus {
     docs.filter(coin < threshold)
   }
 
+  /** Deterministic fixed-size sample: exactly `k` documents per group
+    * (fewer when the group is smaller), chosen as the k smallest md5
+    * coins — a reproducible reservoir. Unlike rate-based
+    * [[mixtureSample]], the output SIZE is exact; like it, membership
+    * is stable across runs/engines and nested in k (the k=100 sample
+    * contains the k=50 sample). One keyed shuffle (window top-k, no
+    * global sort). */
+  def sampleFixedPerGroup(
+      docs: DataFrame,
+      k: Int,
+      groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(coin.asc, col(idCol).asc)
+    docs.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("sample_rank")
+  }
+
   /** Deterministic train/validation/test assignment: the same integer
     * md5 coin as [[mixtureSample]], partitioned by cumulative weight
     * thresholds — every document lands in exactly one split, assignment

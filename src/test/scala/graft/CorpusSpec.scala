@@ -37,6 +37,19 @@ class CorpusSpec extends SparkTestBase {
     assert(math.abs(half.size / n - 0.5) < 0.15) // roughly the rate
   }
 
+  test("sampleFixedPerGroup: exact size, nested in k, deterministic") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    def ids(k: Int) = Corpus.sampleFixedPerGroup(docs, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sizes = Corpus.sampleFixedPerGroup(docs, 10).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val groupSizes = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    groupSizes.foreach { case (g, n) => assert(sizes(g) == math.min(10L, n)) }
+    assert(ids(10).subsetOf(ids(20))) // nested samples
+    assert(ids(10) == ids(10)) // reproducible
+  }
+
   test("assignSplits: total, disjoint, deterministic, ~proportional") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
