@@ -277,6 +277,19 @@ object SparkEntry {
         keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
         leftCols = Seq("event_id"))
     }),
+    "ev_asof_nearest" -> ((s, dir) => {
+      // each event joined to the user's CLOSEST error event either
+      // direction (ties -> the earlier one)
+      val ev = eventsTable(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ms"))
+        .withColumn("err_ms", col("ts_ms"))
+      graft.operators.AsOfJoin.asOf(
+        left = ev.select(col("event_id"), col("user_id"), col("ts_ms")),
+        right = errors,
+        keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
+        leftCols = Seq("event_id"), direction = "nearest")
+    }),
     "agg_distinct" -> ((s, dir) =>
       eventsTable(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
@@ -564,6 +577,21 @@ object SparkEntry {
          FROM events e
          ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') r
            ON e.user_id = r.user_id AND e.ts >= r.ts""",
+    "ev_asof_nearest" ->
+      """WITH r AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+          b AS (SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+                       epoch_ms(rb.ts) AS b_ms
+                FROM events e
+                ASOF LEFT JOIN r rb ON e.user_id = rb.user_id AND e.ts >= rb.ts),
+          f AS (SELECT e.event_id, epoch_ms(rf.ts) AS f_ms
+                FROM events e
+                ASOF LEFT JOIN r rf ON e.user_id = rf.user_id AND e.ts <= rf.ts)
+        SELECT b.event_id, b.user_id, b.ts_ms,
+               CASE WHEN b_ms IS NULL THEN f_ms
+                    WHEN f_ms IS NULL THEN b_ms
+                    WHEN ts_ms - b_ms <= f_ms - ts_ms THEN b_ms
+                    ELSE f_ms END AS asof_err_ms
+        FROM b JOIN f USING (event_id)""",
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events FROM events GROUP BY 1""",
