@@ -212,6 +212,23 @@ object Similarity {
       nProbe: Int = 2,
       iters: Int = 2): DataFrame = {
     val (assigned, centroids) = ivfIndex(corpus, idCol, vecCol, cells, iters)
+    ivfProbe(assigned, centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Probe an IVF index — built this session ([[ivfIndex]]) or loaded
+    * from a written one ([[loadIvfIndex]]). Queries rank the broadcast
+    * centroid table, keep `nProbe` cells, and scan only those cells'
+    * assignment rows (over a loaded cell-partitioned index this is
+    * dynamic partition pruning: the broadcast probe side prunes the
+    * assignment scan to the probed `cell=` directories). */
+  def ivfProbe(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nProbe: Int = 2): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probed = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cell"),
@@ -228,6 +245,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
   }
+
+  /** Persist an IVF index as tables — the warehouse shape: build once,
+    * probe many times across sessions. Assignments are partitioned by
+    * cell so probes touch only the probed cells' files. */
+  def writeIvfIndex(assigned: DataFrame, centroids: DataFrame, dir: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a written IVF index: (assignments, centroids). */
+  def loadIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dir/assignments"),
+    spark.read.parquet(s"$dir/centroids"))
 
   /** Deterministic hyperplane component for (plane, dim index): the
     * first 4 bytes of md5("plane:dim") as an unsigned 32-bit integer,

@@ -19,6 +19,27 @@ class IvfSpec extends SparkTestBase {
     assert(a1 == a2)
   }
 
+  test("written index round-trips: loaded probe equals in-session probe") {
+    val (assigned, centroids) = Similarity.ivfIndex(embs, k = 8, iters = 2)
+    val queries = embs.filter(col("vec_id") < 8)
+    val direct = Similarity.ivfProbe(assigned, centroids, queries, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    try {
+      Similarity.writeIvfIndex(assigned, centroids, dir)
+      // cell-partitioned layout on disk
+      val cellDirs = new java.io.File(s"$dir/assignments").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length == 8)
+      val (la, lc) = Similarity.loadIvfIndex(spark, dir)
+      val loaded = Similarity.ivfProbe(la, lc, queries, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(loaded == direct && direct.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ivf topk: k rows per query, sims match brute-force values, decent recall") {
     val queries = embs.filter(col("vec_id") < 8)
     val ivf = Similarity.ivfTopK(embs, queries, k = 5, cells = 8, nProbe = 4)
