@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, RangeJoin, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input hygiene: every operator must return an EMPTY (or
+  * well-defined) result on empty inputs, not throw — at warehouse scale
+  * an empty partition, source, or date-slice is routine, and a pipeline
+  * step that crashes on it takes the whole DAG down. */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val noDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType), StructField("lang", StringType))))
+
+  test("dedup operators on an empty corpus") {
+    assert(Dedup.exact(noDocs).count() == 0)
+    assert(Dedup.lshJaccard(noDocs, minJaccard = 0.2).count() == 0)
+    assert(Dedup.simhashBuckets(noDocs).count() == 0)
+  }
+
+  test("corpus operators on an empty corpus") {
+    assert(Corpus.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    assert(Corpus.dupClusters(noDocs, Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    assert(Corpus.mixtureSample(noDocs, Map("x" -> 0.5), 0.1).count() == 0)
+    assert(Corpus.assignSplits(noDocs, Seq("a" -> 1.0, "b" -> 1.0)).count() == 0)
+    assert(Corpus.sampleFixedPerGroup(noDocs, 5).count() == 0)
+    assert(Corpus.packChunks(noDocs, 512).count() == 0)
+    assert(Corpus.tfidfTopTerms(noDocs).count() == 0)
+    // empty benchmark: nothing is contaminated, every doc still present
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs,
+      noDocs.select($"doc_id".as("bench_id"), $"text")).collect()
+    assert(out.length == 1 && !out.head.getBoolean(3))
+  }
+
+  test("similarity and range join on empty inputs") {
+    val noVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Similarity.bruteForceTopK(noVecs, noVecs).count() == 0)
+    val pts = Seq((1L, 5L)).toDF("pid", "ts")
+    val noIv = Seq.empty[(Long, Long, Long)].toDF("iid", "s", "e")
+    assert(RangeJoin.intervalJoin(pts, noIv, "ts", "s", "e", 10L).count() == 0)
+  }
+}

@@ -36,6 +36,27 @@ class RangeJoinSpec extends SparkTestBase {
       naivePlan.contains("CartesianProduct"))
   }
 
+  test("property: parity with naive join holds for any chunk width") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rng = new scala.util.Random(7)
+    val points = (1 to 120).map(i => (i.toLong, rng.nextInt(2000).toLong)).toDF("pid", "ts")
+    val intervals = (1 to 40).map { i =>
+      val s = rng.nextInt(1900).toLong
+      (i.toLong, s, s + rng.nextInt(300).toLong)
+    }.toDF("iid", "s", "e")
+    points.cache(); intervals.cache()
+    val naive = points.join(intervals, $"ts" >= $"s" && $"ts" <= $"e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prop = Prop.forAll(Gen.oneOf(1L, 3L, 17L, 100L, 250L, 1000L, 10000L)) { w =>
+      RangeJoin.intervalJoin(points, intervals, "ts", "s", "e", chunkWidth = w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == naive
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(7), prop)
+    points.unpersist(); intervals.unpersist()
+    assert(r.passed, r.status.toString)
+  }
+
   test("boundary containment is inclusive on both ends") {
     val points = Seq((1L, 5L), (2L, 15L), (3L, 4L), (4L, 16L)).toDF("pid", "ts")
     val intervals = Seq((7L, 5L, 15L)).toDF("iid", "s", "e")
