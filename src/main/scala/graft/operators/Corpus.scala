@@ -296,6 +296,43 @@ object Corpus {
       .write.partitionBy(splitCol, "shard").mode("overwrite").parquet(outDir)
   }
 
+  /** End-to-end corpus assembly — the full pre-training data path in one
+    * call, each stage consuming the previous stage's produced artifact:
+    *
+    *   1. near-dup clustering over LSH-verified pairs; keep one
+    *      representative (the min-id member) per cluster;
+    *   2. benchmark decontamination; drop flagged documents;
+    *   3. deterministic split assignment;
+    *   4. deterministic sharded write to `outDir`.
+    *
+    * Returns the kept (doc_id, split) frame. Stage boundaries run
+    * through the operators' own scratch/shuffle shapes — nothing here
+    * adds driver-side materialization beyond the CC fixpoint witness. */
+  def prepareTrainingSet(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      outDir: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "valid" -> 0.01, "test" -> 0.01),
+      minJaccard: Double = 0.2,
+      nShards: Int = 64,
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = Dedup.lshJaccard(docs, minJaccard = minJaccard)
+    val reps = docs.join(
+      dupClusters(docs, pairs, idCol)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol))
+    val clean = reps.join(
+      decontaminate(reps, benchmark, idCol = idCol)
+        .filter(!col("contaminated"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol))
+    val withSplit = assignSplits(clean, splits, idCol)
+    writeShards(withSplit, outDir, nShards, idCol = idCol)
+    withSplit
+  }
+
   /** Per-document top-k terms by tf-idf (whitespace tokens of the
     * normalized text): tf = in-doc occurrences, idf = ln(N/df), score
     * rounded to 6 dp BEFORE ranking so the ordering is reproducible

@@ -78,6 +78,33 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("prepareTrainingSet: dedups, decontaminates, splits, shards") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // every 50th doc is "the benchmark"
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val out = java.nio.file.Files.createTempDirectory("graft_train_").toString
+    try {
+      val kept = Corpus.prepareTrainingSet(docs, bench, out,
+        splits = Seq("train" -> 0.8, "valid" -> 0.2), nShards = 2)
+      val back = spark.read.parquet(out)
+      assert(back.count() == kept.count() && kept.count() > 0)
+      assert(kept.count() < docs.count()) // something was dropped
+      // benchmark members flag themselves (full self-overlap) -> absent
+      val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      val benchIds = bench.collect().map(_.getLong(0)).toSet
+      assert(benchIds.intersect(keptIds).isEmpty)
+      // kept set is dup-free: any two cluster representatives that were
+      // near-dups would have been one cluster, so re-running the
+      // verifier over survivors must find zero pairs
+      assert(graft.operators.Dedup.lshJaccard(
+        docs.join(kept.select("doc_id"), "doc_id"), minJaccard = 0.2).count() == 0)
+      assert(back.select("split").distinct().count() == 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("writeShards: one file per leaf dir, deterministic, lossless") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val withSplit = Corpus.assignSplits(docs, Seq("train" -> 0.9, "test" -> 0.1))
