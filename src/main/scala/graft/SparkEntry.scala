@@ -820,10 +820,14 @@ object OracleFragments {
         SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
 
+  /** The per-purpose-salted coin mirroring Corpus.coin. */
+  def coinSql(salt: String): String =
+    s"('0x' || substr(md5('$salt' || doc_id::VARCHAR), 1, 8))::BIGINT"
+
   /** Integer-threshold md5-coin sampling (Corpus.mixtureSample): same
-    * ⌊rate·2^32⌋ literals, same first-4-md5-bytes hash family. */
+    * ⌊rate·2^32⌋ literals, same salted first-4-md5-bytes coin. */
   def sampleMixture(rates: Seq[(String, Double)], defaultRate: Double): String = {
-    val coin = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT"
+    val coin = coinSql("mix:")
     val cases = rates.map { case (src, r) =>
       s"WHEN source = '$src' THEN ${(r * 4294967296L).toLong}"
     }.mkString(" ")
@@ -844,10 +848,12 @@ object OracleFragments {
     s"""WITH bg AS (
           SELECT DISTINCT bench_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
           FROM (SELECT doc_id AS bench_id, unnest(${tokenShingles(nTokens)}) AS g
-                FROM documents WHERE doc_id % $benchMod = 0)),
+                FROM documents WHERE doc_id % $benchMod = 0)
+          WHERE length(g) > 0),
         dg AS (
           SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
-          FROM (SELECT doc_id, unnest(${tokenShingles(nTokens)}) AS g FROM documents)),
+          FROM (SELECT doc_id, unnest(${tokenShingles(nTokens)}) AS g FROM documents)
+          WHERE length(g) > 0),
         hits AS (
           SELECT dg.doc_id,
                  count(DISTINCT dg.gram)::INT AS n_gram_hits,
@@ -899,24 +905,23 @@ object OracleFragments {
         WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $minJaccard"""
 
   /** Fixed-size per-group sample (Corpus.sampleFixedPerGroup): k
-    * smallest md5 coins per group, id-tiebroken. */
+    * smallest salted md5 coins per group, id-tiebroken. */
   def sampleFixedPerGroup(k: Int): String =
     s"""SELECT doc_id, source FROM (
           SELECT doc_id, source,
                  row_number() OVER (PARTITION BY source
-                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT ASC,
-                            doc_id ASC) AS rnk
+                   ORDER BY ${coinSql("fixk:")} ASC, doc_id ASC) AS rnk
           FROM documents)
         WHERE rnk <= $k"""
 
-  /** Split assignment (Corpus.assignSplits): same md5 coin and the same
-    * cumulative ⌊(w/Σw)·2^32⌋ integer thresholds, computed HERE from the
-    * same inputs so the literals cannot drift. */
+  /** Split assignment (Corpus.assignSplits): same salted md5 coin and
+    * the same cumulative ⌊(w/Σw)·2^32⌋ integer thresholds, computed HERE
+    * from the same inputs so the literals cannot drift. */
   def assignSplits(splits: Seq[(String, Double)]): String = {
     val total = splits.map(_._2).sum
     val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
       .map(c => ((c / total) * 4294967296L).toLong)
-    val coin = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT"
+    val coin = coinSql("split:")
     val whens = splits.map(_._1).zip(bounds).init
       .map { case (name, b) => s"WHEN $coin < $b THEN '$name'" }.mkString(" ")
     s"""SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split

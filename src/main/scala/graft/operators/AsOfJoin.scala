@@ -57,11 +57,18 @@ object AsOfJoin {
       case "backward" => last(payload, ignoreNulls = true).over(wB)
       case "forward"  => last(payload, ignoreNulls = true).over(wF)
       case "nearest" =>
+        // numeric distance without precision loss: timestamps compare in
+        // microseconds (a bare cast("long") would truncate to SECONDS
+        // and pick the farther neighbor at sub-second granularity)
+        val toNum: Column => Column = left.schema(tsCol).dataType match {
+          case org.apache.spark.sql.types.TimestampType => unix_micros _
+          case _ => (c: Column) => c.cast("long")
+        }
         val b = last(payload, ignoreNulls = true).over(wB)
         val f = last(payload, ignoreNulls = true).over(wF)
         when(b.isNull, f).when(f.isNull, b)
-          .when(col(tsCol).cast("long") - b.getField("__rts").cast("long") <=
-            f.getField("__rts").cast("long") - col(tsCol).cast("long"), b)
+          .when(toNum(col(tsCol)) - toNum(b.getField("__rts")) <=
+            toNum(f.getField("__rts")) - toNum(col(tsCol)), b)
           .otherwise(f)
     }
     l.unionByName(r)

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
  */
 object Corpus {
 
+  /** The deterministic coin every stochastic-looking operator draws
+    * from: first 4 md5 bytes of `salt + id` as an unsigned 32-bit
+    * integer. The per-PURPOSE salt is load-bearing: with one unsalted
+    * coin, composing operators degenerates (a 50% `mixtureSample`
+    * keeps exactly the docs with coin < 2^31, and a downstream
+    * `assignSplits` over the survivors would put every one of them in
+    * the first split — valid/test would be EMPTY). Distinct salts make
+    * the draws independent while keeping every operator reproducible
+    * and nested in its own parameter. */
+  private[operators] def coin(idCol: String, salt: String) =
+    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
   /**
    * Connected components over an undirected pair list — resolves dup
    * PAIRS (LSH/exact verify output) into dup CLUSTERS, each labeled by
@@ -122,57 +135,53 @@ object Corpus {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
-  /** Deterministic per-source mixture sampling: keep a document iff the
-    * first 4 md5 bytes of its id (as an unsigned 32-bit integer — the
-    * same hash family as MinHashSignature) fall under the source's
-    * rate threshold. The comparison is INTEGER (thresholds precomputed
-    * as ⌊rate·2^32⌋), so there is no float-boundary hazard, the sample
-    * is reproducible across engines/runs, and resampling with a higher
-    * rate yields a superset (nested samples — the property mixture
-    * tuning needs). Pure map-side filter: scan-speed at any scale. */
+  /** Deterministic per-source mixture sampling: keep a document iff its
+    * `mix:`-salted [[coin]] falls under the source's rate threshold.
+    * The comparison is INTEGER (thresholds precomputed as ⌊rate·2^32⌋),
+    * so there is no float-boundary hazard, the sample is reproducible
+    * across engines/runs, and resampling with a higher rate yields a
+    * superset (nested samples — the property mixture tuning needs).
+    * Pure map-side filter: scan-speed at any scale. */
   def mixtureSample(
       docs: DataFrame,
       rates: Map[String, Double],
       defaultRate: Double,
       sourceCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val c = coin(idCol, "mix:")
     val threshold = rates.foldLeft(lit((defaultRate * 4294967296L).toLong)) {
       case (acc, (src, rate)) =>
         when(col(sourceCol) === src, lit((rate * 4294967296L).toLong)).otherwise(acc)
     }
-    docs.filter(coin < threshold)
+    docs.filter(c < threshold)
   }
 
   /** Deterministic fixed-size sample: exactly `k` documents per group
-    * (fewer when the group is smaller), chosen as the k smallest md5
-    * coins — a reproducible reservoir. Unlike rate-based
-    * [[mixtureSample]], the output SIZE is exact; like it, membership
-    * is stable across runs/engines and nested in k (the k=100 sample
-    * contains the k=50 sample). One keyed shuffle (window top-k, no
-    * global sort). */
+    * (fewer when the group is smaller), chosen as the k smallest
+    * `fixk:`-salted md5 coins — a reproducible reservoir. Unlike
+    * rate-based [[mixtureSample]], the output SIZE is exact; like it,
+    * membership is stable across runs/engines and nested in k (the
+    * k=100 sample contains the k=50 sample). One keyed shuffle (window
+    * top-k, no global sort). */
   def sampleFixedPerGroup(
       docs: DataFrame,
       k: Int,
       groupCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "k must be positive")
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(coin.asc, col(idCol).asc)
+      .orderBy(coin(idCol, "fixk:").asc, col(idCol).asc)
     docs.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
       .drop("sample_rank")
   }
 
-  /** Deterministic train/validation/test assignment: the same integer
-    * md5 coin as [[mixtureSample]], partitioned by cumulative weight
-    * thresholds — every document lands in exactly one split, assignment
-    * is reproducible across engines/runs, and reweighting keeps
-    * documents in the same relative coin order (a doc can only move to
-    * an ADJACENT split when boundaries shift). Pure map-side projection.
+  /** Deterministic train/validation/test assignment: the `split:`-salted
+    * [[coin]] partitioned by cumulative weight thresholds — every
+    * document lands in exactly one split, assignment is reproducible
+    * across engines/runs, and reweighting keeps documents in the same
+    * relative coin order (a doc can only move to an ADJACENT split when
+    * boundaries shift). Pure map-side projection.
     *
     * `splits` maps name → weight (weights need not sum to 1; they are
     * normalized). Order of assignment follows the Seq order. */
@@ -182,14 +191,13 @@ object Corpus {
       idCol: String = "doc_id"): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
     val total = splits.map(_._2).sum
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val c = coin(idCol, "split:")
     // cumulative integer thresholds over the same 2^32 coin space
     val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
-      .map(c => ((c / total) * 4294967296L).toLong)
+      .map(b => ((b / total) * 4294967296L).toLong)
     val expr = splits.map(_._1).zip(bounds).init.reverse
       .foldLeft(lit(splits.last._1)) { case (acc, (name, bound)) =>
-        when(coin < bound, name).otherwise(acc)
+        when(c < bound, name).otherwise(acc)
       }
     docs.withColumn("split", expr)
   }
@@ -249,14 +257,19 @@ object Corpus {
     // contamination VERDICT and identical on the oracle side)
     def gramHash(gram: org.apache.spark.sql.Column) =
       conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+    // empty grams (empty/whitespace-only text shingles to [""]) carry no
+    // content and must not match: one blank benchmark row would
+    // otherwise flag EVERY blank corpus doc as contaminated
     val bg = benchmark
       .select(col(benchIdCol).as("bench_id"),
         explode(tokenShingles(col(textCol), nTokens)).as("g"))
+      .filter(length(col("g")) > 0)
       .select(col("bench_id"), gramHash(col("g")).as("gram"))
       .distinct()
     val dg = docs
       .select(col(idCol).as("doc_id"),
         explode(tokenShingles(col(textCol), nTokens)).as("g"))
+      .filter(length(col("g")) > 0)
       .select(col("doc_id"), gramHash(col("g")).as("gram"))
     val hits = dg.join(broadcast(bg), Seq("gram"))
       .groupBy(col("doc_id"))
@@ -287,10 +300,9 @@ object Corpus {
       splitCol: String = "split",
       idCol: String = "doc_id"): Unit = {
     require(nShards > 0, "nShards must be positive")
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
     docs
-      .withColumn("shard", pmod(coin, lit(nShards.toLong)).cast("int"))
+      .withColumn("shard",
+        pmod(coin(idCol, "shard:"), lit(nShards.toLong)).cast("int"))
       .repartition(col(splitCol), col("shard"))
       .sortWithinPartitions(col(idCol))
       .write.partitionBy(splitCol, "shard").mode("overwrite").parquet(outDir)
@@ -330,7 +342,10 @@ object Corpus {
       Seq(idCol))
     val withSplit = assignSplits(clean, splits, idCol)
     writeShards(withSplit, outDir, nShards, idCol = idCol)
-    withSplit
+    // hand back a scan of the JUST-WRITTEN shards, not the producing
+    // plan — a caller action on the lazy plan would re-run the whole
+    // dedup + decontaminate pipeline a second time
+    docs.sparkSession.read.parquet(outDir)
   }
 
   /** Per-document top-k terms by tf-idf (whitespace tokens of the

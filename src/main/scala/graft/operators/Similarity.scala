@@ -220,7 +220,11 @@ object Similarity {
     * centroid table, keep `nProbe` cells, and scan only those cells'
     * assignment rows (over a loaded cell-partitioned index this is
     * dynamic partition pruning: the broadcast probe side prunes the
-    * assignment scan to the probed `cell=` directories). */
+    * assignment scan to the probed `cell=` directories).
+    *
+    * `idCol`/`vecCol` name the QUERY frame's columns; the index side
+    * always carries the canonical (vid, v, cell) schema that
+    * [[ivfIndex]] produces and [[writeIvfIndex]] persists. */
   def ivfProbe(
       assigned: DataFrame,
       centroids: DataFrame,

@@ -38,11 +38,12 @@ object Scratch {
   def materializeObserved(
       df: DataFrame,
       prefix: String,
+      metric: Column,
       metrics: Column*): (DataFrame, Map[String, Any]) = {
     val spark = df.sparkSession
     val path = dir(spark.conf.getOption("spark.graft.scratchDir"), prefix)
     val obs = Observation()
-    df.observe(obs, metrics.head, metrics.tail: _*)
+    df.observe(obs, metric, metrics: _*)
       .write.mode("overwrite").parquet(path)
     (spark.read.parquet(path), obs.get)
   }

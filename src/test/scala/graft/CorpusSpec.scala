@@ -50,6 +50,20 @@ class CorpusSpec extends SparkTestBase {
     assert(ids(10) == ids(10)) // reproducible
   }
 
+  test("salted coins compose: splits of a sampled corpus stay proportional") {
+    // with ONE unsalted coin, every survivor of a 50% sample would have
+    // coin < 2^31 and a downstream 80/20 split would put them ALL in
+    // train — the per-purpose salts make the draws independent
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sampled = Corpus.mixtureSample(docs, Map.empty, defaultRate = 0.5)
+    val counts = Corpus.assignSplits(sampled, Seq("train" -> 0.8, "valid" -> 0.2))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "valid")) // valid must be non-empty
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("valid") / n - 0.2) < 0.12)
+  }
+
   test("assignSplits: total, disjoint, deterministic, ~proportional") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
