@@ -67,13 +67,26 @@ object Corpus {
       pairs: DataFrame,
       aCol: String = "a",
       bCol: String = "b",
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30,
+      smallGraphThreshold: Long = 1000000L): DataFrame = {
     import graft.ops.Scratch
     // one scratch write of the (possibly expensive) pair producer; both
     // union branches below re-read the cheap 2-column table, not the
-    // producing plan
-    val p = Scratch.materialize(
-      pairs.select(col(aCol).as("a"), col(bCol).as("b")), "cc_pairs")
+    // producing plan. The edge count rides the write job.
+    val (p, pm) = Scratch.materializeObserved(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")), "cc_pairs",
+      count(lit(1)).as("n_edges"))
+    val nEdges = pm("n_edges").asInstanceOf[Long]
+    // Small-graph fast path: a near-dup pair list is usually TINY
+    // relative to its corpus (it already survived LSH + verification).
+    // Under the threshold (16 bytes/edge → ≤16 MB at the default) a
+    // driver union-find replaces O(diameter) distributed rounds with
+    // one bounded collect — the same switchover production CC
+    // implementations use. Beyond it, the scratch-table loop below is
+    // the scale path. The collect is bounded by the OBSERVED count,
+    // never by hope.
+    if (nEdges <= smallGraphThreshold)
+      return driverUnionFind(p)
     val edges = p.select(col("a").as("s"), col("b").as("d"))
       .union(p.select(col("b").as("s"), col("a").as("d")))
     val witness = coalesce(sum(col("label")), lit(0L)).as("label_sum")
@@ -114,6 +127,36 @@ object Corpus {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged after $it propagation rounds")
     labels
+  }
+
+  /** Union-find with path compression over a collected pair table,
+    * labels = min member id per component — value-identical to the
+    * distributed loop. Only reachable under the observed-size bound. */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val edges = p.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, v), v)
+    }
+    val rows = parent.keys.toSeq.sorted.map(v => (v, minOfRoot(find(v))))
+    import spark.implicits._
+    rows.toDF("id", "label")
   }
 
   /** connectedComponents over dup pairs, closed over the corpus: every

@@ -14,6 +14,21 @@ class CorpusSpec extends SparkTestBase {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: distributed loop agrees with union-find") {
+    // a 40-link chain + random extra pairs; threshold 0 forces the
+    // scratch-table loop, default takes the driver fast path
+    val rng = new scala.util.Random(11)
+    val chain = (0 until 40).map(i => (100L + i, 101L + i))
+    val extra = (0 until 30).map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    val pairs = (chain ++ extra).toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = asMap(Corpus.connectedComponents(pairs, smallGraphThreshold = 0))
+    val viaUf = asMap(Corpus.connectedComponents(pairs))
+    assert(viaLoop == viaUf && viaUf.nonEmpty)
+  }
+
   test("dupClusters: singletons label themselves; nothing stays persisted") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Seq((1L, "x"), (2L, "x"), (5L, "y")).toDF("doc_id", "text")
