@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
  * projection — README.md:1-40.)
  *
  * All operators are deterministic and built from codegen'd built-ins —
- * no UDFs, no driver-side loops over data (the CC driver loop iterates
- * O(graph diameter) times over AGGREGATES, never over rows).
+ * no UDFs, no unbounded driver-side data handling: the CC driver loop
+ * iterates O(graph diameter) times over AGGREGATES, and the only
+ * row-level collect is the union-find fast path, gated on an OBSERVED
+ * edge count under an explicit byte-bounded threshold.
  */
 object Corpus {
 
