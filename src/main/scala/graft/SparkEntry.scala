@@ -159,6 +159,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshCandidates(t(s, dir, "documents"))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      // multi-index Hamming pairing: ALL pairs within distance 3
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3,
+        md5Family = true)),
     "dedup_simhash" -> ((s, dir) => // md5 token-hash family: the full
       // fingerprint is re-derived bit-for-bit by the DuckDB oracle
       Dedup.simhashBuckets(t(s, dir, "documents"), md5Family = true)),
@@ -603,6 +607,7 @@ object SparkEntry {
     "mm_sample_frames" -> OracleFragments.mmSampleFrames(stride = 2),
     "mm_features" -> OracleFragments.mmFeatures(dims = 8),
     "dedup_simhash" -> OracleFragments.dedupSimhash(bits = 32, prefixBits = 8),
+    "dedup_simhash_pairs" -> OracleFragments.dedupSimhashPairs(bits = 32, maxHamming = 3),
     "mm_resize" ->
       // resized payload = text bytes cycled to 32*32; checksum of the
       // same cycled string (ASCII text -> string md5 == byte md5)
@@ -1131,6 +1136,24 @@ object OracleFragments {
           FROM documents),
           s AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM t)
         SELECT doc_id, simhash, (simhash >> ${bits - prefixBits})::BIGINT AS bucket FROM s"""
+  }
+
+  /** Hamming-distance pairing over the SAME md5-family fingerprints,
+    * re-derived brute-force (DuckDB handles the all-pairs join at
+    * oracle scale; the Spark side is the banded multi-index form). */
+  def dedupSimhashPairs(bits: Int, maxHamming: Int): String = {
+    val bitTerms = (0 until bits).map { b =>
+      s"CASE WHEN list_aggregate(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+            list_transform(string_split($norm, ' '),
+              tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+          FROM documents),
+          s AS (SELECT doc_id, ($bitTerms)::BIGINT AS fp FROM t)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               bit_count(xor(x.fp, y.fp))::INT AS hamming
+        FROM s x JOIN s y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.fp, y.fp)) <= $maxHamming"""
   }
 
   def mmSampleFrames(stride: Int): String =

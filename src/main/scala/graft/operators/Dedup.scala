@@ -134,6 +134,50 @@ object Dedup {
       simhash(col(textCol), bits, md5Family).as("simhash"),
       shiftrightunsigned(simhash(col(textCol), bits, md5Family), bits - prefixBits).as("bucket"))
 
+  /** ALL pairs within Hamming distance `maxHamming` of each other's
+    * simhash — the guaranteed completion of [[simhashBuckets]] (a single
+    * prefix bucket misses any pair differing inside the prefix).
+    * Multi-index construction (Manku, Jain, Sarma — "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07): split the `bits`-bit
+    * fingerprint into `maxHamming + 1` bands; by pigeonhole, a pair
+    * within distance d agrees EXACTLY on at least one band, so the
+    * candidate set is the union of per-band equi-joins — keyed shuffles
+    * whose cardinality grows with the corpus, never O(n²) — and the
+    * residual `bit_count(xor) <= d` filter makes the guarantee exact.
+    * Fingerprints are computed once into a scratch table; each band
+    * re-reads the 2-column table, not the text. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bits: Int = 32,
+      maxHamming: Int = 3,
+      md5Family: Boolean = false): DataFrame = {
+    require(bits > 0 && bits <= 64, "bits must be in 1..64")
+    require(maxHamming >= 0 && maxHamming < bits, "maxHamming must be in 0..bits-1")
+    val bands = maxHamming + 1
+    val fp = graft.ops.Scratch.materialize(
+      Par.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(col("id"), simhash(col("t"), bits, md5Family).as("fp")),
+      "simhash_fp")
+    val w = bits / bands
+    val cands = (0 until bands).map { k =>
+      val lo = k * w
+      val width = if (k == bands - 1) bits - lo else w
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      def key(c: Column) = shiftrightunsigned(c, lo).bitwiseAND(lit(mask))
+      fp.select(col("id").as("a"), col("fp").as("fa"), key(col("fp")).as("bk"))
+        .join(fp.select(col("id").as("b"), col("fp").as("fb"), key(col("fp")).as("bk")),
+          Seq("bk"))
+        .filter(col("a") < col("b"))
+        .select("a", "b", "fa", "fb")
+    }.reduce(_ unionByName _)
+    val dist = bit_count(col("fa").bitwiseXOR(col("fb")))
+    cands.filter(dist <= maxHamming)
+      .select(col("a"), col("b"), dist.cast("int").as("hamming"))
+      .distinct()
+  }
+
   /** The scalable near-dup pipeline: MinHash+LSH candidate generation
     * followed by EXACT n-gram Jaccard verification on candidates only.
     * Pair count is bounded by LSH bucket collisions (linear-ish), never

@@ -49,6 +49,25 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(out(1L) != out(3L)) // extremely unlikely to collide
   }
 
+  test("simhashPairs: equals brute-force Hamming pairs (pigeonhole is exact)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(200)
+    val pairs = graft.operators.Dedup.simhashPairs(docs, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same fingerprints
+    val fps = docs.select($"doc_id",
+        graft.operators.Dedup.simhash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 4
+    } yield (a, b, h)).toSet
+    assert(pairs == brute)
+    // sanity: identical docs pair at distance 0
+    val twin = Seq((1L, "same words here"), (2L, "same words here")).toDF("doc_id", "text")
+    val tp = graft.operators.Dedup.simhashPairs(twin, maxHamming = 0).collect()
+    assert(tp.length == 1 && tp.head.getInt(2) == 0)
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     val d = Seq((1L, "aaaa bbbb cccc dddd", "en", "s1"),
       (2L, "aaaa bbbb cccc dddd", "en", "s1"),
