@@ -1004,7 +1004,9 @@ object OracleFragments {
   /** IVF ANN top-k re-derived in full: deterministic k-means-lite with
     * the Lloyd loop UNROLLED ($iters fixed steps), mirroring
     * Similarity.ivfIndex exactly — init centroids = first `cells` vectors
-    * by id (6-dp-rounded doubles, as `pin` rounds), assign = argmax of
+    * by id RANK, cell = rank-1 (6-dp-rounded doubles, as `pin` rounds;
+    * identical to the id-VALUE form on the dense fixture, but robust to
+    * sparse id spaces like the Spark side), assign = argmax of
     * 6-dp-rounded cosine with ties to the lowest cell, update = per-(cell,
     * pos) mean rounded to 6 dp (the rounding is what makes Spark's
     * summation-order-sensitive `avg` and DuckDB's agree). Probe + rank as
@@ -1028,9 +1030,9 @@ object OracleFragments {
       Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i"))
     }
     s"""WITH v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
-          c0 AS (SELECT vid::INT AS cell,
+          c0 AS (SELECT (row_number() OVER (ORDER BY vid) - 1)::INT AS cell,
                         list_transform(v, x -> round(x::DOUBLE, 6)) AS cv
-                 FROM v WHERE vid < $cells),
+                 FROM v QUALIFY row_number() OVER (ORDER BY vid) <= $cells),
           ${steps.mkString(",\n          ")},
           ${assign("af", s"c$iters")},
           q AS (SELECT vec_id AS query_id, embedding AS qv

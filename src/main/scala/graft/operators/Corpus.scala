@@ -397,9 +397,12 @@ object Corpus {
     * normalized text): tf = in-doc occurrences, idf = ln(N/df), score
     * rounded to 6 dp BEFORE ranking so the ordering is reproducible
     * across engines (ties then break on the term). Two keyed shuffles
-    * (per-(doc,term) tf, per-term df) + one broadcast of the O(vocab)
-    * df side's count — the document-frequency table is the classic
-    * small dimension. */
+    * (per-(doc,term) tf, per-term df); the tf⋈df join is left UNHINTED —
+    * the document-frequency table is O(distinct tokens of the corpus),
+    * which at web scale is billions of rows (URLs, typos, numbers all
+    * mint terms), so a forced broadcast would be a driver OOM. AQE picks
+    * broadcast when the vocab really is small; otherwise the join key
+    * (`term`) is the key tf is already shuffled by. */
   def tfidfTopTerms(
       docs: DataFrame,
       k: Int = 3,
@@ -413,7 +416,7 @@ object Corpus {
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), Seq("term"))
+    val scored = tf.join(df, Seq("term"))
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         round(col("tf").cast("double") *

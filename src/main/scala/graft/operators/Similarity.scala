@@ -112,8 +112,11 @@ object Similarity {
   }
 
   /** IVF (inverted-file) index: deterministic k-means-lite — centroids
-    * initialized from the first K vectors by id, refined with `iters`
-    * Lloyd steps expressed as DataFrame ops (assign = map-side argmin
+    * initialized from the first K vectors by id RANK (top-k by id, so
+    * sparse / non-zero-based id spaces still yield exactly K centroids;
+    * comparing id VALUES against k would silently under-seed them),
+    * refined with `iters` Lloyd steps expressed as DataFrame ops
+    * (assign = map-side argmin
     * over the pinned centroids, update = per-position mean). Returns
     * (assignments, centroids). At scale: assignment is a pure projection
     * (ZERO shuffle — the k×dim centroids ride into the plan as a
@@ -139,8 +142,15 @@ object Similarity {
     // summation-order sensitive — pinning guarantees every consumer
     // (assignment, probe) sees the exact same values instead of
     // re-evaluating an order-sensitive subtree.
-    var cents: Seq[(Int, Seq[Double])] = pin(spark, c.filter(col("vid") < k)
-      .select(col("vid").cast("int").as("cell"), transform(col("v"), _.cast("double")).as("cv")))
+    // init = the k smallest ids (TakeOrderedAndProject — top-k per
+    // partition then merge, never a global sort); cell = id rank so the
+    // cells are dense 0..k-1 whatever the id space looks like. The
+    // unpartitioned window is safe: it sits ABOVE the limit, so it only
+    // ever sees k rows.
+    var cents: Seq[(Int, Seq[Double])] = pin(spark, c.orderBy(col("vid").asc).limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("vid").asc)) - 1).cast("int"))
+      .select(col("cell"), transform(col("v"), _.cast("double")).as("cv")))
     for (_ <- 0 until iters) {
       val assigned = assignCells(c, cents)
       val updated = assigned

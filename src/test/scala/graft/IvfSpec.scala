@@ -19,6 +19,27 @@ class IvfSpec extends SparkTestBase {
     assert(a1 == a2)
   }
 
+  test("sparse / non-zero-based ids still seed k centroids and probe correctly") {
+    import spark.implicits._
+    // ids {7, 1000, 1001, ...}: an id-VALUE init (vid < k) would seed ONE
+    // centroid here; the id-RANK init must seed all k
+    val ids = 7L +: (1000L until 1019L)
+    val vecs = ids.zipWithIndex.map { case (id, i) =>
+      (id, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.ivfIndex(vecs, k = 4, iters = 2)
+    assert(centroids.count() == 4)
+    assert(centroids.select("cell").as[Int].collect().sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(assigned.count() == vecs.count())
+    val probed = Similarity.ivfProbe(assigned, centroids,
+      vecs.filter(col("vec_id") === 7L), k = 3, nProbe = 4)
+    assert(probed.count() == 3)
+    // exhaustive probe (nProbe = all cells) reproduces brute-force sims
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 7L), k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    probed.collect().foreach(r => assert(brute(r.getLong(1)) == r.getDouble(2)))
+  }
+
   test("written index round-trips: loaded probe equals in-session probe") {
     val (assigned, centroids) = Similarity.ivfIndex(embs, k = 8, iters = 2)
     val queries = embs.filter(col("vec_id") < 8)
