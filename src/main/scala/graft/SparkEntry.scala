@@ -442,11 +442,26 @@ object SparkEntry {
           coalesce(col("n_cust"), lit(0L)).as("n_cust"),
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
     }),
-    "sketch_approx" -> ((s, dir) => // no SQL oracle: sketch estimates are
-      // engine-specific (HLL++ / KLL); rows-only check
+    "sketch_approx" -> ((s, dir) => {
+      // Sketch ESTIMATES are engine-specific (HLL++ / KLL) and can't be
+      // hash-compared across engines — but their error CONTRACTS can: the
+      // oracle emits `TRUE` for each bound, Spark emits whether its sketch
+      // actually landed inside it, alongside exact anchors both engines
+      // compute identically. approx_count_distinct's default rsd is 0.05,
+      // checked at 3σ (15%); percentile_approx at accuracy 1000 has ≤0.1%
+      // rank error, checked against the exact 45–55% quantile band.
       eventsTable(s, dir).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))),
+        .agg(
+          count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+          expr("percentile(value, 0.45)").as("lo"),
+          expr("percentile(value, 0.55)").as("hi"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.15).as("approx_users_ok"),
+          col("ap50").between(col("lo"), col("hi")).as("approx_p50_ok"))
+    }),
     "stateful_running_agg" -> ((s, dir) => {
       // mapGroupsWithState custom state (batch execution of the same code
       // path the streaming query uses)
@@ -529,6 +544,16 @@ object SparkEntry {
     "skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
                 round(sum(value), 4) AS total
+         FROM events GROUP BY 1""",
+    // Sketch error-contract check: the oracle asserts TRUE for each bound
+    // and recomputes only the exact anchors; the Spark side emits whether
+    // its HLL++ / KLL estimates actually landed inside the bounds. A
+    // sketch regression past its contract flips a boolean → hash mismatch.
+    "sketch_approx" ->
+      """SELECT event_type,
+                count(DISTINCT user_id)::BIGINT AS exact_users,
+                TRUE AS approx_users_ok,
+                TRUE AS approx_p50_ok
          FROM events GROUP BY 1""",
     "sim_cosine_topk" -> OracleFragments.simCosineTopK(maxQueryId = 8, k = 5),
     "sim_cosine_pairs" -> OracleFragments.simCosinePairs(threshold = 0.40),
