@@ -244,6 +244,21 @@ object SparkEntry {
     }),
     "pack_chunks" -> ((s, dir) =>
       graft.operators.Corpus.packChunks(t(s, dir, "documents"), targetTokens = 512)),
+    "corpus_prepare" -> ((s, dir) => {
+      // the END-TO-END compositor: LSH near-dup clustering -> keep-one ->
+      // benchmark decontamination -> split assignment -> sharded write,
+      // verified as ONE composition (each stage is also oracle-gated on
+      // its own). The result is a scan of the just-written shards.
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val out = graft.ops.Scratch.dir(
+        s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare")
+      graft.operators.Corpus.prepareTrainingSet(docs, bench, out,
+          splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+          minJaccard = 0.20, nShards = 8)
+        .select(col("doc_id"), col("split").cast("string").as("split"))
+    }),
     "tfidf_terms" -> ((s, dir) =>
       graft.operators.Corpus.tfidfTopTerms(t(s, dir, "documents"), k = 3)),
 
@@ -534,6 +549,10 @@ object SparkEntry {
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
     "decontaminate" -> OracleFragments.decontaminate(
       nTokens = 8, minHits = 1, benchMod = 20),
+    "corpus_prepare" -> OracleFragments.corpusPrepare(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.20,
+      nTokens = 8, minHits = 1, benchMod = 20,
+      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
     "sample_fixed_k" -> OracleFragments.sampleFixedPerGroup(k = 25),
     "split_assign" -> OracleFragments.assignSplits(
       Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
@@ -894,6 +913,50 @@ object OracleFragments {
                coalesce(h.n_bench_docs, 0)::INT AS n_bench_docs,
                coalesce(h.n_gram_hits, 0) >= $minHits AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+  /** The END-TO-END compositor (Corpus.prepareTrainingSet) re-derived as
+    * one chained query: LSH-verified pairs → recursive-CTE components →
+    * keep-one reps → decontaminate the reps against every `benchMod`-th
+    * doc → split-assign the survivors. Proves the COMPOSITION is exact,
+    * not just each stage: any drift in how stages hand off (keep-one on
+    * the wrong id, decontaminating pre-dedup docs, re-salted coins)
+    * breaks the hash even while the per-stage oracles stay green. */
+  def corpusPrepare(
+      bands: Int, rowsPerBand: Int, minJaccard: Double,
+      nTokens: Int, minHits: Int, benchMod: Int,
+      splits: Seq[(String, Double)]): String = {
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => ((c / total) * 4294967296L).toLong)
+    val coin = coinSql("split:")
+    val whens = splits.map(_._1).zip(bounds).init
+      .map { case (name, b) => s"WHEN $coin < $b THEN '$name'" }.mkString(" ")
+    s"""WITH RECURSIVE pairs AS (${dedupLshJaccard(bands, rowsPerBand, minJaccard)}),
+          edges AS (SELECT a AS s, b AS d FROM pairs
+                    UNION SELECT b AS s, a AS d FROM pairs),
+          reach AS (
+            SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
+          cc AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x),
+          reps AS (SELECT d.doc_id, d.text FROM documents d
+                   LEFT JOIN cc ON d.doc_id = cc.id
+                   WHERE coalesce(cc.cluster_id, d.doc_id) = d.doc_id),
+          bg AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+                 FROM (SELECT unnest(${tokenShingles(nTokens)}) AS g
+                       FROM documents WHERE doc_id % $benchMod = 0)
+                 WHERE length(g) > 0),
+          dg AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+                 FROM (SELECT doc_id, unnest(${tokenShingles(nTokens)}) AS g
+                       FROM reps)
+                 WHERE length(g) > 0),
+          hits AS (SELECT dg.doc_id, count(DISTINCT dg.gram) AS n_gram_hits
+                   FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id),
+          kept AS (SELECT r.doc_id FROM reps r LEFT JOIN hits h USING (doc_id)
+                   WHERE coalesce(h.n_gram_hits, 0) < $minHits)
+        SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split
+        FROM kept"""
+  }
 
   def packChunks(targetTokens: Int): String =
     s"""WITH t AS (SELECT lang AS part, doc_id,
