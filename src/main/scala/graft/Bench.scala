@@ -72,6 +72,32 @@ object Bench {
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val total = results.flatMap { case (_, ts, _) => if (ts.isEmpty) None else Some(median(ts)) }.sum
+    // ---- 10× scale probe: empirical scaling evidence for the dedup
+    // spine. The probe corpus is the base documents table replicated
+    // 10× (copy 0 = identity; other copies 30% byte-identical near-dups,
+    // 70% suffix-mutated, md5-deterministic), generated once and cached
+    // on disk. Each spine query runs ONCE at 10× — the signal is the
+    // scaling RATIO vs the sf medians above, not the absolute number.
+    val probe = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
+        && new java.io.File(s"$sfDir/documents.parquet").exists()
+        && only.isEmpty) {
+      val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
+        s"tmp/scale_probe_${new java.io.File(sfDir).getName}")
+      val t0 = System.nanoTime()
+      ScaleProbe.ensureFixture(spark, sfDir, probeDir, factor = 10)
+      probe += "gen" -> (System.nanoTime() - t0) / 1e9
+      for (name <- ScaleProbe.spineQueries) SparkEntry.queries.get(name).foreach { fn =>
+        val t1 = System.nanoTime()
+        try { run(fn(spark, probeDir)); probe += name -> (System.nanoTime() - t1) / 1e9 }
+        catch { case e: Throwable => System.err.println(s"[bench] scale10 $name: $e") }
+      }
+    }
+    val probeJson =
+      if (probe.isEmpty) ""
+      else probe.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString(""","scale10":{""", ",", "}")
+
     // spread + machine detail go to stderr and a side file, never stdout
     val detail = f"""{"spread":$spread,"reps":$reps,"cpus":"$cpus","sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")
@@ -79,7 +105,7 @@ object Bench {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errs,"reps":$reps,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errs$probeJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 

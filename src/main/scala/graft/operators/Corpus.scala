@@ -75,7 +75,7 @@ object Corpus {
     // one scratch write of the (possibly expensive) pair producer; both
     // union branches below re-read the cheap 2-column table, not the
     // producing plan. The edge count rides the write job.
-    val (p, pm) = Scratch.materializeObserved(
+    val (p, pm, pPath) = Scratch.materializeObservedAt(
       pairs.select(col(aCol).as("a"), col(bCol).as("b")), "cc_pairs",
       count(lit(1)).as("n_edges"))
     val nEdges = pm("n_edges").asInstanceOf[Long]
@@ -87,18 +87,33 @@ object Corpus {
     // implementations use. Beyond it, the scratch-table loop below is
     // the scale path. The collect is bounded by the OBSERVED count,
     // never by hope.
-    if (nEdges <= smallGraphThreshold)
-      return driverUnionFind(p)
+    if (nEdges <= smallGraphThreshold) {
+      val labels = driverUnionFind(p) // collects eagerly: p is done with
+      Scratch.drop(pairs.sparkSession, pPath)
+      return labels
+    }
     val edges = p.select(col("a").as("s"), col("b").as("d"))
       .union(p.select(col("b").as("s"), col("a").as("d")))
-    val witness = coalesce(sum(col("label")), lit(0L)).as("label_sum")
+    // Convergence witness, generic over the id type: labels only ever
+    // DECREASE under min-propagation, so for numeric ids an unchanged
+    // label sum is an exact no-change proof. Non-numeric orderable ids
+    // (strings, timestamps) sum xxhash64(label) instead — equality still
+    // implies no change up to a 2^-64 per-round collision, and the
+    // decimal(38,0) cast keeps both sums overflow-exact under ANSI at
+    // any row count.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val labelStat = p.schema.fields(0).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col("label")
+      case _ => xxhash64(col("label"))
+    }
+    val witness = coalesce(sum(labelStat.cast(dec)), lit(0L).cast(dec)).as("label_sum")
     // initial labels fold in the first propagation round: label(v) =
     // min(v, min neighbor) in a single groupBy, no distinct+join
-    var (labels, m0) = Scratch.materializeObserved(
+    var (labels, m0, labelsPath) = Scratch.materializeObservedAt(
       edges.groupBy(col("s").as("id"))
         .agg(least(col("s"), min(col("d"))).as("label")),
       "cc_labels", witness)
-    var prevSum = m0("label_sum").asInstanceOf[Long]
+    var prevSum: Any = m0("label_sum")
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -113,52 +128,80 @@ object Corpus {
       val jump = labels.select(col("id"), col("label").as("l0"))
         .join(labels.select(col("id").as("l0"), col("label")), Seq("l0"))
         .select(col("id"), col("label"))
-      val (next, m) = Scratch.materializeObserved(
+      val (next, m, nextPath) = Scratch.materializeObservedAt(
         nbrMin.union(labels).union(jump)
           .groupBy(col("id"))
           .agg(min(col("label")).as("label")),
         "cc_labels", witness)
-      val s = m("label_sum").asInstanceOf[Long]
+      val s = m("label_sum")
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round ${it + 1}: sum $prevSum -> $s")
+      // the superseded labels table was fully consumed by the write job
+      // that just finished — retire its files now, not at JVM exit
+      Scratch.drop(pairs.sparkSession, labelsPath)
       labels = next
+      labelsPath = nextPath
       converged = s == prevSum
       prevSum = s
       it += 1
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged after $it propagation rounds")
+    // the edge table fed its last propagation round; only the final
+    // labels table (the returned scan) outlives the call
+    Scratch.drop(pairs.sparkSession, pPath)
     labels
   }
 
   /** Union-find with path compression over a collected pair table,
-    * labels = min member id per component — value-identical to the
-    * distributed loop. Only reachable under the observed-size bound. */
+    * labels = min member id per component — value- AND type-identical to
+    * the distributed loop: ids are handled generically (union-find runs
+    * over dense first-seen indices; the component minimum uses the id
+    * type's natural order, which is what Spark's `min`/`least` compute
+    * for every orderable atomic type), and the returned (id, label)
+    * columns carry the INPUT id type, never a coerced long. A non-numeric
+    * id corpus therefore takes the same semantics on both sides of the
+    * small-graph threshold. Only reachable under the observed-size bound. */
   private def driverUnionFind(p: DataFrame): DataFrame = {
     val spark = p.sparkSession
-    val edges = p.select(col("a").cast("long"), col("b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
+    val dt = p.schema.fields(0).dataType
+    // boxed external row values (Long, String, Timestamp, BigDecimal, …)
+    // are Comparable with exactly the ordering Spark's min aggregates use
+    val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int =
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    val raw = p.collect()
+    val index = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def idOf(v: Any): Int = index.getOrElseUpdate(v, index.size)
+    val edges = raw.map(r => (idOf(r.get(0)), idOf(r.get(1))))
+    val parent = Array.tabulate(index.size)(identity)
+    def find(x: Int): Int = {
       var root = x
-      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      while (parent(root) != root) root = parent(root)
       var cur = x
       while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
       root
     }
     edges.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(ra) = rb
     }
-    val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
-    parent.keys.foreach { v =>
-      val r = find(v)
-      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, v), v)
+    val values = index.keys.toArray
+    val minOfRoot = scala.collection.mutable.Map.empty[Int, Any]
+    values.indices.foreach { i =>
+      val r = find(i)
+      minOfRoot.get(r) match {
+        case Some(m) if ord.compare(m, values(i)) <= 0 => ()
+        case _ => minOfRoot(r) = values(i)
+      }
     }
-    val rows = parent.keys.toSeq.sorted.map(v => (v, minOfRoot(find(v))))
-    import spark.implicits._
-    rows.toDF("id", "label")
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(values.indices.sortBy(i => values(i))(ord).map(i =>
+        org.apache.spark.sql.Row(values(i), minOfRoot(find(i)))): _*)
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt, nullable = false),
+      org.apache.spark.sql.types.StructField("label", dt, nullable = false))))
   }
 
   /** connectedComponents over dup pairs, closed over the corpus: every
@@ -375,11 +418,19 @@ object Corpus {
       nShards: Int = 64,
       idCol: String = "doc_id"): DataFrame = {
     val pairs = Dedup.lshJaccard(docs, minJaccard = minJaccard)
-    val reps = docs.join(
-      dupClusters(docs, pairs, idCol)
-        .filter(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id").as(idCol)),
-      Seq(idCol))
+    // the post-dedup corpus is a STAGE ARTIFACT: decontaminate scans it
+    // twice (gram probe + flag join-back) and the keep join once more —
+    // left lazy, each scan would re-run the keep-one join against the
+    // source; materialized, every consumer re-reads the (smaller)
+    // deduped table. At warehouse scale this is the table you'd persist
+    // between the dedup job and the decontamination job anyway.
+    val (reps, repsPath) = graft.ops.Scratch.materializeAt(
+      docs.join(
+        dupClusters(docs, pairs, idCol)
+          .filter(col("doc_id") === col("cluster_id"))
+          .select(col("doc_id").as(idCol)),
+        Seq(idCol)),
+      "corpus_reps")
     val clean = reps.join(
       decontaminate(reps, benchmark, idCol = idCol)
         .filter(!col("contaminated"))
@@ -387,6 +438,8 @@ object Corpus {
       Seq(idCol))
     val withSplit = assignSplits(clean, splits, idCol)
     writeShards(withSplit, outDir, nShards, idCol = idCol)
+    // the shard write was the last reader of the reps artifact
+    graft.ops.Scratch.drop(docs.sparkSession, repsPath)
     // hand back a scan of the JUST-WRITTEN shards, not the producing
     // plan — a caller action on the lazy plan would re-run the whole
     // dedup + decontaminate pipeline a second time

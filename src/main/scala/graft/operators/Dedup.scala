@@ -252,14 +252,19 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity, computed only within blocks (e.g.
     * same source+lang) — the blocking keeps this linear-ish; an unblocked
-    * version of this op at 100 TB would be the O(n²) anti-pattern. */
+    * version of this op at 100 TB would be the O(n²) anti-pattern. The
+    * small-blocks contract is ENFORCED: a block past `maxBlockRows`
+    * fails the query fast with the block value and the MinHash-LSH
+    * escape route (Blocks.guardBlockSize), instead of silently running
+    * an accidental near-cross-product for hours on a skewed corpus. */
   def ngramJaccard(
       docs: DataFrame,
       blockCols: Seq[String],
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleK: Int = 5,
-      minJaccard: Double = 0.0): DataFrame = {
+      minJaccard: Double = 0.0,
+      maxBlockRows: Long = 100000L): DataFrame = {
     // One shingle-array per doc, then a within-block self-join with the
     // allocation-free intersect count — beats the gram-explode equi-join
     // (which shuffles k× the corpus bytes and grinds through high-
@@ -270,7 +275,11 @@ object Dedup {
         col(textCol)))
       .select(col("id"), col("blk"), shingles(col(textCol), shingleK).as("gs"))
       .withColumn("sz", size(col("gs")))
-    val a = grams.select(col("blk"), col("id").as("a"), col("gs").as("gs_a"), col("sz").as("sz_a"))
+    // guard ONE side only — the join is on the same key, so per-block
+    // sizes are checked exactly once per block
+    val a = Blocks.guardBlockSize(
+      grams.select(col("blk"), col("id").as("a"), col("gs").as("gs_a"), col("sz").as("sz_a")),
+      "blk", maxBlockRows, "ngramJaccard")
     val b = grams.select(col("blk").as("blk_b"), col("id").as("b"), col("gs").as("gs_b"), col("sz").as("sz_b"))
     // Join condition: cheap conjuncts ONLY, ordered cheap-first — a < b,
     // then the size-ratio bound (jaccard ≤ min(sz)/max(sz)) in

@@ -45,8 +45,20 @@ object RangeJoin {
     require(chunkWidth > 0, "chunkWidth must be positive")
     def chunkOf(name: String): Column = expr(s"`$name` div ${chunkWidth}L")
     val p = points.withColumn("_graft_chunk", chunkOf(pointCol))
+    // Spark's `sequence` caps at 10000 elements: ONE outlier interval
+    // spanning > 10000·chunkWidth would otherwise kill the whole job
+    // with sequence's opaque length error. Guard per row with the
+    // actionable message (CaseWhen branches evaluate lazily, so the
+    // sequence is never built for an oversized span).
+    val nChunks = chunkOf(endCol) - chunkOf(startCol) + lit(1L)
     val i = intervals.withColumn("_graft_chunk",
-      explode(sequence(chunkOf(startCol), chunkOf(endCol))))
+      explode(when(nChunks <= lit(10000L), sequence(chunkOf(startCol), chunkOf(endCol)))
+        .otherwise(raise_error(concat(
+          lit("intervalJoin: interval ["), col(startCol).cast("string"),
+          lit(", "), col(endCol).cast("string"),
+          lit(s"] spans "), nChunks.cast("string"),
+          lit(s" chunks of width $chunkWidth (cap 10000) - raise chunkWidth "
+            + "or split outlier intervals"))))))
     p.join(i, Seq("_graft_chunk"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_graft_chunk")

@@ -91,14 +91,21 @@ object Similarity {
 
   /** All pairs with cosine ≥ threshold, blocked by a partition column
     * (e.g. an IVF cluster / class label) so the pair space stays linear
-    * per block instead of O(n²) global. */
+    * per block instead of O(n²) global. The small-blocks contract is
+    * ENFORCED, not hoped: any block past `maxBlockRows` fails the query
+    * fast with the block id and the LSH/IVF escape route (Blocks.
+    * guardBlockSize) — the default bounds a block at ~5e9 candidate
+    * pairs, the edge of what a within-block exact pass should ever do. */
   def cosinePairs(
       corpus: DataFrame,
       blockCol: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      threshold: Double = 0.9): DataFrame = {
-    val a = Par.fanOut(corpus.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("va")))
+      threshold: Double = 0.9,
+      maxBlockRows: Long = 100000L): DataFrame = {
+    val a = Blocks.guardBlockSize(
+      Par.fanOut(corpus.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("va"))),
+      "blk", maxBlockRows, "cosinePairs")
     val b = corpus.select(col(blockCol).as("blk_b"), col(idCol).as("b"), col(vecCol).as("vb"))
     // shuffle_hash: both sides are the corpus — Spark's parquet-bytes size
     // estimate understates the in-memory vector arrays, so near the
@@ -320,8 +327,18 @@ object Similarity {
       numPlanes: Int = 8,
       k: Int = 5): DataFrame = {
     // the planes are literal arrays, so the dimension must be known at
-    // plan time — one footer-cheap row probe pins it.
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // plan time — one footer-cheap row probe pins it (every vector is
+    // assumed to share it: fixed-dim embeddings are the ANN contract).
+    // An empty corpus has no dimension and no neighbors: return the
+    // empty result frame instead of NoSuchElementException-ing.
+    val dimOpt = corpus.select(size(col(vecCol)).as("d")).head(1).headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(null).cast(corpus.schema(idCol).dataType).as("query_id"),
+          lit(null).cast(corpus.schema(idCol).dataType).as("neighbor_id"),
+          lit(null).cast("double").as("sim"), lit(null).cast("int").as("rank"))
+        .limit(0)
+    val dim = dimOpt.get
     val c = Par.fanOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
       .select(col("neighbor_id"), col("cv"), lshBucket(col("cv"), numPlanes, dim).as("bucket"))
     val q = queries.select(

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Parallelism guard for compute-heavy fan-out stages. */
 object Par {
@@ -14,9 +15,36 @@ object Par {
     * row-group / multi-file dataset, i.e. the 100 TB case) this is a
     * no-op and introduces NO shuffle; the round-robin repartition only
     * fires for pathologically under-split inputs, where shuffling a few
-    * input MBs buys full-cluster compute parallelism. */
+    * input MBs buys full-cluster compute parallelism.
+    *
+    * The split-count probe reads the scan relations' FILE INDEX (total
+    * bytes → Spark's own maxSplitBytes packing formula) instead of
+    * materializing `df.rdd`: an RDD probe physical-plans the whole frame
+    * and builds its lineage on the driver — twice per operator that
+    * fans out both sides of a self-join, measurable plan-time overhead
+    * on wide plans. Only frames with no file relation at all (in-memory
+    * test data) fall back to the RDD probe. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val fileRels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    val underSplit =
+      if (fileRels.nonEmpty) {
+        // mirror FilePartition.maxSplitBytes: splits ≈ total / min(max,
+        // max(openCost, bytes/core)). Ignoring per-file boundaries
+        // UNDERestimates splits, which errs toward repartitioning —
+        // the cheap, safe direction for small inputs.
+        val conf = spark.sessionState.conf
+        val totalBytes = fileRels.map(_.location.sizeInBytes).sum.max(1L)
+        val bytesPerCore = (totalBytes / target).max(1L)
+        val maxSplitBytes =
+          math.min(conf.filesMaxPartitionBytes, math.max(conf.filesOpenCostInBytes, bytesPerCore))
+        val estSplits = math.ceil(totalBytes.toDouble / maxSplitBytes).toLong.max(1L)
+        estSplits < target
+      } else df.rdd.getNumPartitions < target
+    if (underSplit) df.repartition(target) else df
   }
 }

@@ -24,11 +24,16 @@ import org.apache.spark.sql.{Column, DataFrame, Observation}
 object Scratch {
 
   /** Eagerly write `df` to a fresh scratch path, return a scan of it. */
-  def materialize(df: DataFrame, prefix: String): DataFrame = {
+  def materialize(df: DataFrame, prefix: String): DataFrame =
+    materializeAt(df, prefix)._1
+
+  /** `materialize` that also hands back the written path for callers
+    * that retire the table eagerly once its last reader finishes. */
+  def materializeAt(df: DataFrame, prefix: String): (DataFrame, String) = {
     val spark = df.sparkSession
     val path = dir(spark.conf.getOption("spark.graft.scratchDir"), prefix)
     df.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
+    (spark.read.parquet(path), path)
   }
 
   /** Like `materialize`, but also computes aggregate `metrics` over the
@@ -40,12 +45,35 @@ object Scratch {
       prefix: String,
       metric: Column,
       metrics: Column*): (DataFrame, Map[String, Any]) = {
+    val (scan, m, _) = materializeObservedAt(df, prefix, metric, metrics: _*)
+    (scan, m)
+  }
+
+  /** `materializeObserved` that also hands back the written path, for
+    * iterative callers that retire superseded scratch tables themselves
+    * (see `drop`) instead of leaving them to the JVM shutdown hook — a
+    * long-lived session running many iterative jobs would otherwise
+    * accumulate O(iterations) dead parquet directories. */
+  def materializeObservedAt(
+      df: DataFrame,
+      prefix: String,
+      metric: Column,
+      metrics: Column*): (DataFrame, Map[String, Any], String) = {
     val spark = df.sparkSession
     val path = dir(spark.conf.getOption("spark.graft.scratchDir"), prefix)
     val obs = Observation()
     df.observe(obs, metric, metrics: _*)
       .write.mode("overwrite").parquet(path)
-    (spark.read.parquet(path), obs.get)
+    (spark.read.parquet(path), obs.get, path)
+  }
+
+  /** Delete a scratch table eagerly (any Hadoop-FS scheme). Callers must
+    * only drop paths whose LAST reader has finished — a dropped table's
+    * returned scan is a dangling plan. */
+  def drop(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
   }
 
   /** A fresh scratch directory path (created only for the local default

@@ -29,6 +29,35 @@ class CorpusSpec extends SparkTestBase {
     assert(viaLoop == viaUf && viaUf.nonEmpty)
   }
 
+  test("connected components: string ids keep their type on BOTH paths") {
+    // the driver fast path must not coerce ids to long (it used to cast →
+    // null → NPE) and must label by the same lexicographic min the
+    // distributed path's min/least aggregates use
+    val pairs = Seq(("docB", "docA"), ("docB", "docC"), ("zz", "zy")).toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = {
+      assert(df.schema.fields.map(_.dataType).toSeq ==
+        Seq(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val expected = Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "zy" -> "zy", "zz" -> "zy")
+    assert(asMap(Corpus.connectedComponents(pairs)) == expected)
+    assert(asMap(Corpus.connectedComponents(pairs, smallGraphThreshold = 0)) == expected)
+  }
+
+  test("connected components: superseded scratch tables are retired eagerly") {
+    val root = graft.ops.Scratch.localRoot.toFile
+    def scratchDirs() = Option(root.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("cc_"))
+    val before = scratchDirs()
+    // force the distributed loop (several iterations on a chain)
+    val pairs = (0 until 25).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    Corpus.connectedComponents(pairs, smallGraphThreshold = 0).collect()
+    // only the FINAL labels table may remain; pairs + per-iteration
+    // labels tables must be gone
+    assert(scratchDirs() - before <= 1)
+  }
+
   test("dupClusters: singletons label themselves; nothing stays persisted") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Seq((1L, "x"), (2L, "x"), (5L, "y")).toDF("doc_id", "text")

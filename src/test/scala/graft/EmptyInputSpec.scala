@@ -43,6 +43,9 @@ class EmptyInputSpec extends SparkTestBase {
       StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)))))
     assert(Similarity.bruteForceTopK(noVecs, noVecs).count() == 0)
+    val lsh = Similarity.lshTopK(noVecs, noVecs)
+    assert(lsh.count() == 0) // plan-time dim probe must not head() an empty corpus
+    assert(lsh.columns.toSeq == Seq("query_id", "neighbor_id", "sim", "rank"))
     val pts = Seq((1L, 5L)).toDF("pid", "ts")
     val noIv = Seq.empty[(Long, Long, Long)].toDF("iid", "s", "e")
     assert(RangeJoin.intervalJoin(pts, noIv, "ts", "s", "e", 10L).count() == 0)

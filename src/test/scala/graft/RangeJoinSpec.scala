@@ -64,4 +64,19 @@ class RangeJoinSpec extends SparkTestBase {
       .select("pid").collect().map(_.getLong(0)).toSet
     assert(hits == Set(1L, 2L))
   }
+
+  test("an interval spanning more than 10000 chunks fails with guidance") {
+    // Spark's sequence() caps at 10000 elements; one outlier interval
+    // must raise the operator's actionable error, not sequence's opaque one
+    val points = Seq((1L, 5L)).toDF("pid", "ts")
+    val intervals = Seq((7L, 0L, 200000L)).toDF("iid", "s", "e")
+    val e = intercept[Exception](
+      RangeJoin.intervalJoin(points, intervals, "ts", "s", "e", chunkWidth = 10L)
+        .write.mode("overwrite").format("noop").save())
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.toString
+    assert(msg.contains("intervalJoin") && msg.contains("chunkWidth"))
+    // the same span with an adequate chunkWidth runs fine
+    assert(RangeJoin.intervalJoin(points, intervals, "ts", "s", "e",
+      chunkWidth = 100L).count() == 1)
+  }
 }

@@ -78,4 +78,43 @@ class ScaleOpsSpec extends SparkTestBase {
     val agg = ds.select(Stats.statsAggregator("node").toColumn).head()
     assert(agg == Stats.fold(rs, "node"))
   }
+
+  // ---- quadratic-block guards: the small-blocks contract of the
+  // blocked-exact operators is enforced at runtime, not hoped for
+
+  test("ngramJaccard fails fast when one block exceeds maxBlockRows") {
+    val docs = (1 to 40).map(i => (i.toLong, "en", "srcA", s"document text $i"))
+      .toDF("doc_id", "lang", "source", "text")
+    val e = intercept[Exception](
+      Dedup.ngramJaccard(docs, Seq("lang", "source"), maxBlockRows = 10)
+        .write.mode("overwrite").format("noop").save())
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.toString
+    assert(msg.contains("quadratic") && msg.contains("ngramJaccard"))
+  }
+
+  test("cosinePairs fails fast on an oversized block, passes under the bound") {
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, "big", Array.tabulate(4)(d => (i + d).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[Exception](
+      graft.operators.Similarity.cosinePairs(vecs, "label", maxBlockRows = 5)
+        .write.mode("overwrite").format("noop").save())
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.toString
+    assert(msg.contains("quadratic") && msg.contains("cosinePairs") && msg.contains("big"))
+    // same data under the bound: runs, and blocked pairing still works
+    val ok = graft.operators.Similarity.cosinePairs(
+      vecs, "label", threshold = -1.0, maxBlockRows = 30)
+    assert(ok.count() == 30L * 29 / 2) // all within-block pairs scored
+  }
+
+  test("ngramJaccard results are unchanged by the guard (small blocks)") {
+    val docs = Seq(
+      (1L, "en", "s", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "s", "the quick brown fox jumps over the lazy cat"),
+      (3L, "fr", "s", "le renard brun rapide saute par dessus le chien")
+    ).toDF("doc_id", "lang", "source", "text")
+    val rows = Dedup.ngramJaccard(docs, Seq("lang", "source"), minJaccard = 0.3)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
 }
