@@ -154,6 +154,14 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) =>
+      // boilerplate / degenerate-generation signal: repeated 3-token
+      // windows within a document
+      TextAnalysis.repetitionRatio(t(s, dir, "documents"), n = 3)),
+    "corpus_report" -> ((s, dir) =>
+      // per-(lang, source) composition summary: doc counts, token totals,
+      // order-exact quality mass, length extremes
+      TextAnalysis.corpusReport(t(s, dir, "documents"))),
 
     // ==== extension operators: deduplication ====
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -538,6 +546,8 @@ object SparkEntry {
     "text_stats" -> OracleFragments.textStats,
     "text_langid" -> OracleFragments.textLangid,
     "text_fingerprint" -> OracleFragments.textFingerprint,
+    "text_repetition" -> OracleFragments.textRepetition(n = 3),
+    "corpus_report" -> OracleFragments.corpusReport,
     "dedup_exact" -> OracleFragments.dedupExact,
     "dedup_minhash_lsh" -> OracleFragments.dedupMinhashLsh(bands = 4, rowsPerBand = 2),
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
@@ -803,6 +813,35 @@ object OracleFragments {
     s"""SELECT doc_id, ${markers.map { case (l, _) => s"hits_$l" }.mkString(", ")},
           CASE $caseChain ELSE 'und' END AS lang_pred
         FROM (SELECT doc_id, ${hitExprs.mkString(", ")} FROM documents)"""
+  }
+
+  /** Repetition ratio (TextAnalysis.repetitionRatio): same distinct
+    * token-window count over the same greatest(len−(n−1), 1) total. */
+  def textRepetition(n: Int): String =
+    s"""SELECT doc_id,
+          greatest(len($toks) - ${n - 1}, 1)::INT AS n_windows,
+          len(${tokenShingles(n)})::INT AS n_distinct,
+          round(1.0 - len(${tokenShingles(n)})::DOUBLE /
+            greatest(len($toks) - ${n - 1}, 1)::DOUBLE, 6) AS rep_ratio
+        FROM documents"""
+
+  /** Corpus report card (TextAnalysis.corpusReport): per-(lang, source)
+    * aggregates; the quality mass sums DECIMAL(18,6) so both engines add
+    * exactly. */
+  val corpusReport: String = {
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopRaw = s"len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    val quality = s"""round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
+              + least(($stopRaw) * 4.0, 1.0) * 0.3, 6)"""
+    s"""SELECT lang, source, count(*) AS n_docs,
+          sum($nToks)::BIGINT AS total_tokens_ws,
+          round(sum(CAST($quality AS DECIMAL(18,6)))::DOUBLE, 6) AS sum_quality,
+          min(length(text))::INT AS min_chars,
+          max(length(text))::INT AS max_chars
+        FROM documents GROUP BY 1, 2"""
   }
 
   val textFingerprint: String =

@@ -36,6 +36,49 @@ object TextAnalysis {
     Par.fanOut(docs).select((col(idCol) +: hitCols :+ langId(t).as("lang_pred")): _*)
   }
 
+  /** Within-document repetition ratio: the fraction of n-token windows
+    * that are repeats of an earlier window (1 − distinct/total). The
+    * standard corpus-filtering signal for boilerplate and degenerate
+    * generation (navigation chrome, keyword stuffing, copy-paste spam
+    * score high; clean prose scores near 0). Map-side only — the token
+    * windows are computed once per row and never leave the projection. */
+  def repetitionRatio(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    Par.fanOut(docs)
+      .select(
+        col(idCol),
+        greatest(tokenCountWs(t) - lit(n - 1), lit(1)).cast("int").as("n_windows"),
+        size(tokenShingles(t, n)).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_windows").cast("double"), 6))
+  }
+
+  /** Corpus report card: per-(grouping) document counts, token totals,
+    * quality mass and length extremes — the composition summary a
+    * mixture designer reads before weighting sources. One keyed shuffle
+    * with map-side partial aggregation; quality sums go through
+    * DECIMAL(18,6) so the total is summation-order-exact (and therefore
+    * engine-reproducible), not a float race. */
+  def corpusReport(
+      docs: DataFrame,
+      groupCols: Seq[String] = Seq("lang", "source"),
+      textCol: String = "text",
+      nCharsCol: String = "n_chars"): DataFrame = {
+    val t = col(textCol)
+    docs.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCountWs(t).cast("long")).as("total_tokens_ws"),
+      round(sum(qualityScore(t, col(nCharsCol))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 6)
+        .as("sum_quality"),
+      min(length(t)).as("min_chars"),
+      max(length(t)).as("max_chars"))
+  }
+
   /** Document fingerprints: exact (md5 of normalized text) and
     * rolling-hash (min shingle hash, winnowing-style) via the native
     * one-pass MinShingleMd5 expression — no explode, no shuffle; both

@@ -18,6 +18,28 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(st.filter(col("n_tokens_ws") <= 0).count() == 0)
   }
 
+  test("repetitionRatio: repeated windows score high, unique prose scores 0") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "each word here appears exactly once in this document")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionRatio(d, n = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(2L) == 0.0)          // all 3-token windows distinct
+    assert(r(1L) > 0.7)           // one distinct window out of 6
+    // bounded in [0, 1) and total >= distinct always
+    val full = TextAnalysis.repetitionRatio(docs).collect()
+    assert(full.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) < 1.0))
+    assert(full.forall(x => x.getInt(1) >= x.getInt(2)))
+  }
+
+  test("corpusReport: totals add up across groups") {
+    val rep = TextAnalysis.corpusReport(docs).collect()
+    assert(rep.map(_.getLong(2)).sum == docs.count())       // n_docs partitions the corpus
+    assert(rep.forall(_.getLong(3) > 0))                    // token totals positive
+    assert(rep.forall(r => r.getInt(5) <= r.getInt(6)))     // min_chars <= max_chars
+  }
+
   test("langid: picks a language or und, deterministic") {
     val l1 = TextAnalysis.languageId(docs).collect().toSeq.sortBy(_.getLong(0))
     val l2 = TextAnalysis.languageId(docs).collect().toSeq.sortBy(_.getLong(0))
