@@ -83,7 +83,7 @@ object Bench {
         && new java.io.File(s"$sfDir/documents.parquet").exists()
         && only.isEmpty) {
       val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
-        s"tmp/scale_probe_${new java.io.File(sfDir).getName}")
+        s"tmp/scale_probe_v2_${new java.io.File(sfDir).getName}")
       val t0 = System.nanoTime()
       ScaleProbe.ensureFixture(spark, sfDir, probeDir, factor = 10)
       probe += "gen" -> (System.nanoTime() - t0) / 1e9

@@ -16,28 +16,33 @@ object ScaleProbe {
     Seq("dedup_lsh_jaccard", "dedup_clusters", "dedup_simhash_pairs", "decontaminate")
 
   /** Generate `outDir/documents.parquet` = base replicated `factor`×
-    * (skipped when already present): copy 0 is the identity; each other
-    * copy keeps the original text byte-identical with probability ~30%
-    * (an exact/near-dup cluster member) and otherwise appends an
-    * md5-derived suffix token (a non-duplicate with the same length and
-    * vocabulary shape). Ids are offset per copy, so clusters span
-    * copies. */
+    * (skipped when already present). Each copy k rewrites the text with a
+    * k-rotated lowercase alphabet (`translate`): length, token shape and
+    * shingle counts are preserved, but every shingle/minhash/simhash
+    * value changes, so copy strata are mutually DISSIMILAR — the probe
+    * corpus is `factor` independent corpora with exactly the base
+    * duplicate rate. That is the honest scaling experiment: work should
+    * grow ~linearly in rows. (A fixture whose copies stay near-dups of
+    * their originals instead multiplies the duplicate DENSITY, and the
+    * dedup spine's cost is lower-bounded by its output pair count —
+    * measured 40× at 10× on such a fixture, telling you about the
+    * corpus, not the operators.) Ids are offset per copy. */
   def ensureFixture(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
     val marker = new java.io.File(s"$outDir/_PROBE_READY")
     if (marker.exists()) return
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val nBase = base.count()
     val copies = spark.range(factor.toLong).select(col("id").as("copy"))
-    val coin = pmod(
-      conv(substring(md5(concat(col("doc_id"), lit(":"), col("copy"))), 1, 8), 16, 10)
-        .cast("long"), lit(10L))
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val rotated = (1 until factor).foldLeft(col("text")) { (acc, k) =>
+      when(col("copy") === k,
+        translate(col("text"), alpha, alpha.drop(k % 26) + alpha.take(k % 26)))
+        .otherwise(acc)
+    }
     base.crossJoin(copies)
       .select(
         (col("doc_id") + col("copy") * lit(nBase)).as("doc_id"),
-        when(col("copy") === 0 || coin < 3, col("text"))
-          .otherwise(concat(col("text"), lit(" "),
-            substring(md5(concat(lit("mut:"), col("doc_id"), lit("/"), col("copy"))), 1, 12)))
-          .as("text"),
+        rotated.as("text"),
         col("lang"), col("source"), col("n_chars"))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
