@@ -208,6 +208,11 @@ object SparkEntry {
     "sim_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), blockCol = "label",
         threshold = 0.40)),
+    "sim_ivf_pairs" -> ((s, dir) =>
+      // the scale path when no small natural block exists: pairs blocked
+      // by IVF cell (similarity-structured blocks from the Lloyd build)
+      Similarity.ivfCosinePairs(t(s, dir, "embeddings"),
+        threshold = 0.40, cells = 8, iters = 2)),
     "sim_lsh_topk" -> ((s, dir) => { // full oracle: md5-literal planes
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8))
@@ -593,6 +598,8 @@ object SparkEntry {
       numPlanes = 8, dim = 64, maxQueryId = 8, k = 5),
     "sim_ivf_topk" -> OracleFragments.simIvfTopK(
       cells = 8, iters = 2, nProbe = 4, maxQueryId = 8, k = 5),
+    "sim_ivf_pairs" -> OracleFragments.simIvfPairs(
+      cells = 8, iters = 2, threshold = 0.40),
     "ev_sessionize" -> OracleFragments.evSessionize(gapMinutes = 30),
     "ev_interval_join" -> OracleFragments.evIntervalJoin(gapMinutes = 30),
     "ev_session_window" ->
@@ -1138,7 +1145,10 @@ object OracleFragments {
     * pos) mean rounded to 6 dp (the rounding is what makes Spark's
     * summation-order-sensitive `avg` and DuckDB's agree). Probe + rank as
     * in ivfTopK. */
-  def simIvfTopK(cells: Int, iters: Int, nProbe: Int, maxQueryId: Int, k: Int): String = {
+  /** The Lloyd-unroll CTE prefix shared by every IVF oracle: CTEs `v`
+    * (the corpus), `c0..c$iters` (centroid generations) and `af` (the
+    * final cell assignment) — mirroring Similarity.ivfIndex exactly. */
+  private def ivfLloydCtes(cells: Int, iters: Int): String = {
     def assign(name: String, centsCte: String): String =
       s"""$name AS (
             SELECT vid, v, cell FROM (
@@ -1156,12 +1166,24 @@ object OracleFragments {
     val steps = (1 to iters).flatMap { i =>
       Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i"))
     }
-    s"""WITH v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+    s"""v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
           c0 AS (SELECT (row_number() OVER (ORDER BY vid) - 1)::INT AS cell,
                         list_transform(v, x -> round(x::DOUBLE, 6)) AS cv
                  FROM v QUALIFY row_number() OVER (ORDER BY vid) <= $cells),
           ${steps.mkString(",\n          ")},
-          ${assign("af", s"c$iters")},
+          ${assign("af", s"c$iters")}"""
+  }
+
+  /** IVF-cell-blocked cosine pairs (Similarity.ivfCosinePairs): the same
+    * unrolled Lloyd assignment, then exact within-cell pair scoring. */
+  def simIvfPairs(cells: Int, iters: Int, threshold: Double): String =
+    s"""WITH ${ivfLloydCtes(cells, iters)}
+        SELECT x.vid AS a, y.vid AS b, ${cosineOf("x.v", "y.v")} AS sim
+        FROM af x JOIN af y ON x.cell = y.cell AND x.vid < y.vid
+        WHERE ${cosineOf("x.v", "y.v")} >= $threshold"""
+
+  def simIvfTopK(cells: Int, iters: Int, nProbe: Int, maxQueryId: Int, k: Int): String = {
+    s"""WITH ${ivfLloydCtes(cells, iters)},
           q AS (SELECT vec_id AS query_id, embedding AS qv
                 FROM embeddings WHERE vec_id < $maxQueryId),
           probed AS (

@@ -118,6 +118,35 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding near-dup pairs at corpus scale: cosine-threshold pairs
+    * blocked by IVF CELL instead of a metadata label — the documented
+    * escape route when no small natural block exists ([[cosinePairs]]'s
+    * contract) or a natural block grew past its bound. Cells come from
+    * the same deterministic Lloyd build as [[ivfTopK]], so blocking
+    * tracks the similarity structure itself: high-cosine pairs co-locate
+    * by construction. Approximate exactly at the cell boundary (a pair
+    * split across cells is never scored — `cells` is the recall/cost
+    * dial); within-cell scoring is exact, and the block-size contract is
+    * enforced the same way as every blocked operator here. */
+  def ivfCosinePairs(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      cells: Int = 8,
+      iters: Int = 2,
+      maxBlockRows: Long = 100000L): DataFrame = {
+    val (assigned, _) = ivfIndex(corpus, idCol, vecCol, cells, iters)
+    val a = Blocks.guardBlockSize(
+      assigned.select(col("cell"), col("vid").as("a"), col("v").as("va")),
+      "cell", maxBlockRows, "ivfCosinePairs")
+    val b = assigned.select(col("cell").as("cell_b"), col("vid").as("b"), col("v").as("vb"))
+    a.hint("shuffle_hash")
+      .join(b, col("cell") === col("cell_b") && col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** IVF (inverted-file) index: deterministic k-means-lite — centroids
     * initialized from the first K vectors by id RANK (top-k by id, so
     * sparse / non-zero-based id spaces still yield exactly K centroids;

@@ -37,6 +37,16 @@ class EmptyInputSpec extends SparkTestBase {
     assert(out.length == 1 && !out.head.getBoolean(3))
   }
 
+  test("text analysis on an empty corpus") {
+    val noDocs2 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    assert(graft.operators.TextAnalysis.repetitionRatio(noDocs2).count() == 0)
+    assert(graft.operators.TextAnalysis.corpusReport(noDocs2).count() == 0)
+  }
+
   test("similarity and range join on empty inputs") {
     val noVecs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -126,6 +126,22 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ivfCosinePairs: cells=1 equals exhaustive pairs; cells>1 is a subset") {
+    val vecs = embs.limit(200)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one cell = one block = every pair scored: must match the
+    // label-free exhaustive form exactly
+    val exhaustive = pairSet(Similarity.cosinePairs(
+      vecs.withColumn("one", lit(1)), blockCol = "one", threshold = 0.40))
+    val oneCell = pairSet(Similarity.ivfCosinePairs(vecs, threshold = 0.40, cells = 1))
+    assert(oneCell == exhaustive && exhaustive.nonEmpty)
+    // more cells: approximate at the boundary — always a subset, and
+    // within-cell scoring is exact (same sims as the exhaustive pass)
+    val blocked = pairSet(Similarity.ivfCosinePairs(vecs, threshold = 0.40, cells = 4))
+    assert(blocked.subsetOf(exhaustive))
+  }
+
   test("fingerprints: rolling fingerprint survives local edits, md5 does not") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val edited = base + " extra"
