@@ -418,6 +418,47 @@ object SparkEntry {
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
         lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
         length(col("p_name")).as("name_len"))),
+    "array_funcs" -> ((s, dir) => {
+      // array function family (§2.8 widening) — scalar projections of
+      // sort/element_at/position/distinct so the hash-compare sees plain
+      // values, not engine-specific array renderings
+      val tks = graft.functions.TextFunctions.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), tks.as("tks"), array_sort(tks).as("srt"))
+        .select(
+          col("doc_id"),
+          size(col("tks")).as("n_tokens"),
+          element_at(col("srt"), 1).as("first_tok"),
+          element_at(col("srt"), -1).as("last_tok"),
+          array_position(col("srt"), "the").as("pos_the"),
+          size(array_distinct(col("tks"))).as("n_distinct"))
+    }),
+    "regex_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        col("p_name").rlike("red|blue").as("has_color"))),
+    "map_funcs" -> ((s, dir) =>
+      // map function family: per-order linenumber→quantity map built with
+      // map_from_entries, probed with element_at / map_keys; the oracle
+      // re-derives the same VALUES relationally (maps don't hash-compare
+      // across engines, their probed scalars do). Keys pre-aggregate to
+      // min(qty) per (order, lineno) — the synthetic lineitem carries
+      // duplicate line numbers, and map keys must be unique (min is
+      // summation-order-insensitive, so both engines agree exactly)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_quantity")).as("qty"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("l_linenumber").as("k"), col("qty").as("v")))))
+          .as("m"))
+        .select(
+          col("l_orderkey"),
+          size(col("m")).as("n_lines"),
+          element_at(col("m"), 1).as("qty_line1"),
+          array_max(map_keys(col("m"))).as("max_lineno"))),
     "date_funcs" -> ((s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -710,6 +751,28 @@ object SparkEntry {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
                 json_extract_string(props, '$.k')::BIGINT AS k_num
          FROM events""",
+    "array_funcs" -> {
+      val toks = OracleFragments.toks
+      s"""SELECT doc_id,
+            len($toks)::INT AS n_tokens,
+            (list_sort($toks))[1] AS first_tok,
+            (list_sort($toks))[-1] AS last_tok,
+            coalesce(list_position(list_sort($toks), 'the'), 0)::BIGINT AS pos_the,
+            len(list_distinct($toks))::INT AS n_distinct
+          FROM documents"""
+    },
+    "regex_funcs" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+                regexp_matches(p_name, 'red|blue') AS has_color
+         FROM part""",
+    "map_funcs" ->
+      """SELECT l_orderkey,
+                count(DISTINCT l_linenumber)::INT AS n_lines,
+                min(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS qty_line1,
+                max(l_linenumber)::INT AS max_lineno
+         FROM lineitem GROUP BY 1""",
     "string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_upper,
                 substr(p_name, 1, 6) AS name6,
