@@ -295,6 +295,34 @@ object SparkEntry {
       graft.streaming.EventStreams.windowedCounts(eventsTable(s, dir))),
     "ev_session_window" -> ((s, dir) => Events.sessionWindows(eventsTable(s, dir))),
     "ev_running_totals" -> ((s, dir) => Events.runningTotals(eventsTable(s, dir))),
+    "ev_rank_funcs" -> ((s, dir) => {
+      // window rank-function family: lag/lead/ntile/percent_rank/
+      // cume_dist over a total per-user order (ts, event_id — no ties,
+      // so every rank function is deterministic cross-engine)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      eventsTable(s, dir).select(
+        col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    }),
+    "hof_funcs" -> ((s, dir) => {
+      // higher-order-function family: aggregate / filter / exists /
+      // zip_with lambdas, double-promoted BEFORE arithmetic exactly as
+      // the oracle's list_transform does (float arithmetic would differ)
+      val v = col("embedding")
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(aggregate(transform(v, _.cast("double")), lit(0.0d), (a, x) => a + x), 6)
+          .as("sum_elems"),
+        size(filter(v, x => x.cast("double") > 0.0d)).as("n_pos"),
+        exists(v, x => x.cast("double") < -0.5d).as("has_small"),
+        round(aggregate(zip_with(v, v, (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0d), (a, x) => a + x), 6).as("self_dot"))
+    }),
     "ev_top_types" -> ((s, dir) => Events.topEventTypes(eventsTable(s, dir))),
 
     "ev_asof_join" -> ((s, dir) => {
@@ -671,6 +699,22 @@ object SparkEntry {
                 round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING), 4) AS running_value
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "ev_rank_funcs" ->
+      """SELECT event_id, user_id,
+                lag(value) OVER w AS prev_value,
+                lead(value) OVER w AS next_value,
+                ntile(4) OVER w ::INT AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "hof_funcs" ->
+      """SELECT vec_id,
+                round(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum'), 6) AS sum_elems,
+                len(list_filter(embedding, x -> x::DOUBLE > 0.0))::INT AS n_pos,
+                len(list_filter(embedding, x -> x::DOUBLE < -0.5)) > 0 AS has_small,
+                round(list_aggregate(list_transform(list_zip(embedding, embedding),
+                  z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum'), 6) AS self_dot
+         FROM embeddings""",
     "ev_top_types" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
                     FROM events GROUP BY 1, 2)
