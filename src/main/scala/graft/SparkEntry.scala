@@ -461,6 +461,22 @@ object SparkEntry {
           array_position(col("srt"), "the").as("pos_the"),
           size(array_distinct(col("tks"))).as("n_distinct"))
     }),
+    "math_funcs" -> ((s, dir) =>
+      // math function family (§2.8 widening): 6-dp rounds on the
+      // transcendentals (ln/exp — both engines' libm agree well inside
+      // 6 dp, proven by the tfidf/cosine oracles that already rely on
+      // ln/sqrt); floor/ceil are LONG in Spark, mirrored with ::BIGINT
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 6).as("abs_disc"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        signum(col("l_quantity") - 25.0).cast("int").as("qty_sign"),
+        pmod(col("l_partkey"), lit(7L)).as("key_mod"))),
     "regex_funcs" -> ((s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -805,6 +821,18 @@ object SparkEntry {
             len(list_distinct($toks))::INT AS n_distinct
           FROM documents"""
     },
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(abs(l_discount - 0.05), 6) AS abs_disc,
+                round(sqrt(l_quantity), 6) AS sqrt_qty,
+                pow(l_quantity, 2) AS qty_sq,
+                floor(l_extendedprice)::BIGINT AS price_floor,
+                ceil(l_extendedprice)::BIGINT AS price_ceil,
+                round(ln(l_extendedprice), 6) AS ln_price,
+                round(exp(l_discount), 6) AS exp_disc,
+                sign(l_quantity - 25.0)::INT AS qty_sign,
+                (l_partkey % 7)::BIGINT AS key_mod
+         FROM lineitem""",
     "regex_funcs" ->
       """SELECT p_partkey,
                 regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
