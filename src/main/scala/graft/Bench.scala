@@ -73,12 +73,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap { case (_, ts, _) => if (ts.isEmpty) None else Some(median(ts)) }.sum
     // ---- 10× scale probe: empirical scaling evidence for the dedup
-    // spine. The probe corpus is the base documents table replicated
-    // 10× (copy 0 = identity; other copies 30% byte-identical near-dups,
-    // 70% suffix-mutated, md5-deterministic), generated once and cached
-    // on disk. Each spine query runs ONCE at 10× — the signal is the
-    // scaling RATIO vs the sf medians above, not the absolute number.
-    val probe = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // spine over a density-neutral 10× corpus (ScaleProbe). Each spine
+    // query runs at BASE then at 10× back to back, so both timings see
+    // the same JVM/GC/machine state and the ratio is load-controlled —
+    // comparing a single-shot 10× number against the medians above
+    // (measured minutes earlier, different heap state) swung the
+    // apparent ratio 13s↔32s run to run and read as fake super-linearity.
+    val probe = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
         && new java.io.File(s"$sfDir/documents.parquet").exists()
         && only.isEmpty) {
@@ -86,16 +87,22 @@ object Bench {
         s"tmp/scale_probe_v2_${new java.io.File(sfDir).getName}")
       val t0 = System.nanoTime()
       ScaleProbe.ensureFixture(spark, sfDir, probeDir, factor = 10)
-      probe += "gen" -> (System.nanoTime() - t0) / 1e9
+      probe += "gen" -> f"${(System.nanoTime() - t0) / 1e9}%.3f"
       for (name <- ScaleProbe.spineQueries) SparkEntry.queries.get(name).foreach { fn =>
-        val t1 = System.nanoTime()
-        try { run(fn(spark, probeDir)); probe += name -> (System.nanoTime() - t1) / 1e9 }
-        catch { case e: Throwable => System.err.println(s"[bench] scale10 $name: $e") }
+        try {
+          val t1 = System.nanoTime()
+          run(fn(spark, sfDir))
+          val base = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          run(fn(spark, probeDir))
+          val x10 = (System.nanoTime() - t2) / 1e9
+          probe += name -> f"""{"base":$base%.3f,"x10":$x10%.3f,"ratio":${x10 / base}%.1f}"""
+        } catch { case e: Throwable => System.err.println(s"[bench] scale10 $name: $e") }
       }
     }
     val probeJson =
       if (probe.isEmpty) ""
-      else probe.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      else probe.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","scale10":{""", ",", "}")
 
     // spread + machine detail go to stderr and a side file, never stdout
