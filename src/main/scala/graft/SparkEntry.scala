@@ -589,7 +589,51 @@ object SparkEntry {
         .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .limit(10)),
+    // ---- graph analytics over a co-purchase graph (operators.Graph) ----
+    // The fixture graph: parts co-appearing in an order become an edge,
+    // restricted to partkey % 4 == 0 so node count and degree stay
+    // proportional across scale factors (the operators themselves are
+    // generic over any edge frame).
+    "graph_degree" -> ((s, dir) =>
+      graft.operators.Graph.degreeHistogram(coPurchaseEdges(s, dir))),
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(coPurchaseEdges(s, dir), iters = 3, damping = 0.85)
+        .orderBy(round(col("rank"), 6).desc, col("node"))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .limit(20)),
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCount(coPurchaseEdges(s, dir))),
+    "graph_common_neighbors" -> ((s, dir) =>
+      graft.operators.Graph.commonNeighborsTopK(coPurchaseEdges(s, dir), k = 10)),
+    // ---- text cleaning / sampling / chunking (training-data prep) ----
+    "text_pii_redact" -> ((s, dir) => {
+      // PII-laden fixture derived deterministically from doc_id (the
+      // synthetic corpus has no natural PII): 1–3 emails, one phone, one
+      // IP prepended to each document, then redacted and counted.
+      val pii = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          expr("repeat(concat('user', cast(doc_id as string), '@example.com '), " +
+            "cast(pmod(doc_id, 3) + 1 as int))"),
+          lit("+1-555-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" 10."), pmod(col("doc_id"), lit(256L)).cast("string"), lit(".0.7 "),
+          col("text")).as("text"))
+      graft.operators.TextAnalysis.redactPii(pii)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          substring(col("text"), 1, 80).as("redacted_head"))
+    }),
+    "chunk_overlap" -> ((s, dir) =>
+      graft.operators.Corpus.chunkWithOverlap(
+        t(s, dir, "documents"), chunkTokens = 32, overlapTokens = 8)),
+    "sample_weighted" -> ((s, dir) =>
+      graft.operators.Corpus.prioritySample(t(s, dir, "documents"), k = 25)),
   )
+
+  /** Co-purchase edge fixture for the graph_* queries: parts sharing an
+    * order, partkey-thinned 4× (see the queries-map comment). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.coOccurrenceEdges(
+      t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+      "l_orderkey", "l_partkey")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -894,6 +938,13 @@ object SparkEntry {
     "stateful_running_agg" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
          FROM events GROUP BY 1""",
+    "graph_degree" -> OracleFragments.graphDegree,
+    "graph_pagerank" -> OracleFragments.graphPageRank(iters = 3, damping = 0.85, k = 20),
+    "graph_triangles" -> OracleFragments.graphTriangles,
+    "graph_common_neighbors" -> OracleFragments.graphCommonNeighbors(k = 10),
+    "text_pii_redact" -> OracleFragments.textPiiRedact,
+    "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
+    "sample_weighted" -> OracleFragments.sampleWeighted(k = 25),
   )
 }
 
@@ -1456,4 +1507,124 @@ object OracleFragments {
         SELECT q.a, c.b, $cosineExpr AS sim
         FROM q JOIN c ON q.label = c.label AND q.a < c.b
         WHERE $cosineExpr >= $threshold"""
+
+  // ---- graph analytics (operators.Graph over the co-purchase fixture) ----
+
+  /** Canonical co-purchase edges: parts sharing an order, partkey-thinned
+    * 4x — the same derivation SparkEntry.coPurchaseEdges builds. */
+  val coPurchase: String =
+    """SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM lineitem a JOIN lineitem b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+       GROUP BY 1, 2"""
+
+  val graphDegree: String =
+    s"""WITH e0 AS ($coPurchase),
+          d AS (SELECT node, count(*) AS degree
+                FROM (SELECT src AS node FROM e0
+                      UNION ALL SELECT dst AS node FROM e0)
+                GROUP BY 1)
+        SELECT degree, count(*) AS n_nodes FROM d GROUP BY 1"""
+
+  /** Unrolled power iterations mirroring Graph.pageRank: symmetrized
+    * edges, r0 = 1/N, r_t+1 = (1-d)/N + d * sum(r_t(u)/outdeg(u)).
+    * The teleport constant is interpolated from the SAME Scala double
+    * arithmetic the Spark plan embeds (1.0 - damping in IEEE 754), so
+    * the two engines start from bit-identical constants; only summation
+    * order differs, absorbed by the final 6-dp round. */
+  def graphPageRank(iters: Int, damping: Double, k: Int): String = {
+    val teleport = 1.0d - damping
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+                    ($teleport::DOUBLE / (SELECT n FROM nn))
+                    + $damping::DOUBLE * sum(r.rank / d.outdeg) AS rank
+                  FROM e JOIN r${i - 1} r ON r.node = e.src
+                         JOIN deg d ON d.node = e.src
+                  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+          nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+          r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM deg),
+          $steps
+        SELECT node, round(rank, 6) AS rank FROM r$iters
+        ORDER BY round(rank, 6) DESC, node LIMIT $k"""
+  }
+
+  /** Canonical-order triangle enumeration (u<v<w counted once) — the
+    * orientation-free form; Graph.triangleCount's degree-oriented wedge
+    * join counts the same set. */
+  val graphTriangles: String =
+    s"""WITH e0 AS ($coPurchase)
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM e0 e1
+        JOIN e0 e2 ON e2.src = e1.dst
+        JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+  /** Mirror of the text_pii_redact fixture + TextAnalysis.redactPii:
+    * identical derived text, RE2-compatible patterns, same replacement
+    * order (email → phone → ip), counts on the original text. */
+  val textPiiRedact: String = {
+    val email = graft.operators.TextAnalysis.EmailRe
+    val phone = graft.operators.TextAnalysis.PhoneRe
+    val ip = graft.operators.TextAnalysis.Ipv4Re
+    // DuckDB single-quoted strings keep backslashes literal — only the
+    // quote needs escaping; the Java-regex string passes through as RE2.
+    def esc(re: String) = re.replace("'", "''")
+    s"""WITH pii AS (
+          SELECT doc_id,
+                 repeat('user' || doc_id::VARCHAR || '@example.com ', (doc_id % 3 + 1)::INT)
+                 || '+1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 || ' 10.' || (doc_id % 256)::VARCHAR || '.0.7 ' || text AS text
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text, '${esc(email)}'))::INT AS n_emails,
+               len(regexp_extract_all(text, '${esc(phone)}'))::INT AS n_phones,
+               len(regexp_extract_all(text, '${esc(ip)}'))::INT AS n_ips,
+               substr(regexp_replace(regexp_replace(regexp_replace(text,
+                 '${esc(email)}', '<EMAIL>', 'g'),
+                 '${esc(phone)}', '<PHONE>', 'g'),
+                 '${esc(ip)}', '<IP>', 'g'), 1, 80) AS redacted_head
+        FROM pii"""
+  }
+
+  /** Mirror of Corpus.chunkWithOverlap: same ws-normalized tokens, same
+    * window starts (0, step, …, < n), 1-based inclusive slices. */
+  def chunkOverlap(chunkTokens: Int, overlapTokens: Int): String = {
+    val step = chunkTokens - overlapTokens
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          w AS (SELECT doc_id, toks, len(toks) AS n,
+                       unnest(range(0, greatest(len(toks) - $overlapTokens, 1), $step)) AS s
+                FROM t)
+        SELECT doc_id, (s // $step)::BIGINT AS chunk_idx,
+               least($chunkTokens, n - s)::INT AS n_chunk_tokens,
+               array_to_string(toks[s + 1:s + $chunkTokens], ' ') AS chunk_text
+        FROM w"""
+  }
+
+  /** Mirror of Corpus.prioritySample: priority = weight / (coin+1), one
+    * IEEE-754 division of two integers — bit-identical across engines. */
+  def sampleWeighted(k: Int): String = {
+    val u = s"(${coinSql("wsamp:")} + 1)::DOUBLE"
+    s"""SELECT doc_id, source, priority FROM (
+          SELECT doc_id, source, n_chars::DOUBLE / $u AS priority,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars::DOUBLE / $u DESC, doc_id ASC) AS rnk
+          FROM documents)
+        WHERE rnk <= $k"""
+  }
+
+  def graphCommonNeighbors(k: Int): String =
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          p AS (SELECT a1.x AS a, a2.x AS b, count(*) AS common
+                FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
+                GROUP BY 1, 2)
+        SELECT a, b, common FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.src = p.a AND e0.dst = p.b)
+        ORDER BY common DESC, a, b LIMIT $k"""
 }

@@ -312,6 +312,72 @@ object Corpus {
       .select("part", "doc_id", "n_tokens", "chunk_id")
   }
 
+  /** Sliding-window chunking with overlap: each document becomes
+    * ceil(n_tokens / (chunk - overlap)) windows of up to `chunkTokens`
+    * whitespace tokens, consecutive windows sharing `overlapTokens` —
+    * the context-window preparation step (packChunks packs whole docs
+    * into budgets; this SPLITS long docs). Pure map-side sequence +
+    * explode + slice, no shuffle, no UDF; output size is a fixed
+    * ~1/(1-overlap/chunk) multiple of the token volume. Spark's
+    * `sequence` caps at 10000 elements, so a document longer than
+    * 10000·step tokens fails fast with an actionable message instead of
+    * the opaque internal error (same contract as RangeJoin). */
+  def chunkWithOverlap(
+      docs: DataFrame,
+      chunkTokens: Int,
+      overlapTokens: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlapTokens must be in [0, chunkTokens)")
+    val step = chunkTokens - overlapTokens
+    val nWin = (col("n") + lit(step - 1)).cast("long") / lit(step)
+    // windows start at 0, step, … while they still cover NEW tokens:
+    // start < n - overlap (a final window made entirely of the previous
+    // window's tail would be pure duplication)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("start",
+        explode(when(nWin <= lit(10000L),
+          sequence(lit(0),
+            greatest(col("n") - lit(overlapTokens) - 1, lit(0)), lit(step)))
+          .otherwise(raise_error(concat(
+            lit(s"chunkWithOverlap: document "), col(idCol).cast("string"),
+            lit(" has "), col("n").cast("string"),
+            lit(s" tokens > 10000 windows at step $step - raise chunkTokens"
+              + " or pre-split the document"))))))
+      .select(
+        col(idCol),
+        expr(s"start div $step").as("chunk_idx"),
+        least(lit(chunkTokens), col("n") - col("start")).cast("int").as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
+  /** Weighted sampling without replacement: per group, keep the `k`
+    * rows with the largest priority weight/u (Duffield–Lund–Thorup
+    * priority sampling), u a salted md5 coin. Weight and coin are both
+    * integers, so the priority is ONE IEEE-754 division — bit-identical
+    * on every engine, reproducible, and nested in k like the unweighted
+    * sampler. One keyed shuffle (window top-k, no global sort). */
+  def prioritySample(
+      docs: DataFrame,
+      k: Int,
+      weightCol: String = "n_chars",
+      groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (coin(idCol, "wsamp:") + lit(1L)).cast("double") // 1..2^32, never 0
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol))
+    docs
+      .select(col(idCol), col(groupCol),
+        (col(weightCol).cast("double") / u).as("priority"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col(groupCol), col("priority"))
+  }
+
   /** Benchmark decontamination: flag training documents that share at
     * least `minHits` distinct `nTokens`-token n-grams with any
     * benchmark/eval document — the leakage check a training pipeline

@@ -79,6 +79,33 @@ object TextAnalysis {
       max(length(t)).as("max_chars"))
   }
 
+  /** PII patterns, written to the common RE2-compatible subset so Java
+    * regex (Spark) and RE2 (DuckDB, and most scale-out regex engines)
+    * match identically: no backreferences, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: emails, phone numbers and IPv4 addresses replaced by
+    * typed placeholder tokens, with per-document match counts (counted
+    * on the ORIGINAL text, so the counts audit what was removed).
+    * Replacement order (email → phone → ip) is part of the contract:
+    * each later pattern scans the earlier passes' output. Map-side only
+    * — codegen'd regexp expressions, no UDF, no shuffle. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("int"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("int"))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("int"))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+  }
+
   /** Document fingerprints: exact (md5 of normalized text) and
     * rolling-hash (min shingle hash, winnowing-style) via the native
     * one-pass MinShingleMd5 expression — no explode, no shuffle; both

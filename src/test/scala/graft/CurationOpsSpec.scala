@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Corpus, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation additions: PII redaction, sliding-window
+  * chunking with overlap, weighted (priority) sampling. */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("redactPii: replaces and counts emails, phones, IPs") {
+    val d = Seq(
+      (1L, "mail a@b.org and c.d+x@e-f.co today"),
+      (2L, "call +1-555-0199 or +44-123-4567 from 192.168.0.1"),
+      (3L, "plain prose with no identifiers at all")
+    ).toDF("doc_id", "text")
+    // schema: doc_id, text (redacted in place), n_emails, n_phones, n_ips
+    val r = TextAnalysis.redactPii(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(2) == 2 && r(1L).getString(1) == "mail <EMAIL> and <EMAIL> today")
+    assert(r(2L).getInt(3) == 2 && r(2L).getInt(4) == 1)
+    assert(r(2L).getString(1) == "call <PHONE> or <PHONE> from <IP>")
+    assert(r(3L).getInt(2) == 0 && r(3L).getInt(3) == 0 && r(3L).getInt(4) == 0)
+    assert(r(3L).getString(1) == "plain prose with no identifiers at all")
+  }
+
+  test("chunkWithOverlap: windows tile with the configured overlap") {
+    val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val out = Corpus.chunkWithOverlap(d, chunkTokens = 4, overlapTokens = 2)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7"))
+    assert(out.map(_.getInt(2)).toSeq == Seq(4, 4, 3))
+    // every token position is covered; consecutive chunks share exactly
+    // `overlap` tokens except the tail
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("chunkWithOverlap: doc shorter than one chunk emits a single window") {
+    val d = Seq((1L, "just three tokens")).toDF("doc_id", "text")
+    val out = Corpus.chunkWithOverlap(d, chunkTokens = 32, overlapTokens = 8).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(3) == "just three tokens" && out(0).getInt(2) == 3)
+  }
+
+  test("chunkWithOverlap: reassembling zero-overlap chunks restores the text") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val chunks = Corpus.chunkWithOverlap(docs, chunkTokens = 10, overlapTokens = 0)
+    // collect_list order is not orderBy-stable across partitions — sort
+    // the (idx, text) structs inside the aggregate instead
+    val glued = chunks
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        x => x.getField("chunk_text")), " ").as("rebuilt"))
+    val joined = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.normalizeText(col("text")).as("norm"))
+      .join(glued, "doc_id")
+    assert(joined.filter(col("norm") =!= col("rebuilt")).count() == 0)
+  }
+
+  test("prioritySample: exactly k per group, favors heavy docs, nested in k") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val s10 = Corpus.prioritySample(docs, k = 10)
+    val sizes = s10.groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ == 10))
+    // nested: the k=5 sample is a subset of the k=10 sample
+    val s5 = Corpus.prioritySample(docs, k = 5)
+    assert(s5.join(s10, Seq("doc_id"), "left_anti").count() == 0)
+    // weighting works: mean sampled length exceeds corpus mean (the
+    // fixture has enough docs per source for this to hold determin-
+    // istically with the fixed salt)
+    val meanAll = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val meanSampled = s10.join(docs, "doc_id").agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(meanSampled > meanAll)
+  }
+
+  test("empty input: curation ops return empty, not crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.redactPii(empty).count() == 0)
+    assert(Corpus.chunkWithOverlap(empty, 8, 2).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    assert(Corpus.prioritySample(emptyDocs, k = 3).count() == 0)
+  }
+}
