@@ -626,6 +626,32 @@ object SparkEntry {
         t(s, dir, "documents"), chunkTokens = 32, overlapTokens = 8)),
     "sample_weighted" -> ((s, dir) =>
       graft.operators.Corpus.prioritySample(t(s, dir, "documents"), k = 25)),
+    "vocab_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.vocabulary(t(s, dir, "documents"), minCount = 2L)
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+    "text_unigram_lm" -> ((s, dir) =>
+      graft.operators.TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
+    "hist_numeric" -> ((s, dir) =>
+      // fixed-width numeric histogram: integer bucket arithmetic, exact
+      // on both engines (floor of a double that is an exact .25-grid
+      // TPC-H price is deterministic)
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000.0d).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+    "ev_attribution" -> ((s, dir) => {
+      // stream-stream attribution join, run here in its batch rendition
+      // (identical plan minus watermarks); StreamJoinSpec proves the
+      // MemoryStream run emits exactly these rows
+      val ev = eventsTable(s, dir)
+      graft.streaming.EventStreams.attributeClicks(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts")),
+        horizonMinutes = 60)
+    }),
   )
 
   /** Co-purchase edge fixture for the graph_* queries: parts sharing an
@@ -945,6 +971,23 @@ object SparkEntry {
     "text_pii_redact" -> OracleFragments.textPiiRedact,
     "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
     "sample_weighted" -> OracleFragments.sampleWeighted(k = 25),
+    "vocab_topk" -> OracleFragments.vocabTopK(minCount = 2, k = 50),
+    "text_unigram_lm" -> OracleFragments.textUnigramLm,
+    "hist_numeric" ->
+      """SELECT floor(o_totalprice / 25000.0)::BIGINT AS bucket,
+                count(*) AS n,
+                sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+         FROM orders GROUP BY 1""",
+    "ev_attribution" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                    FROM events WHERE event_type = 'view'),
+            c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click')
+         SELECT v.user_id, view_id, click_id,
+                epoch_ms(view_ts) AS view_ms, epoch_ms(click_ts) AS click_ms
+         FROM v JOIN c ON v.user_id = c.c_user_id
+          AND click_ts >= view_ts
+          AND click_ts <= view_ts + INTERVAL 60 MINUTE""",
   )
 }
 
@@ -1616,6 +1659,28 @@ object OracleFragments {
           FROM documents)
         WHERE rnk <= $k"""
   }
+
+  /** Mirror of TextAnalysis.vocabulary + the top-k rank the query adds. */
+  def vocabTopK(minCount: Long, k: Int): String =
+    s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+          v AS (SELECT token, count(*) AS n FROM tok
+                GROUP BY 1 HAVING count(*) >= $minCount)
+        SELECT token, n FROM v ORDER BY n DESC, token ASC LIMIT $k"""
+
+  /** Mirror of TextAnalysis.unigramLogProb: same 9-dp-rounded per-token
+    * ln(count/total) summed as DECIMAL(28,12) — order-exact — then one
+    * double division and the 6-dp output round. */
+  val textUnigramLm: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+          total AS (SELECT count(*)::DOUBLE AS total FROM tok),
+          model AS (
+            SELECT token,
+                   round(ln(count(*)::DOUBLE / (SELECT total FROM total)), 9)::DECIMAL(28,12) AS logp
+            FROM tok GROUP BY 1)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(sum(m.logp)::DOUBLE / count(*), 6) AS avg_logp
+        FROM tok t JOIN model m ON t.token = m.token
+        GROUP BY 1"""
 
   def graphCommonNeighbors(k: Int): String =
     s"""WITH e0 AS ($coPurchase),

@@ -106,6 +106,54 @@ object TextAnalysis {
           Ipv4Re, "<IP>"))
   }
 
+  /** Corpus vocabulary: whitespace tokens ranked by frequency — the
+    * tokenizer-training / stopword-mining primitive. One explode + one
+    * keyed count with map-side partial aggregation; `minCount` prunes
+    * the hapax tail BEFORE the rank so the window input stays small. */
+  def vocabulary(
+      docs: DataFrame,
+      minCount: Long = 1L,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  // NOTE deliberately returns UNRANKED counts: a global dense rank over
+  // a web-scale vocab is a single-partition window. Rank downstream with
+  // orderBy(...).limit(k) (TakeOrderedAndProject) for top-k use.
+
+  /** Per-document unigram cross-entropy against the corpus's own unigram
+    * model: score(d) = mean over tokens of ln P(token), P = count/total.
+    * Low (very negative) scores flag documents dominated by corpus-rare
+    * tokens — a cheap, training-free fluency/outlier signal (the
+    * KenLM-style filter's first rung). Two scans: one to build the
+    * model, one to score; the token→logp join is left to AQE (broadcast
+    * when the vocab is small, shuffle otherwise — a web-scale vocab must
+    * NOT be forced broadcast). Per-token logs are rounded to 9 dp and
+    * summed as DECIMAL, so the mean is summation-order-exact and
+    * engine-reproducible. */
+  def unigramLogProb(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    // total token count as a 1-row broadcast frame (a global window here
+    // would single-partition the vocab)
+    val total = toks.agg(count(lit(1)).as("total"))
+    val model = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("n").cast("double") / col("total").cast("double")), 9)
+          .cast(dec).as("logp"))
+    toks.join(model, "token")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logp"))
+  }
+
   /** Document fingerprints: exact (md5 of normalized text) and
     * rolling-hash (min shingle hash, winnowing-style) via the native
     * one-pass MinShingleMd5 expression — no explode, no shuffle; both

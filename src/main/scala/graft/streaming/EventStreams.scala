@@ -110,6 +110,48 @@ object EventStreams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
 
+  /** De-duplication by KEY ALONE within the watermark — unlike
+    * `dropDuplicates(key, ts)`, replays with a DIFFERENT timestamp (the
+    * at-least-once-delivery case: same event re-sent seconds later) also
+    * collapse. State holds one entry per key seen inside the horizon and
+    * is pruned as the watermark passes — bounded by key arrival rate,
+    * not history. Streaming-only (the within-watermark contract has no
+    * batch meaning; use groupBy-min for batch). */
+  def dedupKeyStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /**
+   * Stream-stream attribution join: each `click` matches the same user's
+   * `view`s at most `horizonMinutes` older. Both sides are watermarked
+   * and the join carries the time-range predicate, so Spark can bound
+   * BOTH state stores (view state expires one horizon after the
+   * watermark; click state at the watermark) — the canonical bounded
+   * stream-stream join shape. The same plan runs in batch (an ordinary
+   * range-conditioned equi-join) for oracle checking.
+   *
+   * Inputs must carry the named columns: views(user_id, view_id, ts),
+   * clicks(user_id, click_id, ts).
+   */
+  def attributeClicks(
+      views: DataFrame,
+      clicks: DataFrame,
+      horizonMinutes: Int = 60): DataFrame = {
+    val v = views
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .select(col("user_id"), col("view_id"), col("ts").as("view_ts"))
+    val c = clicks
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .select(col("user_id").as("c_user_id"), col("click_id"), col("ts").as("click_ts"))
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_millis(col("view_ts")).as("view_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+  }
+
   /** Bind the windowed agg to a parquet directory as a file stream and a
     * memory sink (for tests / local smoke); returns the running query. */
   def startFileStream(

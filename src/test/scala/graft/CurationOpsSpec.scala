@@ -75,6 +75,32 @@ class CurationOpsSpec extends SparkTestBase {
     assert(meanSampled > meanAll)
   }
 
+  test("vocabulary: counts conserve the token volume; minCount prunes") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val v1 = TextAnalysis.vocabulary(docs, minCount = 1L)
+    val totalTokens = docs
+      .agg(sum(size(graft.functions.TextFunctions.tokens(col("text"))))).head().getLong(0)
+    assert(v1.agg(sum(col("n"))).head().getLong(0) == totalTokens)
+    val v5 = TextAnalysis.vocabulary(docs, minCount = 5L)
+    assert(v5.filter(col("n") < 5).count() == 0)
+    assert(v5.count() <= v1.count())
+  }
+
+  test("unigramLogProb: rare-token docs score below common-token docs") {
+    val d = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "the the the the the the the zyxwvut")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) < 0.0 && r(2L) < r(1L))
+    // corpus run: every score is a negative mean of log-probs
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val scored = TextAnalysis.unigramLogProb(docs)
+    assert(scored.count() == docs.count())
+    assert(scored.filter(col("avg_logp") >= 0).count() == 0)
+  }
+
   test("empty input: curation ops return empty, not crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.redactPii(empty).count() == 0)

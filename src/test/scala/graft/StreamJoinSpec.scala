@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+object StreamJoinSpec {
+  // top-level so Spark derives Encoders without closure capture
+  final case class Ev(user_id: Long, id: Long, ts: java.sql.Timestamp)
+}
+
+/** Stream-stream join and within-watermark key dedup: the streaming
+  * surfaces added on top of the windowed-agg/sessionization coverage.
+  * Both compare a MemoryStream run against the equivalent batch
+  * semantics on the same rows. */
+class StreamJoinSpec extends SparkTestBase {
+  import StreamJoinSpec._
+  import spark.implicits._
+
+  private def events: DataFrame = {
+    val raw = spark.read.parquet(s"${sf()}/events.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def side(kind: String, idName: String): DataFrame =
+    events.filter(col("event_type") === kind)
+      .select(col("user_id"), col("event_id").as(idName), col("ts"))
+
+  private def rowsOf(df: DataFrame, idName: String): Seq[Ev] =
+    df.select(col("user_id"), col(idName).as("id"), col("ts")).as[Ev].collect().toSeq
+
+  test("stream-stream attribution join emits exactly the batch matches") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = side("view", "view_id")
+    val clicks = side("click", "click_id")
+    val batch = EventStreams.attributeClicks(views, clicks, horizonMinutes = 60)
+
+    val vs = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    vs.addData(rowsOf(views, "view_id"))
+    cs.addData(rowsOf(clicks, "click_id"))
+    val streamed = EventStreams.attributeClicks(
+      vs.toDF().withColumnRenamed("id", "view_id"),
+      cs.toDF().withColumnRenamed("id", "click_id"),
+      horizonMinutes = 60)
+    val q = streamed.writeStream.format("memory")
+      .queryName("attr_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM attr_test")
+      assert(batch.count() > 0, "fixture must produce matches")
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
+  test("attribution horizon excludes older views") {
+    val views = Seq(
+      Ev(1L, 10L, new java.sql.Timestamp(0L)),          // 61 min before the click
+      Ev(1L, 11L, new java.sql.Timestamp(60L * 60000L)) // 1 min before
+    ).toDF().withColumnRenamed("id", "view_id")
+    val clicks = Seq(Ev(1L, 20L, new java.sql.Timestamp(61L * 60000L)))
+      .toDF().withColumnRenamed("id", "click_id")
+    val out = EventStreams.attributeClicks(views, clicks, horizonMinutes = 60).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(11L))
+  }
+
+  test("dropDuplicatesWithinWatermark collapses replays with drifted timestamps") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = rowsOf(events.limit(200), "event_id")
+    // replay every event 5 seconds later: dropDuplicates(key, ts) would
+    // keep both; within-watermark key dedup must not
+    val replayed = base.map(e => e.copy(ts = new java.sql.Timestamp(e.ts.getTime + 5000)))
+    val src = MemoryStream[Ev]
+    src.addData(base ++ replayed)
+    val out = EventStreams.dedupKeyStream(
+      src.toDF().withColumnRenamed("id", "event_id"))
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_key_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(DISTINCT event_id) FROM dedup_key_test").head().getLong(0)
+        == base.map(_.id).distinct.size)
+      assert(spark.sql("SELECT count(*) FROM dedup_key_test").head().getLong(0)
+        == base.map(_.id).distinct.size)
+    } finally q.stop()
+  }
+}
