@@ -33,12 +33,55 @@ final class TableCatalog(spark: SparkSession, baseDir: String) {
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .map(_.stripSuffix(".parquet")).sorted
+      .collect { case n if formatOf(n).isDefined => n.substring(0, n.lastIndexOf('.')) }
+      .distinct.sorted
   }
 
-  def read(table: String): DataFrame =
-    spark.read.parquet(s"$baseDir/$table.parquet")
+  /** Columnar formats first — when the same table name exists in more
+    * than one format, the scan-friendly one wins. */
+  private val Formats = Seq("parquet", "orc", "json", "csv")
+
+  private def formatOf(fileName: String): Option[String] = {
+    val i = fileName.lastIndexOf('.')
+    if (i < 0) None
+    else Some(fileName.substring(i + 1)).filter(Formats.contains)
+  }
+
+  private def resolve(table: String): (String, String) = {
+    val path = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Formats.collectFirst {
+      case f if fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/$table.$f")) =>
+        (s"$baseDir/$table.$f", f)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"TableCatalog: no table '$table' under $baseDir (tried ${Formats.mkString("/")})"))
+  }
+
+  /** Read a named table in whichever supported format it is stored —
+    * parquet and ORC scan with native pushdown; JSON/CSV infer schema
+    * here (an extra pass: at production scale prefer
+    * [[readWithSchema]], which plans ONE scan with the given schema and
+    * keeps the text formats streaming-friendly). */
+  def read(table: String): DataFrame = {
+    val (path, fmt) = resolve(table)
+    fmt match {
+      case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
+      case "json" => spark.read.json(path)
+      case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** Schema-explicit read — no inference scan for the text formats. */
+  def readWithSchema(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val (path, fmt) = resolve(table)
+    fmt match {
+      case "parquet" => spark.read.schema(schema).parquet(path)
+      case "orc" => spark.read.schema(schema).orc(path)
+      case "json" => spark.read.schema(schema).json(path)
+      case "csv" => spark.read.option("header", "true").schema(schema).csv(path)
+    }
+  }
 
   /** Read a table as a node source under a spec: prune to the spec's
     * columns (model-driven pruning) and tag provenance with the table

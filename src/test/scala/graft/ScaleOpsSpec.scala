@@ -49,6 +49,33 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(cat.planScan("customer") >= 1)
   }
 
+  test("table catalog reads orc, json and csv tables, value-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_fmt").toString
+    val base = spark.read.parquet(s"${sf()}/nation.parquet")
+    base.write.orc(s"$dir/n_orc.orc")
+    base.write.json(s"$dir/n_json.json")
+    base.write.option("header", "true").csv(s"$dir/n_csv.csv")
+    base.write.parquet(s"$dir/n_parq.parquet")
+    val cat = new TableCatalog(spark, dir)
+    assert(cat.tables.toSet == Set("n_orc", "n_json", "n_csv", "n_parq"))
+    for (t <- cat.tables) {
+      // column order and dtypes vary by format (json sorts, csv infers);
+      // compare the VALUES on the shared columns
+      val got = cat.read(t).select("n_nationkey", "n_name", "n_regionkey")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.get(2).toString)).toSet
+      val want = base.select("n_nationkey", "n_name", "n_regionkey")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.get(2).toString)).toSet
+      assert(got == want, s"table $t")
+    }
+    // schema-explicit read plans without the inference pass and keeps types
+    val explicit = cat.readWithSchema("n_csv", base.schema)
+    assert(explicit.schema == base.schema)
+    assert(explicit.count() == base.count())
+    // unknown tables fail with the catalog's message, not a reader error
+    val e = intercept[IllegalArgumentException](cat.read("absent"))
+    assert(e.getMessage.contains("no table 'absent'"))
+  }
+
   test("table catalog lists through the Hadoop FS API (file: URI scheme)") {
     // non-local-scheme path: the java.io.File listing of round 2 returned
     // empty here; FileSystem.listStatus resolves the scheme
