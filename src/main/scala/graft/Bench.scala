@@ -41,8 +41,11 @@ object Bench {
     // Tolerant of partial fixture dirs (e.g. a documents-only probe dir
     // passed via SPARK_GRAFT_SF_DIR for local iteration).
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // NonFatal only: an OOM/LinkageError in warmup means every
+    // measurement after it would run in a corrupted JVM — propagate.
     try SparkEntry.queries.get("q1_agg").foreach(f => run(f(spark, sfDir)))
-    catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
 
     // SPARK_GRAFT_ONLY=a,b,c limits the run to named queries (iterating
     // on one operator locally); the driver never sets it
@@ -86,8 +89,10 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
         && new java.io.File(s"$sfDir/documents.parquet").exists()
         && only.isEmpty) {
+      // v3: the fixture gained the lineitem graph-spine replica — the
+      // version bump invalidates v2 marker dirs that lack it
       val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
-        s"tmp/scale_probe_v2_${new java.io.File(sfDir).getName}")
+        s"tmp/scale_probe_v3_${new java.io.File(sfDir).getName}")
       val t0 = System.nanoTime()
       ScaleProbe.ensureFixture(spark, sfDir, probeDir, factor = 10)
       probe += "gen" -> f"${(System.nanoTime() - t0) / 1e9}%.3f"
@@ -108,14 +113,25 @@ object Bench {
       else probe.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","scale10":{""", ",", "}")
 
-    // spread + machine detail go to stderr and a side file, never stdout
-    val detail = f"""{"spread":$spread,"reps":$reps,"cpus":"$cpus","sf":"$sfDir"}"""
+    // spread + per-query medians + machine detail go to stderr and a
+    // side file; stdout carries the per-query line FIRST and the compact
+    // totals line LAST. The harness that records stdout keeps only a
+    // bounded TAIL: round-5's single line (87 queries + scale probe)
+    // outgrew it and was front-truncated into unparseability, losing the
+    // total. With the totals line last and < 1 KB, truncation can only
+    // ever eat the (redundant) per-query line.
+    val detail = f"""{"spread":$spread,"queries":$qs,"reps":$reps,"cpus":"$cpus","sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
-    } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errs$probeJson,"reps":$reps,"sf":"$sfDir"}""")
+    } catch { case scala.util.control.NonFatal(_) => () }
+    println(s"""{"metric":"queries","queries":$qs$errs$probeJson}""")
+    val worst = results.collect { case (k, ts, _) if ts.nonEmpty => (k, median(ts)) }
+      .sortBy(-_._2).headOption
+    val worstJson = worst.map { case (k, v) =>
+      f""","worst_query":"$k","worst_sec":$v%.3f""" }.getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errored.size}$worstJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 

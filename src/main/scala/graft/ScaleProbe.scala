@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * once and reused across bench runs. */
 object ScaleProbe {
 
-  /** The queries whose 100×-safety claims the probe measures. */
+  /** The queries whose 100×-safety claims the probe measures. The graph
+    * spine (pagerank / triangles / common-neighbors) rides a 10×
+    * lineitem replica whose id offsets keep the copies DISJOINT
+    * subgraphs — 10× nodes and edges at the same degree distribution,
+    * so wedge-join and power-iteration work should grow ~linearly. */
   val spineQueries: Seq[String] =
-    Seq("dedup_lsh_jaccard", "dedup_clusters", "dedup_simhash_pairs", "decontaminate")
+    Seq("dedup_lsh_jaccard", "dedup_clusters", "dedup_simhash_pairs", "decontaminate",
+      "graph_pagerank", "graph_triangles", "graph_common_neighbors")
 
   /** Generate `outDir/documents.parquet` = base replicated `factor`×
     * (skipped when already present). Each copy k rewrites the text with a
@@ -46,6 +51,25 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // graph spine fixture: the two lineitem columns the co-purchase
+    // derivation reads, replicated with per-copy id offsets. The partkey
+    // offset is a multiple of 4 so the fixture's `partkey % 4` thinning
+    // selects the same stratum in every copy; the order offset keeps
+    // baskets disjoint. Result: `factor` isomorphic disconnected
+    // subgraphs — same degrees, factor× the nodes/edges/triangles.
+    if (new java.io.File(s"$sfDir/lineitem.parquet").exists()) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      val mx = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+      val oOff = mx.getLong(0) + 1L
+      val pOff = (mx.getLong(1) / 4L + 1L) * 4L
+      li.crossJoin(copies)
+        .select(
+          (col("l_orderkey") + col("copy") * lit(oOff)).as("l_orderkey"),
+          (col("l_partkey") + col("copy") * lit(pOff)).as("l_partkey"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
     marker.getParentFile.mkdirs()
     marker.createNewFile()
     ()

@@ -160,8 +160,9 @@ object SparkEntry {
       TextAnalysis.repetitionRatio(t(s, dir, "documents"), n = 3)),
     "corpus_report" -> ((s, dir) =>
       // per-(lang, source) composition summary: doc counts, token totals,
-      // order-exact quality mass, length extremes
-      TextAnalysis.corpusReport(t(s, dir, "documents"))),
+      // order-exact quality mass, length extremes; quantileProbe swaps
+      // the sketch p50 for its cross-engine error-contract boolean
+      TextAnalysis.corpusReport(t(s, dir, "documents"), quantileProbe = true)),
 
     // ==== extension operators: deduplication ====
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -240,6 +241,33 @@ object SparkEntry {
       graft.operators.Corpus.mixtureSample(t(s, dir, "documents"),
           rates = Map("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25)
         .select(col("doc_id"), col("source"))),
+    "sample_quality_weighted" -> ((s, dir) =>
+      // mixture tuning: per-source rate × per-document quality weight;
+      // the 6-dp-rounded quality score keeps the threshold product
+      // engine-reproducible
+      graft.operators.Corpus.weightedMixtureSample(
+          t(s, dir, "documents").withColumn("quality",
+            graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+          rates = Map("src0" -> 0.9, "src1" -> 0.6), defaultRate = 0.75,
+          weightCol = "quality")
+        .select(col("doc_id"), col("source"), col("quality"))),
+    "sample_temperature" -> ((s, dir) =>
+      // T=2 source balancing: keep rate sqrt(n_min/n_src) — sqrt is
+      // IEEE-correctly-rounded, so the rate is bit-identical cross-engine
+      graft.operators.Corpus.temperatureMixtureSample(
+          t(s, dir, "documents"), temperature = 2.0)
+        .select(col("doc_id"), col("source"))),
+    "filter_quality" -> ((s, dir) =>
+      // top-70%-per-source quality filter via the score histogram (no
+      // per-source window over documents; ties share a fate)
+      graft.operators.Corpus.qualityThresholdFilter(
+          t(s, dir, "documents").withColumn("quality",
+            graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+          keepFraction = 0.7)
+        .select(col("doc_id"), col("source"), col("quality"))),
+    "text_gopher_rules" -> ((s, dir) =>
+      graft.operators.TextAnalysis.gopherRules(t(s, dir, "documents"),
+        minTokens = 25, maxTokens = 100000)),
     "sample_fixed_k" -> ((s, dir) =>
       graft.operators.Corpus.sampleFixedPerGroup(
           t(s, dir, "documents"), k = 25, groupCol = "source")
@@ -601,6 +629,25 @@ object SparkEntry {
         .orderBy(round(col("rank"), 6).desc, col("node"))
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .limit(20)),
+    "graph_pagerank_directed" -> ((s, dir) =>
+      // directed form over the canonical (src < dst) co-purchase edges:
+      // high-id parts never appear as src, so the dangling-mass term is
+      // genuinely exercised by the fixture
+      graft.operators.Graph.pageRankDirected(coPurchaseEdges(s, dir), iters = 3, damping = 0.85)
+        .orderBy(round(col("rank"), 6).desc, col("node"))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .limit(20)),
+    "graph_pagerank_weighted" -> ((s, dir) =>
+      // weighted directed form: edge weight = number of shared orders,
+      // surfer follows weights proportionally (strength-normalized)
+      graft.operators.Graph.pageRankDirected(
+          graft.operators.Graph.coOccurrenceWeightedEdges(
+            t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+            "l_orderkey", "l_partkey"),
+          iters = 3, damping = 0.85, weightCol = Some("weight"))
+        .orderBy(round(col("rank"), 6).desc, col("node"))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .limit(20)),
     "graph_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangleCount(coPurchaseEdges(s, dir))),
     "graph_common_neighbors" -> ((s, dir) =>
@@ -723,6 +770,9 @@ object SparkEntry {
       bands = 4, rowsPerBand = 4, minJaccard = 0.20,
       nTokens = 8, minHits = 1, benchMod = 20,
       splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
+    "sample_quality_weighted" -> OracleFragments.sampleQualityWeighted(
+      Seq("src0" -> 0.9, "src1" -> 0.6), defaultRate = 0.75),
+    "sample_temperature" -> OracleFragments.sampleTemperature,
     "sample_fixed_k" -> OracleFragments.sampleFixedPerGroup(k = 25),
     "split_assign" -> OracleFragments.assignSplits(
       Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
@@ -966,6 +1016,14 @@ object SparkEntry {
          FROM events GROUP BY 1""",
     "graph_degree" -> OracleFragments.graphDegree,
     "graph_pagerank" -> OracleFragments.graphPageRank(iters = 3, damping = 0.85, k = 20),
+    "graph_pagerank_directed" ->
+      OracleFragments.graphPageRankDirected(iters = 3, damping = 0.85, k = 20),
+    "graph_pagerank_weighted" ->
+      OracleFragments.graphPageRankWeighted(iters = 3, damping = 0.85, k = 20),
+    "filter_quality" -> OracleFragments.filterQuality(keepFraction = 0.7),
+    "text_gopher_rules" -> OracleFragments.textGopherRules(
+      minTokens = 25, maxTokens = 100000, minAvgTokenLen = 3.0,
+      maxAvgTokenLen = 10.0, maxPunctRatio = 0.2, minStopwordHits = 2),
     "graph_triangles" -> OracleFragments.graphTriangles,
     "graph_common_neighbors" -> OracleFragments.graphCommonNeighbors(k = 10),
     "text_pii_redact" -> OracleFragments.textPiiRedact,
@@ -1076,7 +1134,8 @@ object OracleFragments {
           sum($nToks)::BIGINT AS total_tokens_ws,
           round(sum(CAST($quality AS DECIMAL(18,6)))::DOUBLE, 6) AS sum_quality,
           min(length(text))::INT AS min_chars,
-          max(length(text))::INT AS max_chars
+          max(length(text))::INT AS max_chars,
+          TRUE AS approx_p50_chars_ok
         FROM documents GROUP BY 1, 2"""
   }
 
@@ -1158,6 +1217,42 @@ object OracleFragments {
     s"""SELECT doc_id, source FROM documents
         WHERE $coin < CASE $cases ELSE ${(defaultRate * 4294967296L).toLong} END"""
   }
+
+  /** Mirror of Corpus.weightedMixtureSample: keep iff the qmix-salted
+    * coin falls under ⌊clamp(rate·quality)·2^32⌋. The quality weight is
+    * the 6-dp-rounded score both engines compute identically; the
+    * rate literals interpolate the same Scala doubles the Spark plan
+    * embeds, so the product is one identical IEEE multiply. */
+  def sampleQualityWeighted(rates: Seq[(String, Double)], defaultRate: Double): String = {
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopRaw = s"len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    val quality = s"""round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
+              + least(($stopRaw) * 4.0, 1.0) * 0.3, 6)"""
+    val cases = rates.map { case (src, r) =>
+      s"WHEN source = '$src' THEN ${r}::DOUBLE"
+    }.mkString(" ")
+    s"""WITH q AS (SELECT doc_id, source, $quality AS quality FROM documents)
+        SELECT doc_id, source, quality FROM q
+        WHERE ${coinSql("qmix:")} <
+          floor(least(greatest((CASE $cases ELSE ${defaultRate}::DOUBLE END) * quality,
+                               0.0), 1.0) * 4294967296.0)::BIGINT"""
+  }
+
+  /** Mirror of Corpus.temperatureMixtureSample at T=2: per-source keep
+    * rate sqrt(n_min/n_src). sqrt is correctly rounded under IEEE 754,
+    * so both engines derive the same threshold integer. */
+  val sampleTemperature: String =
+    s"""WITH cnt AS (SELECT source, count(*) AS src_n FROM documents GROUP BY 1),
+          mn AS (SELECT min(src_n) AS min_n FROM cnt),
+          r AS (SELECT source,
+                       sqrt((SELECT min_n FROM mn)::DOUBLE / src_n::DOUBLE) AS keep_rate
+                FROM cnt)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE ${coinSql("tmix:")} < floor(keep_rate * 4294967296.0)::BIGINT"""
 
   /** Token n-grams mirroring TextFunctions.tokenShingles: distinct
     * space-rejoined n-token windows of the normalized text. */
@@ -1597,6 +1692,126 @@ object OracleFragments {
         ORDER BY round(rank, 6) DESC, node LIMIT $k"""
   }
 
+  /** Unrolled directed power iterations mirroring Graph.pageRankDirected:
+    * canonical (src < dst) edges kept directed, dangling mass (nodes with
+    * outdeg 0) redistributed uniformly each round. Constants interpolate
+    * the SAME Scala doubles the Spark plan embeds (see graphPageRank);
+    * summation-order noise is absorbed by the final 6-dp round. */
+  def graphPageRankDirected(iters: Int, damping: Double, k: Int): String = {
+    val teleport = 1.0d - damping
+    val steps = (1 to iters).map { i =>
+      s"""dang${i - 1} AS (SELECT coalesce(sum(rank), 0.0)::DOUBLE AS dm
+                           FROM r${i - 1} WHERE outdeg = 0),
+          r$i AS (SELECT nodes.node, nodes.outdeg,
+                    ($teleport::DOUBLE / (SELECT n FROM nn))
+                    + $damping::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+                        + (SELECT dm FROM dang${i - 1}) / (SELECT n FROM nn)) AS rank
+                  FROM nodes LEFT JOIN (
+                    SELECT e.dst AS node, sum(r.rank / r.outdeg) AS contrib
+                    FROM e0 e JOIN r${i - 1} r ON r.node = e.src
+                    GROUP BY 1) c ON c.node = nodes.node)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          odeg AS (SELECT src AS node, count(*) AS outdeg FROM e0 GROUP BY 1),
+          nodes AS (SELECT u.node, coalesce(odeg.outdeg, 0) AS outdeg
+                    FROM (SELECT src AS node FROM e0
+                          UNION SELECT dst AS node FROM e0) u
+                    LEFT JOIN odeg ON odeg.node = u.node),
+          nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+          r0 AS (SELECT node, outdeg,
+                        1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+          $steps
+        SELECT node, round(rank, 6) AS rank FROM r$iters
+        ORDER BY round(rank, 6) DESC, node LIMIT $k"""
+  }
+
+  /** Unrolled WEIGHTED directed power iterations mirroring
+    * Graph.pageRankDirected(weightCol): contributions are
+    * rank·w/strength, strength = Σ out-weights; dangling = strength 0.
+    * Weights are shared-order counts — integer-valued doubles, so the
+    * strength sums are order-exact; contribution-sum noise is absorbed
+    * by the final 6-dp round as in the unweighted forms. */
+  def graphPageRankWeighted(iters: Int, damping: Double, k: Int): String = {
+    val teleport = 1.0d - damping
+    val steps = (1 to iters).map { i =>
+      s"""dang${i - 1} AS (SELECT coalesce(sum(rank), 0.0)::DOUBLE AS dm
+                           FROM r${i - 1} WHERE strength = 0),
+          r$i AS (SELECT nodes.node, nodes.strength,
+                    ($teleport::DOUBLE / (SELECT n FROM nn))
+                    + $damping::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+                        + (SELECT dm FROM dang${i - 1}) / (SELECT n FROM nn)) AS rank
+                  FROM nodes LEFT JOIN (
+                    SELECT e.dst AS node, sum(r.rank * e.w / r.strength) AS contrib
+                    FROM e0 e JOIN r${i - 1} r ON r.node = e.src
+                    GROUP BY 1) c ON c.node = nodes.node)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                           count(*)::DOUBLE AS w
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                    WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+                    GROUP BY 1, 2),
+          odeg AS (SELECT src AS node, sum(w) AS strength FROM e0 GROUP BY 1),
+          nodes AS (SELECT u.node, coalesce(odeg.strength, 0.0) AS strength
+                    FROM (SELECT src AS node FROM e0
+                          UNION SELECT dst AS node FROM e0) u
+                    LEFT JOIN odeg ON odeg.node = u.node),
+          nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+          r0 AS (SELECT node, strength,
+                        1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+          $steps
+        SELECT node, round(rank, 6) AS rank FROM r$iters
+        ORDER BY round(rank, 6) DESC, node LIMIT $k"""
+  }
+
+  /** Mirror of Corpus.qualityThresholdFilter: score-histogram cumulative
+    * counts, keep score values whose strictly-better count is under
+    * fraction·total, join survivors back (ties share a fate). */
+  def filterQuality(keepFraction: Double): String = {
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopRaw = s"len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    val quality = s"""round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
+              + least(($stopRaw) * 4.0, 1.0) * 0.3, 6)"""
+    s"""WITH q AS (SELECT doc_id, source, $quality AS quality FROM documents),
+          byval AS (SELECT source, quality, count(*) AS nv FROM q GROUP BY 1, 2),
+          c AS (SELECT source, quality,
+                       coalesce(sum(nv) OVER (PARTITION BY source ORDER BY quality DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+                       sum(nv) OVER (PARTITION BY source) AS tot
+                FROM byval),
+          kept AS (SELECT source, quality FROM c
+                   WHERE cum_before::DOUBLE < $keepFraction * tot::DOUBLE)
+        SELECT q.doc_id, q.source, q.quality
+        FROM q JOIN kept ON q.source = kept.source AND q.quality = kept.quality"""
+  }
+
+  /** Mirror of TextAnalysis.gopherRules: identical normalized-token
+    * statistics, identical bound literals, per-rule booleans + verdict. */
+  def textGopherRules(
+      minTokens: Int, maxTokens: Int,
+      minAvgTokenLen: Double, maxAvgTokenLen: Double,
+      maxPunctRatio: Double, minStopwordHits: Int): String = {
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopHits = s"len(list_filter($toks, t -> t IN ($stopList)))"
+    val avgLen = s"list_aggregate(list_transform($toks, t -> length(t)), 'sum')::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    val okTok = s"($nToks BETWEEN $minTokens AND $maxTokens)"
+    val okAvg = s"(($avgLen) BETWEEN $minAvgTokenLen AND $maxAvgTokenLen)"
+    val okPunct = s"(($punctRaw) <= $maxPunctRatio)"
+    val okStop = s"($stopHits >= $minStopwordHits)"
+    s"""SELECT doc_id, $nToks::INT AS n_tokens_ws,
+          $okTok AS ok_token_count,
+          $okAvg AS ok_avg_token_len,
+          $okPunct AS ok_punct_ratio,
+          $okStop AS ok_stopwords,
+          ($okTok AND $okAvg AND $okPunct AND $okStop) AS pass
+        FROM documents"""
+  }
+
   /** Canonical-order triangle enumeration (u<v<w counted once) — the
     * orientation-free form; Graph.triangleCount's degree-oriented wedge
     * join counts the same set. */
@@ -1609,7 +1824,9 @@ object OracleFragments {
 
   /** Mirror of the text_pii_redact fixture + TextAnalysis.redactPii:
     * identical derived text, RE2-compatible patterns, same replacement
-    * order (email → phone → ip), counts on the original text. */
+    * order (email → phone → ip), each count taken on the text that pass
+    * scanned (the post-previous-pass text), matching the operator's
+    * counts-audit contract. */
   val textPiiRedact: String = {
     val email = graft.operators.TextAnalysis.EmailRe
     val phone = graft.operators.TextAnalysis.PhoneRe
@@ -1622,23 +1839,27 @@ object OracleFragments {
                  repeat('user' || doc_id::VARCHAR || '@example.com ', (doc_id % 3 + 1)::INT)
                  || '+1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
                  || ' 10.' || (doc_id % 256)::VARCHAR || '.0.7 ' || text AS text
-          FROM documents)
+          FROM documents),
+          s1 AS (SELECT doc_id, text,
+                        regexp_replace(text, '${esc(email)}', '<EMAIL>', 'g') AS t1
+                 FROM pii),
+          s2 AS (SELECT doc_id, text, t1,
+                        regexp_replace(t1, '${esc(phone)}', '<PHONE>', 'g') AS t2
+                 FROM s1)
         SELECT doc_id,
                len(regexp_extract_all(text, '${esc(email)}'))::INT AS n_emails,
-               len(regexp_extract_all(text, '${esc(phone)}'))::INT AS n_phones,
-               len(regexp_extract_all(text, '${esc(ip)}'))::INT AS n_ips,
-               substr(regexp_replace(regexp_replace(regexp_replace(text,
-                 '${esc(email)}', '<EMAIL>', 'g'),
-                 '${esc(phone)}', '<PHONE>', 'g'),
-                 '${esc(ip)}', '<IP>', 'g'), 1, 80) AS redacted_head
-        FROM pii"""
+               len(regexp_extract_all(t1, '${esc(phone)}'))::INT AS n_phones,
+               len(regexp_extract_all(t2, '${esc(ip)}'))::INT AS n_ips,
+               substr(regexp_replace(t2, '${esc(ip)}', '<IP>', 'g'), 1, 80) AS redacted_head
+        FROM s2"""
   }
 
   /** Mirror of Corpus.chunkWithOverlap: same ws-normalized tokens, same
     * window starts (0, step, …, < n), 1-based inclusive slices. */
   def chunkOverlap(chunkTokens: Int, overlapTokens: Int): String = {
     val step = chunkTokens - overlapTokens
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents
+                   WHERE len($toks) > 1 OR ($toks)[1] <> ''),
           w AS (SELECT doc_id, toks, len(toks) AS n,
                        unnest(range(0, greatest(len(toks) - $overlapTokens, 1), $step)) AS s
                 FROM t)

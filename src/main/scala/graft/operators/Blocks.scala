@@ -24,12 +24,15 @@ private[operators] object Blocks {
   /** Row-preserving: inner-join `withBlk` with its per-block counts
     * (1 row per block — AQE broadcasts it), where any count above
     * `maxRows` evaluates `raise_error` instead of `true`. The check
-    * cannot be optimized away: the filter's value is data-dependent. */
+    * cannot be optimized away: the filter's value is data-dependent.
+    * `hint` names the caller's escape route in the error message. */
   def guardBlockSize(
       withBlk: DataFrame,
       blkCol: String,
       maxRows: Long,
-      op: String): DataFrame = {
+      op: String,
+      hint: String = "within-block pairing is quadratic - split the block "
+        + "or use the LSH/IVF path"): DataFrame = {
     require(maxRows > 0, "maxRows must be positive")
     val counts = withBlk.groupBy(col(blkCol)).agg(count(lit(1)).as("blk_n"))
     val guard = counts
@@ -38,8 +41,7 @@ private[operators] object Blocks {
           .otherwise(raise_error(concat(
             lit(s"$op: block "), col(blkCol).cast("string"),
             lit(" has "), col("blk_n").cast("string"),
-            lit(s" rows > maxBlockRows=$maxRows; within-block pairing is "
-              + "quadratic - split the block or use the LSH/IVF path"))))
+            lit(s" rows > maxBlockRows=$maxRows; $hint"))))
           .as("blk_ok"))
       .filter(col("blk_ok"))
       .drop("blk_ok")

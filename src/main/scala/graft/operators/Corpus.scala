@@ -244,6 +244,101 @@ object Corpus {
     docs.filter(c < threshold)
   }
 
+  /** Quality-weighted mixture sampling — the mixture-TUNING form a
+    * training-data pipeline actually runs: keep probability = source
+    * rate × per-document weight (clamped to [0,1]), so within one
+    * source, higher-quality documents survive proportionally more
+    * often. Same integer-coin determinism as [[mixtureSample]] (salt
+    * `qmix:`): the threshold is ⌊rate·w·2^32⌋, one double multiply +
+    * floor — engine-reproducible when `weightCol` is itself
+    * deterministic (pass a 6-dp-rounded score such as
+    * TextFunctions.qualityScore, not a raw float race). Pure map-side
+    * filter: scan-speed at any scale, and nested in rate (raising a
+    * source's rate yields a superset). */
+  def weightedMixtureSample(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      weightCol: String,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val c = coin(idCol, "qmix:")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    val p = least(greatest(rate * col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    docs.filter(c < floor(p * lit(4294967296.0)).cast("long"))
+  }
+
+  /** Temperature-flattened mixture sampling (multilingual-corpus
+    * balancing): with source shares p_i, sample with probability
+    * q_i ∝ p_i^(1/T), which a per-document keep-rate of
+    * (n_min/n_i)^(1−1/T) realizes without up-sampling — the smallest
+    * source keeps everything, larger sources are downweighted toward
+    * balance; T=1 keeps the natural mixture, T→∞ equalizes sources.
+    *
+    * Determinism: the rate table is one tiny groupBy (AQE broadcasts
+    * the join back); for the DEFAULT T=2 the exponent is 0.5, computed
+    * via `sqrt` — correctly rounded under IEEE 754, hence bit-identical
+    * across engines. Other temperatures go through `pow`, which libms
+    * round differently in the last ulp; fine for production sampling,
+    * but cross-engine verification pins T=2. The coin (salt `tmix:`)
+    * keeps membership reproducible and independent of the other
+    * samplers. */
+  def temperatureMixtureSample(
+      docs: DataFrame,
+      temperature: Double = 2.0,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(temperature >= 1.0, "temperature must be >= 1")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("src_n"))
+    val minN = counts.agg(min(col("src_n")).as("min_n"))
+    val ratio = col("min_n").cast("double") / col("src_n").cast("double")
+    val rateExpr =
+      if (temperature == 2.0) sqrt(ratio)
+      else pow(ratio, lit(1.0 - 1.0 / temperature))
+    val rates = counts.crossJoin(minN)
+      .select(col(sourceCol), rateExpr.as("keep_rate"))
+    docs.join(rates, Seq(sourceCol))
+      .filter(coin(idCol, "tmix:") <
+        floor(col("keep_rate") * lit(4294967296.0)).cast("long"))
+  }
+
+  /** Keep the top `keepFraction` of each group by score — the
+    * percentile-style quality filter ("keep the best 70% per source"),
+    * in a shape that survives 100 TB. A per-source `percent_rank`
+    * window would put EVERY document of a source in one task (the
+    * window-skew hazard); instead the threshold comes from the score
+    * HISTOGRAM: group by (group, score) — at most ~10^6 distinct 6-dp
+    * score values per group regardless of corpus size — run the
+    * cumulative count over that bounded table, and join the surviving
+    * score values back (a keyed shuffle AQE can broadcast: the kept-
+    * values table is tiny). Ties share a fate: every document at a kept
+    * score value is kept, so the realized fraction rounds UP to the
+    * tie-group boundary — deterministic, engine-reproducible, no
+    * coin. `scoreCol` must be a deterministic bounded-cardinality score
+    * (e.g. the 6-dp TextFunctions.qualityScore). */
+  def qualityThresholdFilter(
+      docs: DataFrame,
+      keepFraction: Double,
+      scoreCol: String = "quality",
+      groupCol: String = "source"): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      "keepFraction must be in (0, 1]")
+    val byVal = docs.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("nv"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(groupCol))
+    val kept = byVal
+      .withColumn("cum_before", coalesce(sum(col("nv")).over(wCum), lit(0L)))
+      .withColumn("tot", sum(col("nv")).over(wTot))
+      .filter(col("cum_before").cast("double")
+        < lit(keepFraction) * col("tot").cast("double"))
+      .select(col(groupCol), col(scoreCol))
+    docs.join(kept, Seq(groupCol, scoreCol))
+  }
+
   /** Deterministic fixed-size sample: exactly `k` documents per group
     * (fewer when the group is smaller), chosen as the k smallest
     * `fixk:`-salted md5 coins — a reproducible reservoir. Unlike
@@ -339,6 +434,11 @@ object Corpus {
     docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
+      // empty/whitespace-only text tokenizes to the single empty token
+      // ([""], n=1); without this filter such documents would emit one
+      // degenerate chunk (empty chunk_text) that downstream consumers
+      // then have to special-case
+      .filter(col("n") > 1 || element_at(col("toks"), 1) =!= "")
       .withColumn("start",
         explode(when(nWin <= lit(10000L),
           sequence(lit(0),

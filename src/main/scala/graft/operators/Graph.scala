@@ -52,6 +52,18 @@ object Graph {
       .distinct()
   }
 
+  /** [[coOccurrenceEdges]] that keeps the co-occurrence COUNT as an edge
+    * weight (how many groups the pair shares) — the natural input to
+    * weighted [[pageRankDirected]]. Same join shape and scale contract;
+    * the distinct becomes a count aggregate over the same key. */
+  def coOccurrenceWeightedEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("g"), col(itemCol).as("src"))
+    val b = df.select(col(groupCol).as("g"), col(itemCol).as("dst"))
+    a.join(b, a("g") === b("g") && col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Per-node degree over the canonical undirected edge set. */
   def degrees(edges: DataFrame): DataFrame = {
     val e = canonicalEdges(edges)
@@ -88,10 +100,14 @@ object Graph {
     val sym = e0.select(col("src"), col("dst"))
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // adjacency enriched with the source's out-degree: each round's join
-    // then needs only ONE probe table (adj) against the rank table.
-    val degW = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    // then needs only ONE probe table (adj) against the rank table. The
+    // out-degree is a groupBy + equi-join, NOT a `partition by src`
+    // window: a window forces ALL edges of a node into one task, which a
+    // mega-hub turns into a straggler, while a shuffle join is
+    // AQE-skew-splittable (and the agg gets map-side partials).
+    val outdeg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val (adj, adjPath) = Scratch.materializeAt(
-      sym.withColumn("outdeg", count(lit(1)).over(degW)), "pr_adj")
+      sym.join(outdeg, Seq("src")), "pr_adj")
     // node table doubles as the r_0 frame; its write job carries the
     // exact N (observe forbids distinct aggregates, so N rides the
     // already-distinct nodes write, not the adjacency write).
@@ -122,6 +138,99 @@ object Graph {
     // the final ranks table stays on disk for the caller's consumption;
     // session shutdown (or the configured scratchDir owner) reclaims it.
     ranks
+  }
+
+  /**
+   * PageRank on the DIRECTED graph — the form a citation / link / follow
+   * graph user actually asks for (the reference's data model is directed
+   * edges: `README.md:171-175` source_field → target_field). Unlike the
+   * symmetrized variant, directed graphs have DANGLING nodes (no
+   * out-edges) whose rank mass would otherwise leak out of the system;
+   * the standard fix redistributes it uniformly each round:
+   *
+   *   r_0(v)   = 1/N
+   *   dm_t     = sum of r_t(u) over dangling u
+   *   r_t+1(v) = (1-d)/N + d * (sum over in-neighbors u of r_t(u)/outdeg(u)
+   *                             + dm_t/N)
+   *
+   * With `weightCol` set, edges carry weights and the random surfer
+   * follows them proportionally: contributions become
+   * r_t(u)·w(u,v)/strength(u), strength = Σ out-weights (the weighted
+   * out-degree); parallel edges sum their weights, non-positive net
+   * weights are dropped. The unweighted path is the weightCol=None
+   * special case with w≡1.0 — bit-identical to dividing by the integer
+   * out-degree, because r·1.0 = r and integer-valued double sums are
+   * exact.
+   *
+   * Loop discipline matches [[pageRank]]: each round materializes its
+   * (node, strength, rank) frame as a scratch table, so the plan stays
+   * constant-size in `iters`. Carrying `strength` on the rank table
+   * makes the dangling mass a pure filter+sum over the PREVIOUS round's
+   * scratch table — no extra join — and the 1-row dm frame enters the
+   * rank update via a cross join Spark broadcasts. Self-loops are
+   * dropped and duplicate edges collapsed, matching the undirected
+   * canonicalization contract.
+   */
+  def pageRankDirected(
+      edges: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
+    import graft.ops.Scratch
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = weightCol match {
+      case None =>
+        edges.filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          .withColumn("w", lit(1.0d))
+      case Some(wc) =>
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col(wc).cast("double")).as("w"))
+          .filter(col("w") > 0.0d)
+    }
+    // groupBy + equi-join out-strength (AQE-skew-splittable; see pageRank)
+    val outdeg = e0.groupBy(col("src")).agg(sum(col("w")).as("strength"))
+    val (adj, adjPath) = Scratch.materializeAt(
+      e0.join(outdeg, Seq("src")), "prd_adj")
+    // node universe = src ∪ dst, each with its out-strength (0 = dangling)
+    val nodeIds = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node")))
+      .distinct()
+    val (nodes, nm, nodesPath) = Scratch.materializeObservedAt(
+      nodeIds.join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("strength"), lit(0.0d)).as("strength")),
+      "prd_nodes", count(lit(1)).as("n_nodes"))
+    val n = nm("n_nodes").asInstanceOf[Long].toDouble
+    if (n == 0d) {
+      Scratch.drop(spark, adjPath)
+      Scratch.drop(spark, nodesPath)
+      return e0.select(col("src").as("node"), lit(0.0d).as("rank")).limit(0)
+    }
+    var ranks = nodes.withColumn("rank", lit(1.0d / n))
+    var ranksPath: String = null // r_0 is a projection of the nodes table
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(ranks, adj("src") === ranks("node"))
+        .groupBy(adj("dst").as("node"))
+        .agg(sum(ranks("rank") * adj("w") / adj("strength")).as("contrib"))
+      val dangling = ranks.filter(col("strength") === 0.0d)
+        .agg(coalesce(sum(col("rank")), lit(0.0d)).as("dm"))
+      val (next, nextPath) = Scratch.materializeAt(
+        nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(dangling)
+          .select(col("node"), col("strength"),
+            (lit((1.0d - damping) / n)
+              + lit(damping) * (coalesce(col("contrib"), lit(0.0d))
+                + col("dm") / lit(n))).as("rank")),
+        "prd_ranks")
+      if (ranksPath != null) Scratch.drop(spark, ranksPath)
+      ranks = next
+      ranksPath = nextPath
+    }
+    Scratch.drop(spark, adjPath)
+    Scratch.drop(spark, nodesPath)
+    ranks.select(col("node"), col("rank"))
   }
 
   /**
@@ -168,14 +277,33 @@ object Graph {
    * by an edge, count shared neighbors; emit the top `k` candidate pairs
    * (cnt desc, then pair id — deterministic). The wedge join is the same
    * shape as triangleCount's; the anti-join removes existing edges.
+   *
+   * The wedge self-join fans out deg(n)² pairs per node — exact common
+   * neighbors inherently enumerates wedges, so the scale contract is
+   * ENFORCED, not assumed: any node whose degree exceeds `maxDegree`
+   * fails the query fast with the node, its degree, and the escape
+   * routes (truncate the adjacency upstream, or raise the bound
+   * knowingly). On a power-law graph at 100×, one 10M-degree hub would
+   * otherwise mint ~10¹⁴ wedge rows; with the guard the job dies in the
+   * first shuffle instead of running for days. The guard is the
+   * `Blocks.guardBlockSize` pattern over the wedge key itself: one
+   * cheap keyed count re-joined on the key the self-join shuffles by
+   * anyway.
    */
-  def commonNeighborsTopK(edges: DataFrame, k: Int = 10): DataFrame = {
+  def commonNeighborsTopK(
+      edges: DataFrame,
+      k: Int = 10,
+      maxDegree: Long = 100000): DataFrame = {
     import graft.ops.Scratch
     // the scratch edge table backs the returned lazy plan (read three
     // times by it); session shutdown reclaims it.
     val e = Scratch.materialize(canonicalEdges(edges), "cn_edges")
-    val adj = e.select(col("src").as("n"), col("dst").as("x"))
+    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
       .union(e.select(col("dst").as("n"), col("src").as("x")))
+    val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
+      "commonNeighborsTopK",
+      hint = "the wedge fanout is quadratic in node degree - truncate "
+        + "per-node adjacency upstream or raise maxDegree deliberately")
     val a1 = adj.select(col("n"), col("x").as("a"))
     val a2 = adj.select(col("n"), col("x").as("b"))
     a1.join(a2, Seq("n")).filter(col("a") < col("b"))

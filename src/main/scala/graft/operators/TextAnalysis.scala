@@ -62,14 +62,27 @@ object TextAnalysis {
     * mixture designer reads before weighting sources. One keyed shuffle
     * with map-side partial aggregation; quality sums go through
     * DECIMAL(18,6) so the total is summation-order-exact (and therefore
-    * engine-reproducible), not a float race. */
+    * engine-reproducible), not a float race.
+    *
+    * Length quantiles ride a percentile sketch (`percentile_approx`,
+    * accuracy 1000 → ≤0.1% rank error), not an exact sort — O(1) state
+    * per group at 100 TB. With `quantileProbe` on, the report also
+    * carries the sketch's error-contract boolean (the `sketch_approx`
+    * pattern): the approx p50 must land between the EXACT discrete
+    * 45%/55% quantiles. Discrete (`percentile_disc`) anchors are
+    * load-bearing: the sketch returns an ELEMENT, and for a small
+    * even-sized group the median element legitimately sits below the
+    * INTERPOLATED p45 — discrete anchors bound rank, which is what the
+    * sketch guarantees. The probe's exact anchors cost a sort-based agg,
+    * so it defaults off in production and on in the correctness gate. */
   def corpusReport(
       docs: DataFrame,
       groupCols: Seq[String] = Seq("lang", "source"),
       textCol: String = "text",
-      nCharsCol: String = "n_chars"): DataFrame = {
+      nCharsCol: String = "n_chars",
+      quantileProbe: Boolean = false): DataFrame = {
     val t = col(textCol)
-    docs.groupBy(groupCols.map(col): _*).agg(
+    val baseAggs = Seq(
       count(lit(1)).as("n_docs"),
       sum(tokenCountWs(t).cast("long")).as("total_tokens_ws"),
       round(sum(qualityScore(t, col(nCharsCol))
@@ -77,33 +90,93 @@ object TextAnalysis {
         .as("sum_quality"),
       min(length(t)).as("min_chars"),
       max(length(t)).as("max_chars"))
+    if (!quantileProbe)
+      docs.groupBy(groupCols.map(col): _*)
+        .agg(baseAggs.head, baseAggs.tail :+
+          percentile_approx(length(t), lit(0.5), lit(1000)).as("p50_chars"): _*)
+    else
+      docs.groupBy(groupCols.map(col): _*)
+        .agg(baseAggs.head, baseAggs.tail ++ Seq(
+          percentile_approx(length(t), lit(0.5), lit(1000)).as("_ap50"),
+          expr(s"percentile_disc(0.45) WITHIN GROUP (ORDER BY length($textCol))").as("_lo"),
+          expr(s"percentile_disc(0.55) WITHIN GROUP (ORDER BY length($textCol))").as("_hi")): _*)
+        .withColumn("approx_p50_chars_ok",
+          col("_ap50").between(col("_lo"), col("_hi")))
+        .drop("_ap50", "_lo", "_hi")
   }
 
   /** PII patterns, written to the common RE2-compatible subset so Java
     * regex (Spark) and RE2 (DuckDB, and most scale-out regex engines)
-    * match identically: no backreferences, no lookaround. */
+    * match identically: no backreferences, no lookaround.
+    *
+    * Supported formats (documented contract):
+    *  - email: local@domain.tld (the pragmatic single-line form);
+    *  - phone: 10-digit NANP numbers with `-`/`.`/space separators and
+    *    an optional `+CC` prefix or `(area)` grouping — e.g.
+    *    +1-555-123-4567, (555) 123-4567, 555.123.4567 — plus the short
+    *    international `+CC-NNN-NNNN` form;
+    *  - IPv4: dotted quads with VALID octets only (0–255 — `999.0.0.1`
+    *    is not an address and is left alone). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
-  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "(\\+[0-9]{1,2}[-. ])?(\\([0-9]{3}\\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}" +
+    "|\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val Ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val Ipv4Re = s"\\b$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\b"
 
   /** PII redaction: emails, phone numbers and IPv4 addresses replaced by
-    * typed placeholder tokens, with per-document match counts (counted
-    * on the ORIGINAL text, so the counts audit what was removed).
+    * typed placeholder tokens, with per-document match counts.
     * Replacement order (email → phone → ip) is part of the contract:
-    * each later pattern scans the earlier passes' output. Map-side only
-    * — codegen'd regexp expressions, no UDF, no shuffle. */
+    * each later pattern scans the earlier passes' output — and each
+    * count is taken on the text that pass actually scanned, so the
+    * counts are a faithful audit of what was removed (a phone-shaped
+    * substring inside an email local-part is consumed by the email pass
+    * and correctly NOT counted as a phone). Map-side only — codegen'd
+    * regexp expressions, no UDF, no shuffle. */
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    val afterIp = regexp_replace(afterPhone, Ipv4Re, "<IP>")
     docs
       .withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("int"))
-      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("int"))
-      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("int"))
-      .withColumn(textCol,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailRe, "<EMAIL>"),
-            PhoneRe, "<PHONE>"),
-          Ipv4Re, "<IP>"))
+      .withColumn("n_phones", regexp_count(afterEmail, lit(PhoneRe)).cast("int"))
+      .withColumn("n_ips", regexp_count(afterPhone, lit(Ipv4Re)).cast("int"))
+      .withColumn(textCol, afterIp)
+  }
+
+  /** Gopher-style hard quality rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * App. A1.1 — the de-facto standard web-corpus rule filter): token
+    * count in bounds, mean token length in bounds, punctuation ratio
+    * capped, minimum stopword hits. Emits one boolean per rule plus the
+    * conjunctive verdict, so a pipeline can both FILTER on `pass` and
+    * REPORT per-rule rejection rates from the same scan. Map-side only:
+    * codegen'd projections, no shuffle — scan-speed at 100 TB. */
+  def gopherRules(
+      docs: DataFrame,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0,
+      maxAvgTokenLen: Double = 10.0,
+      maxPunctRatio: Double = 0.2,
+      minStopwordHits: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    Par.fanOut(docs)
+      .select(col(idCol),
+        tokenCountWs(t).as("n_tokens_ws"),
+        avgTokenLen(t).as("_avg_len"),
+        punctRatio(t).as("_pr"),
+        stopwordCount(t).as("_stop_hits"))
+      .select(col(idCol), col("n_tokens_ws"),
+        col("n_tokens_ws").between(minTokens, maxTokens).as("ok_token_count"),
+        col("_avg_len").between(minAvgTokenLen, maxAvgTokenLen).as("ok_avg_token_len"),
+        (col("_pr") <= maxPunctRatio).as("ok_punct_ratio"),
+        (col("_stop_hits") >= minStopwordHits).as("ok_stopwords"))
+      .withColumn("pass",
+        col("ok_token_count") && col("ok_avg_token_len")
+          && col("ok_punct_ratio") && col("ok_stopwords"))
   }
 
   /** Corpus vocabulary: whitespace tokens ranked by frequency — the

@@ -103,9 +103,15 @@ object GraphProjection {
     Result(nodeStats, edgeStats, folded.copy(kind = "final"))
   }
 
-  /** Cap scan parallelism without a shuffle (coalesce merges splits). */
+  /** Cap scan parallelism without a shuffle (coalesce merges splits).
+    * Applied unconditionally: `coalesce(n)` never INCREASES partition
+    * count, so when the scan is already under the cap it is a runtime
+    * no-op — which retires the `df.rdd.getNumPartitions` probe this
+    * method used to run (an RDD probe physical-plans the whole frame on
+    * the driver per table read; the same cost `Par.fanOut` eliminated
+    * with its file-index estimate, and here no estimate is needed). */
   private def capStreams(df: DataFrame, maxStreams: Int): DataFrame =
-    if (df.rdd.getNumPartitions > maxStreams) df.coalesce(maxStreams) else df
+    df.coalesce(maxStreams)
 
   /** Expand the globs, route each file to its FIRST matching spec regex
     * (anchored, re.match semantics — same as GraphModel routing), and

@@ -50,12 +50,26 @@ final class TableCatalog(spark: SparkSession, baseDir: String) {
   private def resolve(table: String): (String, String) = {
     val path = new org.apache.hadoop.fs.Path(baseDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Formats.collectFirst {
-      case f if fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/$table.$f")) =>
-        (s"$baseDir/$table.$f", f)
-    }.getOrElse(throw new IllegalArgumentException(
-      s"TableCatalog: no table '$table' under $baseDir (tried ${Formats.mkString("/")})"))
+    val present = Formats.filter(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/$table.$f")))
+    if (present.size > 1)
+      // format shadowing is deliberate (columnar wins) but must be
+      // VISIBLE: a same-named parquet file silently replacing a CSV
+      // table would otherwise change column types without a trace
+      log.warn(s"TableCatalog: table '$table' exists as "
+        + s"${present.mkString(", ")}; reading ${present.head} "
+        + s"(shadows ${present.tail.mkString(", ")})")
+    present.headOption
+      .map(f => (s"$baseDir/$table.$f", f))
+      .getOrElse(throw new IllegalArgumentException(
+        s"TableCatalog: no table '$table' under $baseDir (tried ${Formats.mkString("/")})"))
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[TableCatalog])
+
+  /** The storage format [[read]] will choose for `table` — exposed so
+    * callers can audit format shadowing programmatically. */
+  def resolvedFormat(table: String): String = resolve(table)._2
 
   /** Read a named table in whichever supported format it is stored —
     * parquet and ORC scan with native pushdown; JSON/CSV infer schema

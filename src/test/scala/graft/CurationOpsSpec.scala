@@ -43,6 +43,103 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out(0).getString(3) == "just three tokens" && out(0).getInt(2) == 3)
   }
 
+  test("redactPii: broadened formats — NANP variants match, bad octets don't") {
+    val d = Seq(
+      (1L, "dial (555) 123-4567 or 555.123.4567 or +1-555-123-4567"),
+      (2L, "not an ip: 999.999.999.999 but 255.255.255.255 is"),
+      (3L, "phone-shaped inside email x555-123-4567@y.com stays an email")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(3) == 3)
+    assert(r(1L).getString(1) == "dial <PHONE> or <PHONE> or <PHONE>")
+    assert(r(2L).getInt(4) == 1)
+    assert(r(2L).getString(1) == "not an ip: 999.999.999.999 but <IP> is")
+    // the email pass consumes the local part; the phone count (taken on
+    // the post-email text) must NOT claim a phone was redacted
+    assert(r(3L).getInt(2) == 1 && r(3L).getInt(3) == 0)
+    assert(r(3L).getString(1) == "phone-shaped inside email <EMAIL> stays an email")
+  }
+
+  test("chunkWithOverlap: empty and whitespace-only docs emit no chunks") {
+    val d = Seq((1L, ""), (2L, "   "), (3L, "one real token")).toDF("doc_id", "text")
+    val out = Corpus.chunkWithOverlap(d, chunkTokens = 8, overlapTokens = 2).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("weightedMixtureSample: weight scales the keep rate, nested in rate") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val one = docs.withColumn("w", lit(1.0))
+    val zero = docs.withColumn("w", lit(0.0))
+    // weight 0 keeps nothing; weight 1 ≡ plain rate thresholds
+    assert(Corpus.weightedMixtureSample(zero, Map.empty, 0.9, "w").count() == 0)
+    val atOne = Corpus.weightedMixtureSample(one, Map.empty, 0.5, "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = docs.count().toDouble
+    assert(math.abs(atOne.size / n - 0.5) < 0.1)
+    // nested: a higher rate yields a superset at the same weights
+    val atOneHigher = Corpus.weightedMixtureSample(one, Map.empty, 0.8, "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(atOne.subsetOf(atOneHigher))
+    // fractional weight thins the sample below the pure rate
+    val half = docs.withColumn("w", lit(0.5))
+    val atHalf = Corpus.weightedMixtureSample(half, Map.empty, 0.8, "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(atHalf.subsetOf(atOneHigher) && atHalf.size < atOneHigher.size)
+  }
+
+  test("temperatureMixtureSample: smallest source kept whole, big ones thinned") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minSrc = bySrc.minBy(_._2)._1
+    val sampled = Corpus.temperatureMixtureSample(docs, temperature = 2.0)
+    val keptBySrc = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate for the smallest source is exactly 1.0 → kept in full
+    assert(keptBySrc(minSrc) == bySrc(minSrc))
+    // every other source lands near sqrt(n_min/n_src) of its size
+    for ((src, tot) <- bySrc if src != minSrc) {
+      val expect = math.sqrt(bySrc(minSrc).toDouble / tot) * tot
+      assert(math.abs(keptBySrc.getOrElse(src, 0L) - expect) < 6 * math.sqrt(expect) + 3)
+    }
+    // T=1 keeps the natural mixture untouched
+    assert(Corpus.temperatureMixtureSample(docs, temperature = 1.0).count() == docs.count())
+  }
+
+  test("qualityThresholdFilter: histogram threshold, ties share a fate") {
+    // group g: scores 0.9×1, 0.8×2, 0.5×2 (total 5)
+    val d = Seq(
+      (1L, "g", 0.9), (2L, "g", 0.8), (3L, "g", 0.8), (4L, "g", 0.5), (5L, "g", 0.5)
+    ).toDF("doc_id", "source", "quality")
+    // keep 50%: cum_before(0.9)=0, (0.8)=1 < 2.5; (0.5)=3 ≥ 2.5 → 3 docs
+    val half = Corpus.qualityThresholdFilter(d, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half == Set(1L, 2L, 3L))
+    // keep 70%: 0.5's cum_before=3 < 3.5 → the whole tie group rounds in
+    assert(Corpus.qualityThresholdFilter(d, 0.7).count() == 5)
+    // keepFraction 1.0 keeps everything
+    assert(Corpus.qualityThresholdFilter(d, 1.0).count() == 5)
+  }
+
+  test("gopherRules: each rule trips independently, pass is the conjunction") {
+    val d = Seq(
+      (1L, "the quick brown foxes jumped over those lazy hounds and then rested"),
+      (2L, "short text"), // too few tokens
+      (3L, "quick brown foxes jumped over lazy hounds sprinting quite far"), // no stopwords
+      (4L, "the !!! ??? ... !!! ??? and ... !!! ??? sputtering on as junk") // punct-heavy
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(d, minTokens = 5, maxTokens = 100,
+      minAvgTokenLen = 3.0, maxAvgTokenLen = 10.0,
+      maxPunctRatio = 0.2, minStopwordHits = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def flags(id: Long) = (r(id).getBoolean(2), r(id).getBoolean(3),
+      r(id).getBoolean(4), r(id).getBoolean(5), r(id).getBoolean(6))
+    assert(flags(1L) == (true, true, true, true, true))
+    assert(!r(2L).getBoolean(2) && !r(2L).getBoolean(6)) // token count trips
+    assert(!r(3L).getBoolean(5) && !r(3L).getBoolean(6)) // stopwords trip
+    assert(!r(4L).getBoolean(4) && !r(4L).getBoolean(6)) // punct ratio trips
+  }
+
   test("chunkWithOverlap: reassembling zero-overlap chunks restores the text") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val chunks = Corpus.chunkWithOverlap(docs, chunkTokens = 10, overlapTokens = 0)

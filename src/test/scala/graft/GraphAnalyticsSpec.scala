@@ -56,6 +56,66 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert((top(0).getLong(0), top(0).getLong(1), top(0).getLong(2)) == (2L, 4L, 2L))
   }
 
+  test("commonNeighborsTopK: a hub past maxDegree triggers the wedge guard") {
+    // star: center 0 with 8 leaves — degree 8 > maxDegree 5. The wedge
+    // self-join would fan out deg² pairs; the contract guard must kill
+    // the query with an actionable message instead.
+    val star = (1L to 8L).map(i => (0L, i)).toDF("src", "dst")
+    val err = intercept[Exception] {
+      Graph.commonNeighborsTopK(star, k = 3, maxDegree = 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m.contains("commonNeighborsTopK") && m.contains("maxBlockRows")))
+    // the same graph passes when the bound admits the hub
+    assert(Graph.commonNeighborsTopK(star, k = 100, maxDegree = 8).count() == 28)
+  }
+
+  test("pageRankDirected: dangling mass is redistributed, total rank = 1") {
+    // chain 1→2→3: node 3 is dangling. After one iteration:
+    //   dm = 1/3;  r(1) = 0.05 + 0.85·(0 + 1/9)
+    //   r(2) = r(3) = 0.05 + 0.85·(1/3 + 1/9)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRankDirected(chain, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - (0.05 + 0.85 / 9.0)) < 1e-12)
+    assert(math.abs(pr(2L) - (0.05 + 0.85 * (1.0 / 3.0 + 1.0 / 9.0))) < 1e-12)
+    assert(math.abs(pr(2L) - pr(3L)) < 1e-15)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    // mass stays conserved across more iterations (the dangling term is
+    // what prevents the leak)
+    val pr3 = Graph.pageRankDirected(chain, iters = 3)
+    assert(math.abs(pr3.agg(sum(col("rank"))).head().getDouble(0) - 1.0) < 1e-9)
+    // a source node keeps the teleport floor, a sink accumulates more
+    assert(pr(3L) > pr(1L))
+  }
+
+  test("pageRankDirected weighted: surfer follows edge weights proportionally") {
+    // 1→2 (w=3), 1→3 (w=1): strength(1)=4; 2 and 3 dangle (dm = 2/3).
+    //   r1(2) = 0.05 + 0.85·(1/3·3/4 + 2/9); r1(3) = 0.05 + 0.85·(1/3·1/4 + 2/9)
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pageRankDirected(e, iters = 1, weightCol = Some("w")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dm9 = (2.0 / 3.0) / 3.0
+    assert(math.abs(pr(2L) - (0.05 + 0.85 * (1.0 / 3.0 * 3.0 / 4.0 + dm9))) < 1e-12)
+    assert(math.abs(pr(3L) - (0.05 + 0.85 * (1.0 / 3.0 * 1.0 / 4.0 + dm9))) < 1e-12)
+    assert(pr(2L) > pr(3L)) // the heavier edge carries more rank
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    // weight 1 on every edge reproduces the unweighted ranks exactly
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val unw = Graph.pageRankDirected(chain, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w1 = Graph.pageRankDirected(chain.withColumn("w", lit(1L)), iters = 2,
+      weightCol = Some("w")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(unw == w1)
+  }
+
+  test("pageRankDirected: empty input returns empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRankDirected(empty, iters = 2).count() == 0)
+  }
+
   test("coOccurrenceEdges: groups of 1 emit nothing; pairs are canonical") {
     val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 7L)).toDF("g", "item")
     val e = Graph.coOccurrenceEdges(df, "g", "item").collect()
