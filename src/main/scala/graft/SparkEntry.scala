@@ -283,6 +283,16 @@ object SparkEntry {
         .select(col("doc_id").as("bench_id"), col("text"))
       graft.operators.Corpus.decontaminate(docs, bench)
     }),
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      // near-dup contamination (vs exact 8-gram overlap): training docs
+      // whose shingle Jaccard against any benchmark doc clears 0.5;
+      // the benchmark fixture mirrors `decontaminate`'s
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.operators.Dedup.crossLshJaccard(docs, bench, minJaccard = 0.5)
+        .select(col("a").as("doc_id"), col("b").as("bench_id"), col("jaccard"))
+    }),
     "pack_chunks" -> ((s, dir) =>
       graft.operators.Corpus.packChunks(t(s, dir, "documents"), targetTokens = 512)),
     "corpus_prepare" -> ((s, dir) => {
@@ -764,6 +774,8 @@ object SparkEntry {
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
     "sample_mixture" -> OracleFragments.sampleMixture(
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
+    "decontaminate_fuzzy" -> OracleFragments.decontaminateFuzzy(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.5),
     "decontaminate" -> OracleFragments.decontaminate(
       nTokens = 8, minHits = 1, benchMod = 20),
     "corpus_prepare" -> OracleFragments.corpusPrepare(
@@ -1184,6 +1196,37 @@ object OracleFragments {
             FROM cands JOIN gs ga ON cands.a = ga.gid
                        JOIN gs gb ON cands.b = gb.gid)
         SELECT a, b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
+        FROM scored
+        WHERE round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) >= $minJaccard"""
+  }
+
+  /** Mirror of Dedup.crossLshJaccard over the decontaminate benchmark
+    * fixture (every 20th doc): bipartite band-key join, exact shingle
+    * Jaccard on candidates. */
+  def decontaminateFuzzy(bands: Int, rowsPerBand: Int, minJaccard: Double): String = {
+    val mh = Seq.tabulate(bands * rowsPerBand)(i => s"${minhashExpr(5, i)} AS mh$i").mkString(", ")
+    def bandSelects(src: String, idc: String) = Seq.tabulate(bands) { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
+      s"SELECT $idc, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 20 = 0),
+          sigsl AS (SELECT doc_id, $mh FROM documents),
+          sigsr AS (SELECT bench_id, $mh FROM bench),
+          bkl AS (${bandSelects("sigsl", "doc_id")}),
+          bkr AS (${bandSelects("sigsr", "bench_id")}),
+          cands AS (
+            SELECT DISTINCT l.doc_id AS a, r.bench_id AS b
+            FROM bkl l JOIN bkr r ON l.band = r.band AND l.h = r.h),
+          gsl AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM documents),
+          gsr AS (SELECT bench_id AS gid, ${shingles(5)} AS g FROM bench),
+          scored AS (
+            SELECT a, b,
+                   len(list_intersect(ga.g, gb.g)) AS inter,
+                   len(ga.g) AS sa, len(gb.g) AS sb
+            FROM cands JOIN gsl ga ON cands.a = ga.gid
+                       JOIN gsr gb ON cands.b = gb.gid)
+        SELECT a AS doc_id, b AS bench_id,
+               round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
         FROM scored
         WHERE round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) >= $minJaccard"""
   }

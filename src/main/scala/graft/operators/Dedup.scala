@@ -250,6 +250,60 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
 
+  /** FUZZY decontamination / cross-corpus near-dup: MinHash-LSH
+    * candidates BETWEEN two corpora (training docs × held-out benchmark),
+    * verified by exact shingle Jaccard — the near-duplicate complement of
+    * [[Corpus.decontaminate]]'s exact n-gram overlap (a lightly rephrased
+    * eval document shares few exact 8-grams but keeps a high shingle
+    * Jaccard). Same machinery and scale shape as [[lshJaccard]], with the
+    * self-join replaced by a bipartite band-key join: each side is
+    * scanned ONCE into its own scratch signature table, candidates come
+    * from band-bucket collisions (never the |L|×|R| cross product), the
+    * size-ratio prefilter prunes before shingle arrays ship, and the
+    * benchmark side is typically small — AQE broadcasts it on its own.
+    * Output: (a = left id, b = right id, jaccard), unordered pairs
+    * across distinct id spaces (no a < b canonicalization). */
+  def crossLshJaccard(
+      left: DataFrame,
+      right: DataFrame,
+      leftIdCol: String = "doc_id",
+      rightIdCol: String = "bench_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.0): DataFrame = {
+    def sigTable(df: DataFrame, idc: String, prefix: String) =
+      Scratch.materialize(
+        Par.fanOut(df.select(col(idc).as("id"), col(textCol).as("t")))
+          .select(
+            col("id"),
+            graft.functions.MinHashSignature
+              .minhashSignature(col("t"), shingleK, bands * rowsPerBand).as("sig"),
+            shingles(col("t"), shingleK).as("gs"))
+          .withColumn("sz", size(col("gs"))),
+        prefix)
+    val l = sigTable(left, leftIdCol, "xlsh_left")
+    val r = sigTable(right, rightIdCol, "xlsh_right")
+    val lb = bandedKeys(l.select(col("id"), col("sig")), bands, rowsPerBand)
+      .select(col("id").as("a"), col("bk"))
+    val rb = bandedKeys(r.select(col("id"), col("sig")), bands, rowsPerBand)
+      .select(col("id").as("b"), col("bk"))
+    val candidates = lb.join(rb, Seq("bk")).select(col("a"), col("b")).distinct()
+    val sized = candidates
+      .join(l.select(col("id").as("a"), col("sz").as("sz_a")), Seq("a"))
+      .join(r.select(col("id").as("b"), col("sz").as("sz_b")), Seq("b"))
+      .filter(col("sz_a") > 0 && col("sz_b") > 0 &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(minJaccard - 1e-6) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .select(col("a"), col("b"))
+    val withA = sized.join(l.select(col("id").as("a"), col("gs").as("gs_a"),
+      col("sz").as("sz_a")), Seq("a"))
+    val withB = withA.join(r.select(col("id").as("b"), col("gs").as("gs_b"),
+      col("sz").as("sz_b")), Seq("b"))
+    exactJaccard(withB, minJaccard)
+  }
+
   /** Exact n-gram Jaccard similarity, computed only within blocks (e.g.
     * same source+lang) — the blocking keeps this linear-ish; an unblocked
     * version of this op at 100 TB would be the O(n²) anti-pattern. The

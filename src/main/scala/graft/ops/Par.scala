@@ -25,6 +25,11 @@ object Par {
     * on wide plans. Only frames with no file relation at all (in-memory
     * test data) fall back to the RDD probe. */
   def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames: parallelism is the source's concern (maxFilesPerTrigger
+    // / partition count), and both probes below are batch-only (an RDD
+    // probe on a streaming frame throws). The operators stay usable
+    // unchanged under readStream.
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val fileRels = df.queryExecution.analyzed.collect {

@@ -26,6 +26,23 @@ class ScaleOpsSpec extends SparkTestBase {
       r.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("crossLshJaccard: bipartite matches, no within-side pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "totally different words here zzz qqq vvv")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "totally different words here zzz qqq vvv")).toDF("bench_id", "text")
+    val out = Dedup.crossLshJaccard(corpus, bench, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // each corpus doc hits its verbatim benchmark twin at jaccard 1.0
+    assert(out((1L, 100L)) == 1.0 && out((2L, 101L)) == 1.0)
+    // the dissimilar cross pairs are absent; ids come from both spaces
+    assert(!out.contains((1L, 101L)) && !out.contains((2L, 100L)))
+    // self-contained corpora: an empty benchmark yields no pairs
+    assert(Dedup.crossLshJaccard(corpus, bench.limit(0), minJaccard = 0.0).count() == 0)
+  }
+
   test("lshJaccard is a subset of blocked exact jaccard scores") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val lsh = Dedup.lshJaccard(docs, minJaccard = 0.3).collect()
