@@ -662,6 +662,12 @@ object SparkEntry {
       graft.operators.Graph.triangleCount(coPurchaseEdges(s, dir))),
     "graph_common_neighbors" -> ((s, dir) =>
       graft.operators.Graph.commonNeighborsTopK(coPurchaseEdges(s, dir), k = 10)),
+    "graph_node_similarity" -> ((s, dir) =>
+      // GDS-style node similarity: neighbor-set Jaccard from wedge
+      // counts + degrees, no set arrays shipped
+      graft.operators.Graph.nodeSimilarityTopK(coPurchaseEdges(s, dir), k = 10)),
+    "graph_components" -> ((s, dir) =>
+      graft.operators.Graph.connectedComponents(coPurchaseEdges(s, dir))),
     // ---- text cleaning / sampling / chunking (training-data prep) ----
     "text_pii_redact" -> ((s, dir) => {
       // PII-laden fixture derived deterministically from doc_id (the
@@ -1038,6 +1044,8 @@ object SparkEntry {
       maxAvgTokenLen = 10.0, maxPunctRatio = 0.2, minStopwordHits = 2),
     "graph_triangles" -> OracleFragments.graphTriangles,
     "graph_common_neighbors" -> OracleFragments.graphCommonNeighbors(k = 10),
+    "graph_node_similarity" -> OracleFragments.graphNodeSimilarity(k = 10),
+    "graph_components" -> OracleFragments.graphComponents,
     "text_pii_redact" -> OracleFragments.textPiiRedact,
     "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
     "sample_weighted" -> OracleFragments.sampleWeighted(k = 25),
@@ -1945,6 +1953,35 @@ object OracleFragments {
                round(sum(m.logp)::DOUBLE / count(*), 6) AS avg_logp
         FROM tok t JOIN model m ON t.token = m.token
         GROUP BY 1"""
+
+  /** Mirror of Graph.nodeSimilarityTopK: wedge-count common neighbors,
+    * Jaccard = common / (deg(a) + deg(b) − common), top-k. */
+  def graphNodeSimilarity(k: Int): String =
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          deg AS (SELECT n AS node, count(*) AS d FROM adj GROUP BY 1),
+          p AS (SELECT a1.x AS a, a2.x AS b, count(*) AS common
+                FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
+                GROUP BY 1, 2)
+        SELECT a, b,
+               round(common::DOUBLE / (da.d + db.d - common)::DOUBLE, 6) AS similarity
+        FROM p JOIN deg da ON da.node = p.a
+               JOIN deg db ON db.node = p.b
+        ORDER BY similarity DESC, a, b LIMIT $k"""
+
+  /** Mirror of Graph.connectedComponents: transitive closure over the
+    * symmetrized canonical edges, component = min reachable id. */
+  val graphComponents: String =
+    s"""WITH RECURSIVE e0 AS ($coPurchase),
+          edges AS (SELECT src AS s, dst AS d FROM e0
+                    UNION SELECT dst AS s, src AS d FROM e0),
+          reach AS (
+            SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
+          cc AS (SELECT x AS node, min(y) AS component FROM reach GROUP BY x)
+        SELECT node, component FROM cc"""
 
   def graphCommonNeighbors(k: Int): String =
     s"""WITH e0 AS ($coPurchase),

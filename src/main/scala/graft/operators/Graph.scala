@@ -272,6 +272,55 @@ object Graph {
     closed.agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Weakly connected components over the undirected edge set: every
+    * node that appears in an edge, labeled with its component's minimum
+    * node id. Delegates to the corpus CC engine
+    * ([[Corpus.connectedComponents]]): observed-count-gated driver
+    * union-find for small pair lists, pointer-jumping min-label
+    * propagation over scratch tables (O(log diameter) rounds,
+    * constant-size plans) beyond the threshold — the same loop
+    * discipline PageRank uses. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    Corpus.connectedComponents(canonicalEdges(edges), aCol = "src", bCol = "dst")
+      .select(col("id").as("node"), col("label").as("component"))
+
+  /**
+   * Node similarity (the GDS-flagship link-analysis measure the
+   * reference's destination system runs on loaded graphs): Jaccard
+   * similarity of neighbor sets for every pair sharing at least one
+   * neighbor, top `k` by (similarity desc, pair id). Computed entirely
+   * from the wedge counts: |N(a)∩N(b)| is the common-neighbor count and
+   * |N(a)∪N(b)| = deg(a)+deg(b)−common, so the plan is the guarded
+   * wedge join plus two degree equi-joins — no set arrays ever ship.
+   * Same enforced `maxDegree` contract as [[commonNeighborsTopK]].
+   */
+  def nodeSimilarityTopK(
+      edges: DataFrame,
+      k: Int = 10,
+      maxDegree: Long = 100000): DataFrame = {
+    import graft.ops.Scratch
+    val e = Scratch.materialize(canonicalEdges(edges), "ns_edges")
+    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
+      .union(e.select(col("dst").as("n"), col("src").as("x")))
+    val deg = adj0.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
+      "nodeSimilarityTopK",
+      hint = "the wedge fanout is quadratic in node degree - truncate "
+        + "per-node adjacency upstream or raise maxDegree deliberately")
+    val a1 = adj.select(col("n"), col("x").as("a"))
+    val a2 = adj.select(col("n"), col("x").as("b"))
+    a1.join(a2, Seq("n")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double"), 6).as("similarity"))
+      .orderBy(col("similarity").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /**
    * Common-neighbors link prediction: for node pairs NOT already joined
    * by an edge, count shared neighbors; emit the top `k` candidate pairs

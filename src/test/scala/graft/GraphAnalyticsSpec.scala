@@ -56,6 +56,23 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert((top(0).getLong(0), top(0).getLong(1), top(0).getLong(2)) == (2L, 4L, 2L))
   }
 
+  test("nodeSimilarityTopK: neighbor-set Jaccard, identical hoods score 1.0") {
+    // house: N(2) = N(4) = {1,3} → sim(2,4) = 1.0 though not adjacent;
+    // N(1)∩N(3) = {2,4} of union 4 → 0.5; all other pairs 0.25
+    val top = Graph.nodeSimilarityTopK(house, k = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(top.head == ((2L, 4L), 1.0))
+    assert(top(1) == ((1L, 3L), 0.5))
+    assert(top.drop(2).forall(_._2 == 0.25) && top.length == 6)
+  }
+
+  test("connectedComponents: min-id labels per component") {
+    val e = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val cc = Graph.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("commonNeighborsTopK: a hub past maxDegree triggers the wedge guard") {
     // star: center 0 with 8 leaves — degree 8 > maxDegree 5. The wedge
     // self-join would fan out deg² pairs; the contract guard must kill
