@@ -80,10 +80,25 @@ object Dedup {
     * self-join on the band key, streamed (pairs are never materialized
     * as arrays — a mass-duplicate bucket yields quadratic OUTPUT in any
     * formulation, but here it flows row-by-row instead of building one
-    * giant in-memory pair list per bucket). */
-  private def candidatePairs(banded: DataFrame): DataFrame = {
-    val l = banded.select(col("id").as("a"), col("bk").as("bka"))
-    val r = banded.select(col("id").as("b"), col("bk").as("bkb"))
+    * giant in-memory pair list per bucket).
+    *
+    * The bucket-size contract is ENFORCED (the guardBlockSize pattern):
+    * a band bucket past `maxBucketRows` means ~|bucket|² candidate
+    * pairs — on a boilerplate-heavy corpus at 100 TB that is an
+    * accidental near-cross-product. Such buckets are almost always
+    * verbatim mass duplicates, and the escape route is the standard
+    * pipeline order: EXACT dedup first (one representative per
+    * fingerprint), near-dup LSH on the survivors — or raise the bound
+    * deliberately when quadratic output is truly wanted. */
+  private def candidatePairs(
+      banded: DataFrame,
+      op: String,
+      maxBucketRows: Long): DataFrame = {
+    val guarded = Blocks.guardBlockSize(banded, "bk", maxBucketRows, op,
+      hint = "a mass-duplicate band bucket yields quadratic candidate "
+        + "pairs - run exact dedup first or raise maxBucketRows deliberately")
+    val l = guarded.select(col("id").as("a"), col("bk").as("bka"))
+    val r = guarded.select(col("id").as("b"), col("bk").as("bkb"))
     l.join(r, col("bka") === col("bkb") && col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
@@ -101,14 +116,20 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 5,
       bands: Int = 4,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2,
+      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
     val banded = Scratch.materialize(
       bandedKeys(
         minhashSignatures(docs, idCol, textCol, shingleK, bands * rowsPerBand),
         bands, rowsPerBand),
       "lsh_bandkeys")
-    candidatePairs(banded)
+    candidatePairs(banded, "minhashLshCandidates", maxBucketRows)
   }
+
+  /** Default enforced band-bucket bound: 10^5 rows in one bucket is
+    * ~5·10^9 candidate pairs from that bucket alone — past any plausible
+    * near-dup bucket and squarely in run-exact-dedup-first territory. */
+  val DefaultMaxBucketRows: Long = 100000L
 
   /** 32-bit SimHash: per whitespace token take a token hash, then for
     * each bit sum +1/-1 across tokens; the sign vector is the
@@ -192,7 +213,8 @@ object Dedup {
       shingleK: Int = 5,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      minJaccard: Double = 0.0): DataFrame = {
+      minJaccard: Double = 0.0,
+      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
     // Signatures AND shingle sets in ONE pass over the corpus, written
     // once as a scratch signature table so candidate generation, the
     // size prefilter and both verification joins re-read the computed
@@ -211,7 +233,8 @@ object Dedup {
         .withColumn("sz", size(col("gs"))),
       "lsh_signatures")
     val candidates = candidatePairs(
-      bandedKeys(base.select(col("id"), col("sig")), bands, rowsPerBand))
+      bandedKeys(base.select(col("id"), col("sig")), bands, rowsPerBand),
+      "lshJaccard", maxBucketRows)
     // Exact size-ratio prefilter: jaccard = |A∩B|/|A∪B| ≤ min/max of the
     // set sizes, so pairs that cannot reach the threshold are pruned
     // BEFORE shipping the (heavy) shingle arrays through the join.
@@ -272,7 +295,8 @@ object Dedup {
       shingleK: Int = 5,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      minJaccard: Double = 0.0): DataFrame = {
+      minJaccard: Double = 0.0,
+      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
     def sigTable(df: DataFrame, idc: String, prefix: String) =
       Scratch.materialize(
         Par.fanOut(df.select(col(idc).as("id"), col(textCol).as("t")))
@@ -285,7 +309,13 @@ object Dedup {
         prefix)
     val l = sigTable(left, leftIdCol, "xlsh_left")
     val r = sigTable(right, rightIdCol, "xlsh_right")
-    val lb = bandedKeys(l.select(col("id"), col("sig")), bands, rowsPerBand)
+    // the corpus-side bucket bound caps bipartite fanout (|L|×|R| per
+    // bucket; the benchmark side is small by contract)
+    val lb = Blocks.guardBlockSize(
+      bandedKeys(l.select(col("id"), col("sig")), bands, rowsPerBand),
+      "bk", maxBucketRows, "crossLshJaccard",
+      hint = "a mass-duplicate band bucket yields quadratic candidate "
+        + "pairs - run exact dedup first or raise maxBucketRows deliberately")
       .select(col("id").as("a"), col("bk"))
     val rb = bandedKeys(r.select(col("id"), col("sig")), bands, rowsPerBand)
       .select(col("id").as("b"), col("bk"))

@@ -26,6 +26,23 @@ class ScaleOpsSpec extends SparkTestBase {
       r.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("lshJaccard: a mass-duplicate band bucket triggers the bucket guard") {
+    val dup = (1L to 300L)
+      .map(i => (i, "the same boilerplate text repeated everywhere zzz"))
+      .toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      Dedup.lshJaccard(dup, minJaccard = 0.9, maxBucketRows = 100).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m.contains("lshJaccard") && m.contains("maxBlockRows")))
+    // a bound that admits the bucket lets the (deliberately) quadratic
+    // output through: all 300·299/2 identical pairs at jaccard 1.0
+    assert(Dedup.lshJaccard(dup, minJaccard = 0.9, maxBucketRows = 2000)
+      .count() == 300L * 299L / 2L)
+  }
+
   test("crossLshJaccard: bipartite matches, no within-side pairs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
