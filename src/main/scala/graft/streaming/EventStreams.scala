@@ -107,6 +107,26 @@ object EventStreams {
   }
 
   /** Streaming de-duplication by event_id within the watermark horizon. */
+  /** STREAM-STATIC join surface: filter a streaming corpus against a
+    * static exact-fingerprint blocklist (the incremental-ingest form of
+    * exact decontamination — documents arriving on the stream whose
+    * normalized-text md5 appears in the published blocklist are dropped
+    * before they reach the training store). The static side is a plain
+    * batch frame: Spark re-plans it per micro-batch, broadcasts it when
+    * small (the blocklist case), and the join needs NO watermark or
+    * state store — the stateless stream-static shape. `left_anti` keeps
+    * clean documents; flip to `left_semi` to audit what was blocked. */
+  def filterBlocklistStream(
+      docs: DataFrame,
+      blocklist: DataFrame,
+      joinType: String = "left_anti",
+      textCol: String = "text",
+      fpCol: String = "fingerprint"): DataFrame =
+    docs
+      .withColumn("_fp", graft.functions.TextFunctions.md5Fingerprint(col(textCol)))
+      .join(blocklist.select(col(fpCol).as("_fp")), Seq("_fp"), joinType)
+      .drop("_fp")
+
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
 

@@ -44,6 +44,41 @@ class CurationStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("filterBlocklistStream: stream-static anti join drops blocklisted docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // blocklist carries the fingerprint of fixture doc 2 ("short text")
+    val blocklist = Seq(Tuple1("short text")).toDF("text")
+      .select(graft.functions.TextFunctions.md5Fingerprint(org.apache.spark.sql.functions.col("text"))
+        .as("fingerprint"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.filterBlocklistStream(
+      input.toDS().toDF("doc_id", "text"), blocklist)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("blocklist_stream").start()
+    try {
+      input.addData(fixture.take(2): _*)
+      q.processAllAvailable()
+      input.addData(fixture.drop(2): _*)
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM blocklist_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 4L)) // doc 2 blocked
+      // the semi form audits exactly the blocked set
+      val input2 = MemoryStream[(Long, String)]
+      val q2 = graft.streaming.EventStreams.filterBlocklistStream(
+        input2.toDS().toDF("doc_id", "text"), blocklist, joinType = "left_semi")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("blocklist_semi").start()
+      try {
+        input2.addData(fixture: _*)
+        q2.processAllAvailable()
+        assert(spark.sql("SELECT doc_id FROM blocklist_semi").collect()
+          .map(_.getLong(0)).toSet == Set(2L))
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("redactPii over a stream matches batch redaction") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
