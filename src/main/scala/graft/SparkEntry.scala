@@ -296,18 +296,24 @@ object SparkEntry {
     "pack_chunks" -> ((s, dir) =>
       graft.operators.Corpus.packChunks(t(s, dir, "documents"), targetTokens = 512)),
     "corpus_prepare" -> ((s, dir) => {
-      // the END-TO-END compositor: LSH near-dup clustering -> keep-one ->
-      // benchmark decontamination -> split assignment -> sharded write,
-      // verified as ONE composition (each stage is also oracle-gated on
-      // its own). The result is a scan of the just-written shards.
+      // the END-TO-END compositor: top-80%-per-source quality gate ->
+      // LSH near-dup clustering -> keep-one -> benchmark
+      // decontamination (against the RAW benchmark side) -> split
+      // assignment -> sharded write, verified as ONE composition (each
+      // stage is also oracle-gated on its own). The result is a scan of
+      // the just-written shards.
       val docs = t(s, dir, "documents")
       val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
       val out = graft.ops.Scratch.dir(
         s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare")
-      graft.operators.Corpus.prepareTrainingSet(docs, bench, out,
+      graft.operators.Corpus.prepareTrainingSet(
+          docs.withColumn("quality",
+            graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+          bench, out,
           splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
-          minJaccard = 0.20, nShards = 8)
+          minJaccard = 0.20, nShards = 8,
+          qualityFilter = Some("quality" -> 0.8))
         .select(col("doc_id"), col("split").cast("string").as("split"))
     }),
     "tfidf_terms" -> ((s, dir) =>
@@ -787,7 +793,8 @@ object SparkEntry {
     "corpus_prepare" -> OracleFragments.corpusPrepare(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20,
       nTokens = 8, minHits = 1, benchMod = 20,
-      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
+      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      qualityKeep = Some(0.8)),
     "sample_quality_weighted" -> OracleFragments.sampleQualityWeighted(
       Seq("src0" -> 0.9, "src1" -> 0.6), defaultRate = 0.75),
     "sample_temperature" -> OracleFragments.sampleTemperature,
@@ -1184,19 +1191,21 @@ object OracleFragments {
 
   /** LSH candidates (same SQL as dedup_minhash_lsh) + exact Jaccard on the
     * candidates' distinct-shingle sets. */
-  def dedupLshJaccard(bands: Int, rowsPerBand: Int, minJaccard: Double): String = {
+  def dedupLshJaccard(
+      bands: Int, rowsPerBand: Int, minJaccard: Double,
+      src: String = "documents"): String = {
     val mh = Seq.tabulate(bands * rowsPerBand)(i => s"${minhashExpr(5, i)} AS mh$i").mkString(", ")
     val bandSelects = Seq.tabulate(bands) { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH sigs AS (SELECT doc_id, $mh FROM documents),
+    s"""WITH sigs AS (SELECT doc_id, $mh FROM $src),
           bandkeys AS ($bandSelects),
           cands AS (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bandkeys l JOIN bandkeys r
               ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
-          gs AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM documents),
+          gs AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM $src),
           scored AS (
             SELECT a, b,
                    len(list_intersect(ga.g, gb.g)) AS inter,
@@ -1336,23 +1345,51 @@ object OracleFragments {
         FROM documents d LEFT JOIN hits h USING (doc_id)"""
 
   /** The END-TO-END compositor (Corpus.prepareTrainingSet) re-derived as
-    * one chained query: LSH-verified pairs → recursive-CTE components →
-    * keep-one reps → decontaminate the reps against every `benchMod`-th
-    * doc → split-assign the survivors. Proves the COMPOSITION is exact,
-    * not just each stage: any drift in how stages hand off (keep-one on
-    * the wrong id, decontaminating pre-dedup docs, re-salted coins)
+    * one chained query: quality gate (top `qualityKeep` per source by
+    * the 6-dp score, histogram threshold) → LSH-verified pairs →
+    * recursive-CTE components → keep-one reps → decontaminate the reps
+    * against every `benchMod`-th RAW doc → split-assign the survivors.
+    * Proves the COMPOSITION is exact, not just each stage: any drift in
+    * how stages hand off (keep-one on the wrong id, decontaminating
+    * pre-dedup docs, filtering the benchmark side, re-salted coins)
     * breaks the hash even while the per-stage oracles stay green. */
   def corpusPrepare(
       bands: Int, rowsPerBand: Int, minJaccard: Double,
       nTokens: Int, minHits: Int, benchMod: Int,
-      splits: Seq[(String, Double)]): String = {
+      splits: Seq[(String, Double)],
+      qualityKeep: Option[Double] = None): String = {
     val total = splits.map(_._2).sum
     val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
       .map(c => ((c / total) * 4294967296L).toLong)
     val coin = coinSql("split:")
     val whens = splits.map(_._1).zip(bounds).init
       .map { case (name, b) => s"WHEN $coin < $b THEN '$name'" }.mkString(" ")
-    s"""WITH RECURSIVE pairs AS (${dedupLshJaccard(bands, rowsPerBand, minJaccard)}),
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopRaw = s"len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    val quality = s"""round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
+              + least(($stopRaw) * 4.0, 1.0) * 0.3, 6)"""
+    val (qualityCtes, corpusSrc) = qualityKeep match {
+      case None => ("", "documents")
+      case Some(f) =>
+        (s"""qv AS (SELECT doc_id, source, $quality AS quality FROM documents),
+          qbyval AS (SELECT source, quality, count(*) AS nv FROM qv GROUP BY 1, 2),
+          qcum AS (SELECT source, quality,
+                          coalesce(sum(nv) OVER (PARTITION BY source ORDER BY quality DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+                          sum(nv) OVER (PARTITION BY source) AS tot
+                   FROM qbyval),
+          qkeep AS (SELECT source, quality FROM qcum
+                    WHERE cum_before::DOUBLE < $f * tot::DOUBLE),
+          qids AS (SELECT qv.doc_id FROM qv
+                   JOIN qkeep ON qv.source = qkeep.source AND qv.quality = qkeep.quality),
+          qdocs AS (SELECT d.* FROM documents d JOIN qids USING (doc_id)),
+          """, "qdocs")
+    }
+    s"""WITH RECURSIVE $qualityCtes
+          pairs AS (${dedupLshJaccard(bands, rowsPerBand, minJaccard, src = corpusSrc)}),
           edges AS (SELECT a AS s, b AS d FROM pairs
                     UNION SELECT b AS s, a AS d FROM pairs),
           reach AS (
@@ -1360,7 +1397,7 @@ object OracleFragments {
             UNION
             SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
           cc AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x),
-          reps AS (SELECT d.doc_id, d.text FROM documents d
+          reps AS (SELECT d.doc_id, d.text FROM $corpusSrc d
                    LEFT JOIN cc ON d.doc_id = cc.id
                    WHERE coalesce(cc.cluster_id, d.doc_id) = d.doc_id),
           bg AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram

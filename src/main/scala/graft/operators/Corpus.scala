@@ -565,6 +565,9 @@ object Corpus {
   /** End-to-end corpus assembly — the full pre-training data path in one
     * call, each stage consuming the previous stage's produced artifact:
     *
+    *   0. (optional) per-source quality gate: keep the top
+    *      `keepFraction` by a precomputed score column
+    *      (`qualityFilter = Some(scoreCol -> fraction)`);
     *   1. near-dup clustering over LSH-verified pairs; keep one
     *      representative (the min-id member) per cluster;
     *   2. benchmark decontamination; drop flagged documents;
@@ -582,8 +585,19 @@ object Corpus {
         Seq("train" -> 0.98, "valid" -> 0.01, "test" -> 0.01),
       minJaccard: Double = 0.2,
       nShards: Int = 64,
-      idCol: String = "doc_id"): DataFrame = {
-    val pairs = Dedup.lshJaccard(docs, minJaccard = minJaccard)
+      idCol: String = "doc_id",
+      qualityFilter: Option[(String, Double)] = None): DataFrame = {
+    // optional stage 0 — quality gate FIRST (cheapest stage, biggest
+    // cut, and it shrinks everything downstream): keep the top fraction
+    // per source by the given precomputed score column
+    // (qualityThresholdFilter semantics: histogram threshold, ties
+    // share a fate). The score column is stage metadata, dropped after.
+    val base = qualityFilter match {
+      case Some((scoreCol, keepFraction)) =>
+        qualityThresholdFilter(docs, keepFraction, scoreCol).drop(scoreCol)
+      case None => docs
+    }
+    val pairs = Dedup.lshJaccard(base, minJaccard = minJaccard)
     // the post-dedup corpus is a STAGE ARTIFACT: decontaminate scans it
     // twice (gram probe + flag join-back) and the keep join once more —
     // left lazy, each scan would re-run the keep-one join against the
@@ -591,8 +605,8 @@ object Corpus {
     // deduped table. At warehouse scale this is the table you'd persist
     // between the dedup job and the decontamination job anyway.
     val (reps, repsPath) = graft.ops.Scratch.materializeAt(
-      docs.join(
-        dupClusters(docs, pairs, idCol)
+      base.join(
+        dupClusters(base, pairs, idCol)
           .filter(col("doc_id") === col("cluster_id"))
           .select(col("doc_id").as(idCol)),
         Seq(idCol)),
