@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions
+import graft.operators.Corpus
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * CLI entry point for the training-data curation pipeline — the
+ * counterpart of [[Main]] (graph projection) for the corpus side: one
+ * `spark-submit`-able job running [[Corpus.prepareTrainingSet]]'s
+ * quality → dedup → decontaminate → split → shard chain end to end.
+ *
+ *   --input <dir/file.parquet>   corpus parquet (needs doc_id, text,
+ *                                source, n_chars — the documents schema)
+ *   --output <dir>               shard output root (split=/shard= leaves)
+ *   --benchmark <path>           optional eval-set parquet for
+ *                                decontamination (needs bench_id or
+ *                                doc_id + text); omit to skip the stage
+ *   --quality_keep 0.8           optional top-fraction-per-source
+ *                                quality gate (omit to skip stage 0)
+ *   --min_jaccard 0.2            LSH near-dup verify threshold
+ *   --splits train=0.98,valid=0.01,test=0.01
+ *   --shards 64                  shard count per split
+ *   --master <spark master>      default local[*]
+ *   --debug                      bare flag → INFO logs
+ *
+ * Example:
+ *   runMain graft.pipeline.CurateMain --input /data/documents.parquet \
+ *     --benchmark /data/eval.parquet --output /data/shards \
+ *     --quality_keep 0.8 --splits train=0.9,valid=0.05,test=0.05
+ */
+object CurateMain {
+  def main(args: Array[String]): Unit = {
+    val opts = Cli.parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("master", "local[*]"))
+      .appName("graft-curate")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(
+      if (opts.get("debug").exists(Cli.strtobool)) "INFO" else "WARN")
+    try run(spark, opts) finally spark.stop()
+  }
+
+  /** The job body, session-agnostic (tests drive it on the shared
+    * session; `main` owns session lifecycle). */
+  private[graft] def run(spark: SparkSession, opts: Map[String, String]): Unit = {
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"missing required flag --$k"))
+    val docs = spark.read.parquet(req("input"))
+    val bench = opts.get("benchmark")
+      .map { p =>
+        val b = spark.read.parquet(p)
+        if (b.columns.contains("bench_id")) b.select(col("bench_id"), col("text"))
+        else b.select(col("doc_id").as("bench_id"), col("text"))
+      }
+      // no benchmark → decontamination stage passes everything through
+      .getOrElse(docs.select(col("doc_id").as("bench_id"), col("text")).limit(0))
+
+    val splits = parseSplits(opts.getOrElse("splits", "train=0.98,valid=0.01,test=0.01"))
+    val qualityKeep = opts.get("quality_keep").map(_.toDouble)
+    val prepared = Corpus.prepareTrainingSet(
+      qualityKeep.map(_ => docs.withColumn("quality",
+        TextFunctions.qualityScore(col("text"), col("n_chars")))).getOrElse(docs),
+      bench,
+      req("output"),
+      splits = splits,
+      minJaccard = opts.get("min_jaccard").map(_.toDouble).getOrElse(0.2),
+      nShards = opts.get("shards").map(_.toInt).getOrElse(64),
+      qualityFilter = qualityKeep.map("quality" -> _))
+
+    val bySplit = prepared.groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .collect().map(r => s"${r.get(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    println(s"[graft-curate] wrote ${req("output")}: $bySplit")
+  }
+
+  /** `name=weight,name=weight` → ordered split spec. */
+  private[graft] def parseSplits(v: String): Seq[(String, Double)] = {
+    val parsed = Cli.splitList(v).map { part =>
+      part.split('=') match {
+        case Array(name, w) => name.trim -> w.trim.toDouble
+        case _ => sys.error(s"bad --splits entry '$part' (want name=weight)")
+      }
+    }
+    require(parsed.nonEmpty, "--splits must name at least one split")
+    parsed
+  }
+}

@@ -55,4 +55,37 @@ class CliSpec extends SparkTestBase {
     assert(res.nodeStats.size == 1 && res.edgeStats.size == 1)
     assert(res.finalStats.kind == "final")
   }
+
+  test("CurateMain.parseSplits: name=weight list, errors on malformed") {
+    assert(graft.pipeline.CurateMain.parseSplits("train=0.9, valid=0.05,test=0.05")
+      == Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+    intercept[RuntimeException](graft.pipeline.CurateMain.parseSplits("train:0.9"))
+    intercept[IllegalArgumentException](graft.pipeline.CurateMain.parseSplits(""))
+  }
+
+  test("CurateMain: end-to-end curation job writes split shards") {
+    import org.apache.spark.sql.functions.col
+    // a 3-doc benchmark: those documents (if they survive dedup) must be
+    // decontaminated away; everything else flows through
+    val benchDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("doc_id") < 3).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$benchDir/bench.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_curate").toString + "/shards"
+    graft.pipeline.CurateMain.run(spark, Map(
+      "input" -> s"${sf()}/documents.parquet",
+      "benchmark" -> s"$benchDir/bench.parquet",
+      "output" -> out,
+      "quality_keep" -> "0.9",
+      "splits" -> "train=0.9,valid=0.1",
+      "shards" -> "4"))
+    val shards = spark.read.parquet(out)
+    assert(shards.count() > 0)
+    // benchmark docs never reach the shards
+    assert(shards.filter(col("doc_id") < 3).count() == 0)
+    // split leaves exist with the configured names only
+    val splits = shards.select("split").distinct()
+      .collect().map(_.get(0).toString).toSet
+    assert(splits.subsetOf(Set("train", "valid")) && splits.contains("train"))
+  }
 }
