@@ -467,6 +467,35 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))),
     "distinct_op" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct()),
+    "unpivot_op" -> ((s, dir) =>
+      // wide → long melt (Dataset.unpivot): per-part metric rows
+      t(s, dir, "part").unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_size").cast("double").as("p_size")),
+        "metric", "value")),
+    "bitwise_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+        shiftleft(col("o_orderkey"), 2).as("k_shl"),
+        shiftright(col("o_orderkey"), 3).as("k_shr"),
+        bit_count(col("o_orderkey")).cast("int").as("k_bits"))),
+    "ev_range_window" -> ((s, dir) => {
+      // RANGE frame (value-based, not row-based): per user, the sum of
+      // event values in the trailing 10-minute window — peers at the
+      // same timestamp are always in-frame together, so the result is
+      // deterministic under any tie order
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-600L, 0L)
+      eventsTable(s, dir).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("trailing_10m"))
+    }),
     "rollup_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -944,6 +973,25 @@ object SparkEntry {
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""",
     "distinct_op" ->
       """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""",
+    "unpivot_op" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice::DOUBLE AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS value FROM part""",
+    "bitwise_funcs" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS k_and,
+                o_orderkey | 4096 AS k_or,
+                xor(o_orderkey, o_custkey) AS k_xor,
+                o_orderkey << 2 AS k_shl,
+                o_orderkey >> 3 AS k_shr,
+                bit_count(o_orderkey)::INT AS k_bits
+         FROM orders""",
+    "ev_range_window" ->
+      """SELECT event_id, user_id,
+                (sum(CAST(value AS DECIMAL(18,4))) OVER (
+                  PARTITION BY user_id ORDER BY (epoch_ms(ts) // 1000)
+                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW))::DOUBLE AS trailing_10m
+         FROM events""",
     "rollup_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
                 coalesce(l_linestatus, 'ALL') AS status,
