@@ -483,6 +483,9 @@ object SparkEntry {
         shiftleft(col("o_orderkey"), 2).as("k_shl"),
         shiftright(col("o_orderkey"), 3).as("k_shr"),
         bit_count(col("o_orderkey")).cast("int").as("k_bits"))),
+    "ev_resample" -> ((s, dir) =>
+      // irregular events -> hourly grid with last-value carry-forward
+      graft.operators.Events.resampleLastValue(eventsTable(s, dir), stepSeconds = 3600L)),
     "ev_range_window" -> ((s, dir) => {
       // RANGE frame (value-based, not row-based): per user, the sum of
       // event values in the trailing 10-minute window — peers at the
@@ -986,6 +989,17 @@ object SparkEntry {
                 o_orderkey >> 3 AS k_shr,
                 bit_count(o_orderkey)::INT AS k_bits
          FROM orders""",
+    "ev_resample" ->
+      """WITH ev AS (SELECT user_id, (epoch_ms(ts) // 1000) AS sec,
+                            max(value::DOUBLE) AS v
+                     FROM events GROUP BY 1, 2),
+            b AS (SELECT user_id, (min(sec) // 3600) * 3600 AS t0,
+                         (max(sec) // 3600) * 3600 AS t1
+                  FROM ev GROUP BY 1),
+            grid AS (SELECT user_id, unnest(range(t0, t1 + 3600, 3600)) AS gsec FROM b)
+          SELECT g.user_id, g.gsec AS grid_sec, e.v AS filled
+          FROM grid g ASOF LEFT JOIN ev e
+            ON g.user_id = e.user_id AND e.sec <= g.gsec""",
     "ev_range_window" ->
       """SELECT event_id, user_id,
                 (sum(CAST(value AS DECIMAL(18,4))) OVER (

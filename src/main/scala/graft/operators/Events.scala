@@ -37,6 +37,59 @@ object Events {
         round(sum(col("value")), 4).as("total_value"))
   }
 
+  /** Regular-grid resampling with last-value carry-forward (gap fill):
+    * per user, a `stepSeconds` grid spanning [min, max] event time, each
+    * grid point carrying the value of the latest event at or before it —
+    * the irregular-events → regular-series step feature pipelines run
+    * before windowed modeling.
+    *
+    * Determinism: sub-second/intra-second collisions are collapsed FIRST
+    * (per (user, second) the max value wins — documented), so the
+    * carried value never depends on row order; grid generation and the
+    * carry-forward are integer-second arithmetic. Shape: one pre-agg
+    * shuffle + one keyed window over the union of events and grid points
+    * — the as-of-join-by-union trick, no range join. The per-user grid
+    * size is guarded: a key whose span exceeds `maxPointsPerKey` grid
+    * points fails fast (raise the step or split the key range) instead
+    * of exploding an unbounded sequence. */
+  def resampleLastValue(
+      events: DataFrame,
+      stepSeconds: Long = 3600L,
+      maxPointsPerKey: Long = 100000L): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val sec = unix_timestamp(col("ts"))
+    val ev = events
+      .groupBy(col("user_id"), sec.as("sec"))
+      .agg(max(col("value").cast("double")).as("v"))
+    val bounds = ev.groupBy(col("user_id")).agg(
+      (floor(min(col("sec")) / stepSeconds) * stepSeconds).cast("long").as("t0"),
+      (floor(max(col("sec")) / stepSeconds) * stepSeconds).cast("long").as("t1"))
+    val nPoints = (col("t1") - col("t0")) / lit(stepSeconds) + lit(1L)
+    val grid = bounds
+      .withColumn("grid_sec", explode(
+        when(nPoints <= maxPointsPerKey,
+          sequence(col("t0"), col("t1"), lit(stepSeconds)))
+          .otherwise(raise_error(concat(
+            lit("resampleLastValue: key "), col("user_id").cast("string"),
+            lit(" spans "), nPoints.cast("long").cast("string"),
+            lit(s" grid points > maxPointsPerKey=$maxPointsPerKey - raise"
+              + " stepSeconds or split the key range"))))))
+      .select(col("user_id"), col("grid_sec"))
+    val unioned = ev
+      .select(col("user_id"), col("sec"), col("v"), lit(0).as("is_grid"))
+      .unionByName(grid.select(col("user_id"), col("grid_sec").as("sec"),
+        lit(null).cast("double").as("v"), lit(1).as("is_grid")))
+    // events sort before grid points at the same second, so a grid point
+    // sees an event landing exactly on it
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec").asc, col("is_grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("sec").as("grid_sec"), col("filled"))
+  }
+
   /** Tumbling-window aggregation: events per (hour, event_type). */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

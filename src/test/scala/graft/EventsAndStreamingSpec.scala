@@ -12,6 +12,28 @@ class EventsAndStreamingSpec extends SparkTestBase {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  test("resampleLastValue: carry-forward on the grid, collisions collapsed, guard") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(600L), 1.0), // 10 min in
+      (1L, ts(600L), 0.5), // same-second collision: max wins
+      (1L, ts(4200L), 5.0) // 70 min in
+    ).toDF("user_id", "ts", "value")
+    val out = Events.resampleLastValue(ev, stepSeconds = 3600L).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // grid spans hour boundaries 0 and 3600; nothing precedes t=0,
+    // t=3600 carries the 10-min event (its max-collapsed value)
+    assert(out == Map(0L -> None, 3600L -> Some(1.0)))
+    // a key spanning more grid points than the bound fails fast
+    val err = intercept[Exception] {
+      Events.resampleLastValue(ev, stepSeconds = 600L, maxPointsPerKey = 3L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("resampleLastValue")))
+  }
+
   test("sessionize: session bounds ordered, events conserved") {
     val s = Events.sessionize(events).cache()
     assert(s.filter(col("session_end_ms") < col("session_start_ms")).count() == 0)
