@@ -591,11 +591,24 @@ object Corpus {
     // cut, and it shrinks everything downstream): keep the top fraction
     // per source by the given precomputed score column
     // (qualityThresholdFilter semantics: histogram threshold, ties
-    // share a fate). The score column is stage metadata, dropped after.
-    val base = qualityFilter match {
+    // share a fate). TWO stage artifacts here: the scored corpus (the
+    // regex-heavy score computes in exactly ONE pass) and the filtered
+    // base (the three downstream consumers — LSH signature build,
+    // cluster closure, keep-one join — scan plain parquet instead of
+    // re-planning the filter's histogram/join subtree per job). Left
+    // lazy, the score alone measured ~2× on the whole compositor.
+    // The score column is stage metadata, dropped from the kept frame.
+    val (base, basePath) = qualityFilter match {
       case Some((scoreCol, keepFraction)) =>
-        qualityThresholdFilter(docs, keepFraction, scoreCol).drop(scoreCol)
-      case None => docs
+        val (scored, scoredPath) =
+          graft.ops.Scratch.materializeAt(docs, "corpus_scored")
+        val (b, p) = graft.ops.Scratch.materializeAt(
+          qualityThresholdFilter(scored, keepFraction, scoreCol).drop(scoreCol),
+          "corpus_base")
+        // the base write was the only reader of the scored table
+        graft.ops.Scratch.drop(docs.sparkSession, scoredPath)
+        (b, Some(p))
+      case None => (docs, None)
     }
     val pairs = Dedup.lshJaccard(base, minJaccard = minJaccard)
     // the post-dedup corpus is a STAGE ARTIFACT: decontaminate scans it
@@ -611,6 +624,8 @@ object Corpus {
           .select(col("doc_id").as(idCol)),
         Seq(idCol)),
       "corpus_reps")
+    // the reps write was the last reader of the quality-filtered base
+    basePath.foreach(graft.ops.Scratch.drop(docs.sparkSession, _))
     val clean = reps.join(
       decontaminate(reps, benchmark, idCol = idCol)
         .filter(!col("contaminated"))
