@@ -45,6 +45,26 @@ class EmptyInputSpec extends SparkTestBase {
         StructField("n_chars", LongType))))
     assert(graft.operators.TextAnalysis.repetitionRatio(noDocs2).count() == 0)
     assert(graft.operators.TextAnalysis.corpusReport(noDocs2).count() == 0)
+    assert(graft.operators.TextAnalysis.corpusReport(noDocs2, quantileProbe = true).count() == 0)
+    assert(graft.operators.TextAnalysis.gopherRules(noDocs2).count() == 0)
+  }
+
+  test("round-6 operators on empty inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.pageRankDirected(noEdges).count() == 0)
+    assert(graft.operators.Graph.nodeSimilarityTopK(noEdges).count() == 0)
+    assert(graft.operators.Graph.connectedComponents(noEdges).count() == 0)
+    val wq = noDocs.withColumn("w", lit(1.0)).withColumn("n_chars", lit(0L))
+    assert(Corpus.weightedMixtureSample(wq, Map.empty, 0.5, "w").count() == 0)
+    assert(Corpus.temperatureMixtureSample(noDocs).count() == 0)
+    assert(Corpus.qualityThresholdFilter(wq, 0.5, scoreCol = "w").count() == 0)
+    val noBench = noDocs.select($"doc_id".as("bench_id"), $"text")
+    assert(Dedup.crossLshJaccard(noDocs, noBench).count() == 0)
+    val noEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType))))
+    assert(graft.operators.Events.resampleLastValue(noEvents).count() == 0)
   }
 
   test("similarity and range join on empty inputs") {
