@@ -467,6 +467,29 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))),
     "distinct_op" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct()),
+    "null_funcs" -> ((s, dir) =>
+      // null-safety family: try_divide (NULL on /0), nullif, nvl/nvl2,
+      // null-aware equality
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        try_divide(col("o_totalprice"), col("o_custkey") % 100).as("safe_div"),
+        nullif(col("o_orderpriority"), lit("1-URGENT")).as("non_urgent"),
+        nvl2(nullif(col("o_orderstatus"), lit("O")), lit("closedish"), lit("open")).as("status_flag"),
+        (col("o_custkey") <=> lit(7L)).as("is_cust7"))),
+    "date_spine" -> ((s, dir) => {
+      // zero-filled calendar: generate the full month spine between min
+      // and max order date, left-join monthly counts — months with no
+      // orders surface as 0, not as missing rows (the reporting gap-fill)
+      val o = t(s, dir, "orders").withColumn("month", trunc(col("o_orderdate"), "month"))
+      val spine = o.agg(min(col("month")).as("m0"), max(col("month")).as("m1"))
+        .select(explode(sequence(col("m0"), col("m1"),
+          expr("interval 1 month"))).as("month"))
+      spine.join(
+        o.groupBy(col("month")).agg(count(lit(1)).as("n_orders")),
+        Seq("month"), "left")
+        .select(date_format(col("month"), "yyyy-MM").as("month"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
     "unpivot_op" -> ((s, dir) =>
       // wide → long melt (Dataset.unpivot): per-part metric rows
       t(s, dir, "part").unpivot(
@@ -976,6 +999,23 @@ object SparkEntry {
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""",
     "distinct_op" ->
       """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""",
+    "null_funcs" ->
+      """SELECT o_orderkey,
+                o_totalprice / nullif(o_custkey % 100, 0) AS safe_div,
+                nullif(o_orderpriority, '1-URGENT') AS non_urgent,
+                CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+                     THEN 'closedish' ELSE 'open' END AS status_flag,
+                (o_custkey IS NOT DISTINCT FROM 7) AS is_cust7
+         FROM orders""",
+    "date_spine" ->
+      """WITH o AS (SELECT date_trunc('month', o_orderdate)::DATE AS month FROM orders),
+            b AS (SELECT min(month) AS m0, max(month) AS m1 FROM o),
+            spine AS (SELECT unnest(generate_series(m0::TIMESTAMP, m1::TIMESTAMP,
+                                                    INTERVAL 1 MONTH))::DATE AS month FROM b),
+            cnt AS (SELECT month, count(*) AS n_orders FROM o GROUP BY 1)
+          SELECT strftime(spine.month, '%Y-%m') AS month,
+                 coalesce(cnt.n_orders, 0)::BIGINT AS n_orders
+          FROM spine LEFT JOIN cnt USING (month)""",
     "unpivot_op" ->
       """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice::DOUBLE AS value FROM part
          UNION ALL
