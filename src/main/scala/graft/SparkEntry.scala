@@ -467,6 +467,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))),
     "distinct_op" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct()),
+    "lateral_topn" -> ((s, dir) => {
+      // correlated LATERAL subquery: per-nation top-2 customers by
+      // balance — the planner's lateral-join path (vs the window-rank
+      // formulation ev_rank_funcs exercises)
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""SELECT n.n_name, c.c_custkey, c.c_acctbal
+               FROM nation_v n
+               JOIN LATERAL (SELECT c_custkey, c_acctbal FROM customer_v c
+                             WHERE c.c_nationkey = n.n_nationkey
+                             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")
+    }),
     "null_funcs" -> ((s, dir) =>
       // null-safety family: try_divide (NULL on /0), nullif, nvl/nvl2,
       // null-aware equality
@@ -999,6 +1011,12 @@ object SparkEntry {
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""",
     "distinct_op" ->
       """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""",
+    "lateral_topn" ->
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+         FROM nation n
+         JOIN LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                       WHERE c.c_nationkey = n.n_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c ON TRUE""",
     "null_funcs" ->
       """SELECT o_orderkey,
                 o_totalprice / nullif(o_custkey % 100, 0) AS safe_div,
