@@ -518,6 +518,9 @@ object SparkEntry {
         shiftleft(col("o_orderkey"), 2).as("k_shl"),
         shiftright(col("o_orderkey"), 3).as("k_shr"),
         bit_count(col("o_orderkey")).cast("int").as("k_bits"))),
+    "ev_funnel" -> ((s, dir) =>
+      graft.operators.Events.funnel(eventsTable(s, dir),
+        Seq("view", "click", "purchase"))),
     "ev_resample" -> ((s, dir) =>
       // irregular events -> hourly grid with last-value carry-forward
       graft.operators.Events.resampleLastValue(eventsTable(s, dir), stepSeconds = 3600L)),
@@ -1047,6 +1050,20 @@ object SparkEntry {
                 o_orderkey >> 3 AS k_shr,
                 bit_count(o_orderkey)::INT AS k_bits
          FROM orders""",
+    "ev_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+          SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM s1)::BIGINT AS n_users
+          UNION ALL
+          SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT""",
     "ev_resample" ->
       """WITH ev AS (SELECT user_id, (epoch_ms(ts) // 1000) AS sec,
                             max(value::DOUBLE) AS v

@@ -90,6 +90,42 @@ object Events {
       .select(col("user_id"), col("sec").as("grid_sec"), col("filled"))
   }
 
+  /** Ordered-funnel analysis: how many users reach each step of
+    * `steps`, where step i counts only users whose earliest step-i event
+    * happens STRICTLY AFTER their step-(i−1) time (the classic
+    * conversion funnel — view → click → purchase). Deterministic: each
+    * stage is the per-user MIN event time, so no row-order dependence.
+    *
+    * Shape: the steps chain as k−1 equi-joins keyed on the user (each
+    * stage's frame is one groupBy-min, ≤1 row per user), and the scan is
+    * pruned to the funnel's event types. Per-user join fanout is the
+    * user's event count of one type — data-model bounded, never a cross
+    * product. Output: (step_idx, step, n_users), one row per step. */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(typeCol), col(tsCol))
+    var cur = ev.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    def stepCount(idx: Int, name: String, frame: DataFrame): DataFrame =
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("step_idx"), lit(name).as("step"), col("n_users"))
+    var out = Vector(stepCount(1, steps.head, cur))
+    for ((st, i) <- steps.zipWithIndex.drop(1)) {
+      val prev = cur.select(col(userCol).as("_u"), col("t").as("_pt"))
+      cur = ev.filter(col(typeCol) === st)
+        .join(prev, col(userCol) === col("_u") && col(tsCol) > col("_pt"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+      out :+= stepCount(i + 1, st, cur)
+    }
+    out.reduce(_ unionByName _)
+  }
+
   /** Tumbling-window aggregation: events per (hour, event_type). */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

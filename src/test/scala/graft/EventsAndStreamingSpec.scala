@@ -12,6 +12,20 @@ class EventsAndStreamingSpec extends SparkTestBase {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  test("funnel: ordered steps, strictly-after semantics") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full path
+      (2L, "view", 10L), (2L, "click", 5L), (2L, "click", 40L),     // click-before-view ignored, later one counts
+      (3L, "click", 10L), (3L, "purchase", 20L),                    // never viewed: enters no step
+      (4L, "view", 10L), (4L, "purchase", 20L)                      // skipped click: stops at view
+    ).map { case (u, t, s) => (u, t, ts(s)) }.toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
   test("resampleLastValue: carry-forward on the grid, collisions collapsed, guard") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
