@@ -31,10 +31,17 @@ final class TableCatalog(spark: SparkSession, baseDir: String) {
     val path = new org.apache.hadoop.fs.Path(baseDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty
-    else fs.listStatus(path).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if formatOf(n).isDefined => n.substring(0, n.lastIndexOf('.')) }
-      .distinct.sorted
+    else fs.listStatus(path).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      // a format extension names the table whether the entry is a plain
+      // file or a Spark-written output directory (part.parquet/); a bare
+      // directory is a directory table (multi-file / hive-partitioned)
+      formatOf(n).map(_ => n.substring(0, n.lastIndexOf('.')))
+        .orElse(
+          if (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+            Some(n)
+          else None)
+    }.distinct.sorted
   }
 
   /** Columnar formats first — when the same table name exists in more
@@ -50,8 +57,15 @@ final class TableCatalog(spark: SparkSession, baseDir: String) {
   private def resolve(table: String): (String, String) = {
     val path = new org.apache.hadoop.fs.Path(baseDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(s"$baseDir/$table")
+    // a DIRECTORY table: multi-file parquet, optionally hive-partitioned
+    // (split=/shard= leaves — the layout writeShards produces); Spark's
+    // partition discovery turns the leaf dirs into partition columns and
+    // filters on them prune to matching directories before any IO
+    val isDir = fs.exists(dirPath) && fs.getFileStatus(dirPath).isDirectory
     val present = Formats.filter(f =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/$table.$f")))
+      fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/$table.$f"))) ++
+      (if (isDir) Seq("dir") else Nil)
     if (present.size > 1)
       // format shadowing is deliberate (columnar wins) but must be
       // VISIBLE: a same-named parquet file silently replacing a CSV
@@ -60,9 +74,13 @@ final class TableCatalog(spark: SparkSession, baseDir: String) {
         + s"${present.mkString(", ")}; reading ${present.head} "
         + s"(shadows ${present.tail.mkString(", ")})")
     present.headOption
-      .map(f => (s"$baseDir/$table.$f", f))
+      .map {
+        case "dir" => (s"$baseDir/$table", "dir")
+        case f => (s"$baseDir/$table.$f", f)
+      }
       .getOrElse(throw new IllegalArgumentException(
-        s"TableCatalog: no table '$table' under $baseDir (tried ${Formats.mkString("/")})"))
+        s"TableCatalog: no table '$table' under $baseDir "
+          + s"(tried ${Formats.mkString("/")} files and a directory)"))
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[TableCatalog])
@@ -79,7 +97,7 @@ final class TableCatalog(spark: SparkSession, baseDir: String) {
   def read(table: String): DataFrame = {
     val (path, fmt) = resolve(table)
     fmt match {
-      case "parquet" => spark.read.parquet(path)
+      case "parquet" | "dir" => spark.read.parquet(path)
       case "orc" => spark.read.orc(path)
       case "json" => spark.read.json(path)
       case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
@@ -90,7 +108,7 @@ final class TableCatalog(spark: SparkSession, baseDir: String) {
   def readWithSchema(table: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val (path, fmt) = resolve(table)
     fmt match {
-      case "parquet" => spark.read.schema(schema).parquet(path)
+      case "parquet" | "dir" => spark.read.schema(schema).parquet(path)
       case "orc" => spark.read.schema(schema).orc(path)
       case "json" => spark.read.schema(schema).json(path)
       case "csv" => spark.read.option("header", "true").schema(schema).csv(path)

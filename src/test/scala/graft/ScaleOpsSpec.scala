@@ -110,6 +110,29 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("no table 'absent'"))
   }
 
+  test("table catalog: directory tables with hive-partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirtbl").toString
+    // a partitioned directory table — the layout writeShards produces
+    spark.read.parquet(s"${sf()}/orders.parquet")
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(3L)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/orders_part")
+    val cat = new TableCatalog(spark, dir)
+    assert(cat.tables == Seq("orders_part"))
+    assert(cat.resolvedFormat("orders_part") == "dir")
+    val t = cat.read("orders_part")
+    assert(t.count() == spark.read.parquet(s"${sf()}/orders.parquet").count())
+    // a filter on the partition column prunes to matching directories
+    // BEFORE any IO: it lands in PartitionFilters, not a post-scan Filter
+    val pruned = t.filter(col("bucket") === 1)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "bucket")))
+    assert(pruned.count() ==
+      spark.read.parquet(s"${sf()}/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(3L)) === 1).count())
+  }
+
   test("table catalog lists through the Hadoop FS API (file: URI scheme)") {
     // non-local-scheme path: the java.io.File listing of round 2 returned
     // empty here; FileSystem.listStatus resolves the scheme
