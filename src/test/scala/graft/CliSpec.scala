@@ -87,5 +87,16 @@ class CliSpec extends SparkTestBase {
     val splits = shards.select("split").distinct()
       .collect().map(_.get(0).toString).toSet
     assert(splits.subsetOf(Set("train", "valid")) && splits.contains("train"))
+    // the written shards read back through the CATALOG as a partitioned
+    // directory table, and a split filter prunes to its directories —
+    // the curation write side and the catalog read side compose
+    val cat = new TableCatalog(spark, new java.io.File(out).getParent)
+    assert(cat.resolvedFormat("shards") == "dir")
+    val train = cat.read("shards").filter(col("split") === "train")
+    val scan = train.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "split")))
+    assert(train.count() == shards.filter(col("split") === "train").count())
   }
 }
