@@ -765,6 +765,11 @@ object SparkEntry {
         t(s, dir, "documents"), chunkTokens = 32, overlapTokens = 8)),
     "sample_weighted" -> ((s, dir) =>
       graft.operators.Corpus.prioritySample(t(s, dir, "documents"), k = 25)),
+    "boilerplate_ngrams" -> ((s, dir) =>
+      // most-shared 5-token grams across documents (boilerplate miner)
+      graft.operators.TextAnalysis.topNgrams(t(s, dir, "documents"), n = 5, minDf = 2L)
+        .orderBy(col("df").desc, col("gram").asc)
+        .limit(20)),
     "vocab_topk" -> ((s, dir) =>
       graft.operators.TextAnalysis.vocabulary(t(s, dir, "documents"), minCount = 2L)
         .orderBy(col("n").desc, col("token").asc)
@@ -1193,6 +1198,7 @@ object SparkEntry {
     "text_pii_redact" -> OracleFragments.textPiiRedact,
     "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
     "sample_weighted" -> OracleFragments.sampleWeighted(k = 25),
+    "boilerplate_ngrams" -> OracleFragments.boilerplateNgrams(n = 5, minDf = 2L, k = 20),
     "vocab_topk" -> OracleFragments.vocabTopK(minCount = 2, k = 50),
     "text_unigram_lm" -> OracleFragments.textUnigramLm,
     "hist_numeric" ->
@@ -2105,6 +2111,14 @@ object OracleFragments {
           FROM documents)
         WHERE rnk <= $k"""
   }
+
+  /** Mirror of TextAnalysis.topNgrams + the top-k rank the query adds:
+    * per-doc distinct n-token grams → document frequency. */
+  def boilerplateNgrams(n: Int, minDf: Long, k: Int): String =
+    s"""WITH g AS (SELECT unnest(${tokenShingles(n)}) AS gram FROM documents),
+          d AS (SELECT gram, count(*) AS df FROM g
+                WHERE length(gram) > 0 GROUP BY 1 HAVING count(*) >= $minDf)
+        SELECT gram, df FROM d ORDER BY df DESC, gram ASC LIMIT $k"""
 
   /** Mirror of TextAnalysis.vocabulary + the top-k rank the query adds. */
   def vocabTopK(minCount: Long, k: Int): String =

@@ -196,6 +196,27 @@ object TextAnalysis {
   // a web-scale vocab is a single-partition window. Rank downstream with
   // orderBy(...).limit(k) (TakeOrderedAndProject) for top-k use.
 
+  /** Boilerplate n-gram mining: corpus-wide DOCUMENT frequency of
+    * n-token grams (per-doc distinct, so a gram repeated inside one doc
+    * counts once) — the "what phrase appears in half the corpus" signal
+    * that surfaces navigation chrome, license headers and template spam
+    * before a removal rule is written. One explode + one keyed count
+    * with map-side partials; like [[vocabulary]], the result is
+    * UNRANKED (rank downstream with orderBy().limit() —
+    * TakeOrderedAndProject — never a global window). `minDf` prunes the
+    * long singleton tail before it ships. */
+  def topNgrams(
+      docs: DataFrame,
+      n: Int = 5,
+      minDf: Long = 2L,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokenShingles(col(textCol), n)).as("gram"))
+      .filter(length(col("gram")) > 0)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
   /** Per-document unigram cross-entropy against the corpus's own unigram
     * model: score(d) = mean over tokens of ln P(token), P = count/total.
     * Low (very negative) scores flag documents dominated by corpus-rare
