@@ -8,15 +8,21 @@ import org.apache.spark.sql.SparkSession
   * every output row/column, no result materialization on the driver and
   * no metadata-only count() shortcuts.
   *
-  * Each query runs SPARK_GRAFT_REPS times (default 3) and the reported
-  * per-query value (and the total) is the MEDIAN; min/max spread goes to
-  * stderr and `bench_detail.json` — NOT the stdout line. The stdout line
-  * must stay compact (~1.7 KB): the harness that records it keeps only a
-  * bounded tail of the output, and rounds 1–4 proved that a line carrying
-  * the spread map (~4.5 KB) gets front-truncated into unparseability.
-  * Single-shot timings on a shared box swing up to ~3× with ambient load
-  * (round-2 recorded 93s for a query that reruns at 5.5s), so medians are
-  * the only trustworthy per-round signal.
+  * Each query runs SPARK_GRAFT_REPS times (default 3); the per-query
+  * map reports the MEDIAN, and the totals carry BOTH the median total
+  * and the MIN total — min is the standard contention-resistant
+  * statistic (the fastest rep had the least ambient interference), and
+  * `worst_query` is selected by per-query MIN so a single load spike on
+  * the shared recording box cannot fabricate a phantom regression
+  * (rounds 4–6 each recorded one). Full per-rep spread goes to stderr
+  * and `bench_detail.json`; the totals object additionally lands in
+  * `bench_total.json` so the record no longer depends on stdout tail
+  * parsing. The stdout lines stay compact: the harness that records
+  * them keeps only a bounded tail, and rounds 1–4 proved that a line
+  * carrying the spread map (~4.5 KB) gets front-truncated into
+  * unparseability. Single-shot timings on a shared box swing up to ~3×
+  * with ambient load (round-2 recorded 93s for a query that reruns at
+  * 5.5s), so single-rep numbers are never reported.
   *
   * A query whose reps ALL fail reports `null` (never a fast-fail elapsed
   * time — a correctness regression must not read as a performance win)
@@ -85,6 +91,11 @@ object Bench {
     // comparing a single-shot 10× number against the medians above
     // (measured minutes earlier, different heap state) swung the
     // apparent ratio 13s↔32s run to run and read as fake super-linearity.
+    // The (base, x10) pair repeats SPARK_GRAFT_PROBE_REPS times (default
+    // 2) and the ratio comes from the per-scale MINS: a single load
+    // spike landing on one x10 rep turned a measured 9.1 ratio into a
+    // recorded 51.5 in round 6 — min-of-pairs is the cheapest statistic
+    // that survives it.
     val probe = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
         && new java.io.File(s"$sfDir/documents.parquet").exists()
@@ -93,17 +104,23 @@ object Bench {
       // version bump invalidates v2 marker dirs that lack it
       val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
         s"tmp/scale_probe_v3_${new java.io.File(sfDir).getName}")
+      val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt.max(1)
       val t0 = System.nanoTime()
       ScaleProbe.ensureFixture(spark, sfDir, probeDir, factor = 10)
       probe += "gen" -> f"${(System.nanoTime() - t0) / 1e9}%.3f"
       for (name <- ScaleProbe.spineQueries) SparkEntry.queries.get(name).foreach { fn =>
         try {
-          val t1 = System.nanoTime()
-          run(fn(spark, sfDir))
-          val base = (System.nanoTime() - t1) / 1e9
-          val t2 = System.nanoTime()
-          run(fn(spark, probeDir))
-          val x10 = (System.nanoTime() - t2) / 1e9
+          val pairs = (1 to probeReps).map { _ =>
+            val t1 = System.nanoTime()
+            run(fn(spark, sfDir))
+            val base = (System.nanoTime() - t1) / 1e9
+            val t2 = System.nanoTime()
+            run(fn(spark, probeDir))
+            val x10 = (System.nanoTime() - t2) / 1e9
+            (base, x10)
+          }
+          val base = pairs.map(_._1).min
+          val x10 = pairs.map(_._2).min
           probe += name -> f"""{"base":$base%.3f,"x10":$x10%.3f,"ratio":${x10 / base}%.1f}"""
         } catch { case e: Throwable => System.err.println(s"[bench] scale10 $name: $e") }
       }
@@ -120,18 +137,32 @@ object Bench {
     // outgrew it and was front-truncated into unparseability, losing the
     // total. With the totals line last and < 1 KB, truncation can only
     // ever eat the (redundant) per-query line.
-    val detail = f"""{"spread":$spread,"queries":$qs,"reps":$reps,"cpus":"$cpus","sf":"$sfDir"}"""
+    val mins = results.map { case (k, ts, _) =>
+      val v = if (ts.isEmpty) "null" else f"${ts.head}%.3f"
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val totalMin = results.flatMap { case (_, ts, _) => ts.headOption }.sum
+    val detail = f"""{"spread":$spread,"queries":$qs,"queries_min":$mins,"reps":$reps,"cpus":"$cpus","sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
     println(s"""{"metric":"queries","queries":$qs$errs$probeJson}""")
-    val worst = results.collect { case (k, ts, _) if ts.nonEmpty => (k, median(ts)) }
+    // worst query by per-query MIN: the contention-resistant statistic
+    // (a load spike on one rep cannot nominate a phantom worst query)
+    val worst = results.collect { case (k, ts, _) if ts.nonEmpty => (k, ts.head) }
       .sortBy(-_._2).headOption
     val worstJson = worst.map { case (k, v) =>
       f""","worst_query":"$k","worst_sec":$v%.3f""" }.getOrElse("")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errored.size}$worstJson,"reps":$reps,"sf":"$sfDir"}""")
+    val totals = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${results.size},"n_errors":${errored.size}$worstJson,"reps":$reps,"sf":"$sfDir"}"""
+    // the totals object also lands in a side file so the per-round
+    // record survives stdout tail truncation entirely
+    try {
+      val w = new java.io.PrintWriter("bench_total.json")
+      try w.println(s"""{"totals":$totals,"queries":$qs,"queries_min":$mins$errs$probeJson}""") finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    println(totals)
     spark.stop()
   }
 

@@ -61,14 +61,18 @@ object ScaleProbe {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
       val mx = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
-      val oOff = mx.getLong(0) + 1L
-      val pOff = (mx.getLong(1) / 4L + 1L) * 4L
-      li.crossJoin(copies)
-        .select(
-          (col("l_orderkey") + col("copy") * lit(oOff)).as("l_orderkey"),
-          (col("l_partkey") + col("copy") * lit(pOff)).as("l_partkey"))
-        .repartition(8)
-        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      // an EMPTY lineitem file max()-aggregates to nulls — skip the
+      // graph-spine replica rather than NPE before the marker is written
+      if (!mx.isNullAt(0) && !mx.isNullAt(1)) {
+        val oOff = mx.getLong(0) + 1L
+        val pOff = (mx.getLong(1) / 4L + 1L) * 4L
+        li.crossJoin(copies)
+          .select(
+            (col("l_orderkey") + col("copy") * lit(oOff)).as("l_orderkey"),
+            (col("l_partkey") + col("copy") * lit(pOff)).as("l_partkey"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      }
     }
     marker.getParentFile.mkdirs()
     marker.createNewFile()

@@ -316,6 +316,46 @@ object SparkEntry {
           qualityFilter = Some("quality" -> 0.8))
         .select(col("doc_id"), col("split").cast("string").as("split"))
     }),
+    "corpus_prepare_fuzzy" -> ((s, dir) => {
+      // the compositor with the opt-in FUZZY decontamination stage:
+      // exact 8-gram flags UNION near-dup (shingle-Jaccard >= 0.5)
+      // flags against the same raw benchmark — the paraphrased-leak
+      // check completing the curation story
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val out = graft.ops.Scratch.dir(
+        s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare_fuzzy")
+      graft.operators.Corpus.prepareTrainingSet(
+          docs.withColumn("quality",
+            graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+          bench, out,
+          splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+          minJaccard = 0.20, nShards = 8,
+          qualityFilter = Some("quality" -> 0.8),
+          fuzzyDecontaminate = Some(0.5))
+        .select(col("doc_id"), col("split").cast("string").as("split"))
+    }),
+    "corpus_prepare_mixed" -> ((s, dir) => {
+      // the compositor with the optional mixture stage ON: quality gate
+      // -> dedup -> decontaminate -> temperature-flattened source
+      // balancing (T=2, post-decon counts) -> split -> shard, gated as
+      // ONE seven-stage composition
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val out = graft.ops.Scratch.dir(
+        s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare_mixed")
+      graft.operators.Corpus.prepareTrainingSet(
+          docs.withColumn("quality",
+            graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+          bench, out,
+          splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+          minJaccard = 0.20, nShards = 8,
+          qualityFilter = Some("quality" -> 0.8),
+          temperature = Some(2.0))
+        .select(col("doc_id"), col("split").cast("string").as("split"))
+    }),
     "tfidf_terms" -> ((s, dir) =>
       graft.operators.Corpus.tfidfTopTerms(t(s, dir, "documents"), k = 3)),
 
@@ -744,6 +784,10 @@ object SparkEntry {
       graft.operators.Graph.nodeSimilarityTopK(coPurchaseEdges(s, dir), k = 10)),
     "graph_components" -> ((s, dir) =>
       graft.operators.Graph.connectedComponents(coPurchaseEdges(s, dir))),
+    "graph_label_propagation" -> ((s, dir) =>
+      // synchronous min-tie-break LPA communities (deterministic,
+      // oracle = unrolled rounds)
+      graft.operators.Graph.labelPropagation(coPurchaseEdges(s, dir), rounds = 3)),
     // ---- text cleaning / sampling / chunking (training-data prep) ----
     "text_pii_redact" -> ((s, dir) => {
       // PII-laden fixture derived deterministically from doc_id (the
@@ -870,6 +914,16 @@ object SparkEntry {
       nTokens = 8, minHits = 1, benchMod = 20,
       splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
       qualityKeep = Some(0.8)),
+    "corpus_prepare_mixed" -> OracleFragments.corpusPrepare(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.20,
+      nTokens = 8, minHits = 1, benchMod = 20,
+      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      qualityKeep = Some(0.8), temperature = Some(2.0)),
+    "corpus_prepare_fuzzy" -> OracleFragments.corpusPrepare(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.20,
+      nTokens = 8, minHits = 1, benchMod = 20,
+      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      qualityKeep = Some(0.8), fuzzy = Some(0.5)),
     "sample_quality_weighted" -> OracleFragments.sampleQualityWeighted(
       Seq("src0" -> 0.9, "src1" -> 0.6), defaultRate = 0.75),
     "sample_temperature" -> OracleFragments.sampleTemperature,
@@ -1195,6 +1249,7 @@ object SparkEntry {
     "graph_common_neighbors" -> OracleFragments.graphCommonNeighbors(k = 10),
     "graph_node_similarity" -> OracleFragments.graphNodeSimilarity(k = 10),
     "graph_components" -> OracleFragments.graphComponents,
+    "graph_label_propagation" -> OracleFragments.graphLabelPropagation(rounds = 3),
     "text_pii_redact" -> OracleFragments.textPiiRedact,
     "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
     "sample_weighted" -> OracleFragments.sampleWeighted(k = 25),
@@ -1361,23 +1416,26 @@ object OracleFragments {
   }
 
   /** Mirror of Dedup.crossLshJaccard over the decontaminate benchmark
-    * fixture (every 20th doc): bipartite band-key join, exact shingle
-    * Jaccard on candidates. */
-  def decontaminateFuzzy(bands: Int, rowsPerBand: Int, minJaccard: Double): String = {
+    * fixture (every `benchMod`-th RAW doc): bipartite band-key join,
+    * exact shingle Jaccard on candidates. `corpusSrc` parameterizes the
+    * left side so the compositor can run it over its post-dedup reps. */
+  def decontaminateFuzzy(
+      bands: Int, rowsPerBand: Int, minJaccard: Double,
+      corpusSrc: String = "documents", benchMod: Int = 20): String = {
     val mh = Seq.tabulate(bands * rowsPerBand)(i => s"${minhashExpr(5, i)} AS mh$i").mkString(", ")
     def bandSelects(src: String, idc: String) = Seq.tabulate(bands) { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
       s"SELECT $idc, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM $src"
     }.mkString(" UNION ALL ")
-    s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 20 = 0),
-          sigsl AS (SELECT doc_id, $mh FROM documents),
+    s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % $benchMod = 0),
+          sigsl AS (SELECT doc_id, $mh FROM $corpusSrc),
           sigsr AS (SELECT bench_id, $mh FROM bench),
           bkl AS (${bandSelects("sigsl", "doc_id")}),
           bkr AS (${bandSelects("sigsr", "bench_id")}),
           cands AS (
             SELECT DISTINCT l.doc_id AS a, r.bench_id AS b
             FROM bkl l JOIN bkr r ON l.band = r.band AND l.h = r.h),
-          gsl AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM documents),
+          gsl AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM $corpusSrc),
           gsr AS (SELECT bench_id AS gid, ${shingles(5)} AS g FROM bench),
           scored AS (
             SELECT a, b,
@@ -1500,7 +1558,14 @@ object OracleFragments {
       bands: Int, rowsPerBand: Int, minJaccard: Double,
       nTokens: Int, minHits: Int, benchMod: Int,
       splits: Seq[(String, Double)],
-      qualityKeep: Option[Double] = None): String = {
+      qualityKeep: Option[Double] = None,
+      temperature: Option[Double] = None,
+      fuzzy: Option[Double] = None): String = {
+    // the oracle gate pins T=2: its exponent 0.5 computes via sqrt,
+    // IEEE-correctly-rounded hence bit-identical cross-engine (pow is
+    // not — see temperatureMixtureSample)
+    require(temperature.forall(_ == 2.0),
+      "oracle-gated compositor mixture supports T=2 only")
     val total = splits.map(_._2).sum
     val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
       .map(c => ((c / total) * 4294967296L).toLong)
@@ -1531,6 +1596,33 @@ object OracleFragments {
           qdocs AS (SELECT d.* FROM documents d JOIN qids USING (doc_id)),
           """, "qdocs")
     }
+    // optional fuzzy decontamination (Dedup.crossLshJaccard over the
+    // post-dedup reps against the RAW benchmark): kept additionally
+    // anti-joins the near-dup-contaminated ids
+    val (fuzzyCtes, fuzzyPred) = fuzzy match {
+      case None => ("", "")
+      case Some(fj) =>
+        (s"""
+          fuzzybad AS (SELECT DISTINCT doc_id FROM
+            (${decontaminateFuzzy(bands, rowsPerBand, fj, corpusSrc = "reps", benchMod = benchMod)})),""",
+          " AND NOT EXISTS (SELECT 1 FROM fuzzybad f WHERE f.doc_id = r.doc_id)")
+    }
+    // optional mixture stage (Corpus.temperatureMixtureSample over the
+    // post-decontamination survivors): rates from the kept per-source
+    // counts, keep iff the tmix:-salted coin clears ⌊sqrt(min/n)·2^32⌋
+    val (mixtureCtes, finalSrc) = temperature match {
+      case None => ("", "kept")
+      case Some(_) =>
+        (s""",
+          kdocs AS (SELECT d.doc_id, d.source FROM $corpusSrc d JOIN kept USING (doc_id)),
+          srcn AS (SELECT source, count(*) AS n FROM kdocs GROUP BY 1),
+          minn AS (SELECT min(n) AS mn FROM srcn),
+          rates AS (SELECT source, sqrt(mn::DOUBLE / n::DOUBLE) AS keep_rate
+                    FROM srcn, minn),
+          mixed AS (SELECT kdocs.doc_id FROM kdocs JOIN rates USING (source)
+                    WHERE ${coinSql("tmix:")} < floor(keep_rate * 4294967296.0)::BIGINT)""",
+          "mixed")
+    }
     s"""WITH RECURSIVE $qualityCtes
           pairs AS (${dedupLshJaccard(bands, rowsPerBand, minJaccard, src = corpusSrc)}),
           edges AS (SELECT a AS s, b AS d FROM pairs
@@ -1552,11 +1644,11 @@ object OracleFragments {
                        FROM reps)
                  WHERE length(g) > 0),
           hits AS (SELECT dg.doc_id, count(DISTINCT dg.gram) AS n_gram_hits
-                   FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id),
+                   FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id),$fuzzyCtes
           kept AS (SELECT r.doc_id FROM reps r LEFT JOIN hits h USING (doc_id)
-                   WHERE coalesce(h.n_gram_hits, 0) < $minHits)
+                   WHERE coalesce(h.n_gram_hits, 0) < $minHits$fuzzyPred)$mixtureCtes
         SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split
-        FROM kept"""
+        FROM $finalSrc"""
   }
 
   def packChunks(targetTokens: Int): String =
@@ -2157,6 +2249,30 @@ object OracleFragments {
         FROM p JOIN deg da ON da.node = p.a
                JOIN deg db ON db.node = p.b
         ORDER BY similarity DESC, a, b LIMIT $k"""
+
+  /** Mirror of Graph.labelPropagation: synchronous min-tie-break LPA,
+    * `rounds` unrolled iterations. Each round's argmax (most frequent
+    * neighbor label, smallest label on ties) is a row_number window on
+    * the oracle side — equivalent to the Spark side's max-count +
+    * min-label aggregate pair, and fine on DuckDB's small data. */
+  def graphLabelPropagation(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (SELECT a.n AS node, l.label, count(*) AS c
+                  FROM adj a JOIN $prev l ON a.x = l.node GROUP BY 1, 2),
+          l$i AS (SELECT node, label FROM (
+                    SELECT node, label,
+                           row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) AS rn
+                    FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj),
+          $stages
+        SELECT node, label FROM l$rounds"""
+  }
 
   /** Mirror of Graph.connectedComponents: transitive closure over the
     * symmetrized canonical edges, component = min reachable id. */

@@ -485,13 +485,24 @@ object Corpus {
     * the published convention (long enough for a low false-positive
     * rate, ~wordcount grams per document); `minHits` dials strictness.
     *
-    * Scale shape: the benchmark side is small (eval sets are thousands
-    * of documents), so its distinct gram table is BROADCAST and the
-    * corpus-side probe is map-side — the only shuffle is the per-doc
-    * hit count; the flag left-join back onto the corpus is AQE's choice
-    * (broadcast when contamination is sparse). The corpus is scanned
-    * twice (probe + closure); at warehouse scale the hits frame is the
-    * artifact to persist between the two.
+    * Scale shape: the benchmark side is usually small (eval sets are
+    * thousands of documents), and when it is, its distinct gram table
+    * is broadcast and the corpus-side probe is map-side — the only
+    * shuffle is the per-doc hit count; the flag left-join back onto
+    * the corpus is AQE's choice (broadcast when contamination is
+    * sparse). "Small" is MEASURED, not assumed: the gram table is
+    * materialized as a scratch table whose write job carries the exact
+    * gram count (`Scratch.materializeObservedAt` — the
+    * connectedComponents witness pattern), and the broadcast hint is
+    * applied only under `maxBroadcastGrams`; past it (every eval set +
+    * canaries, millions of grams) the probe degrades gracefully to an
+    * unhinted join — AQE/stats pick the strategy — instead of hitting
+    * the broadcast ceiling or the driver's memory at exactly the 100×
+    * moment. The default bound (2M grams ≈ 32 MB of fixed-width pairs
+    * before hashing) keeps the built relation within a deliberate
+    * small multiple of Spark's default broadcast budget. The corpus is
+    * scanned twice (probe + closure); at warehouse scale the hits
+    * frame is the artifact to persist between the two.
     *
     * Output: every corpus document with `n_gram_hits` (distinct
     * contaminated grams), `n_bench_docs` (distinct benchmark documents
@@ -503,7 +514,8 @@ object Corpus {
       minHits: Int = 1,
       idCol: String = "doc_id",
       textCol: String = "text",
-      benchIdCol: String = "bench_id"): DataFrame = {
+      benchIdCol: String = "bench_id",
+      maxBroadcastGrams: Long = 2000000L): DataFrame = {
     // grams travel as 60-bit md5-derived longs, not k-char strings: the
     // broadcast table, the probe compares, and the count-distinct Expand
     // all operate on fixed-width integers (same hash family as the
@@ -514,18 +526,27 @@ object Corpus {
     // empty grams (empty/whitespace-only text shingles to [""]) carry no
     // content and must not match: one blank benchmark row would
     // otherwise flag EVERY blank corpus doc as contaminated
-    val bg = benchmark
-      .select(col(benchIdCol).as("bench_id"),
-        explode(tokenShingles(col(textCol), nTokens)).as("g"))
-      .filter(length(col("g")) > 0)
-      .select(col("bench_id"), gramHash(col("g")).as("gram"))
-      .distinct()
+    // observed-size gate on the benchmark gram table: the count rides
+    // the scratch write, the broadcast hint is applied only under the
+    // measured bound (see scaladoc) — the one contract here that has a
+    // graceful degradation (shuffle join), not a fail-fast guard
+    val (bg, bgMeta, _) = graft.ops.Scratch.materializeObservedAt(
+      benchmark
+        .select(col(benchIdCol).as("bench_id"),
+          explode(tokenShingles(col(textCol), nTokens)).as("g"))
+        .filter(length(col("g")) > 0)
+        .select(col("bench_id"), gramHash(col("g")).as("gram"))
+        .distinct(),
+      "decon_bg", count(lit(1)).as("n_grams"))
+    val bgSide =
+      if (bgMeta("n_grams").asInstanceOf[Long] <= maxBroadcastGrams) broadcast(bg)
+      else bg
     val dg = docs
       .select(col(idCol).as("doc_id"),
         explode(tokenShingles(col(textCol), nTokens)).as("g"))
       .filter(length(col("g")) > 0)
       .select(col("doc_id"), gramHash(col("g")).as("gram"))
-    val hits = dg.join(broadcast(bg), Seq("gram"))
+    val hits = dg.join(bgSide, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).cast("int").as("n_gram_hits"),
         countDistinct(col("bench_id")).cast("int").as("n_bench_docs"))
@@ -570,13 +591,28 @@ object Corpus {
     *      (`qualityFilter = Some(scoreCol -> fraction)`);
     *   1. near-dup clustering over LSH-verified pairs; keep one
     *      representative (the min-id member) per cluster;
-    *   2. benchmark decontamination; drop flagged documents;
-    *   3. deterministic split assignment;
-    *   4. deterministic sharded write to `outDir`.
+    *   2. benchmark decontamination; drop flagged documents. With
+    *      `fuzzyDecontaminate = Some(minJ)` the exact 8-gram check is
+    *      UNIONED with a fuzzy pass ([[Dedup.crossLshJaccard]]): a
+    *      document is dropped when it shares exact grams OR clears
+    *      shingle-Jaccard `minJ` against any benchmark doc — the
+    *      paraphrased-eval-set leak the exact check misses;
+    *   3. (optional) mixture balancing over the clean corpus: EITHER
+    *      temperature-flattened source shares (`temperature = Some(T)`,
+    *      [[temperatureMixtureSample]] — rates from the post-decon
+    *      counts, so the balance reflects what actually survived) OR
+    *      explicit per-source rates (`mixtureRates = Some(rates ->
+    *      default)`, [[mixtureSample]]); at most one of the two;
+    *   4. deterministic split assignment;
+    *   5. deterministic sharded write to `outDir`.
     *
     * Returns the kept (doc_id, split) frame. Stage boundaries run
     * through the operators' own scratch/shuffle shapes — nothing here
-    * adds driver-side materialization beyond the CC fixpoint witness. */
+    * adds driver-side materialization beyond the CC fixpoint witness.
+    * When a mixture stage is enabled the clean corpus becomes one more
+    * stage artifact (the temperature sampler's rate table and the keep
+    * filter both read it; left lazy, the whole decontamination subtree
+    * would execute twice). */
   def prepareTrainingSet(
       docs: DataFrame,
       benchmark: DataFrame,
@@ -586,7 +622,13 @@ object Corpus {
       minJaccard: Double = 0.2,
       nShards: Int = 64,
       idCol: String = "doc_id",
-      qualityFilter: Option[(String, Double)] = None): DataFrame = {
+      qualityFilter: Option[(String, Double)] = None,
+      temperature: Option[Double] = None,
+      mixtureRates: Option[(Map[String, Double], Double)] = None,
+      sourceCol: String = "source",
+      fuzzyDecontaminate: Option[Double] = None): DataFrame = {
+    require(temperature.isEmpty || mixtureRates.isEmpty,
+      "set at most one of temperature / mixtureRates")
     // optional stage 0 — quality gate FIRST (cheapest stage, biggest
     // cut, and it shrinks everything downstream): keep the top fraction
     // per source by the given precomputed score column
@@ -626,15 +668,46 @@ object Corpus {
       "corpus_reps")
     // the reps write was the last reader of the quality-filtered base
     basePath.foreach(graft.ops.Scratch.drop(docs.sparkSession, _))
-    val clean = reps.join(
+    val clean0 = reps.join(
       decontaminate(reps, benchmark, idCol = idCol)
         .filter(!col("contaminated"))
         .select(col("doc_id").as(idCol)),
       Seq(idCol))
-    val withSplit = assignSplits(clean, splits, idCol)
+    // optional fuzzy pass: anti-join the near-dup-contaminated ids out.
+    // Same machinery as decontaminate_fuzzy's standalone query; both
+    // sides of the bipartite LSH scan once into scratch signature
+    // tables, so this adds one candidate join, not a corpus rescan.
+    val clean = fuzzyDecontaminate match {
+      case None => clean0
+      case Some(minJ) =>
+        clean0.join(
+          Dedup.crossLshJaccard(reps, benchmark, leftIdCol = idCol,
+            rightIdCol = "bench_id", minJaccard = minJ)
+            .select(col("a").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+    }
+    // optional mixture balancing (stage 3) — see scaladoc for why the
+    // clean corpus is materialized first
+    val (balanced, cleanPath) = (temperature, mixtureRates) match {
+      case (None, None) => (clean, None)
+      case _ =>
+        val (c, p) = graft.ops.Scratch.materializeAt(clean, "corpus_clean")
+        // the clean write was the last reader of the reps artifact
+        graft.ops.Scratch.drop(docs.sparkSession, repsPath)
+        val sampled = (temperature, mixtureRates) match {
+          case (Some(t), _) => temperatureMixtureSample(c, t, sourceCol, idCol)
+          case (_, Some((rates, dflt))) => mixtureSample(c, rates, dflt, sourceCol, idCol)
+          case _ => c
+        }
+        (sampled, Some(p))
+    }
+    val withSplit = assignSplits(balanced, splits, idCol)
     writeShards(withSplit, outDir, nShards, idCol = idCol)
-    // the shard write was the last reader of the reps artifact
-    graft.ops.Scratch.drop(docs.sparkSession, repsPath)
+    // the shard write was the last reader of the remaining stage artifact
+    cleanPath match {
+      case Some(p) => graft.ops.Scratch.drop(docs.sparkSession, p)
+      case None => graft.ops.Scratch.drop(docs.sparkSession, repsPath)
+    }
     // hand back a scan of the JUST-WRITTEN shards, not the producing
     // plan — a caller action on the lazy plan would re-run the whole
     // dedup + decontaminate pipeline a second time

@@ -309,15 +309,19 @@ object Dedup {
         prefix)
     val l = sigTable(left, leftIdCol, "xlsh_left")
     val r = sigTable(right, rightIdCol, "xlsh_right")
-    // the corpus-side bucket bound caps bipartite fanout (|L|×|R| per
-    // bucket; the benchmark side is small by contract)
+    // BOTH sides' bucket bounds are enforced — the per-bucket fanout is
+    // |L_bucket|×|R_bucket|, so a mass-duplicate benchmark side (the
+    // "small by contract" side) could drive the bipartite join
+    // quadratic just as well as the corpus side
+    val guardHint = "a mass-duplicate band bucket yields quadratic candidate " +
+      "pairs - run exact dedup first or raise maxBucketRows deliberately"
     val lb = Blocks.guardBlockSize(
       bandedKeys(l.select(col("id"), col("sig")), bands, rowsPerBand),
-      "bk", maxBucketRows, "crossLshJaccard",
-      hint = "a mass-duplicate band bucket yields quadratic candidate "
-        + "pairs - run exact dedup first or raise maxBucketRows deliberately")
+      "bk", maxBucketRows, "crossLshJaccard", hint = guardHint)
       .select(col("id").as("a"), col("bk"))
-    val rb = bandedKeys(r.select(col("id"), col("sig")), bands, rowsPerBand)
+    val rb = Blocks.guardBlockSize(
+      bandedKeys(r.select(col("id"), col("sig")), bands, rowsPerBand),
+      "bk", maxBucketRows, "crossLshJaccard", hint = guardHint)
       .select(col("id").as("b"), col("bk"))
     val candidates = lb.join(rb, Seq("bk")).select(col("a"), col("b")).distinct()
     val sized = candidates

@@ -40,12 +40,24 @@ object Graph {
 
   /** Co-occurrence edge derivation: items sharing a group become an
     * edge. `(group, item)` self-join co-partitioned on the group key —
-    * one shuffle; per-group fanout is quadratic in GROUP size (bounded
-    * by the data model: order line counts, basket sizes), not corpus
-    * size. Callers with unbounded group sizes should cap them upstream
-    * (Blocks.guardBlockSize is the enforcement tool). */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val a = df.select(col(groupCol).as("g"), col(itemCol).as("src"))
+    * one shuffle; per-group fanout is quadratic in GROUP size, not
+    * corpus size. That contract is ENFORCED, not assumed: a group past
+    * `maxGroupRows` fails the query fast with the group value and the
+    * escape routes (pre-cap items per group / sample the group /
+    * raise the bound deliberately). Basket-shaped data (order line
+    * counts) never trips the default; a user handing (domain, doc) or
+    * (user, item) co-occurrence with one 10M-member group would
+    * otherwise silently mint ~10¹⁴ pairs. Guarded on ONE side only —
+    * the join key is the group, so each group's size is checked
+    * exactly once (the [[Dedup.ngramJaccard]] pattern). */
+  def coOccurrenceEdges(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      maxGroupRows: Long = 100000L): DataFrame = {
+    val a = Blocks.guardBlockSize(
+      df.select(col(groupCol).as("g"), col(itemCol).as("src")),
+      "g", maxGroupRows, "coOccurrenceEdges", hint = CoOccurHint)
     val b = df.select(col(groupCol).as("g"), col(itemCol).as("dst"))
     a.join(b, a("g") === b("g") && col("src") < col("dst"))
       .select(col("src"), col("dst"))
@@ -54,15 +66,26 @@ object Graph {
 
   /** [[coOccurrenceEdges]] that keeps the co-occurrence COUNT as an edge
     * weight (how many groups the pair shares) — the natural input to
-    * weighted [[pageRankDirected]]. Same join shape and scale contract;
-    * the distinct becomes a count aggregate over the same key. */
-  def coOccurrenceWeightedEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val a = df.select(col(groupCol).as("g"), col(itemCol).as("src"))
+    * weighted [[pageRankDirected]]. Same join shape and the same
+    * ENFORCED `maxGroupRows` contract; the distinct becomes a count
+    * aggregate over the same key. */
+  def coOccurrenceWeightedEdges(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      maxGroupRows: Long = 100000L): DataFrame = {
+    val a = Blocks.guardBlockSize(
+      df.select(col(groupCol).as("g"), col(itemCol).as("src")),
+      "g", maxGroupRows, "coOccurrenceWeightedEdges", hint = CoOccurHint)
     val b = df.select(col(groupCol).as("g"), col(itemCol).as("dst"))
     a.join(b, a("g") === b("g") && col("src") < col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("weight"))
   }
+
+  private val CoOccurHint =
+    "the per-group pair fanout is quadratic in group size - pre-cap " +
+      "items per group (sampleFixedPerGroup) or raise maxGroupRows deliberately"
 
   /** Per-node degree over the canonical undirected edge set. */
   def degrees(edges: DataFrame): DataFrame = {
@@ -283,6 +306,63 @@ object Graph {
   def connectedComponents(edges: DataFrame): DataFrame =
     Corpus.connectedComponents(canonicalEdges(edges), aCol = "src", bCol = "dst")
       .select(col("id").as("node"), col("label").as("component"))
+
+  /**
+   * Label propagation community detection (LPA — Raghavan/Albert/Kumara
+   * 2007), the remaining GDS-flagship community algorithm the
+   * reference's destination system runs on loaded graphs. SYNCHRONOUS
+   * and fully deterministic: every round, each node adopts the most
+   * frequent label among its NEIGHBORS' previous-round labels, ties
+   * broken by the smallest label (classic async LPA visits nodes in
+   * random order — unreproducible and un-oracle-able; the synchronous
+   * min-tie-break form is engine-reproducible at the cost of possible
+   * oscillation on bipartite structures, which a fixed round count
+   * bounds). Initial label = node id; `rounds` fixed iterations.
+   *
+   * Scale shape: the per-round argmax is "max count, then min label" as
+   * TWO keyed aggregates plus an equi-join — NOT a `partition by node`
+   * window, whose per-node candidate rows are bounded only by degree
+   * and would put a mega-hub's candidates in one task. Each round's
+   * (node, label) frame and its neighbor-label histogram are scratch
+   * tables (constant-size plans, the [[pageRank]] loop discipline),
+   * superseded tables retired eagerly.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import graft.ops.Scratch
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = canonicalEdges(edges)
+    val (adj, adjPath) = Scratch.materializeAt(
+      e0.select(col("src").as("n"), col("dst").as("x"))
+        .union(e0.select(col("dst").as("n"), col("src").as("x"))),
+      "lpa_adj")
+    var labels = adj.select(col("n").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var labelsPath: String = null // round 0 is a projection of adj
+    for (_ <- 1 to rounds) {
+      // neighbor-label histogram, materialized once per round: both the
+      // max-count side and the min-label side read the same table
+      // instead of re-running the adjacency join twice
+      val (cand, candPath) = Scratch.materializeAt(
+        adj.join(labels, adj("x") === labels("node"))
+          .select(adj("n").as("node"), col("label"))
+          .groupBy(col("node"), col("label"))
+          .agg(count(lit(1)).as("c")),
+        "lpa_cand")
+      val best = cand.groupBy(col("node")).agg(max(col("c")).as("mc"))
+      val (next, nextPath) = Scratch.materializeAt(
+        cand.join(best, Seq("node"))
+          .filter(col("c") === col("mc"))
+          .groupBy(col("node")).agg(min(col("label")).as("label")),
+        "lpa_labels")
+      Scratch.drop(spark, candPath)
+      if (labelsPath != null) Scratch.drop(spark, labelsPath)
+      labels = next
+      labelsPath = nextPath
+    }
+    Scratch.drop(spark, adjPath)
+    labels
+  }
 
   /**
    * Node similarity (the GDS-flagship link-analysis measure the

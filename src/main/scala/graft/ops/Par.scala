@@ -32,24 +32,35 @@ object Par {
     if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
+    val underSplit = fileSplitEstimate(df) match {
+      case Some(estSplits) => estSplits < target
+      case None => df.rdd.getNumPartitions < target
+    }
+    if (underSplit) df.repartition(target) else df
+  }
+
+  /** Estimated FileScan split count for a file-backed frame, from the
+    * scan relations' FILE INDEX (total bytes → Spark's own
+    * FilePartition.maxSplitBytes packing formula) — no physical
+    * planning, no RDD materialization. Ignoring per-file boundaries
+    * UNDERestimates splits, which errs toward repartitioning in
+    * [[fanOut]] — the cheap, safe direction for small inputs. `None`
+    * for frames with no file relation (in-memory test data). */
+  def fileSplitEstimate(df: DataFrame): Option[Long] = {
+    val spark = df.sparkSession
     val fileRels = df.queryExecution.analyzed.collect {
       case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
         l.relation.asInstanceOf[HadoopFsRelation]
     }
-    val underSplit =
-      if (fileRels.nonEmpty) {
-        // mirror FilePartition.maxSplitBytes: splits ≈ total / min(max,
-        // max(openCost, bytes/core)). Ignoring per-file boundaries
-        // UNDERestimates splits, which errs toward repartitioning —
-        // the cheap, safe direction for small inputs.
-        val conf = spark.sessionState.conf
-        val totalBytes = fileRels.map(_.location.sizeInBytes).sum.max(1L)
-        val bytesPerCore = (totalBytes / target).max(1L)
-        val maxSplitBytes =
-          math.min(conf.filesMaxPartitionBytes, math.max(conf.filesOpenCostInBytes, bytesPerCore))
-        val estSplits = math.ceil(totalBytes.toDouble / maxSplitBytes).toLong.max(1L)
-        estSplits < target
-      } else df.rdd.getNumPartitions < target
-    if (underSplit) df.repartition(target) else df
+    if (fileRels.isEmpty) None
+    else {
+      val conf = spark.sessionState.conf
+      val target = spark.sparkContext.defaultParallelism
+      val totalBytes = fileRels.map(_.location.sizeInBytes).sum.max(1L)
+      val bytesPerCore = (totalBytes / target).max(1L)
+      val maxSplitBytes =
+        math.min(conf.filesMaxPartitionBytes, math.max(conf.filesOpenCostInBytes, bytesPerCore))
+      Some(math.ceil(totalBytes.toDouble / maxSplitBytes).toLong.max(1L))
+    }
   }
 }

@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
  *   --quality_keep 0.8           optional top-fraction-per-source
  *                                quality gate (omit to skip stage 0)
  *   --min_jaccard 0.2            LSH near-dup verify threshold
+ *   --fuzzy_jaccard 0.5          optional FUZZY decontamination: also
+ *                                drop docs whose shingle Jaccard
+ *                                against any benchmark doc clears this
+ *                                (needs --benchmark; omit to skip)
+ *   --temperature 2.0            optional mixture balancing: flatten
+ *                                post-decontamination source shares at
+ *                                temperature T (omit to skip)
+ *   --mixture web=0.5,books=1.0  optional explicit per-source keep
+ *                                rates (mutually exclusive with
+ *                                --temperature)
+ *   --mixture_default 1.0        keep rate for sources not named in
+ *                                --mixture (default 1.0)
  *   --splits train=0.98,valid=0.01,test=0.01
  *   --shards 64                  shard count per split
  *   --master <spark master>      default local[*]
@@ -61,6 +73,12 @@ object CurateMain {
 
     val splits = parseSplits(opts.getOrElse("splits", "train=0.98,valid=0.01,test=0.01"))
     val qualityKeep = opts.get("quality_keep").map(_.toDouble)
+    val temperature = opts.get("temperature").map(_.toDouble)
+    val mixtureRates = opts.get("mixture").map(v =>
+      parseSplits(v).toMap ->
+        opts.get("mixture_default").map(_.toDouble).getOrElse(1.0))
+    require(temperature.isEmpty || mixtureRates.isEmpty,
+      "--temperature and --mixture are mutually exclusive")
     val prepared = Corpus.prepareTrainingSet(
       qualityKeep.map(_ => docs.withColumn("quality",
         TextFunctions.qualityScore(col("text"), col("n_chars")))).getOrElse(docs),
@@ -69,7 +87,10 @@ object CurateMain {
       splits = splits,
       minJaccard = opts.get("min_jaccard").map(_.toDouble).getOrElse(0.2),
       nShards = opts.get("shards").map(_.toInt).getOrElse(64),
-      qualityFilter = qualityKeep.map("quality" -> _))
+      qualityFilter = qualityKeep.map("quality" -> _),
+      temperature = temperature,
+      mixtureRates = mixtureRates,
+      fuzzyDecontaminate = opts.get("fuzzy_jaccard").map(_.toDouble))
 
     val bySplit = prepared.groupBy(col("split")).agg(count(lit(1)).as("n"))
       .collect().map(r => s"${r.get(0)}=${r.getLong(1)}").sorted.mkString(", ")

@@ -131,6 +131,14 @@ final class TableCatalog(spark: SparkSession, baseDir: String) {
   }
 
   /** Scan-parallelism probe (≙ the reference's stream count, capped at
-    * 1000 streams/table): how many partitions the FileScan planned. */
-  def planScan(table: String): Int = read(table).rdd.getNumPartitions
+    * 1000 streams/table): how many splits the FileScan would plan,
+    * estimated from the file index (`Par.fileSplitEstimate` — no
+    * driver-side physical planning of the frame), capped at the
+    * reference's 1000-stream ceiling. Every catalog format is
+    * file-backed, so the estimate always resolves; the parallelism
+    * floor is 1 split. */
+  def planScan(table: String): Int =
+    graft.ops.Par.fileSplitEstimate(read(table))
+      .getOrElse(spark.sparkContext.defaultParallelism.toLong)
+      .min(1000L).toInt
 }

@@ -106,7 +106,6 @@ object EventStreams {
       }
   }
 
-  /** Streaming de-duplication by event_id within the watermark horizon. */
   /** STREAM-STATIC join surface: filter a streaming corpus against a
     * static exact-fingerprint blocklist (the incremental-ingest form of
     * exact decontamination — documents arriving on the stream whose
@@ -127,6 +126,7 @@ object EventStreams {
       .join(blocklist.select(col(fpCol).as("_fp")), Seq("_fp"), joinType)
       .drop("_fp")
 
+  /** Streaming de-duplication by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
 

@@ -99,4 +99,34 @@ class CliSpec extends SparkTestBase {
     assert(scan.partitionFilters.exists(_.references.exists(_.name == "split")))
     assert(train.count() == shards.filter(col("split") === "train").count())
   }
+
+  test("CurateMain: --temperature adds the mixture stage; exclusive with --mixture") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_mix").toString + "/shards"
+    graft.pipeline.CurateMain.run(spark, Map(
+      "input" -> s"${sf()}/documents.parquet",
+      "output" -> out,
+      "temperature" -> "2.0",
+      "splits" -> "train=1.0",
+      "shards" -> "2"))
+    val mixed = spark.read.parquet(out)
+    assert(mixed.count() > 0)
+    // T=2 flattening: the smallest surviving source keeps everything,
+    // so source-share ratios shrink toward 1 vs the unmixed run
+    val outBase = java.nio.file.Files.createTempDirectory("graft_curate_base").toString + "/shards"
+    graft.pipeline.CurateMain.run(spark, Map(
+      "input" -> s"${sf()}/documents.parquet",
+      "output" -> outBase, "splits" -> "train=1.0", "shards" -> "2"))
+    val base = spark.read.parquet(outBase)
+    def spread(df: org.apache.spark.sql.DataFrame): Double = {
+      val ns = df.groupBy("source").count().collect().map(_.getLong(1).toDouble)
+      ns.max / ns.min
+    }
+    assert(spread(mixed) <= spread(base) + 1e-9)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CurateMain.run(spark, Map(
+        "input" -> s"${sf()}/documents.parquet", "output" -> out,
+        "temperature" -> "2.0", "mixture" -> "web=0.5"))
+    }
+  }
 }

@@ -207,6 +207,57 @@ class CorpusSpec extends SparkTestBase {
     assert(out.size == 3) // closure over ALL docs, not just hits
   }
 
+  test("prepareTrainingSet: fuzzy decontamination drops the paraphrased leak exact misses") {
+    // the leak: one typo in the MIDDLE token of a 15-token benchmark
+    // doc. Every 8-token gram spans the changed token → ZERO exact
+    // overlap; but only ~9 of ~95 char-5-shingles change → Jaccard
+    // ≈0.85, well past the 0.5 fuzzy threshold.
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliett kilo lima mike november oscar"
+    val leakText = benchText.replace("hotel", "hotle")
+    val docs = Seq(
+      (1L, leakText, "web"),
+      (2L, "completely different content about quantum flux capacitors and travel mechanics", "web"),
+      (3L, "another unrelated document describing ocean currents and marine biology topics", "web"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((100L, benchText)).toDF("bench_id", "text")
+    def run(out: String, fuzzy: Option[Double]) =
+      Corpus.prepareTrainingSet(docs, bench, out, splits = Seq("train" -> 1.0),
+          nShards = 1, fuzzyDecontaminate = fuzzy)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val outE = java.nio.file.Files.createTempDirectory("graft_fz_e").toString + "/s"
+    val outF = java.nio.file.Files.createTempDirectory("graft_fz_f").toString + "/s"
+    assert(run(outE, None) == Set(1L, 2L, 3L)) // exact pass misses the leak
+    assert(run(outF, Some(0.5)) == Set(2L, 3L)) // fuzzy pass catches it
+  }
+
+  test("decontaminate: benchmark broadcast is gated by observed gram count") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog sat down"))
+      .toDF("bench_id", "text")
+    val docs = Seq(
+      (1L, "totally unrelated content with no overlap at all here today"),
+      (2L, "so the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def broadcastJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.size
+    // under the bound: the gram probe carries the broadcast hint
+    val hinted = Corpus.decontaminate(docs, bench)
+    assert(broadcastJoins(hinted) == 1)
+    // over the bound (forced with maxBroadcastGrams=0): graceful
+    // degradation to an UNHINTED join — AQE/stats pick the strategy,
+    // nothing force-broadcasts a measured-large relation
+    val unhinted = Corpus.decontaminate(docs, bench, maxBroadcastGrams = 0)
+    assert(broadcastJoins(unhinted) == 0)
+    // identical verdicts on both paths
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3))).toSet
+    assert(rows(hinted) == rows(unhinted))
+  }
+
   test("tfidf: rare terms outrank ubiquitous ones") {
     val docs = Seq(
       (1L, "apple banana apple"),

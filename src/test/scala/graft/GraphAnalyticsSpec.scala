@@ -140,6 +140,45 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("labelPropagation: disjoint triangles converge to per-community min labels") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(e, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: ties break to the smallest label, deterministically") {
+    // path 1-2-3 after ONE round: N(2) = {1, 3} labels {1, 3} tie → 1;
+    // endpoints adopt their sole neighbor's label
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(path, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("coOccurrenceEdges: a mega-group past maxGroupRows trips the guard") {
+    // one 9-member group against maxGroupRows=5: the self-join would
+    // mint |group|² pairs; the contract guard must fail fast with the
+    // operator name and the escape route, in BOTH variants.
+    val mega = (1L to 9L).map(i => (42L, i)).toDF("g", "item")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val err = intercept[Exception] {
+      Graph.coOccurrenceEdges(mega, "g", "item", maxGroupRows = 5).collect()
+    }
+    assert(messages(err).exists(m =>
+      m.contains("coOccurrenceEdges") && m.contains("maxBlockRows")))
+    val errW = intercept[Exception] {
+      Graph.coOccurrenceWeightedEdges(mega, "g", "item", maxGroupRows = 5).collect()
+    }
+    assert(messages(errW).exists(m => m.contains("coOccurrenceWeightedEdges")))
+    // the same data passes when the bound admits the group
+    assert(Graph.coOccurrenceEdges(mega, "g", "item", maxGroupRows = 9).count() == 36)
+    assert(Graph.coOccurrenceWeightedEdges(mega, "g", "item", maxGroupRows = 9)
+      .agg(sum(col("weight"))).head().getLong(0) == 36L)
+  }
+
   test("empty input: all operators return empty, not crash") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.degrees(empty).count() == 0)
