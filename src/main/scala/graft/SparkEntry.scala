@@ -218,6 +218,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8))
     }),
+    "sim_knn_graph" -> ((s, dir) =>
+      // corpus-wide kNN graph (GDS K-Nearest Neighbors): every node's
+      // top-3 in-bucket cosine neighbors via the bucket self-join
+      Similarity.knnGraph(t(s, dir, "embeddings"), k = 3)),
     "sim_ivf_topk" -> ((s, dir) => { // full oracle: unrolled Lloyd steps
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), nProbe = 4)
@@ -788,6 +792,22 @@ object SparkEntry {
       // synchronous min-tie-break LPA communities (deterministic,
       // oracle = unrolled rounds)
       graft.operators.Graph.labelPropagation(coPurchaseEdges(s, dir), rounds = 3)),
+    "graph_kcore" -> ((s, dir) =>
+      // 20-core of the co-purchase graph: at sf0.01 this takes 9 peel
+      // rounds with real cascades (500 -> 404 nodes) to the fixpoint
+      // (witness-observed); the oracle unrolls 12 rounds — peeling is
+      // idempotent past the fixpoint, so the margin is free
+      graft.operators.Graph.kCore(coPurchaseEdges(s, dir), k = 20)),
+    "graph_shortest_paths" -> ((s, dir) => {
+      // hop-bounded weighted SSSP from the minimum node id; weights are
+      // shared-order counts (integer-valued doubles — exact sums)
+      val we = graft.operators.Graph.coOccurrenceWeightedEdges(
+        t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+        "l_orderkey", "l_partkey")
+      graft.operators.Graph.shortestPaths(we,
+        we.agg(min(col("src")).as("node")), maxHops = 4,
+        weightCol = Some("weight"))
+    }),
     // ---- text cleaning / sampling / chunking (training-data prep) ----
     "text_pii_redact" -> ((s, dir) => {
       // PII-laden fixture derived deterministically from doc_id (the
@@ -955,6 +975,7 @@ object SparkEntry {
     // constants the Spark plans embed, so nothing can drift.
     "sim_lsh_topk" -> OracleFragments.simLshTopK(
       numPlanes = 8, dim = 64, maxQueryId = 8, k = 5),
+    "sim_knn_graph" -> OracleFragments.simKnnGraph(numPlanes = 8, dim = 64, k = 3),
     "sim_ivf_topk" -> OracleFragments.simIvfTopK(
       cells = 8, iters = 2, nProbe = 4, maxQueryId = 8, k = 5),
     "sim_ivf_pairs" -> OracleFragments.simIvfPairs(
@@ -1250,6 +1271,8 @@ object SparkEntry {
     "graph_node_similarity" -> OracleFragments.graphNodeSimilarity(k = 10),
     "graph_components" -> OracleFragments.graphComponents,
     "graph_label_propagation" -> OracleFragments.graphLabelPropagation(rounds = 3),
+    "graph_kcore" -> OracleFragments.graphKCore(k = 20, rounds = 12),
+    "graph_shortest_paths" -> OracleFragments.graphShortestPaths(maxHops = 4),
     "text_pii_redact" -> OracleFragments.textPiiRedact,
     "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
     "sample_weighted" -> OracleFragments.sampleWeighted(k = 25),
@@ -1752,6 +1775,29 @@ object OracleFragments {
   /** Sequential-fold dot/norm identical to Similarity.dot/norm. */
   val cosineExpr: String = cosineOf("q.qv", "c.cv")
 
+  /** Mirror of Similarity.knnGraph: the [[simLshTopK]] re-derivation
+    * with the broadcast query join replaced by the bucket-key
+    * self-join — every node ranked against its bucket mates. */
+  def simKnnGraph(numPlanes: Int, dim: Int, k: Int): String = {
+    def bucketExpr(vcol: String): String =
+      graft.operators.Similarity.planeMatrix(numPlanes, dim).zipWithIndex.map {
+        case (plane, p) =>
+          val planeLit = plane.map(_.toString).mkString("[", ", ", "]")
+          val proj = s"list_aggregate(list_transform(list_zip($vcol, $planeLit), z -> z[1]::DOUBLE * z[2]), 'sum')"
+          s"CASE WHEN round($proj, 6) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    s"""WITH c AS (SELECT vec_id AS id, embedding AS v,
+                          ${bucketExpr("embedding")} AS bucket FROM embeddings),
+          scored AS (
+            SELECT a.id AS src, b.id AS neighbor_id, ${cosineOf("a.v", "b.v")} AS sim
+            FROM c a JOIN c b ON a.bucket = b.bucket AND a.id <> b.id),
+          ranked AS (
+            SELECT src, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY src ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT src, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= $k"""
+  }
+
   /** Sign-LSH ANN top-k re-derived in full: the SAME md5-derived
     * hyperplane matrix (Similarity.planeMatrix — computed here in Scala
     * and embedded as double literals, exactly as the Spark plan embeds
@@ -2249,6 +2295,61 @@ object OracleFragments {
         FROM p JOIN deg da ON da.node = p.a
                JOIN deg db ON db.node = p.b
         ORDER BY similarity DESC, a, b LIMIT $k"""
+
+  /** Mirror of Graph.kCore: `rounds` unrolled peel rounds (degree <
+    * k nodes removed, degrees recomputed). `rounds` must be >= the
+    * fixpoint round count on the fixture; past it the peel is
+    * idempotent, so the Spark side's early convergence stop cannot
+    * drift from the oracle's fixed unroll. */
+  def graphKCore(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      // MATERIALIZED: DuckDB inlines plain CTEs, and each round
+      // references the previous one three times — unrolled, that is
+      // 3^rounds scans of the base (observed as an fd-exhaustion
+      // failure at 12 rounds); materializing pins each round to one
+      // evaluation, mirroring the Spark side's scratch tables
+      s"""d$i AS MATERIALIZED (SELECT n, count(*) AS deg FROM
+                   (SELECT src AS n FROM $prev UNION ALL SELECT dst AS n FROM $prev)
+                  GROUP BY 1),
+          b$i AS MATERIALIZED (SELECT n FROM d$i WHERE deg < $k),
+          e$i AS MATERIALIZED (SELECT src, dst FROM $prev
+                  WHERE src NOT IN (SELECT n FROM b$i)
+                    AND dst NOT IN (SELECT n FROM b$i))"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          $steps
+        SELECT n AS node, count(*) AS degree FROM
+          (SELECT src AS n FROM e$rounds UNION ALL SELECT dst AS n FROM e$rounds)
+        GROUP BY 1"""
+  }
+
+  /** Mirror of Graph.shortestPaths: `maxHops` unrolled Bellman-Ford
+    * relaxation rounds from the min-node-id source over the
+    * symmetrized weighted co-purchase graph. Weights are integer-
+    * valued doubles, so the min-plus sums are bit-exact on both
+    * engines. */
+  def graphShortestPaths(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""r$i AS (SELECT node, min(d) AS dist FROM (
+                    SELECT node, dist AS d FROM r${i - 1}
+                    UNION ALL
+                    SELECT a.dst AS node, r.dist + a.w AS d
+                    FROM adj a JOIN r${i - 1} r ON a.src = r.node)
+                  GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                           count(*)::DOUBLE AS w
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                    WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+                    GROUP BY 1, 2),
+          adj AS (SELECT src, dst, w FROM e0
+                  UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+          r0 AS (SELECT (SELECT min(src) FROM e0) AS node, 0.0::DOUBLE AS dist),
+          $steps
+        SELECT node, dist FROM r$maxHops"""
+  }
 
   /** Mirror of Graph.labelPropagation: synchronous min-tie-break LPA,
     * `rounds` unrolled iterations. Each round's argmax (most frequent

@@ -365,6 +365,114 @@ object Graph {
   }
 
   /**
+   * k-core subgraph (GDS "k-core decomposition" for a fixed k): peel
+   * nodes of degree < k, recompute degrees, repeat until fixpoint —
+   * the standard cohesive-subgraph filter (Seidman 1983). Returns the
+   * surviving nodes with their within-core degree (all >= k).
+   *
+   * Loop discipline: each peel round materializes the surviving edge
+   * set as a scratch table whose write job carries the OBSERVED edge
+   * count; the loop stops when the count stops shrinking (peeling is
+   * monotone — a round that removes no node removes no edge), bounded
+   * by `maxRounds` as the runaway backstop. Plans stay constant-size
+   * in the round count ([[pageRank]] discipline); superseded tables
+   * retire eagerly. Each round is two keyed aggs + two anti-joins —
+   * no windows, no driver-side row iteration. Peeling is idempotent
+   * past the fixpoint, which is what makes the unrolled-round oracle
+   * exact regardless of when each side stops.
+   */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    import graft.ops.Scratch
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    var (e, nE, ePath) = Scratch.materializeObservedAt(
+      canonicalEdges(edges), "kcore_edges", count(lit(1)).as("n"))
+    var n = nE("n").asInstanceOf[Long]
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged && rounds < maxRounds) {
+      val deg = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      val bad = deg.filter(col("degree") < k).select(col("node"))
+      val (e2, m2, p2) = Scratch.materializeObservedAt(
+        e.join(bad.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(bad.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")),
+        "kcore_edges", count(lit(1)).as("n"))
+      val n2 = m2("n").asInstanceOf[Long]
+      Scratch.drop(spark, ePath)
+      e = e2; ePath = p2
+      converged = n2 == n || n2 == 0L
+      n = n2
+      rounds += 1
+    }
+    e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /**
+   * Hop-bounded weighted single-source shortest paths (the GDS
+   * Dijkstra/δ-stepping surface, in the deterministic bounded-relaxation
+   * form a synchronous engine oracle-checks): `maxHops` Bellman-Ford
+   * rounds over the symmetrized weighted graph from `sourceExpr`'s
+   * nodes, i.e. the exact shortest distance among paths of <= maxHops
+   * edges. With maxHops >= the graph's (weighted-path) hop diameter
+   * this IS the shortest-path distance; the hop bound is the documented
+   * semantic, not an approximation knob — the same fixed-iteration
+   * contract as [[pageRank]]'s `iters`.
+   *
+   * Each relaxation round is one equi-join (adjacency x current
+   * distances) plus a min aggregate, materialized as a scratch table —
+   * constant-size plans, superseded tables retired eagerly. Weights
+   * default to 1.0 (hop counting); integer-valued weights keep the
+   * distance sums bit-exact cross-engine (doubles below 2^53).
+   * Unreached nodes are absent from the output.
+   */
+  def shortestPaths(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxHops: Int = 4,
+      weightCol: Option[String] = None): DataFrame = {
+    import graft.ops.Scratch
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = weightCol match {
+      case None =>
+        canonicalEdges(edges).withColumn("w", lit(1.0d))
+      case Some(wc) =>
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .agg(sum(col(wc).cast("double")).as("w"))
+          .filter(col("w") > 0.0d)
+    }
+    val (adj, adjPath) = Scratch.materializeAt(
+      e0.select(col("src"), col("dst"), col("w"))
+        .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w"))),
+      "sssp_adj")
+    var dist = sources.select(col(sources.columns.head).as("node"))
+      .distinct().withColumn("dist", lit(0.0d))
+    var distPath: String = null
+    for (_ <- 1 to maxHops) {
+      val relaxed = adj.join(dist, adj("src") === dist("node"))
+        .select(adj("dst").as("node"), (dist("dist") + adj("w")).as("d"))
+      val (next, nextPath) = Scratch.materializeAt(
+        dist.select(col("node"), col("dist").as("d"))
+          .union(relaxed)
+          .groupBy(col("node")).agg(min(col("d")).as("dist")),
+        "sssp_dist")
+      if (distPath != null) Scratch.drop(spark, distPath)
+      dist = next
+      distPath = nextPath
+    }
+    Scratch.drop(spark, adjPath)
+    dist
+  }
+
+  /**
    * Node similarity (the GDS-flagship link-analysis measure the
    * reference's destination system runs on loaded graphs): Jaccard
    * similarity of neighbor sets for every pair sharing at least one

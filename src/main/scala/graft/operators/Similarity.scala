@@ -346,6 +346,55 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** kNN GRAPH construction (the GDS "K-Nearest Neighbors" mutate
+    * surface): for EVERY node, its top `k` cosine neighbors among its
+    * sign-LSH bucket mates — the corpus-scale form of [[lshTopK]],
+    * whose broadcast-the-queries shape cannot take the whole corpus as
+    * the query set. One scratch signature table scanned by both sides
+    * of a bucket-key self-join (never all-pairs); the per-bucket
+    * candidate fanout is quadratic in bucket size, so the bucket bound
+    * is ENFORCED (`maxBucketRows`, the [[Dedup.lshJaccard]] guard
+    * pattern — escape: more planes → smaller buckets). The per-node
+    * rank window is safe at scale BECAUSE of that guard: a node's
+    * candidate rows are bounded by its bucket's size, never by corpus
+    * size. Approximate exactly at the bucket boundary (recall dial =
+    * numPlanes); `shuffle_hash` because parquet text-bytes stats
+    * understate in-memory vector arrays (the broadcast-OOM hazard). */
+  def knnGraph(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      numPlanes: Int = 8,
+      k: Int = 5,
+      maxBucketRows: Long = 100000L): DataFrame = {
+    import graft.ops.Scratch
+    val dimOpt = corpus.select(size(col(vecCol)).as("d")).head(1).headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(null).cast(corpus.schema(idCol).dataType).as("src"),
+          lit(null).cast(corpus.schema(idCol).dataType).as("neighbor_id"),
+          lit(null).cast("double").as("sim"), lit(null).cast("int").as("rank"))
+        .limit(0)
+    val dim = dimOpt.get
+    val c = Scratch.materialize(
+      Par.fanOut(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+        .select(col("id"), col("v"), lshBucket(col("v"), numPlanes, dim).as("bucket")),
+      "knn_vecs")
+    val a = Blocks.guardBlockSize(
+      c.select(col("bucket"), col("id").as("src"), col("v").as("va")),
+      "bucket", maxBucketRows, "knnGraph",
+      hint = "per-bucket candidate fanout is quadratic - raise numPlanes "
+        + "to shrink buckets or raise maxBucketRows deliberately")
+    val b = c.select(col("bucket").as("bucket_b"), col("id").as("neighbor_id"),
+      col("v").as("vb"))
+    val scored = a.hint("shuffle_hash")
+      .join(b, col("bucket") === col("bucket_b") && col("src") =!= col("neighbor_id"))
+      .select(col("src"), col("neighbor_id"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k via sign-LSH: rank only within the query's bucket. Recall
     * is tunable via numPlanes (fewer planes → bigger buckets). */
   def lshTopK(

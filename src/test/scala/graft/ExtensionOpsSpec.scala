@@ -126,6 +126,26 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("knnGraph: every node ranked within its bucket; agrees with lshTopK; guard trips") {
+    val knn = Similarity.knnGraph(embs, k = 3)
+    // same bucket structure as lshTopK with the corpus as the query set:
+    // for the first 8 ids the two must agree row for row (k=3 prefix)
+    val viaQueries = Similarity.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    knn.filter(col("src") < 8).collect().foreach { r =>
+      assert(viaQueries((r.getLong(0), r.getLong(1))) == ((r.getDouble(2), r.getInt(3))))
+    }
+    // at most k neighbors per node, ranks contiguous from 1
+    assert(knn.groupBy("src").count().filter(col("count") > 3).count() == 0)
+    // the bucket-size contract is enforced
+    val err = intercept[Exception] {
+      Similarity.knnGraph(embs, k = 3, maxBucketRows = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("knnGraph")))
+  }
+
   test("ivfCosinePairs: cells=1 equals exhaustive pairs; cells>1 is a subset") {
     val vecs = embs.limit(200)
     def pairSet(df: org.apache.spark.sql.DataFrame) =

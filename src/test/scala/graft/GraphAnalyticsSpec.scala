@@ -140,6 +140,36 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("kCore: peels the tail chain, keeps the clique, cascades removals") {
+    // K4 on {1,2,3,4} with a pendant chain 4-5-6: the 2-core must peel
+    // 6 (degree 1), THEN 5 (degree drops to 1) — the cascade — and keep
+    // exactly the K4 with its internal degrees.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core2 = Graph.kCore(k4, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the 4-core of K4 is empty (max internal degree is 3)
+    assert(Graph.kCore(k4, k = 4).count() == 0)
+    // k=1 keeps everything
+    assert(Graph.kCore(k4, k = 1).count() == 6)
+  }
+
+  test("shortestPaths: hop-bounded weighted distances from the source set") {
+    // path 1 -2- 2 -3- 3 -1- 4 plus direct 1 -10- 3: shortest to 3 is
+    // 2+3=5 via node 2, not the direct weight-10 edge; node 4 at 5+1=6
+    val e = Seq((1L, 2L, 2.0), (2L, 3L, 3.0), (3L, 4L, 1.0), (1L, 3L, 10.0))
+      .toDF("src", "dst", "w")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val d = Graph.shortestPaths(e, src, maxHops = 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(1L -> 0.0, 2L -> 2.0, 3L -> 5.0, 4L -> 6.0))
+    // ONE hop only reaches direct neighbors: 3 via the weight-10 edge
+    val d1 = Graph.shortestPaths(e, src, maxHops = 1, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d1 == Map(1L -> 0.0, 2L -> 2.0, 3L -> 10.0))
+  }
+
   test("labelPropagation: disjoint triangles converge to per-community min labels") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("src", "dst")
