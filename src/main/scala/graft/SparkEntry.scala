@@ -320,6 +320,18 @@ object SparkEntry {
           qualityFilter = Some("quality" -> 0.8))
         .select(col("doc_id"), col("split").cast("string").as("split"))
     }),
+    "decontaminate_report" -> ((s, dir) => {
+      // per-BENCHMARK-doc audit: which eval items are burned, by how
+      // many leaking corpus docs (same fixture as `decontaminate`)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.operators.Corpus.decontaminationReport(docs, bench)
+    }),
+    "lm_quality_buckets" -> ((s, dir) =>
+      // CCNet-style head/middle/tail terciles of the unigram-LM score
+      // within each language (histogram thresholds, integer compares)
+      graft.operators.TextAnalysis.lmQualityBuckets(t(s, dir, "documents"))),
     "corpus_prepare_fuzzy" -> ((s, dir) => {
       // the compositor with the opt-in FUZZY decontamination stage:
       // exact 8-gram flags UNION near-dup (shingle-Jaccard >= 0.5)
@@ -365,6 +377,9 @@ object SparkEntry {
 
     // ==== extension operators: event analytics (window functions) ====
     "ev_sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
+    "ev_retention" -> ((s, dir) =>
+      // weekly cohort retention triangle over the events fixture
+      Events.cohortRetention(eventsTable(s, dir))),
     "ev_interval_join" -> ((s, dir) => {
       // bucketized range join: each event counted against every session
       // (any user) whose [start, end] contains it — no cross product
@@ -927,6 +942,9 @@ object SparkEntry {
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
     "decontaminate_fuzzy" -> OracleFragments.decontaminateFuzzy(
       bands = 4, rowsPerBand = 4, minJaccard = 0.5),
+    "decontaminate_report" -> OracleFragments.decontaminateReport(
+      nTokens = 8, minHits = 1, benchMod = 20),
+    "lm_quality_buckets" -> OracleFragments.lmQualityBuckets,
     "decontaminate" -> OracleFragments.decontaminate(
       nTokens = 8, minHits = 1, benchMod = 20),
     "corpus_prepare" -> OracleFragments.corpusPrepare(
@@ -981,6 +999,7 @@ object SparkEntry {
     "sim_ivf_pairs" -> OracleFragments.simIvfPairs(
       cells = 8, iters = 2, threshold = 0.40),
     "ev_sessionize" -> OracleFragments.evSessionize(gapMinutes = 30),
+    "ev_retention" -> OracleFragments.evRetention(periodSeconds = 7L * 86400L),
     "ev_interval_join" -> OracleFragments.evIntervalJoin(gapMinutes = 30),
     "ev_session_window" ->
       """WITH g AS (
@@ -1567,6 +1586,77 @@ object OracleFragments {
                coalesce(h.n_bench_docs, 0)::INT AS n_bench_docs,
                coalesce(h.n_gram_hits, 0) >= $minHits AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+  /** Mirror of Corpus.decontaminationReport: per-benchmark-doc leak
+    * audit — distinct shared-gram count per (bench, doc) pair, then
+    * the per-bench leaking-doc count; closure over every bench doc. */
+  def decontaminateReport(nTokens: Int, minHits: Int, benchMod: Int): String =
+    s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents
+                       WHERE doc_id % $benchMod = 0),
+        bg AS (
+          SELECT DISTINCT bench_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+          FROM (SELECT bench_id, unnest(${tokenShingles(nTokens)}) AS g FROM bench)
+          WHERE length(g) > 0),
+        dg AS (
+          SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+          FROM (SELECT doc_id, unnest(${tokenShingles(nTokens)}) AS g FROM documents)
+          WHERE length(g) > 0),
+        ph AS (
+          SELECT bg.bench_id, dg.doc_id, count(DISTINCT dg.gram) AS n_shared
+          FROM dg JOIN bg USING (gram) GROUP BY 1, 2),
+        pb AS (
+          SELECT bench_id,
+                 sum(CASE WHEN n_shared >= $minHits THEN 1 ELSE 0 END)::INT
+                   AS n_leaking_docs
+          FROM ph GROUP BY 1)
+        SELECT b.bench_id,
+               coalesce(pb.n_leaking_docs, 0)::INT AS n_leaking_docs,
+               coalesce(pb.n_leaking_docs, 0) > 0 AS burned
+        FROM bench b LEFT JOIN pb USING (bench_id)"""
+
+  /** Mirror of TextAnalysis.lmQualityBuckets: the [[textUnigramLm]]
+    * score chain, then per-language tercile assignment from the
+    * distinct-score histogram with the SAME integer comparison
+    * (3·cum_before vs tot) — ties share their value's bucket. */
+  val lmQualityBuckets: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+          total AS (SELECT count(*)::DOUBLE AS total FROM tok),
+          model AS (
+            SELECT token,
+                   round(ln(count(*)::DOUBLE / (SELECT total FROM total)), 9)::DECIMAL(28,12) AS logp
+            FROM tok GROUP BY 1),
+          sc AS (SELECT t.doc_id,
+                        round(sum(m.logp)::DOUBLE / count(*), 6) AS avg_logp
+                 FROM tok t JOIN model m ON t.token = m.token GROUP BY 1),
+          scl AS (SELECT sc.doc_id, d.lang, sc.avg_logp
+                  FROM sc JOIN documents d USING (doc_id)),
+          bv AS (SELECT lang, avg_logp, count(*) AS nv FROM scl GROUP BY 1, 2),
+          bb AS (SELECT lang, avg_logp,
+                        coalesce(sum(nv) OVER (PARTITION BY lang ORDER BY avg_logp DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+                        sum(nv) OVER (PARTITION BY lang) AS tot
+                 FROM bv),
+          bk AS (SELECT lang, avg_logp,
+                        CASE WHEN cum_before * 3 < tot THEN 'head'
+                             WHEN cum_before * 3 < tot * 2 THEN 'middle'
+                             ELSE 'tail' END AS bucket
+                 FROM bb)
+        SELECT s.doc_id, s.lang, s.avg_logp, bk.bucket
+        FROM scl s JOIN bk ON s.lang = bk.lang AND s.avg_logp = bk.avg_logp"""
+
+  /** Mirror of Events.cohortRetention: integer period ids from
+    * epoch-millis floor division, distinct per-user activity, cohort =
+    * min period, cells counted over the distinct activity rows. */
+  def evRetention(periodSeconds: Long): String = {
+    val periodMs = periodSeconds * 1000L
+    s"""WITH act AS (SELECT DISTINCT user_id AS usr, epoch_ms(ts) // $periodMs AS period
+                     FROM events),
+          cohort AS (SELECT usr, min(period) AS cohort_period FROM act GROUP BY 1)
+        SELECT c.cohort_period, a.period - c.cohort_period AS period_offset,
+               count(*) AS n_users
+        FROM act a JOIN cohort c ON a.usr = c.usr
+        GROUP BY 1, 2"""
+  }
 
   /** The END-TO-END compositor (Corpus.prepareTrainingSet) re-derived as
     * one chained query: quality gate (top `qualityKeep` per source by

@@ -478,6 +478,15 @@ object Corpus {
       .select(col(idCol), col(groupCol), col("priority"))
   }
 
+  /** 60-bit md5-derived gram hash: grams travel as fixed-width longs,
+    * not k-char strings — the (possibly broadcast) gram table, the
+    * probe compares, and the count-distinct Expand all operate on
+    * integers (same hash family as the minhash signatures; collision
+    * odds at 2^-60 are immaterial to a contamination VERDICT and
+    * identical on the oracle side). */
+  private def gramHash60(gram: org.apache.spark.sql.Column) =
+    conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+
   /** Benchmark decontamination: flag training documents that share at
     * least `minHits` distinct `nTokens`-token n-grams with any
     * benchmark/eval document — the leakage check a training pipeline
@@ -516,13 +525,7 @@ object Corpus {
       textCol: String = "text",
       benchIdCol: String = "bench_id",
       maxBroadcastGrams: Long = 2000000L): DataFrame = {
-    // grams travel as 60-bit md5-derived longs, not k-char strings: the
-    // broadcast table, the probe compares, and the count-distinct Expand
-    // all operate on fixed-width integers (same hash family as the
-    // minhash signatures; collision odds at 2^-60 are immaterial to a
-    // contamination VERDICT and identical on the oracle side)
-    def gramHash(gram: org.apache.spark.sql.Column) =
-      conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+    def gramHash(gram: org.apache.spark.sql.Column) = gramHash60(gram)
     // empty grams (empty/whitespace-only text shingles to [""]) carry no
     // content and must not match: one blank benchmark row would
     // otherwise flag EVERY blank corpus doc as contaminated
@@ -556,6 +559,52 @@ object Corpus {
         coalesce(col("n_gram_hits"), lit(0)).as("n_gram_hits"),
         coalesce(col("n_bench_docs"), lit(0)).as("n_bench_docs"),
         (coalesce(col("n_gram_hits"), lit(0)) >= minHits).as("contaminated"))
+  }
+
+  /** Per-BENCHMARK-document contamination audit — the flip side of
+    * [[decontaminate]]: for each eval document, how many corpus
+    * documents leak it (share >= `minHits` distinct `nTokens`-token
+    * grams) and how many of its grams appear anywhere in the corpus.
+    * This is the report an eval owner reads to decide which test items
+    * are burned. Closure over EVERY benchmark doc (clean ones report
+    * zeros). Same gram machinery and scale shape as decontaminate,
+    * aggregated per (doc, bench) pair first — the pair table is
+    * bounded by actual overlap, not |corpus|×|bench|. The corpus-side
+    * gram table is the big side here, so nothing is broadcast-hinted;
+    * AQE decides from observed sizes. */
+  def decontaminationReport(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      nTokens: Int = 8,
+      minHits: Int = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id"): DataFrame = {
+    val bg = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(tokenShingles(col(textCol), nTokens)).as("g"))
+      .filter(length(col("g")) > 0)
+      .select(col("bench_id"), gramHash60(col("g")).as("gram"))
+      .distinct()
+    val dg = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokenShingles(col(textCol), nTokens)).as("g"))
+      .filter(length(col("g")) > 0)
+      .select(col("doc_id"), gramHash60(col("g")).as("gram"))
+    val pairHits = dg.join(bg, Seq("gram"))
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+    // pairHits rows are unique per (bench, doc), so the leaking-doc
+    // count is a plain conditional sum — no second distinct pass
+    val perBench = pairHits
+      .groupBy(col("bench_id"))
+      .agg(sum(when(col("n_shared") >= minHits, 1L).otherwise(0L)).cast("int")
+        .as("n_leaking_docs"))
+    benchmark.select(col(benchIdCol).as("bench_id"))
+      .join(perBench, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaking_docs"), lit(0)).as("n_leaking_docs"),
+        (coalesce(col("n_leaking_docs"), lit(0)) > 0).as("burned"))
   }
 
   /** Write the corpus as deterministic training shards:

@@ -156,6 +156,36 @@ object Events {
         unix_millis(col("session_window.start")).as("session_start_ms"),
         col("n_events"), col("total_value"))
 
+  /** Cohort retention matrix: users are cohorted by the period of
+    * their FIRST event; each cell (cohort_period, period_offset)
+    * counts the cohort's users active offset periods later — the
+    * standard product-analytics retention triangle, at warehouse
+    * scale. Three keyed shuffles, all on user/period keys: first-seen
+    * (groupBy min), distinct per-user activity periods, and the final
+    * cell count (map-side-combinable `count` — per-user activity is
+    * already distinct, so no count-distinct Expand reaches the big
+    * side). Periods are epoch-millis integer-divided by the period
+    * length: pure integer arithmetic, engine-exact. */
+  def cohortRetention(
+      events: DataFrame,
+      periodSeconds: Long = 7L * 86400L,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    val periodMs = periodSeconds * 1000L
+    val act = events
+      .select(col(userCol).as("user"), unix_millis(col(tsCol)).as("ts_ms"))
+      // `div`, not `/`: Spark's `/` is always DOUBLE — integer division
+      // keeps the period id exact (and identical to DuckDB's `//`)
+      .select(col("user"), expr(s"ts_ms div $periodMs").as("period"))
+      .distinct()
+    val cohort = act.groupBy(col("user")).agg(min(col("period")).as("cohort_period"))
+    act.join(cohort, Seq("user"))
+      .groupBy(col("cohort_period"),
+        (col("period") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Top-N event types per user by count (rank + filter — the classic
     * grouped top-k that stays one shuffle). */
   def topEventTypes(events: DataFrame, n: Int = 2): DataFrame = {

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import graft.ops.Par
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -246,6 +247,45 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_tokens"),
         round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logp"))
+  }
+
+  /** CCNet-style LM-quality bucketing: assign each document to the
+    * head / middle / tail TERCILE of the unigram-LM score within its
+    * language — the published corpus-stratification scheme (Wenzek et
+    * al., CCNet: head = most-fluent third, typically kept; tail =
+    * least-fluent, dropped or down-weighted). "Within its language"
+    * matters: absolute cross-entropy is not comparable across
+    * languages.
+    *
+    * Scale shape: the tercile thresholds come from the per-language
+    * HISTOGRAM of distinct 6-dp scores ([[Corpus.qualityThresholdFilter]]'s
+    * no-window-skew pattern — a `percent_rank` over documents would
+    * put a whole language in one task), and the bucket decision is the
+    * INTEGER comparison 3·cum_before < tot (no fraction boundary to
+    * disagree on); ties share their value's bucket, so the realized
+    * split rounds to tie-group boundaries — deterministic and
+    * engine-reproducible. */
+  def lmQualityBuckets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val scored = unigramLogProb(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+    val byVal = scored.groupBy(col("lang"), col("avg_logp"))
+      .agg(count(lit(1)).as("nv"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("avg_logp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("lang"))
+    val buckets = byVal
+      .withColumn("cum_before", coalesce(sum(col("nv")).over(wCum), lit(0L)))
+      .withColumn("tot", sum(col("nv")).over(wTot))
+      .select(col("lang"), col("avg_logp"),
+        when(col("cum_before") * 3 < col("tot"), lit("head"))
+          .when(col("cum_before") * 3 < col("tot") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    scored.join(buckets, Seq("lang", "avg_logp"))
+      .select(col(idCol), col("lang"), col("avg_logp"), col("bucket"))
   }
 
   /** Document fingerprints: exact (md5 of normalized text) and

@@ -198,6 +198,40 @@ class CurationOpsSpec extends SparkTestBase {
     assert(scored.filter(col("avg_logp") >= 0).count() == 0)
   }
 
+  test("decontaminationReport: burned bench docs count their leakers; clean report zeros") {
+    val leaked = "the quick brown fox jumps over the lazy dog sat down"
+    val bench = Seq(
+      (100L, leaked),
+      (101L, "pristine eval item with entirely unshared phrasing throughout its text"))
+      .toDF("bench_id", "text")
+    val docs = Seq(
+      (1L, "so " + leaked + " again"), // leaks 100
+      (2L, leaked),                    // leaks 100
+      (3L, "unrelated corpus document with no overlap at all in here"))
+      .toDF("doc_id", "text")
+    val r = Corpus.decontaminationReport(docs, bench).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getBoolean(2))).toMap
+    assert(r(100L) == ((2, true)))
+    assert(r(101L) == ((0, false))) // closure: clean bench docs still report
+  }
+
+  test("lmQualityBuckets: per-language terciles, ties share a bucket") {
+    // 6 docs in one language with three distinct score levels (2 docs
+    // each): the tercile boundaries land exactly on the tie groups
+    val d = Seq(
+      (1L, "the the the the", "en"), (2L, "the the the the", "en"),
+      (3L, "the the the cat", "en"), (4L, "the the the cat", "en"),
+      (5L, "cat dog bird fish", "en"), (6L, "cat dog bird fish", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lmQualityBuckets(d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "head" && out(2L) == "head")
+    assert(out(3L) == "middle" && out(4L) == "middle")
+    assert(out(5L) == "tail" && out(6L) == "tail")
+    // ties share a fate: identical texts never split buckets
+    assert(Seq(1L -> 2L, 3L -> 4L, 5L -> 6L).forall { case (a, b) => out(a) == out(b) })
+  }
+
   test("empty input: curation ops return empty, not crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.redactPii(empty).count() == 0)

@@ -26,6 +26,25 @@ class EventsAndStreamingSpec extends SparkTestBase {
     assert(out == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
   }
 
+  test("cohortRetention: cohort by first-seen period, offsets count distinct actives") {
+    import spark.implicits._
+    val day = 86400L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // period = 1 week. u1 first in week 0, active weeks 0,1,2 (two
+    // events in week 1 count once); u2 first in week 0, active week 0
+    // only; u3 first in week 1, active weeks 1,3.
+    val ev = Seq(
+      (1L, 0L), (1L, 8L * day), (1L, 9L * day), (1L, 15L * day),
+      (2L, 2L * day),
+      (3L, 8L * day), (3L, 22L * day))
+      .map { case (u, s) => (u, ts(s)) }.toDF("user_id", "ts")
+    val cells = Events.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
   test("resampleLastValue: carry-forward on the grid, collisions collapsed, guard") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
