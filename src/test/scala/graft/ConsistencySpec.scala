@@ -25,6 +25,16 @@ class ConsistencySpec extends SparkTestBase {
     3 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f'),
     1 -> Gen.oneOf('.', ',', '!', 'ü', 'É', '中'))).map(_.mkString)
 
+  test("driver contract: every oracleSql key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracle entries without a query (silently skipped by the gate): $orphans")
+    // and the gate is strong: ~every query is oracle-checked (rows-only
+    // checks need an explicit waiver here)
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.isEmpty, s"queries without oracle SQL (rows-only): $rowsOnly")
+  }
+
   test("property: JVM normalize == Spark column normalize") {
     check(Prop.forAll(Gen.listOfN(20, textGen)) { texts =>
       val fromSpark = texts.toDF("text")

@@ -67,6 +67,35 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.operators.Events.resampleLastValue(noEvents).count() == 0)
   }
 
+  test("round-7 operators on empty inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.labelPropagation(noEdges).count() == 0)
+    assert(graft.operators.Graph.kCore(noEdges, k = 2).count() == 0)
+    assert(graft.operators.Graph.shortestPaths(noEdges,
+      Seq.empty[Tuple1[Long]].toDF("node")).count() == 0)
+    assert(graft.operators.Graph.coOccurrenceEdges(
+      noDocs.select($"doc_id".as("g"), $"doc_id".as("item")), "g", "item").count() == 0)
+    assert(graft.operators.TextAnalysis.lmQualityBuckets(noDocs).count() == 0)
+    val noEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampType))))
+    assert(graft.operators.Events.cohortRetention(noEvents).count() == 0)
+    // empty BENCHMARK: no eval item exists, so the report is empty —
+    // and an empty CORPUS burns nothing (closure still lists the bench)
+    val noBench = noDocs.select($"doc_id".as("bench_id"), $"text")
+    assert(Corpus.decontaminationReport(noDocs, noBench).count() == 0)
+    val bench1 = Seq((9L, "x y z")).toDF("bench_id", "text")
+    val rep = Corpus.decontaminationReport(noDocs, bench1).collect()
+    assert(rep.length == 1 && rep.head.getInt(1) == 0 && !rep.head.getBoolean(2))
+    val noVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val knn = Similarity.knnGraph(noVecs)
+    assert(knn.count() == 0)
+    assert(knn.columns.toSeq == Seq("src", "neighbor_id", "sim", "rank"))
+  }
+
   test("similarity and range join on empty inputs") {
     val noVecs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
