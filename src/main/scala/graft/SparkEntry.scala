@@ -797,6 +797,18 @@ object SparkEntry {
       graft.operators.Graph.triangleCount(coPurchaseEdges(s, dir))),
     "graph_common_neighbors" -> ((s, dir) =>
       graft.operators.Graph.commonNeighborsTopK(coPurchaseEdges(s, dir), k = 10)),
+    "graph_adamic_adar" -> ((s, dir) =>
+      // GDS Adamic-Adar link prediction: shared neighbors weighted
+      // 1/ln(deg) — DECIMAL-exact term sums, same wedge guard
+      graft.operators.Graph.adamicAdarTopK(coPurchaseEdges(s, dir), k = 10)),
+    "graph_harmonic" -> ((s, dir) =>
+      // hop-bounded harmonic centrality: all-sources BFS over scratch
+      // tables, Σ 1/dist with order-exact DECIMAL term sums
+      graft.operators.Graph.harmonicCentrality(coPurchaseEdges(s, dir), maxHops = 3)),
+    "graph_random_walks" -> ((s, dir) =>
+      // deterministic uniform walks (md5 coin per step) — the GDS
+      // RandomWalk/node2vec sampling surface
+      graft.operators.Graph.randomWalks(coPurchaseEdges(s, dir), steps = 3)),
     "graph_node_similarity" -> ((s, dir) =>
       // GDS-style node similarity: neighbor-set Jaccard from wedge
       // counts + degrees, no set arrays shipped
@@ -807,6 +819,14 @@ object SparkEntry {
       // synchronous min-tie-break LPA communities (deterministic,
       // oracle = unrolled rounds)
       graft.operators.Graph.labelPropagation(coPurchaseEdges(s, dir), rounds = 3)),
+    "graph_lpa_weighted" -> ((s, dir) =>
+      // weighted votes (GDS relationship-weight semantic): label votes
+      // are summed shared-order counts, not neighbor counts
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.coOccurrenceWeightedEdges(
+          t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+          "l_orderkey", "l_partkey"),
+        rounds = 3, weightCol = Some("weight"))),
     "graph_kcore" -> ((s, dir) =>
       // 20-core of the co-purchase graph: at sf0.01 this takes 9 peel
       // rounds with real cascades (500 -> 404 nodes) to the fixpoint
@@ -1288,8 +1308,13 @@ object SparkEntry {
     "graph_triangles" -> OracleFragments.graphTriangles,
     "graph_common_neighbors" -> OracleFragments.graphCommonNeighbors(k = 10),
     "graph_node_similarity" -> OracleFragments.graphNodeSimilarity(k = 10),
+    "graph_adamic_adar" -> OracleFragments.graphAdamicAdar(k = 10),
+    "graph_harmonic" -> OracleFragments.graphHarmonic(maxHops = 3),
+    "graph_random_walks" -> OracleFragments.graphRandomWalks(steps = 3, salt = "walk"),
     "graph_components" -> OracleFragments.graphComponents,
     "graph_label_propagation" -> OracleFragments.graphLabelPropagation(rounds = 3),
+    "graph_lpa_weighted" ->
+      OracleFragments.graphLabelPropagation(rounds = 3, weighted = true),
     "graph_kcore" -> OracleFragments.graphKCore(k = 20, rounds = 12),
     "graph_shortest_paths" -> OracleFragments.graphShortestPaths(maxHops = 4),
     "text_pii_redact" -> OracleFragments.textPiiRedact,
@@ -2442,14 +2467,17 @@ object OracleFragments {
   }
 
   /** Mirror of Graph.labelPropagation: synchronous min-tie-break LPA,
-    * `rounds` unrolled iterations. Each round's argmax (most frequent
-    * neighbor label, smallest label on ties) is a row_number window on
-    * the oracle side — equivalent to the Spark side's max-count +
-    * min-label aggregate pair, and fine on DuckDB's small data. */
-  def graphLabelPropagation(rounds: Int): String = {
+    * `rounds` unrolled iterations. Each round's argmax (strongest
+    * neighbor-label vote, smallest label on ties) is a row_number
+    * window on the oracle side — equivalent to the Spark side's
+    * max-vote + min-label aggregate pair, and fine on DuckDB's small
+    * data. `weighted` votes by summed co-purchase edge weights
+    * (integer-valued doubles — order-exact sums) instead of counts. */
+  def graphLabelPropagation(rounds: Int, weighted: Boolean = false): String = {
+    val vote = if (weighted) "sum(a.w)" else "count(*)"
     val stages = (1 to rounds).map { i =>
       val prev = if (i == 1) "l0" else s"l${i - 1}"
-      s"""c$i AS (SELECT a.n AS node, l.label, count(*) AS c
+      s"""c$i AS (SELECT a.n AS node, l.label, $vote AS c
                   FROM adj a JOIN $prev l ON a.x = l.node GROUP BY 1, 2),
           l$i AS (SELECT node, label FROM (
                     SELECT node, label,
@@ -2457,9 +2485,21 @@ object OracleFragments {
                              ORDER BY c DESC, label ASC) AS rn
                     FROM c$i) WHERE rn = 1)"""
     }.mkString(",\n")
-    s"""WITH e0 AS ($coPurchase),
-          adj AS (SELECT src AS n, dst AS x FROM e0
-                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+    val (e0, adj) =
+      if (weighted)
+        (s"""SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*)::DOUBLE AS w
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+             GROUP BY 1, 2""",
+          """SELECT src AS n, dst AS x, w FROM e0
+             UNION ALL SELECT dst AS n, src AS x, w FROM e0""")
+      else
+        (coPurchase,
+          """SELECT src AS n, dst AS x FROM e0
+             UNION ALL SELECT dst AS n, src AS x FROM e0""")
+    s"""WITH e0 AS ($e0),
+          adj AS ($adj),
           l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj),
           $stages
         SELECT node, label FROM l$rounds"""
@@ -2488,4 +2528,74 @@ object OracleFragments {
         SELECT a, b, common FROM p
         WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.src = p.a AND e0.dst = p.b)
         ORDER BY common DESC, a, b LIMIT $k"""
+
+  /** Mirror of Graph.adamicAdarTopK: wedge centers weighted 1/ln(deg),
+    * per-term 9-dp rounding then DECIMAL(18,9) exact summation (the
+    * library's order-exact double-aggregate pattern), final cast to
+    * DOUBLE. 1.0::DOUBLE keeps the division in IEEE doubles — DuckDB
+    * parses a bare 1.0 as DECIMAL(2,1). */
+  def graphAdamicAdar(k: Int): String =
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          deg AS (SELECT n AS node, count(*) AS d FROM adj GROUP BY 1),
+          w AS (SELECT a.n, a.x,
+                       round(1.0::DOUBLE / ln(dg.d::DOUBLE), 9)::DECIMAL(18,9) AS aa
+                FROM adj a JOIN deg dg ON dg.node = a.n WHERE dg.d >= 2),
+          p AS (SELECT a1.x AS a, a2.x AS b, sum(a1.aa) AS s
+                FROM w a1 JOIN w a2 ON a1.n = a2.n AND a1.x < a2.x
+                GROUP BY 1, 2)
+        SELECT a, b, s::DOUBLE AS score FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.src = p.a AND e0.dst = p.b)
+        ORDER BY score DESC, a, b LIMIT $k"""
+
+  /** Mirror of Graph.harmonicCentrality: `maxHops` unrolled multi-source
+    * BFS rounds (every node a source), then Σ 1/dist over reached pairs
+    * with the same 9-dp-round + DECIMAL-sum discipline. Rounds are
+    * MATERIALIZED — DuckDB inlines plain CTEs and each round references
+    * its predecessor twice. */
+  def graphHarmonic(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT s, node, min(d) AS dist FROM (
+                    SELECT s, node, dist AS d FROM r${i - 1}
+                    UNION ALL
+                    SELECT r.s, a.dst AS node, r.dist + 1 AS d
+                    FROM adj a JOIN r${i - 1} r ON a.src = r.node)
+                  GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          r0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS node, 0 AS dist FROM adj),
+          $steps
+        SELECT s AS node,
+               sum(round(1.0::DOUBLE / dist, 9)::DECIMAL(18,9))::DOUBLE AS centrality
+        FROM r$maxHops WHERE dist > 0 GROUP BY 1"""
+  }
+
+  /** Mirror of Graph.randomWalks: per-step argmin of the
+    * md5(salt:walk:step:neighbor) coin via a row_number window —
+    * equivalent to the Spark side's min-struct aggregate on DuckDB's
+    * small data. Steps MATERIALIZED (each is read by the next and by
+    * the final union). */
+  def graphRandomWalks(steps: Int, salt: String): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""s$i AS MATERIALIZED (
+            SELECT walk, node FROM (
+              SELECT r.walk, a.x AS node,
+                     row_number() OVER (PARTITION BY r.walk ORDER BY
+                       md5(concat_ws(':', '$salt', r.walk::VARCHAR,
+                                     '$i', a.x::VARCHAR)), a.x) AS rn
+              FROM adj a JOIN s${i - 1} r ON a.n = r.node) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val selects = (0 to steps)
+      .map(i => s"SELECT walk, $i AS step, node FROM s$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          s0 AS MATERIALIZED (SELECT DISTINCT n AS walk, n AS node FROM adj),
+          $stepCtes
+        $selects"""
+  }
 }

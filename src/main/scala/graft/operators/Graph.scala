@@ -319,7 +319,14 @@ object Graph {
    * oscillation on bipartite structures, which a fixed round count
    * bounds). Initial label = node id; `rounds` fixed iterations.
    *
-   * Scale shape: the per-round argmax is "max count, then min label" as
+   * With `weightCol` set, votes are WEIGHTED (the GDS LPA
+   * relationship-weight semantic): a label's vote is the sum of the
+   * incident edge weights carrying it, parallel edges summed at
+   * canonicalization, non-positive net weights dropped. Integer-valued
+   * weights keep the vote sums bit-exact cross-engine (doubles below
+   * 2^53); the unweighted path is the w≡1.0 special case.
+   *
+   * Scale shape: the per-round argmax is "max vote, then min label" as
    * TWO keyed aggregates plus an equi-join — NOT a `partition by node`
    * window, whose per-node candidate rows are bounded only by degree
    * and would put a mega-hub's candidates in one task. Each round's
@@ -327,27 +334,38 @@ object Graph {
    * tables (constant-size plans, the [[pageRank]] loop discipline),
    * superseded tables retired eagerly.
    */
-  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int = 3,
+      weightCol: Option[String] = None): DataFrame = {
     import graft.ops.Scratch
     require(rounds >= 1, "rounds must be >= 1")
     val spark = edges.sparkSession
-    val e0 = canonicalEdges(edges)
+    val e0 = weightCol match {
+      case None => canonicalEdges(edges).withColumn("w", lit(1.0d))
+      case Some(wc) =>
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .agg(sum(col(wc).cast("double")).as("w"))
+          .filter(col("w") > 0.0d)
+    }
     val (adj, adjPath) = Scratch.materializeAt(
-      e0.select(col("src").as("n"), col("dst").as("x"))
-        .union(e0.select(col("dst").as("n"), col("src").as("x"))),
+      e0.select(col("src").as("n"), col("dst").as("x"), col("w"))
+        .union(e0.select(col("dst").as("n"), col("src").as("x"), col("w"))),
       "lpa_adj")
     var labels = adj.select(col("n").as("node")).distinct()
       .withColumn("label", col("node"))
     var labelsPath: String = null // round 0 is a projection of adj
     for (_ <- 1 to rounds) {
-      // neighbor-label histogram, materialized once per round: both the
-      // max-count side and the min-label side read the same table
-      // instead of re-running the adjacency join twice
+      // neighbor-label vote histogram, materialized once per round:
+      // both the max-vote side and the min-label side read the same
+      // table instead of re-running the adjacency join twice
       val (cand, candPath) = Scratch.materializeAt(
         adj.join(labels, adj("x") === labels("node"))
-          .select(adj("n").as("node"), col("label"))
+          .select(adj("n").as("node"), col("label"), adj("w"))
           .groupBy(col("node"), col("label"))
-          .agg(count(lit(1)).as("c")),
+          .agg(sum(col("w")).as("c")),
         "lpa_cand")
       val best = cand.groupBy(col("node")).agg(max(col("c")).as("mc"))
       val (next, nextPath) = Scratch.materializeAt(
@@ -549,5 +567,156 @@ object Graph {
       .join(e, col("a") === e("src") && col("b") === e("dst"), "left_anti")
       .orderBy(col("common").desc, col("a"), col("b"))
       .limit(k)
+  }
+
+  /**
+   * Adamic-Adar link prediction (the GDS link-prediction scorer next to
+   * common neighbors): for node pairs NOT already joined by an edge,
+   * score = Σ over shared neighbors n of 1/ln(deg(n)) — rare shared
+   * neighbors count more than hubs. Top `k` by (score desc, pair id).
+   *
+   * Determinism contract: each per-neighbor term is rounded to 9 dp and
+   * summed as DECIMAL(18,9) — summation-order-exact, so the score is
+   * bit-identical regardless of shuffle order; the final cast to double
+   * is a deterministic conversion of that exact decimal. Wedge centers
+   * need deg >= 2 (a single-neighbor node forms no wedge), so ln is
+   * always positive.
+   *
+   * Scale shape: identical to [[commonNeighborsTopK]] — the wedge
+   * self-join with the ENFORCED `maxDegree` contract, one extra degree
+   * equi-join to weight the wedge center, anti-join to drop existing
+   * edges. No set arrays ship; nothing is broadcast but the guard
+   * counts.
+   */
+  def adamicAdarTopK(
+      edges: DataFrame,
+      k: Int = 10,
+      maxDegree: Long = 100000): DataFrame = {
+    import graft.ops.Scratch
+    // backs the returned lazy plan (read three times); session
+    // shutdown reclaims it.
+    val e = Scratch.materialize(canonicalEdges(edges), "aa_edges")
+    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
+      .union(e.select(col("dst").as("n"), col("src").as("x")))
+    val deg = adj0.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
+      "adamicAdarTopK",
+      hint = "the wedge fanout is quadratic in node degree - truncate "
+        + "per-node adjacency upstream or raise maxDegree deliberately")
+    val wadj = adj.join(deg, Seq("n")).filter(col("d") >= 2)
+      .select(col("n"), col("x"),
+        round(lit(1.0d) / log(col("d").cast("double")), 9)
+          .cast("decimal(18,9)").as("aa"))
+    val a1 = wadj.select(col("n"), col("x").as("a"), col("aa"))
+    val a2 = wadj.select(col("n"), col("x").as("b"))
+    a1.join(a2, Seq("n")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("aa")).as("s"))
+      .join(e, col("a") === e("src") && col("b") === e("dst"), "left_anti")
+      .select(col("a"), col("b"), col("s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /**
+   * Hop-bounded harmonic centrality (the GDS closeness/harmonic
+   * centrality surface, in its deterministic oracle-able form): for
+   * every node s, Σ over nodes t reachable within `maxHops` of
+   * 1/dist(s,t). Harmonic (not classic closeness) because it is
+   * well-defined on disconnected graphs — unreachable pairs contribute
+   * 0 rather than poisoning the mean. With maxHops >= the graph's hop
+   * diameter this IS exact harmonic centrality; the hop bound is the
+   * documented semantic (the [[shortestPaths]] contract), and also the
+   * scale dial: the frontier table holds one row per (source,
+   * reached-node) pair, i.e. Σ_s |maxHops-hop ball of s| rows — the
+   * inherent cost of all-sources BFS, paid as flat scratch-table rows
+   * across the cluster, never per-task state.
+   *
+   * Each round is one equi-join (adjacency × frontier, keyed shuffle)
+   * plus a (source, node) min-aggregate, materialized as a scratch
+   * table — constant-size plans, superseded tables retired eagerly.
+   * Determinism: per-pair terms 1/d for integer d are exact IEEE
+   * divisions, rounded to 9 dp and summed as DECIMAL(18,9) —
+   * summation-order-exact — then cast to double.
+   */
+  def harmonicCentrality(edges: DataFrame, maxHops: Int = 3): DataFrame = {
+    import graft.ops.Scratch
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = canonicalEdges(edges)
+    val (adj, adjPath) = Scratch.materializeAt(
+      e0.select(col("src"), col("dst"))
+        .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+      "harm_adj")
+    var dist = adj.select(col("src").as("s")).distinct()
+      .select(col("s"), col("s").as("node"), lit(0).as("dist"))
+    var distPath: String = null
+    for (_ <- 1 to maxHops) {
+      val expanded = adj.join(dist, adj("src") === dist("node"))
+        .select(dist("s"), adj("dst").as("node"), (dist("dist") + 1).as("d"))
+      val (next, nextPath) = Scratch.materializeAt(
+        dist.select(col("s"), col("node"), col("dist").as("d"))
+          .union(expanded)
+          .groupBy(col("s"), col("node")).agg(min(col("d")).as("dist")),
+        "harm_dist")
+      if (distPath != null) Scratch.drop(spark, distPath)
+      dist = next
+      distPath = nextPath
+    }
+    Scratch.drop(spark, adjPath)
+    dist.filter(col("dist") > 0)
+      .groupBy(col("s").as("node"))
+      .agg(sum(round(lit(1.0d) / col("dist"), 9).cast("decimal(18,9)"))
+        .cast("double").as("centrality"))
+  }
+
+  /**
+   * Deterministic uniform random walks (the GDS RandomWalk /
+   * node2vec-sampling surface): one walk per node, `steps` hops; at
+   * each step the walker moves to the neighbor with the minimum
+   * md5(salt : walk : step : neighbor) coin — a uniform choice among
+   * neighbors that is reproducible across runs, partitionings, and
+   * engines (the library-wide integer-coin discipline; per-purpose
+   * `salt`). Returns (walk, step, node) rows, steps+1 per walk —
+   * feed to skip-gram embedding training or use as graph samples.
+   *
+   * Scale shape: each step is one keyed equi-join (frontier ×
+   * adjacency, shuffled on the current node) whose fanout is exactly
+   * deg(current) per walk — Σ ≤ 2|E| rows per step — followed by a
+   * per-walk min-struct AGGREGATE (map-side combinable), never a
+   * per-walk window. Each step's frontier is a scratch table
+   * (constant-size plans); the returned union reads the per-step
+   * tables, reclaimed at session shutdown.
+   */
+  def randomWalks(
+      edges: DataFrame,
+      steps: Int = 3,
+      salt: String = "walk"): DataFrame = {
+    import graft.ops.Scratch
+    require(steps >= 1, "steps must be >= 1")
+    val e0 = canonicalEdges(edges)
+    val adj = Scratch.materialize(
+      e0.select(col("src").as("n"), col("dst").as("x"))
+        .union(e0.select(col("dst").as("n"), col("src").as("x"))),
+      "rw_adj")
+    val tables = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    var cur = Scratch.materialize(
+      adj.select(col("n").as("walk")).distinct()
+        .select(col("walk"), lit(0).as("step"), col("walk").as("node")),
+      "rw_step0")
+    tables += cur
+    for (i <- 1 to steps) {
+      val coin = md5(concat_ws(":", lit(salt), col("walk").cast("string"),
+        lit(i).cast("string"), col("x").cast("string")))
+      cur = Scratch.materialize(
+        adj.join(cur, adj("n") === cur("node"))
+          .select(cur("walk"), adj("x"), coin.as("h"))
+          .groupBy(col("walk"))
+          .agg(min(struct(col("h"), col("x"))).as("m"))
+          .select(col("walk"), lit(i).as("step"), col("m.x").as("node")),
+        s"rw_step$i")
+      tables += cur
+    }
+    tables.reduce(_ union _)
   }
 }

@@ -100,6 +100,40 @@ class CliSpec extends SparkTestBase {
     assert(train.count() == shards.filter(col("split") === "train").count())
   }
 
+  test("GraphAlgoMain: runs algorithms over an edge parquet, errors on unknown algo") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_galgo").toString
+    // a K4 plus a pendant, with custom column names and a weight
+    Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0), (2L, 3L, 1.0),
+      (2L, 4L, 1.0), (3L, 4L, 1.0), (4L, 5L, 2.0))
+      .toDF("from_id", "to_id", "cost")
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    def run(algo: String, extra: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
+      val out = s"$dir/out_$algo"
+      graft.pipeline.GraphAlgoMain.run(spark, Map(
+        "input" -> s"$dir/edges", "output" -> out, "algo" -> algo,
+        "src" -> "from_id", "dst" -> "to_id") ++ extra)
+      spark.read.parquet(out)
+    }
+    assert(run("degrees").count() == 5)
+    assert(run("triangles").head().getLong(0) == 4L)
+    assert(run("components").select("component").distinct().count() == 1)
+    val core = run("kcore", Map("kcore_k" -> "3"))
+    assert(core.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    val d = run("shortest_paths", Map("source" -> "5", "weight" -> "cost"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(5L) == 0.0 && d(4L) == 2.0 && d(1L) == 3.0)
+    val pr = run("pagerank", Map("iters" -> "2"))
+    assert(math.abs(pr.agg(org.apache.spark.sql.functions.sum(col("rank")))
+      .head().getDouble(0) - 1.0) < 1e-9)
+    assert(run("harmonic").count() == 5)
+    // K4 diagonals are edges; only the pendant pairs are predictable
+    assert(run("adamic_adar").count() == 3)
+    assert(run("random_walks", Map("steps" -> "2")).count() == 15)
+    intercept[RuntimeException](run("nope"))
+  }
+
   test("CurateMain: --temperature adds the mixture stage; exclusive with --mixture") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft_curate_mix").toString + "/shards"

@@ -178,6 +178,21 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("labelPropagation: weighted votes override neighbor counts") {
+    // node 4 has TWO unit-weight neighbors labeled {1, 2} and ONE
+    // heavy (w=5) neighbor labeled 9: unweighted vote is a 1-1-1 tie
+    // -> min label 1; weighted vote picks 9.
+    val e = Seq((1L, 4L, 1.0), (2L, 4L, 1.0), (9L, 4L, 5.0)).toDF("src", "dst", "w")
+    val unweighted = Graph.labelPropagation(e, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unweighted(4L) == 1L)
+    val weighted = Graph.labelPropagation(e, rounds = 1, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted(4L) == 9L)
+    // leaves adopt their sole neighbor's label either way
+    assert(weighted(1L) == 4L && weighted(9L) == 4L)
+  }
+
   test("labelPropagation: ties break to the smallest label, deterministically") {
     // path 1-2-3 after ONE round: N(2) = {1, 3} labels {1, 3} tie → 1;
     // endpoints adopt their sole neighbor's label
@@ -216,6 +231,65 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(Graph.triangleCount(empty).head().getLong(0) == 0L)
     assert(Graph.commonNeighborsTopK(empty).count() == 0)
     assert(Graph.pageRank(empty, iters = 2).count() == 0)
+    assert(Graph.adamicAdarTopK(empty).count() == 0)
+    assert(Graph.harmonicCentrality(empty).count() == 0)
+    assert(Graph.randomWalks(empty).count() == 0)
+  }
+
+  test("adamicAdarTopK: 1/ln(deg) wedge weights, existing edges excluded") {
+    // square 1-2-3-4-1: non-edge diagonals (1,3) and (2,4) each share
+    // two degree-2 neighbors -> score = 2/ln(2); edges themselves share
+    // none here and never appear in the output anyway
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = Graph.adamicAdarTopK(e, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 3L), (2L, 4L)))
+    val expect = 2.0 * math.round(1e9 / math.log(2.0)) / 1e9
+    out.values.foreach(v => assert(math.abs(v - expect) < 1e-12))
+    // a hub devalues: star center 10 with leaves 1,2,3 plus square
+    // pair (1,2) -> leaves share the deg-3 hub, score 1/ln(3) < 1/ln(2)
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val s = Graph.adamicAdarTopK(star, k = 1).head()
+    assert(math.abs(s.getDouble(2) - math.round(1e9 / math.log(3.0)) / 1e9) < 1e-12)
+  }
+
+  test("harmonicCentrality: path graph, hop bound truncates the sum") {
+    // path 1-2-3-4: full harmonic of node 1 is 1 + 1/2 + 1/3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val full = Graph.harmonicCentrality(e, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(full(1L) - (1.0 + 0.5 + 0.333333333)) < 1e-9)
+    assert(math.abs(full(2L) - (1.0 + 1.0 + 0.5)) < 1e-9)
+    // hop bound 1: everyone scores exactly their degree
+    val h1 = Graph.harmonicCentrality(e, maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h1 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 1.0))
+  }
+
+  test("randomWalks: valid edges every hop, deterministic, salt-sensitive") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst")
+    val w = Graph.randomWalks(e, steps = 3)
+    // 4 walks x 4 positions, and every consecutive hop is a real edge
+    assert(w.count() == 16)
+    val byWalk = w.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val edgeSet = Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    for ((walk, path) <- byWalk) {
+      assert(path.head == walk) // step 0 is the start node
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(edgeSet(math.min(a, b) -> math.max(a, b)))
+      }
+    }
+    // deterministic across runs; a different salt changes some choice
+    assert(Graph.randomWalks(e, steps = 3).collect().toSet ==
+      w.collect().toSet)
+    assert(Graph.randomWalks(e, steps = 3, salt = "other").collect().toSet !=
+      w.collect().toSet)
+    // a pendant's walker bounces: path 1-2 alternates 1,2,1,2
+    val pendant = Graph.randomWalks(Seq((1L, 2L)).toDF("src", "dst"), steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(pendant == Map((1L, 0) -> 1L, (1L, 1) -> 2L, (1L, 2) -> 1L, (1L, 3) -> 2L,
+      (2L, 0) -> 2L, (2L, 1) -> 1L, (2L, 2) -> 2L, (2L, 3) -> 1L))
   }
 
   test("pageRank conserves mass on the fixture co-purchase graph") {
