@@ -18,7 +18,10 @@ object ScaleProbe {
     * so wedge-join and power-iteration work should grow ~linearly. */
   val spineQueries: Seq[String] =
     Seq("dedup_lsh_jaccard", "dedup_clusters", "dedup_simhash_pairs", "decontaminate",
-      "graph_pagerank", "graph_triangles", "graph_common_neighbors")
+      "graph_pagerank", "graph_triangles", "graph_common_neighbors",
+      // all-sources BFS (frontier rows) and per-step walk joins — the
+      // round-7 iterative additions with the largest intermediate state
+      "graph_harmonic", "graph_random_walks")
 
   /** Generate `outDir/documents.parquet` = base replicated `factor`×
     * (skipped when already present). Each copy k rewrites the text with a

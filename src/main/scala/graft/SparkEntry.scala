@@ -272,6 +272,10 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, dir) =>
       graft.operators.TextAnalysis.gopherRules(t(s, dir, "documents"),
         minTokens = 25, maxTokens = 100000)),
+    "text_c4_rules" -> ((s, dir) =>
+      // C4 heuristic cleanup (terminal punctuation, min words, template
+      // markers) — per-rule booleans + verdict from one scan
+      graft.operators.TextAnalysis.c4Rules(t(s, dir, "documents"), minWords = 5)),
     "sample_fixed_k" -> ((s, dir) =>
       graft.operators.Corpus.sampleFixedPerGroup(
           t(s, dir, "documents"), k = 25, groupCol = "source")
@@ -538,6 +542,36 @@ object SparkEntry {
                              WHERE c.c_nationkey = n.n_nationkey
                              ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")
     }),
+    "grouping_sets_agg" -> ((s, dir) => {
+      // explicit GROUPING SETS (vs the rollup/cube hierarchies already
+      // covered): two disjoint single-column groupings plus the grand
+      // total in ONE Expand pass, grouping ids disambiguate the nulls
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                      count(*) AS n, CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                      CAST(grouping(o_orderpriority) AS INT) AS g_prio
+               FROM orders_gs_v
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+    "window_funcs" -> ((s, dir) => {
+      // ranking/navigation window family over BOUNDED per-key partitions
+      // (a customer's orders, ≤ ~40 rows — the safe window shape; the
+      // unbounded-per-key cases elsewhere use groupBy+join instead):
+      // lag/lead, rank vs dense_rank, ntile, percent_rank, cume_dist,
+      // all over one deterministic (date, key) order → ONE Window node
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    }),
     "null_funcs" -> ((s, dir) =>
       // null-safety family: try_divide (NULL on /0), nullif, nvl/nvl2,
       // null-aware equality
@@ -793,18 +827,50 @@ object SparkEntry {
         .orderBy(round(col("rank"), 6).desc, col("node"))
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .limit(20)),
+    "graph_pagerank_personalized" -> ((s, dir) => {
+      // random-walk-with-restart relevance to a deterministic seed set
+      // (every 25th part id): teleport mass goes only to the seeds,
+      // unreachable nodes keep rank 0
+      val e = coPurchaseEdges(s, dir)
+      val seeds = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .filter(pmod(col("node"), lit(25)) === 0).distinct()
+      graft.operators.Graph.pageRankPersonalized(e, seeds, iters = 3, damping = 0.85)
+        .orderBy(round(col("rank"), 6).desc, col("node"))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .limit(20)
+    }),
     "graph_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangleCount(coPurchaseEdges(s, dir))),
+    "graph_clustering_coeff" -> ((s, dir) =>
+      // GDS LocalClusteringCoefficient: per-node triangle count over
+      // the guarded wedge join, lcc = 2T/(d(d-1)); top-50 keeps the
+      // result frame bounded while still ranking the clique-est nodes
+      graft.operators.Graph.localClusteringCoefficient(coPurchaseEdges(s, dir))
+        .orderBy(col("lcc").desc, col("node"))
+        .limit(50)),
     "graph_common_neighbors" -> ((s, dir) =>
       graft.operators.Graph.commonNeighborsTopK(coPurchaseEdges(s, dir), k = 10)),
     "graph_adamic_adar" -> ((s, dir) =>
       // GDS Adamic-Adar link prediction: shared neighbors weighted
       // 1/ln(deg) — DECIMAL-exact term sums, same wedge guard
       graft.operators.Graph.adamicAdarTopK(coPurchaseEdges(s, dir), k = 10)),
-    "graph_harmonic" -> ((s, dir) =>
-      // hop-bounded harmonic centrality: all-sources BFS over scratch
-      // tables, Σ 1/dist with order-exact DECIMAL term sums
-      graft.operators.Graph.harmonicCentrality(coPurchaseEdges(s, dir), maxHops = 3)),
+    "graph_harmonic" -> ((s, dir) => {
+      // hop-bounded harmonic centrality over a deterministic landmark
+      // sample (every 50th part id): exact per scored node; all-sources
+      // on this dense graph is inherently Θ(V·V) frontier rows
+      val e = coPurchaseEdges(s, dir)
+      val landmarks = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .filter(pmod(col("node"), lit(50)) === 0).distinct()
+      graft.operators.Graph.harmonicCentrality(e, maxHops = 3,
+        sources = Some(landmarks))
+    }),
+    "graph_fastrp" -> ((s, dir) =>
+      // GDS FastRP embeddings in the deterministic md5-projection form:
+      // 8 dims, 2 neighbor-averaging rounds, equal iteration weights
+      graft.operators.Graph.fastRP(coPurchaseEdges(s, dir),
+        dims = 8, iterations = 2, iterationWeights = Seq(1.0, 1.0))),
     "graph_random_walks" -> ((s, dir) =>
       // deterministic uniform walks (md5 coin per step) — the GDS
       // RandomWalk/node2vec sampling surface
@@ -813,6 +879,15 @@ object SparkEntry {
       // GDS-style node similarity: neighbor-set Jaccard from wedge
       // counts + degrees, no set arrays shipped
       graft.operators.Graph.nodeSimilarityTopK(coPurchaseEdges(s, dir), k = 10)),
+    "graph_node_overlap" -> ((s, dir) =>
+      // GDS overlap coefficient: common / min(deg) — flags sub/superset
+      // neighborhoods that Jaccard dilutes
+      graft.operators.Graph.nodeSimilarityTopK(coPurchaseEdges(s, dir), k = 10,
+        metric = "overlap")),
+    "graph_node_cosine" -> ((s, dir) =>
+      // GDS cosine metric: common / sqrt(deg·deg); sqrt is IEEE-exact
+      graft.operators.Graph.nodeSimilarityTopK(coPurchaseEdges(s, dir), k = 10,
+        metric = "cosine")),
     "graph_components" -> ((s, dir) =>
       graft.operators.Graph.connectedComponents(coPurchaseEdges(s, dir))),
     "graph_label_propagation" -> ((s, dir) =>
@@ -875,6 +950,13 @@ object SparkEntry {
         .limit(50)),
     "text_unigram_lm" -> ((s, dir) =>
       graft.operators.TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
+    "dsir_scores" -> ((s, dir) => {
+      // DSIR importance scoring: the benchmark slice (every 20th doc,
+      // the decontaminate fixture) plays the target domain
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.dsirScores(
+        docs, docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    }),
     "hist_numeric" -> ((s, dir) =>
       // fixed-width numeric histogram: integer bucket arithmetic, exact
       // on both engines (floor of a double that is an exact .25-grid
@@ -1139,6 +1221,23 @@ object SparkEntry {
          JOIN LATERAL (SELECT c_custkey, c_acctbal FROM customer c
                        WHERE c.c_nationkey = n.n_nationkey
                        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c ON TRUE""",
+    "grouping_sets_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                count(*) AS n, grouping(o_orderstatus)::INT AS g_status,
+                grouping(o_orderpriority)::INT AS g_prio
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                (rank() OVER w)::INT AS rnk,
+                (dense_rank() OVER w)::INT AS drnk,
+                (ntile(4) OVER w)::INT AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "null_funcs" ->
       """SELECT o_orderkey,
                 o_totalprice / nullif(o_custkey % 100, 0) AS safe_div,
@@ -1305,12 +1404,21 @@ object SparkEntry {
     "text_gopher_rules" -> OracleFragments.textGopherRules(
       minTokens = 25, maxTokens = 100000, minAvgTokenLen = 3.0,
       maxAvgTokenLen = 10.0, maxPunctRatio = 0.2, minStopwordHits = 2),
+    "text_c4_rules" -> OracleFragments.textC4Rules(minWords = 5),
+    "graph_pagerank_personalized" ->
+      OracleFragments.graphPageRankPersonalized(iters = 3, damping = 0.85,
+        seedMod = 25, k = 20),
     "graph_triangles" -> OracleFragments.graphTriangles,
+    "graph_clustering_coeff" -> OracleFragments.graphClusteringCoeff(k = 50),
     "graph_common_neighbors" -> OracleFragments.graphCommonNeighbors(k = 10),
     "graph_node_similarity" -> OracleFragments.graphNodeSimilarity(k = 10),
+    "graph_node_overlap" -> OracleFragments.graphNodeSimilarity(k = 10, metric = "overlap"),
+    "graph_node_cosine" -> OracleFragments.graphNodeSimilarity(k = 10, metric = "cosine"),
     "graph_adamic_adar" -> OracleFragments.graphAdamicAdar(k = 10),
-    "graph_harmonic" -> OracleFragments.graphHarmonic(maxHops = 3),
+    "graph_harmonic" -> OracleFragments.graphHarmonic(maxHops = 3, landmarkMod = 50),
     "graph_random_walks" -> OracleFragments.graphRandomWalks(steps = 3, salt = "walk"),
+    "graph_fastrp" -> OracleFragments.graphFastRP(
+      dims = 8, iterations = 2, weights = Seq(1.0, 1.0), salt = "frp"),
     "graph_components" -> OracleFragments.graphComponents,
     "graph_label_propagation" -> OracleFragments.graphLabelPropagation(rounds = 3),
     "graph_lpa_weighted" ->
@@ -1323,6 +1431,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> OracleFragments.boilerplateNgrams(n = 5, minDf = 2L, k = 20),
     "vocab_topk" -> OracleFragments.vocabTopK(minCount = 2, k = 50),
     "text_unigram_lm" -> OracleFragments.textUnigramLm,
+    "dsir_scores" -> OracleFragments.dsirScores(benchMod = 20),
     "hist_numeric" ->
       """SELECT floor(o_totalprice / 25000.0)::BIGINT AS bucket,
                 count(*) AS n,
@@ -2296,6 +2405,77 @@ object OracleFragments {
         FROM documents"""
   }
 
+  /** Mirror of TextAnalysis.c4Rules: identical raw/normalized text
+    * predicates, identical marker strings, per-rule booleans + verdict. */
+  def textC4Rules(minWords: Int): String = {
+    val okPunct = """(right(rtrim(text), 1) IN ('.', '!', '?', '"'))"""
+    val okWords = s"(len($toks) >= $minWords)"
+    val okLorem = "(NOT contains(lower(text), 'lorem ipsum'))"
+    val okBrace = "(NOT contains(text, '{'))"
+    val okJs = "(NOT contains(lower(text), 'javascript'))"
+    s"""SELECT doc_id,
+          $okPunct AS ok_terminal_punct,
+          $okWords AS ok_min_words,
+          $okLorem AS ok_no_lorem,
+          $okBrace AS ok_no_brace,
+          $okJs AS ok_no_javascript,
+          ($okPunct AND $okWords AND $okLorem AND $okBrace AND $okJs) AS pass
+        FROM documents"""
+  }
+
+  /** Unrolled PERSONALIZED power iterations mirroring
+    * Graph.pageRankPersonalized: symmetrized edges, seeds = nodes with
+    * id % seedMod = 0, r0 = 1/|S| on seeds else 0, per-round teleport
+    * only to seeds. Constants interpolate the SAME Scala doubles the
+    * Spark plan embeds (see graphPageRank); summation-order noise is
+    * absorbed by the final 6-dp round. */
+  def graphPageRankPersonalized(
+      iters: Int, damping: Double, seedMod: Int, k: Int): String = {
+    val teleport = 1.0d - damping
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+                    (CASE WHEN e.dst % $seedMod = 0
+                          THEN $teleport::DOUBLE / (SELECT n FROM ns)
+                          ELSE 0.0::DOUBLE END)
+                    + $damping::DOUBLE * sum(r.rank / d.outdeg) AS rank
+                  FROM e JOIN r${i - 1} r ON r.node = e.src
+                         JOIN deg d ON d.node = e.src
+                  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+          ns AS (SELECT count(*)::DOUBLE AS n FROM deg WHERE node % $seedMod = 0),
+          r0 AS (SELECT node,
+                        CASE WHEN node % $seedMod = 0
+                             THEN 1.0::DOUBLE / (SELECT n FROM ns)
+                             ELSE 0.0::DOUBLE END AS rank FROM deg),
+          $steps
+        SELECT node, round(rank, 6) AS rank FROM r$iters
+        ORDER BY round(rank, 6) DESC, node LIMIT $k"""
+  }
+
+  /** Mirror of Graph.localClusteringCoefficient: node-anchored wedges
+    * between canonical-ordered neighbor pairs closed by the canonical
+    * edge, lcc = 2T/(d(d-1)), top-k by (lcc desc, node). */
+  def graphClusteringCoeff(k: Int): String =
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          deg AS (SELECT n AS node, count(*) AS degree FROM adj GROUP BY 1),
+          tri AS (SELECT a1.n AS node, count(*) AS triangles
+                  FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
+                  JOIN e0 e ON e.src = a1.x AND e.dst = a2.x
+                  GROUP BY 1)
+        SELECT d.node, d.degree, coalesce(t.triangles, 0)::BIGINT AS triangles,
+               round(CASE WHEN d.degree >= 2
+                     THEN 2.0::DOUBLE * coalesce(t.triangles, 0)::DOUBLE
+                          / (d.degree * (d.degree - 1))::DOUBLE
+                     ELSE 0.0::DOUBLE END, 6) AS lcc
+        FROM deg d LEFT JOIN tri t ON t.node = d.node
+        ORDER BY lcc DESC, d.node LIMIT $k"""
+
   /** Canonical-order triangle enumeration (u<v<w counted once) — the
     * orientation-free form; Graph.triangleCount's degree-oriented wedge
     * join counts the same set. */
@@ -2395,9 +2575,39 @@ object OracleFragments {
         FROM tok t JOIN model m ON t.token = m.token
         GROUP BY 1"""
 
+  /** Mirror of TextAnalysis.dsirScores: add-1-smoothed unigram LM ratio
+    * over the union vocabulary, per-token ln-ratio rounded to 9 dp and
+    * summed as DECIMAL(28,12), 6-dp output round. The target domain is
+    * the benchmark slice (doc_id % benchMod = 0). */
+  def dsirScores(benchMod: Int): String =
+    s"""WITH tokc AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+          tokt AS (SELECT unnest($toks) AS token FROM documents
+                   WHERE doc_id % $benchMod = 0),
+          cr AS (SELECT token, count(*) AS nr FROM tokc GROUP BY 1),
+          ct AS (SELECT token, count(*) AS nt FROM tokt GROUP BY 1),
+          counts AS (SELECT coalesce(cr.token, ct.token) AS token,
+                            coalesce(nr, 0) AS nr, coalesce(nt, 0) AS nt
+                     FROM cr FULL OUTER JOIN ct ON cr.token = ct.token),
+          tot AS (SELECT sum(nr)::BIGINT AS totr, sum(nt)::BIGINT AS tott,
+                         count(*) AS v FROM counts),
+          w AS (SELECT token,
+                       round(ln((nt + 1)::DOUBLE / (tott + v)::DOUBLE)
+                           - ln((nr + 1)::DOUBLE / (totr + v)::DOUBLE),
+                             9)::DECIMAL(28,12) AS lw
+                FROM counts, tot)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(sum(w.lw)::DOUBLE, 6) AS dsir_score
+        FROM tokc t JOIN w ON t.token = w.token GROUP BY 1"""
+
   /** Mirror of Graph.nodeSimilarityTopK: wedge-count common neighbors,
-    * Jaccard = common / (deg(a) + deg(b) − common), top-k. */
-  def graphNodeSimilarity(k: Int): String =
+    * similarity per the GDS metric (jaccard/overlap/cosine; sqrt is
+    * IEEE-correctly-rounded so cosine stays bit-exact), top-k. */
+  def graphNodeSimilarity(k: Int, metric: String = "jaccard"): String = {
+    val denom = metric match {
+      case "jaccard" => "(da.d + db.d - common)::DOUBLE"
+      case "overlap" => "least(da.d, db.d)::DOUBLE"
+      case "cosine" => "sqrt((da.d * db.d)::DOUBLE)"
+    }
     s"""WITH e0 AS ($coPurchase),
           adj AS (SELECT src AS n, dst AS x FROM e0
                   UNION ALL SELECT dst AS n, src AS x FROM e0),
@@ -2406,10 +2616,11 @@ object OracleFragments {
                 FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
                 GROUP BY 1, 2)
         SELECT a, b,
-               round(common::DOUBLE / (da.d + db.d - common)::DOUBLE, 6) AS similarity
+               round(common::DOUBLE / $denom, 6) AS similarity
         FROM p JOIN deg da ON da.node = p.a
                JOIN deg db ON db.node = p.b
         ORDER BY similarity DESC, a, b LIMIT $k"""
+  }
 
   /** Mirror of Graph.kCore: `rounds` unrolled peel rounds (degree <
     * k nodes removed, degrees recomputed). `rounds` must be >= the
@@ -2550,11 +2761,11 @@ object OracleFragments {
         ORDER BY score DESC, a, b LIMIT $k"""
 
   /** Mirror of Graph.harmonicCentrality: `maxHops` unrolled multi-source
-    * BFS rounds (every node a source), then Σ 1/dist over reached pairs
-    * with the same 9-dp-round + DECIMAL-sum discipline. Rounds are
-    * MATERIALIZED — DuckDB inlines plain CTEs and each round references
-    * its predecessor twice. */
-  def graphHarmonic(maxHops: Int): String = {
+    * BFS rounds from the landmark sample (node % landmarkMod = 0), then
+    * Σ 1/dist over reached pairs with the same 9-dp-round + DECIMAL-sum
+    * discipline. Rounds are MATERIALIZED — DuckDB inlines plain CTEs
+    * and each round references its predecessor twice. */
+  def graphHarmonic(maxHops: Int, landmarkMod: Int): String = {
     val steps = (1 to maxHops).map { i =>
       s"""r$i AS MATERIALIZED (SELECT s, node, min(d) AS dist FROM (
                     SELECT s, node, dist AS d FROM r${i - 1}
@@ -2566,7 +2777,8 @@ object OracleFragments {
     s"""WITH e0 AS ($coPurchase),
           adj AS (SELECT src, dst FROM e0
                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
-          r0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS node, 0 AS dist FROM adj),
+          r0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS node, 0 AS dist
+                              FROM adj WHERE src % $landmarkMod = 0),
           $steps
         SELECT s AS node,
                sum(round(1.0::DOUBLE / dist, 9)::DECIMAL(18,9))::DOUBLE AS centrality
@@ -2578,6 +2790,53 @@ object OracleFragments {
     * equivalent to the Spark side's min-struct aggregate on DuckDB's
     * small data. Steps MATERIALIZED (each is read by the next and by
     * the final union). */
+  /** Mirror of Graph.fastRP: md5-coin Achlioptas s=2 projection init
+    * (+1/−1 at p=1/4 each, 0 at p=1/2), per-iteration neighbor average
+    * (DECIMAL-exact sums of 9-dp values, one division by the integer
+    * degree) and L2 normalization (12-dp squared terms under a DECIMAL
+    * sum, IEEE sqrt), weighted per-iteration sum at 6 dp. Rounds are
+    * MATERIALIZED (each is read by its norm probe and its successor). */
+  def graphFastRP(
+      dims: Int, iterations: Int, weights: Seq[Double], salt: String): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""a$k AS MATERIALIZED (
+            SELECT adj.n AS node, h.dim,
+                   round(sum(h.v::DECIMAL(28,12))::DOUBLE / adj.degree, 9) AS v
+            FROM adj JOIN h${k - 1} h ON h.node = adj.x
+            GROUP BY 1, 2, adj.degree),
+          n$k AS (SELECT node,
+                         sqrt(sum(round(v * v, 12)::DECIMAL(28,12))::DOUBLE) AS nrm
+                  FROM a$k GROUP BY 1),
+          h$k AS MATERIALIZED (
+            SELECT a.node, a.dim,
+                   CASE WHEN n.nrm > 0.0::DOUBLE THEN round(a.v / n.nrm, 9)
+                        ELSE 0.0::DOUBLE END AS v
+            FROM a$k a JOIN n$k n ON n.node = a.node)"""
+    }.mkString(",\n")
+    val terms = (1 to iterations).map { k =>
+      s"SELECT node, dim, round(${weights(k - 1)}::DOUBLE * v, 9)::DECIMAL(28,12) AS t FROM h$k"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH e0 AS ($coPurchase),
+          sym AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          deg AS (SELECT n, count(*) AS degree FROM sym GROUP BY 1),
+          adj AS (SELECT sym.n, sym.x, deg.degree FROM sym JOIN deg ON deg.n = sym.n),
+          nodes AS (SELECT DISTINCT n AS node FROM sym),
+          h0 AS MATERIALIZED (
+            SELECT node, dim,
+                   CASE WHEN c < 1073741824 THEN 1.0::DOUBLE
+                        WHEN c < 2147483648 THEN (-1.0)::DOUBLE
+                        ELSE 0.0::DOUBLE END AS v
+            FROM (SELECT node, dim,
+                         ('0x' || substr(md5(concat_ws(':', '$salt',
+                            node::VARCHAR, dim::VARCHAR)), 1, 8))::BIGINT AS c
+                  FROM nodes CROSS JOIN (SELECT unnest(range(0, $dims)) AS dim))),
+          $steps
+        SELECT node, dim::INT AS dim, round(sum(t)::DOUBLE, 6) AS value
+        FROM ($terms)
+        GROUP BY 1, 2"""
+  }
+
   def graphRandomWalks(steps: Int, salt: String): String = {
     val stepCtes = (1 to steps).map { i =>
       s"""s$i AS MATERIALIZED (

@@ -164,6 +164,81 @@ object Graph {
   }
 
   /**
+   * PERSONALIZED PageRank (the GDS `sourceNodes` dial — random-walk-
+   * with-restart relevance to a seed set, the standard recommendation /
+   * local-relevance scorer): teleport mass goes ONLY to the seeds,
+   *
+   *   r_0(v)   = 1/|S| if v ∈ S else 0
+   *   r_t+1(v) = [v ∈ S]·(1-d)/|S| + d · Σ over neighbors u of r_t(u)/deg(u)
+   *
+   * over the symmetrized graph (every node has out-degree >= 1, so no
+   * dangling term — mass is conserved exactly as in [[pageRank]]).
+   * Nodes the walk cannot reach from the seeds keep rank 0, which is
+   * the semantic: personalized rank IS relevance-to-the-seeds.
+   *
+   * Seeds that are not graph nodes are ignored (no edges → the walk
+   * never leaves them); |S| counts the seeds actually present, observed
+   * on the seed-table write. Loop discipline matches [[pageRank]]: each
+   * round is one adjacency×ranks equi-join + keyed aggregate
+   * materialized as a scratch table — constant-size plans in `iters`,
+   * superseded tables retired eagerly. The seed flag rides the rank
+   * table so the per-round teleport needs no extra join.
+   */
+  def pageRankPersonalized(
+      edges: DataFrame,
+      sources: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    import graft.ops.Scratch
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = canonicalEdges(edges)
+    val sym = e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // groupBy + equi-join out-degree (AQE-skew-splittable; see pageRank)
+    val outdeg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val (adj, adjPath) = Scratch.materializeAt(
+      sym.join(outdeg, Seq("src")), "ppr_adj")
+    val nodeIds = adj.select(col("src").as("node")).distinct()
+    val seedIds = sources
+      .select(col(sources.columns.head).as("node")).distinct()
+      .join(nodeIds, Seq("node"), "left_semi")
+    // |S| rides the seed-table write (same observe discipline as pageRank's N)
+    val (seeds, sm, seedsPath) = Scratch.materializeObservedAt(
+      seedIds, "ppr_seeds", count(lit(1)).as("n_seeds"))
+    val ns = sm("n_seeds").asInstanceOf[Long].toDouble
+    if (ns == 0d) {
+      Scratch.drop(spark, adjPath)
+      Scratch.drop(spark, seedsPath)
+      return e0.select(col("src").as("node"), lit(0.0d).as("rank")).limit(0)
+    }
+    val seeded = nodeIds
+      .join(seeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    var ranks = seeded.withColumn("rank",
+      when(col("is_seed"), lit(1.0d / ns)).otherwise(lit(0.0d)))
+    var ranksPath: String = null // r_0 is a projection of in-flight frames
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(ranks, adj("src") === ranks("node"))
+        .groupBy(adj("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      val (next, nextPath) = Scratch.materializeAt(
+        seeded.join(contrib, Seq("node"), "left")
+          .select(col("node"), col("is_seed"),
+            (when(col("is_seed"), lit((1.0d - damping) / ns))
+              .otherwise(lit(0.0d))
+              + lit(damping) * coalesce(col("contrib"), lit(0.0d))).as("rank")),
+        "ppr_ranks")
+      if (ranksPath != null) Scratch.drop(spark, ranksPath)
+      ranks = next
+      ranksPath = nextPath
+    }
+    Scratch.drop(spark, adjPath)
+    Scratch.drop(spark, seedsPath)
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /**
    * PageRank on the DIRECTED graph — the form a citation / link / follow
    * graph user actually asks for (the reference's data model is directed
    * edges: `README.md:171-175` source_field → target_field). Unlike the
@@ -293,6 +368,51 @@ object Graph {
     val closed = wedges.join(
       o.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
     closed.agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /**
+   * Local clustering coefficient (the GDS LocalClusteringCoefficient
+   * surface): per node v, lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) where
+   * T(v) is the number of triangles through v — how close v's
+   * neighborhood is to a clique. Nodes of degree < 2 score 0 (no
+   * possible wedge). Returns (node, degree, triangles, lcc).
+   *
+   * T(v) comes from the node-anchored wedge count: neighbors x1 < x2 of
+   * v whose canonical edge (x1, x2) exists. Unlike [[triangleCount]]'s
+   * oriented enumeration (each triangle once), the per-NODE count needs
+   * each triangle credited to all three corners, so the wedge join runs
+   * on the full adjacency — quadratic in degree, hence the same
+   * ENFORCED `maxDegree` contract as [[commonNeighborsTopK]]. Both
+   * joins are keyed shuffles; the only division happens once per node
+   * at output, 6-dp-rounded — integer counts make everything before it
+   * bit-exact cross-engine.
+   */
+  def localClusteringCoefficient(
+      edges: DataFrame,
+      maxDegree: Long = 100000): DataFrame = {
+    import graft.ops.Scratch
+    // backs the returned lazy plan (adjacency twice + closing join)
+    val e = Scratch.materialize(canonicalEdges(edges), "lcc_edges")
+    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
+      .union(e.select(col("dst").as("n"), col("src").as("x")))
+    val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
+      "localClusteringCoefficient",
+      hint = "the wedge fanout is quadratic in node degree - truncate "
+        + "per-node adjacency upstream or raise maxDegree deliberately")
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val w1 = adj.select(col("n"), col("x").as("x1"))
+    val w2 = adj.select(col("n"), col("x").as("x2"))
+    val tri = w1.join(w2, Seq("n")).filter(col("x1") < col("x2"))
+      .join(e.select(col("src").as("x1"), col("dst").as("x2")), Seq("x1", "x2"))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("n"), "left")
+      .select(col("n").as("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(
+          when(col("degree") >= 2,
+            lit(2.0d) * coalesce(col("triangles"), lit(0L)).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double"))
+            .otherwise(lit(0.0d)), 6).as("lcc"))
   }
 
   /** Weakly connected components over the undirected edge set: every
@@ -492,18 +612,22 @@ object Graph {
 
   /**
    * Node similarity (the GDS-flagship link-analysis measure the
-   * reference's destination system runs on loaded graphs): Jaccard
-   * similarity of neighbor sets for every pair sharing at least one
-   * neighbor, top `k` by (similarity desc, pair id). Computed entirely
-   * from the wedge counts: |N(a)∩N(b)| is the common-neighbor count and
-   * |N(a)∪N(b)| = deg(a)+deg(b)−common, so the plan is the guarded
-   * wedge join plus two degree equi-joins — no set arrays ever ship.
-   * Same enforced `maxDegree` contract as [[commonNeighborsTopK]].
+   * reference's destination system runs on loaded graphs): neighbor-set
+   * similarity for every pair sharing at least one neighbor, top `k` by
+   * (similarity desc, pair id). `metric` picks the GDS similarity
+   * function — "jaccard" (common/union), "overlap" (common/min degree),
+   * or "cosine" (common/√(deg·deg) — sqrt is IEEE-correctly-rounded, so
+   * even this stays bit-reproducible cross-engine). All three compute
+   * entirely from the wedge counts: |N(a)∩N(b)| is the common-neighbor
+   * count and |N(a)∪N(b)| = deg(a)+deg(b)−common, so the plan is the
+   * guarded wedge join plus two degree equi-joins — no set arrays ever
+   * ship. Same enforced `maxDegree` contract as [[commonNeighborsTopK]].
    */
   def nodeSimilarityTopK(
       edges: DataFrame,
       k: Int = 10,
-      maxDegree: Long = 100000): DataFrame = {
+      maxDegree: Long = 100000,
+      metric: String = "jaccard"): DataFrame = {
     import graft.ops.Scratch
     val e = Scratch.materialize(canonicalEdges(edges), "ns_edges")
     val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
@@ -515,14 +639,20 @@ object Graph {
         + "per-node adjacency upstream or raise maxDegree deliberately")
     val a1 = adj.select(col("n"), col("x").as("a"))
     val a2 = adj.select(col("n"), col("x").as("b"))
+    val denom: Column = metric match {
+      case "jaccard" => (col("da") + col("db") - col("common")).cast("double")
+      case "overlap" => least(col("da"), col("db")).cast("double")
+      case "cosine" => sqrt((col("da") * col("db")).cast("double"))
+      case other => throw new IllegalArgumentException(
+        s"unknown metric '$other' (jaccard | overlap | cosine)")
+    }
     a1.join(a2, Seq("n")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
       .select(col("a"), col("b"),
-        round(col("common").cast("double") /
-          (col("da") + col("db") - col("common")).cast("double"), 6).as("similarity"))
+        round(col("common").cast("double") / denom, 6).as("similarity"))
       .orderBy(col("similarity").desc, col("a"), col("b"))
       .limit(k)
   }
@@ -621,16 +751,25 @@ object Graph {
   /**
    * Hop-bounded harmonic centrality (the GDS closeness/harmonic
    * centrality surface, in its deterministic oracle-able form): for
-   * every node s, Σ over nodes t reachable within `maxHops` of
+   * every scored node s, Σ over nodes t reachable within `maxHops` of
    * 1/dist(s,t). Harmonic (not classic closeness) because it is
    * well-defined on disconnected graphs — unreachable pairs contribute
    * 0 rather than poisoning the mean. With maxHops >= the graph's hop
    * diameter this IS exact harmonic centrality; the hop bound is the
-   * documented semantic (the [[shortestPaths]] contract), and also the
-   * scale dial: the frontier table holds one row per (source,
-   * reached-node) pair, i.e. Σ_s |maxHops-hop ball of s| rows — the
-   * inherent cost of all-sources BFS, paid as flat scratch-table rows
-   * across the cluster, never per-task state.
+   * documented semantic (the [[shortestPaths]] contract).
+   *
+   * `sources` picks WHICH nodes get scored (None = all). Scores are
+   * EXACT per scored node either way — the dial trades coverage, not
+   * correctness. This is the primary scale lever: the frontier table
+   * holds one row per (source, reached-node) pair, i.e.
+   * Σ_s |maxHops-hop ball of s| rows, and on a dense graph the 3-hop
+   * ball is the whole component — all-sources exact harmonic is
+   * inherently Θ(V·V) there (measured: 5k-node avg-degree-100
+   * co-purchase graph → ~25M frontier rows and a billions-row hop-3
+   * expansion). Scoring a deterministic landmark sample (the published
+   * practice for centrality at scale — pivot/landmark estimation) keeps
+   * the frontier at |S|·|ball| flat scratch-table rows across the
+   * cluster, never per-task state.
    *
    * Each round is one equi-join (adjacency × frontier, keyed shuffle)
    * plus a (source, node) min-aggregate, materialized as a scratch
@@ -639,7 +778,10 @@ object Graph {
    * divisions, rounded to 9 dp and summed as DECIMAL(18,9) —
    * summation-order-exact — then cast to double.
    */
-  def harmonicCentrality(edges: DataFrame, maxHops: Int = 3): DataFrame = {
+  def harmonicCentrality(
+      edges: DataFrame,
+      maxHops: Int = 3,
+      sources: Option[DataFrame] = None): DataFrame = {
     import graft.ops.Scratch
     require(maxHops >= 1, "maxHops must be >= 1")
     val spark = edges.sparkSession
@@ -648,8 +790,15 @@ object Graph {
       e0.select(col("src"), col("dst"))
         .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
       "harm_adj")
-    var dist = adj.select(col("src").as("s")).distinct()
-      .select(col("s"), col("s").as("node"), lit(0).as("dist"))
+    val seed = sources match {
+      case None => adj.select(col("src").as("s")).distinct()
+      case Some(df) =>
+        // score only nodes that exist in the graph: a source id with no
+        // edges has no ball and would emit nothing anyway
+        df.select(col(df.columns.head).as("s")).distinct()
+          .join(adj.select(col("src").as("s")).distinct(), Seq("s"), "left_semi")
+    }
+    var dist = seed.select(col("s"), col("s").as("node"), lit(0).as("dist"))
     var distPath: String = null
     for (_ <- 1 to maxHops) {
       val expanded = adj.join(dist, adj("src") === dist("node"))
@@ -718,5 +867,105 @@ object Graph {
       tables += cur
     }
     tables.reduce(_ union _)
+  }
+
+  /**
+   * FastRP node embeddings (Chen et al. 2019, "Fast and Accurate Network
+   * Embeddings via Very Sparse Random Projection" — the GDS default
+   * embedding algorithm): start each node at a very sparse random
+   * projection row, repeatedly average neighbors (one step of A·R per
+   * iteration, so iteration k encodes the k-hop structure), L2-normalize
+   * each round, and output the weighted sum of the per-iteration
+   * embeddings as (node, dim, value) rows.
+   *
+   * Deterministic, oracle-able rendition: the projection entry for
+   * (node, dim) comes from an md5 coin (+1 / −1 each with probability
+   * 1/4, 0 with probability 1/2 — the Achlioptas s=2 sparse projection;
+   * the ±√s scale factor is a constant the per-round normalization
+   * absorbs), so the "random" matrix is a pure function of (salt, node,
+   * dim) — reproducible across runs, partitionings and engines.
+   * Determinism discipline: neighbor sums of 9-dp-rounded values as
+   * DECIMAL(28,12) (summation-order-exact), one IEEE division by the
+   * integer degree, 9-dp round; the norm is a DECIMAL sum of 12-dp
+   * squared terms under an IEEE-correctly-rounded sqrt; the final
+   * weighted sum is again 9-dp terms under a DECIMAL sum, 6-dp output.
+   *
+   * Scale shape: the embedding is (node, dim, value) ROWS, so one
+   * iteration is one adjacency×embedding equi-join (keyed shuffle,
+   * fanout 2|E|·dims) plus two keyed aggregates — no vectors ship as
+   * arrays, no per-node window, and the per-round state is a scratch
+   * table ([[pageRank]] loop discipline, constant-size plans). Degree
+   * rides the adjacency table; per-iteration tables h_1..h_K stay on
+   * disk because the returned weighted-sum plan reads them.
+   */
+  def fastRP(
+      edges: DataFrame,
+      dims: Int = 8,
+      iterations: Int = 2,
+      iterationWeights: Seq[Double] = Seq(1.0, 1.0),
+      salt: String = "frp"): DataFrame = {
+    import graft.ops.Scratch
+    require(dims >= 1, "dims must be >= 1")
+    require(iterations >= 1, "iterations must be >= 1")
+    require(iterationWeights.length == iterations,
+      "iterationWeights must have one weight per iteration")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val spark = edges.sparkSession
+    val e0 = canonicalEdges(edges)
+    val sym = e0.select(col("src").as("n"), col("dst").as("x"))
+      .union(e0.select(col("dst").as("n"), col("src").as("x")))
+    // degree of the AVERAGING node rides the adjacency rows (groupBy +
+    // equi-join, AQE-skew-splittable — see pageRank)
+    val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val (adj, adjPath) = Scratch.materializeAt(
+      sym.join(deg, Seq("n")), "frp_adj")
+    val coin = conv(substring(md5(concat_ws(":", lit(salt),
+      col("node").cast("string"), col("dim").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val init = adj.select(col("n").as("node")).distinct()
+      .select(col("node"),
+        explode(sequence(lit(0), lit(dims - 1))).as("dim"))
+      .select(col("node"), col("dim"),
+        when(coin < 1073741824L, lit(1.0d))
+          .when(coin < 2147483648L, lit(-1.0d))
+          .otherwise(lit(0.0d)).as("v"))
+    var (h, hPath) = Scratch.materializeAt(init, "frp_h0")
+    var prevPath = hPath
+    val rounds = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    for (k <- 1 to iterations) {
+      // neighbor average: DECIMAL-exact sum of the stored 9-dp values,
+      // one division by the integer degree; materialized because BOTH
+      // the norm probe and the normalize projection read it
+      val (avg, avgPath) = Scratch.materializeAt(
+        adj.join(h, adj("x") === h("node"))
+          .groupBy(adj("n").as("node"), col("dim"), adj("degree"))
+          .agg(round(sum(col("v").cast(dec)).cast("double") / col("degree"), 9)
+            .as("v"))
+          .select(col("node"), col("dim"), col("v")),
+        s"frp_avg$k")
+      val norms = avg.groupBy(col("node"))
+        .agg(sqrt(sum(round(col("v") * col("v"), 12).cast(dec)).cast("double"))
+          .as("nrm"))
+      val (hk, hkPath) = Scratch.materializeAt(
+        avg.join(norms, Seq("node"))
+          .select(col("node"), col("dim"),
+            when(col("nrm") > 0.0d, round(col("v") / col("nrm"), 9))
+              .otherwise(lit(0.0d)).as("v")),
+        s"frp_h$k")
+      Scratch.drop(spark, avgPath)
+      if (prevPath != null) Scratch.drop(spark, prevPath) // h0 only
+      h = hk
+      prevPath = null // h_1..h_K back the returned plan — never dropped
+      rounds += hk
+    }
+    Scratch.drop(spark, adjPath)
+    // weighted sum across iterations: 9-dp terms, DECIMAL-exact sum
+    val weighted = rounds.zip(iterationWeights).map { case (hk, w) =>
+      hk.select(col("node"), col("dim"),
+        round(lit(w) * col("v"), 9).cast(dec).as("t"))
+    }
+    weighted.reduce(_ union _)
+      .groupBy(col("node"), col("dim"))
+      .agg(round(sum(col("t")).cast("double"), 6).as("value"))
   }
 }

@@ -180,6 +180,38 @@ object TextAnalysis {
           && col("ok_punct_ratio") && col("ok_stopwords"))
   }
 
+  /** C4-style heuristic cleanup rules (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2 — the other de-facto web-corpus rule set next
+    * to [[gopherRules]]): text ends in terminal punctuation, has at
+    * least `minWords` words, and contains none of the template-spam
+    * markers (the "lorem ipsum" placeholder, a curly brace — leaked
+    * code/JSON — or the word "javascript" — script-soup extraction
+    * failures). The published method applies these per LINE; the
+    * corpus's documents are single-line, so the per-document form is
+    * the same predicate. Emits one boolean per rule plus the
+    * conjunctive verdict (filter on `pass`, report per-rule rates from
+    * the same scan). Map-side only: codegen'd string predicates, no
+    * regex backtracking, no shuffle — scan-speed at 100 TB. */
+  def c4Rules(
+      docs: DataFrame,
+      minWords: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lowered = lower(t)
+    Par.fanOut(docs)
+      .select(col(idCol),
+        substring(rtrim(t), -1, 1).isin(".", "!", "?", "\"").as("ok_terminal_punct"),
+        (tokenCountWs(t) >= minWords).as("ok_min_words"),
+        (!lowered.contains("lorem ipsum")).as("ok_no_lorem"),
+        (!t.contains("{")).as("ok_no_brace"),
+        (!lowered.contains("javascript")).as("ok_no_javascript"))
+      .withColumn("pass",
+        col("ok_terminal_punct") && col("ok_min_words") && col("ok_no_lorem")
+          && col("ok_no_brace") && col("ok_no_javascript"))
+  }
+
   /** Corpus vocabulary: whitespace tokens ranked by frequency — the
     * tokenizer-training / stopword-mining primitive. One explode + one
     * keyed count with map-side partial aggregation; `minCount` prunes
@@ -247,6 +279,60 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_tokens"),
         round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logp"))
+  }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document log
+    * importance weight log w(d) = Σ over tokens of
+    * ln p_target(t) − ln p_raw(t), with add-1-smoothed unigram LMs over
+    * the union vocabulary — documents whose token distribution looks
+    * like the TARGET domain (the eval suite, a high-quality seed corpus)
+    * score high; selection is a downstream orderBy/limit or threshold.
+    * The published method hashes n-grams into buckets; raw unigrams are
+    * the deterministic, oracle-able rendition of the same estimator.
+    *
+    * Scale shape: one scan of each corpus into token counts, a
+    * full-outer count merge materialized ONCE as a scratch table (read
+    * by the totals probe and the weight projection), totals + vocab
+    * size as a 1-row broadcast — never a collect. The token→weight
+    * scoring join is left to AQE (broadcast when the vocab is small,
+    * shuffle otherwise — a web-scale vocab must NOT be forced
+    * broadcast). Determinism: per-token weights rounded to 9 dp and
+    * summed as DECIMAL(28,12) — summation-order-exact — then one 6-dp
+    * output round.
+    */
+  def dsirScores(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      targetTextCol: String = "text"): DataFrame = {
+    import graft.ops.Scratch
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val toksC = corpus.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val toksT = target.select(explode(tokens(col(targetTextCol))).as("token"))
+    val counts = Scratch.materialize(
+      toksC.groupBy("token").agg(count(lit(1)).as("nr"))
+        .join(toksT.groupBy("token").agg(count(lit(1)).as("nt")),
+          Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("nr"), lit(0L)).as("nr"),
+          coalesce(col("nt"), lit(0L)).as("nt")),
+      "dsir_counts")
+    val tot = counts.agg(sum(col("nr")).as("totr"), sum(col("nt")).as("tott"),
+      count(lit(1)).as("v"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(
+          log((col("nt") + 1).cast("double") /
+            (col("tott") + col("v")).cast("double")) -
+          log((col("nr") + 1).cast("double") /
+            (col("totr") + col("v")).cast("double")), 9)
+          .cast(dec).as("lw"))
+    toksC.join(weights, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lw")).cast("double"), 6).as("dsir_score"))
   }
 
   /** CCNet-style LM-quality bucketing: assign each document to the

@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
  *
  *   --input <edges.parquet>      edge frame (parquet dir/file)
  *   --algo <name>                degrees | degree_histogram | pagerank |
- *                                pagerank_directed | triangles |
+ *                                pagerank_directed | pagerank_personalized |
+ *                                triangles | clustering_coeff |
  *                                components | label_propagation | kcore |
  *                                shortest_paths | common_neighbors |
  *                                node_similarity | adamic_adar |
- *                                harmonic | random_walks
+ *                                harmonic | random_walks | fastrp
  *   --output <dir>               result parquet
  *   --src src --dst dst          edge endpoint columns (default src/dst)
  *   --weight <col>               optional weight column (pagerank_directed,
@@ -28,11 +29,16 @@ import org.apache.spark.sql.functions._
  *   --iters 3 --damping 0.85     power-iteration dials
  *   --rounds 3                   label_propagation rounds
  *   --steps 3                    random_walks hops
+ *   --dims 8                     fastrp embedding dimensions
  *   --k 10                       top-k (common_neighbors, node_similarity)
  *   --kcore_k 3                  k-core threshold
  *   --max_hops 4                 shortest-paths hop bound
  *   --source <id>                shortest-paths source node (default:
  *                                minimum src id; matched as string)
+ *   --seed <id> | --seed_mod N   pagerank_personalized seed set (one node,
+ *                                or every Nth node id)
+ *   --landmark_mod N             harmonic landmark sample (every Nth node
+ *                                id; default scores all nodes)
  *   --master <spark master>      default local[*]
  *
  * Example:
@@ -75,7 +81,21 @@ object GraphAlgoMain {
       case "pagerank" => Graph.pageRank(edges, iters, damping)
       case "pagerank_directed" =>
         Graph.pageRankDirected(edges, iters, damping, weightCol = weight)
+      case "pagerank_personalized" =>
+        // --seed_mod N seeds every Nth node id; --seed ID seeds one node
+        val seeds = (opts.get("seed"), opts.get("seed_mod")) match {
+          case (Some(id), _) => edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node")))
+            .filter(col("node").cast("string") === id).distinct()
+          case (None, Some(m)) => edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node")))
+            .filter(pmod(col("node"), lit(m.toInt)) === 0).distinct()
+          case (None, None) =>
+            sys.error("pagerank_personalized needs --seed ID or --seed_mod N")
+        }
+        Graph.pageRankPersonalized(edges, seeds, iters, damping)
       case "triangles" => Graph.triangleCount(edges)
+      case "clustering_coeff" => Graph.localClusteringCoefficient(edges)
       case "components" => Graph.connectedComponents(edges)
       case "label_propagation" =>
         Graph.labelPropagation(edges, opts.get("rounds").map(_.toInt).getOrElse(3))
@@ -95,10 +115,24 @@ object GraphAlgoMain {
       case "node_similarity" => Graph.nodeSimilarityTopK(edges, k)
       case "adamic_adar" => Graph.adamicAdarTopK(edges, k)
       case "harmonic" =>
+        // --landmark_mod N scores every Nth node id (exact per scored
+        // node); default scores all — Θ(V·V) frontier on dense graphs
+        val landmarks = opts.get("landmark_mod").map { m =>
+          edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node")))
+            .filter(pmod(col("node"), lit(m.toInt)) === 0).distinct()
+        }
         Graph.harmonicCentrality(edges,
-          maxHops = opts.get("max_hops").map(_.toInt).getOrElse(3))
+          maxHops = opts.get("max_hops").map(_.toInt).getOrElse(3),
+          sources = landmarks)
       case "random_walks" =>
         Graph.randomWalks(edges, opts.get("steps").map(_.toInt).getOrElse(3))
+      case "fastrp" =>
+        val it = opts.get("iters").map(_.toInt).getOrElse(2)
+        Graph.fastRP(edges,
+          dims = opts.get("dims").map(_.toInt).getOrElse(8),
+          iterations = it,
+          iterationWeights = Seq.fill(it)(1.0))
       case other => sys.error(
         s"unknown --algo '$other' (see GraphAlgoMain scaladoc for the list)")
     }

@@ -140,6 +140,32 @@ class CurationOpsSpec extends SparkTestBase {
     assert(!r(4L).getBoolean(4) && !r(4L).getBoolean(6)) // punct ratio trips
   }
 
+  test("c4Rules: each rule trips independently, pass is the conjunction") {
+    val d = Seq(
+      (1L, "the quick brown fox jumped over the lazy dog."),
+      (2L, "no terminal punctuation on this line here"),
+      (3L, "too few."),
+      (4L, "some Lorem Ipsum dolor sit amet filler text."),
+      (5L, "a config snippet with a { brace inside it."),
+      (6L, "please enable JavaScript to view this content."),
+      (7L, "ends with a quoted phrase \"like this one.\"")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Rules(d, minWords = 5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // columns: doc_id, ok_terminal_punct, ok_min_words, ok_no_lorem,
+    //          ok_no_brace, ok_no_javascript, pass
+    assert(r(1L).getBoolean(6))
+    assert(!r(2L).getBoolean(1) && !r(2L).getBoolean(6))
+    assert(!r(3L).getBoolean(2) && !r(3L).getBoolean(6))
+    assert(!r(4L).getBoolean(3) && !r(4L).getBoolean(6)) // case-insensitive marker
+    assert(!r(5L).getBoolean(4) && !r(5L).getBoolean(6))
+    assert(!r(6L).getBoolean(5) && !r(6L).getBoolean(6))
+    assert(r(7L).getBoolean(1) && r(7L).getBoolean(6)) // closing quote counts
+    // empty input stays empty
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.c4Rules(empty).count() == 0)
+  }
+
   test("chunkWithOverlap: reassembling zero-overlap chunks restores the text") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val chunks = Corpus.chunkWithOverlap(docs, chunkTokens = 10, overlapTokens = 0)
@@ -196,6 +222,33 @@ class CurationOpsSpec extends SparkTestBase {
     val scored = TextAnalysis.unigramLogProb(docs)
     assert(scored.count() == docs.count())
     assert(scored.filter(col("avg_logp") >= 0).count() == 0)
+  }
+
+  test("dsirScores: target-like docs outrank off-domain docs; exact smoothed value") {
+    // corpus: d1 is pure target-domain vocabulary, d2 pure off-domain
+    val corpus = Seq(
+      (1L, "apple apple"),
+      (2L, "banana banana")).toDF("doc_id", "text")
+    val target = Seq((0L, "apple")).toDF("doc_id", "text")
+    val r = TextAnalysis.dsirScores(corpus, target).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) > r(2L))
+    // hand-computed: vocab {apple, banana} (v=2), totr=4, tott=1;
+    // lw(apple) = ln(2/3) - ln(3/6), lw(banana) = ln(1/3) - ln(3/6),
+    // each rounded to 9 dp before the doc sum
+    def lw(nt: Long, nr: Long) =
+      math.round((math.log((nt + 1.0) / 3.0) - math.log((nr + 1.0) / 6.0)) * 1e9) / 1e9
+    assert(math.abs(r(1L) - 2 * lw(1, 2)) < 1e-6)
+    assert(math.abs(r(2L) - 2 * lw(0, 2)) < 1e-6)
+    // empty target degrades to pure smoothing: all weights equal per
+    // count profile, no crash
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.dsirScores(corpus, empty).count() == 2)
+    // fixture run: scoring covers every document exactly once
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val scored = TextAnalysis.dsirScores(
+      docs, docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    assert(scored.count() == docs.count())
   }
 
   test("decontaminationReport: burned bench docs count their leakers; clean report zeros") {

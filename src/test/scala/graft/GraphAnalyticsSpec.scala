@@ -48,6 +48,53 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(math.abs(pr(2L) - pr(4L)) < 1e-12)
   }
 
+  test("pageRankPersonalized: mass conserved, seed-localized, off-graph seeds ignored") {
+    // path graph 1-2-3-4-5 with seed {1}: rank decays with distance
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val ppr = Graph.pageRankPersonalized(path, Seq(1L, 99L).toDF("node"), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // symmetrized graph has no dangling, so mass is conserved exactly
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9)
+    // a path is bipartite, so rank oscillates between the parity classes
+    // per iteration — compare within a parity class, where distance decay
+    // holds, plus the seed dominating everything
+    assert(ppr(1L) == ppr.values.max)
+    assert(ppr(2L) > ppr(4L)) // odd-distance class
+    assert(ppr(3L) > ppr(5L)) // even-distance class
+    // node 5 is 4 hops out but reachable -> positive after enough iters
+    assert(ppr(5L) > 0.0)
+    // automorphic seeds split the mass symmetrically
+    val sym = Graph.pageRankPersonalized(house, Seq(2L, 4L).toDF("node"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sym(2L) - sym(4L)) < 1e-12)
+    assert(math.abs(sym(1L) - sym(3L)) < 1e-12)
+    // no seeds present in the graph -> empty result, not a crash
+    assert(Graph.pageRankPersonalized(house, Seq(99L).toDF("node")).count() == 0)
+  }
+
+  test("localClusteringCoefficient: clique nodes score 1, bridge nodes between") {
+    // house: node 2 has N={1,3} which are adjacent -> lcc 1.0;
+    // node 1 has N={2,3,4}, edges among them: (2,3),(3,4) -> 2/3
+    val lcc = Graph.localClusteringCoefficient(house).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(lcc(2L) == ((1L, 1.0)))
+    assert(lcc(4L) == ((1L, 1.0)))
+    assert(lcc(1L)._1 == 2L && math.abs(lcc(1L)._2 - 0.666667) < 1e-9)
+    assert(lcc(3L)._1 == 2L && math.abs(lcc(3L)._2 - 0.666667) < 1e-9)
+    // a degree-1 node participates in no wedge -> lcc 0, triangles 0
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val s = Graph.localClusteringCoefficient(star).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(s(2L) == ((0L, 0.0)) && s(3L) == ((0L, 0.0)) && s(1L) == ((0L, 0.0)))
+    // the wedge guard trips on a hub past the bound
+    val hub = (2L to 12L).map(i => (1L, i)).toDF("src", "dst")
+    val ex = intercept[Exception](
+      Graph.localClusteringCoefficient(hub, maxDegree = 5).count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("localClusteringCoefficient")))
+  }
+
   test("commonNeighborsTopK: predicts the missing diagonal") {
     // in the house graph the only non-adjacent pair is (2,4), sharing
     // neighbors 1 and 3
@@ -236,6 +283,19 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(Graph.randomWalks(empty).count() == 0)
   }
 
+  test("nodeSimilarityTopK metrics: overlap and cosine rescale the same wedge counts") {
+    // N(1)={2,3}, N(4)={2}: pair (1,4) shares {2} -> jaccard 1/2,
+    // overlap 1/min(2,1)=1, cosine 1/sqrt(2)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    def sim(metric: String): Map[(Long, Long), Double] =
+      Graph.nodeSimilarityTopK(e, k = 10, metric = metric).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sim("jaccard")((1L, 4L)) == 0.5)
+    assert(sim("overlap")((1L, 4L)) == 1.0)
+    assert(math.abs(sim("cosine")((1L, 4L)) - 0.707107) < 1e-9)
+    intercept[IllegalArgumentException](Graph.nodeSimilarityTopK(e, metric = "dice"))
+  }
+
   test("adamicAdarTopK: 1/ln(deg) wedge weights, existing edges excluded") {
     // square 1-2-3-4-1: non-edge diagonals (1,3) and (2,4) each share
     // two degree-2 neighbors -> score = 2/ln(2); edges themselves share
@@ -264,6 +324,39 @@ class GraphAnalyticsSpec extends SparkTestBase {
     val h1 = Graph.harmonicCentrality(e, maxHops = 1).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(h1 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 1.0))
+    // landmark sampling scores ONLY the sampled sources, exactly;
+    // source ids absent from the graph are ignored
+    val lm = Graph.harmonicCentrality(e, maxHops = 3,
+      sources = Some(Seq(1L, 99L).toDF("node"))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lm == Map(1L -> full(1L)))
+  }
+
+  test("fastRP: shape, unit norms, determinism, salt sensitivity") {
+    val r = Graph.fastRP(house, dims = 8, iterations = 1,
+      iterationWeights = Seq(1.0)).collect()
+    // one row per (node, dim)
+    assert(r.length == 4 * 8)
+    // with one iteration and weight 1 the output IS the normalized
+    // round: per-node L2 norm is 1 (up to the 9/6-dp rounds) unless the
+    // neighbor-average was all-zero for that node
+    val byNode = r.groupBy(_.getLong(0)).map { case (n, rows) =>
+      n -> math.sqrt(rows.map(x => x.getDouble(2) * x.getDouble(2)).sum)
+    }
+    byNode.values.foreach(nrm => assert(nrm == 0.0 || math.abs(nrm - 1.0) < 1e-5))
+    assert(byNode.values.exists(_ > 0.0)) // not degenerate
+    // deterministic across runs; different salt -> different embedding
+    val r2 = Graph.fastRP(house, dims = 8, iterations = 1,
+      iterationWeights = Seq(1.0)).collect()
+    assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+    val rs = Graph.fastRP(house, dims = 8, iterations = 1,
+      iterationWeights = Seq(1.0), salt = "other").collect()
+    assert(!r.map(_.toString).sorted.sameElements(rs.map(_.toString).sorted))
+    // weights must match iterations; empty input stays empty
+    intercept[IllegalArgumentException](
+      Graph.fastRP(house, iterations = 3, iterationWeights = Seq(1.0)))
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.fastRP(empty).count() == 0)
   }
 
   test("randomWalks: valid edges every hop, deterministic, salt-sensitive") {
