@@ -871,6 +871,30 @@ object SparkEntry {
       // 8 dims, 2 neighbor-averaging rounds, equal iteration weights
       graft.operators.Graph.fastRP(coPurchaseEdges(s, dir),
         dims = 8, iterations = 2, iterationWeights = Seq(1.0, 1.0))),
+    "graph_closeness" -> ((s, dir) => {
+      // hop-bounded closeness over the same landmark sample: reached /
+      // Σdist on the 3-hop ball — the inverse-farness companion to
+      // graph_harmonic (exact per scored node, coverage-for-cost)
+      val e = coPurchaseEdges(s, dir)
+      val landmarks = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .filter(pmod(col("node"), lit(50)) === 0).distinct()
+      graft.operators.Graph.closenessCentrality(e, maxHops = 3,
+        sources = Some(landmarks))
+    }),
+    "graph_betweenness" -> ((s, dir) => {
+      // Brandes dependency accumulation from the landmark sample
+      // (Brandes–Pich pivot estimation — the published scale practice):
+      // σ forward levels + δ backward levels over scratch tables
+      val e = coPurchaseEdges(s, dir)
+      val landmarks = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .filter(pmod(col("node"), lit(50)) === 0).distinct()
+      graft.operators.Graph.betweennessCentrality(e, maxHops = 3,
+        sources = Some(landmarks))
+        .orderBy(col("betweenness").desc, col("node"))
+        .limit(50)
+    }),
     "graph_random_walks" -> ((s, dir) =>
       // deterministic uniform walks (md5 coin per step) — the GDS
       // RandomWalk/node2vec sampling surface
@@ -1416,6 +1440,9 @@ object SparkEntry {
     "graph_node_cosine" -> OracleFragments.graphNodeSimilarity(k = 10, metric = "cosine"),
     "graph_adamic_adar" -> OracleFragments.graphAdamicAdar(k = 10),
     "graph_harmonic" -> OracleFragments.graphHarmonic(maxHops = 3, landmarkMod = 50),
+    "graph_closeness" -> OracleFragments.graphCloseness(maxHops = 3, landmarkMod = 50),
+    "graph_betweenness" ->
+      OracleFragments.graphBetweenness(maxHops = 3, landmarkMod = 50, k = 50),
     "graph_random_walks" -> OracleFragments.graphRandomWalks(steps = 3, salt = "walk"),
     "graph_fastrp" -> OracleFragments.graphFastRP(
       dims = 8, iterations = 2, weights = Seq(1.0, 1.0), salt = "frp"),
@@ -2765,7 +2792,12 @@ object OracleFragments {
     * Σ 1/dist over reached pairs with the same 9-dp-round + DECIMAL-sum
     * discipline. Rounds are MATERIALIZED — DuckDB inlines plain CTEs
     * and each round references its predecessor twice. */
-  def graphHarmonic(maxHops: Int, landmarkMod: Int): String = {
+  /** Shared landmark multi-source BFS CTE block (mirrors
+    * Graph.bfsDistances over the co-purchase fixture): e0, symmetrized
+    * adj, r0 = the landmark seeds (node % landmarkMod = 0), r1..rH
+    * min-distance rounds, each MATERIALIZED (read twice by its
+    * successor). Final table: r<maxHops> (s, node, dist). */
+  private def bfsCtes(maxHops: Int, landmarkMod: Int): String = {
     val steps = (1 to maxHops).map { i =>
       s"""r$i AS MATERIALIZED (SELECT s, node, min(d) AS dist FROM (
                     SELECT s, node, dist AS d FROM r${i - 1}
@@ -2774,15 +2806,72 @@ object OracleFragments {
                     FROM adj a JOIN r${i - 1} r ON a.src = r.node)
                   GROUP BY 1, 2)"""
     }.mkString(",\n")
-    s"""WITH e0 AS ($coPurchase),
+    s"""e0 AS ($coPurchase),
           adj AS (SELECT src, dst FROM e0
                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
           r0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS node, 0 AS dist
                               FROM adj WHERE src % $landmarkMod = 0),
-          $steps
+          $steps"""
+  }
+
+  def graphHarmonic(maxHops: Int, landmarkMod: Int): String =
+    s"""WITH ${bfsCtes(maxHops, landmarkMod)}
         SELECT s AS node,
                sum(round(1.0::DOUBLE / dist, 9)::DECIMAL(18,9))::DOUBLE AS centrality
         FROM r$maxHops WHERE dist > 0 GROUP BY 1"""
+
+  /** Mirror of Graph.closenessCentrality: reached count / distance sum
+    * over the hop-bounded ball, 6-dp division — integer parts exact. */
+  def graphCloseness(maxHops: Int, landmarkMod: Int): String =
+    s"""WITH ${bfsCtes(maxHops, landmarkMod)}
+        SELECT s AS node, count(*)::BIGINT AS reached,
+               round(count(*)::DOUBLE / sum(dist)::DOUBLE, 6) AS closeness
+        FROM r$maxHops WHERE dist > 0 GROUP BY 1"""
+
+  /** Mirror of Graph.betweennessCentrality: the same BFS levels, then
+    * Brandes forward σ (path counts, level equi-joins on the final
+    * min-dist table) and backward δ (per-term 9-dp rounds under
+    * DECIMAL sums; a node with no successors keeps δ = 0 via the LEFT
+    * join), summed per node with sources excluded. σ/δ rounds
+    * MATERIALIZED — each is read by its neighbor level. */
+  def graphBetweenness(maxHops: Int, landmarkMod: Int, k: Int): String = {
+    val rH = s"r$maxHops"
+    val sigmas = (1 to maxHops).map { h =>
+      s"""sg$h AS MATERIALIZED (
+            SELECT d.s, d.node, sum(p.sigma)::BIGINT AS sigma
+            FROM $rH d
+            JOIN adj a ON a.dst = d.node
+            JOIN sg${h - 1} p ON p.s = d.s AND p.node = a.src
+            WHERE d.dist = $h
+            GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    val backs = (maxHops - 1 to 0 by -1).map { h =>
+      s"""dep$h AS (SELECT b.s, a.src AS node,
+                 sum(round(1.0::DOUBLE / b.sigma::DOUBLE
+                     * (1.0::DOUBLE + b.delta), 9)::DECIMAL(28,12)) AS dep
+               FROM adj a JOIN dl${h + 1} b ON b.node = a.dst
+               GROUP BY 1, 2),
+          dl$h AS MATERIALIZED (
+            SELECT g.s, g.node, g.sigma,
+                   round(g.sigma::DOUBLE * coalesce(d.dep::DOUBLE, 0.0::DOUBLE), 9)
+                     AS delta
+            FROM sg$h g LEFT JOIN dep$h d ON d.s = g.s AND d.node = g.node)"""
+    }.mkString(",\n")
+    val unions = (0 until maxHops)
+      .map(h => s"SELECT s, node, delta FROM dl$h")
+      .mkString("\n        UNION ALL ")
+    s"""WITH ${bfsCtes(maxHops, landmarkMod)},
+          sg0 AS MATERIALIZED (SELECT s, node, 1::BIGINT AS sigma
+                               FROM $rH WHERE dist = 0),
+          $sigmas,
+          dl$maxHops AS MATERIALIZED (
+            SELECT s, node, sigma, 0.0::DOUBLE AS delta FROM sg$maxHops),
+          $backs
+        SELECT node,
+               round(sum(delta::DECIMAL(28,12))::DOUBLE, 6) AS betweenness
+        FROM ($unions) WHERE node <> s
+        GROUP BY 1
+        ORDER BY betweenness DESC, node LIMIT $k"""
   }
 
   /** Mirror of Graph.randomWalks: per-step argmin of the

@@ -782,6 +782,143 @@ object Graph {
       edges: DataFrame,
       maxHops: Int = 3,
       sources: Option[DataFrame] = None): DataFrame = {
+    val (dist, _, adjPath) = bfsDistances(edges, maxHops, sources, "harm")
+    graft.ops.Scratch.drop(edges.sparkSession, adjPath)
+    dist.filter(col("dist") > 0)
+      .groupBy(col("s").as("node"))
+      .agg(sum(round(lit(1.0d) / col("dist"), 9).cast("decimal(18,9)"))
+        .cast("double").as("centrality"))
+  }
+
+  /**
+   * Hop-bounded CLOSENESS centrality (the other GDS closeness surface
+   * next to [[harmonicCentrality]]): for each scored node s,
+   * (reached−1) / Σ dist(s, t) over the nodes t reached within
+   * `maxHops` — the classic inverse-farness form, computed over the
+   * reachable ball so disconnected graphs stay well-defined (the same
+   * convention GDS itself applies). Integer count and distance sums are
+   * bit-exact cross-engine; the one division is 6-dp-rounded. Same BFS
+   * engine, `sources` landmark dial, and scratch-table round discipline
+   * as [[harmonicCentrality]].
+   */
+  def closenessCentrality(
+      edges: DataFrame,
+      maxHops: Int = 3,
+      sources: Option[DataFrame] = None): DataFrame = {
+    val (dist, _, adjPath) = bfsDistances(edges, maxHops, sources, "close")
+    graft.ops.Scratch.drop(edges.sparkSession, adjPath)
+    dist.filter(col("dist") > 0)
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("reached"),
+        sum(col("dist")).cast("long").as("sum_dist"))
+      .select(col("node"), col("reached"),
+        round(col("reached").cast("double") / col("sum_dist").cast("double"), 6)
+          .as("closeness"))
+  }
+
+  /**
+   * Hop-bounded BETWEENNESS centrality via Brandes dependency
+   * accumulation (Brandes 2001) from a sampled source set — the GDS
+   * betweenness surface in its deterministic, oracle-able form. For
+   * each source s, the forward pass computes shortest-path distances
+   * (the shared BFS) and path counts σ(s,v) level by level; the
+   * backward pass accumulates dependencies
+   *
+   *   δ(s,v) = Σ over successors w of (σ(s,v)/σ(s,w)) · (1 + δ(s,w))
+   *
+   * from the deepest level down, and the score of v is Σ_s δ(s,v) —
+   * how much of the sampled shortest-path traffic flows THROUGH v.
+   * Source sampling (the Brandes–Pich pivot estimator) is the published
+   * scale practice: exact per sampled source, coverage-for-cost —
+   * all-sources exact betweenness is inherently Θ(V·E). The hop bound
+   * is the [[shortestPaths]] contract (k-bounded betweenness); with
+   * maxHops ≥ the diameter and all sources it IS exact Brandes (up to
+   * the undirected double count — each unordered pair contributes from
+   * both endpoints when both are sampled, the standard raw form).
+   *
+   * Determinism: σ is an integer count (exact in doubles far below
+   * 2^53); each δ term is 9-dp-rounded and summed as DECIMAL(28,12)
+   * (summation-order-exact), as is the final per-node sum, 6-dp output.
+   *
+   * Scale shape: 2·maxHops scratch-table rounds (forward σ levels,
+   * backward δ levels), each one adjacency×level equi-join plus a
+   * (s, node) keyed aggregate — flat rows across the cluster, no
+   * per-task state, no windows; per-level σ/δ tables back the plan and
+   * are reclaimed at session shutdown.
+   */
+  def betweennessCentrality(
+      edges: DataFrame,
+      maxHops: Int = 3,
+      sources: Option[DataFrame] = None): DataFrame = {
+    import graft.ops.Scratch
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val (dist, adj, _) = bfsDistances(edges, maxHops, sources, "btw")
+    // forward: σ level by level; σ(s, v at level h) = Σ σ(s, u at h-1)
+    // over edges (u, v). Integer counts — kept as longs.
+    val sigma = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    sigma += Scratch.materialize(
+      dist.filter(col("dist") === 0)
+        .select(col("s"), col("node"), lit(1L).as("sigma")),
+      "btw_sig0")
+    for (h <- 1 to maxHops) {
+      val level = dist.filter(col("dist") === h)
+        .select(col("s"), col("node"))
+      sigma += Scratch.materialize(
+        adj.join(sigma(h - 1), adj("src") === sigma(h - 1)("node"))
+          .select(col("s"), adj("dst").as("node"), col("sigma"))
+          .join(level, Seq("s", "node"), "left_semi")
+          .groupBy(col("s"), col("node"))
+          .agg(sum(col("sigma")).as("sigma")),
+        s"btw_sig$h")
+    }
+    // backward: δ at the deepest level is 0; each level pulls from the
+    // one below through the same adjacency (the level keys make the
+    // join predecessor-only). A node with no successors keeps δ = 0 —
+    // the LEFT join — because it still forwards the bare σ-ratio term
+    // to ITS predecessors on the next round. Terms 9-dp-rounded under
+    // a DECIMAL sum — summation-order-exact.
+    val deltas = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    var below = sigma(maxHops).select(col("s"), col("node"),
+      col("sigma"), lit(0.0d).as("delta"))
+    for (h <- maxHops - 1 to 0 by -1) {
+      val fromBelow = adj.join(below, adj("dst") === below("node"))
+        .select(col("s"), adj("src").as("node"),
+          col("sigma").as("sig_w"), col("delta").as("del_w"))
+        .groupBy(col("s"), col("node"))
+        .agg(sum(round(lit(1.0d) / col("sig_w").cast("double")
+          * (lit(1.0d) + col("del_w")), 9).cast(dec)).as("dep"))
+      val cur = Scratch.materialize(
+        sigma(h).join(fromBelow, Seq("s", "node"), "left")
+          .select(col("s"), col("node"), col("sigma"),
+            round(col("sigma").cast("double")
+              * coalesce(col("dep").cast("double"), lit(0.0d)), 9).as("delta")),
+        s"btw_del$h")
+      deltas += cur
+      below = cur
+    }
+    // score(v) = Σ_s δ(s, v), source endpoints excluded (δ at the
+    // source is accumulated but a node is not "between" for itself)
+    deltas.map(_.filter(col("node") =!= col("s"))
+      .select(col("node"), col("delta")))
+      .reduce(_ union _)
+      .groupBy(col("node"))
+      .agg(round(sum(col("delta").cast(dec)).cast("double"), 6).as("betweenness"))
+  }
+
+  /** Shared multi-source BFS: (s, node, dist) for every node within
+    * `maxHops` of each source (dist 0 = the source itself), over the
+    * symmetrized graph. `sources` = None scores every node; a frame
+    * restricts to the sampled landmark set (ids absent from the graph
+    * are dropped — no edges means no ball). Each round is one
+    * adjacency×frontier equi-join plus a (s, node) min-aggregate
+    * materialized as a scratch table ([[pageRank]] loop discipline);
+    * the final table backs the caller's plan, the adjacency path is
+    * returned for the caller to retire. */
+  private def bfsDistances(
+      edges: DataFrame,
+      maxHops: Int,
+      sources: Option[DataFrame],
+      prefix: String): (DataFrame, DataFrame, String) = {
     import graft.ops.Scratch
     require(maxHops >= 1, "maxHops must be >= 1")
     val spark = edges.sparkSession
@@ -789,7 +926,7 @@ object Graph {
     val (adj, adjPath) = Scratch.materializeAt(
       e0.select(col("src"), col("dst"))
         .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
-      "harm_adj")
+      s"${prefix}_adj")
     val seed = sources match {
       case None => adj.select(col("src").as("s")).distinct()
       case Some(df) =>
@@ -807,16 +944,12 @@ object Graph {
         dist.select(col("s"), col("node"), col("dist").as("d"))
           .union(expanded)
           .groupBy(col("s"), col("node")).agg(min(col("d")).as("dist")),
-        "harm_dist")
+        s"${prefix}_dist")
       if (distPath != null) Scratch.drop(spark, distPath)
       dist = next
       distPath = nextPath
     }
-    Scratch.drop(spark, adjPath)
-    dist.filter(col("dist") > 0)
-      .groupBy(col("s").as("node"))
-      .agg(sum(round(lit(1.0d) / col("dist"), 9).cast("decimal(18,9)"))
-        .cast("double").as("centrality"))
+    (dist, adj, adjPath)
   }
 
   /**

@@ -332,6 +332,49 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(lm == Map(1L -> full(1L)))
   }
 
+  test("closenessCentrality: path-graph values, landmark dial") {
+    // path 1-2-3: from 2 both ends are 1 hop -> closeness 2/2 = 1;
+    // from 1: dists {1:to 2, 2:to 3} -> 2/3
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c = Graph.closenessCentrality(path, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(c(2L) == ((2L, 1.0)))
+    assert(c(1L)._1 == 2L && math.abs(c(1L)._2 - 0.666667) < 1e-9)
+    assert(c(3L)._1 == 2L && math.abs(c(3L)._2 - 0.666667) < 1e-9)
+    // landmark restriction scores only the sampled source
+    val lm = Graph.closenessCentrality(path, maxHops = 3,
+      sources = Some(Seq(2L).toDF("node"))).collect()
+    assert(lm.map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("betweennessCentrality: path center carries all traffic, clique carries none") {
+    // path 1-2-3: only node 2 lies between others. From s=1: δ(2) gets
+    // the σ-ratio term for 3 (1/1·(1+0)=1); from s=3 symmetric; from
+    // s=2 nothing. Score(2) = 2 (the unordered pair counted from both
+    // endpoints — the raw undirected form).
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val b = Graph.betweennessCentrality(path, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b(2L) == 2.0)
+    assert(b.getOrElse(1L, 0.0) == 0.0 && b.getOrElse(3L, 0.0) == 0.0)
+    // K3: every pair is adjacent, no node is between any other pair
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val bk = Graph.betweennessCentrality(k3, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bk.values.forall(_ == 0.0))
+    // square 1-2-3-4-1: two shortest paths between each diagonal pair,
+    // each middle node carries half per direction -> score 1.0 each
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val bs = Graph.betweennessCentrality(sq, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bs.values.forall(v => math.abs(v - 1.0) < 1e-9))
+    // sampled sources: only s=1's dependencies accumulate
+    val b1 = Graph.betweennessCentrality(path, maxHops = 3,
+      sources = Some(Seq(1L).toDF("node"))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b1(2L) == 1.0)
+  }
+
   test("fastRP: shape, unit norms, determinism, salt sensitivity") {
     val r = Graph.fastRP(house, dims = 8, iterations = 1,
       iterationWeights = Seq(1.0)).collect()
