@@ -926,6 +926,22 @@ object SparkEntry {
           t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
           "l_orderkey", "l_partkey"),
         rounds = 3, weightCol = Some("weight"))),
+    "graph_eigenvector" -> ((s, dir) =>
+      // power-method eigenvector centrality, 3 L1-normalized rounds
+      // (round 1 = degree centrality; oracle = unrolled rounds)
+      graft.operators.Graph.eigenvectorCentrality(coPurchaseEdges(s, dir),
+        iters = 3)),
+    "graph_modularity" -> ((s, dir) => {
+      // Newman modularity of the 3-round LPA communities — per-community
+      // contributions; the quality score GDS reports for its community
+      // algorithms
+      val e = coPurchaseEdges(s, dir)
+      graft.operators.Graph.modularity(e,
+        graft.operators.Graph.labelPropagation(e, rounds = 3))
+    }),
+    "graph_assortativity" -> ((s, dir) =>
+      // degree-mixing Pearson coefficient over edge ends — one row
+      graft.operators.Graph.degreeAssortativity(coPurchaseEdges(s, dir))),
     "graph_kcore" -> ((s, dir) =>
       // 20-core of the co-purchase graph: at sf0.01 this takes 9 peel
       // rounds with real cascades (500 -> 404 nodes) to the fixpoint
@@ -1450,6 +1466,9 @@ object SparkEntry {
     "graph_label_propagation" -> OracleFragments.graphLabelPropagation(rounds = 3),
     "graph_lpa_weighted" ->
       OracleFragments.graphLabelPropagation(rounds = 3, weighted = true),
+    "graph_eigenvector" -> OracleFragments.graphEigenvector(iters = 3),
+    "graph_modularity" -> OracleFragments.graphModularity(rounds = 3),
+    "graph_assortativity" -> OracleFragments.graphAssortativity,
     "graph_kcore" -> OracleFragments.graphKCore(k = 20, rounds = 12),
     "graph_shortest_paths" -> OracleFragments.graphShortestPaths(maxHops = 4),
     "text_pii_redact" -> OracleFragments.textPiiRedact,
@@ -2742,6 +2761,112 @@ object OracleFragments {
           $stages
         SELECT node, label FROM l$rounds"""
   }
+
+  /** Mirror of Graph.eigenvectorCentrality: unrolled power iterations,
+    * each neighbor-sum of 9-dp-rounded terms under a DECIMAL(28,12) sum
+    * and an L1-normalizing division whose operands are the exact
+    * decimal aggregates cast to DOUBLE (the same value Spark's observed
+    * write hands back). Contribution tables MATERIALIZED — each is read
+    * by its per-node projection AND the scalar normalizer subquery. */
+  def graphEigenvector(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (
+            SELECT a.dst AS node, sum(round(r.score, 9)::DECIMAL(28,12)) AS c
+            FROM adj a JOIN r${i - 1} r ON r.node = a.src GROUP BY 1),
+          r$i AS MATERIALIZED (
+            SELECT node,
+                   round(c::DOUBLE / (SELECT sum(c) FROM c$i)::DOUBLE, 9) AS score
+            FROM c$i)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          r0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0::DOUBLE AS score
+                              FROM adj),
+          $steps
+        SELECT node, score AS eigenvector FROM r$iters"""
+  }
+
+  /** Mirror of Graph.modularity over 3-round-LPA communities: the LPA
+    * CTE block (same unrolled rounds as [[graphLabelPropagation]]),
+    * then per-community intra-edge counts and degree mass — all exact
+    * integers, so the Q-contribution arithmetic is IEEE-identical
+    * cross-engine (9-dp-rounded as a belt). */
+  def graphModularity(rounds: Int): String = {
+    val vote = "count(*)"
+    val stages = (1 to rounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (SELECT a.n AS node, l.label, $vote AS c
+                  FROM adj a JOIN $prev l ON a.x = l.node GROUP BY 1, 2),
+          l$i AS (SELECT node, label FROM (
+                    SELECT node, label,
+                           row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) AS rn
+                    FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj),
+          $stages,
+          mm AS (SELECT count(*)::BIGINT AS m FROM e0),
+          deg AS (SELECT node, count(*)::BIGINT AS degree
+                  FROM (SELECT src AS node FROM e0
+                        UNION ALL SELECT dst AS node FROM e0) GROUP BY 1),
+          intra AS (SELECT ls.label AS label, count(*)::BIGINT AS intra_edges
+                    FROM e0 JOIN l$rounds ls ON ls.node = e0.src
+                            JOIN l$rounds ld ON ld.node = e0.dst
+                    WHERE ls.label = ld.label GROUP BY 1),
+          cs AS (SELECT l.label, count(*)::BIGINT AS n_nodes,
+                        coalesce(sum(d.degree), 0)::BIGINT AS degree_sum
+                 FROM l$rounds l LEFT JOIN deg d ON d.node = l.node GROUP BY 1)
+        SELECT cs.label, cs.n_nodes,
+               coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+               cs.degree_sum,
+               round(coalesce(i.intra_edges, 0)::DOUBLE / (SELECT m FROM mm)::DOUBLE
+                 - (cs.degree_sum::DOUBLE
+                     / (2.0::DOUBLE * (SELECT m FROM mm)::DOUBLE))
+                   * (cs.degree_sum::DOUBLE
+                     / (2.0::DOUBLE * (SELECT m FROM mm)::DOUBLE)),
+                 9) AS q_contrib
+        FROM cs LEFT JOIN intra i ON i.label = cs.label"""
+  }
+
+  /** Mirror of Graph.degreeAssortativity: exact BIGINT moment sums over
+    * the symmetrized edge ends, then the covariance-form Pearson
+    * coefficient — divisions and sqrt on bit-identical operands. */
+  val graphAssortativity: String =
+    s"""WITH e0 AS ($coPurchase),
+          deg AS (SELECT node, count(*)::BIGINT AS degree
+                  FROM (SELECT src AS node FROM e0
+                        UNION ALL SELECT dst AS node FROM e0) GROUP BY 1),
+          ends AS (SELECT dx.degree AS x, dy.degree AS y
+                   FROM (SELECT src, dst FROM e0
+                         UNION ALL SELECT dst AS src, src AS dst FROM e0) s
+                   JOIN deg dx ON dx.node = s.src
+                   JOIN deg dy ON dy.node = s.dst),
+          agg AS (SELECT count(*)::BIGINT AS n,
+                         coalesce(sum(x), 0)::BIGINT AS sx,
+                         coalesce(sum(y), 0)::BIGINT AS sy,
+                         coalesce(sum(x*y), 0)::BIGINT AS sxy,
+                         coalesce(sum(x*x), 0)::BIGINT AS sxx,
+                         coalesce(sum(y*y), 0)::BIGINT AS syy
+                  FROM ends)
+        SELECT n AS n_ends,
+               CASE WHEN n > 0
+                     AND (sxx::DOUBLE/n::DOUBLE
+                          - (sx::DOUBLE/n::DOUBLE)*(sx::DOUBLE/n::DOUBLE)) > 0
+                     AND (syy::DOUBLE/n::DOUBLE
+                          - (sy::DOUBLE/n::DOUBLE)*(sy::DOUBLE/n::DOUBLE)) > 0
+                    THEN round(
+                      (sxy::DOUBLE/n::DOUBLE
+                       - (sx::DOUBLE/n::DOUBLE)*(sy::DOUBLE/n::DOUBLE))
+                      / sqrt((sxx::DOUBLE/n::DOUBLE
+                              - (sx::DOUBLE/n::DOUBLE)*(sx::DOUBLE/n::DOUBLE))
+                           * (syy::DOUBLE/n::DOUBLE
+                              - (sy::DOUBLE/n::DOUBLE)*(sy::DOUBLE/n::DOUBLE))), 6)
+               END AS assortativity
+        FROM agg"""
 
   /** Mirror of Graph.connectedComponents: transitive closure over the
     * symmetrized canonical edges, component = min reachable id. */

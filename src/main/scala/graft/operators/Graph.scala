@@ -953,6 +953,192 @@ object Graph {
   }
 
   /**
+   * Eigenvector centrality by the power method (the GDS eigenvector
+   * surface; Bonacich 1972): fixed `iters` rounds of
+   *
+   *   c_t+1(v) = Σ over neighbors u of c_t(u),  then L1-normalize
+   *
+   * over the symmetrized graph, c_0 = 1. The fixed round count is the
+   * documented semantic (the [[pageRank]] `iters` contract); round 1
+   * reproduces degree centrality and further rounds converge toward the
+   * principal eigenvector.
+   *
+   * Determinism: each neighbor-sum takes 9-dp-rounded terms under a
+   * DECIMAL(28,12) sum (summation-order-exact — the
+   * [[harmonicCentrality]] discipline), the L1 normalizer is the exact
+   * DECIMAL sum of those sums, and the normalizing division is one
+   * IEEE double op on bit-identical operands — reproducible across
+   * runs, partitionings, and engines.
+   *
+   * Scale shape: one adjacency×scores equi-join + keyed aggregate per
+   * round, materialized as a scratch table whose write job carries the
+   * L1 normalizer via `observe` (no second scan); constant-size plans,
+   * superseded tables retired eagerly, nothing broadcast that is
+   * O(graph).
+   */
+  def eigenvectorCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.ops.Scratch
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val e0 = canonicalEdges(edges)
+    val (adj, adjPath) = Scratch.materializeAt(
+      e0.select(col("src"), col("dst"))
+        .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+      "eig_adj")
+    var scores = adj.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(1.0d))
+    var scoresPath: String = null // round 0 is a projection of adj
+    for (_ <- 1 to iters) {
+      val (contrib, cm, contribPath) = Scratch.materializeObservedAt(
+        adj.join(scores, adj("src") === scores("node"))
+          .groupBy(adj("dst").as("node"))
+          .agg(sum(round(col("score"), 9).cast(dec)).as("c")),
+        "eig_scores", sum(col("c")).as("l1"))
+      val l1 = cm("l1") match {
+        case null => 0.0d
+        case bd: java.math.BigDecimal => bd.doubleValue
+        case d: java.lang.Number => d.doubleValue
+      }
+      if (scoresPath != null) Scratch.drop(spark, scoresPath)
+      if (l1 == 0.0d) {
+        Scratch.drop(spark, adjPath)
+        Scratch.drop(spark, contribPath)
+        return e0.select(col("src").as("node"),
+          lit(0.0d).as("eigenvector")).limit(0)
+      }
+      scores = contrib.select(col("node"),
+        round(col("c").cast("double") / lit(l1), 9).as("score"))
+      scoresPath = contribPath
+    }
+    Scratch.drop(spark, adjPath)
+    scores.select(col("node"), col("score").as("eigenvector"))
+  }
+
+  /**
+   * Modularity of a community assignment (Newman–Girvan 2004) — the
+   * quality score GDS reports for its community algorithms, and the
+   * natural audit of [[labelPropagation]] output:
+   *
+   *   Q = Σ over communities c of [ L_c/m − (d_c / 2m)² ]
+   *
+   * where L_c = intra-community edge count, d_c = total degree of c's
+   * nodes, m = total (canonical undirected) edge count. Returns one row
+   * per community — (label, n_nodes, intra_edges, degree_sum,
+   * q_contrib) — so the caller sees WHICH communities carry the
+   * structure; `q_contrib` sums to Q.
+   *
+   * Every input to the arithmetic is an exact integer (counts and
+   * degree sums), so the per-community expression is a handful of IEEE
+   * double ops on bit-identical operands — deterministic cross-engine
+   * with no rounding discipline needed (9-dp-rounded anyway as a
+   * belt). Nodes absent from `communities` are ignored; communities
+   * with no intra edges report 0.
+   *
+   * Scale shape: the edge table materializes once (its write carries m
+   * via `observe`); intra counts and degree sums are each one keyed
+   * equi-join + aggregate — no windows, no driver-side iteration, and
+   * the only broadcast is Spark's own choice on the label join.
+   */
+  def modularity(
+      edges: DataFrame,
+      communities: DataFrame,
+      nodeCol: String = "node",
+      labelCol: String = "label"): DataFrame = {
+    import graft.ops.Scratch
+    val spark = edges.sparkSession
+    val lbl = communities.select(col(nodeCol).as("node"),
+      col(labelCol).as("label"))
+    val (e, em, ePath) = Scratch.materializeObservedAt(
+      canonicalEdges(edges), "mod_edges", count(lit(1)).as("m"))
+    val m = em("m").asInstanceOf[Long]
+    if (m == 0L) {
+      Scratch.drop(spark, ePath)
+      return lbl.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"), lit(0L).as("intra_edges"),
+          lit(0L).as("degree_sum"), lit(0.0d).as("q_contrib"))
+        .limit(0)
+    }
+    // intra-community edges: both endpoints labeled AND equal
+    val intra = e
+      .join(lbl.select(col("node").as("src"), col("label").as("ls")), Seq("src"))
+      .join(lbl.select(col("node").as("dst"), col("label").as("ld")), Seq("dst"))
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    // per-community size + degree mass
+    val deg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val commStats = lbl.join(deg, Seq("node"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("degree")), lit(0L)).as("degree_sum"))
+    val md = lit(m.toDouble)
+    commStats.join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round(coalesce(col("intra_edges"), lit(0L)).cast("double") / md
+          - (col("degree_sum").cast("double") / (lit(2.0d) * md))
+            * (col("degree_sum").cast("double") / (lit(2.0d) * md)),
+          9).as("q_contrib"))
+  }
+
+  /**
+   * Degree assortativity coefficient (Newman 2002): the Pearson
+   * correlation of endpoint degrees over the symmetrized edge ends —
+   * positive when hubs attach to hubs (social nets), negative when hubs
+   * attach to leaves (technological nets). The one-number mixing
+   * summary a 100 TB graph can always afford: two keyed aggregates and
+   * a single-row reduction.
+   *
+   * Computed in the covariance form r = cov(x,y) / (σx·σy) with each
+   * Σx, Σxy, Σx² an exact BIGINT (degree products stay far below 2^63;
+   * the moment SUMS, not per-row products, are the only values that
+   * grow with the graph) — the divisions and sqrt are then IEEE ops on
+   * bit-identical operands, deterministic cross-engine ([[sqrt]] is
+   * correctly rounded; no libm `pow`). Returns one row
+   * (n_ends, assortativity); NULL assortativity for degree-regular
+   * graphs (zero variance) and empty inputs.
+   */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    import graft.ops.Scratch
+    // the edge scratch table backs the returned plan (degree sums + end
+    // join all scan it); session shutdown reclaims it
+    val e = Scratch.materialize(canonicalEdges(edges), "assort_edges")
+    val deg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val ends = sym
+      .join(deg.select(col("node").as("src"), col("degree").as("x")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("degree").as("y")), Seq("dst"))
+    val agg = ends.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("x")), lit(0L)).as("sx"),
+      coalesce(sum(col("y")), lit(0L)).as("sy"),
+      coalesce(sum(col("x") * col("y")), lit(0L)).as("sxy"),
+      coalesce(sum(col("x") * col("x")), lit(0L)).as("sxx"),
+      coalesce(sum(col("y") * col("y")), lit(0L)).as("syy"))
+    // null divisor for the empty frame: the means (and so the guard
+    // conditions and coefficient) all null-propagate instead of
+    // tripping ANSI divide-by-zero on the n=0 row
+    val n = when(col("n") > 0L, col("n").cast("double"))
+    def mean(c: Column) = c.cast("double") / n
+    val cov = mean(col("sxy")) - mean(col("sx")) * mean(col("sy"))
+    val vx = mean(col("sxx")) - mean(col("sx")) * mean(col("sx"))
+    val vy = mean(col("syy")) - mean(col("sy")) * mean(col("sy"))
+    val out = agg.select(col("n").as("n_ends"),
+      when(col("n") > 0L && vx > 0.0d && vy > 0.0d,
+        round(cov / sqrt(vx * vy), 6)).as("assortativity"))
+    // single-row reduction — materialization would be pure overhead;
+    // the edge scratch table backs both degree joins above
+    out
+  }
+
+  /**
    * Deterministic uniform random walks (the GDS RandomWalk /
    * node2vec-sampling surface): one walk per node, `steps` hops; at
    * each step the walker moves to the neighbor with the minimum

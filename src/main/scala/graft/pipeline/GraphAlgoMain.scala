@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
  *                                components | label_propagation | kcore |
  *                                shortest_paths | common_neighbors |
  *                                node_similarity | adamic_adar |
- *                                harmonic | random_walks | fastrp
+ *                                harmonic | closeness | betweenness |
+ *                                eigenvector | modularity | assortativity |
+ *                                random_walks | fastrp
  *   --output <dir>               result parquet
  *   --src src --dst dst          edge endpoint columns (default src/dst)
  *   --weight <col>               optional weight column (pagerank_directed,
@@ -125,6 +127,27 @@ object GraphAlgoMain {
         Graph.harmonicCentrality(edges,
           maxHops = opts.get("max_hops").map(_.toInt).getOrElse(3),
           sources = landmarks)
+      case "closeness" | "betweenness" =>
+        val landmarks = opts.get("landmark_mod").map { m =>
+          edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node")))
+            .filter(pmod(col("node"), lit(m.toInt)) === 0).distinct()
+        }
+        val hops = opts.get("max_hops").map(_.toInt).getOrElse(3)
+        if (req("algo") == "closeness")
+          Graph.closenessCentrality(edges, hops, landmarks)
+        else Graph.betweennessCentrality(edges, hops, landmarks)
+      case "eigenvector" => Graph.eigenvectorCentrality(edges, iters)
+      case "modularity" =>
+        // communities from --labels <parquet (node,label)>, or derived
+        // in-job by LPA when the flag is absent
+        val communities = opts.get("labels") match {
+          case Some(p) => spark.read.parquet(p)
+          case None => Graph.labelPropagation(edges,
+            opts.get("rounds").map(_.toInt).getOrElse(3))
+        }
+        Graph.modularity(edges, communities)
+      case "assortativity" => Graph.degreeAssortativity(edges)
       case "random_walks" =>
         Graph.randomWalks(edges, opts.get("steps").map(_.toInt).getOrElse(3))
       case "fastrp" =>

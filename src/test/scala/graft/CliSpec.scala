@@ -131,6 +131,13 @@ class CliSpec extends SparkTestBase {
     // K4 diagonals are edges; only the pendant pairs are predictable
     assert(run("adamic_adar").count() == 3)
     assert(run("random_walks", Map("steps" -> "2")).count() == 15)
+    assert(run("closeness").count() == 5)
+    // pendant path 5-4-...: node 4 carries all of 5's traffic
+    assert(run("betweenness").filter(col("node") === 4L).count() == 1)
+    assert(run("eigenvector").count() == 5)
+    // in-job LPA labels; contributions exist for every community
+    assert(run("modularity").count() >= 1)
+    assert(run("assortativity").head().getLong(0) == 14L)
     intercept[RuntimeException](run("nope"))
   }
 

@@ -281,6 +281,11 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(Graph.adamicAdarTopK(empty).count() == 0)
     assert(Graph.harmonicCentrality(empty).count() == 0)
     assert(Graph.randomWalks(empty).count() == 0)
+    assert(Graph.eigenvectorCentrality(empty, iters = 2).count() == 0)
+    assert(Graph.modularity(empty,
+      Seq.empty[(Long, Long)].toDF("node", "label")).count() == 0)
+    val ea = Graph.degreeAssortativity(empty).head()
+    assert(ea.getLong(0) == 0L && ea.isNullAt(1))
   }
 
   test("nodeSimilarityTopK metrics: overlap and cosine rescale the same wedge counts") {
@@ -373,6 +378,49 @@ class GraphAnalyticsSpec extends SparkTestBase {
       sources = Some(Seq(1L).toDF("node"))).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(b1(2L) == 1.0)
+  }
+
+  test("eigenvectorCentrality: round 1 is degree centrality, converges on the path") {
+    // path 1-2-3, 1 iter: contribs = degrees (1,2,1), L1 total 4
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.eigenvectorCentrality(path, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1 == Map(1L -> 0.25, 2L -> 0.5, 3L -> 0.25))
+    // 2 iters: contribs (0.5, 0.25+0.25, 0.5) -> uniform 1/3 (9-dp)
+    val r2 = Graph.eigenvectorCentrality(path, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r2.values.forall(v => math.abs(v - 0.333333333) < 1e-12))
+  }
+
+  test("modularity: two triangles with a bridge; contributions sum to Q") {
+    // K3 {1,2,3} + K3 {4,5,6} + bridge (3,4): m=7, each community has 3
+    // intra edges; deg sums 7 and 7 -> contribution 3/7 - (7/14)^2 each
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "label")
+    val q = Graph.modularity(e, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val expect = 3.0 / 7.0 - 0.25
+    assert(q(1L)._1 == 3L && q(1L)._2 == 3L && q(1L)._3 == 7L)
+    assert(math.abs(q(1L)._4 - expect) < 1e-8)
+    assert(math.abs(q(4L)._4 - expect) < 1e-8)
+    // a community of isolated labeled nodes contributes 0
+    val extra = labels.union(Seq((9L, 9L)).toDF("node", "label"))
+    val q2 = Graph.modularity(e, extra).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(q2(9L) == 0.0)
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative, cycle is degenerate") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star).head()
+    assert(s.getLong(0) == 6L && s.getDouble(1) == -1.0)
+    // 4-cycle: degree-regular -> zero variance -> NULL coefficient
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = Graph.degreeAssortativity(cyc).head()
+    assert(c.getLong(0) == 8L && c.isNullAt(1))
   }
 
   test("fastRP: shape, unit norms, determinism, salt sensitivity") {
