@@ -166,6 +166,10 @@ object SparkEntry {
 
     // ==== extension operators: deduplication ====
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_spans" -> ((s, dir) =>
+      // span-level ExactSubstr flag: docs sharing any exact 8-token
+      // window with another doc (Lee et al. 2021 granularity)
+      Dedup.spanDuplicates(t(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshCandidates(t(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -926,6 +930,26 @@ object SparkEntry {
           t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
           "l_orderkey", "l_partkey"),
         rounds = 3, weightCol = Some("weight"))),
+    "graph_hits" -> ((s, dir) =>
+      // Kleinberg hubs/authorities on the DIRECTED (src < dst) canonical
+      // edges: low-id parts can only be hubs toward high-id authorities
+      graft.operators.Graph.hits(coPurchaseEdges(s, dir), iters = 2)),
+    "graph_articlerank" -> ((s, dir) =>
+      // GDS ArticleRank: PageRank with avg-degree-damped contributions
+      graft.operators.Graph.articleRank(coPurchaseEdges(s, dir),
+        iters = 3, damping = 0.85)
+        .orderBy(round(col("rank"), 6).desc, col("node"))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .limit(20)),
+    "graph_distance_distribution" -> ((s, dir) => {
+      // hop histogram of the landmark balls (effective-diameter probe)
+      val e = coPurchaseEdges(s, dir)
+      val landmarks = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .filter(pmod(col("node"), lit(50)) === 0).distinct()
+      graft.operators.Graph.distanceDistribution(e, maxHops = 3,
+        sources = Some(landmarks))
+    }),
     "graph_eigenvector" -> ((s, dir) =>
       // power-method eigenvector centrality, 3 L1-normalized rounds
       // (round 1 = degree centrality; oracle = unrolled rounds)
@@ -1074,6 +1098,7 @@ object SparkEntry {
     "text_repetition" -> OracleFragments.textRepetition(n = 3),
     "corpus_report" -> OracleFragments.corpusReport,
     "dedup_exact" -> OracleFragments.dedupExact,
+    "dedup_spans" -> OracleFragments.dedupSpans(spanTokens = 8),
     "dedup_minhash_lsh" -> OracleFragments.dedupMinhashLsh(bands = 4, rowsPerBand = 2),
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
     "dedup_lsh_jaccard" -> OracleFragments.dedupLshJaccard(
@@ -1466,6 +1491,11 @@ object SparkEntry {
     "graph_label_propagation" -> OracleFragments.graphLabelPropagation(rounds = 3),
     "graph_lpa_weighted" ->
       OracleFragments.graphLabelPropagation(rounds = 3, weighted = true),
+    "graph_hits" -> OracleFragments.graphHits(iters = 2),
+    "graph_articlerank" ->
+      OracleFragments.graphArticleRank(iters = 3, damping = 0.85, k = 20),
+    "graph_distance_distribution" ->
+      OracleFragments.graphDistanceDistribution(maxHops = 3, landmarkMod = 50),
     "graph_eigenvector" -> OracleFragments.graphEigenvector(iters = 3),
     "graph_modularity" -> OracleFragments.graphModularity(rounds = 3),
     "graph_assortativity" -> OracleFragments.graphAssortativity,
@@ -1743,6 +1773,25 @@ object OracleFragments {
     s"""list_distinct(list_transform(
           range(1, greatest(len($toks) - ${n - 1}, 1) + 1),
           i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))"""
+
+  /** Mirror of Dedup.spanDuplicates: distinct per-doc token windows,
+    * postings per gram hash, spans-in-≥2-docs rollup per document. */
+  def dedupSpans(spanTokens: Int): String =
+    s"""WITH dg AS (
+          SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+          FROM (SELECT doc_id, unnest(${tokenShingles(spanTokens)}) AS g
+                FROM documents)
+          WHERE length(g) > 0),
+        p AS (SELECT gram, count(*)::BIGINT AS n_docs FROM dg GROUP BY 1),
+        per AS (
+          SELECT dg.doc_id, count(*)::INT AS n_spans,
+                 sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END)::INT AS n_dup_spans
+          FROM dg JOIN p USING (gram) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(per.n_spans, 0)::INT AS n_spans,
+               coalesce(per.n_dup_spans, 0)::INT AS n_dup_spans,
+               coalesce(per.n_dup_spans, 0) > 0 AS span_dup
+        FROM documents d LEFT JOIN per USING (doc_id)"""
 
   /** Benchmark-overlap decontamination (Corpus.decontaminate): same
     * token n-grams, bench side = every `benchMod`-th doc. */
@@ -2330,6 +2379,71 @@ object OracleFragments {
         SELECT node, round(rank, 6) AS rank FROM r$iters
         ORDER BY round(rank, 6) DESC, node LIMIT $k"""
   }
+
+  /** Mirror of Graph.hits: unrolled Kleinberg half-rounds (authority
+    * from current hubs, hub from NEW authorities), each a 9-dp-term
+    * DECIMAL sum with an L1-normalizing division. Raw/normalized
+    * tables MATERIALIZED — each raw table feeds its per-node
+    * projection AND the scalar normalizer subquery. */
+  def graphHits(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+            SELECT e.dst AS node, sum(round(h.s, 9)::DECIMAL(28,12)) AS c
+            FROM e0 e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+          a$i AS MATERIALIZED (
+            SELECT node, round(c::DOUBLE / (SELECT sum(c) FROM ar$i)::DOUBLE, 9) AS s
+            FROM ar$i),
+          hr$i AS MATERIALIZED (
+            SELECT e.src AS node, sum(round(a.s, 9)::DECIMAL(28,12)) AS c
+            FROM e0 e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+          h$i AS MATERIALIZED (
+            SELECT node, round(c::DOUBLE / (SELECT sum(c) FROM hr$i)::DOUBLE, 9) AS s
+            FROM hr$i)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0)),
+          h0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS s FROM nodes),
+          $rounds
+        SELECT n.node,
+               coalesce(h$iters.s, 0.0::DOUBLE) AS hub,
+               coalesce(a$iters.s, 0.0::DOUBLE) AS authority
+        FROM nodes n LEFT JOIN h$iters ON h$iters.node = n.node
+                     LEFT JOIN a$iters ON a$iters.node = n.node"""
+  }
+
+  /** Mirror of Graph.articleRank: the [[graphPageRank]] unroll with
+    * each contribution damped by outdeg + avgDeg (= 2|E|/N, the same
+    * exact-integer ratio Spark's observed counts produce). */
+  def graphArticleRank(iters: Int, damping: Double, k: Int): String = {
+    val teleport = 1.0d - damping
+    val avg = "((SELECT m FROM ne) / (SELECT n FROM nn))"
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+                    ($teleport::DOUBLE / (SELECT n FROM nn))
+                    + $damping::DOUBLE * sum(r.rank / (d.outdeg + $avg)) AS rank
+                  FROM e JOIN r${i - 1} r ON r.node = e.src
+                         JOIN deg d ON d.node = e.src
+                  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+          nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+          ne AS (SELECT count(*)::DOUBLE AS m FROM e),
+          r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM deg),
+          $steps
+        SELECT node, round(rank, 6) AS rank FROM r$iters
+        ORDER BY round(rank, 6) DESC, node LIMIT $k"""
+  }
+
+  /** Mirror of Graph.distanceDistribution: the landmark BFS hop
+    * histogram — all-integer, bit-exact. */
+  def graphDistanceDistribution(maxHops: Int, landmarkMod: Int): String =
+    s"""WITH ${bfsCtes(maxHops, landmarkMod)}
+        SELECT dist, count(*)::BIGINT AS n_pairs
+        FROM r$maxHops WHERE dist > 0 GROUP BY 1"""
 
   /** Unrolled directed power iterations mirroring Graph.pageRankDirected:
     * canonical (src < dst) edges kept directed, dangling mass (nodes with

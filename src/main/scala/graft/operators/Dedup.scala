@@ -394,4 +394,64 @@ object Dedup {
           lit(minJaccard - 1e-6) * greatest(col("sz_a"), col("sz_b")).cast("double"))
       .transform(exactJaccard(_, minJaccard))
   }
+
+  /**
+   * Span-level exact-substring duplicate detection (Lee et al. 2021,
+   * "Deduplicating Training Data Makes Language Models Better" — the
+   * ExactSubstr criterion, at token-window granularity): flag every
+   * document that shares an exact `spanTokens`-token span with at
+   * least one OTHER document. This is the dedup mode BETWEEN
+   * whole-document exact dedup (misses partial copies) and MinHash
+   * near-dup (misses a verbatim paragraph inside an otherwise-unique
+   * page): a quoted boilerplate block, a syndicated lead paragraph, or
+   * a copied license header lights up here and nowhere else.
+   *
+   * Mechanism: distinct `spanTokens`-token windows per document (the
+   * [[graft.functions.TextFunctions.tokenShingles]] decontamination
+   * granularity, 60-bit md5 gram hashes), a posting count per gram
+   * (distinct documents containing it), and a per-document rollup —
+   * `n_dup_spans` counts this document's distinct spans that occur in
+   * ≥2 documents. The suffix-array of the published recipe is a
+   * single-machine construct; fixed-width token windows are the
+   * shuffle-native equivalent at the same granularity.
+   *
+   * Scale shape: one corpus scan into a scratch gram table (read by
+   * the posting count AND the rollup), then two keyed aggregates and
+   * one gram-keyed equi-join — documents are never paired with
+   * documents, so a mass-duplicated span costs its posting list, not a
+   * quadratic fanout. Grams travel as fixed-width longs.
+   *
+   * Output: (doc_id, n_spans, n_dup_spans, span_dup) for every corpus
+   * document; documents shorter than `spanTokens` contribute their one
+   * truncated window, matching the decontamination convention.
+   */
+  def spanDuplicates(
+      docs: DataFrame,
+      spanTokens: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dg = Scratch.materialize(
+      Par.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol).as("t")))
+        .select(col("doc_id"),
+          explode(tokenShingles(col("t"), spanTokens)).as("g"))
+        .filter(length(col("g")) > 0)
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gram"))
+        .distinct(),
+      "span_grams")
+    // postings: distinct docs per gram (dg is (doc, gram)-distinct, so a
+    // plain count IS the doc count) — map-side combinable
+    val postings = dg.groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+    val perDoc = dg.join(postings, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).cast("int")
+          .as("n_dup_spans"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0)).as("n_dup_spans"),
+        (coalesce(col("n_dup_spans"), lit(0)) > 0).as("span_dup"))
+  }
 }

@@ -953,6 +953,82 @@ object Graph {
   }
 
   /**
+   * ArticleRank (the GDS PageRank variant; Li et al. 2009): identical
+   * power iteration to [[pageRank]] except each neighbor's contribution
+   * is damped by the GLOBAL average degree —
+   *
+   *   r_t+1(v) = (1-d)/N + d · Σ over neighbors u of r_t(u)/(deg(u) + avgDeg)
+   *
+   * — so low-degree neighbors confer less rank than under PageRank
+   * (citations from short reference lists count less, the original
+   * bibliometric motivation). avgDeg = 2|E|/N over the symmetrized
+   * graph, computed from the SAME observed counts the loop already
+   * rides (no extra scan). Loop discipline, determinism posture, and
+   * the final 6-dp output round all match [[pageRank]].
+   */
+  def articleRank(
+      edges: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    import graft.ops.Scratch
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = canonicalEdges(edges)
+    val sym = e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val outdeg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val (adj, am, adjPath) = Scratch.materializeObservedAt(
+      sym.join(outdeg, Seq("src")), "ar_adj", count(lit(1)).as("n_ends"))
+    val (nodes, nm, nodesPath) = Scratch.materializeObservedAt(
+      adj.select(col("src").as("node")).distinct(),
+      "ar_ranks", count(lit(1)).as("n_nodes"))
+    val n = nm("n_nodes").asInstanceOf[Long].toDouble
+    if (n == 0d) {
+      Scratch.drop(spark, adjPath)
+      Scratch.drop(spark, nodesPath)
+      return e0.select(col("src").as("node"), lit(0.0d).as("rank")).limit(0)
+    }
+    // 2|E|/N from the adjacency write's observed end count — the exact
+    // integer ratio both engines compute identically in doubles
+    val avgDeg = am("n_ends").asInstanceOf[Long].toDouble / n
+    var ranks = nodes.withColumn("rank", lit(1.0d / n))
+    var ranksPath = nodesPath
+    for (_ <- 1 to iters) {
+      val (next, nextPath) = Scratch.materializeAt(
+        adj.join(ranks, adj("src") === ranks("node"))
+          .groupBy(adj("dst").as("node"))
+          .agg((lit((1.0d - damping) / n) + lit(damping)
+            * sum(col("rank") / (col("outdeg") + lit(avgDeg)))).as("rank")),
+        "ar_ranks")
+      Scratch.drop(spark, ranksPath)
+      ranks = next
+      ranksPath = nextPath
+    }
+    Scratch.drop(spark, adjPath)
+    ranks
+  }
+
+  /**
+   * Distance distribution over the landmark sample (the
+   * effective-diameter / hop-plot surface; Palmer et al. 2002 ANF):
+   * how many (source, node) pairs sit at each hop distance within
+   * `maxHops`, from the same multi-source BFS that backs
+   * [[harmonicCentrality]]. The classic small-world audit — the hop
+   * histogram is O(maxHops) rows no matter the graph, and the p90 of
+   * it is the standard "effective diameter" estimate. All-integer
+   * output — bit-exact everywhere.
+   */
+  def distanceDistribution(
+      edges: DataFrame,
+      maxHops: Int = 3,
+      sources: Option[DataFrame] = None): DataFrame = {
+    val (dist, _, adjPath) = bfsDistances(edges, maxHops, sources, "dd")
+    graft.ops.Scratch.drop(edges.sparkSession, adjPath)
+    dist.filter(col("dist") > 0)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /**
    * Eigenvector centrality by the power method (the GDS eigenvector
    * surface; Bonacich 1972): fixed `iters` rounds of
    *
@@ -1013,6 +1089,87 @@ object Graph {
     }
     Scratch.drop(spark, adjPath)
     scores.select(col("node"), col("score").as("eigenvector"))
+  }
+
+  /**
+   * HITS hubs and authorities (Kleinberg 1999; the GDS HITS surface)
+   * on the DIRECTED edge set: fixed `iters` rounds of the standard
+   * mutual recursion — authority from the CURRENT hubs, then hub from
+   * the NEW authorities,
+   *
+   *   a_t+1(v) = Σ over in-edges (u,v) of h_t(u),    L1-normalized
+   *   h_t+1(u) = Σ over out-edges (u,v) of a_t+1(v), L1-normalized
+   *
+   * — so hubs are nodes pointing AT what everyone points at, and
+   * authorities are what the good hubs point at. Self-loops dropped,
+   * duplicate edges collapsed; nodes with no in-edges carry authority
+   * 0 (and symmetrically for hubs) — they stay in the output via the
+   * final node-universe join.
+   *
+   * Determinism and loop shape are the [[eigenvectorCentrality]]
+   * discipline doubled: per half-round, one adjacency×scores equi-join
+   * + keyed aggregate of 9-dp-rounded terms under a DECIMAL(28,12)
+   * sum, materialized with the L1 normalizer riding the write.
+   */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.ops.Scratch
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val (adj, adjPath) = Scratch.materializeAt(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct(),
+      "hits_adj")
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct()
+    // one L1-normalized half-round: scores(over) joined through adj
+    // from `from` to `to`, normalizer observed on the write
+    def halfRound(scores: DataFrame, from: String, to: String,
+        prefix: String): Option[(DataFrame, String)] = {
+      val (raw, m, path) = Scratch.materializeObservedAt(
+        adj.join(scores, adj(from) === scores("node"))
+          .groupBy(adj(to).as("node"))
+          .agg(sum(round(col("s"), 9).cast(dec)).as("c")),
+        prefix, sum(col("c")).as("l1"))
+      val l1 = m("l1") match {
+        case null => 0.0d
+        case bd: java.math.BigDecimal => bd.doubleValue
+        case d: java.lang.Number => d.doubleValue
+      }
+      if (l1 == 0.0d) { Scratch.drop(spark, path); None }
+      else Some((raw.select(col("node"),
+        round(col("c").cast("double") / lit(l1), 9).as("s")), path))
+    }
+    var auth = nodes.withColumn("s", lit(1.0d))
+    var hub = nodes.withColumn("s", lit(1.0d))
+    var authPath: String = null
+    var hubPath: String = null
+    for (_ <- 1 to iters) {
+      halfRound(hub, "src", "dst", "hits_auth") match {
+        case None =>
+          Scratch.drop(spark, adjPath)
+          if (authPath != null) Scratch.drop(spark, authPath)
+          if (hubPath != null) Scratch.drop(spark, hubPath)
+          return edges.select(col("src").as("node"), lit(0.0d).as("hub"),
+            lit(0.0d).as("authority")).limit(0)
+        case Some((a, p)) =>
+          if (authPath != null) Scratch.drop(spark, authPath)
+          auth = a; authPath = p
+      }
+      // an empty hub half-round is impossible once auth succeeded (the
+      // same non-empty edge set feeds it), but keep the symmetric guard
+      halfRound(auth, "dst", "src", "hits_hub").foreach { case (h, p) =>
+        if (hubPath != null) Scratch.drop(spark, hubPath)
+        hub = h; hubPath = p
+      }
+    }
+    // adj is NOT dropped: the node-universe side of the final join
+    // scans it; session shutdown reclaims it
+    nodes
+      .join(hub.select(col("node"), col("s").as("hub")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("s").as("authority")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0d)).as("hub"),
+        coalesce(col("authority"), lit(0.0d)).as("authority"))
   }
 
   /**

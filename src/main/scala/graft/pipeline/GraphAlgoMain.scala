@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
  *                                shortest_paths | common_neighbors |
  *                                node_similarity | adamic_adar |
  *                                harmonic | closeness | betweenness |
- *                                eigenvector | modularity | assortativity |
+ *                                eigenvector | articlerank | hits |
+ *                                modularity | assortativity |
+ *                                distance_distribution |
  *                                random_walks | fastrp
  *   --output <dir>               result parquet
  *   --src src --dst dst          edge endpoint columns (default src/dst)
@@ -138,6 +140,17 @@ object GraphAlgoMain {
           Graph.closenessCentrality(edges, hops, landmarks)
         else Graph.betweennessCentrality(edges, hops, landmarks)
       case "eigenvector" => Graph.eigenvectorCentrality(edges, iters)
+      case "articlerank" => Graph.articleRank(edges, iters, damping)
+      case "hits" => Graph.hits(edges, iters)
+      case "distance_distribution" =>
+        val landmarks = opts.get("landmark_mod").map { m =>
+          edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node")))
+            .filter(pmod(col("node"), lit(m.toInt)) === 0).distinct()
+        }
+        Graph.distanceDistribution(edges,
+          maxHops = opts.get("max_hops").map(_.toInt).getOrElse(3),
+          sources = landmarks)
       case "modularity" =>
         // communities from --labels <parquet (node,label)>, or derived
         // in-job by LPA when the flag is absent

@@ -138,6 +138,9 @@ class CliSpec extends SparkTestBase {
     // in-job LPA labels; contributions exist for every community
     assert(run("modularity").count() >= 1)
     assert(run("assortativity").head().getLong(0) == 14L)
+    assert(run("articlerank").count() == 5)
+    assert(run("hits").count() == 5)
+    assert(run("distance_distribution").count() >= 1)
     intercept[RuntimeException](run("nope"))
   }
 

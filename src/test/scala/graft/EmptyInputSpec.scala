@@ -20,6 +20,7 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Dedup.exact(noDocs).count() == 0)
     assert(Dedup.lshJaccard(noDocs, minJaccard = 0.2).count() == 0)
     assert(Dedup.simhashBuckets(noDocs).count() == 0)
+    assert(Dedup.spanDuplicates(noDocs).count() == 0)
   }
 
   test("corpus operators on an empty corpus") {

@@ -282,6 +282,9 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(Graph.harmonicCentrality(empty).count() == 0)
     assert(Graph.randomWalks(empty).count() == 0)
     assert(Graph.eigenvectorCentrality(empty, iters = 2).count() == 0)
+    assert(Graph.articleRank(empty, iters = 2).count() == 0)
+    assert(Graph.hits(empty, iters = 2).count() == 0)
+    assert(Graph.distanceDistribution(empty).count() == 0)
     assert(Graph.modularity(empty,
       Seq.empty[(Long, Long)].toDF("node", "label")).count() == 0)
     val ea = Graph.degreeAssortativity(empty).head()
@@ -378,6 +381,49 @@ class GraphAnalyticsSpec extends SparkTestBase {
       sources = Some(Seq(1L).toDF("node"))).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(b1(2L) == 1.0)
+  }
+
+  test("articleRank: average-degree damping pulls low-degree neighbors below pageRank") {
+    // star 1-2,1-3,1-4 (+avgDeg = 6/4 = 1.5). One iteration from uniform
+    // 1/4: leaf rank = 0.0375 + 0.85·(0.25/(3+1.5)); hub rank =
+    // 0.0375 + 0.85·3·(0.25/(1+1.5))
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = Graph.articleRank(star, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - (0.0375 + 0.85 * 3 * (0.25 / 2.5))) < 1e-12)
+    assert(math.abs(r(2L) - (0.0375 + 0.85 * (0.25 / 4.5))) < 1e-12)
+    // damped: every rank sits below its pageRank counterpart
+    val pr = Graph.pageRank(star, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.forall { case (n, v) => v < pr(n) })
+  }
+
+  test("distanceDistribution: path-graph hop histogram, landmark dial") {
+    // path 1-2-3-4, all sources: six ordered pairs at dist 1, four at
+    // dist 2, two at dist 3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val h = Graph.distanceDistribution(path, maxHops = 3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h == Map(1 -> 6L, 2 -> 4L, 3 -> 2L))
+    // single landmark: one ball only
+    val one = Graph.distanceDistribution(path, maxHops = 3,
+      sources = Some(Seq(1L).toDF("node"))).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(one == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("hits: hubs point at authorities; L1-normalized rounds") {
+    // 1->3, 2->3, 3->4: auth raw (3:2, 4:1) -> a=(2/3, 1/3);
+    // hub raw (1: 2/3, 2: 2/3, 3: 1/3) -> h=(0.4, 0.4, 0.2)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.hits(e, iters = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(math.abs(r(3L)._2 - 0.666666667) < 1e-9)
+    assert(math.abs(r(4L)._2 - 0.333333333) < 1e-9)
+    assert(math.abs(r(1L)._1 - 0.4) < 1e-9 && math.abs(r(2L)._1 - 0.4) < 1e-9)
+    assert(math.abs(r(3L)._1 - 0.2) < 1e-9)
+    // sources have no authority; sinks have no hub score
+    assert(r(1L)._2 == 0.0 && r(2L)._2 == 0.0 && r(4L)._1 == 0.0)
   }
 
   test("eigenvectorCentrality: round 1 is degree centrality, converges on the path") {

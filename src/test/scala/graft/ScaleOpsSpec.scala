@@ -43,6 +43,28 @@ class ScaleOpsSpec extends SparkTestBase {
       .count() == 300L * 299L / 2L)
   }
 
+  test("spanDuplicates: shared window flags both docs, short docs use the truncated gram") {
+    // docs 1 and 2 share the exact 4-token span "alpha beta gamma delta"
+    // inside otherwise-different text; doc 3 shares nothing; doc 4 is a
+    // 2-token doc (one truncated window, unique)
+    val d = Seq(
+      (1L, "one two alpha beta gamma delta three four"),
+      (2L, "five six alpha beta gamma delta seven eight nine"),
+      (3L, "totally unrelated words in this document body here"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val r = Dedup.spanDuplicates(d, spanTokens = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getBoolean(3)))).toMap
+    assert(r(1L)._3 && r(2L)._3, "sharing docs flagged")
+    assert(r(1L)._2 == 1 && r(2L)._2 == 1, "exactly the one shared window")
+    assert(!r(3L)._3 && r(3L)._2 == 0)
+    assert(r(4L) == ((1, 0, false)), "short doc: one truncated unique window")
+    // identical docs: every window duplicated
+    val twin = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val t = Dedup.spanDuplicates(twin, spanTokens = 4).collect()
+      .map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(t(1L) == 3 && t(2L) == 3)
+  }
+
   test("crossLshJaccard: bipartite matches, no within-side pairs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
