@@ -966,6 +966,11 @@ object SparkEntry {
     "graph_assortativity" -> ((s, dir) =>
       // degree-mixing Pearson coefficient over edge ends — one row
       graft.operators.Graph.degreeAssortativity(coPurchaseEdges(s, dir))),
+    "graph_ktruss" -> ((s, dir) =>
+      // 6-truss of the co-purchase graph (edges in >= 4 triangles after
+      // peeling): 4 rounds to fixpoint at sf0.01; oracle unrolls 8
+      // (peeling is idempotent past the fixpoint)
+      graft.operators.Graph.kTruss(coPurchaseEdges(s, dir), k = 6)),
     "graph_kcore" -> ((s, dir) =>
       // 20-core of the co-purchase graph: at sf0.01 this takes 9 peel
       // rounds with real cascades (500 -> 404 nodes) to the fixpoint
@@ -1500,6 +1505,7 @@ object SparkEntry {
     "graph_modularity" -> OracleFragments.graphModularity(rounds = 3),
     "graph_assortativity" -> OracleFragments.graphAssortativity,
     "graph_kcore" -> OracleFragments.graphKCore(k = 20, rounds = 12),
+    "graph_ktruss" -> OracleFragments.graphKTruss(k = 6, rounds = 8),
     "graph_shortest_paths" -> OracleFragments.graphShortestPaths(maxHops = 4),
     "text_pii_redact" -> OracleFragments.textPiiRedact,
     "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
@@ -2444,6 +2450,40 @@ object OracleFragments {
     s"""WITH ${bfsCtes(maxHops, landmarkMod)}
         SELECT dist, count(*)::BIGINT AS n_pairs
         FROM r$maxHops WHERE dist > 0 GROUP BY 1"""
+
+  /** Mirror of Graph.kTruss: unrolled support-peel rounds. Per round,
+    * edge support = common-neighbor count over the symmetrized
+    * adjacency (the oracle needs no orientation — each common neighbor
+    * IS one triangle through the edge), then edges below k−2 drop.
+    * Rounds MATERIALIZED ([[graphKCore]] rationale); peeling is
+    * idempotent past the fixpoint, so the fixed unroll cannot drift
+    * from Spark's early convergence stop. Final select recomputes
+    * support on the fixpoint subgraph — exactly what Spark returns. */
+  def graphKTruss(k: Int, rounds: Int): String = {
+    def supSql(prev: String): String =
+      s"""SELECT e.src, e.dst, count(*) AS sup
+          FROM $prev e
+          JOIN (SELECT src AS n, dst AS x FROM $prev
+                UNION ALL SELECT dst AS n, src AS x FROM $prev) a1
+            ON a1.n = e.src
+          JOIN (SELECT src AS n, dst AS x FROM $prev
+                UNION ALL SELECT dst AS n, src AS x FROM $prev) a2
+            ON a2.n = e.dst AND a1.x = a2.x
+          GROUP BY 1, 2"""
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""s$i AS MATERIALIZED (${supSql(prev)}),
+          e$i AS MATERIALIZED (
+            SELECT e.src, e.dst FROM $prev e
+            LEFT JOIN s$i s ON s.src = e.src AND s.dst = e.dst
+            WHERE coalesce(s.sup, 0) >= ${k - 2})"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          $steps,
+          sf AS MATERIALIZED (${supSql(s"e$rounds")})
+        SELECT e.src, e.dst, coalesce(s.sup, 0)::BIGINT AS support
+        FROM e$rounds e LEFT JOIN sf s ON s.src = e.src AND s.dst = e.dst"""
+  }
 
   /** Unrolled directed power iterations mirroring Graph.pageRankDirected:
     * canonical (src < dst) edges kept directed, dangling mass (nodes with

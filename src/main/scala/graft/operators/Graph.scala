@@ -551,6 +551,98 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Per-edge triangle support over a scratch-backed canonical edge
+    * table: for each edge (a, b), how many triangles contain it
+    * (= |N(a)∩N(b)|). The [[triangleCount]] degree-oriented wedge
+    * enumeration — each triangle found exactly once, per-node wedge
+    * fanout O(√m) on power-law graphs — then each triangle credits its
+    * THREE canonical edges via one explode + keyed count. Returns the
+    * support frame and the oriented scratch table's path (the frame's
+    * plan reads it; the caller retires it after consuming). */
+  private def edgeSupport(e: DataFrame): (DataFrame, String) = {
+    import graft.ops.Scratch
+    val deg = degrees(e)
+    def ord(degC: Column, idC: Column): Column = struct(degC, idC)
+    val withDeg = e
+      .join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "sdeg"), Seq("src"))
+      .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "ddeg"), Seq("dst"))
+    val flip = ord(col("sdeg"), col("src")) < ord(col("ddeg"), col("dst"))
+    val (o, oPath) = Scratch.materializeAt(
+      withDeg.select(
+        when(flip, col("src")).otherwise(col("dst")).as("u"),
+        when(flip, col("dst")).otherwise(col("src")).as("v"),
+        when(flip, col("ddeg")).otherwise(col("sdeg")).as("vdeg")),
+      "truss_oriented")
+    val w1 = o.select(col("u"), col("v").as("v1"), col("vdeg").as("v1deg"))
+    val w2 = o.select(col("u"), col("v").as("v2"), col("vdeg").as("v2deg"))
+    val tri = w1.join(w2, Seq("u"))
+      .filter(ord(col("v1deg"), col("v1")) < ord(col("v2deg"), col("v2")))
+      .join(o.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    val support = tri.select(explode(array(
+        struct(least(col("u"), col("v1")).as("src"),
+          greatest(col("u"), col("v1")).as("dst")),
+        struct(least(col("u"), col("v2")).as("src"),
+          greatest(col("u"), col("v2")).as("dst")),
+        struct(least(col("v1"), col("v2")).as("src"),
+          greatest(col("v1"), col("v2")).as("dst")))).as("edge"))
+      .select(col("edge.src").as("src"), col("edge.dst").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("support"))
+    (support, oPath)
+  }
+
+  /**
+   * k-truss subgraph (Cohen 2008; the GDS k-truss decomposition for a
+   * fixed k): peel edges supported by fewer than k−2 triangles,
+   * recompute, repeat until fixpoint — the edge-level strengthening of
+   * [[kCore]] (every k-truss edge sits in a (k−1)-core, but trussness
+   * demands the triangles actually close). Returns the surviving edges
+   * with their within-truss support (all ≥ k−2).
+   *
+   * Loop discipline matches [[kCore]]: each round materializes the
+   * surviving edge set with the OBSERVED edge count riding the write;
+   * stops when the count stops shrinking (peeling is monotone),
+   * `maxRounds` as the runaway backstop. Per round: the degree-oriented
+   * triangle enumeration (each triangle once, wedge fanout O(√m) per
+   * node), one explode (3 rows per triangle), two keyed aggregates —
+   * no windows, no driver iteration, constant-size plans. Peeling is
+   * idempotent past the fixpoint (the unrolled-round oracle contract).
+   */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    import graft.ops.Scratch
+    require(k >= 3, "k must be >= 3")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    val minSup = (k - 2).toLong
+    var (e, em, ePath) = Scratch.materializeObservedAt(
+      canonicalEdges(edges), "truss_edges", count(lit(1)).as("n"))
+    var n = em("n").asInstanceOf[Long]
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged && rounds < maxRounds) {
+      val (sup, oPath) = edgeSupport(e)
+      val (e2, m2, p2) = Scratch.materializeObservedAt(
+        e.join(sup, Seq("src", "dst"), "left")
+          .filter(coalesce(col("support"), lit(0L)) >= minSup)
+          .select(col("src"), col("dst")),
+        "truss_edges", count(lit(1)).as("n"))
+      val n2 = m2("n").asInstanceOf[Long]
+      Scratch.drop(spark, ePath)
+      Scratch.drop(spark, oPath)
+      e = e2; ePath = p2
+      converged = n2 == n || n2 == 0L
+      n = n2
+      rounds += 1
+    }
+    // final support over the fixpoint subgraph; its oriented table (and
+    // the final edge table) back the returned plan — session shutdown
+    // reclaims them
+    val (sup, _) = edgeSupport(e)
+    e.join(sup, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /**
    * Hop-bounded weighted single-source shortest paths (the GDS
    * Dijkstra/δ-stepping surface, in the deterministic bounded-relaxation

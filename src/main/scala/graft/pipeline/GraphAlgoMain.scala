@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
  *                                pagerank_directed | pagerank_personalized |
  *                                triangles | clustering_coeff |
  *                                components | label_propagation | kcore |
+ *                                ktruss |
  *                                shortest_paths | common_neighbors |
  *                                node_similarity | adamic_adar |
  *                                harmonic | closeness | betweenness |
@@ -105,6 +106,8 @@ object GraphAlgoMain {
         Graph.labelPropagation(edges, opts.get("rounds").map(_.toInt).getOrElse(3))
       case "kcore" =>
         Graph.kCore(edges, opts.get("kcore_k").map(_.toInt).getOrElse(3))
+      case "ktruss" =>
+        Graph.kTruss(edges, opts.get("truss_k").map(_.toInt).getOrElse(4))
       case "shortest_paths" =>
         val sources = opts.get("source") match {
           case Some(id) => edges.select(col("src").as("node"))

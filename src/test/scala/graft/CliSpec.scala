@@ -121,6 +121,7 @@ class CliSpec extends SparkTestBase {
     assert(run("components").select("component").distinct().count() == 1)
     val core = run("kcore", Map("kcore_k" -> "3"))
     assert(core.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(run("ktruss", Map("truss_k" -> "4")).count() == 6)
     val d = run("shortest_paths", Map("source" -> "5", "weight" -> "cost"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(d(5L) == 0.0 && d(4L) == 2.0 && d(1L) == 3.0)

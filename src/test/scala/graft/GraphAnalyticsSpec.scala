@@ -285,6 +285,7 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(Graph.articleRank(empty, iters = 2).count() == 0)
     assert(Graph.hits(empty, iters = 2).count() == 0)
     assert(Graph.distanceDistribution(empty).count() == 0)
+    assert(Graph.kTruss(empty, k = 3).count() == 0)
     assert(Graph.modularity(empty,
       Seq.empty[(Long, Long)].toDF("node", "label")).count() == 0)
     val ea = Graph.degreeAssortativity(empty).head()
@@ -381,6 +382,27 @@ class GraphAnalyticsSpec extends SparkTestBase {
       sources = Some(Seq(1L).toDF("node"))).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(b1(2L) == 1.0)
+  }
+
+  test("kTruss: K4 is a 4-truss, pendant edges peel, cascade removes the bridge triangle") {
+    // K4 + pendant (4,5): every K4 edge sits in 2 triangles, the
+    // pendant in none
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val t4 = Graph.kTruss(k4p, k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(t4.values.forall(_ == 2L))
+    // k=5 demands 3 triangles per edge: K4 dies entirely
+    assert(Graph.kTruss(k4p, k = 5).count() == 0)
+    // cascade: a triangle hanging off K4 by one shared edge survives
+    // k=3 (1 triangle each) but peels at k=4 while K4 survives
+    val hang = k4p.union(Seq((3L, 6L), (4L, 6L)).toDF("src", "dst"))
+    val t3 = Graph.kTruss(hang, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!t3.exists(e => e._1 == 6L || e._2 == 6L), "hanging triangle peeled")
+    assert(t3.size == 6, "K4 intact")
   }
 
   test("articleRank: average-degree damping pulls low-degree neighbors below pageRank") {
