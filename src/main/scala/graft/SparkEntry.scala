@@ -889,11 +889,16 @@ object SparkEntry {
     "graph_betweenness" -> ((s, dir) => {
       // Brandes dependency accumulation from the landmark sample
       // (Brandes–Pich pivot estimation — the published scale practice):
-      // σ forward levels + δ backward levels over scratch tables
+      // σ forward levels + δ backward levels over scratch tables.
+      // Pivot set mod 400 (sparser than the harmonic/closeness dial —
+      // ~|V|/100 pivots): betweenness runs ~7 σ/δ rounds over the
+      // |S|·ball pair space, so the pivot count is the cost dial
+      // Brandes–Pich says to keep small and near-CONSTANT as the graph
+      // grows
       val e = coPurchaseEdges(s, dir)
       val landmarks = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
-        .filter(pmod(col("node"), lit(50)) === 0).distinct()
+        .filter(pmod(col("node"), lit(400)) === 0).distinct()
       graft.operators.Graph.betweennessCentrality(e, maxHops = 3,
         sources = Some(landmarks))
         .orderBy(col("betweenness").desc, col("node"))
@@ -1488,7 +1493,7 @@ object SparkEntry {
     "graph_harmonic" -> OracleFragments.graphHarmonic(maxHops = 3, landmarkMod = 50),
     "graph_closeness" -> OracleFragments.graphCloseness(maxHops = 3, landmarkMod = 50),
     "graph_betweenness" ->
-      OracleFragments.graphBetweenness(maxHops = 3, landmarkMod = 50, k = 50),
+      OracleFragments.graphBetweenness(maxHops = 3, landmarkMod = 400, k = 50),
     "graph_random_walks" -> OracleFragments.graphRandomWalks(steps = 3, salt = "walk"),
     "graph_fastrp" -> OracleFragments.graphFastRP(
       dims = 8, iterations = 2, weights = Seq(1.0, 1.0), salt = "frp"),

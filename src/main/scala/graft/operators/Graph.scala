@@ -932,11 +932,13 @@ object Graph {
    * 2^53); each δ term is 9-dp-rounded and summed as DECIMAL(28,12)
    * (summation-order-exact), as is the final per-node sum, 6-dp output.
    *
-   * Scale shape: 2·maxHops scratch-table rounds (forward σ levels,
-   * backward δ levels), each one adjacency×level equi-join plus a
-   * (s, node) keyed aggregate — flat rows across the cluster, no
-   * per-task state, no windows; per-level σ/δ tables back the plan and
-   * are reclaimed at session shutdown.
+   * Scale shape: maxHops frontier-incremental forward rounds (σ rides
+   * the BFS — distances and path counts in one loop, each (s, node)
+   * pair expanded exactly once) plus maxHops backward δ rounds, each
+   * one adjacency×level equi-join and a (s, node) keyed aggregate —
+   * flat rows across the cluster, no per-task state, no windows;
+   * per-level δ tables back the plan and are reclaimed at session
+   * shutdown.
    */
   def betweennessCentrality(
       edges: DataFrame,
@@ -944,25 +946,14 @@ object Graph {
       sources: Option[DataFrame] = None): DataFrame = {
     import graft.ops.Scratch
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-    val (dist, adj, _) = bfsDistances(edges, maxHops, sources, "btw")
-    // forward: σ level by level; σ(s, v at level h) = Σ σ(s, u at h-1)
-    // over edges (u, v). Integer counts — kept as longs.
-    val sigma = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    sigma += Scratch.materialize(
-      dist.filter(col("dist") === 0)
-        .select(col("s"), col("node"), lit(1L).as("sigma")),
-      "btw_sig0")
-    for (h <- 1 to maxHops) {
-      val level = dist.filter(col("dist") === h)
-        .select(col("s"), col("node"))
-      sigma += Scratch.materialize(
-        adj.join(sigma(h - 1), adj("src") === sigma(h - 1)("node"))
-          .select(col("s"), adj("dst").as("node"), col("sigma"))
-          .join(level, Seq("s", "node"), "left_semi")
-          .groupBy(col("s"), col("node"))
-          .agg(sum(col("sigma")).as("sigma")),
-        s"btw_sig$h")
-    }
+    // forward pass: distances AND path counts in ONE frontier-
+    // incremental loop (σ rides the BFS — every shortest path to a
+    // first-discovered node enters through the previous level); each
+    // per-level σ table below is a filtered scan of the one result,
+    // not a separate materialization
+    val (tbl, adj, _) = bfsSigma(edges, maxHops, sources, "btw")
+    def sigma(h: Int): DataFrame =
+      tbl.filter(col("dist") === h).select(col("s"), col("node"), col("sigma"))
     // backward: δ at the deepest level is 0; each level pulls from the
     // one below through the same adjacency (the level keys make the
     // join predecessor-only). A node with no successors keeps δ = 0 —
@@ -970,8 +961,7 @@ object Graph {
     // to ITS predecessors on the next round. Terms 9-dp-rounded under
     // a DECIMAL sum — summation-order-exact.
     val deltas = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    var below = sigma(maxHops).select(col("s"), col("node"),
-      col("sigma"), lit(0.0d).as("delta"))
+    var below = sigma(maxHops).withColumn("delta", lit(0.0d))
     for (h <- maxHops - 1 to 0 by -1) {
       val fromBelow = adj.join(below, adj("dst") === below("node"))
         .select(col("s"), adj("src").as("node"),
@@ -1029,9 +1019,15 @@ object Graph {
     }
     var dist = seed.select(col("s"), col("s").as("node"), lit(0).as("dist"))
     var distPath: String = null
-    for (_ <- 1 to maxHops) {
-      val expanded = adj.join(dist, adj("src") === dist("node"))
-        .select(dist("s"), adj("dst").as("node"), (dist("dist") + 1).as("d"))
+    for (h <- 1 to maxHops) {
+      // frontier-restricted round: only the pairs discovered LAST round
+      // expand — a BFS frontier can't shorten a settled distance, so
+      // re-joining the whole ball against the adjacency every round
+      // (Σ-over-ball·deg fanout) would be pure waste; the union + min
+      // keeps the round at ONE keyed shuffle
+      val frontier = dist.filter(col("dist") === h - 1)
+      val expanded = adj.join(frontier, adj("src") === frontier("node"))
+        .select(frontier("s"), adj("dst").as("node"), lit(h).as("d"))
       val (next, nextPath) = Scratch.materializeAt(
         dist.select(col("s"), col("node"), col("dist").as("d"))
           .union(expanded)
@@ -1042,6 +1038,51 @@ object Graph {
       distPath = nextPath
     }
     (dist, adj, adjPath)
+  }
+
+  /** [[bfsDistances]] fused with the Brandes forward pass: each round
+    * also carries σ(s, node) — the shortest-path count, summed from the
+    * frontier predecessors' σ along the expanding edges (every shortest
+    * path to a first-discovered node enters through the previous
+    * level). Same frontier-incremental shape: one adjacency×frontier
+    * equi-join, one anti-join, one keyed integer sum per round. */
+  private def bfsSigma(
+      edges: DataFrame,
+      maxHops: Int,
+      sources: Option[DataFrame],
+      prefix: String): (DataFrame, DataFrame, String) = {
+    import graft.ops.Scratch
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = canonicalEdges(edges)
+    val (adj, adjPath) = Scratch.materializeAt(
+      e0.select(col("src"), col("dst"))
+        .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+      s"${prefix}_adj")
+    val seed = sources match {
+      case None => adj.select(col("src").as("s")).distinct()
+      case Some(df) =>
+        df.select(col(df.columns.head).as("s")).distinct()
+          .join(adj.select(col("src").as("s")).distinct(), Seq("s"), "left_semi")
+    }
+    var tbl = seed.select(col("s"), col("s").as("node"),
+      lit(0).as("dist"), lit(1L).as("sigma"))
+    var tblPath: String = null
+    for (h <- 1 to maxHops) {
+      val frontier = tbl.filter(col("dist") === h - 1)
+      val cand = adj.join(frontier, adj("src") === frontier("node"))
+        .select(frontier("s"), adj("dst").as("node"), col("sigma"))
+        .join(tbl.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
+        .groupBy(col("s"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("node"), lit(h).as("dist"), col("sigma"))
+      val (next, nextPath) = Scratch.materializeAt(
+        tbl.union(cand), s"${prefix}_tbl")
+      if (tblPath != null) Scratch.drop(spark, tblPath)
+      tbl = next
+      tblPath = nextPath
+    }
+    (tbl, adj, adjPath)
   }
 
   /**
