@@ -968,6 +968,13 @@ object SparkEntry {
       graft.operators.Graph.modularity(e,
         graft.operators.Graph.labelPropagation(e, rounds = 3))
     }),
+    "graph_conductance" -> ((s, dir) => {
+      // boundary-leakage audit of the same LPA communities that
+      // graph_modularity scores for density
+      val e = coPurchaseEdges(s, dir)
+      graft.operators.Graph.conductance(e,
+        graft.operators.Graph.labelPropagation(e, rounds = 3))
+    }),
     "graph_assortativity" -> ((s, dir) =>
       // degree-mixing Pearson coefficient over edge ends — one row
       graft.operators.Graph.degreeAssortativity(coPurchaseEdges(s, dir))),
@@ -1508,6 +1515,7 @@ object SparkEntry {
       OracleFragments.graphDistanceDistribution(maxHops = 3, landmarkMod = 50),
     "graph_eigenvector" -> OracleFragments.graphEigenvector(iters = 3),
     "graph_modularity" -> OracleFragments.graphModularity(rounds = 3),
+    "graph_conductance" -> OracleFragments.graphConductance(rounds = 3),
     "graph_assortativity" -> OracleFragments.graphAssortativity,
     "graph_kcore" -> OracleFragments.graphKCore(k = 20, rounds = 12),
     "graph_ktruss" -> OracleFragments.graphKTruss(k = 6, rounds = 8),
@@ -2989,6 +2997,52 @@ object OracleFragments {
                      / (2.0::DOUBLE * (SELECT m FROM mm)::DOUBLE)),
                  9) AS q_contrib
         FROM cs LEFT JOIN intra i ON i.label = cs.label"""
+  }
+
+  /** Mirror of Graph.conductance over 3-round-LPA communities: per
+    * community, boundary-edge count (each boundary edge cuts both its
+    * labeled sides) over min(volume, 2m − volume) — all-integer inputs,
+    * one 9-dp division. */
+  def graphConductance(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (SELECT a.n AS node, l.label, count(*) AS c
+                  FROM adj a JOIN $prev l ON a.x = l.node GROUP BY 1, 2),
+          l$i AS (SELECT node, label FROM (
+                    SELECT node, label,
+                           row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) AS rn
+                    FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val denom = s"least(cs.volume, 2*(SELECT m FROM mm) - cs.volume)"
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj),
+          $stages,
+          mm AS (SELECT count(*)::BIGINT AS m FROM e0),
+          deg AS (SELECT node, count(*)::BIGINT AS degree
+                  FROM (SELECT src AS node FROM e0
+                        UNION ALL SELECT dst AS node FROM e0) GROUP BY 1),
+          sides AS (SELECT ls.label AS ls, ld.label AS ld FROM e0
+                    LEFT JOIN l$rounds ls ON ls.node = e0.src
+                    LEFT JOIN l$rounds ld ON ld.node = e0.dst),
+          cuts AS (SELECT label,
+                          sum(CASE WHEN other IS NULL OR other <> label
+                              THEN 1 ELSE 0 END)::BIGINT AS cut_edges
+                   FROM (SELECT ls AS label, ld AS other FROM sides
+                         UNION ALL SELECT ld AS label, ls AS other FROM sides)
+                   WHERE label IS NOT NULL GROUP BY 1),
+          cs AS (SELECT l.label, count(*)::BIGINT AS n_nodes,
+                        coalesce(sum(d.degree), 0)::BIGINT AS volume
+                 FROM l$rounds l LEFT JOIN deg d ON d.node = l.node GROUP BY 1)
+        SELECT cs.label, cs.n_nodes,
+               coalesce(c.cut_edges, 0)::BIGINT AS cut_edges, cs.volume,
+               CASE WHEN $denom > 0
+                    THEN round(coalesce(c.cut_edges, 0)::DOUBLE
+                               / ($denom)::DOUBLE, 9)
+               END AS conductance
+        FROM cs LEFT JOIN cuts c ON c.label = cs.label"""
   }
 
   /** Mirror of Graph.degreeAssortativity: exact BIGINT moment sums over

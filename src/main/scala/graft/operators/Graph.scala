@@ -1376,6 +1376,76 @@ object Graph {
   }
 
   /**
+   * Conductance of a community assignment (the GDS conductance metric;
+   * Kannan–Vempala–Vetta 2004): per community c,
+   *
+   *   φ(c) = cut(c) / min(vol(c), 2m − vol(c))
+   *
+   * where cut(c) = edges with exactly one endpoint in c, vol(c) = the
+   * total degree of c's nodes — how leaky the community boundary is
+   * (0 = island, →1 = no internal cohesion). The companion audit to
+   * [[modularity]]: modularity rewards density vs the random graph,
+   * conductance measures the boundary directly. Returns one row per
+   * community — (label, n_nodes, cut_edges, volume, conductance);
+   * NULL conductance for a zero-volume community (all-isolated nodes).
+   * Unlabeled endpoints count as "outside", so a partial labeling is
+   * audited against the rest of the graph.
+   *
+   * All-integer inputs (counts, degree sums) — one IEEE division at
+   * the end, 9-dp-rounded. One scratch materialization of the edge
+   * table (its write carries m), two label equi-joins, two keyed
+   * aggregates — no windows, no driver iteration.
+   */
+  def conductance(
+      edges: DataFrame,
+      communities: DataFrame,
+      nodeCol: String = "node",
+      labelCol: String = "label"): DataFrame = {
+    import graft.ops.Scratch
+    val spark = edges.sparkSession
+    val lbl = communities.select(col(nodeCol).as("node"),
+      col(labelCol).as("label"))
+    val (e, em, ePath) = Scratch.materializeObservedAt(
+      canonicalEdges(edges), "cond_edges", count(lit(1)).as("m"))
+    val m = em("m").asInstanceOf[Long]
+    if (m == 0L) {
+      Scratch.drop(spark, ePath)
+      return lbl.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"), lit(0L).as("cut_edges"),
+          lit(0L).as("volume"), lit(null).cast("double").as("conductance"))
+        .limit(0)
+    }
+    // each edge end carries its own label and the OTHER end's label;
+    // a boundary edge contributes one cut to each labeled side
+    val sides = e
+      .join(lbl.select(col("node").as("src"), col("label").as("ls")),
+        Seq("src"), "left")
+      .join(lbl.select(col("node").as("dst"), col("label").as("ld")),
+        Seq("dst"), "left")
+    val cuts = sides.select(col("ls").as("label"), col("ld").as("other"))
+      .union(sides.select(col("ld").as("label"), col("ls").as("other")))
+      .filter(col("label").isNotNull)
+      .groupBy(col("label"))
+      .agg(sum(when(col("other").isNull || col("other") =!= col("label"), 1L)
+        .otherwise(0L)).as("cut_edges"))
+    val deg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val commStats = lbl.join(deg, Seq("node"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("degree")), lit(0L)).as("volume"))
+    val denom = least(col("volume"), lit(2L * m) - col("volume"))
+    commStats.join(cuts, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        col("volume"),
+        when(denom > 0L,
+          round(coalesce(col("cut_edges"), lit(0L)).cast("double")
+            / denom.cast("double"), 9)).as("conductance"))
+  }
+
+  /**
    * Degree assortativity coefficient (Newman 2002): the Pearson
    * correlation of endpoint degrees over the symmetrized edge ends —
    * positive when hubs attach to hubs (social nets), negative when hubs

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
  *                                node_similarity | adamic_adar |
  *                                harmonic | closeness | betweenness |
  *                                eigenvector | articlerank | hits |
- *                                modularity | assortativity |
+ *                                modularity | conductance | assortativity |
  *                                distance_distribution |
  *                                random_walks | fastrp
  *   --output <dir>               result parquet
@@ -154,7 +154,7 @@ object GraphAlgoMain {
         Graph.distanceDistribution(edges,
           maxHops = opts.get("max_hops").map(_.toInt).getOrElse(3),
           sources = landmarks)
-      case "modularity" =>
+      case "modularity" | "conductance" =>
         // communities from --labels <parquet (node,label)>, or derived
         // in-job by LPA when the flag is absent
         val communities = opts.get("labels") match {
@@ -162,7 +162,8 @@ object GraphAlgoMain {
           case None => Graph.labelPropagation(edges,
             opts.get("rounds").map(_.toInt).getOrElse(3))
         }
-        Graph.modularity(edges, communities)
+        if (req("algo") == "modularity") Graph.modularity(edges, communities)
+        else Graph.conductance(edges, communities)
       case "assortativity" => Graph.degreeAssortativity(edges)
       case "random_walks" =>
         Graph.randomWalks(edges, opts.get("steps").map(_.toInt).getOrElse(3))

@@ -138,6 +138,7 @@ class CliSpec extends SparkTestBase {
     assert(run("eigenvector").count() == 5)
     // in-job LPA labels; contributions exist for every community
     assert(run("modularity").count() >= 1)
+    assert(run("conductance").count() >= 1)
     assert(run("assortativity").head().getLong(0) == 14L)
     assert(run("articlerank").count() == 5)
     assert(run("hits").count() == 5)

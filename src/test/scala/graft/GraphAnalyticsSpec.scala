@@ -286,6 +286,8 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(Graph.hits(empty, iters = 2).count() == 0)
     assert(Graph.distanceDistribution(empty).count() == 0)
     assert(Graph.kTruss(empty, k = 3).count() == 0)
+    assert(Graph.conductance(empty,
+      Seq.empty[(Long, Long)].toDF("node", "label")).count() == 0)
     assert(Graph.modularity(empty,
       Seq.empty[(Long, Long)].toDF("node", "label")).count() == 0)
     val ea = Graph.degreeAssortativity(empty).head()
@@ -479,6 +481,32 @@ class GraphAnalyticsSpec extends SparkTestBase {
     val q2 = Graph.modularity(e, extra).collect()
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(q2(9L) == 0.0)
+  }
+
+  test("conductance: bridge cuts both communities; partial labeling audits against outside") {
+    // two K3s + bridge (3,4), labels = the two triangles: each side's
+    // cut is the one bridge edge, vol 7, min(7, 14-7)=7 -> 1/7
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "label")
+    val c = Graph.conductance(e, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(c(1L)._1 == 3L && c(1L)._2 == 1L && c(1L)._3 == 7L)
+    assert(math.abs(c(1L)._4 - 1.0 / 7.0) < 1e-8)
+    assert(math.abs(c(4L)._4 - 1.0 / 7.0) < 1e-8)
+    // partial labeling: only the first triangle labeled — the bridge
+    // endpoint's edge to UNLABELED 4 still cuts
+    val part = Graph.conductance(e,
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(part == Map(1L -> 1L))
+    // labeled isolated node: zero volume -> NULL conductance
+    val iso = Graph.conductance(e,
+      labels.union(Seq((9L, 9L)).toDF("node", "label"))).collect()
+      .filter(_.getLong(0) == 9L).head
+    assert(iso.getLong(3) == 0L && iso.isNullAt(4))
   }
 
   test("degreeAssortativity: star is perfectly disassortative, cycle is degenerate") {
