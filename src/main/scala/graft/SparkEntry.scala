@@ -340,6 +340,27 @@ object SparkEntry {
       // CCNet-style head/middle/tail terciles of the unigram-LM score
       // within each language (histogram thresholds, integer compares)
       graft.operators.TextAnalysis.lmQualityBuckets(t(s, dir, "documents"))),
+    "corpus_prepare_spans" -> ((s, dir) => {
+      // the compositor with the opt-in span-level boilerplate cut:
+      // docs >= 95% made of 8-token spans that appear elsewhere in the
+      // quality-filtered corpus are removed entirely (the ExactSubstr
+      // reading at document granularity), alongside the standard
+      // quality -> dedup -> decontaminate -> split -> shard chain
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val out = graft.ops.Scratch.dir(
+        s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare_spans")
+      graft.operators.Corpus.prepareTrainingSet(
+          docs.withColumn("quality",
+            graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+          bench, out,
+          splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+          minJaccard = 0.20, nShards = 8,
+          qualityFilter = Some("quality" -> 0.8),
+          spanDedup = Some((8, 0.95)))
+        .select(col("doc_id"), col("split").cast("string").as("split"))
+    }),
     "corpus_prepare_fuzzy" -> ((s, dir) => {
       // the compositor with the opt-in FUZZY decontamination stage:
       // exact 8-gram flags UNION near-dup (shingle-Jaccard >= 0.5)
@@ -1146,6 +1167,11 @@ object SparkEntry {
       nTokens = 8, minHits = 1, benchMod = 20,
       splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
       qualityKeep = Some(0.8), fuzzy = Some(0.5)),
+    "corpus_prepare_spans" -> OracleFragments.corpusPrepare(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.20,
+      nTokens = 8, minHits = 1, benchMod = 20,
+      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      qualityKeep = Some(0.8), spanDedup = Some((8, 0.95))),
     "sample_quality_weighted" -> OracleFragments.sampleQualityWeighted(
       Seq("src0" -> 0.9, "src1" -> 0.6), defaultRate = 0.75),
     "sample_temperature" -> OracleFragments.sampleTemperature,
@@ -1921,7 +1947,8 @@ object OracleFragments {
       splits: Seq[(String, Double)],
       qualityKeep: Option[Double] = None,
       temperature: Option[Double] = None,
-      fuzzy: Option[Double] = None): String = {
+      fuzzy: Option[Double] = None,
+      spanDedup: Option[(Int, Double)] = None): String = {
     // the oracle gate pins T=2: its exponent 0.5 computes via sqrt,
     // IEEE-correctly-rounded hence bit-identical cross-engine (pow is
     // not — see temperatureMixtureSample)
@@ -1968,6 +1995,26 @@ object OracleFragments {
             (${decontaminateFuzzy(bands, rowsPerBand, fj, corpusSrc = "reps", benchMod = benchMod)})),""",
           " AND NOT EXISTS (SELECT 1 FROM fuzzybad f WHERE f.doc_id = r.doc_id)")
     }
+    // optional span-level boilerplate cut (Dedup.spanDuplicates over the
+    // pre-dedup corpus): kept additionally drops docs whose distinct
+    // span-window set is >= maxDupFraction duplicated corpus-wide
+    val (spanCtes, spanPred) = spanDedup match {
+      case None => ("", "")
+      case Some((n, frac)) =>
+        (s"""
+          sdg AS (SELECT DISTINCT doc_id,
+                         ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+                  FROM (SELECT doc_id, unnest(${tokenShingles(n)}) AS g
+                        FROM $corpusSrc)
+                  WHERE length(g) > 0),
+          sp AS (SELECT gram, count(*) AS n_docs FROM sdg GROUP BY 1),
+          spanstat AS (SELECT sdg.doc_id, count(*) AS n_spans,
+                              sum(CASE WHEN sp.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+                       FROM sdg JOIN sp USING (gram) GROUP BY 1),
+          spanbad AS (SELECT doc_id FROM spanstat
+                      WHERE n_dup::DOUBLE >= $frac * n_spans::DOUBLE),""",
+          " AND NOT EXISTS (SELECT 1 FROM spanbad sb WHERE sb.doc_id = r.doc_id)")
+    }
     // optional mixture stage (Corpus.temperatureMixtureSample over the
     // post-decontamination survivors): rates from the kept per-source
     // counts, keep iff the tmix:-salted coin clears ⌊sqrt(min/n)·2^32⌋
@@ -2005,9 +2052,9 @@ object OracleFragments {
                        FROM reps)
                  WHERE length(g) > 0),
           hits AS (SELECT dg.doc_id, count(DISTINCT dg.gram) AS n_gram_hits
-                   FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id),$fuzzyCtes
+                   FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id),$fuzzyCtes$spanCtes
           kept AS (SELECT r.doc_id FROM reps r LEFT JOIN hits h USING (doc_id)
-                   WHERE coalesce(h.n_gram_hits, 0) < $minHits$fuzzyPred)$mixtureCtes
+                   WHERE coalesce(h.n_gram_hits, 0) < $minHits$fuzzyPred$spanPred)$mixtureCtes
         SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split
         FROM $finalSrc"""
   }

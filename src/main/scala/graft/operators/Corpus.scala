@@ -675,9 +675,14 @@ object Corpus {
       temperature: Option[Double] = None,
       mixtureRates: Option[(Map[String, Double], Double)] = None,
       sourceCol: String = "source",
-      fuzzyDecontaminate: Option[Double] = None): DataFrame = {
+      fuzzyDecontaminate: Option[Double] = None,
+      spanDedup: Option[(Int, Double)] = None): DataFrame = {
     require(temperature.isEmpty || mixtureRates.isEmpty,
       "set at most one of temperature / mixtureRates")
+    spanDedup.foreach { case (n, frac) =>
+      require(n >= 1 && frac >= 0.0 && frac <= 1.0,
+        "spanDedup wants (spanTokens >= 1, maxDupFraction in [0,1])")
+    }
     // optional stage 0 — quality gate FIRST (cheapest stage, biggest
     // cut, and it shrinks everything downstream): keep the top fraction
     // per source by the given precomputed score column
@@ -700,6 +705,26 @@ object Corpus {
         graft.ops.Scratch.drop(docs.sparkSession, scoredPath)
         (b, Some(p))
       case None => (docs, None)
+    }
+    // optional span-level boilerplate cut (Lee et al. 2021 ExactSubstr
+    // reading at document granularity): documents whose distinct
+    // span-window set is >= maxDupFraction duplicated SOMEWHERE in the
+    // (quality-filtered, pre-dedup) corpus are dropped entirely — span
+    // sharing at this rate is boilerplate/syndication, and unlike the
+    // near-dup stage (which keeps one representative per cluster) the
+    // point here is to remove the content itself. The flagged-id table
+    // materializes NOW because the base artifact it reads retires as
+    // soon as the dedup reps are written; the ids are consumed by the
+    // kept chain during the shard write.
+    val spanBad = spanDedup.map { case (n, frac) =>
+      graft.ops.Scratch.materializeAt(
+        Dedup.spanDuplicates(base, spanTokens = n, idCol = idCol)
+          // span-less (empty-text) docs carry no duplication signal —
+          // 0 >= frac·0 would flag them all
+          .filter(col("n_spans") > 0 && col("n_dup_spans").cast("double")
+            >= lit(frac) * col("n_spans").cast("double"))
+          .select(col("doc_id").as(idCol)),
+        "corpus_spanbad")
     }
     val pairs = Dedup.lshJaccard(base, minJaccard = minJaccard)
     // the post-dedup corpus is a STAGE ARTIFACT: decontaminate scans it
@@ -726,7 +751,7 @@ object Corpus {
     // Same machinery as decontaminate_fuzzy's standalone query; both
     // sides of the bipartite LSH scan once into scratch signature
     // tables, so this adds one candidate join, not a corpus rescan.
-    val clean = fuzzyDecontaminate match {
+    val clean1 = fuzzyDecontaminate match {
       case None => clean0
       case Some(minJ) =>
         clean0.join(
@@ -734,6 +759,10 @@ object Corpus {
             rightIdCol = "bench_id", minJaccard = minJ)
             .select(col("a").as(idCol)).distinct(),
           Seq(idCol), "left_anti")
+    }
+    val clean = spanBad match {
+      case None => clean1
+      case Some((bad, _)) => clean1.join(bad, Seq(idCol), "left_anti")
     }
     // optional mixture balancing (stage 3) — see scaladoc for why the
     // clean corpus is materialized first
@@ -752,11 +781,12 @@ object Corpus {
     }
     val withSplit = assignSplits(balanced, splits, idCol)
     writeShards(withSplit, outDir, nShards, idCol = idCol)
-    // the shard write was the last reader of the remaining stage artifact
+    // the shard write was the last reader of the remaining stage artifacts
     cleanPath match {
       case Some(p) => graft.ops.Scratch.drop(docs.sparkSession, p)
       case None => graft.ops.Scratch.drop(docs.sparkSession, repsPath)
     }
+    spanBad.foreach { case (_, p) => graft.ops.Scratch.drop(docs.sparkSession, p) }
     // hand back a scan of the JUST-WRITTEN shards, not the producing
     // plan — a caller action on the lazy plan would re-run the whole
     // dedup + decontaminate pipeline a second time

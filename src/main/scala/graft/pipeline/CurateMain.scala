@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
  *                                drop docs whose shingle Jaccard
  *                                against any benchmark doc clears this
  *                                (needs --benchmark; omit to skip)
+ *   --span_frac 0.95             optional span-level boilerplate cut:
+ *                                drop docs whose distinct token-window
+ *                                set is >= this fraction duplicated
+ *                                elsewhere in the corpus (omit to skip)
+ *   --span_tokens 8              window width for --span_frac
  *   --temperature 2.0            optional mixture balancing: flatten
  *                                post-decontamination source shares at
  *                                temperature T (omit to skip)
@@ -90,7 +95,9 @@ object CurateMain {
       qualityFilter = qualityKeep.map("quality" -> _),
       temperature = temperature,
       mixtureRates = mixtureRates,
-      fuzzyDecontaminate = opts.get("fuzzy_jaccard").map(_.toDouble))
+      fuzzyDecontaminate = opts.get("fuzzy_jaccard").map(_.toDouble),
+      spanDedup = opts.get("span_frac").map(f =>
+        (opts.get("span_tokens").map(_.toInt).getOrElse(8), f.toDouble)))
 
     val bySplit = prepared.groupBy(col("split")).agg(count(lit(1)).as("n"))
       .collect().map(r => s"${r.get(0)}=${r.getLong(1)}").sorted.mkString(", ")

@@ -175,4 +175,22 @@ class CliSpec extends SparkTestBase {
         "temperature" -> "2.0", "mixture" -> "web=0.5"))
     }
   }
+
+  test("CurateMain: --span_frac adds the span-level boilerplate cut") {
+    val outS = java.nio.file.Files.createTempDirectory("graft_curate_span").toString + "/shards"
+    graft.pipeline.CurateMain.run(spark, Map(
+      "input" -> s"${sf()}/documents.parquet",
+      "output" -> outS,
+      "span_frac" -> "0.95",
+      "splits" -> "train=1.0",
+      "shards" -> "2"))
+    val spanned = spark.read.parquet(outS)
+    assert(spanned.count() > 0)
+    val outBase = java.nio.file.Files.createTempDirectory("graft_curate_nospan").toString + "/shards"
+    graft.pipeline.CurateMain.run(spark, Map(
+      "input" -> s"${sf()}/documents.parquet",
+      "output" -> outBase, "splits" -> "train=1.0", "shards" -> "2"))
+    // the span cut can only REMOVE documents vs the plain chain
+    assert(spanned.count() <= spark.read.parquet(outBase).count())
+  }
 }
