@@ -24,16 +24,11 @@ object SparkEntry {
     * shutdown hook removes — no orphaned graft_* dirs after Verify/Bench. */
   private def tmpDir(prefix: String): String = graft.ops.Scratch.dir(None, prefix)
 
-  /** events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the column
-    * arrives as long nanos — convert to a real timestamp (µs, floored,
-    * matching DuckDB's ns→µs truncation). Integer `div` avoids the
-    * double-precision loss a `/` would introduce on ~1e18 values. */
-  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** events.parquet's `ts` flavor varies by driver version (long nanos /
+    * TIMESTAMP_NTZ / TIMESTAMP) — normalize to session-UTC TIMESTAMP
+    * micros (graft.operators.Events.normalizeEventTs). */
+  private def eventsTable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.normalizeEventTs(t(s, dir, "events"))
 
   /** The §7.3 minimum end-to-end slice: customer as node source, orders as
     * edge source, regex-routed, canonically projected, written through the
@@ -1059,6 +1054,58 @@ object SparkEntry {
       graft.operators.TextAnalysis.dsirScores(
         docs, docs.filter(pmod(col("doc_id"), lit(20)) === 0))
     }),
+    "text_bm25" -> ((s, dir) =>
+      // Okapi BM25 retrieval scores against a fixed query-term set —
+      // filter-before-shuffle, broadcast df/N, decimal-exact term sum
+      graft.operators.TextAnalysis.bm25Scores(t(s, dir, "documents"),
+        queryTerms = Seq("join", "vector", "stream", "window"))),
+    "text_ttr" -> ((s, dir) =>
+      graft.operators.TextAnalysis.lexicalDiversity(t(s, dir, "documents"))),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: k-means cells from the deterministic Lloyd build, then
+      // drop every vector with a smaller-id within-cell twin at >= 0.40
+      Similarity.semanticDedup(t(s, dir, "embeddings"),
+        threshold = 0.40, cells = 8, iters = 2)),
+    "ev_anomaly" -> ((s, dir) =>
+      graft.operators.Events.anomalies(eventsTable(s, dir), zThreshold = 2.5)),
+    "stats_corr" -> ((s, dir) =>
+      // bivariate statistics family: corr / covariance / regression
+      // aggregates — one partial+final hash aggregate, no shuffle beyond
+      // the group keys; rounding sits far above parallel-sum ulp noise
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_samp_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_pop_qp"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_discount"),
+          round(var_pop(col("l_quantity")), 6).as("var_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_price_qty"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept_price_qty"))),
+    "sketch_merge" -> ((s, dir) => {
+      // partition-wise sketch build + re-merge: per-source HLL sketches
+      // of document fingerprints UNION into a corpus-wide sketch — the
+      // incremental-distinct pattern (sketch per ingest partition,
+      // merged on read) that replaces a global count_distinct at 100 TB.
+      // Estimates are engine-specific; the ERROR CONTRACT is the oracle
+      // (sketch_approx pattern): estimate within 15% of the exact count
+      // both engines compute identically.
+      val d = t(s, dir, "documents").select(col("source"),
+        graft.functions.TextFunctions.md5Fingerprint(col("text")).as("fp"))
+      val per = d.groupBy(col("source")).agg(
+        hll_sketch_agg(col("fp")).as("sk"),
+        count_distinct(col("fp")).as("exact_fps"))
+      val perOut = per.select(col("source"), col("exact_fps"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_fps")) <=
+          col("exact_fps").cast("double") * 0.15).as("approx_ok"))
+      val globalSk = per.agg(hll_union_agg(col("sk")).as("sk"))
+      val globalExact = d.agg(count_distinct(col("fp")).as("exact_fps"))
+      val globalOut = globalSk.crossJoin(globalExact)
+        .select(lit("__all__").as("source"), col("exact_fps"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_fps")) <=
+            col("exact_fps").cast("double") * 0.15).as("approx_ok"))
+      perOut.unionByName(globalOut)
+    }),
     "hist_numeric" -> ((s, dir) =>
       // fixed-width numeric histogram: integer bucket arithmetic, exact
       // on both engines (floor of a double that is an exact .25-grid
@@ -1553,6 +1600,23 @@ object SparkEntry {
     "vocab_topk" -> OracleFragments.vocabTopK(minCount = 2, k = 50),
     "text_unigram_lm" -> OracleFragments.textUnigramLm,
     "dsir_scores" -> OracleFragments.dsirScores(benchMod = 20),
+    "text_bm25" -> OracleFragments.textBm25(
+      terms = Seq("join", "vector", "stream", "window"), k1 = 1.2, b = 0.75),
+    "text_ttr" -> OracleFragments.textTtr,
+    "dedup_semantic" -> OracleFragments.dedupSemantic(
+      cells = 8, iters = 2, threshold = 0.40),
+    "ev_anomaly" -> OracleFragments.evAnomaly(zThreshold = 2.5),
+    "stats_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp_qp,
+                round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_pop_qp,
+                round(stddev_samp(l_discount), 6) AS sd_discount,
+                round(var_pop(l_quantity), 6) AS var_qty,
+                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
+                round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept_price_qty
+         FROM lineitem GROUP BY 1""",
+    "sketch_merge" -> OracleFragments.sketchMerge,
     "hist_numeric" ->
       """SELECT floor(o_totalprice / 25000.0)::BIGINT AS bucket,
                 count(*) AS n,
@@ -2259,6 +2323,73 @@ object OracleFragments {
         SELECT x.vid AS a, y.vid AS b, ${cosineOf("x.v", "y.v")} AS sim
         FROM af x JOIN af y ON x.cell = y.cell AND x.vid < y.vid
         WHERE ${cosineOf("x.v", "y.v")} >= $threshold"""
+
+  /** SemDeDup verdicts (Similarity.semanticDedup): the same unrolled
+    * Lloyd assignment; dropped = any vector with a SMALLER-id within-cell
+    * neighbor at >= threshold (6-dp-rounded cosine, as cosineOf rounds). */
+  def dedupSemantic(cells: Int, iters: Int, threshold: Double): String =
+    s"""WITH ${ivfLloydCtes(cells, iters)},
+          dropped AS (
+            SELECT DISTINCT y.vid AS b
+            FROM af x JOIN af y ON x.cell = y.cell AND x.vid < y.vid
+            WHERE ${cosineOf("x.v", "y.v")} >= $threshold)
+        SELECT af.vid AS vec_id, af.cell, (d.b IS NULL) AS kept
+        FROM af LEFT JOIN dropped d ON af.vid = d.b"""
+
+  /** Okapi BM25 (TextAnalysis.bm25Scores): same normalization/tokens,
+    * exact long-sum avgdl, per-term 9-dp round summed as DECIMAL. */
+  def textBm25(terms: Seq[String], k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH lens AS (SELECT doc_id, len($toks)::BIGINT AS dl FROM documents),
+          st AS (SELECT count(*)::DOUBLE AS n_docs,
+                        (sum(dl)::DOUBLE / count(*)) AS avgdl FROM lens),
+          hits AS (SELECT doc_id, t.term FROM (
+                     SELECT doc_id, unnest($toks) AS term FROM documents) t
+                   WHERE t.term IN ($termList)),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+          df AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+          per AS (
+            SELECT tf.doc_id,
+                   round(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * ${k1 + 1d}
+                         / (tf.tf + $k1 * (${1d - b} + $b * l.dl / st.avgdl)),
+                     9)::DECIMAL(28,12) AS score
+            FROM tf JOIN df USING (term) JOIN lens l ON tf.doc_id = l.doc_id
+            CROSS JOIN st)
+        SELECT doc_id, count(*)::INT AS n_terms_matched,
+               round(sum(score)::DOUBLE, 6) AS bm25
+        FROM per GROUP BY 1"""
+  }
+
+  /** Type-token ratio (TextAnalysis.lexicalDiversity). */
+  val textTtr: String =
+    s"""SELECT doc_id,
+               len($toks)::BIGINT AS n_tokens,
+               len(list_distinct($toks))::BIGINT AS n_types,
+               round(len(list_distinct($toks))::DOUBLE / len($toks)::DOUBLE, 6) AS ttr
+        FROM documents"""
+
+  /** Per-type z-score anomalies (Events.anomalies): the filter applies to
+    * the ROUNDED z, exactly as the Spark side does. */
+  def evAnomaly(zThreshold: Double): String =
+    s"""WITH st AS (SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+                    FROM events GROUP BY 1)
+        SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+               round((e.value - st.m) / st.sd, 4) AS z
+        FROM events e JOIN st USING (event_type)
+        WHERE st.sd > 0 AND abs(round((e.value - st.m) / st.sd, 4)) > $zThreshold"""
+
+  /** HLL sketch build/merge error contract (sketch_merge): exact
+    * per-source and global distinct fingerprint counts both engines
+    * compute identically; the estimate-within-15% boolean is TRUE by
+    * contract (the sketch_approx pattern). */
+  val sketchMerge: String =
+    s"""WITH d AS (SELECT source, md5($norm) AS fp FROM documents)
+        SELECT source, count(DISTINCT fp) AS exact_fps, TRUE AS approx_ok
+        FROM d GROUP BY source
+        UNION ALL
+        SELECT '__all__' AS source, count(DISTINCT fp) AS exact_fps, TRUE AS approx_ok
+        FROM d"""
 
   def simIvfTopK(cells: Int, iters: Int, nProbe: Int, maxQueryId: Int, k: Int): String = {
     s"""WITH ${ivfLloydCtes(cells, iters)},

@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
  */
 object Events {
 
+  /** events.parquet has shipped with different timestamp flavors across
+    * driver versions: TIMESTAMP(NANOS) (read as long nanos under
+    * `nanosAsLong`), TIMESTAMP_NTZ micros, and plain TIMESTAMP.
+    * Normalize all three to a session-UTC TIMESTAMP at microsecond
+    * precision so every consumer — and the DuckDB oracle, which
+    * truncates ns→µs — sees identical micros. The NTZ→LTZ cast is an
+    * identity on the stored micros because every entry point pins
+    * `spark.sql.session.timeZone=UTC`. */
+  def normalizeEventTs(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => events
+    }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Output is one
     * row per session with bounds and counts. */
@@ -188,6 +206,32 @@ object Events {
 
   /** Top-N event types per user by count (rank + filter — the classic
     * grouped top-k that stays one shuffle). */
+  /** Per-type z-score anomaly detection: events whose `value` sits more
+    * than `zThreshold` population standard deviations from their
+    * event-type mean. The per-type stats frame is |event types| rows —
+    * broadcast — so the whole operator is one partial+final aggregate
+    * plus a map-side join: no window, no per-key sort, scan-speed at
+    * 100 TB. Types with zero variance (or a single event) can't score
+    * and are skipped. Rounding: mean/stddev differ between engines only
+    * in final ulps (parallel vs sequential summation), so the z-score is
+    * rounded to 4 dp — far above the ~1e-12 summation noise, far below
+    * any behavioral difference. */
+  def anomalies(
+      events: DataFrame,
+      zThreshold: Double = 2.5,
+      valueCol: String = "value",
+      typeCol: String = "event_type"): DataFrame = {
+    val stats = events.groupBy(col(typeCol))
+      .agg(avg(col(valueCol)).as("_mean"), stddev_pop(col(valueCol)).as("_sd"))
+      .filter(col("_sd") > 0d)
+    events
+      .join(broadcast(stats), Seq(typeCol))
+      .withColumn("z", round((col(valueCol) - col("_mean")) / col("_sd"), 4))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("event_id"), col(typeCol), round(col(valueCol), 4).as("value"),
+        col("z"))
+  }
+
   def topEventTypes(events: DataFrame, n: Int = 2): DataFrame = {
     val counts = events.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("user_id").orderBy(col("cnt").desc, col("event_type").asc)

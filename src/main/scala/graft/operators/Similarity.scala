@@ -147,6 +147,45 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with k-means, then within each cluster drop every vector that
+    * has a higher-similarity twin — semantically-duplicate documents
+    * whose TEXT differs (paraphrases, translations, boilerplate
+    * rewrites) that no lexical dedup catches. Keep-rule here is the
+    * deterministic rendition: a vector is dropped iff some SMALLER-id
+    * vector in its cell sits within `threshold` cosine; the minimum id
+    * of each semantic-dup chain survives.
+    *
+    * Scale shape: exactly [[ivfCosinePairs]] (zero-shuffle assignment
+    * over pinned centroids, cell-blocked pair join with the enforced
+    * block bound) plus one distinct + one anti-join on the id — never a
+    * corpus-wide O(n²). Returns (id, cell, kept); filter kept for the
+    * surviving corpus. */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      cells: Int = 8,
+      iters: Int = 2,
+      maxBlockRows: Long = 100000L): DataFrame = {
+    val (assigned, _) = ivfIndex(corpus, idCol, vecCol, cells, iters)
+    val a = Blocks.guardBlockSize(
+      assigned.select(col("cell"), col("vid").as("a"), col("v").as("va")),
+      "cell", maxBlockRows, "semanticDedup")
+    val dropped = a.hint("shuffle_hash")
+      .join(assigned.select(col("cell").as("cell_b"), col("vid").as("b"), col("v").as("vb")),
+        col("cell") === col("cell_b") && col("a") < col("b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("b")).distinct()
+    assigned.select(col("vid").as(idCol), col("cell"))
+      .join(dropped.withColumnRenamed("b", idCol).withColumn("_dropped", lit(true)),
+        Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("_dropped"), lit(false)).unary_!.as("kept"))
+  }
+
   /** IVF (inverted-file) index: deterministic k-means-lite — centroids
     * initialized from the first K vectors by id RANK (top-k by id, so
     * sparse / non-zero-based id spaces still yield exactly K centroids;
@@ -237,6 +276,12 @@ object Similarity {
     * assignment is reproducible across engines — the DuckDB oracle for
     * `sim_ivf_topk` re-derives it. */
   private def assignCells(c: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    // empty corpus -> zero centroids -> array_max(array()) is VOID and
+    // the struct-field extract below fails analysis; the well-defined
+    // answer is an empty assignment with the contract schema
+    if (cents.isEmpty)
+      return c.select(col("vid"), col("v"), lit(0).cast("int").as("cell"))
+        .filter(lit(false))
     val scored = cents.map { case (cell, cv) =>
       struct(
         round(cosine(col("v"), array(cv.map(lit(_)): _*)), 6).as("sim"),

@@ -374,6 +374,72 @@ object TextAnalysis {
       .select(col(idCol), col("lang"), col("avg_logp"), col("bucket"))
   }
 
+  /** Okapi BM25 relevance of every document to a fixed query-term set —
+    * the retrieval scorer a RAG-style eval or a query-targeted corpus
+    * selection runs over the training store (Robertson & Zaragoza 2009).
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale shape: the query set is a literal handful of terms, so the
+    * token explode is FILTERED to the query terms before any shuffle —
+    * the per-(doc,term) tf agg only ever sees matching tokens. N and
+    * avgdl ride in as one broadcast 1-row frame (avgdl is an exact
+    * long-sum ratio, not a float avg — summation-order-independent);
+    * df is |queryTerms| rows, broadcast. Determinism: per-term scores
+    * rounded to 9 dp and summed as DECIMAL — order-exact — then one
+    * 6-dp output round. */
+  def bm25Scores(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val lens = docs.select(col(idCol),
+      tokenCountWs(col(textCol)).cast("long").as("dl"))
+    // exact integer sums -> the double division is engine-reproducible
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val hits = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+    val tf = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = hits.select(col("term"), col(idCol)).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(df), Seq("term"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1d) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score",
+        round(col("idf") * col("tf") * lit(k1 + 1d) /
+          (col("tf") + lit(k1) * (lit(1d - b) + lit(b) * col("dl") / col("avgdl"))), 9)
+          .cast(dec))
+    perTerm.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_terms_matched"),
+        round(sum(col("score")).cast("double"), 6).as("bm25"))
+  }
+
+  /** Lexical diversity: per-document type-token ratio (distinct tokens /
+    * total tokens) — the cheapest template-spam and babble detector
+    * (near-0 TTR = one phrase repeated; near-1 on long docs = word-salad).
+    * Pure integer projection per document, no shuffle, exact. */
+  def lexicalDiversity(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Par.fanOut(docs.select(col(idCol), col(textCol))).select(
+      col(idCol),
+      tokenCountWs(col(textCol)).cast("long").as("n_tokens"),
+      size(array_distinct(tokens(col(textCol)))).cast("long").as("n_types"),
+      round(size(array_distinct(tokens(col(textCol)))).cast("double") /
+        tokenCountWs(col(textCol)).cast("double"), 6).as("ttr"))
+
   /** Document fingerprints: exact (md5 of normalized text) and
     * rolling-hash (min shingle hash, winnowing-style) via the native
     * one-pass MinShingleMd5 expression — no explode, no shuffle; both

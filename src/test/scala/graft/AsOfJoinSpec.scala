@@ -39,8 +39,9 @@ class AsOfJoinSpec extends SparkTestBase {
   }
 
   test("asOf row count equals left row count (left-join semantics)") {
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val ev = graft.operators.Events.normalizeEventTs(
+        spark.read.parquet(s"${sf()}/events.parquet"))
+      .withColumn("ts_ms", unix_millis(col("ts")))
     val right = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts_ms"), col("ts_ms").as("err_ms"))
     val out = AsOfJoin.asOf(ev.select(col("event_id"), col("user_id"), col("ts_ms")),

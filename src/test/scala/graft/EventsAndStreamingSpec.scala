@@ -8,8 +8,7 @@ import org.apache.spark.sql.functions._
 class EventsAndStreamingSpec extends SparkTestBase {
 
   private def events: DataFrame = {
-    val raw = spark.read.parquet(s"${sf()}/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Events.normalizeEventTs(spark.read.parquet(s"${sf()}/events.parquet"))
   }
 
   test("funnel: ordered steps, strictly-after semantics") {
@@ -97,7 +96,7 @@ class EventsAndStreamingSpec extends SparkTestBase {
       dir.resolve("events.parquet"))
     val q = EventStreams.startFileStream(
       spark, raw.schema, dir.toString, "stream_test",
-      prepare = df => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      prepare = df => Events.normalizeEventTs(df))
     try {
       q.processAllAvailable()
       val streamed = spark.sql("SELECT * FROM stream_test")

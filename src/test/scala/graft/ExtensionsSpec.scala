@@ -50,8 +50,7 @@ class ExtensionsSpec extends SparkTestBase {
   }
 
   test("session_window sessionization groups like the lag-based form") {
-    val events = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = Events.normalizeEventTs(spark.read.parquet(s"${sf()}/events.parquet"))
     val lagBased = Events.sessionize(events)
     val windowed = Events.sessionWindows(events)
     // same number of sessions overall and per user

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Events
 import graft.streaming.EventStreams
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -19,8 +20,7 @@ class StreamJoinSpec extends SparkTestBase {
   import spark.implicits._
 
   private def events: DataFrame = {
-    val raw = spark.read.parquet(s"${sf()}/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Events.normalizeEventTs(spark.read.parquet(s"${sf()}/events.parquet"))
   }
 
   private def side(kind: String, idName: String): DataFrame =
