@@ -376,6 +376,26 @@ object SparkEntry {
           fuzzyDecontaminate = Some(0.5))
         .select(col("doc_id"), col("split").cast("string").as("split"))
     }),
+    "corpus_prepare_semantic" -> ((s, dir) => {
+      // the compositor with the opt-in SemDeDup stage: alongside the
+      // lexical near-dup clustering, docs whose EMBEDDING has a
+      // smaller-id within-cell twin at >= 0.40 cosine are dropped —
+      // the paraphrase-level duplicate no lexical stage can pair
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val out = graft.ops.Scratch.dir(
+        s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare_semantic")
+      graft.operators.Corpus.prepareTrainingSet(
+          docs.withColumn("quality",
+            graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+          bench, out,
+          splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+          minJaccard = 0.20, nShards = 8,
+          qualityFilter = Some("quality" -> 0.8),
+          semanticDedup = Some(t(s, dir, "embeddings") -> 0.40))
+        .select(col("doc_id"), col("split").cast("string").as("split"))
+    }),
     "corpus_prepare_mixed" -> ((s, dir) => {
       // the compositor with the optional mixture stage ON: quality gate
       // -> dedup -> decontaminate -> temperature-flattened source
@@ -1219,6 +1239,11 @@ object SparkEntry {
       nTokens = 8, minHits = 1, benchMod = 20,
       splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
       qualityKeep = Some(0.8), spanDedup = Some((8, 0.95))),
+    "corpus_prepare_semantic" -> OracleFragments.corpusPrepare(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.20,
+      nTokens = 8, minHits = 1, benchMod = 20,
+      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      qualityKeep = Some(0.8), semantic = Some(0.40)),
     "sample_quality_weighted" -> OracleFragments.sampleQualityWeighted(
       Seq("src0" -> 0.9, "src1" -> 0.6), defaultRate = 0.75),
     "sample_temperature" -> OracleFragments.sampleTemperature,
@@ -2012,7 +2037,8 @@ object OracleFragments {
       qualityKeep: Option[Double] = None,
       temperature: Option[Double] = None,
       fuzzy: Option[Double] = None,
-      spanDedup: Option[(Int, Double)] = None): String = {
+      spanDedup: Option[(Int, Double)] = None,
+      semantic: Option[Double] = None): String = {
     // the oracle gate pins T=2: its exponent 0.5 computes via sqrt,
     // IEEE-correctly-rounded hence bit-identical cross-engine (pow is
     // not — see temperatureMixtureSample)
@@ -2079,6 +2105,21 @@ object OracleFragments {
                       WHERE n_dup::DOUBLE >= $frac * n_spans::DOUBLE),""",
           " AND NOT EXISTS (SELECT 1 FROM spanbad sb WHERE sb.doc_id = r.doc_id)")
     }
+    // optional SEMANTIC dedup (Similarity.semanticDedup over the
+    // quality-filtered corpus's embeddings, restricted by the same
+    // semi-join the Spark stage applies): kept additionally drops docs
+    // whose vector has a smaller-id within-cell twin at >= threshold
+    val (semCtes, semPred) = semantic match {
+      case None => ("", "")
+      case Some(thr) =>
+        (s"""
+          ${ivfLloydCtes(8, 2,
+            src = s"embeddings e JOIN $corpusSrc d ON e.vec_id = d.doc_id")},
+          sembad AS (SELECT DISTINCT y.vid AS doc_id
+                     FROM af x JOIN af y ON x.cell = y.cell AND x.vid < y.vid
+                     WHERE ${cosineOf("x.v", "y.v")} >= $thr),""",
+          " AND NOT EXISTS (SELECT 1 FROM sembad sm WHERE sm.doc_id = r.doc_id)")
+    }
     // optional mixture stage (Corpus.temperatureMixtureSample over the
     // post-decontamination survivors): rates from the kept per-source
     // counts, keep iff the tmix:-salted coin clears ⌊sqrt(min/n)·2^32⌋
@@ -2116,9 +2157,9 @@ object OracleFragments {
                        FROM reps)
                  WHERE length(g) > 0),
           hits AS (SELECT dg.doc_id, count(DISTINCT dg.gram) AS n_gram_hits
-                   FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id),$fuzzyCtes$spanCtes
+                   FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id),$fuzzyCtes$spanCtes$semCtes
           kept AS (SELECT r.doc_id FROM reps r LEFT JOIN hits h USING (doc_id)
-                   WHERE coalesce(h.n_gram_hits, 0) < $minHits$fuzzyPred$spanPred)$mixtureCtes
+                   WHERE coalesce(h.n_gram_hits, 0) < $minHits$fuzzyPred$spanPred$semPred)$mixtureCtes
         SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split
         FROM $finalSrc"""
   }
@@ -2290,7 +2331,8 @@ object OracleFragments {
   /** The Lloyd-unroll CTE prefix shared by every IVF oracle: CTEs `v`
     * (the corpus), `c0..c$iters` (centroid generations) and `af` (the
     * final cell assignment) — mirroring Similarity.ivfIndex exactly. */
-  private def ivfLloydCtes(cells: Int, iters: Int): String = {
+  private def ivfLloydCtes(cells: Int, iters: Int,
+      src: String = "embeddings"): String = {
     def assign(name: String, centsCte: String): String =
       s"""$name AS (
             SELECT vid, v, cell FROM (
@@ -2308,7 +2350,7 @@ object OracleFragments {
     val steps = (1 to iters).flatMap { i =>
       Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i"))
     }
-    s"""v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+    s"""v AS (SELECT vec_id AS vid, embedding AS v FROM $src),
           c0 AS (SELECT (row_number() OVER (ORDER BY vid) - 1)::INT AS cell,
                         list_transform(v, x -> round(x::DOUBLE, 6)) AS cv
                  FROM v QUALIFY row_number() OVER (ORDER BY vid) <= $cells),

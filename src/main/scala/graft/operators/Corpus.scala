@@ -645,7 +645,12 @@ object Corpus {
     *      UNIONED with a fuzzy pass ([[Dedup.crossLshJaccard]]): a
     *      document is dropped when it shares exact grams OR clears
     *      shingle-Jaccard `minJ` against any benchmark doc — the
-    *      paraphrased-eval-set leak the exact check misses;
+    *      paraphrased-eval-set leak the exact check misses. With
+    *      `semanticDedup = Some(embeddings -> threshold)` an
+    *      embedding-level SemDeDup pass ([[Similarity.semanticDedup]])
+    *      additionally drops every doc whose vector has a smaller-id
+    *      within-cell twin at `threshold` cosine — the paraphrase-level
+    *      duplicate no lexical stage can pair;
     *   3. (optional) mixture balancing over the clean corpus: EITHER
     *      temperature-flattened source shares (`temperature = Some(T)`,
     *      [[temperatureMixtureSample]] — rates from the post-decon
@@ -676,7 +681,8 @@ object Corpus {
       mixtureRates: Option[(Map[String, Double], Double)] = None,
       sourceCol: String = "source",
       fuzzyDecontaminate: Option[Double] = None,
-      spanDedup: Option[(Int, Double)] = None): DataFrame = {
+      spanDedup: Option[(Int, Double)] = None,
+      semanticDedup: Option[(DataFrame, Double)] = None): DataFrame = {
     require(temperature.isEmpty || mixtureRates.isEmpty,
       "set at most one of temperature / mixtureRates")
     spanDedup.foreach { case (n, frac) =>
@@ -726,6 +732,24 @@ object Corpus {
           .select(col("doc_id").as(idCol)),
         "corpus_spanbad")
     }
+    // optional SEMANTIC dedup flags (Similarity.semanticDedup over the
+    // quality-filtered corpus's embeddings): paraphrase-level duplicates
+    // whose text the lexical stages can't pair. The embeddings frame is
+    // keyed (vec_id, embedding) with vec_id == the corpus id; restrict
+    // to ids still present in the base via one semi-join so the k-means
+    // geometry reflects what the pipeline actually carries. Flagged-id
+    // table materializes now for the same artifact-lifetime reason as
+    // the span cut above.
+    val semBad = semanticDedup.map { case (embeddings, thr) =>
+      graft.ops.Scratch.materializeAt(
+        graft.operators.Similarity.semanticDedup(
+          embeddings.join(base.select(col(idCol).as("vec_id")),
+            Seq("vec_id"), "left_semi"),
+          threshold = thr)
+          .filter(!col("kept"))
+          .select(col("vec_id").as(idCol)),
+        "corpus_sembad")
+    }
     val pairs = Dedup.lshJaccard(base, minJaccard = minJaccard)
     // the post-dedup corpus is a STAGE ARTIFACT: decontaminate scans it
     // twice (gram probe + flag join-back) and the keep join once more —
@@ -760,9 +784,13 @@ object Corpus {
             .select(col("a").as(idCol)).distinct(),
           Seq(idCol), "left_anti")
     }
-    val clean = spanBad match {
+    val clean2 = spanBad match {
       case None => clean1
       case Some((bad, _)) => clean1.join(bad, Seq(idCol), "left_anti")
+    }
+    val clean = semBad match {
+      case None => clean2
+      case Some((bad, _)) => clean2.join(bad, Seq(idCol), "left_anti")
     }
     // optional mixture balancing (stage 3) — see scaladoc for why the
     // clean corpus is materialized first
@@ -787,6 +815,7 @@ object Corpus {
       case None => graft.ops.Scratch.drop(docs.sparkSession, repsPath)
     }
     spanBad.foreach { case (_, p) => graft.ops.Scratch.drop(docs.sparkSession, p) }
+    semBad.foreach { case (_, p) => graft.ops.Scratch.drop(docs.sparkSession, p) }
     // hand back a scan of the JUST-WRITTEN shards, not the producing
     // plan — a caller action on the lazy plan would re-run the whole
     // dedup + decontaminate pipeline a second time

@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
  *                                set is >= this fraction duplicated
  *                                elsewhere in the corpus (omit to skip)
  *   --span_tokens 8              window width for --span_frac
+ *   --embeddings <path>          optional embeddings parquet keyed
+ *                                (vec_id == doc_id, embedding) enabling
+ *                                the SemDeDup stage
+ *   --semantic_threshold 0.95    optional SemDeDup cosine threshold:
+ *                                drop docs whose embedding has a
+ *                                smaller-id within-cell twin at or
+ *                                above it (needs --embeddings)
  *   --temperature 2.0            optional mixture balancing: flatten
  *                                post-decontamination source shares at
  *                                temperature T (omit to skip)
@@ -97,7 +104,12 @@ object CurateMain {
       mixtureRates = mixtureRates,
       fuzzyDecontaminate = opts.get("fuzzy_jaccard").map(_.toDouble),
       spanDedup = opts.get("span_frac").map(f =>
-        (opts.get("span_tokens").map(_.toInt).getOrElse(8), f.toDouble)))
+        (opts.get("span_tokens").map(_.toInt).getOrElse(8), f.toDouble)),
+      semanticDedup = opts.get("semantic_threshold").map { thr =>
+        val embPath = opts.getOrElse("embeddings",
+          sys.error("--semantic_threshold needs --embeddings"))
+        spark.read.parquet(embPath) -> thr.toDouble
+      })
 
     val bySplit = prepared.groupBy(col("split")).agg(count(lit(1)).as("n"))
       .collect().map(r => s"${r.get(0)}=${r.getLong(1)}").sorted.mkString(", ")

@@ -193,4 +193,29 @@ class CliSpec extends SparkTestBase {
     // the span cut can only REMOVE documents vs the plain chain
     assert(spanned.count() <= spark.read.parquet(outBase).count())
   }
+
+  test("CurateMain: --semantic_threshold adds the SemDeDup stage") {
+    val outSem = java.nio.file.Files.createTempDirectory("graft_curate_sem").toString + "/shards"
+    graft.pipeline.CurateMain.run(spark, Map(
+      "input" -> s"${sf()}/documents.parquet",
+      "embeddings" -> s"${sf()}/embeddings.parquet",
+      "semantic_threshold" -> "0.40",
+      "output" -> outSem,
+      "splits" -> "train=1.0",
+      "shards" -> "2"))
+    val sem = spark.read.parquet(outSem)
+    assert(sem.count() > 0)
+    val outBase = java.nio.file.Files.createTempDirectory("graft_curate_nosem").toString + "/shards"
+    graft.pipeline.CurateMain.run(spark, Map(
+      "input" -> s"${sf()}/documents.parquet",
+      "output" -> outBase, "splits" -> "train=1.0", "shards" -> "2"))
+    // the semantic cut can only REMOVE documents vs the plain chain
+    assert(sem.count() <= spark.read.parquet(outBase).count())
+    // threshold without embeddings is a configuration error
+    intercept[RuntimeException] {
+      graft.pipeline.CurateMain.run(spark, Map(
+        "input" -> s"${sf()}/documents.parquet", "output" -> outSem,
+        "semantic_threshold" -> "0.40"))
+    }
+  }
 }
