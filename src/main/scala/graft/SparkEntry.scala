@@ -959,6 +959,20 @@ object SparkEntry {
         metric = "cosine")),
     "graph_components" -> ((s, dir) =>
       graft.operators.Graph.connectedComponents(coPurchaseEdges(s, dir))),
+    "graph_scc" -> ((s, dir) => {
+      // directed rendition of the co-purchase graph: the canonical
+      // (src < dst) edges directed by id-sum PARITY — even sums point
+      // low->high, odd high->low. Deterministic on both engines, and it
+      // manufactures real cycles out of the dense undirected fixture
+      // (uniformly low->high would be a DAG of singleton SCCs)
+      val e0 = coPurchaseEdges(s, dir)
+      val even = (col("src") + col("dst")) % 2 === 0
+      graft.operators.Graph.stronglyConnectedComponents(
+        e0.select(
+          when(even, col("src")).otherwise(col("dst")).as("s"),
+          when(even, col("dst")).otherwise(col("src")).as("d")),
+        "s", "d")
+    }),
     "graph_label_propagation" -> ((s, dir) =>
       // synchronous min-tie-break LPA communities (deterministic,
       // oracle = unrolled rounds)
@@ -1603,6 +1617,7 @@ object SparkEntry {
     "graph_fastrp" -> OracleFragments.graphFastRP(
       dims = 8, iterations = 2, weights = Seq(1.0, 1.0), salt = "frp"),
     "graph_components" -> OracleFragments.graphComponents,
+    "graph_scc" -> OracleFragments.graphScc,
     "graph_label_propagation" -> OracleFragments.graphLabelPropagation(rounds = 3),
     "graph_lpa_weighted" ->
       OracleFragments.graphLabelPropagation(rounds = 3, weighted = true),
@@ -3313,6 +3328,29 @@ object OracleFragments {
             SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
           cc AS (SELECT x AS node, min(y) AS component FROM reach GROUP BY x)
         SELECT node, component FROM cc"""
+
+  /** Mirror of Graph.stronglyConnectedComponents: EXACT mutual
+    * reachability over the parity-directed co-purchase edges (closure
+    * both ways), scc id = min mutually-reachable id (incl. self). The
+    * oracle needs no peeling — the closure is the ground truth the
+    * min-label FW-BW peel must reproduce. */
+  val graphScc: String =
+    s"""WITH RECURSIVE e0 AS ($coPurchase),
+          ed AS (SELECT CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS s,
+                        CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS d
+                 FROM e0),
+          nodes AS (SELECT DISTINCT s AS node FROM ed
+                    UNION SELECT DISTINCT d AS node FROM ed),
+          reach AS (
+            SELECT s, d FROM ed
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN ed e ON r.d = e.s),
+          mutual AS (
+            SELECT a.s AS u, a.d AS v
+            FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s)
+        SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc_id
+        FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+        GROUP BY n.node"""
 
   def graphCommonNeighbors(k: Int): String =
     s"""WITH e0 AS ($coPurchase),

@@ -216,12 +216,19 @@ object Events {
     * in final ulps (parallel vs sequential summation), so the z-score is
     * rounded to 4 dp — far above the ~1e-12 summation noise, far below
     * any behavioral difference. */
+  /** `reference`: optional frame the per-type stats come from instead of
+    * `events` itself — the trained-reference-window form, and the shape
+    * that makes this operator run UNCHANGED under Structured Streaming
+    * (scored stream + static reference = a stateless stream-static
+    * broadcast join; self-derived stats would need two passes over the
+    * stream). */
   def anomalies(
       events: DataFrame,
       zThreshold: Double = 2.5,
       valueCol: String = "value",
-      typeCol: String = "event_type"): DataFrame = {
-    val stats = events.groupBy(col(typeCol))
+      typeCol: String = "event_type",
+      reference: Option[DataFrame] = None): DataFrame = {
+    val stats = reference.getOrElse(events).groupBy(col(typeCol))
       .agg(avg(col(valueCol)).as("_mean"), stddev_pop(col(valueCol)).as("_sd"))
       .filter(col("_sd") > 0d)
     events

@@ -428,6 +428,168 @@ object Graph {
       .select(col("id").as("node"), col("label").as("component"))
 
   /**
+   * Strongly connected components of a DIRECTED edge frame (GDS SCC);
+   * component id = the minimum member id, so output is canonical and
+   * engine-reproducible. Min-label forward-backward peeling — the
+   * label-propagation rendition of FW-BW (Fleischer/Hendrickson/Pinar
+   * 2000): per outer round, propagate the minimum reaching id FORWARD
+   * to fixpoint (f(v) = min id with a path TO v) and BACKWARD to
+   * fixpoint (b(v) = min id v has a path to); a node with f(v) == b(v)
+   * is MUTUALLY reachable with that minimum, so its SCC id is exactly
+   * f(v) — and that minimum is the smallest member of the SCC (any
+   * smaller member would have propagated first). Assigned nodes peel
+   * out, edges restrict to the remainder, repeat: every remaining
+   * basin-minimum's SCC resolves each round, so the outer count is
+   * bounded by the peeling depth (2-3 on real graphs), enforced by
+   * `maxOuterRounds` with a fail-fast naming the escape.
+   *
+   * Scale shape: the [[kCore]]/[[connectedComponents]] scratch-loop
+   * discipline throughout — each inner round is one equi-join + min
+   * groupBy plus a pointer-jump composition (labels are node ids whose
+   * reachability composes, so label² is a valid O(log diameter)
+   * accelerator), with an EXACT no-change witness (labels only
+   * decrease; an unchanged DECIMAL(38,0) label sum proves fixpoint).
+   * Nothing driver-side beyond the observed-count loop gates; nothing
+   * broadcast that is O(graph). Self-loops drop (v is trivially in its
+   * own SCC); every node appears exactly once in the output. */
+  def stronglyConnectedComponents(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxOuterRounds: Int = 20,
+      maxInnerRounds: Int = 40): DataFrame = {
+    import graft.ops.Scratch
+    val spark = edges.sparkSession
+    var (e, me, ePath) = Scratch.materializeObservedAt(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct(),
+      "scc_edges", count(lit(1)).as("n"))
+    var (nodes, mn, nodesPath) = Scratch.materializeObservedAt(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      "scc_nodes", count(lit(1)).as("n"))
+    var nNodes = mn("n").asInstanceOf[Long]
+    val assigned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (nNodes > 0 && outer < maxOuterRounds) {
+      val (f, fPath) = minLabelFixpoint(nodes, e, forward = true, maxInnerRounds)
+      val (b, bPath) = minLabelFixpoint(nodes, e, forward = false, maxInnerRounds)
+      // the (f, b) class table drives the whole round: f == b names the
+      // resolved SCCs (v is mutually reachable with that minimum), and
+      // UNRESOLVED nodes' SCCs live entirely inside their (f, b) class
+      // (mutual reachability forces equal f and equal b) — so the round
+      // peels the resolved nodes AND cuts every cross-class edge,
+      // splitting the remainder into independent subproblems that each
+      // resolve their own minimum next round (the partition-refinement
+      // FW-BW: rounds are ~log of the condensation depth, where peeling
+      // resolved nodes alone walks singleton-SCC chains one min-basin
+      // at a time — measured 20+ rounds on the parity fixture).
+      // Materialized: the result union, the node peel, and the edge
+      // restrict must not re-run both fixpoints; the table outlives the
+      // call (the returned union reads it).
+      val (nc, ma, _) = Scratch.materializeObservedAt(
+        f.select(col("node"), col("label").as("f"))
+          .join(b.select(col("node"), col("label").as("b")), Seq("node")),
+        "scc_classes",
+        coalesce(sum(when(col("f") === col("b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_resolved"))
+      Scratch.drop(spark, fPath)
+      Scratch.drop(spark, bPath)
+      assigned += nc.filter(col("f") === col("b"))
+        .select(col("node"), col("f").as("scc_id"))
+      val nResolved = ma("n_resolved").asInstanceOf[Long]
+      val open = nc.filter(col("f") =!= col("b"))
+      val (nodes2, mn2, nodesPath2) = Scratch.materializeObservedAt(
+        open.select(col("node")), "scc_nodes", count(lit(1)).as("n"))
+      val (e2, me2, ePath2) = Scratch.materializeObservedAt(
+        e.join(open.select(col("node").as("src"), col("f").as("fs"), col("b").as("bs")),
+            Seq("src"))
+          .join(open.select(col("node").as("dst"), col("f").as("fd"), col("b").as("bd")),
+            Seq("dst"))
+          .filter(col("fs") === col("fd") && col("bs") === col("bd"))
+          .select(col("src"), col("dst")),
+        "scc_edges", count(lit(1)).as("n"))
+      Scratch.drop(spark, nodesPath)
+      Scratch.drop(spark, ePath)
+      nodes = nodes2; nodesPath = nodesPath2
+      e = e2; ePath = ePath2
+      nNodes = mn2("n").asInstanceOf[Long]
+      require(nResolved > 0 || nNodes == 0,
+        "stronglyConnectedComponents made no progress - impossible for " +
+          "a fixpointed (f, b) class table; check the edge derivation")
+      val _unused = me2 // edge count observed for free; the loop keys on nodes
+      outer += 1
+    }
+    require(nNodes == 0,
+      s"stronglyConnectedComponents did not settle in $maxOuterRounds peel rounds " +
+        s"($nNodes nodes left) - raise maxOuterRounds, or check for an " +
+        "adversarial chain of nested basins")
+    if (assigned.isEmpty) {
+      // empty graph: the (empty) node scratch stays alive as the result
+      Scratch.drop(spark, ePath)
+      nodes.select(col("node"), col("node").as("scc_id"))
+    } else {
+      Scratch.drop(spark, nodesPath)
+      Scratch.drop(spark, ePath)
+      assigned.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Min-label propagation to FIXPOINT over a directed scratch edge
+    * table: label(v) = min id with a path to v (forward) or reachable
+    * from v (backward). One neighbor join + one pointer-jump composition
+    * + one min groupBy per round; fixpoint proven by an unchanged label
+    * sum (labels only decrease — DECIMAL(38,0) keeps the sum
+    * overflow-exact; non-numeric orderable ids sum xxhash64 instead,
+    * the [[Corpus.connectedComponents]] witness). Returns the label
+    * frame and its scratch path (caller retires it). */
+  private def minLabelFixpoint(
+      nodes: DataFrame,
+      e: DataFrame,
+      forward: Boolean,
+      maxRounds: Int): (DataFrame, String) = {
+    import graft.ops.Scratch
+    val spark = nodes.sparkSession
+    val edges =
+      if (forward) e.select(col("src").as("s"), col("dst").as("d"))
+      else e.select(col("dst").as("s"), col("src").as("d"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val labelStat = nodes.schema.fields(0).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col("label")
+      case _ => xxhash64(col("label"))
+    }
+    val witness =
+      coalesce(sum(labelStat.cast(dec)), lit(0L).cast(dec)).as("label_sum")
+    val tag = if (forward) "scc_f" else "scc_b"
+    var (labels, m0, path) = Scratch.materializeObservedAt(
+      nodes.select(col("node"), col("node").as("label")), tag, witness)
+    var prevSum: Any = m0("label_sum")
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbr = labels.join(edges, col("node") === col("s"))
+        .select(col("d").as("node"), col("label"))
+      val jump = labels.select(col("node"), col("label").as("l0"))
+        .join(labels.select(col("node").as("l0"), col("label")), Seq("l0"))
+        .select(col("node"), col("label"))
+      val (next, m, nextPath) = Scratch.materializeObservedAt(
+        nbr.union(labels).union(jump)
+          .groupBy(col("node")).agg(min(col("label")).as("label")),
+        tag, witness)
+      Scratch.drop(spark, path)
+      labels = next; path = nextPath
+      val s2 = m("label_sum")
+      converged = s2 == prevSum
+      prevSum = s2
+      round += 1
+    }
+    require(converged,
+      s"min-label propagation did not converge in $maxRounds rounds - " +
+        "raise maxInnerRounds (diameter-bound) for this graph")
+    (labels, path)
+  }
+
+  /**
    * Label propagation community detection (LPA — Raghavan/Albert/Kumara
    * 2007), the remaining GDS-flagship community algorithm the
    * reference's destination system runs on loaded graphs. SYNCHRONOUS

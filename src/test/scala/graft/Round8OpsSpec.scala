@@ -98,6 +98,62 @@ class Round8OpsSpec extends SparkTestBase {
     assert(a == micros && b == micros)
   }
 
+  test("anomalies with a static reference runs unchanged over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (1L, "click", 10.0), (2L, "click", 11.0), (3L, "click", 9.0),
+      (4L, "click", 10.5), (5L, "click", 95.0), (6L, "view", 2.0))
+    val reference = fixture.toDF("event_id", "event_type", "value")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val q = Events.anomalies(
+      input.toDS().toDF("event_id", "event_type", "value"),
+      zThreshold = 1.5, reference = Some(reference))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("anomaly_stream").start()
+    try {
+      input.addData(fixture.take(3): _*)
+      q.processAllAvailable()
+      input.addData(fixture.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT event_id FROM anomaly_stream")
+        .collect().map(_.getLong(0)).toSet
+      val batch = Events.anomalies(reference, zThreshold = 1.5,
+        reference = Some(reference)).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch && streamed.contains(5L))
+    } finally q.stop()
+  }
+
+  test("scc: cycles collapse, one-way bridges don't, singletons stay") {
+    val g = graft.operators.Graph
+    // 1->2->3->1 (cycle), 3->4 (bridge), 4->5->4 (cycle), 6->7 (chain)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (6L, 7L)).toDF("src", "dst")
+    val scc = g.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("scc: a singleton-SCC chain needs partition refinement, not peeling") {
+    val g = graft.operators.Graph
+    // a descending chain 10->9->...->1: every SCC is a singleton and f
+    // (min reacher) differs from b (min reachable) for every interior
+    // node — the shape that took 20+ rounds under pure min-basin peeling
+    val chain = (1L until 10L).map(i => (i + 1, i)).toDF("src", "dst")
+    val scc = g.stronglyConnectedComponents(chain, maxOuterRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == (1L to 10L).map(i => i -> i).toMap)
+  }
+
+  test("scc: empty edges give an empty result") {
+    val noEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    assert(graft.operators.Graph.stronglyConnectedComponents(noEdges).count() == 0)
+  }
+
   test("empty inputs: round-8 operators degrade to empty, not throw") {
     val noDocs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
