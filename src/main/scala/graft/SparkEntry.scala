@@ -153,6 +153,10 @@ object SparkEntry {
       // boilerplate / degenerate-generation signal: repeated 3-token
       // windows within a document
       TextAnalysis.repetitionRatio(t(s, dir, "documents"), n = 3)),
+    "text_repetition_profile" -> ((s, dir) =>
+      // the full Gopher repetition-rule family: top 2/3/4-gram char
+      // fraction + duplicate 5/10-gram char fraction per document
+      TextAnalysis.repetitionProfile(t(s, dir, "documents"))),
     "corpus_report" -> ((s, dir) =>
       // per-(lang, source) composition summary: doc counts, token totals,
       // order-exact quality mass, length extremes; quantileProbe swaps
@@ -181,6 +185,10 @@ object SparkEntry {
     "dedup_lsh_jaccard" -> ((s, dir) =>
       // the scalable near-dup pipeline: LSH candidates -> exact verify
       Dedup.lshJaccard(t(s, dir, "documents"), minJaccard = 0.20)),
+    "dedup_ppjoin" -> ((s, dir) =>
+      // EXACT token-set similarity join via rarest-first prefix
+      // filtering (AllPairs/PPJoin) - no LSH false negatives
+      Dedup.ppjoinJaccard(t(s, dir, "documents"), minJaccard = 0.9)),
     "dedup_clusters" -> ((s, dir) => {
       // pairs -> clusters (connected components), every doc labeled by
       // its component's min id; keep-one dedup = doc_id == cluster_id
@@ -396,6 +404,28 @@ object SparkEntry {
           semanticDedup = Some(t(s, dir, "embeddings") -> 0.40))
         .select(col("doc_id"), col("split").cast("string").as("split"))
     }),
+    "corpus_prepare_classifier" -> ((s, dir) => {
+      // the compositor with the MODEL-BASED quality gate: the hashed
+      // linear classifier's mean-weight score replaces the heuristic in
+      // the top-80%-per-source histogram gate — the rest of the
+      // composition (dedup -> decon -> split -> shard) is unchanged
+      val docs = t(s, dir, "documents")
+      val clf = graft.operators.TextAnalysis.hashedLinearScores(
+          docs,
+          graft.operators.TextAnalysis.syntheticHashedWeights(s, dims = 4096),
+          dims = 4096)
+        .select(col("doc_id"), col("score").as("clf_score"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val out = graft.ops.Scratch.dir(
+        s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare_classifier")
+      graft.operators.Corpus.prepareTrainingSet(
+          docs.join(clf, Seq("doc_id")), bench, out,
+          splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+          minJaccard = 0.20, nShards = 8,
+          qualityFilter = Some("clf_score" -> 0.8))
+        .select(col("doc_id"), col("split").cast("string").as("split"))
+    }),
     "corpus_prepare_mixed" -> ((s, dir) => {
       // the compositor with the optional mixture stage ON: quality gate
       // -> dedup -> decontaminate -> temperature-flattened source
@@ -558,6 +588,43 @@ object SparkEntry {
         .agg(sum(rev).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
+    }),
+    "q5_local_supplier" -> ((s, dir) => {
+      // TPC-H Q5 shape: the 6-way snowflake join. Dimension chain
+      // region -> nation is broadcast (tiny); customer/supplier ride
+      // keyed joins; the fact-side date filter pushes to the scan
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: a HAVING-filtered aggregate drives a semi-join
+      // back into the fact table - the aggregate runs ONCE, its
+      // survivors (few) then key two joins
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+        .filter(col("total_qty") > 200)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
     }),
     "semi_join" -> ((s, dir) =>
       t(s, dir, "customer").join(t(s, dir, "orders"),
@@ -1093,6 +1160,12 @@ object SparkEntry {
       // filter-before-shuffle, broadcast df/N, decimal-exact term sum
       graft.operators.TextAnalysis.bm25Scores(t(s, dir, "documents"),
         queryTerms = Seq("join", "vector", "stream", "window"))),
+    "quality_classifier" -> ((s, dir) =>
+      // model-based quality filter: hashed linear classifier scoring,
+      // zero-shuffle (model rides as one broadcast weight-array row)
+      graft.operators.TextAnalysis.hashedLinearScores(
+        t(s, dir, "documents"),
+        graft.operators.TextAnalysis.syntheticHashedWeights(s, dims = 4096))),
     "text_ttr" -> ((s, dir) =>
       graft.operators.TextAnalysis.lexicalDiversity(t(s, dir, "documents"))),
     "dedup_semantic" -> ((s, dir) =>
@@ -1215,11 +1288,14 @@ object SparkEntry {
     "text_langid" -> OracleFragments.textLangid,
     "text_fingerprint" -> OracleFragments.textFingerprint,
     "text_repetition" -> OracleFragments.textRepetition(n = 3),
+    "text_repetition_profile" ->
+      OracleFragments.textRepetitionProfile(topNs = Seq(2, 3, 4), dupNs = Seq(5, 10)),
     "corpus_report" -> OracleFragments.corpusReport,
     "dedup_exact" -> OracleFragments.dedupExact,
     "dedup_spans" -> OracleFragments.dedupSpans(spanTokens = 8),
     "dedup_minhash_lsh" -> OracleFragments.dedupMinhashLsh(bands = 4, rowsPerBand = 2),
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
+    "dedup_ppjoin" -> OracleFragments.dedupPpjoin(minJaccard = 0.9),
     "dedup_lsh_jaccard" -> OracleFragments.dedupLshJaccard(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
     "dedup_clusters" -> OracleFragments.dedupClusters(
@@ -1253,6 +1329,11 @@ object SparkEntry {
       nTokens = 8, minHits = 1, benchMod = 20,
       splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
       qualityKeep = Some(0.8), spanDedup = Some((8, 0.95))),
+    "corpus_prepare_classifier" -> OracleFragments.corpusPrepare(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.20,
+      nTokens = 8, minHits = 1, benchMod = 20,
+      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      qualityKeep = Some(0.8), classifierDims = Some(4096)),
     "corpus_prepare_semantic" -> OracleFragments.corpusPrepare(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20,
       nTokens = 8, minHits = 1, benchMod = 20,
@@ -1401,6 +1482,25 @@ object SparkEntry {
               JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY 1 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+         GROUP BY 1""",
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+                total_qty::DOUBLE AS total_qty
+         FROM orders
+              JOIN (SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS total_qty
+                    FROM lineitem GROUP BY 1 HAVING total_qty > 200) big
+                ON o_orderkey = big.l_orderkey
+              JOIN customer ON o_custkey = c_custkey""",
     "semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
@@ -1640,6 +1740,8 @@ object SparkEntry {
     "vocab_topk" -> OracleFragments.vocabTopK(minCount = 2, k = 50),
     "text_unigram_lm" -> OracleFragments.textUnigramLm,
     "dsir_scores" -> OracleFragments.dsirScores(benchMod = 20),
+    "quality_classifier" ->
+      OracleFragments.qualityClassifier(dims = 4096, thetaMilli = 0L),
     "text_bm25" -> OracleFragments.textBm25(
       terms = Seq("join", "vector", "stream", "window"), k1 = 1.2, b = 0.75),
     "text_ttr" -> OracleFragments.textTtr,
@@ -1744,6 +1846,26 @@ object OracleFragments {
           round(1.0 - len(${tokenShingles(n)})::DOUBLE /
             greatest(len($toks) - ${n - 1}, 1)::DOUBLE, 6) AS rep_ratio
         FROM documents"""
+
+  /** Gopher repetition profile (TextAnalysis.repetitionProfile): the
+    * same NON-distinct space-rejoined token windows, occurrence-counted
+    * in-list; numerators/denominator are integer char sums so only the
+    * final 6-dp division rounds. */
+  def textRepetitionProfile(topNs: Seq[Int], dupNs: Seq[Int]): String = {
+    val ns = (topNs ++ dupNs).distinct.sorted
+    def ws(n: Int) =
+      s"list_transform(generate_series(1, greatest(len($toks)-${n - 1}, 1)), i -> array_to_string(list_slice($toks, i, i+${n - 1}), ' '))"
+    def total(n: Int) =
+      s"greatest(coalesce(list_aggregate(list_transform(ws$n, w -> length(w)), 'sum'), 0), 1)::DOUBLE"
+    val tops = topNs.map { n =>
+      s"round(list_aggregate(list_transform(list_distinct(ws$n), g -> len(list_filter(ws$n, x -> x = g)) * length(g)), 'max')::DOUBLE / ${total(n)}, 6) AS top${n}gram_char_frac"
+    }
+    val dups = dupNs.map { n =>
+      s"round(coalesce(list_aggregate(list_transform(list_filter(ws$n, w -> len(list_filter(ws$n, x -> x = w)) > 1), w -> length(w)), 'sum'), 0)::DOUBLE / ${total(n)}, 6) AS dup${n}gram_char_frac"
+    }
+    s"""SELECT doc_id, ${(tops ++ dups).mkString(",\n          ")}
+        FROM (SELECT doc_id, ${ns.map(n => s"${ws(n)} AS ws$n").mkString(", ")} FROM documents)"""
+  }
 
   /** Corpus report card (TextAnalysis.corpusReport): per-(lang, source)
     * aggregates; the quality mass sums DECIMAL(18,6) so both engines add
@@ -2053,7 +2175,8 @@ object OracleFragments {
       temperature: Option[Double] = None,
       fuzzy: Option[Double] = None,
       spanDedup: Option[(Int, Double)] = None,
-      semantic: Option[Double] = None): String = {
+      semantic: Option[Double] = None,
+      classifierDims: Option[Int] = None): String = {
     // the oracle gate pins T=2: its exponent 0.5 computes via sqrt,
     // IEEE-correctly-rounded hence bit-identical cross-engine (pow is
     // not — see temperatureMixtureSample)
@@ -2072,10 +2195,28 @@ object OracleFragments {
     val quality = s"""round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
               + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
               + least(($stopRaw) * 4.0, 1.0) * 0.3, 6)"""
+    // the gate's score: the hashed-linear-classifier mean weight when
+    // classifierDims is set (mirrors hashedLinearScores), the heuristic
+    // quality formula otherwise
+    val qvCte = classifierDims match {
+      case Some(dims) =>
+        s"""cw AS (SELECT b, (('0x' || substr(md5('qw:' || b::VARCHAR), 1, 8))::BIGINT
+                     % 2001 - 1000) AS wm
+                  FROM (SELECT unnest(range(0, $dims)) AS b)),
+          cf AS (SELECT doc_id, (('0x' || substr(md5(tk), 1, 8))::BIGINT % $dims) AS b
+                 FROM (SELECT doc_id, unnest($toks) AS tk FROM documents)),
+          cs AS (SELECT doc_id, count(*) AS n, sum(wm)::BIGINT AS sm
+                 FROM cf JOIN cw USING (b) GROUP BY 1),
+          qv AS (SELECT d.doc_id, d.source,
+                        round(sm::DOUBLE / (1000.0 * n::DOUBLE), 6) AS quality
+                 FROM documents d JOIN cs USING (doc_id)),"""
+      case None =>
+        s"""qv AS (SELECT doc_id, source, $quality AS quality FROM documents),"""
+    }
     val (qualityCtes, corpusSrc) = qualityKeep match {
       case None => ("", "documents")
       case Some(f) =>
-        (s"""qv AS (SELECT doc_id, source, $quality AS quality FROM documents),
+        (s"""$qvCte
           qbyval AS (SELECT source, quality, count(*) AS nv FROM qv GROUP BY 1, 2),
           qcum AS (SELECT source, quality,
                           coalesce(sum(nv) OVER (PARTITION BY source ORDER BY quality DESC
@@ -2217,6 +2358,47 @@ object OracleFragments {
         SELECT a, b, round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
         FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
         WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $minJaccard"""
+
+  /** Hashed linear classifier scoring (TextAnalysis.hashedLinearScores
+    * with syntheticHashedWeights): the oracle re-derives the bucket
+    * weights from the same salted md5 formula and scores by per-token
+    * explode+join — the Spark side's zero-shuffle lambda must agree
+    * integer-for-integer. */
+  def qualityClassifier(dims: Int, thetaMilli: Long): String =
+    s"""WITH w AS (
+          SELECT b, (('0x' || substr(md5('qw:' || b::VARCHAR), 1, 8))::BIGINT
+                     % 2001 - 1000) AS wm
+          FROM (SELECT unnest(range(0, $dims)) AS b)),
+        tok AS (SELECT doc_id, unnest($toks) AS tk FROM documents),
+        f AS (SELECT doc_id,
+                (('0x' || substr(md5(tk), 1, 8))::BIGINT % $dims) AS b
+              FROM tok),
+        s AS (SELECT doc_id, count(*) AS n, sum(wm)::BIGINT AS sm
+              FROM f JOIN w USING (b) GROUP BY 1)
+        SELECT doc_id, n::INT AS n_tokens,
+          round(sm::DOUBLE / (1000.0 * n::DOUBLE), 6) AS score,
+          sm >= $thetaMilli * n AS keep
+        FROM s"""
+
+  /** PPJoin exact set-similarity join (Dedup.ppjoinJaccard): the oracle
+    * is BRUTE FORCE over all token-sharing pairs — prefix filtering is
+    * a pure optimization, so the outputs must be identical. The
+    * threshold compare is the same integer cross-multiplication
+    * (num/10⁶ rational) the Spark side uses. */
+  def dedupPpjoin(minJaccard: Double): String = {
+    val num = math.round(minJaccard * 1e6)
+    s"""WITH tok AS (
+          SELECT doc_id, unnest(list_distinct($toks)) AS tk FROM documents),
+        sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+          FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.a, i.b,
+          round(c::DOUBLE / (sa.n + sb.n - c)::DOUBLE, 6) AS jaccard
+        FROM inter i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
+        WHERE c * 1000000 >= $num * (sa.n + sb.n - c)"""
+  }
 
   /** Fixed-size per-group sample (Corpus.sampleFixedPerGroup): k
     * smallest salted md5 coins per group, id-tiebroken. */

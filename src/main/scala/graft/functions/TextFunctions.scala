@@ -65,6 +65,17 @@ object TextFunctions {
           sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
           i => concat_ws(" ", slice(tk, i, lit(n)))))).getItem(0)
 
+  /** NON-distinct sliding token n-grams (space-rejoined) — the raw
+    * window stream the repetition profile counts occurrences over;
+    * [[tokenShingles]] is its distinct form. Tokens bind once per row
+    * (same trick as [[shingles]]); short texts yield one truncated
+    * gram. */
+  def tokenWindows(text: Column, n: Int): Column =
+    transform(array(tokens(text)), tk =>
+      transform(
+        sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(tk, i, lit(n))))).getItem(0)
+
   /** Exact-dup fingerprint: md5 of the normalized text. */
   def md5Fingerprint(text: Column): Column =
     md5(normalizeText(text))

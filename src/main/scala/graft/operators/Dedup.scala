@@ -425,6 +425,91 @@ object Dedup {
    * document; documents shorter than `spanTokens` contribute their one
    * truncated window, matching the decontamination convention.
    */
+  /** EXACT all-pairs token-set Jaccard join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo/Ma/Srikant, "Scaling up all pairs
+    * similarity search", WWW 2007; Xiao/Wang/Lin/Yu, "Efficient
+    * similarity joins for near duplicate detection", WWW 2008). Unlike
+    * [[lshJaccard]] this has NO false negatives: every pair of documents
+    * whose distinct-token Jaccard reaches `minJaccard` is returned,
+    * with the filter doing the work LSH's probabilistic bands do.
+    *
+    * Mechanism: tokens are globally ordered rarest-first (document
+    * frequency, then token — both engines derive the identical order),
+    * each document keeps only its PREFIX of p = n − ceil(t·n) + 1
+    * sorted tokens, and two documents are candidates only if their
+    * prefixes share a token: any pair at Jaccard ≥ t must collide on
+    * the first p tokens of either side (pigeonhole over the shared
+    * order). Prefix buckets are keyed by the corpus's RAREST tokens, so
+    * bucket sizes track document frequency of rare terms — naturally
+    * tiny — and the same enforced `maxBucketRows` contract as the LSH
+    * band buckets covers the degenerate corpus (mass duplicates make
+    * every prefix identical; escape: exact dedup first).
+    *
+    * Threshold arithmetic is EXACT: t is fixed to the rational
+    * round(t·10⁶)/10⁶ and every comparison (length filter, prefix
+    * length, final Jaccard ≥ t) is an integer cross-multiplication —
+    * no float boundary can silently drop a pair whose Jaccard is
+    * exactly t (J ≥ t ⇒ |small|·10⁶ ≥ num·|large|, integer-provable).
+    *
+    * Scale shape: one corpus scan into a scratch (id, sorted tokens, n)
+    * table; the df aggregate and the per-doc regroup are keyed
+    * shuffles; candidates come from the guarded prefix-token equi-join
+    * (ids only — token arrays do NOT ride the explode), and the two
+    * verification joins re-read the scratch table. Output:
+    * (a, b, jaccard) with a < b, jaccard rounded to 6 dp. */
+  def ppjoinJaccard(
+      docs: DataFrame,
+      minJaccard: Double = 0.8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      "ppjoinJaccard: minJaccard must be in (0, 1] — at 0 every pair qualifies")
+    val num = math.round(minJaccard * 1e6) // exact rational num/10⁶
+    val den = 1000000L
+    val tok = Par.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(array_distinct(tokens(col("t")))).as("tk"))
+    // global rarest-first token order: (document frequency, token)
+    val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+    val sorted = Scratch.materialize(
+      tok.join(dfreq, Seq("tk"))
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct(col("df"), col("tk")))).as("ts"))
+        .select(
+          col("id"),
+          transform(col("ts"), s => s.getField("tk")).as("toks"),
+          size(col("ts")).as("n")),
+      "ppjoin_sorted")
+    // prefix length p = n − ceil(t·n) + 1, integer ceil
+    val p = (col("n") - ((lit(num) * col("n") + lit(den - 1)) / lit(den)).cast("int") + lit(1))
+      .cast("int")
+    val pref = Blocks.guardBlockSize(
+      sorted.select(col("id"), col("n"), explode(slice(col("toks"), lit(1), p)).as("tk")),
+      "tk", maxBucketRows, "ppjoinJaccard",
+      "a prefix token shared by that many documents makes candidate "
+        + "generation quadratic - run exact dedup first or raise maxBucketRows")
+    val candidates = pref.as("l")
+      .join(
+        pref.as("r"),
+        col("l.tk") === col("r.tk") && col("l.id") < col("r.id") &&
+          // length filter, integer-exact: J ≥ t ⇒ min·10⁶ ≥ num·max
+          least(col("l.n"), col("r.n")) * lit(den) >=
+            lit(num) * greatest(col("l.n"), col("r.n")))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    candidates
+      .join(sorted.select(col("id").as("a"), col("toks").as("ta"), col("n").as("na")), Seq("a"))
+      .join(sorted.select(col("id").as("b"), col("toks").as("tb"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        fence(graft.functions.ArrayIntersectSize
+          .arrayIntersectSize(col("ta"), col("tb"))).as("inter"))
+      // integer-exact threshold: c·10⁶ ≥ num·(|A∪B|)
+      .filter(col("inter") * lit(den) >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+  }
+
   def spanDuplicates(
       docs: DataFrame,
       spanTokens: Int = 8,

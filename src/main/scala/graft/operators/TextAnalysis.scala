@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.ops.Par
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,54 @@ object TextAnalysis {
         size(tokenShingles(t, n)).as("n_distinct"))
       .withColumn("rep_ratio",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_windows").cast("double"), 6))
+  }
+
+  /** Gopher-style n-gram repetition profile (Rae et al. 2021, Table A1
+    * — the published repetitious-text filters beyond the single
+    * [[repetitionRatio]] number): per document,
+    *
+    *  - `top{n}gram_char_frac` (n = 2, 3, 4): the fraction of window
+    *    characters covered by the single most frequent token n-gram —
+    *    keyword stuffing and chant-like degenerate generations score
+    *    high;
+    *  - `dup{n}gram_char_frac` (n = 5, 10): the fraction of window
+    *    characters sitting inside n-grams that occur MORE THAN ONCE —
+    *    copy-pasted boilerplate blocks score high while a single
+    *    repeated bigram no longer trips it.
+    *
+    * Character accounting is over the space-rejoined window strings
+    * (every window weighted by its own length), so both numerator and
+    * denominator are integer sums — cross-engine exact before the one
+    * 6-dp rounded division. Map-side only; the per-row lambda work is
+    * O(windows²) in the occurrence count, bounded in a real pipeline by
+    * the upstream token cap (chunking caps documents at a few thousand
+    * tokens long before quality filtering runs). */
+  def repetitionProfile(
+      docs: DataFrame,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val base = Par.fanOut(docs).select(
+      col(idCol) +: ns.map(n => tokenWindows(col(textCol), n).as(s"_ws$n")): _*)
+    def totalChars(ws: org.apache.spark.sql.Column) =
+      greatest(aggregate(ws, lit(0), (acc, w) => acc + length(w)), lit(1))
+    val metrics = topNs.map { n =>
+      val ws = col(s"_ws$n")
+      val top = array_max(transform(array_distinct(ws),
+        g => size(filter(ws, x => x === g)) * length(g)))
+      round(top.cast("double") / totalChars(ws).cast("double"), 6)
+        .as(s"top${n}gram_char_frac")
+    } ++ dupNs.map { n =>
+      val ws = col(s"_ws$n")
+      val dup = aggregate(
+        filter(ws, w => size(filter(ws, x => x === w)) > 1),
+        lit(0), (acc, w) => acc + length(w))
+      round(dup.cast("double") / totalChars(ws).cast("double"), 6)
+        .as(s"dup${n}gram_char_frac")
+    }
+    base.select(col(idCol) +: metrics: _*)
   }
 
   /** Corpus report card: per-(grouping) document counts, token totals,
@@ -279,6 +327,83 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_tokens"),
         round(sum(col("logp")).cast("double") / count(lit(1)), 6).as("avg_logp"))
+  }
+
+  /** Deterministic per-bucket weights standing in for a TRAINED hashed
+    * linear model (the container ships no trainer): bucket b →
+    * (first-4-md5-bytes("salt"+b) mod 2001) − 1000 milli-units, i.e.
+    * uniform-ish integer weights in [−1000, 1000]. A real deployment
+    * loads its fastText/logistic weights as the same (bucket, w_milli)
+    * table — the scoring plumbing in [[hashedLinearScores]] is
+    * model-agnostic. */
+  def syntheticHashedWeights(
+      spark: org.apache.spark.sql.SparkSession,
+      dims: Int = 4096,
+      salt: String = "qw:"): DataFrame =
+    spark.range(dims).select(
+      col("id").cast("int").as("bucket"),
+      (conv(substring(md5(concat(lit(salt), col("id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2001L - 1000L).cast("int").as("w_milli"))
+
+  /** MODEL-BASED quality filtering: score every document with a hashed
+    * linear text classifier (the fastText / CCNet-filter shape —
+    * Joulin et al. 2016: tokens → feature-hash buckets → mean bucket
+    * weight → threshold). The weights frame IS the model: one integer
+    * milli-weight per bucket 0..dims−1, trained offline and loaded as a
+    * table ([[syntheticHashedWeights]] supplies the deterministic
+    * stand-in).
+    *
+    * Scale shape: the model collapses to ONE row carrying the dense
+    * bucket-ordered weight array (a few KB for classifier-sized dims),
+    * broadcast-cross-joined; scoring is then a pure per-row lambda —
+    * tokens hash to buckets, `element_at` reads the weight — so the
+    * whole operator is map-side scan-speed with ZERO shuffles (the
+    * per-token explode+join+regroup alternative shuffles every token).
+    * A malformed model (missing/duplicate bucket) fails fast via the
+    * per-row array-size contract, not silently as nulls.
+    *
+    * Exactness: integer weight sums and an integer threshold
+    * cross-multiplication (keep ⇔ Σw ≥ θ·n) — no float path; the
+    * reported mean-weight score rounds one double division to 6 dp.
+    * Sigmoid is monotone, so thresholding the logit ≡ thresholding the
+    * probability a downstream consumer would compute. */
+  def hashedLinearScores(
+      docs: DataFrame,
+      weights: DataFrame,
+      dims: Int = 4096,
+      thresholdMilliPerToken: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val wRow = broadcast(
+      weights.select(col("bucket"), col("w_milli"))
+        .groupBy()
+        .agg(sort_array(collect_list(struct(col("bucket"), col("w_milli")))).as("bw"))
+        .select(transform(col("bw"), s => s.getField("w_milli")).as("warr")))
+    val guardedW = when(size(col("warr")) === dims, col("warr"))
+      .otherwise(raise_error(concat(
+        lit(s"hashedLinearScores: weights table must carry exactly one "
+          + s"w_milli per bucket 0..${dims - 1} ("), size(col("warr")).cast("string"),
+        lit(" entries found)"))))
+    val bucketOf = (t: Column) =>
+      (pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dims.toLong)) + 1L)
+        .cast("int")
+    Par.fanOut(docs.select(col(idCol), col(textCol))).crossJoin(wRow)
+      .select(
+        col(idCol),
+        tokens(col(textCol)).as("_tk"),
+        guardedW.as("_w"))
+      .select(
+        col(idCol),
+        size(col("_tk")).as("n_tokens"),
+        aggregate(col("_tk"), lit(0L),
+          (acc, t) => acc + element_at(col("_w"), bucketOf(t)).cast("long"))
+          .as("_s"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        round(col("_s").cast("double") / (lit(1000.0) * col("n_tokens").cast("double")), 6)
+          .as("score"),
+        (col("_s") >= lit(thresholdMilliPerToken) * col("n_tokens").cast("long")).as("keep"))
   }
 
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for

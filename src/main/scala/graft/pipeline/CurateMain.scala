@@ -44,6 +44,12 @@ import org.apache.spark.sql.functions._
  *                                --temperature)
  *   --mixture_default 1.0        keep rate for sources not named in
  *                                --mixture (default 1.0)
+ *   --classifier_dims 4096       score the quality gate with the hashed
+ *                                LINEAR-CLASSIFIER model instead of the
+ *                                heuristic (needs --quality_keep)
+ *   --classifier_weights <path>  parquet (bucket, w_milli) weights for
+ *                                --classifier_dims; omit for the
+ *                                deterministic synthetic stand-in
  *   --splits train=0.98,valid=0.01,test=0.01
  *   --shards 64                  shard count per split
  *   --master <spark master>      default local[*]
@@ -91,9 +97,26 @@ object CurateMain {
         opts.get("mixture_default").map(_.toDouble).getOrElse(1.0))
     require(temperature.isEmpty || mixtureRates.isEmpty,
       "--temperature and --mixture are mutually exclusive")
+    val classifierDims = opts.get("classifier_dims").map(_.toInt)
+    require(classifierDims.isEmpty || qualityKeep.nonEmpty,
+      "--classifier_dims needs --quality_keep (it only changes the gate's score)")
+    // the gate's score column: model-based (hashed linear classifier)
+    // when --classifier_dims is given, the heuristic otherwise
+    val scoredDocs = (qualityKeep, classifierDims) match {
+      case (Some(_), Some(d)) =>
+        val w = opts.get("classifier_weights")
+          .map(spark.read.parquet(_))
+          .getOrElse(graft.operators.TextAnalysis.syntheticHashedWeights(spark, d))
+        docs.join(
+          graft.operators.TextAnalysis.hashedLinearScores(docs, w, d)
+            .select(col("doc_id"), col("score").as("quality")),
+          Seq("doc_id"))
+      case (Some(_), None) => docs.withColumn("quality",
+        TextFunctions.qualityScore(col("text"), col("n_chars")))
+      case (None, _) => docs
+    }
     val prepared = Corpus.prepareTrainingSet(
-      qualityKeep.map(_ => docs.withColumn("quality",
-        TextFunctions.qualityScore(col("text"), col("n_chars")))).getOrElse(docs),
+      scoredDocs,
       bench,
       req("output"),
       splits = splits,

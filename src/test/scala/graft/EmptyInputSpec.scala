@@ -97,6 +97,14 @@ class EmptyInputSpec extends SparkTestBase {
     assert(knn.columns.toSeq == Seq("src", "neighbor_id", "sim", "rank"))
   }
 
+  test("round-8 batch-2 operators on empty inputs") {
+    assert(graft.operators.TextAnalysis.repetitionProfile(noDocs).count() == 0)
+    assert(Dedup.ppjoinJaccard(noDocs, minJaccard = 0.9).count() == 0)
+    val w = graft.operators.TextAnalysis.syntheticHashedWeights(spark, dims = 64)
+    assert(graft.operators.TextAnalysis
+      .hashedLinearScores(noDocs, w, dims = 64).count() == 0)
+  }
+
   test("similarity and range join on empty inputs") {
     val noVecs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -33,6 +33,54 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(full.forall(x => x.getInt(1) >= x.getInt(2)))
   }
 
+  test("repetitionProfile: chant maxes the top-gram rule, unique prose zeroes dups") {
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "every single word in this quiet document appears exactly once only"),
+      (3L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionProfile(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1 is one repeated bigram: of the 11 2-token windows, "buy now"
+    // covers 6 — 42 of the 77 window chars
+    assert(r(1L).getDouble(1) == 0.545455)
+    // doc 2: no window of any n repeats
+    (1 to 5).foreach(i => assert(r(2L).getDouble(i) <= 0.2))
+    assert(r(2L).getDouble(4) == 0.0 && r(2L).getDouble(5) == 0.0)
+    // doc 3 repeats a 5-token block: dup5 strictly positive, dup10 zero
+    assert(r(3L).getDouble(4) > 0.0 && r(3L).getDouble(5) == 0.0)
+    // fractions bounded on the real corpus
+    val full = TextAnalysis.repetitionProfile(docs).collect()
+    (1 to 5).foreach { i =>
+      assert(full.forall(x => x.getDouble(i) >= 0.0 && x.getDouble(i) <= 1.0))
+    }
+  }
+
+  test("hashedLinearScores: zero-shuffle plan, exact threshold, malformed model fails fast") {
+    val w = TextAnalysis.syntheticHashedWeights(spark, dims = 512)
+    val scored = TextAnalysis.hashedLinearScores(docs, w, dims = 512)
+    // the model rides a broadcast — no shuffle Exchange anywhere
+    val physical = scored.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning"),
+      s"classifier scoring must not shuffle:\n$physical")
+    val rows = scored.collect()
+    assert(rows.length == docs.count())
+    // keep ⇔ score >= 0 (θ = 0): the integer compare and the rounded
+    // double agree away from the boundary
+    assert(rows.forall { r =>
+      val (s, keep) = (r.getDouble(2), r.getBoolean(3))
+      if (s > 1e-6) keep else if (s < -1e-6) !keep else true
+    })
+    // a weights table with a missing bucket fails fast, not null-silently
+    val err = intercept[Exception] {
+      TextAnalysis.hashedLinearScores(docs, w.filter(col("bucket") =!= 7), dims = 512)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("hashedLinearScores")))
+  }
+
   test("corpusReport: totals add up across groups") {
     val rep = TextAnalysis.corpusReport(docs).collect()
     assert(rep.map(_.getLong(2)).sum == docs.count())       // n_docs partitions the corpus

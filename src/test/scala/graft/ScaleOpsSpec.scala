@@ -43,6 +43,43 @@ class ScaleOpsSpec extends SparkTestBase {
       .count() == 300L * 299L / 2L)
   }
 
+  test("ppjoinJaccard: equals the Spark-side brute force (prefix filter loses no pair)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val t = 0.5
+    val pp = Dedup.ppjoinJaccard(docs, minJaccard = t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force: all id pairs, exact distinct-token jaccard
+    import graft.functions.TextFunctions.tokens
+    val sets = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      c = (sa & sb).size
+      j = c.toDouble / (sa.size + sb.size - c)
+      if c * 1000000L >= math.round(t * 1e6) * (sa.size + sb.size - c)
+    } yield (a, b) -> j).toMap
+    assert(pp.keySet == brute.keySet)
+    // pp is rounded half-up to 6 dp; compare against unrounded brute
+    assert(pp.forall { case (k, v) => math.abs(v - brute(k)) < 1e-6 })
+    assert(pp.nonEmpty)
+  }
+
+  test("ppjoinJaccard: a mass-duplicate corpus trips the prefix-bucket guard") {
+    val dup = (1L to 300L)
+      .map(i => (i, "the same boilerplate text repeated everywhere zzz"))
+      .toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      Dedup.ppjoinJaccard(dup, minJaccard = 0.9, maxBucketRows = 100).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m.contains("ppjoinJaccard") && m.contains("maxBlockRows")))
+    // under a bound that admits the bucket: all identical pairs at 1.0
+    assert(Dedup.ppjoinJaccard(dup, minJaccard = 0.9, maxBucketRows = 2000)
+      .count() == 300L * 299L / 2L)
+  }
+
   test("spanDuplicates: shared window flags both docs, short docs use the truncated gram") {
     // docs 1 and 2 share the exact 4-token span "alpha beta gamma delta"
     // inside otherwise-different text; doc 3 shares nothing; doc 4 is a
