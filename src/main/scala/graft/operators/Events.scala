@@ -244,4 +244,32 @@ object Events {
     val w = Window.partitionBy("user_id").orderBy(col("cnt").desc, col("event_type").asc)
     counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
   }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * for every observed (event_type → next event_type) step, its count
+    * and the conditional probability P(next | current) — the "what do
+    * users do after X" table behind path analysis, next-action
+    * prediction baselines and anomaly-path audits.
+    *
+    * Determinism: within-user order is (ts, event_id) — the library's
+    * canonical total order for event streams, so replays and
+    * repartitionings yield the same successor for tied timestamps. A
+    * user's LAST event has no successor and contributes no step. Shape:
+    * one per-user keyed window (bounded by per-user activity) + one
+    * pair-keyed aggregate; the per-type totals come from a second tiny
+    * aggregate joined back (type-pair cardinality is |types|², never
+    * corpus-scale), not a window. Probabilities round one double
+    * division to 6 dp; counts stay integer-exact. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val steps = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+    steps.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+  }
 }

@@ -475,4 +475,114 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
   }
+
+  /** Top PRINCIPAL COMPONENT of the embedding corpus — PCA via power
+    * iteration on the d×d covariance matrix: the dimensionality-
+    * reduction / drift-diagnostic primitive (dominant variance
+    * direction; projecting onto it gives 1-d corpus coordinates, and a
+    * shifted component between two corpus snapshots is the classic
+    * embedding-drift alarm).
+    *
+    * Scale shape: the corpus is touched exactly TWICE, both times as
+    * map-side explodes with partial aggregation — pass 1 the
+    * per-dimension means (d keys), pass 2 the centered outer-product
+    * cells (d² keys; the per-row d² lambda fanout is a fixed constant
+    * of the embedding width, not a data-dependent quadratic). The
+    * means ride back as ONE broadcast array row. Everything after —
+    * the power rounds — runs on the d²-row scratch covariance table:
+    * constant-size plans, superseded score tables retired eagerly (the
+    * [[graft.operators.Graph.eigenvectorCentrality]] loop discipline,
+    * L1-normalized with the normalizer OBSERVED on each round's
+    * write).
+    *
+    * Determinism: per-row products are IEEE doubles on engine-identical
+    * inputs; every cross-row sum is a DECIMAL(28,12) fold of
+    * 9-dp-rounded terms — order-free, hence engine-exact. Uniform
+    * vector dimension is the library's embedding-column contract.
+    * Output: (dim_idx, loading) — the unit-L1 component after `iters`
+    * rounds from the all-ones start. */
+  def pcaTopComponent(
+      vecs: DataFrame,
+      iters: Int = 4,
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.ops.Scratch
+    require(iters >= 1, "iters must be >= 1")
+    val spark = vecs.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    // pass 1: per-dimension means (cells never leave the projection)
+    val cells = Par.fanOut(vecs.select(col(vecCol).as("v")))
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast("double").as("x"))
+    val mu = cells.groupBy(col("i"))
+      .agg(round(sum(round(col("x"), 9).cast(dec)).cast("double") / count(lit(1)), 9)
+        .as("mu"))
+    val muRow = broadcast(
+      mu.groupBy()
+        .agg(sort_array(collect_list(struct(col("i"), col("mu")))).as("im"))
+        .select(transform(col("im"), s => s.getField("mu")).as("muarr")))
+    // pass 2: centered outer-product cells -> the d×d covariance table
+    val centered = (x: Column, i: Column) =>
+      x.cast("double") - element_at(col("muarr"), (i + 1).cast("int"))
+    val (cov, covPath) = Scratch.materializeAt(
+      Par.fanOut(vecs.select(col(vecCol).as("v"))).crossJoin(muRow)
+        .select(explode(flatten(transform(col("v"), (x, i) =>
+          transform(col("v"), (y, j) =>
+            struct(i.as("i"), j.as("j"),
+              round(centered(x, i) * centered(y, j), 9).as("t")))))).as("s"))
+        .groupBy(col("s.i").as("i"), col("s.j").as("j"))
+        .agg(round(sum(col("s.t").cast(dec)).cast("double") / count(lit(1)), 9).as("c")),
+      "pca_cov")
+    // power rounds over the tiny covariance table
+    var v = cov.select(col("j").as("vj")).distinct().withColumn("vv", lit(1.0d))
+    var vPath: String = null
+    for (_ <- 1 to iters) {
+      val (contrib, cm, cPath) = Scratch.materializeObservedAt(
+        cov.join(v, cov("j") === v("vj"))
+          .groupBy(cov("i"))
+          .agg(sum(round(col("c") * col("vv"), 9).cast(dec)).as("u")),
+        "pca_v", sum(abs(col("u"))).as("l1"))
+      val l1 = cm("l1") match {
+        case null => 0.0d
+        case bd: java.math.BigDecimal => bd.doubleValue
+        case d: java.lang.Number => d.doubleValue
+      }
+      if (vPath != null) Scratch.drop(spark, vPath)
+      if (l1 == 0.0d) {
+        Scratch.drop(spark, covPath)
+        Scratch.drop(spark, cPath)
+        return vecs.sparkSession.range(0)
+          .select(col("id").cast("int").as("dim_idx"),
+            lit(0.0d).as("loading")).limit(0)
+      }
+      v = contrib.select(col("i").as("vj"),
+        round(col("u").cast("double") / lit(l1), 9).as("vv"))
+      vPath = cPath
+    }
+    Scratch.drop(spark, covPath)
+    v.select(col("vj").cast("int").as("dim_idx"), col("vv").as("loading"))
+  }
+
+  /** Project every embedding onto a component from
+    * [[pcaTopComponent]]: the 1-d corpus coordinates (variance-ranked
+    * ordering, drift tracking, stratified sampling keys). The component
+    * collapses to ONE broadcast array row; the projection is a per-row
+    * sequential zip-fold — map-side scan-speed, deterministic on both
+    * engines because the fold order is the dimension order. The
+    * component must carry exactly the corpus's dimensions (the
+    * [[pcaTopComponent]] output contract). */
+  def pcaProject(
+      vecs: DataFrame,
+      component: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cRow = broadcast(
+      component.groupBy()
+        .agg(sort_array(collect_list(struct(col("dim_idx"), col("loading")))).as("dl"))
+        .select(transform(col("dl"), s => s.getField("loading")).as("carr")))
+    Par.fanOut(vecs.select(col(idCol), col(vecCol))).crossJoin(cRow)
+      .select(col(idCol),
+        round(aggregate(
+          zip_with(col(vecCol), col("carr"), (x, w) => x.cast("double") * w),
+          lit(0.0d), (acc, x) => acc + x), 6).as("pc1"))
+  }
 }

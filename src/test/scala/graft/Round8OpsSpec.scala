@@ -154,6 +154,45 @@ class Round8OpsSpec extends SparkTestBase {
     assert(graft.operators.Graph.stronglyConnectedComponents(noEdges).count() == 0)
   }
 
+  test("transitionMatrix: probabilities partition each current type, steps = N - U") {
+    val m = Events.transitionMatrix(events).collect()
+    // per current type, P(next | current) sums to 1 (6-dp rounded terms)
+    m.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+    // every user contributes (its events - 1) steps
+    val n = events.count()
+    val u = events.select("user_id").distinct().count()
+    assert(m.map(_.getLong(2)).sum == n - u)
+  }
+
+  test("pcaTopComponent: unit-L1 component, deterministic, empty-safe") {
+    val pc = Similarity.pcaTopComponent(emb, iters = 2).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(pc.length == 64 && pc.map(_._1).toSeq == (0 until 64))
+    // L1-normalized up to the 9-dp rounding of each loading
+    assert(math.abs(pc.map(x => math.abs(x._2)).sum - 1.0) < 1e-6)
+    // a dominant direction exists (not the degenerate uniform vector)
+    assert(pc.map(x => math.abs(x._2)).max > 1.5 / 64)
+    val again = Similarity.pcaTopComponent(emb, iters = 2).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(pc.toSeq == again.toSeq)
+    val noVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Similarity.pcaTopComponent(noVecs).count() == 0)
+    // projection: one coordinate per vector, not all identical (the
+    // component separates the corpus), zero-shuffle map-side plan
+    val proj = Similarity.pcaProject(emb,
+      Similarity.pcaTopComponent(emb, iters = 2))
+    val physical = proj.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle the corpus:\n$physical")
+    val coords = proj.collect().map(_.getDouble(1))
+    assert(coords.length == emb.count().toInt && coords.distinct.length > 1)
+  }
+
   test("empty inputs: round-8 operators degrade to empty, not throw") {
     val noDocs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

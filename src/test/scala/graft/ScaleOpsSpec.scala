@@ -78,6 +78,13 @@ class ScaleOpsSpec extends SparkTestBase {
     // under a bound that admits the bucket: all identical pairs at 1.0
     assert(Dedup.ppjoinJaccard(dup, minJaccard = 0.9, maxBucketRows = 2000)
       .count() == 300L * 299L / 2L)
+    // the TOTAL-candidate-volume contract trips independently of the
+    // per-bucket bound (buckets fine, aggregate fanout not)
+    val volErr = intercept[Exception] {
+      Dedup.ppjoinJaccard(dup, minJaccard = 0.9, maxBucketRows = 2000,
+        maxCandidateVolume = 1000L).collect()
+    }
+    assert(messages(volErr).exists(_.contains("maxCandidateVolume")))
   }
 
   test("spanDuplicates: shared window flags both docs, short docs use the truncated gram") {
