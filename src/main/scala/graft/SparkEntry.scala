@@ -360,6 +360,14 @@ object SparkEntry {
       // CCNet-style head/middle/tail terciles of the unigram-LM score
       // within each language (histogram thresholds, integer compares)
       graft.operators.TextAnalysis.lmQualityBuckets(t(s, dir, "documents"))),
+    "vocab_zipf" -> ((s, dir) =>
+      // power-law health check: ln-freq vs ln-rank least squares,
+      // histogram min-ranks (no vocab-wide window), DECIMAL moments
+      graft.operators.TextAnalysis.zipfFit(t(s, dir, "documents"))),
+    "corpus_mixture_plan" -> ((s, dir) =>
+      // per-source token-budget allocation sheet under T=2 flattening
+      graft.operators.Corpus.mixturePlan(t(s, dir, "documents"),
+        budgetTokens = 100000L)),
     "corpus_prepare_spans" -> ((s, dir) => {
       // the compositor with the opt-in span-level boilerplate cut:
       // docs >= 95% made of 8-token spans that appear elsewhere in the
@@ -1328,6 +1336,42 @@ object SparkEntry {
     "decontaminate_report" -> OracleFragments.decontaminateReport(
       nTokens = 8, minHits = 1, benchMod = 20),
     "lm_quality_buckets" -> OracleFragments.lmQualityBuckets,
+    "corpus_mixture_plan" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs,
+                 sum(len(${OracleFragments.toks}))::BIGINT AS total_tokens
+               FROM documents GROUP BY 1),
+          mn AS (SELECT min(total_tokens) AS min_tok FROM s),
+          r AS (SELECT s.*,
+                 sqrt(min_tok::DOUBLE / total_tokens::DOUBLE) AS kr,
+                 round(total_tokens::DOUBLE *
+                   sqrt(min_tok::DOUBLE / total_tokens::DOUBLE), 6) AS desired
+               FROM s, mn),
+          td AS (SELECT sum(desired::DECIMAL(28,6))::DOUBLE AS td FROM r)
+         SELECT source, n_docs, total_tokens, round(kr, 6) AS keep_rate,
+                least(floor(100000 * desired / td)::BIGINT, total_tokens) AS alloc_tokens,
+                floor(100000 * desired / td)::BIGINT > total_tokens AS capped
+         FROM r, td""",
+    "vocab_zipf" ->
+      s"""WITH v AS (SELECT tk, count(*) AS n
+               FROM (SELECT unnest(${OracleFragments.toks}) AS tk FROM documents)
+               GROUP BY 1),
+          hist AS (SELECT n, count(*) AS nv FROM v GROUP BY 1),
+          ranked AS (SELECT n, nv,
+                 coalesce(sum(nv) OVER (ORDER BY n DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rank
+               FROM hist),
+          t AS (SELECT nv, round(ln(rank), 9) AS x, round(ln(n), 9) AS y FROM ranked),
+          m AS (SELECT sum(nv)::BIGINT AS nt,
+                 sum(round(x * nv, 9)::DECIMAL(28,12))::DOUBLE AS sx,
+                 sum(round(y * nv, 9)::DECIMAL(28,12))::DOUBLE AS sy,
+                 sum(round(x * y * nv, 9)::DECIMAL(28,12))::DOUBLE AS sxy,
+                 sum(round(x * x * nv, 9)::DECIMAL(28,12))::DOUBLE AS sxx
+               FROM t)
+         SELECT nt AS n_types,
+                round((nt * sxy - sx * sy) / nullif(nt * sxx - sx * sx, 0), 6) AS zipf_slope,
+                round((sy - round((nt * sxy - sx * sy) / nullif(nt * sxx - sx * sx, 0), 6) * sx)
+                  / nt, 6) AS zipf_intercept
+         FROM m""",
     "decontaminate" -> OracleFragments.decontaminate(
       nTokens = 8, minHits = 1, benchMod = 20),
     "corpus_prepare" -> OracleFragments.corpusPrepare(

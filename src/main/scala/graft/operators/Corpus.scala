@@ -304,6 +304,48 @@ object Corpus {
         floor(col("keep_rate") * lit(4294967296.0)).cast("long"))
   }
 
+  /** Mixture BUDGET PLAN: the per-source allocation sheet a mixture
+    * designer reads before launching the samplers — for a target token
+    * budget, how many tokens each source gets under temperature-
+    * flattened (T=2) weighting, single-pass proportional with a
+    * per-source availability cap (a capped source is flagged rather
+    * than waterfill-redistributed; iterate with the flag if exact
+    * budget fill matters).
+    *
+    * Everything is one tiny per-source aggregate plus two 1-row
+    * broadcast cross joins: token totals are integer-exact sums, the
+    * T=2 weight is one IEEE sqrt (engine-exact), desired masses round
+    * to 6 dp before the order-free DECIMAL total, and the final
+    * allocation arithmetic is a fixed double expression — the whole
+    * plan is engine-reproducible. */
+  def mixturePlan(
+      docs: DataFrame,
+      budgetTokens: Long,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val bySrc = docs.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.functions.TextFunctions.tokenCountWs(col(textCol)).cast("long"))
+        .as("total_tokens"))
+    val minTok = bySrc.agg(min(col("total_tokens")).as("min_tok"))
+    val rated = bySrc.crossJoin(broadcast(minTok))
+      .withColumn("kr",
+        sqrt(col("min_tok").cast("double") / col("total_tokens").cast("double")))
+      .withColumn("desired",
+        round(col("total_tokens").cast("double") * col("kr"), 6))
+    val totDesired = rated.agg(
+      sum(col("desired").cast(dec6)).cast("double").as("td"))
+    val rawAlloc = floor(
+      lit(budgetTokens).cast("double") * col("desired") / col("td")).cast("long")
+    rated.crossJoin(broadcast(totDesired))
+      .select(col(sourceCol), col("n_docs"), col("total_tokens"),
+        round(col("kr"), 6).as("keep_rate"),
+        least(rawAlloc, col("total_tokens")).as("alloc_tokens"),
+        (rawAlloc > col("total_tokens")).as("capped"))
+  }
+
   /** Keep the top `keepFraction` of each group by score — the
     * percentile-style quality filter ("keep the best 70% per source"),
     * in a shape that survives 100 TB. A per-source `percent_rank`

@@ -277,6 +277,52 @@ object TextAnalysis {
   // a web-scale vocab is a single-partition window. Rank downstream with
   // orderBy(...).limit(k) (TakeOrderedAndProject) for top-k use.
 
+  /** Zipf fit of the corpus vocabulary: least-squares slope/intercept
+    * of ln(frequency) against ln(rank) — the power-law health check
+    * (clean natural-language corpora fit slope ≈ −1; template spam,
+    * tag soup and synthetic word salad bend it). One diagnostic row.
+    *
+    * Rank WITHOUT a vocab-wide window: ties share their MIN rank
+    * (1 + count of strictly-more-frequent types), computed from the
+    * count-value HISTOGRAM — the cumulative runs over distinct count
+    * VALUES (≲10⁵ even for web-scale corpora, vs 10⁸ vocab rows), the
+    * [[graft.operators.Corpus.qualityThresholdFilter]] discipline.
+    * Regression moments are DECIMAL(28,12) sums of 9-dp-rounded
+    * per-count-value terms — order-free, engine-exact; the final
+    * slope/intercept arithmetic is one fixed double expression. A
+    * degenerate single-count-value vocabulary has no defined slope →
+    * NULL (documented), not a division error. */
+  def zipfFit(
+      docs: DataFrame,
+      minCount: Long = 1L,
+      textCol: String = "text"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val hist = vocabulary(docs, minCount, textCol)
+      .groupBy(col("n")).agg(count(lit(1)).as("nv"))
+    val wCum = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("rank", coalesce(sum(col("nv")).over(wCum), lit(0L)) + 1L)
+    val terms = ranked.select(
+      col("nv"),
+      round(log(col("rank").cast("double")), 9).as("x"),
+      round(log(col("n").cast("double")), 9).as("y"))
+    val m = terms.agg(
+      sum(col("nv")).as("nt"),
+      sum(round(col("x") * col("nv").cast("double"), 9).cast(dec)).as("sx"),
+      sum(round(col("y") * col("nv").cast("double"), 9).cast(dec)).as("sy"),
+      sum(round(col("x") * col("y") * col("nv").cast("double"), 9).cast(dec)).as("sxy"),
+      sum(round(col("x") * col("x") * col("nv").cast("double"), 9).cast(dec)).as("sxx"))
+    val n = col("nt").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val slope = round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, lit(0.0d)), 6)
+    m.select(
+      col("nt").as("n_types"),
+      slope.as("zipf_slope"),
+      round((sy - slope * sx) / n, 6).as("zipf_intercept"))
+  }
+
   /** Boilerplate n-gram mining: corpus-wide DOCUMENT frequency of
     * n-token grams (per-doc distinct, so a gram repeated inside one doc
     * counts once) — the "what phrase appears in half the corpus" signal

@@ -81,6 +81,33 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(messages(err).exists(_.contains("hashedLinearScores")))
   }
 
+  test("zipfFit: one diagnostic row, negative slope, degenerate vocab -> null") {
+    val fit = TextAnalysis.zipfFit(docs).collect()
+    assert(fit.length == 1)
+    val r = fit.head
+    assert(r.getLong(0) > 10)
+    // frequency falls as rank rises on any natural-ish corpus
+    assert(!r.isNullAt(1) && r.getDouble(1) < 0.0)
+    // every type occurs exactly once -> one count value -> no slope
+    val uniform = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val u = TextAnalysis.zipfFit(uniform).head()
+    assert(u.isNullAt(1))
+  }
+
+  test("mixturePlan: allocations never exceed the budget or availability") {
+    val budget = 50000L
+    val plan = graft.operators.Corpus.mixturePlan(docs, budget).collect()
+    assert(plan.nonEmpty)
+    assert(plan.map(_.getLong(4)).sum <= budget)
+    plan.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2))                 // <= available
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0) // keep_rate
+    }
+    // the scarcest source is never down-weighted (rate exactly 1)
+    val minSrc = plan.minBy(_.getLong(2))
+    assert(minSrc.getDouble(3) == 1.0)
+  }
+
   test("corpusReport: totals add up across groups") {
     val rep = TextAnalysis.corpusReport(docs).collect()
     assert(rep.map(_.getLong(2)).sum == docs.count())       // n_docs partitions the corpus
