@@ -1262,6 +1262,59 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("click_id"), col("ts")),
         horizonMinutes = 60)
     }),
+    "dq_audit" -> ((s, dir) =>
+      // Deequ-style column-profile audit: every metric from ONE global
+      // aggregate (single Expand for the multi-distinct), long format
+      // via a driver-free explode of the one result row
+      graft.operators.Quality.dqAudit(t(s, dir, "lineitem"),
+        numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        otherCols = Seq("l_returnflag", "l_shipdate"))),
+    "cdc_scd2" -> ((s, dir) =>
+      // SCD type-2 history from the event change stream: run-collapse +
+      // interval close under a single entity-keyed Exchange
+      graft.operators.Quality.scd2(eventsTable(s, dir))
+        .select(col("user_id"), col("state"), col("version"),
+          unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"),
+          col("is_current"))),
+    "stats_outliers" -> ((s, dir) =>
+      // Tukey-fence outlier audit on the heavy-tailed event metric:
+      // exact quartile fences broadcast back for one counting pass
+      graft.operators.Quality.iqrOutliers(
+        t(s, dir, "events"), "event_type", "value")),
+    "fuzzy_join_edit" -> ((s, dir) =>
+      // blocked Levenshtein record linkage over part names: block =
+      // (last name token, size) — guarded quadratic contract, length
+      // lower-bound prefilter, shuffle_hash self-join
+      graft.operators.Quality.editLinkage(
+        t(s, dir, "part"), idCol = "p_partkey", nameCol = "p_name",
+        blockExprs = Seq(regexp_extract(col("p_name"), "(\\S+)$", 1),
+          col("p_size").cast("string")),
+        maxDist = 4)),
+    "embed_dim_stats" -> ((s, dir) =>
+      // per-dimension corpus profile: posexplode + one dim-keyed hash
+      // aggregate (shuffle is O(partitions x dims)); decimal-exact sums
+      Similarity.dimStats(t(s, dir, "embeddings"))),
+    "ev_sliding_window" -> ((s, dir) =>
+      // sliding windows via the built-in window(size, slide): constant
+      // map-side Expand then one keyed agg; streaming-compatible form
+      graft.operators.Events.slidingCounts(eventsTable(s, dir))),
+    "sample_neyman" -> ((s, dir) =>
+      // variance-optimal stratified sampling: budget split per source
+      // by n_h*sigma_h from one tiny decimal-exact moment aggregate,
+      // realized as broadcast-joined integer-coin rates
+      graft.operators.Corpus.neymanSample(
+        t(s, dir, "documents").withColumn("quality",
+          graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+        budget = 600L, valueCol = "quality")),
+    "sim_pq_topk" -> ((s, dir) => {
+      // product-quantization ANN: M deterministic per-subspace
+      // codebooks, corpus stored as M codes, queries answered by ADC
+      // table lookups — the memory-bound ANN scale path
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(pmod(col("vec_id"), lit(100)) === 0),
+        k = 5, dims = 64, m = 4, ksub = 4, iters = 2)
+    }),
   )
 
   /** Co-purchase edge fixture for the graph_* queries: parts sharing an
@@ -1851,6 +1904,98 @@ object SparkEntry {
          FROM v JOIN c ON v.user_id = c.c_user_id
           AND click_ts >= view_ts
           AND click_ts <= view_ts + INTERVAL 60 MINUTE""",
+    "dq_audit" -> {
+      def m(c: String, numeric: Boolean) = {
+        val mn = if (numeric) s"min($c)::DOUBLE" else "NULL::DOUBLE"
+        val mx = if (numeric) s"max($c)::DOUBLE" else "NULL::DOUBLE"
+        val sm = if (numeric) s"sum($c::DECIMAL(28,6))::DOUBLE" else "NULL::DOUBLE"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+                   count(*) - count($c) AS n_null,
+                   count(DISTINCT $c) AS n_distinct,
+                   $mn AS min_d, $mx AS max_d, $sm AS sum_d
+            FROM lineitem"""
+      }
+      Seq(m("l_quantity", true), m("l_extendedprice", true),
+        m("l_discount", true), m("l_returnflag", false),
+        m("l_shipdate", false)).mkString("\nUNION ALL\n")
+    },
+    "cdc_scd2" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_state
+           FROM events),
+         r AS (
+           SELECT user_id, event_type, ts,
+                  CASE WHEN prev_state IS NULL OR prev_state <> event_type
+                       THEN 1 ELSE 0 END AS chg,
+                  sum(CASE WHEN prev_state IS NULL OR prev_state <> event_type
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS version
+           FROM o),
+         s AS (
+           SELECT user_id, event_type AS state, version,
+                  ts AS valid_from FROM r WHERE chg = 1)
+         SELECT user_id, state, version::BIGINT AS version,
+                epoch_ms(valid_from) AS valid_from_ms,
+                epoch_ms(lead(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY version)) AS valid_to_ms,
+                lead(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY version) IS NULL AS is_current
+         FROM s""",
+    "stats_outliers" ->
+      """WITH f AS (
+           SELECT event_type,
+                  quantile_cont("value", 0.25) AS q1,
+                  quantile_cont("value", 0.75) AS q3
+           FROM events GROUP BY 1),
+         b AS (
+           SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+                  q3 + 1.5 * (q3 - q1) AS hi FROM f)
+         SELECT e.event_type, count(*) AS n,
+                sum(CASE WHEN "value" < lo OR "value" > hi
+                         THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                round(any_value(lo), 4) AS lo, round(any_value(hi), 4) AS hi
+         FROM events e JOIN b USING (event_type)
+         GROUP BY 1""",
+    "fuzzy_join_edit" ->
+      """WITH k AS (
+           SELECT regexp_extract(p_name, '(\S+)$', 1) || p_size::VARCHAR AS blk,
+                  p_partkey AS id, p_name AS name FROM part)
+         SELECT a.id AS a_id, b.id AS b_id, a.name AS a_name, b.name AS b_name,
+                levenshtein(a.name, b.name) AS dist
+         FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+         WHERE abs(length(a.name) - length(b.name)) <= 4
+           AND levenshtein(a.name, b.name) <= 4""",
+    "embed_dim_stats" ->
+      """WITH ex AS (
+           SELECT unnest(list_transform(generate_series(1, len(embedding)),
+                    i -> {'dim': i - 1, 'v': embedding[i]})) AS u
+           FROM embeddings),
+         e AS (
+           SELECT u.dim AS dim, round(u.v::DOUBLE, 6) AS vr FROM ex),
+         a AS (
+           SELECT dim, count(*) AS n,
+                  sum(vr::DECIMAL(28,6))::DOUBLE AS s1,
+                  sum((vr * vr)::DECIMAL(38,12))::DOUBLE AS s2,
+                  min(vr) AS min_v, max(vr) AS max_v
+           FROM e GROUP BY 1)
+         SELECT dim::INT AS dim, n, round(s1 / n, 6) AS mean,
+                round((s2 - s1 * s1 / n) / n, 8) AS var_pop, min_v, max_v
+         FROM a""",
+    "sim_pq_topk" -> OracleFragments.simPqTopK(
+      dims = 64, m = 4, ksub = 4, iters = 2, k = 5, queryMod = 100),
+    "ev_sliding_window" ->
+      """WITH w AS (
+           SELECT (epoch_ms(ts) // 300000 - o.k) * 300000 AS ws,
+                  event_type, "value"
+           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) o)
+         SELECT ws AS window_start_ms, ws + 600000 AS window_end_ms,
+                event_type, count(*) AS n,
+                sum("value"::DECIMAL(18,2))::DOUBLE AS total_value
+         FROM w GROUP BY 1, 2, 3""",
+    "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
   )
 }
 
@@ -3853,5 +3998,107 @@ object OracleFragments {
           s0 AS MATERIALIZED (SELECT DISTINCT n AS walk, n AS node FROM adj),
           $stepCtes
         $selects"""
+  }
+
+  /** Neyman-allocation stratified sampling (Corpus.neymanSample): the
+    * same 6-dp quality score, decimal-exact per-stratum moment sums,
+    * round(n_h·σ_h, 6) weights summed as decimal, double-order rate
+    * arithmetic, and the salted `ney:` integer coin. */
+  def sampleNeyman(budget: Long): String = {
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopRaw = s"len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    val quality = s"""round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
+              + least(($stopRaw) * 4.0, 1.0) * 0.3, 6)"""
+    s"""WITH d AS (SELECT doc_id, source, $quality AS q FROM documents),
+          s AS (SELECT source, count(*) AS n_h,
+                       sum(q::DECIMAL(28,6))::DOUBLE AS s1,
+                       sum((q * q)::DECIMAL(38,12))::DOUBLE AS s2
+                FROM d GROUP BY 1),
+          w AS (SELECT source, n_h,
+                       round(n_h * sqrt((s2 - s1 * s1 / n_h) / n_h), 6) AS w_h
+                FROM s),
+          tw AS (SELECT sum(w_h::DECIMAL(28,6))::DOUBLE AS w_tot FROM w),
+          r AS (SELECT source,
+                       least(1.0::DOUBLE,
+                             $budget.0::DOUBLE * w_h / w_tot / n_h) AS rate
+                FROM w CROSS JOIN tw),
+          t AS (SELECT source, rate,
+                       floor(rate * 4294967296.0)::BIGINT AS thr FROM r)
+        SELECT d.doc_id, d.source, round(t.rate, 6) AS rate
+        FROM d JOIN t USING (source)
+        WHERE ('0x' || substr(md5('ney:' || d.doc_id::VARCHAR), 1, 8))::BIGINT < t.thr"""
+  }
+
+  /** Squared L2 between double lists — the dimension-order fold
+    * Similarity.sqDist performs. */
+  private def l2Of(a: String, b: String): String =
+    s"""list_aggregate(list_transform(list_zip($a, $b),
+        z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)), 'sum')"""
+
+  /** PQ ANN top-k (Similarity.pqTopK): per-subspace unrolled Lloyd
+    * (Euclidean argmin, 6-dp-rounded pinned centroids — the ivfLloydCtes
+    * discipline), corpus codes, and the ADC ranking: sum of exact
+    * query-slice↔assigned-centroid distances, rounded 6 dp, id
+    * tie-break. */
+  def simPqTopK(dims: Int, m: Int, ksub: Int, iters: Int,
+      k: Int, queryMod: Int): String = {
+    val sub = dims / m
+    def sliceCtes(j: Int): String = {
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      def assign(name: String, centsCte: String): String =
+        s"""$name AS (
+              SELECT vid, v, cell FROM (
+                SELECT vv.vid, vv.v, cc.cell,
+                       row_number() OVER (PARTITION BY vv.vid
+                         ORDER BY round(${l2Of("vv.v", "cc.cv")}, 6) ASC,
+                                  cc.cell ASC) AS rn
+                FROM s$j vv CROSS JOIN $centsCte cc) WHERE rn = 1)"""
+      def update(name: String, assignCte: String): String =
+        s"""$name AS (
+              SELECT cell, list(mr ORDER BY pos) AS cv FROM (
+                SELECT cell, pos, round(avg(x), 6) AS mr FROM (
+                  SELECT cell, unnest(v)::DOUBLE AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM $assignCte)
+                GROUP BY cell, pos) GROUP BY cell)"""
+      val steps = (1 to iters).flatMap { i =>
+        Seq(assign(s"a$j$i", s"c$j${i - 1}"), update(s"c$j$i", s"a$j$i"))
+      }
+      s"""s$j AS (SELECT vid, list_transform(v[$lo:$hi], x -> x::DOUBLE) AS v
+                  FROM v),
+          c${j}0 AS (SELECT (row_number() OVER (ORDER BY vid) - 1)::INT AS cell,
+                            list_transform(v, x -> round(x, 6)) AS cv
+                     FROM s$j QUALIFY row_number() OVER (ORDER BY vid) <= $ksub),
+          ${steps.mkString(",\n          ")},
+          ${assign(s"e$j", s"c$j$iters")}"""
+    }
+    val allCtes = (0 until m).map(sliceCtes).mkString(",\n          ")
+    val joins = (0 until m).map { j =>
+      s"""JOIN e$j ON e$j.vid = x.vid
+          JOIN c$j$iters cc$j ON cc$j.cell = e$j.cell"""
+    }.mkString("\n          ")
+    val adist = (0 until m).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      l2Of(s"list_transform(q.qv[$lo:$hi], x -> x::DOUBLE)", s"cc$j.cv")
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+          $allCtes,
+          q AS (SELECT vid AS qid, v AS qv FROM v WHERE vid % $queryMod = 0),
+          pairs AS (
+            SELECT q.qid, x.vid, round($adist, 6) AS adist
+            FROM q CROSS JOIN v x
+            $joins
+            WHERE x.vid <> q.qid)
+        SELECT qid AS query_id, vid AS neighbor_id, adist, rank::INT AS rank
+        FROM (
+          SELECT qid, vid, adist,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY adist ASC, vid ASC) AS rank
+          FROM pairs) WHERE rank <= $k"""
   }
 }

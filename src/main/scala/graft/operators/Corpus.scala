@@ -270,6 +270,59 @@ object Corpus {
     docs.filter(c < floor(p * lit(4294967296.0)).cast("long"))
   }
 
+  /** Neyman-allocation stratified sampling: spend a global sample
+    * `budget` across strata proportionally to n_h·σ_h (the
+    * variance-optimal allocation for estimating a mean — Neyman 1934),
+    * realized as a per-stratum deterministic coin rate.
+    *
+    * Why a pipeline wants it: fixed-rate sampling over-spends budget on
+    * huge homogeneous strata; Neyman shifts it to the strata whose
+    * `valueCol` (quality score, length, loss) actually varies.
+    *
+    * Shape: ONE tiny per-stratum aggregate (n, decimal-exact moment
+    * sums of the 6-dp-rounded value — the dimStats discipline, so σ_h
+    * is bit-stable under any partitioning), allocation arithmetic on
+    * that few-row frame, then the broadcast-joined integer-coin filter
+    * (salt `ney:`) — the whole sampler is one scan + one broadcast
+    * join, map-side at any scale. Weights w_h = round(n_h·σ_h, 6) are
+    * summed as decimal (order-exact) before the double division, so
+    * the realized rates — and therefore membership — are reproducible
+    * across engines; rates clamp to 1 (a stratum can't give more than
+    * it has; the residual budget is NOT redistributed — allocation is
+    * one closed-form pass, not an iterative solver). */
+  def neymanSample(
+      docs: DataFrame,
+      budget: Long,
+      valueCol: String,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val vr = round(col(valueCol).cast("double"), 6)
+    val strata = docs
+      .select(col(sourceCol), vr.as("vr"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_h"),
+        sum(col("vr").cast("decimal(28,6)")).cast("double").as("s1"),
+        sum((col("vr") * col("vr")).cast("decimal(38,12)")).cast("double").as("s2"))
+      .select(col(sourceCol), col("n_h"),
+        round(col("n_h") * sqrt(
+          (col("s2") - col("s1") * col("s1") / col("n_h")) / col("n_h")), 6)
+          .as("w_h"))
+    val totalW = strata.agg(
+      sum(col("w_h").cast("decimal(28,6)")).cast("double").as("w_tot"))
+    val rates = strata.crossJoin(totalW)
+      .select(col(sourceCol),
+        least(lit(1.0d),
+          lit(budget.toDouble) * col("w_h") / col("w_tot") / col("n_h"))
+          .as("rate"))
+      .select(col(sourceCol), col("rate"),
+        floor(col("rate") * lit(4294967296.0d)).cast("long").as("thr"))
+    docs.join(broadcast(rates), sourceCol)
+      .filter(coin(idCol, "ney:") < col("thr"))
+      .select(col(idCol), col(sourceCol), round(col("rate"), 6).as("rate"))
+  }
+
   /** Temperature-flattened mixture sampling (multilingual-corpus
     * balancing): with source shares p_i, sample with probability
     * q_i ∝ p_i^(1/T), which a per-document keep-rate of

@@ -152,6 +152,28 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
 
+  /** Sliding-window aggregation: the built-in `window(size, slide)`
+    * (epoch-aligned `[start, end)` windows — the streaming-compatible
+    * form: the same expression runs under `readStream` + watermark).
+    * Each event expands to the constant size/slide overlapping windows
+    * map-side (Spark's Expand), then ONE keyed aggregate with map-side
+    * partials — the shuffle carries windows × types rows per task, not
+    * events. Sums ride decimal(18,2) so the totals are order-exact. */
+  def slidingCounts(
+      events: DataFrame,
+      sizeMinutes: Int = 10,
+      slideMinutes: Int = 5): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), s"$sizeMinutes minutes", s"$slideMinutes minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        unix_millis(col("window.end")).as("window_end_ms"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Per-user running aggregates (event index + cumulative value). */
   def runningTotals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

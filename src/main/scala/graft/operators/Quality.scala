@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality and curation-adjacent warehouse operators: the audit /
+ * history / outlier / linkage surface a 100 TB ingest pipeline runs
+ * around the core curation chain. (The reference pipeline itself has no
+ * value-level predicates — `/root/reference/pipeline.py:57-95` routes
+ * and projects only — so this whole family is extension surface, in the
+ * spirit of Deequ-style data validation and classic warehouse CDC.)
+ *
+ * Scale notes are per-operator; the common theme is ONE pass / ONE
+ * keyed shuffle each, with every per-group expansion either bounded by
+ * construction (audit: one row per column) or guarded at runtime
+ * (linkage blocks via [[Blocks.guardBlockSize]]).
+ */
+object Quality {
+
+  /** Column-profile audit (the Deequ/"analyzer" shape): for each listed
+    * column — null count, exact distinct count, and for numeric columns
+    * min / max / a DECIMAL-exact sum — emitted as one LONG-format row
+    * per column: `(column, n_rows, n_null, n_distinct, min_d, max_d,
+    * sum_d)`.
+    *
+    * One pass over the table: a single global aggregate computes every
+    * metric (Spark plans the multi-column distinct via one Expand — the
+    * row multiplier is the column count, a constant — with map-side
+    * partial aggregation), and the long format is a driver-free explode
+    * of the single result row. Sums ride decimal(28,6) so the audit is
+    * bit-stable under any partitioning (no fp reduction-order noise);
+    * min/max/counts are exact by nature.
+    *
+    * At 100 TB: this is the shape you want — no per-column jobs, no
+    * driver loop; one shuffle of partial aggregates. For columns where
+    * exact distinct is too hot, `approx_count_distinct` is the drop-in
+    * (error-contract pattern as in `sketch_merge`); exact is kept here
+    * because the audit IS the oracle gate.
+    */
+  def dqAudit(
+      df: DataFrame,
+      numericCols: Seq[String],
+      otherCols: Seq[String] = Nil): DataFrame = {
+    require(numericCols.nonEmpty || otherCols.nonEmpty, "no columns to audit")
+    val cols = numericCols ++ otherCols
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        val base = Seq(
+          count(col(c)).as(s"${c}__nn"),
+          count_distinct(col(c)).as(s"${c}__nd"))
+        val numeric =
+          if (numericCols.contains(c))
+            Seq(
+              min(col(c)).cast("double").as(s"${c}__min"),
+              max(col(c)).cast("double").as(s"${c}__max"),
+              sum(col(c).cast("decimal(28,6)")).cast("double").as(s"${c}__sum"))
+          else
+            Seq(
+              lit(null).cast("double").as(s"${c}__min"),
+              lit(null).cast("double").as(s"${c}__max"),
+              lit(null).cast("double").as(s"${c}__sum"))
+        base ++ numeric
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("n_rows"),
+        (col("n_rows") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_d"),
+        col(s"${c}__max").as("max_d"),
+        col(s"${c}__sum").as("sum_d"))
+    }
+    one.select(explode(array(rows: _*)).as("m")).select("m.*")
+  }
+
+  /** Slowly-changing-dimension (type 2) history build from a change
+    * stream: collapse each entity's consecutive runs of the same state
+    * into `[valid_from, valid_to)` versions, latest version open
+    * (`valid_to` null, `is_current` true).
+    *
+    * The classic CDC → dimension-history materialization. ONE shuffle:
+    * both windows (run detection ordered by `(ts, tie)`, interval close
+    * ordered by version) partition by the entity key, so Catalyst plans
+    * a single Exchange with two sorts over it. Run detection is
+    * lag-compare + running sum — no self-join, no per-entity collect.
+    * Per-entity state is bounded by that entity's change count.
+    *
+    * `tieCol` makes ordering total when timestamps collide (the
+    * deterministic-output requirement); pass the event id.
+    */
+  def scd2(
+      changes: DataFrame,
+      entityCol: String = "user_id",
+      stateCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(stateCol), 1).over(w)
+    val starts = changes
+      .select(col(entityCol), col(stateCol), col(tsCol), col(tieCol))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col(stateCol), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("chg") === 1L)
+      .select(col(entityCol), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"), col("version"))
+    val wv = Window.partitionBy(col(entityCol)).orderBy(col("version"))
+    starts
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Tukey-fence (IQR) outlier audit per group: exact q1/q3 of
+    * `valueCol`, fences at `q1 - k*iqr` / `q3 + k*iqr`, and the row /
+    * outlier counts inside each group.
+    *
+    * Two aggregates over one scan lineage: the 1-row-per-group fence
+    * table (exact `percentile` — fine for low-cardinality audit groups;
+    * at high group cardinality or 100 TB swap `percentile_approx`, the
+    * error-contract pattern) broadcast back onto the table for a single
+    * counting pass. Fence arithmetic is plain IEEE doubles evaluated in
+    * the same expression order on both engines, so the counts are
+    * deterministic; fences are rounded for display only.
+    */
+  def iqrOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val fences = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(0.25)).as("q1"),
+      percentile(col(valueCol), lit(0.75)).as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    df.join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("lo") || col(valueCol) > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first(col("lo")), 4).as("lo"),
+        round(first(col("hi")), 4).as("hi"))
+  }
+
+  /** Blocked edit-distance record linkage (fuzzy join): canonical pairs
+    * `(a_id < b_id)` within a blocking key whose names are within
+    * `maxDist` Levenshtein edits.
+    *
+    * The classic entity-resolution shape: a cheap structural blocking
+    * key (pass several columns; they concatenate) bounds the candidate
+    * space, [[Blocks.guardBlockSize]] ENFORCES the bound at runtime
+    * (within-block pairing is quadratic — the same contract discipline
+    * as `ngramJaccard`/`cosinePairs`), a length-difference prefilter
+    * (|len(a)-len(b)| ≤ d is a Levenshtein lower bound) drops pairs
+    * before the edit-distance evaluation, and the self-join carries a
+    * `shuffle_hash` hint so a not-small corpus is never broadcast.
+    * One keyed shuffle on the block key.
+    */
+  def editLinkage(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockExprs: Seq[Column],
+      maxDist: Int = 3,
+      maxBlockRows: Long = 10000): DataFrame = {
+    require(blockExprs.nonEmpty, "editLinkage needs a blocking key")
+    val keyed = df.select(
+      concat_ws("", blockExprs: _*).as("blk"),
+      col(idCol).cast("long").as("a_id"),
+      col(nameCol).as("a_name"))
+    val guarded = Blocks.guardBlockSize(keyed, "blk", maxBlockRows,
+      "editLinkage", "refine the blocking key (add a column) or pre-cluster with LSH")
+    val right = guarded.select(col("blk"), col("a_id").as("b_id"),
+      col("a_name").as("b_name"))
+    guarded.hint("shuffle_hash").join(right, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(abs(length(col("a_name")) - length(col("b_name"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
+  }
+}

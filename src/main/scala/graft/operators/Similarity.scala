@@ -585,4 +585,183 @@ object Similarity {
           zip_with(col(vecCol), col("carr"), (x, w) => x.cast("double") * w),
           lit(0.0d), (acc, x) => acc + x), 6).as("pc1"))
   }
+
+  /** Per-dimension distribution profile of an embedding corpus —
+    * `(dim, n, mean, var_pop, min_v, max_v)` — the normalization /
+    * drift-monitoring statistics a feature store recomputes per ingest
+    * batch (and the input to per-dim standardization).
+    *
+    * Shape: posexplode → ONE hash aggregate keyed by the dimension
+    * index. The shuffle is tiny regardless of corpus size — map-side
+    * partial aggregation reduces each task to at most `dim` rows, so
+    * the exchange carries O(partitions × dim), not O(rows × dim).
+    *
+    * Determinism: each float is rounded to 6 dp (both engines round
+    * half-away-from-zero on doubles), then summed as decimal(28,6) —
+    * exact, order-independent; squares of 6-dp values have ≤ 12 dp and
+    * land exactly in decimal(38,12). Mean/variance are then plain
+    * double arithmetic over the exactly-recovered sums (sums this size
+    * round-trip decimal→double exactly), so no parallel-reduction fp
+    * noise can flip the rounded output. */
+  def dimStats(
+      vecs: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val vr = round(col("v").cast("double"), 6)
+    vecs
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), vr.as("vr"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vr").cast("decimal(28,6)")).cast("double").as("s1"),
+        sum((col("vr") * col("vr")).cast("decimal(38,12)")).cast("double").as("s2"),
+        min(col("vr")).as("min_v"),
+        max(col("vr")).as("max_v"))
+      .select(
+        col("dim"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 8)
+          .as("var_pop"),
+        col("min_v"), col("max_v"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou/Douze/Schmid 2011): split each vector
+  // into M contiguous subspaces, k-means each subspace independently
+  // (deterministic Lloyd — the ivfIndex discipline: rank-based init,
+  // driver-pinned 6-dp centroids, argmin on 6-dp-rounded distances with
+  // lowest-code tie-break), store each vector as M small codes, and
+  // answer queries by asymmetric distance computation (ADC): a per-query
+  // M×ksub table of exact query-slice↔centroid distances, so scoring a
+  // corpus vector is M table lookups + adds instead of a dim-length dot
+  // product. THE memory-bound ANN scale path: a 64-dim fp32 corpus
+  // (256 B/vec) stores as M=4 bytes/vec.
+  // ---------------------------------------------------------------------
+
+  /** Squared L2 over double arrays — sequential dimension-order fold,
+    * identical on both engines (PQ quantizes Euclidean geometry; cosine
+    * retrieval feeds [[l2Normalize]]d vectors in, where L2 rank order ==
+    * cosine rank order). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Deterministic per-subspace Lloyd over pre-sliced double vectors
+    * `(vid, v)` — the [[ivfIndex]] loop with Euclidean argmin. Returns
+    * the pinned 6-dp codebook, cells dense 0..k-1. The caller persists
+    * the sliced frame across the M builds. */
+  private def lloydL2(
+      c: DataFrame,
+      k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = c.sparkSession
+    var cents: Seq[(Int, Seq[Double])] = pin(spark,
+      c.orderBy(col("vid").asc).limit(k)
+        .withColumn("cell",
+          (row_number().over(Window.orderBy(col("vid").asc)) - 1).cast("int"))
+        .select(col("cell"), col("v").as("cv")))
+    for (_ <- 0 until iters) {
+      val updated = assignL2(c, cents)
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cv"))
+      cents = pin(spark, updated)
+    }
+    cents
+  }
+
+  /** Map-side Euclidean code assignment against pinned centroid
+    * literals: argmin of 6-dp-rounded squared distance, ties to the
+    * lowest code (min over struct(dist, cell)) — ONE projection, NO
+    * shuffle, reproducible across engines. */
+  private def assignL2(c: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    if (cents.isEmpty)
+      return c.select(col("vid"), col("v"), lit(0).cast("int").as("cell"))
+        .filter(lit(false))
+    val scored = cents.map { case (cell, cv) =>
+      struct(
+        round(sqDist(col("v"), array(cv.map(lit(_)): _*)), 6).as("d"),
+        lit(cell).as("cell"))
+    }
+    c.withColumn("best", array_min(array(scored: _*)))
+      .select(col("vid"), col("v"), col("best.cell").cast("int").as("cell"))
+  }
+
+  /** PQ ANN top-k: build M per-subspace codebooks over the corpus,
+    * encode every corpus vector as M codes, then answer the (small,
+    * broadcast) query set by ADC.
+    *
+    * Plan shape: the sliced corpus is persisted only for the Lloyd
+    * builds (M×iters tiny pinned collects — the documented ivfIndex
+    * window) and released before scoring; encoding is one map-side
+    * projection (M×ksub codegen'd folds per row); the per-query
+    * distance TABLES are computed once per query row (M×ksub exact
+    * slice↔centroid distances) BEFORE the broadcast cross join, so the
+    * per-pair work is M `element_at` lookups + adds — the whole point
+    * of PQ. Final top-k is the bruteForceTopK window (partial top-k per
+    * partition, k rows per query past the shuffle).
+    *
+    * Determinism: codebooks are pinned 6-dp literals; assignment and
+    * ranking compare 6-dp-rounded distances with id tie-breaks — the
+    * DuckDB oracle re-derives codebooks, codes, tables, and ranks
+    * exactly. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      dims: Int = 64,
+      m: Int = 4,
+      ksub: Int = 4,
+      iters: Int = 2): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    def sliceD(vec: Column, j: Int): Column =
+      transform(slice(vec, j * sub + 1, sub), _.cast("double"))
+
+    val base = Par.fanOut(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")))
+    val sliced = base.select(col("vid") +:
+      (0 until m).map(j => sliceD(col("v"), j).as(s"s$j")): _*)
+    if (iters > 0) sliced.persist()
+    val books: Seq[Seq[(Int, Seq[Double])]] =
+      (0 until m).map { j =>
+        lloydL2(sliced.select(col("vid"), col(s"s$j").as("v")), ksub, iters)
+      }
+    if (iters > 0) sliced.unpersist(blocking = false)
+
+    // encode: M argmin projections in one pass over the corpus
+    val encoded = (0 until m).foldLeft(sliced) { (df, j) =>
+      val scored = books(j).map { case (cell, cv) =>
+        struct(
+          round(sqDist(col(s"s$j"), array(cv.map(lit(_)): _*)), 6).as("d"),
+          lit(cell).as("cell"))
+      }
+      df.withColumn(s"code$j", array_min(array(scored: _*)).getField("cell"))
+    }.select(col("vid") +: (0 until m).map(j => col(s"code$j")): _*)
+
+    // per-query ADC tables: exact distance from each query slice to each
+    // centroid of its subspace, as an array indexed by code
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qTabs = (0 until m).foldLeft(q0) { (df, j) =>
+      val dists = books(j).sortBy(_._1).map { case (_, cv) =>
+        sqDist(sliceD(col("qv"), j), array(cv.map(lit(_)): _*))
+      }
+      df.withColumn(s"qt$j", array(dists: _*))
+    }.select(col("query_id") +: (0 until m).map(j => col(s"qt$j")): _*)
+
+    val adist = round(
+      (0 until m).map(j => element_at(col(s"qt$j"), col(s"code$j") + 1))
+        .reduce(_ + _), 6)
+    val scored = encoded.crossJoin(broadcast(qTabs))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN laws (Similarity.pqTopK) — the value-level
+  * gate is the sim_pq_topk DuckDB oracle (full codebook/code/ADC
+  * re-derivation). */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two well-separated clusters in 4-d; deterministic small jitter
+  private def clustered = {
+    val rows = (0 until 6).map { i =>
+      val base = if (i < 3) 0.0f else 10.0f
+      (i.toLong, Array(base + i * 0.01f, base, base - i * 0.01f, base))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pqTopK: neighbors from the query's own cluster rank first") {
+    val df = clustered
+    val out = Similarity.pqTopK(df, df.filter(col("vec_id") === 0),
+      k = 5, dims = 4, m = 2, ksub = 2, iters = 2)
+      .orderBy(col("rank")).collect()
+    assert(out.length == 5)
+    // the two other cluster-A members (1,2) precede every cluster-B member
+    val order = out.map(_.getLong(1)).toSeq
+    assert(order.take(2).toSet == Set(1L, 2L))
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 4, 5))
+    // ADC distances are monotone with rank
+    val d = out.map(_.getDouble(2)).toSeq
+    assert(d == d.sorted)
+  }
+
+  test("pqTopK: deterministic across runs and excludes the query itself") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    def run() = Similarity.pqTopK(e, q, k = 3, dims = 64, m = 4,
+      ksub = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val a = run()
+    assert(a == run())
+    assert(a.forall { case (qid, nid, _, _) => qid != nid })
+    assert(a.groupBy(_._1).forall(_._2.size == 3))
+  }
+
+  test("pqTopK: rejects dims not divisible by m") {
+    val df = clustered
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(df, df, dims = 4, m = 3)
+    }
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Quality, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / warehouse operators (Quality.scala) + the embedding
+  * dimension profile. Laws, not golden values — the value-level gate is
+  * the DuckDB oracle (dq_audit / cdc_scd2 / stats_outliers /
+  * fuzzy_join_edit / embed_dim_stats). */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dqAudit: null/distinct/min/max/sum per column, one row each") {
+    val df = Seq(
+      (Some(1.0d), Some("a")),
+      (Some(3.0d), None),
+      (None, Some("a"))).toDF("x", "s")
+    val m = Quality.dqAudit(df, numericCols = Seq("x"), otherCols = Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m.keySet == Set("x", "s"))
+    val x = m("x")
+    assert(x.getLong(1) == 3L && x.getLong(2) == 1L && x.getLong(3) == 2L)
+    assert(x.getDouble(4) == 1.0d && x.getDouble(5) == 3.0d && x.getDouble(6) == 4.0d)
+    val s = m("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 1L && s.isNullAt(4))
+  }
+
+  test("scd2: consecutive same-state runs collapse; intervals chain; last is open") {
+    val ev = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), (1L, "b", 30L, 102L),
+      (1L, "a", 40L, 103L),
+      (2L, "z", 5L, 104L))
+      .toDF("user_id", "event_type", "ms", "event_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = Quality.scd2(ev)
+      .select(col("user_id"), col("state"), col("version"),
+        unix_millis(col("valid_from")).as("from_ms"),
+        unix_millis(col("valid_to")).as("to_ms"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .sortBy(r => (r._1, r._3))
+    assert(out.toSeq == Seq(
+      (1L, "a", 1L, 10L, 30L, false),
+      (1L, "b", 2L, 30L, 40L, false),
+      (1L, "a", 3L, 40L, -1L, true),
+      (2L, "z", 1L, 5L, -1L, true)))
+  }
+
+  private lazy val eventsDf = graft.operators.Events.normalizeEventTs(
+    spark.read.parquet(s"${sf()}/events.parquet"))
+
+  test("scd2: intervals tile each entity's timeline (valid_to = next valid_from)") {
+    val iv = Quality.scd2(eventsDf).cache()
+    try {
+      // every non-current interval's valid_to equals the next version's valid_from
+      val broken = iv.alias("a").join(iv.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.version") + 1 === col("b.version"))
+        .filter(col("a.valid_to") =!= col("b.valid_from"))
+      assert(broken.count() == 0)
+      assert(iv.filter(col("is_current")).groupBy("user_id").count()
+        .filter(col("count") =!= 1).count() == 0)
+    } finally iv.unpersist()
+  }
+
+  test("iqrOutliers: a planted far point is counted, bulk is not") {
+    val vals = (1 to 100).map(i => ("g", i.toDouble)) :+ (("g", 1e6))
+    val df = vals.toDF("grp", "v")
+    val r = Quality.iqrOutliers(df, "grp", "v").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 101L && r.head.getLong(2) == 1L)
+  }
+
+  test("editLinkage: pairs are canonical, within maxDist, block-bounded") {
+    val df = Seq(
+      (1L, "red gear", "k1"), (2L, "ted gear", "k1"), (3L, "blue gear", "k1"),
+      (4L, "red gear", "k2")).toDF("id", "name", "blk")
+    val out = Quality.editLinkage(df, "id", "name", Seq(col("blk")), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // only (1,2) at distance 1 inside k1; 4 is blocked away from 1
+    assert(out.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("editLinkage: oversized block trips the runtime guard") {
+    val df = (1L to 50L).map(i => (i, s"name$i", "same")).toDF("id", "name", "blk")
+    val ex = intercept[Exception] {
+      Quality.editLinkage(df, "id", "name", Seq(col("blk")),
+        maxDist = 1, maxBlockRows = 10).count()
+    }
+    assert(ex.getMessage.contains("editLinkage") ||
+      Option(ex.getCause).exists(_.getMessage.contains("editLinkage")))
+  }
+
+  test("slidingCounts: every event lands in exactly size/slide windows") {
+    val n = eventsDf.count()
+    val windowed = graft.operators.Events.slidingCounts(eventsDf)
+    val total = windowed.agg(sum("n")).collect().head.getLong(0)
+    assert(total == 2 * n) // 10-minute windows sliding by 5
+    // each window's span is the size and start is slide-aligned
+    assert(windowed.filter(
+      col("window_end_ms") - col("window_start_ms") =!= 600000L ||
+        pmod(col("window_start_ms"), lit(300000L)) =!= 0L).count() == 0)
+  }
+
+  test("neymanSample: clamps to full take on a zero-variance-elsewhere budget split") {
+    val docs = ((1 to 100).map(i => (i.toLong, "varied", i.toDouble % 10)) ++
+      (101 to 200).map(i => (i.toLong, "flat", 5.0)))
+      .toDF("doc_id", "source", "quality")
+    val out = graft.operators.Corpus.neymanSample(docs, budget = 50L,
+      valueCol = "quality")
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the flat stratum has sigma=0 -> weight 0 -> rate 0 -> nothing sampled
+    assert(!bySrc.contains("flat"))
+    // the varied stratum gets the whole budget at rate 0.5 (+/- coin noise)
+    assert(bySrc("varied") > 25L && bySrc("varied") < 75L)
+    // determinism + nesting: same call returns the same membership
+    val again = graft.operators.Corpus.neymanSample(docs, budget = 50L,
+      valueCol = "quality").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("dimStats: exact moments of a two-vector corpus") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 6.0f))).toDF("vec_id", "embedding")
+    val m = Similarity.dimStats(df).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(m(0).getLong(1) == 2L)
+    assert(m(0).getDouble(2) == 2.0d) // mean of 1,3
+    assert(m(0).getDouble(3) == 1.0d) // var_pop of 1,3
+    assert(m(1).getDouble(2) == 4.0d && m(1).getDouble(3) == 4.0d)
+    assert(m(1).getDouble(4) == 2.0d && m(1).getDouble(5) == 6.0d)
+  }
+}
