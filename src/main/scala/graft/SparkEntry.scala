@@ -1295,6 +1295,25 @@ object SparkEntry {
       // per-dimension corpus profile: posexplode + one dim-keyed hash
       // aggregate (shuffle is O(partitions x dims)); decimal-exact sums
       Similarity.dimStats(t(s, dir, "embeddings"))),
+    "dedup_incremental" -> ((s, dir) => {
+      // continuous-ingest dedup: the arriving batch anti-joined against
+      // the compact fingerprint history, then collapsed per fp — output
+      // IS the history delta to append
+      val d = t(s, dir, "documents")
+      val history = graft.operators.Dedup.exact(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0))
+        .select(col("fingerprint").as("fp"))
+      graft.operators.Dedup.incrementalExact(
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 0), history)
+    }),
+    "dedup_rate_report" -> ((s, dir) =>
+      // per-source duplicate-rate report card: one keyed agg over
+      // fingerprints, the corpus-health metric per crawl/source
+      graft.operators.Dedup.dupRateReport(t(s, dir, "documents"))),
+    "ev_sliding_topk" -> ((s, dir) =>
+      // trending types per sliding window: slidingCounts + a
+      // WindowGroupLimit-planned per-window rank
+      graft.operators.Events.trendingTypes(eventsTable(s, dir))),
     "ev_sliding_window" -> ((s, dir) =>
       // sliding windows via the built-in window(size, slide): constant
       // map-side Expand then one keyed agg; streaming-compatible form
@@ -1996,6 +2015,36 @@ object SparkEntry {
                 sum("value"::DECIMAL(18,2))::DOUBLE AS total_value
          FROM w GROUP BY 1, 2, 3""",
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
+    "dedup_incremental" -> {
+      val norm = OracleFragments.norm
+      s"""WITH h AS (SELECT DISTINCT md5($norm) AS fp FROM documents
+                     WHERE doc_id % 3 = 0),
+            b AS (SELECT doc_id, md5($norm) AS fp FROM documents
+                  WHERE doc_id % 3 <> 0)
+          SELECT b.fp, min(b.doc_id) AS keep_id, count(*) AS n_batch
+          FROM b ANTI JOIN h ON b.fp = h.fp
+          GROUP BY 1"""
+    },
+    "dedup_rate_report" -> {
+      val norm = OracleFragments.norm
+      s"""SELECT source, count(*) AS n_docs,
+                 count(DISTINCT md5($norm)) AS n_unique,
+                 round(1.0::DOUBLE - count(DISTINCT md5($norm))::DOUBLE
+                       / count(*)::DOUBLE, 6) AS dup_frac
+          FROM documents GROUP BY 1"""
+    },
+    "ev_sliding_topk" ->
+      """WITH w AS (
+           SELECT (epoch_ms(ts) // 300000 - o.k) * 300000 AS ws, event_type
+           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) o),
+         c AS (SELECT ws, event_type, count(*) AS n FROM w GROUP BY 1, 2)
+         SELECT ws AS window_start_ms, ws + 600000 AS window_end_ms,
+                event_type, n, rank::INT AS rank
+         FROM (SELECT ws, event_type, n,
+                      row_number() OVER (PARTITION BY ws
+                        ORDER BY n DESC, event_type ASC) AS rank
+               FROM c)
+         WHERE rank <= 2""",
   )
 }
 

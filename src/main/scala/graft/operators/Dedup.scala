@@ -45,6 +45,48 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental (cross-batch) exact dedup — the continuous-ingest
+    * shape: an arriving batch is deduplicated against the compact
+    * fingerprint HISTORY table maintained across ingests (never against
+    * the full prior corpus), then collapsed to one representative per
+    * fingerprint within the batch. One left-anti equi-join on the
+    * fingerprint + one keyed agg, both shuffling on the same key; at
+    * 100 TB the history table is bucketed by `fp` so the anti-join
+    * co-locates with zero history shuffle, and the output's
+    * `(fp, keep_id)` rows are exactly the history DELTA to append —
+    * the operator is its own state maintainer. */
+  def incrementalExact(
+      batch: DataFrame,
+      historyFps: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpCol: String = "fp"): DataFrame = {
+    val b = Par.fanOut(batch.select(col(idCol), col(textCol)))
+      .select(col(idCol), md5Fingerprint(col(textCol)).as("fp"))
+    b.join(historyFps.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
+  }
+
+  /** Per-source duplicate-rate report card: document count, distinct
+    * fingerprints, and the duplicate fraction — the corpus-health
+    * metric an ingest pipeline tracks per crawl/source. One pass, one
+    * keyed agg (count_distinct plans its standard two-phase aggregate);
+    * the fraction divides exact longs in a fixed order, then rounds. */
+  def dupRateReport(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Par.fanOut(docs.select(col(sourceCol), col(textCol)))
+      .select(col(sourceCol), md5Fingerprint(col(textCol)).as("fp"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_unique"))
+      .withColumn("dup_frac",
+        round(lit(1.0d) - col("n_unique").cast("double")
+          / col("n_docs").cast("double"), 6))
+
   /** MinHash signatures via the native one-pass expression
     * (graft.functions.MinHashSignature): all H permutation-minhashes per
     * row in a single map-side loop — no shingle array materialization, no

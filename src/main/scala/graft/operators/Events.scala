@@ -174,6 +174,24 @@ object Events {
         unix_millis(col("window.end")).as("window_end_ms"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Trending event types: top-n types per sliding window by count —
+    * [[slidingCounts]] + a per-window rank. Catalyst plans the
+    * rank-filter as WindowGroupLimit (partial top-n per partition
+    * before the shuffle), and the ranked frame is already one row per
+    * (window, type) — tiny regardless of event volume. */
+  def trendingTypes(
+      events: DataFrame,
+      sizeMinutes: Int = 10,
+      slideMinutes: Int = 5,
+      n: Int = 2): DataFrame = {
+    val counts = slidingCounts(events, sizeMinutes, slideMinutes)
+    val w = Window.partitionBy("window_start_ms")
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+      .select(col("window_start_ms"), col("window_end_ms"),
+        col("event_type"), col("n"), col("rank"))
+  }
+
   /** Per-user running aggregates (event index + cumulative value). */
   def runningTotals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -120,6 +120,41 @@ class QualitySpec extends SparkTestBase {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("incrementalExact: history suppresses known docs; batch collapses per fp") {
+    val hist = Seq(1L).toDF("x")
+      .select(graft.functions.TextFunctions.md5Fingerprint(lit("known text")).as("fp"))
+    val batch = Seq(
+      (10L, "known text"), // suppressed by history
+      (11L, "fresh text"), (12L, "fresh text"), // collapse to keep_id 11
+      (13L, "other text")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalExact(batch, hist)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((11L, 2L), (13L, 1L)))
+  }
+
+  test("dupRateReport: fraction is 1 - unique/docs per source") {
+    val docs = Seq(
+      (1L, "a", "s1"), (2L, "a", "s1"), (3L, "b", "s1"),
+      (4L, "c", "s2")).toDF("doc_id", "text", "source")
+    val m = graft.operators.Dedup.dupRateReport(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m("s1") == ((3L, 2L, 0.333333)))
+    assert(m("s2") == ((1L, 1L, 0.0)))
+  }
+
+  test("trendingTypes: at most n per window, rank follows count then name") {
+    val out = graft.operators.Events.trendingTypes(eventsDf, n = 2)
+    val byWin = out.collect().groupBy(_.getLong(0))
+    assert(byWin.nonEmpty && byWin.values.forall(_.length <= 2))
+    byWin.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.length))
+      // counts non-increasing with rank
+      val ns = sorted.map(_.getLong(3)).toSeq
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("dimStats: exact moments of a two-vector corpus") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),
