@@ -179,12 +179,13 @@ object EventStreams {
       schema: StructType,
       srcDir: String,
       queryName: String,
-      prepare: DataFrame => DataFrame = identity): StreamingQuery = {
+      prepare: DataFrame => DataFrame = identity,
+      transform: DataFrame => DataFrame = windowedCounts): StreamingQuery = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    windowedCounts(prepare(stream)).writeStream
+    transform(prepare(stream)).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)

@@ -106,6 +106,25 @@ class EventsAndStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sliding agg equals batch sliding agg") {
+    val raw = spark.read.parquet(s"${sf()}/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.startFileStream(
+      spark, raw.schema, dir.toString, "stream_slide_test",
+      prepare = df => Events.normalizeEventTs(df),
+      transform = df => Events.slidingCounts(df))
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM stream_slide_test")
+      val batch = Events.slidingCounts(events)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within watermark") {
     import spark.implicits._
     val doubled = events.unionAll(events)
