@@ -1295,6 +1295,19 @@ object SparkEntry {
       // per-dimension corpus profile: posexplode + one dim-keyed hash
       // aggregate (shuffle is O(partitions x dims)); decimal-exact sums
       Similarity.dimStats(t(s, dir, "embeddings"))),
+    "dq_constraints" -> ((s, dir) => {
+      // declarative Deequ-style constraint suite: row-local checks +
+      // uniqueness fold into ONE aggregate pass; each referential check
+      // is one anti-join count against the dimension key
+      import graft.operators.Quality
+      Quality.checkConstraints(t(s, dir, "lineitem"), Seq(
+        Quality.NotNull("l_orderkey"),
+        Quality.InRange("l_quantity", 1.0, 49.0),
+        Quality.AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Quality.UniqueKey(Seq("l_orderkey", "l_linenumber")),
+        Quality.RefIntegrity("l_partkey", t(s, dir, "part"), "p_partkey"),
+        Quality.RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // continuous-ingest dedup: the arriving batch anti-joined against
       // the compact fingerprint history, then collapsed per fp — output
@@ -2015,6 +2028,37 @@ object SparkEntry {
                 sum("value"::DECIMAL(18,2))::DOUBLE AS total_value
          FROM w GROUP BY 1, 2, 3""",
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
+    "dq_constraints" ->
+      """WITH v AS (
+           SELECT 'not_null(l_orderkey)' AS c,
+                  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_quantity,1.0,49.0)',
+                  sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+                            OR l_quantity > 49.0 THEN 1 ELSE 0 END)::BIGINT
+           FROM lineitem
+           UNION ALL
+           SELECT 'accepted_values(l_returnflag)',
+                  sum(CASE WHEN l_returnflag IS NULL
+                            OR l_returnflag NOT IN ('A','N','R')
+                           THEN 1 ELSE 0 END)::BIGINT
+           FROM lineitem
+           UNION ALL
+           SELECT 'unique(l_orderkey,l_linenumber)',
+                  (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+           FROM lineitem
+           UNION ALL
+           SELECT 'ref_integrity(l_partkey)',
+                  (SELECT count(*) FROM
+                    (SELECT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL) l
+                    ANTI JOIN part p ON l.l_partkey = p.p_partkey)::BIGINT
+           UNION ALL
+           SELECT 'ref_integrity(l_orderkey)',
+                  (SELECT count(*) FROM
+                    (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+                    ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)::BIGINT)
+         SELECT c AS "constraint", n AS n_violations, n = 0 AS ok FROM v""",
     "dedup_incremental" -> {
       val norm = OracleFragments.norm
       s"""WITH h AS (SELECT DISTINCT md5($norm) AS fp FROM documents

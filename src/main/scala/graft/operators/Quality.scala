@@ -147,6 +147,87 @@ object Quality {
         round(first(col("hi")), 4).as("hi"))
   }
 
+  /** A declarative data-quality constraint (the Deequ `Check` shape):
+    * each evaluates to one verdict row `(constraint, n_violations, ok)`.
+    * Row-local constraints (notNull / inRange / acceptedValues) all fold
+    * into ONE aggregate pass together with uniqueness (count vs distinct
+    * count over the key); referential integrity is the only one needing
+    * a second input — a left-anti join against the dimension's key
+    * (bucket both sides by the key at 100 TB and it co-locates). */
+  sealed trait Check { def name: String }
+  final case class NotNull(column: String) extends Check {
+    val name = s"not_null($column)"
+  }
+  final case class InRange(column: String, lo: Double, hi: Double) extends Check {
+    val name = s"in_range($column,$lo,$hi)"
+  }
+  final case class AcceptedValues(column: String, values: Seq[String]) extends Check {
+    val name = s"accepted_values($column)"
+  }
+  final case class UniqueKey(columns: Seq[String]) extends Check {
+    val name = s"unique(${columns.mkString(",")})"
+  }
+  final case class RefIntegrity(column: String, dim: DataFrame, dimKey: String)
+      extends Check {
+    val name = s"ref_integrity($column)"
+  }
+
+  /** Evaluate a constraint suite: one long-format verdict row per
+    * check. All row-local checks and every uniqueness check share a
+    * single aggregate over one scan (map-side partial sums /
+    * two-phase distinct); each referential check adds one anti-join
+    * count. The verdict frame is a driver-free explode of the
+    * single aggregate row, unioned with the (tiny) per-reference
+    * counts. */
+  def checkConstraints(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no constraints to check")
+    val local = checks.filter(!_.isInstanceOf[RefIntegrity])
+    val refs = checks.collect { case r: RefIntegrity => r }
+
+    val localOut: Option[DataFrame] =
+      if (local.isEmpty) None
+      else {
+        val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+          local.zipWithIndex.flatMap {
+            case (NotNull(c), i) =>
+              Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"v$i"))
+            case (InRange(c, lo, hi), i) =>
+              Seq(sum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L)
+                .otherwise(0L)).as(s"v$i"))
+            case (AcceptedValues(c, vs), i) =>
+              Seq(sum(when(col(c).isNull ||
+                !col(c).isin(vs.map(v => v: Any): _*), 1L)
+                .otherwise(0L)).as(s"v$i"))
+            case (UniqueKey(cols), i) =>
+              // extra rows beyond one per key = count - distinct keys
+              Seq(count_distinct(struct(cols.map(col): _*)).as(s"d$i"))
+            case (r: RefIntegrity, _) =>
+              throw new IllegalStateException(s"unexpected ${r.name}")
+          }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val rows = local.zipWithIndex.map {
+          case (u: UniqueKey, i) =>
+            struct(lit(u.name).as("constraint"),
+              (col("n_rows") - col(s"d$i")).as("n_violations"))
+          case (c, i) =>
+            struct(lit(c.name).as("constraint"), col(s"v$i").as("n_violations"))
+        }
+        Some(one.select(explode(array(rows: _*)).as("m")).select("m.*"))
+      }
+
+    val refOuts: Seq[DataFrame] = refs.map { r =>
+      df.select(col(r.column))
+        .filter(col(r.column).isNotNull)
+        .join(r.dim.select(col(r.dimKey).as(r.column)), Seq(r.column), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(r.name).as("constraint"), col("n_violations"))
+    }
+
+    (localOut.toSeq ++ refOuts)
+      .reduce(_.unionByName(_))
+      .withColumn("ok", col("n_violations") === 0L)
+  }
+
   /** Blocked edit-distance record linkage (fuzzy join): canonical pairs
     * `(a_id < b_id)` within a blocking key whose names are within
     * `maxDist` Levenshtein edits.

@@ -120,6 +120,26 @@ class QualitySpec extends SparkTestBase {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("checkConstraints: verdicts count violations per declarative check") {
+    val df = Seq(
+      (Some(1L), 5.0, "A"), (Some(1L), 60.0, "X"), (None, 5.0, "A"))
+      .toDF("k", "v", "flag")
+    val dim = Seq(1L).toDF("dk")
+    val out = Quality.checkConstraints(df, Seq(
+      Quality.NotNull("k"),
+      Quality.InRange("v", 0.0, 50.0),
+      Quality.AcceptedValues("flag", Seq("A", "B")),
+      Quality.UniqueKey(Seq("k")),
+      Quality.RefIntegrity("k", dim, "dk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("not_null(k)") == ((1L, false)))
+    assert(out("in_range(v,0.0,50.0)") == ((1L, false)))
+    assert(out("accepted_values(flag)") == ((1L, false)))
+    // three rows, two distinct keys (1, null) -> one extra row
+    assert(out("unique(k)") == ((1L, false)))
+    assert(out("ref_integrity(k)") == ((0L, true)))
+  }
+
   test("incrementalExact: history suppresses known docs; batch collapses per fp") {
     val hist = Seq(1L).toDF("x")
       .select(graft.functions.TextFunctions.md5Fingerprint(lit("known text")).as("fp"))
