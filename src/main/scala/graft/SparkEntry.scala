@@ -1295,6 +1295,19 @@ object SparkEntry {
       // per-dimension corpus profile: posexplode + one dim-keyed hash
       // aggregate (shuffle is O(partitions x dims)); decimal-exact sums
       Similarity.dimStats(t(s, dir, "embeddings"))),
+    "stats_winsorize" -> ((s, dir) =>
+      // robust clipped mean per type over the heavy-tailed event metric
+      graft.operators.Quality.winsorize(
+        eventsTable(s, dir), "event_type", "value")),
+    "vocab_oov" -> ((s, dir) =>
+      // tokenizer-coverage / drift check: per-source OOV rate against
+      // the corpus top-N vocabulary (TakeOrdered, broadcast membership)
+      graft.operators.TextAnalysis.oovRate(t(s, dir, "documents"))),
+    "mm_phash_pairs" -> ((s, dir) =>
+      // media near-dup: payload perceptual hash (stub fingerprint, real
+      // pairing) through the Manku banded Hamming multi-index
+      Multimodal.phashPairs(
+        Multimodal.synthesizeMedia(t(s, dir, "documents")))),
     "dq_constraints" -> ((s, dir) => {
       // declarative Deequ-style constraint suite: row-local checks +
       // uniqueness fold into ONE aggregate pass; each referential check
@@ -2028,6 +2041,34 @@ object SparkEntry {
                 sum("value"::DECIMAL(18,2))::DOUBLE AS total_value
          FROM w GROUP BY 1, 2, 3""",
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
+    "mm_phash_pairs" -> OracleFragments.mmPhashPairs(bits = 32, maxHamming = 3),
+    "stats_winsorize" ->
+      """WITH f AS (
+           SELECT event_type,
+                  quantile_cont("value", 0.05) AS lo,
+                  quantile_cont("value", 0.95) AS hi
+           FROM events GROUP BY 1)
+         SELECT e.event_type, count(*) AS n,
+                sum(CASE WHEN "value" < lo THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+                sum(CASE WHEN "value" > hi THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+                round(sum(round(least(greatest("value", lo), hi), 6)
+                          ::DECIMAL(28,6))::DOUBLE / count(*), 6) AS winsorized_mean,
+                round(any_value(lo), 4) AS lo, round(any_value(hi), 4) AS hi
+         FROM events e JOIN f USING (event_type)
+         GROUP BY 1""",
+    "vocab_oov" -> {
+      val toks = OracleFragments.toks
+      s"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents),
+            vocab AS (SELECT token FROM (
+                SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+              ORDER BY cnt DESC, token ASC LIMIT 500)
+          SELECT t0.source, count(*) AS n_tokens,
+                 sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                 round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*)::DOUBLE, 6) AS oov_rate
+          FROM tok t0 LEFT JOIN vocab v ON t0.token = v.token
+          GROUP BY 1"""
+    },
     "dq_constraints" ->
       """WITH v AS (
            SELECT 'not_null(l_orderkey)' AS c,
@@ -3114,6 +3155,28 @@ object OracleFragments {
     }.mkString(" + ")
     s"""WITH t AS (SELECT doc_id,
             list_transform(string_split($norm, ' '),
+              tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+          FROM documents),
+          s AS (SELECT doc_id, ($bitTerms)::BIGINT AS fp FROM t)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               bit_count(xor(x.fp, y.fp))::INT AS hamming
+        FROM s x JOIN s y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.fp, y.fp)) <= $maxHamming"""
+  }
+
+  /** Media perceptual-hash pairs (Multimodal.phashPairs): the same
+    * md5-family simhash, but over the payload's hex-grouped 4-byte
+    * tokens (SimHash64 normalizes its input, so the grouping's trailing
+    * space / case wash out) — brute-force Hamming pairing re-derivation
+    * (the Spark side is the banded multi-index). */
+  def mmPhashPairs(bits: Int, maxHamming: Int): String = {
+    val grouped = """regexp_replace(hex(encode(text)), '(.{8})', '\1 ', 'g')"""
+    val normed = s"""lower(trim(regexp_replace($grouped, '\\s+', ' ', 'g')))"""
+    val bitTerms = (0 until bits).map { b =>
+      s"CASE WHEN list_aggregate(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+            list_transform(string_split($normed, ' '),
               tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
           FROM documents),
           s AS (SELECT doc_id, ($bitTerms)::BIGINT AS fp FROM t)

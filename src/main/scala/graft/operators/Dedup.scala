@@ -216,13 +216,26 @@ object Dedup {
       bits: Int = 32,
       maxHamming: Int = 3,
       md5Family: Boolean = false): DataFrame = {
+    hammingPairs(
+      Par.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(col("id"), simhash(col("t"), bits, md5Family).as("fp")),
+      bits, maxHamming)
+  }
+
+  /** Manku multi-index Hamming pairing over PRECOMPUTED fingerprints
+    * `(id, fp)` — the banding core of [[simhashPairs]], reusable for any
+    * bit fingerprint (text simhash, media perceptual hash): d+1 band
+    * equi-joins (pigeonhole-exact candidates) + the `bit_count(xor) ≤ d`
+    * residual filter. Fingerprints are scratch-materialized once; each
+    * band re-reads the 2-column table. */
+  def hammingPairs(
+      fingerprints: DataFrame,
+      bits: Int = 32,
+      maxHamming: Int = 3): DataFrame = {
     require(bits > 0 && bits <= 64, "bits must be in 1..64")
     require(maxHamming >= 0 && maxHamming < bits, "maxHamming must be in 0..bits-1")
     val bands = maxHamming + 1
-    val fp = graft.ops.Scratch.materialize(
-      Par.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-        .select(col("id"), simhash(col("t"), bits, md5Family).as("fp")),
-      "simhash_fp")
+    val fp = graft.ops.Scratch.materialize(fingerprints, "simhash_fp")
     val w = bits / bands
     val cands = (0 until bands).map { k =>
       val lo = k * w

@@ -89,6 +89,27 @@ object Multimodal {
       }
   }
 
+  /** Perceptual-hash near-duplicate media pairs: a bit fingerprint per
+    * payload, then ALL pairs within `maxHamming` via the Manku
+    * multi-index ([[Dedup.hammingPairs]] — band equi-joins, never
+    * O(n²)). The fingerprint is a simhash over the payload's 4-byte
+    * groups (hex-grouped, md5 token family — cross-engine
+    * reproducible); a REAL pHash is a DCT over decoded pixels (codec
+    * stubbed in this container), and swapping it in changes only the
+    * fingerprint projection — the pairing machinery and plan shape stay
+    * exactly as tested. This is image/video near-dup for the training
+    * pipeline: one scan to fingerprint, d+1 keyed band shuffles. */
+  def phashPairs(
+      media: DataFrame,
+      bits: Int = 32,
+      maxHamming: Int = 3): DataFrame = {
+    val grouped = regexp_replace(hex(col("media")), "(.{8})", "$1 ")
+    val fp = graft.ops.Par.fanOut(media.select(col("doc_id"), col("media")))
+      .select(col("doc_id").as("id"),
+        Dedup.simhash(grouped, bits, md5Family = true).as("fp"))
+    Dedup.hammingPairs(fp, bits, maxHamming)
+  }
+
   /** Fixed-width feature vector from the payload (stub: bucketed byte
     * sums normalized to [0,1]) — the shape of an embedding-extraction
     * stage: binary in, dense Array[Float] out, schema declared. */

@@ -228,6 +228,38 @@ object Quality {
       .withColumn("ok", col("n_violations") === 0L)
   }
 
+  /** Winsorized (clipped) robust statistics per group: exact
+    * pLo/pHi fences, values clipped into `[lo, hi]`, clip counts and
+    * the decimal-exact clipped sum — the robust-mean treatment for
+    * heavy-tailed metrics where dropping outliers ([[iqrOutliers]])
+    * loses mass. Same two-aggregate shape: the 1-row-per-group fence
+    * table broadcast back onto the table for one clipping pass; clipped
+    * values are rounded to 6 dp before the decimal sum so the result is
+    * bit-stable under any partitioning and engine. */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val fences = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(pLo)).as("lo"),
+      percentile(col(valueCol), lit(pHi)).as("hi"))
+    val v = col(valueCol)
+    val clipped = round(least(greatest(v, col("lo")), col("hi")), 6)
+    df.join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(v < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(v > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(sum(clipped.cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("winsorized_mean"),
+        round(first(col("lo")), 4).as("lo"),
+        round(first(col("hi")), 4).as("hi"))
+  }
+
   /** Blocked edit-distance record linkage (fuzzy join): canonical pairs
     * `(a_id < b_id)` within a blocking key whose names are within
     * `maxDist` Levenshtein edits.

@@ -277,6 +277,36 @@ object TextAnalysis {
   // a web-scale vocab is a single-partition window. Rank downstream with
   // orderBy(...).limit(k) (TakeOrderedAndProject) for top-k use.
 
+  /** Out-of-vocabulary rate per source against the corpus's own top-N
+    * vocabulary — the tokenizer-coverage check a training pipeline runs
+    * before committing to a vocab size (and per-ingest thereafter, to
+    * catch domain drift: a source whose OOV rate jumps is shifting
+    * vocabulary). The top-N is `orderBy(count).limit(N)`
+    * (TakeOrderedAndProject — partial top-N per partition, never a
+    * vocab-wide window; count-desc then token-asc makes the boundary
+    * tie deterministic), broadcast back as a membership flag; the rate
+    * divides exact longs. Two aggregates over one token explode. */
+  def oovRate(
+      docs: DataFrame,
+      vocabSize: Int = 500,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = graft.ops.Par.fanOut(docs.select(col(sourceCol), col(textCol)))
+      .select(col(sourceCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   /** Zipf fit of the corpus vocabulary: least-squares slope/intercept
     * of ln(frequency) against ln(rank) — the power-law health check
     * (clean natural-language corpora fit slope ≈ −1; template spam,

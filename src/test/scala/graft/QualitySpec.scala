@@ -175,6 +175,40 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("winsorize: clipped mean sits between fences; clip counts match tails") {
+    val df = ((1 to 98).map(i => ("g", i.toDouble)) ++
+      Seq(("g", -1000.0), ("g", 1000.0))).toDF("grp", "v")
+    val r = graft.operators.Quality.winsorize(df, "grp", "v").collect().head
+    assert(r.getLong(1) == 100L)
+    assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L) // planted tails clipped
+    val (mean, lo, hi) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(mean >= lo && mean <= hi)
+  }
+
+  test("oovRate: full-size vocab gives zero OOV; tiny vocab gives positive OOV") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "alpha alpha delta", "s2")).toDF("doc_id", "text", "source")
+    val zero = graft.operators.TextAnalysis.oovRate(docs, vocabSize = 100)
+    assert(zero.filter(col("n_oov") =!= 0L).count() == 0)
+    val tiny = graft.operators.TextAnalysis.oovRate(docs, vocabSize = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // vocab = {alpha} (count 3): s1 has 2 OOV of 3, s2 has 1 OOV of 3
+    assert(tiny == Map("s1" -> 2L, "s2" -> 1L))
+  }
+
+  test("phashPairs: identical payloads pair at hamming 0; pairs canonical") {
+    val media = Seq(
+      (1L, "same payload body"), (2L, "same payload body"),
+      (3L, "completely different words entirely"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val out = graft.operators.Multimodal.phashPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(out.forall { case (a, b, _) => a < b })
+  }
+
   test("dimStats: exact moments of a two-vector corpus") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),
