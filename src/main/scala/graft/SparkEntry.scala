@@ -1295,6 +1295,27 @@ object SparkEntry {
       // per-dimension corpus profile: posexplode + one dim-keyed hash
       // aggregate (shuffle is O(partitions x dims)); decimal-exact sums
       Similarity.dimStats(t(s, dir, "embeddings"))),
+    "ev_point_in_time" -> ((s, dir) => {
+      // temporal lookup: purchases join the SCD2 dimension version (from
+      // the sparse signup/error state stream) current at their timestamp;
+      // equi-join on the entity with the containment residual — versions
+      // never overlap, so <=1 match; uncovered facts keep null version
+      val ev = eventsTable(s, dir)
+      val hist = graft.operators.Quality.scd2(
+        ev.filter(col("event_type").isin("signup", "error")))
+      graft.operators.Quality.pointInTimeJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        hist)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("state"), col("version"))
+    }),
+    "stats_ab_ttest" -> ((s, dir) =>
+      // A/B readout: Welch t per metric group from one conditional
+      // aggregate (variant = user_id parity)
+      graft.operators.Quality.welchTTest(
+        eventsTable(s, dir).withColumn("variant", pmod(col("user_id"), lit(2))),
+        "event_type", "variant", "value")),
     "stats_winsorize" -> ((s, dir) =>
       // robust clipped mean per type over the heavy-tailed event metric
       graft.operators.Quality.winsorize(
@@ -2042,6 +2063,70 @@ object SparkEntry {
          FROM w GROUP BY 1, 2, 3""",
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
     "mm_phash_pairs" -> OracleFragments.mmPhashPairs(bits = 32, maxHamming = 3),
+    "ev_point_in_time" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_state
+           FROM events WHERE event_type IN ('signup', 'error')),
+         r AS (
+           SELECT user_id, event_type, ts,
+                  CASE WHEN prev_state IS NULL OR prev_state <> event_type
+                       THEN 1 ELSE 0 END AS chg,
+                  sum(CASE WHEN prev_state IS NULL OR prev_state <> event_type
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS version
+           FROM o),
+         s AS (
+           SELECT user_id, event_type AS state, version,
+                  ts AS valid_from FROM r WHERE chg = 1),
+         iv AS (
+           SELECT user_id, state, version::BIGINT AS version, valid_from,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                      ORDER BY version) AS valid_to
+           FROM s)
+         SELECT f.user_id, f.event_id, epoch_ms(f.ts) AS ts_ms,
+                iv.state, iv.version
+         FROM (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase') f
+         LEFT JOIN iv ON f.user_id = iv.user_id
+                     AND f.ts >= iv.valid_from
+                     AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)""",
+    "stats_ab_ttest" ->
+      """WITH a AS (
+           SELECT event_type,
+                  sum(CASE WHEN user_id % 2 <> 1 THEN 1 ELSE 0 END)::BIGINT AS n0,
+                  sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                  sum((CASE WHEN user_id % 2 <> 1 THEN round("value", 6) END)
+                      ::DECIMAL(28,6))::DOUBLE AS s0,
+                  sum((CASE WHEN user_id % 2 <> 1
+                       THEN round("value", 6) * round("value", 6) END)
+                      ::DECIMAL(38,12))::DOUBLE AS q0,
+                  sum((CASE WHEN user_id % 2 = 1 THEN round("value", 6) END)
+                      ::DECIMAL(28,6))::DOUBLE AS s1,
+                  sum((CASE WHEN user_id % 2 = 1
+                       THEN round("value", 6) * round("value", 6) END)
+                      ::DECIMAL(38,12))::DOUBLE AS q1
+           FROM events GROUP BY 1),
+         v AS (
+           SELECT event_type, n0, n1, s0, s1,
+                  (q0 - s0 * s0 / n0) / (n0 - 1) AS v0,
+                  (q1 - s1 * s1 / n1) / (n1 - 1) AS v1
+           FROM a),
+         w AS (
+           SELECT event_type, n0, n1, s0, s1, v0, v1,
+                  v0 / n0 + v1 / n1 AS se2
+           FROM v)
+         SELECT event_type, n0, n1,
+                round(s1 / n1 - s0 / n0, 6) AS lift,
+                CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+                     THEN round((s1 / n1 - s0 / n0) / sqrt(se2), 4) END AS t_stat,
+                CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+                     THEN round((se2 * se2) /
+                          ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                           + (v1 / n1) * (v1 / n1) / (n1 - 1)), 2) END AS df_welch
+         FROM w""",
     "stats_winsorize" ->
       """WITH f AS (
            SELECT event_type,

@@ -228,6 +228,82 @@ object Quality {
       .withColumn("ok", col("n_violations") === 0L)
   }
 
+  /** Point-in-time (temporal) join: each fact row joins the dimension
+    * VERSION that was current at its timestamp — the lookup every
+    * warehouse runs against [[scd2]] history (`fact.ts ∈
+    * [valid_from, valid_to)`, open current interval matches everything
+    * from its start). An equi-join on the entity key carries the
+    * containment as a residual predicate: per-entity version lists are
+    * small (bounded by that entity's change count) and versions never
+    * overlap, so each fact matches at most one version — one keyed
+    * shuffle, no range-join blowup. Facts with no covering version
+    * (before the entity's first change, or unknown entity) are kept
+    * with a null version — the audit-friendly left join. */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      history: DataFrame,
+      entityCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    // facts and history often share lineage (history built from the
+    // same event table) — rename the history key instead of relying on
+    // dataframe-tagged column resolution, which a self-join defeats
+    val h = history.select(
+      col(entityCol).as("__pit_key"), col("state"), col("version"),
+      col("valid_from"), col("valid_to"))
+    facts.join(h,
+      col(entityCol) === col("__pit_key") &&
+        col(tsCol) >= col("valid_from") &&
+        (col("valid_to").isNull || col(tsCol) < col("valid_to")),
+      "left")
+      .drop("__pit_key")
+  }
+
+  /** Welch's unequal-variance t-test per group between two variants —
+    * the A/B experiment readout (metric lift + its t statistic +
+    * Welch–Satterthwaite degrees of freedom) computed from ONE
+    * aggregate pass: per-arm counts and decimal-exact moment sums of
+    * the 6-dp-rounded metric (conditional aggregation — no pivot, no
+    * second scan), then fixed-order double arithmetic on the exact
+    * sums, so the statistics are reproducible across engines and
+    * partitionings. Groups with an empty or constant arm yield null
+    * t (0/0 guards), never a crash. */
+  def welchTTest(
+      df: DataFrame,
+      groupCol: String,
+      variantCol: String,
+      valueCol: String): DataFrame = {
+    val vr = round(col(valueCol).cast("double"), 6)
+    val isB = col(variantCol) === 1
+    def armSum(cond: Column, e: Column, dt: String) =
+      sum(when(cond, e).cast(dt)).cast("double")
+    val agg = df
+      .select(col(groupCol), isB.as("b"), vr.as("vr"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("b"), 0L).otherwise(1L)).as("n0"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n1"),
+        armSum(!col("b"), col("vr"), "decimal(28,6)").as("s0"),
+        armSum(!col("b"), col("vr") * col("vr"), "decimal(38,12)").as("q0"),
+        armSum(col("b"), col("vr"), "decimal(28,6)").as("s1"),
+        armSum(col("b"), col("vr") * col("vr"), "decimal(38,12)").as("q1"))
+    val m0 = col("s0") / col("n0")
+    val m1 = col("s1") / col("n1")
+    val v0 = (col("q0") - col("s0") * col("s0") / col("n0")) / (col("n0") - 1)
+    val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val se2 = v0 / col("n0") + v1 / col("n1")
+    val t = (m1 - m0) / sqrt(se2)
+    val dfw = (se2 * se2) /
+      ((v0 / col("n0")) * (v0 / col("n0")) / (col("n0") - 1) +
+        (v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1))
+    agg.select(
+      col(groupCol), col("n0"), col("n1"),
+      round(m1 - m0, 6).as("lift"),
+      when(col("n0") > 1 && col("n1") > 1 && se2 > 0, round(t, 4))
+        .as("t_stat"),
+      when(col("n0") > 1 && col("n1") > 1 && se2 > 0, round(dfw, 2))
+        .as("df_welch"))
+  }
+
   /** Winsorized (clipped) robust statistics per group: exact
     * pLo/pHi fences, values clipped into `[lo, hi]`, clip counts and
     * the decimal-exact clipped sum — the robust-mean treatment for

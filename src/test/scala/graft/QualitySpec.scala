@@ -209,6 +209,35 @@ class QualitySpec extends SparkTestBase {
     assert(out.forall { case (a, b, _) => a < b })
   }
 
+  test("pointInTimeJoin: facts pick the covering version; earlier facts get null") {
+    val ch = Seq((1L, "bronze", 100L, 1L), (1L, "gold", 300L, 2L))
+      .toDF("user_id", "event_type", "ms", "event_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val hist = Quality.scd2(ch)
+    val facts = Seq((1L, 10L, 50L), (1L, 11L, 150L), (1L, 12L, 300L), (2L, 13L, 400L))
+      .toDF("user_id", "fact_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .select("user_id", "fact_id", "ts")
+    val out = Quality.pointInTimeJoin(facts, hist)
+      .select(col("fact_id"), col("state"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "none" else r.getString(1))).toMap
+    assert(out == Map(10L -> "none", 11L -> "bronze", 12L -> "gold", 13L -> "none"))
+    // at most one version per fact
+    assert(Quality.pointInTimeJoin(facts, hist).count() == facts.count())
+  }
+
+  test("welchTTest: planted lift detected; symmetric arms give ~zero t") {
+    val df = ((1 to 200).map(i => ("m", i % 2, if (i % 2 == 1) 10.0 + (i % 5) else 5.0 + (i % 5))) ++
+      (1 to 100).map(i => ("z", i % 2, (i % 7).toDouble)))
+      .toDF("grp", "variant", "v")
+    val m = Quality.welchTTest(df, "grp", "variant", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("m").getDouble(3) == 5.0) // lift exactly +5
+    assert(m("m").getDouble(4) > 10.0) // strongly significant
+    assert(math.abs(m("z").getDouble(4)) < 2.0)
+  }
+
   test("dimStats: exact moments of a two-vector corpus") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),
