@@ -2027,7 +2027,7 @@ object SparkEntry {
          GROUP BY 1""",
     "fuzzy_join_edit" ->
       """WITH k AS (
-           SELECT regexp_extract(p_name, '(\S+)$', 1) || p_size::VARCHAR AS blk,
+           SELECT regexp_extract(p_name, '(\S+)$', 1) || '|' || p_size::VARCHAR AS blk,
                   p_partkey AS id, p_name AS name FROM part)
          SELECT a.id AS a_id, b.id AS b_id, a.name AS a_name, b.name AS b_name,
                 levenshtein(a.name, b.name) AS dist

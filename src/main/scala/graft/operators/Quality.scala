@@ -359,7 +359,7 @@ object Quality {
       maxBlockRows: Long = 10000): DataFrame = {
     require(blockExprs.nonEmpty, "editLinkage needs a blocking key")
     val keyed = df.select(
-      concat_ws("", blockExprs: _*).as("blk"),
+      concat_ws("|", blockExprs: _*).as("blk"),
       col(idCol).cast("long").as("a_id"),
       col(nameCol).as("a_name"))
     val guarded = Blocks.guardBlockSize(keyed, "blk", maxBlockRows,
