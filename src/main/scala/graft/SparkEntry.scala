@@ -1295,6 +1295,65 @@ object SparkEntry {
       // per-dimension corpus profile: posexplode + one dim-keyed hash
       // aggregate (shuffle is O(partitions x dims)); decimal-exact sums
       Similarity.dimStats(t(s, dir, "embeddings"))),
+    "basket_rules" -> ((s, dir) => {
+      // association rules over co-purchases: pair support from the
+      // guarded co-occurrence join (distinct (order, item) first so
+      // support counts ORDERS), confidence and lift from broadcast item
+      // counts — the market-basket readout of the co-purchase graph
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(4)) === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = graft.operators.Graph.coOccurrenceWeightedEdges(
+        li, "l_orderkey", "l_partkey")
+      val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val total = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+      pairs.filter(col("weight") >= 2)
+        .join(itemN.select(col("l_partkey").as("src"), col("n_item").as("n_src")), "src")
+        .join(itemN.select(col("l_partkey").as("dst"), col("n_item").as("n_dst")), "dst")
+        .crossJoin(broadcast(total))
+        .select(col("src"), col("dst"), col("weight").as("support"),
+          round(col("weight") / col("n_src"), 6).as("conf_src_dst"),
+          round((col("weight") * col("n_orders"))
+            / (col("n_src") * col("n_dst")), 6).as("lift"))
+    }),
+    "customer_rfm" -> ((s, dir) => {
+      // RFM segmentation: recency/frequency/monetary quartile scores
+      // from broadcast quantile fences — never an ntile window over the
+      // whole customer table
+      val o = t(s, dir, "orders")
+      val maxD = o.agg(max(col("o_orderdate")).as("dmax"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("f"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("m"))
+        .crossJoin(broadcast(maxD))
+        .select(col("o_custkey"),
+          datediff(col("dmax"), col("last_order")).cast("double").as("r"),
+          col("f").cast("double").as("fd"), col("m"))
+      val fences = per.agg(
+        percentile(col("r"), lit(0.25)).as("r1"),
+        percentile(col("r"), lit(0.5)).as("r2"),
+        percentile(col("r"), lit(0.75)).as("r3"),
+        percentile(col("fd"), lit(0.25)).as("f1"),
+        percentile(col("fd"), lit(0.5)).as("f2"),
+        percentile(col("fd"), lit(0.75)).as("f3"),
+        percentile(col("m"), lit(0.25)).as("m1"),
+        percentile(col("m"), lit(0.5)).as("m2"),
+        percentile(col("m"), lit(0.75)).as("m3"))
+      def score(v: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column,
+          c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        lit(1) + (v > a).cast("int") + (v > b).cast("int") + (v > c).cast("int")
+      per.crossJoin(broadcast(fences))
+        .select(col("o_custkey"),
+          // fewer days since last order = better: invert the quartile
+          (lit(5) - score(col("r"), col("r1"), col("r2"), col("r3"))).as("r_score"),
+          score(col("fd"), col("f1"), col("f2"), col("f3")).as("f_score"),
+          score(col("m"), col("m1"), col("m2"), col("m3")).as("m_score"),
+          col("r").cast("long").as("recency_days"),
+          col("fd").cast("long").as("frequency"),
+          round(col("m"), 2).as("monetary"))
+    }),
     "ev_point_in_time" -> ((s, dir) => {
       // temporal lookup: purchases join the SCD2 dimension version (from
       // the sparse signup/error state stream) current at their timestamp;
@@ -2063,6 +2122,54 @@ object SparkEntry {
          FROM w GROUP BY 1, 2, 3""",
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
     "mm_phash_pairs" -> OracleFragments.mmPhashPairs(bits = 32, maxHamming = 3),
+    "basket_rules" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_partkey % 4 = 0),
+         pairs AS (
+           SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                  count(*)::BIGINT AS support
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         items AS (SELECT l_partkey, count(*)::BIGINT AS n_item
+                   FROM li GROUP BY 1),
+         tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li)
+         SELECT p.src, p.dst, p.support,
+                round(p.support / s.n_item, 6) AS conf_src_dst,
+                round((p.support * t.n_orders) / (s.n_item * d.n_item), 6) AS lift
+         FROM pairs p
+         JOIN items s ON s.l_partkey = p.src
+         JOIN items d ON d.l_partkey = p.dst
+         CROSS JOIN tot t
+         WHERE p.support >= 2""",
+    "customer_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+         per AS (
+           SELECT o_custkey,
+                  date_diff('day', max(o_orderdate)::DATE,
+                            (SELECT dmax FROM mx)::DATE)::DOUBLE AS r,
+                  count(*)::DOUBLE AS fd,
+                  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS m
+           FROM orders GROUP BY 1),
+         f AS (
+           SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+                  quantile_cont(r, 0.75) AS r3,
+                  quantile_cont(fd, 0.25) AS f1, quantile_cont(fd, 0.5) AS f2,
+                  quantile_cont(fd, 0.75) AS f3,
+                  quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+                  quantile_cont(m, 0.75) AS m3
+           FROM per)
+         SELECT o_custkey,
+                (5 - (1 + (r > r1)::INT + (r > r2)::INT + (r > r3)::INT))::INT
+                  AS r_score,
+                (1 + (fd > f1)::INT + (fd > f2)::INT + (fd > f3)::INT)::INT
+                  AS f_score,
+                (1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT)::INT
+                  AS m_score,
+                r::BIGINT AS recency_days, fd::BIGINT AS frequency,
+                round(m, 2) AS monetary
+         FROM per CROSS JOIN f""",
     "ev_point_in_time" ->
       """WITH o AS (
            SELECT user_id, event_type, ts, event_id,
