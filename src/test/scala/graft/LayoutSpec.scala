@@ -50,6 +50,28 @@ class LayoutSpec extends SparkTestBase {
     assert(mono == mono.sorted && mono.distinct.size == mono.size)
   }
 
+  test("LayoutMain: compact mode rewrites oversized leaves; zorder mode writes output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    (1 to 60).map(i => (i.toLong, (i % 4).toLong)).toDF("id", "k")
+      .repartition(6).write.mode("overwrite").parquet(s"$dir/t")
+    // plan + compact: 6 tiny files -> 1
+    graft.pipeline.LayoutMain.run(spark, Map(
+      "table" -> s"$dir/t", "mode" -> "compact", "target_bytes" -> (1L << 30).toString))
+    val files = new java.io.File(s"$dir/t").listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 1)
+    assert(spark.read.parquet(s"$dir/t").count() == 60)
+    // zorder mode end to end
+    graft.pipeline.LayoutMain.run(spark, Map(
+      "table" -> s"$dir/t", "mode" -> "zorder", "output" -> s"$dir/z",
+      "zorder_cols" -> "id,k", "zorder_files" -> "2"))
+    assert(spark.read.parquet(s"$dir/z").count() == 60)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.LayoutMain.run(spark, Map(
+        "table" -> s"$dir/t", "mode" -> "bogus"))
+    }
+  }
+
   test("zorderBy: each file covers a compact rectangle of both dimensions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
