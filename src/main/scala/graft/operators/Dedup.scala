@@ -173,6 +173,25 @@ object Dedup {
     * near-dup bucket and squarely in run-exact-dedup-first territory. */
   val DefaultMaxBucketRows: Long = 100000L
 
+  /** Choose `(bands, rowsPerBand)` under a signature budget: the pair
+    * with `b·r ≤ numHashes` whose LSH S-curve threshold `(1/b)^(1/r)`
+    * lands closest to `targetJaccard` — the tuning every MinHash-LSH
+    * deployment otherwise does by hand (MMDS §3.4.3). Ties prefer the
+    * pair using MORE of the budget (more hashes ⇒ steeper S-curve ⇒
+    * fewer false positives AND negatives at the same threshold).
+    * Driver-side arithmetic; feed the result to
+    * [[minhashLshCandidates]] / [[lshJaccard]]. */
+  def planLshBands(numHashes: Int, targetJaccard: Double): (Int, Int) = {
+    require(numHashes >= 1, "numHashes must be positive")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      "targetJaccard must be in (0, 1)")
+    val candidates = for {
+      r <- 1 to numHashes
+      b <- 1 to numHashes / r
+    } yield ((b, r), math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard), -b * r)
+    candidates.minBy { case (_, err, negUsed) => (err, negUsed) }._1
+  }
+
   /** 32-bit SimHash: per whitespace token take a token hash, then for
     * each bit sum +1/-1 across tokens; the sign vector is the
     * fingerprint. Native one-pass expression (graft.functions.SimHash64)

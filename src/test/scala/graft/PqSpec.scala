@@ -46,6 +46,42 @@ class PqSpec extends SparkTestBase {
     assert(a.groupBy(_._1).forall(_._2.size == 3))
   }
 
+  test("pqTopK: recall against brute force is far above chance") {
+    val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def asSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    // brute force ranks by cosine; compare on L2-normalized vectors so
+    // PQ's Euclidean geometry targets the same neighbors
+    val norm = e.select(col("vec_id"),
+      graft.operators.Similarity.l2Normalize(col("embedding")).as("embedding"))
+    val qn = norm.filter(col("vec_id") < 5)
+    val exact = asSets(graft.operators.Similarity.bruteForceTopK(e, q, k = 5))
+    val pq = asSets(graft.operators.Similarity.pqTopK(norm, qn, k = 5,
+      dims = 64, m = 8, ksub = 8, iters = 2))
+    val recall = exact.keys.map(k =>
+      (pq.getOrElse(k, Set.empty) & exact(k)).size.toDouble / 5).sum / exact.size
+    info(f"PQ recall@5 = $recall%.2f")
+    // these fixtures are near-isotropic noise (the hardest ANN case);
+    // the claim is above-CHANCE retrieval: chance recall is k/n = 1%,
+    // so a 5x-chance floor proves the codes carry real geometry
+    assert(recall >= 0.05, f"recall $recall%.2f below 5x-chance floor")
+  }
+
+  test("planLshBands: fits the budget and is the closest threshold in it") {
+    val (b, r) = graft.operators.Dedup.planLshBands(16, 0.5)
+    assert(b * r <= 16)
+    val err = math.abs(math.pow(1.0 / b, 1.0 / r) - 0.5)
+    for (rr <- 1 to 16; bb <- 1 to 16 / rr) {
+      val e2 = math.abs(math.pow(1.0 / bb, 1.0 / rr) - 0.5)
+      assert(err <= e2 + 1e-12, s"($bb,$rr) beats ($b,$r)")
+    }
+    // higher target threshold wants more rows per band (steeper, righter curve)
+    val (_, rLow) = graft.operators.Dedup.planLshBands(64, 0.2)
+    val (_, rHigh) = graft.operators.Dedup.planLshBands(64, 0.9)
+    assert(rHigh >= rLow)
+  }
+
   test("pqTopK: rejects dims not divisible by m") {
     val df = clustered
     intercept[IllegalArgumentException] {
