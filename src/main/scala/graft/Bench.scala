@@ -100,10 +100,10 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
         && new java.io.File(s"$sfDir/documents.parquet").exists()
         && only.isEmpty) {
-      // v3: the fixture gained the lineitem graph-spine replica — the
-      // version bump invalidates v2 marker dirs that lack it
+      // v4: the lineitem replica gained the dq_audit columns — the
+      // version bump invalidates v3 marker dirs that lack them
       val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
-        s"tmp/scale_probe_v3_${new java.io.File(sfDir).getName}")
+        s"tmp/scale_probe_v4_${new java.io.File(sfDir).getName}")
       val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt.max(1)
       val t0 = System.nanoTime()
       ScaleProbe.ensureFixture(spark, sfDir, probeDir, factor = 10)

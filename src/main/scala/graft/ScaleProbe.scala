@@ -21,7 +21,11 @@ object ScaleProbe {
       "graph_pagerank", "graph_triangles", "graph_common_neighbors",
       // all-sources BFS (frontier rows) and per-step walk joins — the
       // round-7 iterative additions with the largest intermediate state
-      "graph_harmonic", "graph_random_walks")
+      "graph_harmonic", "graph_random_walks",
+      // round-9 families: the multi-distinct audit Expand, the
+      // history-anti-join incremental dedup, and the token-explode +
+      // TakeOrdered vocabulary coverage — all expected ~linear
+      "dq_audit", "dedup_incremental", "vocab_oov")
 
   /** Generate `outDir/documents.parquet` = base replicated `factor`×
     * (skipped when already present). Each copy k rewrites the text with a
@@ -61,8 +65,13 @@ object ScaleProbe {
     // baskets disjoint. Result: `factor` isomorphic disconnected
     // subgraphs — same degrees, factor× the nodes/edges/triangles.
     if (new java.io.File(s"$sfDir/lineitem.parquet").exists()) {
+      // carry the audit columns verbatim (per-copy distributions
+      // identical to base) so the dq_audit spine query runs against the
+      // same replica; keys still offset per copy as before
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+        .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_returnflag"), col("l_shipdate"))
       val mx = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
       // an EMPTY lineitem file max()-aggregates to nulls — skip the
       // graph-spine replica rather than NPE before the marker is written
@@ -72,7 +81,9 @@ object ScaleProbe {
         li.crossJoin(copies)
           .select(
             (col("l_orderkey") + col("copy") * lit(oOff)).as("l_orderkey"),
-            (col("l_partkey") + col("copy") * lit(pOff)).as("l_partkey"))
+            (col("l_partkey") + col("copy") * lit(pOff)).as("l_partkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_returnflag"), col("l_shipdate"))
           .repartition(8)
           .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
       }
