@@ -1295,6 +1295,12 @@ object SparkEntry {
       // per-dimension corpus profile: posexplode + one dim-keyed hash
       // aggregate (shuffle is O(partitions x dims)); decimal-exact sums
       Similarity.dimStats(t(s, dir, "embeddings"))),
+    "vocab_bpe_merges" -> ((s, dir) =>
+      // BPE tokenizer training: per-round weighted pair argmax over the
+      // WORD table (corpus scanned once), greedy left-to-right merges,
+      // scratch-state rounds — returns the merges.txt table
+      graft.operators.TextAnalysis.bpeMerges(t(s, dir, "documents"),
+        rounds = 6)),
     "basket_rules" -> ((s, dir) => {
       // association rules over co-purchases: pair support from the
       // guarded co-occurrence join (distinct (order, item) first so
@@ -2122,6 +2128,7 @@ object SparkEntry {
          FROM w GROUP BY 1, 2, 3""",
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
     "mm_phash_pairs" -> OracleFragments.mmPhashPairs(bits = 32, maxHamming = 3),
+    "vocab_bpe_merges" -> OracleFragments.vocabBpeMerges(rounds = 6),
     "basket_rules" ->
       """WITH li AS (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -4378,6 +4385,39 @@ object OracleFragments {
         SELECT d.doc_id, d.source, round(t.rate, 6) AS rate
         FROM d JOIN t USING (source)
         WHERE ('0x' || substr(md5('ney:' || d.doc_id::VARCHAR), 1, 8))::BIGINT < t.thr"""
+  }
+
+  /** BPE merge-rule learning (TextAnalysis.bpeMerges): same word table,
+    * char symbols, per-round weighted pair argmax (count DESC, pair ASC)
+    * and the same greedy left-to-right merge fold — after a merge the
+    * new symbol is `l||r`, never `l`, so overlap skipping matches the
+    * Spark aggregate() lambda exactly. */
+  def vocabBpeMerges(rounds: Int): String = {
+    def roundCtes(k: Int): String = s"""
+      p$k AS (
+        SELECT u.p.l AS l, u.p.r AS r, sum(u.cnt)::BIGINT AS n FROM (
+          SELECT cnt, unnest(list_transform(generate_series(1, len(sym)-1),
+             i -> {'l': sym[i], 'r': sym[i+1]})) AS p
+          FROM s${k - 1} WHERE len(sym) >= 2) u
+        GROUP BY 1, 2),
+      b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+      s$k AS (SELECT s.cnt,
+        list_reduce(list_prepend([]::VARCHAR[], list_transform(s.sym, x -> [x])),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+                      THEN list_append(acc[:-2], b.l || b.r)
+                      ELSE list_concat(acc, x) END) AS sym
+        FROM s${k - 1} s CROSS JOIN b$k b)"""
+    val selects = (1 to rounds).map(k =>
+      s"""SELECT $k AS round, l AS "left", r AS "right", l || r AS merged,
+             n AS pair_count FROM b$k""").mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+        SELECT t0.token AS word, count(*) AS cnt FROM (
+          SELECT unnest($toks) AS token FROM documents) t0
+        WHERE length(t0.token) > 0 GROUP BY 1),
+      s0 AS (SELECT cnt, list_transform(generate_series(1, length(word)),
+               i -> word[i]) AS sym FROM w),
+      ${(1 to rounds).map(roundCtes).mkString(",")}
+      $selects"""
   }
 
   /** Squared L2 between double lists — the dimension-order fold

@@ -277,6 +277,81 @@ object TextAnalysis {
   // a web-scale vocab is a single-partition window. Rank downstream with
   // orderBy(...).limit(k) (TakeOrderedAndProject) for top-k use.
 
+  /** BPE merge-rule learning (Sennrich, Haddow & Birch 2016 — the
+    * tokenizer-training step of a pre-training pipeline): start from
+    * character symbols over the corpus WORD table, and for each round
+    * pick the most frequent adjacent symbol pair (weighted by word
+    * count) and merge it greedily left-to-right in every word. Returns
+    * the learned merge table `(round, left, right, merged, pair_count)`
+    * — the `merges.txt` a BPE tokenizer ships.
+    *
+    * Shape: the corpus is scanned ONCE into the (token, count) word
+    * table — every round thereafter works on the VOCABULARY, not the
+    * corpus (at 100 TB: ~1e8 distinct words vs 1e11 documents; this is
+    * why classic BPE trains on word counts). Each round is one
+    * pair-explode + keyed count, a 1-row driver argmax (the
+    * IVF-centroid "pin" discipline: ties break count DESC then pair
+    * ASC, so the rule sequence is deterministic and cross-engine
+    * reproducible), and one map-side greedy-merge fold; the symbol
+    * table is scratch-materialized per round and the previous round's
+    * table retired eagerly (the connectedComponents loop discipline —
+    * round N never re-executes rounds 0..N-1's lineage). No word-end
+    * marker symbol is used (a simplification over Sennrich's `</w>`;
+    * merges therefore never distinguish word-final pairs — documented
+    * contract, not an accident). */
+  def bpeMerges(
+      docs: DataFrame,
+      rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val words = graft.ops.Par.fanOut(docs.select(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val sym0 = words.select(col("cnt"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("sym"))
+    var (state, statePath) = graft.ops.Scratch.materializeAt(sym0, "bpe_sym")
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val pairs = state
+        .filter(size(col("sym")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("sym")) - 1),
+          i => struct(element_at(col("sym"), i).as("l"),
+            element_at(col("sym"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+      val best = pairs.orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, n) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((round, l, r, n))
+        // greedy left-to-right merge: after a merge the new symbol is
+        // `l+r`, never `l`, so overlapping occurrences skip naturally
+        val merged = state.select(col("cnt"),
+          aggregate(col("sym"),
+            lit(Array.empty[String]).cast(ArrayType(StringType)),
+            (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x)))).as("sym"))
+        val (next, nextPath) = graft.ops.Scratch.materializeAt(merged, "bpe_sym")
+        graft.ops.Scratch.drop(spark, statePath)
+        state = next
+        statePath = nextPath
+      }
+    }
+    graft.ops.Scratch.drop(spark, statePath)
+    import spark.implicits._
+    merges.toSeq.toDF("round", "left", "right", "pair_count")
+      .select(col("round"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
+
   /** Out-of-vocabulary rate per source against the corpus's own top-N
     * vocabulary — the tokenizer-coverage check a training pipeline runs
     * before committing to a vocab size (and per-ingest thereafter, to

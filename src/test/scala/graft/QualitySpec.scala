@@ -238,6 +238,19 @@ class QualitySpec extends SparkTestBase {
     assert(math.abs(m("z").getDouble(4)) < 2.0)
   }
 
+  test("bpeMerges: learns the hand-computed merge sequence with tie-breaks") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bpeMerges(docs, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    // words: low x2, lower x1. round 1: (l,o)=3 ties (o,w)=3 -> 'l'<'o'.
+    // round 2: (lo,w)=3. round 3: (low,e)=1 ties (e,r)=1 -> 'e'<'low'.
+    assert(out.toSeq == Seq(
+      (1, "l", "o", "lo", 3L),
+      (2, "lo", "w", "low", 3L),
+      (3, "e", "r", "er", 1L)))
+  }
+
   test("dimStats: exact moments of a two-vector corpus") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),
