@@ -1301,6 +1301,11 @@ object SparkEntry {
       // scratch-state rounds — returns the merges.txt table
       graft.operators.TextAnalysis.bpeMerges(t(s, dir, "documents"),
         rounds = 6)),
+    "text_bpe_encode" -> ((s, dir) =>
+      // token-budget arithmetic with the LEARNED tokenizer: per-doc ws
+      // vs BPE symbol counts off the vocabulary-sized final state table
+      graft.operators.TextAnalysis.bpeEncodeCounts(t(s, dir, "documents"),
+        rounds = 6)),
     "basket_rules" -> ((s, dir) => {
       // association rules over co-purchases: pair support from the
       // guarded co-occurrence join (distinct (order, item) first so
@@ -2129,6 +2134,7 @@ object SparkEntry {
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
     "mm_phash_pairs" -> OracleFragments.mmPhashPairs(bits = 32, maxHamming = 3),
     "vocab_bpe_merges" -> OracleFragments.vocabBpeMerges(rounds = 6),
+    "text_bpe_encode" -> OracleFragments.vocabBpeEncode(rounds = 6),
     "basket_rules" ->
       """WITH li AS (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -4392,7 +4398,7 @@ object OracleFragments {
     * and the same greedy left-to-right merge fold — after a merge the
     * new symbol is `l||r`, never `l`, so overlap skipping matches the
     * Spark aggregate() lambda exactly. */
-  def vocabBpeMerges(rounds: Int): String = {
+  private def bpeChainCtes(rounds: Int): String = {
     def roundCtes(k: Int): String = s"""
       p$k AS (
         SELECT u.p.l AS l, u.p.r AS r, sum(u.cnt)::BIGINT AS n FROM (
@@ -4401,24 +4407,40 @@ object OracleFragments {
           FROM s${k - 1} WHERE len(sym) >= 2) u
         GROUP BY 1, 2),
       b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
-      s$k AS (SELECT s.cnt,
+      s$k AS (SELECT s.word, s.cnt,
         list_reduce(list_prepend([]::VARCHAR[], list_transform(s.sym, x -> [x])),
           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
                       THEN list_append(acc[:-2], b.l || b.r)
                       ELSE list_concat(acc, x) END) AS sym
         FROM s${k - 1} s CROSS JOIN b$k b)"""
-    val selects = (1 to rounds).map(k =>
-      s"""SELECT $k AS round, l AS "left", r AS "right", l || r AS merged,
-             n AS pair_count FROM b$k""").mkString("\n  UNION ALL ")
-    s"""WITH w AS (
+    s"""w AS (
         SELECT t0.token AS word, count(*) AS cnt FROM (
           SELECT unnest($toks) AS token FROM documents) t0
         WHERE length(t0.token) > 0 GROUP BY 1),
-      s0 AS (SELECT cnt, list_transform(generate_series(1, length(word)),
+      s0 AS (SELECT word, cnt, list_transform(generate_series(1, length(word)),
                i -> word[i]) AS sym FROM w),
-      ${(1 to rounds).map(roundCtes).mkString(",")}
+      ${(1 to rounds).map(roundCtes).mkString(",")}"""
+  }
+
+  def vocabBpeMerges(rounds: Int): String = {
+    val selects = (1 to rounds).map(k =>
+      s"""SELECT $k AS round, l AS "left", r AS "right", l || r AS merged,
+             n AS pair_count FROM b$k""").mkString("\n  UNION ALL ")
+    s"""WITH ${bpeChainCtes(rounds)}
       $selects"""
   }
+
+  /** BPE corpus encoding (TextAnalysis.bpeEncodeCounts): the same
+    * chain's FINAL symbol table joined back to the per-doc word
+    * stream. */
+  def vocabBpeEncode(rounds: Int): String =
+    s"""WITH ${bpeChainCtes(rounds)}
+      SELECT d.doc_id, count(*) AS n_tokens_ws,
+             sum(len(s$rounds.sym))::BIGINT AS n_tokens_bpe
+      FROM (SELECT doc_id, unnest($toks) AS word FROM documents) d
+      JOIN s$rounds ON d.word = s$rounds.word
+      WHERE length(d.word) > 0
+      GROUP BY 1"""
 
   /** Squared L2 between double lists — the dimension-order fold
     * Similarity.sqDist performs. */

@@ -303,6 +303,47 @@ object TextAnalysis {
       docs: DataFrame,
       rounds: Int,
       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, _, statePath) = bpeLearn(docs, rounds, textCol)
+    graft.ops.Scratch.drop(spark, statePath)
+    import spark.implicits._
+    merges.toDF("round", "left", "right", "pair_count")
+      .select(col("round"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
+
+  /** Encode the corpus with the vocabulary [[bpeMerges]] learns: per
+    * document, the whitespace token count and the BPE symbol count
+    * after `rounds` merges — the token-budget arithmetic a training
+    * pipeline runs with its REAL tokenizer (vs the `tokenCountBpe`
+    * regex proxy). The per-word symbol counts come off the learning
+    * loop's FINAL state table (vocabulary-sized), joined back to the
+    * per-document word stream — the corpus is scanned twice total
+    * (once into the word table, once for the join), never per round. */
+  def bpeEncodeCounts(
+      docs: DataFrame,
+      rounds: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (_, state, _) = bpeLearn(docs, rounds, textCol)
+    val wordSyms = state.select(col("word"), size(col("sym")).as("n_sym"))
+    graft.ops.Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wordSyms, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens_ws"),
+        sum(col("n_sym")).as("n_tokens_bpe"))
+  }
+
+  /** The shared BPE learning loop: returns the merge list, the FINAL
+    * `(word, cnt, sym)` state frame (a scratch table the caller may
+    * join against — per-JVM scratch cleanup retires it at exit), and
+    * its path (for eager retirement when the state is not needed). */
+  private def bpeLearn(
+      docs: DataFrame,
+      rounds: Int,
+      textCol: String): (Seq[(Int, String, String, Long)], DataFrame, String) = {
     require(rounds >= 1, "rounds must be positive")
     val spark = docs.sparkSession
     import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -310,7 +351,7 @@ object TextAnalysis {
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val sym0 = words.select(col("cnt"),
+    val sym0 = words.select(col("word"), col("cnt"),
       transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("sym"))
     var (state, statePath) = graft.ops.Scratch.materializeAt(sym0, "bpe_sym")
@@ -332,7 +373,7 @@ object TextAnalysis {
         merges += ((round, l, r, n))
         // greedy left-to-right merge: after a merge the new symbol is
         // `l+r`, never `l`, so overlapping occurrences skip naturally
-        val merged = state.select(col("cnt"),
+        val merged = state.select(col("word"), col("cnt"),
           aggregate(col("sym"),
             lit(Array.empty[String]).cast(ArrayType(StringType)),
             (acc, x) =>
@@ -345,11 +386,7 @@ object TextAnalysis {
         statePath = nextPath
       }
     }
-    graft.ops.Scratch.drop(spark, statePath)
-    import spark.implicits._
-    merges.toSeq.toDF("round", "left", "right", "pair_count")
-      .select(col("round"), col("left"), col("right"),
-        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+    (merges.toSeq, state, statePath)
   }
 
   /** Out-of-vocabulary rate per source against the corpus's own top-N

@@ -251,6 +251,14 @@ class QualitySpec extends SparkTestBase {
       (3, "e", "r", "er", 1L)))
   }
 
+  test("bpeEncodeCounts: symbol counts follow the learned merges") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bpeEncodeCounts(docs, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // merges lo, low, er: low -> [low] (1 sym), lower -> [low, er] (2)
+    assert(out.toSeq == Seq((1L, 3L, 1L + 1L + 2L)))
+  }
+
   test("dimStats: exact moments of a two-vector corpus") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),
