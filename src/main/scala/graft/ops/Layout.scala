@@ -77,9 +77,14 @@ object Layout {
     val staging = new Path(leaf.getParent, s".compact_${leaf.getName}")
     spark.read.parquet(leafDir).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
+    // rename returns false (no exception) on failure — a silent false
+    // here would strand the data mid-swap, so both renames are checked
     val old = new Path(leaf.getParent, s".old_${leaf.getName}")
-    fs.rename(leaf, old)
-    fs.rename(staging, leaf)
+    require(fs.rename(leaf, old), s"compact: could not stage away $leaf")
+    if (!fs.rename(staging, leaf)) {
+      fs.rename(old, leaf) // roll back; staging is left for inspection
+      throw new IllegalStateException(s"compact: could not install $staging at $leaf")
+    }
     fs.delete(old, true)
     fs.listStatus(leaf).count(s => !s.getPath.getName.startsWith("_") &&
       !s.getPath.getName.startsWith("."))
