@@ -1451,6 +1451,61 @@ object SparkEntry {
       Similarity.pqTopK(e, e.filter(pmod(col("vec_id"), lit(100)) === 0),
         k = 5, dims = 64, m = 4, ksub = 4, iters = 2)
     }),
+    "cdc_merge" -> ((s, dir) => {
+      // MERGE/upsert snapshot maintenance: target = latest per-user
+      // state from even-id events, change batch = odd-id events
+      // (purchases read as deletes); latest change per key wins under
+      // the (ts, event_id) total order
+      // user_id % 4 == 0 users are absent from the target (their upserts
+      // INSERT), % 4 == 1 users see no change (KEPT); purchases DELETE
+      val ev = eventsTable(s, dir)
+      val target = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .filter(pmod(col("user_id"), lit(4)) =!= 0)
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_type"), col("value"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("c"))
+        .select(col("user_id"), col("c.event_type").as("state"),
+          col("c.value").as("value"), unix_millis(col("c.ts")).as("last_ms"))
+      val changes = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .filter(pmod(col("user_id"), lit(4)) =!= 1)
+        .select(col("user_id"),
+          when(col("event_type") === "purchase", "D").otherwise("U").as("op"),
+          col("event_type").as("state"), col("value"),
+          unix_millis(col("ts")).as("last_ms"), col("ts"), col("event_id"))
+      graft.operators.Quality.mergeSnapshot(target, changes,
+        keyCol = "user_id", opCol = "op",
+        orderCols = Seq("ts", "event_id"),
+        payloadCols = Seq("state", "value", "last_ms"))
+    }),
+    "dq_entropy" -> ((s, dir) =>
+      // Shannon-entropy distribution profile of categorical audit
+      // columns (plus a derived length bucket) — the drift companion
+      // to dq_audit's count metrics
+      graft.operators.Quality.categoricalEntropy(
+        t(s, dir, "documents")
+          .withColumn("len_bucket", (col("n_chars") / lit(500L)).cast("long")),
+        Seq("lang", "source", "len_bucket"))),
+    "dq_mutual_info" -> ((s, dir) =>
+      // dependence audit between two categorical columns: joint-
+      // distribution MI + joint entropy from one joint-count aggregate
+      graft.operators.Quality.mutualInformation(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+    "ev_changepoint" -> ((s, dir) =>
+      // single level-shift detection per event type over its hourly
+      // rate series: integer-rational binary-segmentation statistic,
+      // empty buckets densified to zero
+      graft.operators.Events.changePoint(eventsTable(s, dir), "hour")),
+    "graph_toposort" -> ((s, dir) =>
+      // hop-bounded Kahn layering of the co-purchase DAG (canonical
+      // src<dst orientation is acyclic by construction): layer = the
+      // earliest parallel wave; null = deeper than the bound
+      graft.operators.Graph.topoLayers(coPurchaseEdges(s, dir), maxRounds = 8)),
+    "emb_dbscan" -> ((s, dir) =>
+      // blocked DBSCAN over the embedding corpus: core/border/noise
+      // roles + min-id cluster labels through the core-core eps-graph
+      Similarity.dbscan(t(s, dir, "embeddings"),
+        simThreshold = 0.25, minPts = 4)),
   )
 
   /** Co-purchase edge fixture for the graph_* queries: parts sharing an
@@ -2335,6 +2390,97 @@ object SparkEntry {
                         ORDER BY n DESC, event_type ASC) AS rank
                FROM c)
          WHERE rank <= 2""",
+    "cdc_merge" ->
+      """WITH t AS (
+           SELECT user_id, event_type AS state, "value", epoch_ms(ts) AS last_ms
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 0 AND user_id % 4 <> 0)
+           WHERE rn = 1),
+         w AS (
+           SELECT user_id AS wk,
+                  CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                  event_type AS wstate, "value" AS wvalue,
+                  epoch_ms(ts) AS wlast_ms
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE event_id % 2 = 1 AND user_id % 4 <> 1)
+           WHERE rn = 1)
+         SELECT coalesce(t.user_id, w.wk) AS user_id,
+                CASE WHEN w.op = 'U' THEN w.wstate ELSE t.state END AS state,
+                CASE WHEN w.op = 'U' THEN w.wvalue ELSE t."value" END AS "value",
+                CASE WHEN w.op = 'U' THEN w.wlast_ms ELSE t.last_ms END AS last_ms,
+                CASE WHEN w.op IS NULL THEN 'kept'
+                     WHEN t.user_id IS NULL THEN 'inserted'
+                     ELSE 'updated' END AS action
+         FROM t FULL OUTER JOIN w ON t.user_id = w.wk
+         WHERE w.op IS NULL OR w.op <> 'D'""",
+    "dq_entropy" ->
+      """WITH m AS (SELECT 'lang' AS colname, lang AS v FROM documents
+                    UNION ALL SELECT 'source', source FROM documents
+                    UNION ALL SELECT 'len_bucket', (n_chars // 500)::VARCHAR
+                              FROM documents),
+         c AS (SELECT colname, v, count(*) AS cnt FROM m GROUP BY 1, 2),
+         n AS (SELECT colname, sum(cnt)::BIGINT AS n FROM c GROUP BY 1),
+         t AS (SELECT c.colname, n.n,
+                      round((cnt::DOUBLE / n::DOUBLE)
+                            * ln(cnt::DOUBLE / n::DOUBLE), 9)::DECIMAL(28,12)
+                        AS term
+               FROM c JOIN n ON c.colname = n.colname)
+         SELECT colname AS "column", max(n) AS n_rows, count(*) AS n_distinct,
+                round((-sum(term))::DOUBLE, 6) AS entropy,
+                CASE WHEN count(*) > 1
+                     THEN round((-sum(term))::DOUBLE
+                                / ln(count(*)::DOUBLE), 6) END AS entropy_norm
+         FROM t GROUP BY 1""",
+    "dq_mutual_info" ->
+      """WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y,
+                           count(*) AS cxy
+                    FROM lineitem GROUP BY 1, 2),
+         mx AS (SELECT x, sum(cxy)::BIGINT AS cx FROM j GROUP BY 1),
+         my AS (SELECT y, sum(cxy)::BIGINT AS cy FROM j GROUP BY 1),
+         tt AS (SELECT sum(cxy)::BIGINT AS n FROM j)
+         SELECT max(n) AS n,
+                round(sum(round((cxy::DOUBLE / n::DOUBLE)
+                      * ln(n::DOUBLE * cxy::DOUBLE
+                           / (cx::DOUBLE * cy::DOUBLE)), 9)::DECIMAL(28,12)
+                  )::DOUBLE, 6) AS mi,
+                round((-sum(round((cxy::DOUBLE / n::DOUBLE)
+                      * ln(cxy::DOUBLE / n::DOUBLE), 9)::DECIMAL(28,12))
+                  )::DOUBLE, 6) AS h_joint
+         FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tt""",
+    "ev_changepoint" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                           count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1),
+         g AS (SELECT event_type,
+                      unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+               FROM s),
+         d AS (SELECT g.event_type, g.b, coalesce(c.cnt, 0)::BIGINT AS cnt
+               FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.b = c.b),
+         cu AS (SELECT event_type, b, cnt,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY b) AS k,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS c
+                FROM d),
+         t AS (SELECT event_type, max(k) AS m, max(c) AS tot FROM cu GROUP BY 1),
+         sc AS (SELECT cu.event_type, m, tot, k, b, c,
+                       ((c * m - k * tot) * (c * m - k * tot))::DOUBLE
+                         / (k * (m - k) * m)::DOUBLE AS gs
+                FROM cu JOIN t ON cu.event_type = t.event_type
+                WHERE k < m)
+         SELECT event_type, m AS n_buckets, k AS split_k,
+                epoch_ms(b) AS split_bucket_ms,
+                round(gs, 6) AS g_stat,
+                round(c::DOUBLE / k::DOUBLE, 6) AS mean_before,
+                round((tot - c)::DOUBLE / (m - k)::DOUBLE, 6) AS mean_after
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY gs DESC, k ASC) AS rn FROM sc)
+         WHERE rn = 1""",
+    "graph_toposort" -> OracleFragments.graphTopoLayers(rounds = 8),
+    "emb_dbscan" -> OracleFragments.embDbscan(threshold = 0.25, minPts = 4),
   )
 }
 
@@ -3921,6 +4067,75 @@ object OracleFragments {
     * symmetrized weighted co-purchase graph. Weights are integer-
     * valued doubles, so the min-plus sums are bit-exact on both
     * engines. */
+  /** Mirror of Graph.topoLayers over the co-purchase DAG: `rounds`
+    * unrolled Kahn peel rounds — round i assigns layer i to the
+    * remaining zero-in-degree nodes and drops their outgoing edges;
+    * nodes never assigned surface with a NULL layer (the hop-bound /
+    * cycle contract). Rounds past the fixpoint are empty, so a fixed
+    * unroll is exact regardless of where Spark's observed-count early
+    * stop fired. */
+  def graphTopoLayers(rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      // MATERIALIZED: each round references the previous twice; inlined
+      // CTEs would re-expand the whole chain exponentially
+      s"""a$i AS MATERIALIZED (SELECT node, $i::BIGINT AS layer FROM r$i
+                  WHERE node NOT IN (SELECT dst FROM e$i)),
+          e${i + 1} AS MATERIALIZED (SELECT * FROM e$i
+                        WHERE src NOT IN (SELECT node FROM a$i)),
+          r${i + 1} AS MATERIALIZED (SELECT node FROM r$i
+                        WHERE node NOT IN (SELECT node FROM a$i))"""
+    }.mkString(",\n")
+    val union = (0 until rounds)
+      .map(i => s"SELECT node, layer FROM a$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e0 AS MATERIALIZED ($coPurchase),
+          r0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+                   SELECT src AS node FROM e0
+                   UNION ALL SELECT dst AS node FROM e0)),
+          $steps
+        $union
+        UNION ALL SELECT node, NULL::BIGINT AS layer FROM r$rounds"""
+  }
+
+  /** Mirror of Similarity.dbscan over the label-blocked embedding
+    * corpus: brute-force within-label cosine pairs at the same 6-dp
+    * round, neighbor counts (self included) against `minPts`, min-id
+    * closure over the core-core subgraph (the dedupClusters recursive
+    * CTE), border = min core-neighbor cluster, rest noise. */
+  def embDbscan(threshold: Double, minPts: Int): String =
+    s"""WITH RECURSIVE
+          q AS (SELECT label, vec_id AS a, embedding AS qv FROM embeddings),
+          c AS (SELECT label, vec_id AS b, embedding AS cv FROM embeddings),
+          p AS (SELECT q.a, c.b FROM q JOIN c
+                ON q.label = c.label AND q.a < c.b
+                WHERE round($cosineExpr, 6) >= $threshold),
+          sym AS (SELECT a AS id, b AS nbr FROM p
+                  UNION ALL SELECT b AS id, a AS nbr FROM p),
+          core AS (SELECT id FROM (
+                     SELECT id, count(*) + 1 AS nn FROM sym GROUP BY 1)
+                   WHERE nn >= $minPts),
+          cp AS (SELECT a, b FROM p
+                 WHERE a IN (SELECT id FROM core)
+                   AND b IN (SELECT id FROM core)),
+          edges AS (SELECT a AS s, b AS d FROM cp
+                    UNION SELECT b AS s, a AS d FROM cp),
+          reach AS (
+            SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
+          cc AS (SELECT x AS id, min(y) AS lbl FROM reach GROUP BY 1),
+          coreout AS (SELECT co.id, 'core' AS role,
+                             coalesce(cc.lbl, co.id) AS cluster
+                      FROM core co LEFT JOIN cc ON co.id = cc.id),
+          border AS (SELECT s.id, 'border' AS role,
+                            min(o.cluster) AS cluster
+                     FROM sym s JOIN coreout o ON s.nbr = o.id
+                     WHERE s.id NOT IN (SELECT id FROM core) GROUP BY 1),
+          assigned AS (SELECT * FROM coreout
+                       UNION ALL SELECT * FROM border)
+        SELECT e.vec_id, coalesce(a.role, 'noise') AS role, a.cluster
+        FROM embeddings e LEFT JOIN assigned a ON e.vec_id = a.id"""
+
   def graphShortestPaths(maxHops: Int): String = {
     val steps = (1 to maxHops).map { i =>
       s"""r$i AS (SELECT node, min(d) AS dist FROM (

@@ -312,4 +312,72 @@ object Events {
       .select(col("event_type"), col("next_type"), col("n"),
         round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
   }
+
+  /** Single change-point detection per event type over its bucketed
+    * rate series (binary segmentation, one split — the level-shift
+    * audit behind "did traffic for X step up/down, and when"): bucket
+    * the stream into fixed windows, then pick the split k maximizing
+    * the between-segment sum of squares of the count series. For a
+    * series of m buckets with total T and prefix sum C_k, that
+    * objective reduces to the INTEGER rational
+    * `G(k) = (C_k·m − k·T)² / (k·(m−k)·m)` — numerator and denominator
+    * are exact BIGINTs, so the only floating-point op is one IEEE
+    * division, bit-identical cross-engine (the priority-sampling
+    * precedent). Ties break toward the earliest split.
+    *
+    * EMPTY buckets inside a type's span count as zero: the series is
+    * densified against the type's own [first, last] bucket range via a
+    * per-type sequence (range/bucket is bounded — the resample-grid
+    * contract), so a gap reads as a rate drop, not as a missing row.
+    * Shape: one (type, bucket)-keyed count, one bounded per-type
+    * window pass for prefix sums, one `max_by` argmax aggregate —
+    * never a corpus-scale window. Output per type: the best split's
+    * bucket start, its G statistic, and the 6-dp mean rates on each
+    * side. Types with m < 2 buckets yield no row. */
+  def changePoint(
+      events: DataFrame,
+      bucket: String = "hour",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val b = date_trunc(bucket, col(tsCol))
+    val counts = events
+      .groupBy(col(typeCol), b.as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    // densify: every bucket in the type's own span, zeros filled in
+    val span = counts.groupBy(col(typeCol))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+    val grid = span.select(col(typeCol),
+      explode(sequence(col("b0"), col("b1"),
+        expr(s"interval 1 $bucket"))).as("b"))
+    val series = grid.join(counts, Seq(typeCol.toString, "b"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("b").asc)
+    val cum = series
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("c", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cum.groupBy(col(typeCol))
+      .agg(max(col("k")).as("m"), max(col("c")).as("t"))
+    val dNum = col("c") * col("m") - col("k") * col("t")
+    val g = (dNum * dNum).cast("double") /
+      (col("k") * (col("m") - col("k")) * col("m")).cast("double")
+    cum.join(tot, Seq(typeCol.toString))
+      .filter(col("k") < col("m")) // splits leave both segments non-empty
+      .select(col(typeCol), col("m"), col("t"), col("k"), col("b"),
+        g.as("g"), col("c"))
+      .groupBy(col(typeCol))
+      // argmax by (G, earliest k): struct max compares fields in order
+      .agg(max_by(
+        struct(col("k"), col("b"), col("g"), col("c"), col("m"), col("t")),
+        struct(col("g"), (-col("k")).as("nk"))).as("best"))
+      .select(col(typeCol),
+        col("best.m").as("n_buckets"),
+        col("best.k").as("split_k"),
+        unix_millis(col("best.b")).as("split_bucket_ms"),
+        round(col("best.g"), 6).as("g_stat"),
+        round(col("best.c").cast("double") / col("best.k").cast("double"), 6)
+          .as("mean_before"),
+        round((col("best.t") - col("best.c")).cast("double")
+          / (col("best.m") - col("best.k")).cast("double"), 6).as("mean_after"))
+  }
 }

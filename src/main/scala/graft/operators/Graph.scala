@@ -713,6 +713,73 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Hop-bounded topological layering of a DIRECTED edge frame (Kahn's
+    * algorithm as synchronous peel rounds — the scheduling / dependency-
+    * resolution surface: layer L = every node whose prerequisites all
+    * sit in layers < L, so "layer" is exactly the earliest parallel
+    * wave a task can run in). Round i assigns layer i to the current
+    * zero-in-degree nodes, removes their outgoing edges, repeats.
+    * Nodes still unresolved after `maxRounds` rounds — deeper than the
+    * bound, or on/behind a CYCLE (a cycle never yields a source; this
+    * is also the cycle detector: null-layer nodes with a non-deep graph
+    * ⇒ cyclic dependencies) — surface with a null layer instead of
+    * looping forever, the same hop-bound contract as [[shortestPaths]].
+    *
+    * Scale shape = the [[kCore]] peel discipline: per round, one
+    * distinct-dst anti-join finds sources (never a global sort or a
+    * driver-side Kahn queue) and one src anti-join shrinks the edge
+    * table; each round's survivors and assignments are scratch tables
+    * with the assignment count OBSERVED on the write, so convergence
+    * (no new sources) stops the loop without a second scan. Rounds cost
+    * O(remaining edges) each; total work is O(maxRounds · |E|) worst
+    * case, O(|E| · avg-depth) typically. */
+  def topoLayers(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
+    import graft.ops.Scratch
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    var (e, ePath) = Scratch.materializeAt(
+      edges.select(col("src"), col("dst")).distinct(), "topo_edges")
+    val (nodes, nodesPath) = Scratch.materializeAt(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(), "topo_nodes")
+    var remaining = nodes
+    var remainingPath = nodesPath
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // zero-in-degree among the remaining graph: no surviving edge
+      // points AT the node (distinct dst anti-join — no degree count
+      // needed, presence is enough)
+      val (src, sm, srcPath) = Scratch.materializeObservedAt(
+        remaining.join(e.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_anti")
+          .select(col("node"), lit(round.toLong).as("layer")),
+        "topo_layer", count(lit(1)).as("n"))
+      val nNew = sm("n").asInstanceOf[Long]
+      if (nNew == 0L) {
+        Scratch.drop(spark, srcPath)
+        done = true // only cycles (or nothing) left
+      } else {
+        layers += src
+        val (e2, e2Path) = Scratch.materializeAt(
+          e.join(src.select(col("node").as("src")), Seq("src"), "left_anti"),
+          "topo_edges")
+        Scratch.drop(spark, ePath)
+        e = e2; ePath = e2Path
+        val (r2, r2Path) = Scratch.materializeAt(
+          remaining.join(src.select(col("node")), Seq("node"), "left_anti"),
+          "topo_nodes")
+        if (remainingPath != nodesPath) Scratch.drop(spark, remainingPath)
+        remaining = r2; remainingPath = r2Path
+        round += 1
+      }
+    }
+    val unresolved = remaining.select(col("node"),
+      lit(null).cast("long").as("layer"))
+    (layers.toSeq :+ unresolved).reduce(_.unionByName(_))
+  }
+
   /** Per-edge triangle support over a scratch-backed canonical edge
     * table: for each edge (a, b), how many triangles contain it
     * (= |N(a)∩N(b)|). The [[triangleCount]] degree-oriented wedge

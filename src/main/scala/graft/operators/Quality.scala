@@ -336,6 +336,133 @@ object Quality {
         round(first(col("hi")), 4).as("hi"))
   }
 
+  /** MERGE / upsert snapshot maintenance (the warehouse `MERGE INTO`
+    * shape over immutable parquet): apply a change batch (upserts +
+    * deletes) to a keyed target snapshot and emit the NEW snapshot.
+    * Latest change per key wins — "latest" under the total order
+    * `orderCols` (pass the event timestamp plus a unique tiebreaker so
+    * the winner is deterministic); a winning delete removes the key,
+    * a winning upsert replaces (or inserts) the payload, untouched
+    * target rows pass through. Each output row carries an `action`
+    * audit column: `kept` / `updated` / `inserted` (deletes produce no
+    * row — they are visible as keys missing vs the old snapshot).
+    *
+    * Two keyed shuffles, both on `keyCol`: the per-key change collapse
+    * (a `max_by` aggregate — map-side partials, no window over the
+    * batch) and the full-outer join against the target. At 100 TB
+    * bucket BOTH the snapshot and the arriving batch by the key and
+    * the join co-locates (the [[ops.Bucketing]] pattern) — snapshot
+    * maintenance then costs one scan of each side per batch, which is
+    * exactly the incremental-ingest bound. */
+  def mergeSnapshot(
+      target: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      opCol: String,
+      orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "mergeSnapshot needs a change order")
+    require(payloadCols.nonEmpty, "mergeSnapshot needs payload columns")
+    val winner = changes
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct((opCol +: payloadCols).map(col): _*),
+        struct(orderCols.map(col): _*)).as("__c"))
+      .select(col(keyCol).as("__k") +: col(s"__c.$opCol").as("__op") +:
+        payloadCols.map(c => col(s"__c.$c").as(s"__c_$c")): _*)
+    val t = target.select(
+      col(keyCol) +: lit(true).as("__in_target") +: payloadCols.map(col): _*)
+    t.join(winner, col(keyCol) === col("__k"), "full_outer")
+      // a winning delete drops the key (whether or not it existed)
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(
+        coalesce(col(keyCol), col("__k")).as(keyCol) +:
+          payloadCols.map(c =>
+            when(col("__op") === "U", col(s"__c_$c"))
+              .otherwise(col(c)).as(c)) :+
+          when(col("__op").isNull, "kept")
+            .when(col("__in_target").isNull, "inserted")
+            .otherwise("updated").as("action"): _*)
+  }
+
+  /** Shannon entropy profile of categorical columns (the
+    * distribution-drift companion to [[dqAudit]]'s count metrics): for
+    * each listed column — distinct-value count and the entropy of its
+    * value distribution in nats, plus the `[0,1]`-normalized form
+    * `H / ln(n_distinct)` (null for constant columns). Nulls count as a
+    * category (an all-null column scores H = 0, which is the honest
+    * audit reading).
+    *
+    * One melt (`explode` of (column, value) structs — constant fanout =
+    * the column count) feeding ONE (column, value)-keyed count, then a
+    * column-keyed entropy fold over the per-value counts. Per-value
+    * terms `p·ln p` are rounded to 9 dp and summed as DECIMAL(28,12),
+    * so the entropy is bit-stable under any partitioning and engine —
+    * the same determinism discipline as the unigram-LM scorer. At
+    * 100 TB the intermediate is one row per (column, distinct value):
+    * audit columns are low-cardinality by definition; for id-like
+    * columns use [[dqAudit]]'s distinct count instead. */
+  def categoricalEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*))
+      .as("m")).select("m.*")
+    val counts = melted.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    // n is identical for every column (one row each per source row)
+    val n = counts.groupBy(col("column")).agg(sum(col("cnt")).as("n"))
+    val p = col("cnt").cast("double") / col("n").cast("double")
+    counts.join(broadcast(n), "column")
+      .select(col("column"), col("n"),
+        round(p * log(p), 9).cast("decimal(28,12)").as("term"))
+      .groupBy(col("column"))
+      .agg(first(col("n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        (-sum(col("term"))).cast("double").as("h"))
+      .select(col("column"), col("n_rows"), col("n_distinct"),
+        round(col("h"), 6).as("entropy"),
+        when(col("n_distinct") > 1,
+          round(col("h") / log(col("n_distinct").cast("double")), 6))
+          .as("entropy_norm"))
+  }
+
+  /** Mutual information between two categorical columns (the
+    * dependence audit: near-zero MI ⇒ independent fields, MI ≈ min(H)
+    * ⇒ one determines the other — the Deequ/profiling
+    * `MutualInformation` analyzer). One row out: joint-distribution MI
+    * in nats plus each marginal's entropy, all from ONE joint-count
+    * aggregate — the marginals fold from the joint table (|X|·|Y| rows,
+    * tiny for audit columns) rather than re-scanning the corpus, and
+    * ride back onto it as broadcast maps. Per-cell terms
+    * `p(x,y)·ln(n·c(x,y)/(c(x)·c(y)))` round to 9 dp under
+    * DECIMAL(28,12) sums — bit-stable, like [[categoricalEntropy]]. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.select(
+      col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val mx = joint.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val tot = joint.agg(sum(col("cxy")).as("n"))
+    val pxy = col("cxy").cast("double") / col("n").cast("double")
+    val ratio = col("n").cast("double") * col("cxy").cast("double") /
+      (col("cx").cast("double") * col("cy").cast("double"))
+    def hOf(cnt: Column) = {
+      val pp = cnt.cast("double") / col("n").cast("double")
+      (-sum(round(pp * log(pp), 9).cast("decimal(28,12)"))).cast("double")
+    }
+    joint
+      .join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .agg(
+        first(col("n")).as("n"),
+        sum(round(pxy * log(ratio), 9).cast("decimal(28,12)"))
+          .cast("double").as("mi_raw"),
+        hOf(col("cxy")).as("h_xy"))
+      .select(col("n"),
+        round(col("mi_raw"), 6).as("mi"),
+        round(col("h_xy"), 6).as("h_joint"))
+  }
+
   /** Blocked edit-distance record linkage (fuzzy join): canonical pairs
     * `(a_id < b_id)` within a blocking key whose names are within
     * `maxDist` Levenshtein edits.

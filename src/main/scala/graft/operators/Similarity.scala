@@ -764,4 +764,83 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "adist", "rank")
   }
+
+  /** Blocked DBSCAN over the embedding corpus (Ester et al. 1996, with
+    * cosine similarity ≥ `simThreshold` as the ε-neighborhood): every
+    * vector classified `core` (≥ `minPts` neighbors, self included) /
+    * `border` (non-core touching a core) / `noise`, with cluster id =
+    * the minimum core member id reachable through core-core ε-edges —
+    * the density clustering that, unlike k-means, needs no k and leaves
+    * outliers OUT instead of distorting a centroid. The corpus-curation
+    * reading: clusters are semantic duplicate groups, noise is the
+    * long tail worth keeping.
+    *
+    * The ε-graph comes from [[cosinePairs]] — block-restricted
+    * (`blockCol`), so neighbors split across blocks are never paired:
+    * exact within a block, approximate at block boundaries, the same
+    * documented trade every blocked operator here makes (swap in
+    * [[ivfCosinePairs]]-style cell blocks when no natural block
+    * exists). The pair table is written ONCE as scratch and re-read by
+    * all three consumers (neighbor counts, core-core subgraph, border
+    * assignment); core-core clusters resolve through the observed-
+    * count-gated [[Corpus.connectedComponents]]; border vectors take
+    * the MINIMUM neighbor cluster id (one keyed min aggregate —
+    * deterministic, order-free). Everything downstream of the guarded
+    * pair join is linear in pairs. */
+  def dbscan(
+      corpus: DataFrame,
+      blockCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      simThreshold: Double = 0.5,
+      minPts: Int = 4,
+      maxBlockRows: Long = 100000L): DataFrame = {
+    import graft.ops.Scratch
+    require(minPts >= 1, "minPts must be >= 1")
+    val (p, pPath) = Scratch.materializeAt(
+      cosinePairs(corpus, blockCol, idCol, vecCol, simThreshold, maxBlockRows)
+        .select(col("a"), col("b")),
+      "dbscan_pairs")
+    val sym = p.select(col("a").as("id"), col("b").as("nbr"))
+      .union(p.select(col("b").as("id"), col("a").as("nbr")))
+    // neighbor count including self — the textbook |N_eps(p)| >= minPts
+    val core = sym.groupBy(col("id"))
+      .agg((count(lit(1)) + lit(1L)).as("n_nbrs"))
+      .filter(col("n_nbrs") >= minPts)
+      .select(col("id"))
+    // a vector with no epsilon-neighbor at all still cores when minPts=1
+    val isolatedCore =
+      if (minPts > 1) None
+      else Some(corpus.select(col(idCol).as("id"))
+        .join(sym.select(col("id")).distinct(), Seq("id"), "left_anti"))
+    val (coreT, corePath) = Scratch.materializeAt(
+      isolatedCore.fold(core)(core.unionByName(_)), "dbscan_core")
+    val corePairs = p
+      .join(coreT.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(coreT.select(col("id").as("b")), Seq("b"), "left_semi")
+    // min-id labels over the core-core subgraph; singleton cores keep
+    // their own id (CC only sees nodes with at least one core edge)
+    val cc = Corpus.connectedComponents(corePairs, "a", "b")
+    val coreOut = coreT
+      .join(cc.select(col("id"), col("label")), Seq("id"), "left")
+      .select(col("id"), lit("core").as("role"),
+        coalesce(col("label"), col("id")).as("cluster"))
+    val (coreOutT, coreOutPath) = Scratch.materializeAt(coreOut, "dbscan_coreout")
+    // border: non-core touching >= 1 core; takes the MIN neighbor cluster
+    val borderOut = sym
+      .join(coreT.select(col("id")), Seq("id"), "left_anti")
+      .join(coreOutT.select(col("id").as("nbr"), col("cluster")), Seq("nbr"))
+      .groupBy(col("id"))
+      .agg(min(col("cluster")).as("cluster"))
+      .select(col("id"), lit("border").as("role"), col("cluster"))
+    val assigned = coreOutT.unionByName(borderOut)
+    val noise = corpus.select(col(idCol).as("id"))
+      .join(assigned.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit("noise").as("role"),
+        lit(null).cast(corpus.schema(idCol).dataType).as("cluster"))
+    // pPath / corePath / coreOutPath all stay live: the returned frame's
+    // border and noise branches re-read them (session-end cleanup)
+    assigned.unionByName(noise)
+      .select(col("id").as(idCol), col("role"), col("cluster"))
+  }
 }

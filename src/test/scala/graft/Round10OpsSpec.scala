@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Events, Graph, Quality, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-10 operators: MERGE snapshot maintenance, entropy / mutual-
+  * information profiling, change-point detection, topological layering,
+  * blocked DBSCAN. Laws and semantics, not golden values — the
+  * value-level gate is the DuckDB oracle (cdc_merge / dq_entropy /
+  * dq_mutual_info / ev_changepoint / graph_toposort / emb_dbscan). */
+class Round10OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mergeSnapshot: upsert wins by order, delete removes, untouched kept") {
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "state", "v")
+    val changes = Seq(
+      // key 1: two upserts — the later (ts=6) must win
+      (1L, "U", "a2", 11L, 5L, 100L), (1L, "U", "a3", 12L, 6L, 101L),
+      // key 2: delete wins over an earlier upsert
+      (2L, "U", "b2", 21L, 5L, 102L), (2L, "D", "b2", 21L, 6L, 103L),
+      // key 4: upsert to an absent key inserts
+      (4L, "U", "d", 40L, 5L, 104L),
+      // key 5: delete of an absent key is a no-op (no row out)
+      (5L, "D", "e", 50L, 5L, 105L))
+      .toDF("k", "op", "state", "v", "ts", "tie")
+    val out = Quality.mergeSnapshot(target, changes, "k", "op",
+      orderCols = Seq("ts", "tie"), payloadCols = Seq("state", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out == Map(
+      1L -> (("a3", 12L, "updated")),
+      3L -> (("c", 30L, "kept")),
+      4L -> (("d", 40L, "inserted"))))
+  }
+
+  test("categoricalEntropy: uniform column maxes entropy_norm, constant is 0") {
+    val df = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("d", "x"))
+      .toDF("uniform", "constant")
+    val m = Quality.categoricalEntropy(df, Seq("uniform", "constant"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = m("uniform")
+    assert(u.getLong(2) == 4L) // n_distinct
+    assert(math.abs(u.getDouble(3) - math.log(4.0)) < 1e-6)
+    assert(math.abs(u.getDouble(4) - 1.0) < 1e-6) // normalized = 1
+    val c = m("constant")
+    assert(c.getLong(2) == 1L && c.getDouble(3) == 0.0 && c.isNullAt(4))
+  }
+
+  test("categoricalEntropy counts null as a category") {
+    val df = Seq(Some("a"), None, Some("a"), None).toDF("x")
+    val r = Quality.categoricalEntropy(df, Seq("x")).collect().head
+    assert(r.getLong(2) == 2L) // {a, null}
+    assert(math.abs(r.getDouble(3) - math.log(2.0)) < 1e-6)
+  }
+
+  test("mutualInformation: independent columns 0, determined column = H") {
+    // x uniform over {a,b}; y == x (fully dependent); z constant-paired
+    // (independent of x: every (x,z) cell has equal mass)
+    val df = Seq(("a", "a", "p"), ("a", "a", "q"), ("b", "b", "p"), ("b", "b", "q"))
+      .toDF("x", "y", "z")
+    val dep = Quality.mutualInformation(df, "x", "y").collect().head
+    assert(math.abs(dep.getDouble(1) - math.log(2.0)) < 1e-6) // MI = H(X)
+    val ind = Quality.mutualInformation(df, "x", "z").collect().head
+    assert(math.abs(ind.getDouble(1)) < 1e-9)
+  }
+
+  test("changePoint finds an exact level shift and zero-fills gaps") {
+    // hourly series [4, 4, 4, 1, 0, 1]: level shift after hour 2
+    // (split_k = 3), hour 4 is a GAP that must densify to zero
+    val rows = Seq(0 -> 4, 1 -> 4, 2 -> 4, 3 -> 1, 5 -> 1).flatMap {
+      case (h, n) => (0 until n).map(i => ("A", 3600000000L * h + i * 1000L))
+    }
+    val ev = rows.toDF("event_type", "us")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+    val out = Events.changePoint(ev, "hour").collect()
+    assert(out.length == 1)
+    val r = out.head
+    // series = [4,4,4,1,0,1]: best split must separate the high level
+    assert(r.getLong(2) == 3L) // split_k
+    assert(math.abs(r.getDouble(5) - 4.0) < 1e-6) // mean_before
+    assert(math.abs(r.getDouble(6) - (2.0 / 3.0)) < 1e-6) // mean_after
+  }
+
+  test("topoLayers: layers = earliest wave; cycle nodes surface null") {
+    // DAG part: 1->2->3, 1->3; cycle part: 10->11, 11->10, 11->12
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 10L), (11L, 12L))
+      .toDF("src", "dst")
+    val out = Graph.topoLayers(e, maxRounds = 5).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      10L -> -1L, 11L -> -1L, 12L -> -1L))
+  }
+
+  test("topoLayers hop bound: deep chain past maxRounds yields nulls") {
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Graph.topoLayers(chain, maxRounds = 3).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(0L) == 0L && out(1L) == 1L && out(2L) == 2L)
+    assert(Seq(3L, 4L, 5L, 6L).forall(out(_) == -1L))
+  }
+
+  test("dbscan: dense block cores cluster, bridge is border, outlier is noise") {
+    // one block; vecs 1-4 mutually similar (all pairs ≥ 0.9 cosine →
+    // core at minPts=4 incl self), vec 5 reaches only vecs 3 and 4
+    // (2 + self = 3 < 4 → border), vec 6 orthogonal (noise)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f)
+    val df = Seq(
+      (1L, v(1, 0.00)), (2L, v(1, 0.01)), (3L, v(1, 0.02)), (4L, v(1, 0.03)),
+      (5L, v(1, 0.5)), (6L, v(0, 1)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val out = Similarity.dbscan(df, simThreshold = 0.9, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => out(i) == (("core", 1L))))
+    assert(out(5L)._1 == "border" && out(5L)._2 == 1L)
+    assert(out(6L) == (("noise", -1L)))
+  }
+
+  test("dbscan minPts=1: every vector cores, isolated ones as singletons") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val df = Seq((1L, v(1, 0)), (2L, v(1, 0.01)), (3L, v(0, 1)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val out = Similarity.dbscan(df, simThreshold = 0.9, minPts = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("core", 1L)) && out(2L) == (("core", 1L)))
+    assert(out(3L) == (("core", 3L))) // isolated singleton core
+  }
+}
