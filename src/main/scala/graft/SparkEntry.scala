@@ -1506,6 +1506,27 @@ object SparkEntry {
       // roles + min-id cluster labels through the core-core eps-graph
       Similarity.dbscan(t(s, dir, "embeddings"),
         simThreshold = 0.25, minPts = 4)),
+    "dq_benford" -> ((s, dir) =>
+      // Benford first-digit audit: per (column, digit 1-9) counts,
+      // observed vs log10(1+1/d) expected fractions, chi-square per
+      // column — the fabricated-data / corrupted-feed screen
+      graft.operators.Quality.benfordAudit(t(s, dir, "lineitem"),
+        Seq("l_extendedprice", "l_quantity", "l_partkey"))),
+    "ev_merge_intervals" -> ((s, dir) => {
+      // gaps-and-islands interval union: per-user 30-minute activity
+      // windows around view/click events coalesce into busy periods
+      val iv = eventsTable(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), unix_millis(col("ts")).as("start_ms"),
+          (unix_millis(col("ts")) + lit(1800000L)).as("end_ms"))
+      graft.operators.Events.mergeIntervals(iv, "user_id", "start_ms", "end_ms")
+    }),
+    "graph_coloring" -> ((s, dir) =>
+      // deterministic K1 coloring: synchronous Jones-Plassmann rounds
+      // with id priority, min-free-color (mex) assignment; null =
+      // unresolved within the hop bound
+      graft.operators.Graph.greedyColoring(coPurchaseEdges(s, dir),
+        maxRounds = 8)),
   )
 
   /** Co-purchase edge fixture for the graph_* queries: parts sharing an
@@ -2481,6 +2502,27 @@ object SparkEntry {
          WHERE rn = 1""",
     "graph_toposort" -> OracleFragments.graphTopoLayers(rounds = 8),
     "emb_dbscan" -> OracleFragments.embDbscan(threshold = 0.25, minPts = 4),
+    "dq_benford" -> OracleFragments.dqBenford(
+      Seq("l_extendedprice", "l_quantity", "l_partkey")),
+    "ev_merge_intervals" ->
+      """WITH iv AS (SELECT user_id, epoch_ms(ts) AS s,
+                            epoch_ms(ts) + 1800000 AS e
+                     FROM events WHERE event_type IN ('view', 'click')),
+         x AS (SELECT user_id, s, e,
+                      max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pmax
+               FROM iv),
+         y AS (SELECT user_id, s, e,
+                      sum(CASE WHEN pmax IS NULL OR s > pmax
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS island
+               FROM x)
+         SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+                count(*) AS n_merged
+         FROM y GROUP BY user_id, island""",
+    "graph_coloring" -> OracleFragments.graphColoring(rounds = 8),
   )
 }
 
@@ -4095,6 +4137,91 @@ object OracleFragments {
           $steps
         $union
         UNION ALL SELECT node, NULL::BIGINT AS layer FROM r$rounds"""
+  }
+
+  /** Mirror of Quality.benfordAudit over lineitem: leading digit from
+    * the integer-string rendition of floor(abs(x)), all-9-digit spine
+    * (zero counts contribute to chi-square), expected fractions as the
+    * SAME IEEE log10 doubles the Spark plan embeds, chi terms 9-dp
+    * under decimal sums. */
+  def dqBenford(cols: Seq[String]): String = {
+    val melt = cols.map { c =>
+      s"""SELECT '$c' AS colname,
+                 substr(floor(abs($c::DOUBLE))::BIGINT::VARCHAR, 1, 1)::INT
+                   AS digit,
+                 abs($c::DOUBLE) AS a
+          FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
+    val expCase = graft.operators.Quality.BenfordP.zipWithIndex.map {
+      case (p, i) => s"WHEN ${i + 1} THEN ${p}"
+    }.mkString(" ")
+    s"""WITH m AS ($melt),
+          f AS (SELECT colname, digit FROM m
+                WHERE a >= 1 AND digit BETWEEN 1 AND 9),
+          c AS (SELECT colname, digit, count(*) AS n FROM f GROUP BY 1, 2),
+          tt AS (SELECT colname, sum(n)::BIGINT AS tot FROM c GROUP BY 1),
+          spine AS (SELECT colname, tot, unnest(range(1, 10))::INT AS digit
+                    FROM tt),
+          sc AS (SELECT s.colname, s.digit, coalesce(c.n, 0)::BIGINT AS n,
+                        s.tot, CASE s.digit $expCase END AS p
+                 FROM spine s LEFT JOIN c
+                   ON s.colname = c.colname AND s.digit = c.digit),
+          chi AS (SELECT colname,
+                         round(sum(round(
+                           (n::DOUBLE / tot::DOUBLE - p)
+                             * (n::DOUBLE / tot::DOUBLE - p)
+                             / p * tot::DOUBLE, 9)::DECIMAL(28,12)
+                           )::DOUBLE, 6) AS chi_sq
+                  FROM sc GROUP BY 1)
+        SELECT sc.colname AS "column", sc.digit, sc.n,
+               round(sc.n::DOUBLE / sc.tot::DOUBLE, 6) AS obs_frac,
+               round(sc.p, 6) AS exp_frac, chi.chi_sq
+        FROM sc JOIN chi ON sc.colname = chi.colname"""
+  }
+
+  /** Mirror of Graph.greedyColoring: `rounds` unrolled synchronous
+    * Jones–Plassmann rounds over the co-purchase graph — winners are
+    * the remaining nodes with no smaller-id remaining neighbor
+    * (canonical src<dst: exactly the never-a-dst side), each taking
+    * the minimum color absent from its already-colored neighbors
+    * (mex via an unnest(range) anti-membership min); unresolved nodes
+    * surface NULL. MATERIALIZED for the same exponential-inlining
+    * reason as [[graphTopoLayers]]. */
+  def graphColoring(rounds: Int): String = {
+    val steps = (0 until rounds).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT node FROM r$i
+                  WHERE node NOT IN (SELECT dst FROM e$i)),
+          nc$i AS MATERIALIZED (
+            SELECT w.node, coalesce(x.c, 0)::BIGINT AS color
+            FROM w$i w LEFT JOIN (
+              SELECT node, min(k)::BIGINT AS c FROM (
+                SELECT g.node, unnest(range(0, g.nc + 1)) AS k, g.cs
+                FROM (SELECT a.node, list(DISTINCT c.color) AS cs,
+                             count(DISTINCT c.color) AS nc
+                      FROM adj a JOIN w$i ww ON a.node = ww.node
+                           JOIN col$i c ON a.nbr = c.node
+                      GROUP BY a.node) g) t
+              WHERE NOT list_contains(t.cs, t.k)
+              GROUP BY node) x ON w.node = x.node),
+          col${i + 1} AS MATERIALIZED (
+            SELECT * FROM col$i UNION ALL SELECT * FROM nc$i),
+          e${i + 1} AS MATERIALIZED (
+            SELECT * FROM e$i
+            WHERE src NOT IN (SELECT node FROM w$i)
+              AND dst NOT IN (SELECT node FROM w$i)),
+          r${i + 1} AS MATERIALIZED (
+            SELECT node FROM r$i
+            WHERE node NOT IN (SELECT node FROM w$i))"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($coPurchase),
+          adj AS MATERIALIZED (SELECT src AS node, dst AS nbr FROM e0
+                               UNION ALL SELECT dst, src FROM e0),
+          r0 AS MATERIALIZED (SELECT DISTINCT node FROM adj),
+          col0 AS MATERIALIZED (SELECT NULL::BIGINT AS node,
+                                       NULL::BIGINT AS color WHERE 1 = 0),
+          $steps
+        SELECT node, color FROM col$rounds
+        UNION ALL SELECT node, NULL::BIGINT AS color FROM r$rounds"""
   }
 
   /** Mirror of Similarity.dbscan over the label-blocked embedding

@@ -313,6 +313,41 @@ object Events {
         round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
   }
 
+  /** Union of overlapping (or touching) intervals per key — the
+    * gaps-and-islands coalesce: each key's `[start, end)` intervals
+    * merge into maximal disjoint islands `(key, island_start,
+    * island_end, n_merged)`. The canonical warehouse uses: busy
+    * periods from per-event activity windows, outage windows from
+    * alert intervals, coverage spans from validity ranges.
+    *
+    * ONE keyed shuffle: both window passes (the running max-end that
+    * detects island breaks, and the island-id running sum) partition by
+    * the key and order by (start, end) — Catalyst plans one Exchange
+    * with a single sort. A new island starts where `start` exceeds the
+    * max end seen over all PRECEDING intervals (not just the previous
+    * one — an engulfing interval must not split its successors).
+    * Per-key state is bounded by that key's interval count. */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol).asc, col(endCol).asc)
+    val prevMaxEnd = max(col(endCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(keyCol), col(startCol), col(endCol))
+      .withColumn("_new",
+        when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("_island")
+  }
+
   /** Single change-point detection per event type over its bucketed
     * rate series (binary segmentation, one split — the level-shift
     * audit behind "did traffic for X step up/down, and when"): bucket

@@ -780,6 +780,100 @@ object Graph {
     (layers.toSeq :+ unresolved).reduce(_.unionByName(_))
   }
 
+  /** Hop-bounded greedy graph coloring (the GDS K1-Coloring surface,
+    * rendered deterministic): synchronous Jones–Plassmann rounds with
+    * node id as the priority — round i colors every remaining node
+    * that is a LOCAL MINIMUM among its uncolored neighbors (an
+    * independent set by construction, so "color = round" is always a
+    * proper coloring), removes it, repeats. Id priority instead of the
+    * usual random priority keeps the result reproducible across runs,
+    * partitionings and engines — the same determinism trade
+    * [[labelPropagation]] makes. Nodes still uncolored after
+    * `maxRounds` (long id-decreasing chains — the pathological case
+    * for id priority) surface with a null color, the [[topoLayers]]
+    * hop-bound contract.
+    *
+    * Scale shape = the [[kCore]] peel discipline: per round one
+    * symmetric-adjacency semi-join finds nodes with a smaller-id
+    * uncolored neighbor (everyone else colors), one anti-join each
+    * shrinks the edge and node tables; all scratch-backed, the colored
+    * count OBSERVED on each round's write. */
+  def greedyColoring(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
+    import graft.ops.Scratch
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    var (e, ePath) = Scratch.materializeAt(
+      canonicalEdges(edges), "color_edges")
+    // full symmetric adjacency — the COLOR lookup runs against all
+    // edges, not just the shrinking remainder
+    val (adj, adjPath) = Scratch.materializeAt(
+      e.select(col("src").as("node"), col("dst").as("nbr"))
+        .union(e.select(col("dst").as("node"), col("src").as("nbr"))),
+      "color_adj")
+    val (nodes, nodesPath) = Scratch.materializeAt(
+      adj.select(col("node")).distinct(), "color_nodes")
+    var remaining = nodes
+    var remainingPath = nodesPath
+    // accumulated (node, color); starts empty with the right shape
+    var colored = nodes.filter(lit(false))
+      .select(col("node"), lit(0L).as("color"))
+    var coloredPath: String = null
+    // mex over the SORTED distinct neighbor colors: fold acc+1 on every
+    // exact hit — the minimum excluded non-negative integer
+    def mex(colors: Column): Column =
+      aggregate(array_sort(colors), lit(0L),
+        (acc, x) => when(x === acc, acc + 1L).otherwise(acc))
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // local minima: canonical src<dst orientation means the smaller
+      // endpoint is always src, so exactly the dst side must wait
+      val win = remaining.join(
+        e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      val (winC, wm, winPath) = Scratch.materializeObservedAt(
+        win.join(
+          adj.join(win, Seq("node"), "left_semi")
+            .join(colored.withColumnRenamed("node", "nbr"), Seq("nbr"))
+            .groupBy(col("node"))
+            .agg(mex(collect_set(col("color"))).as("c")),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("c"), lit(0L)).as("color")),
+        "color_round", count(lit(1)).as("n"))
+      val nNew = wm("n").asInstanceOf[Long]
+      if (nNew == 0L) {
+        Scratch.drop(spark, winPath)
+        done = true
+      } else {
+        val (c2, c2Path) = Scratch.materializeAt(
+          colored.unionByName(winC), "color_assigned")
+        if (coloredPath != null) Scratch.drop(spark, coloredPath)
+        colored = c2; coloredPath = c2Path
+        val (e2, e2Path) = Scratch.materializeAt(
+          e.join(winC.select(col("node").as("src")), Seq("src"), "left_anti")
+            .join(winC.select(col("node").as("dst")), Seq("dst"), "left_anti")
+            .select(col("src"), col("dst")),
+          "color_edges")
+        Scratch.drop(spark, ePath)
+        e = e2; ePath = e2Path
+        val (r2, r2Path) = Scratch.materializeAt(
+          remaining.join(winC.select(col("node")), Seq("node"), "left_anti"),
+          "color_nodes")
+        if (remainingPath != nodesPath) Scratch.drop(spark, remainingPath)
+        remaining = r2; remainingPath = r2Path
+        // winC fully consumed by the three writes above — retire now
+        Scratch.drop(spark, winPath)
+        round += 1
+      }
+    }
+    // adjacency and the residual edge table fed their last round's
+    // writes; only the colored + remaining tables outlive the call
+    Scratch.drop(spark, adjPath)
+    Scratch.drop(spark, ePath)
+    val unresolved = remaining.select(col("node"),
+      lit(null).cast("long").as("color"))
+    colored.unionByName(unresolved)
+  }
+
   /** Per-edge triangle support over a scratch-backed canonical edge
     * table: for each edge (a, b), how many triangles contain it
     * (= |N(a)∩N(b)|). The [[triangleCount]] degree-oriented wedge

@@ -463,6 +463,67 @@ object Quality {
         round(col("h_xy"), 6).as("h_joint"))
   }
 
+  /** Benford's-law first-digit audit (the classic fabricated-data /
+    * corrupted-feed screen: naturally-grown magnitudes follow
+    * P(d) = log10(1 + 1/d); manufactured or truncated ones don't): for
+    * each listed numeric column and each leading digit 1–9 — the count,
+    * observed fraction, Benford-expected fraction, and the column's
+    * chi-square distance repeated on its digit rows. Values with
+    * |x| < 1 or null are excluded (no leading digit).
+    *
+    * The leading digit comes from the DECIMAL STRING rendition of
+    * `floor(abs(x))` — pure integer formatting, no log10 boundary
+    * hazards at exact powers of ten. One melt + one (column, digit)
+    * count (≤ 9 rows per column), chi-square folded from those rows
+    * with 9-dp terms under decimal sums — the [[categoricalEntropy]]
+    * determinism discipline. Map-side everything; the shuffle carries
+    * 9·|cols| partial rows. */
+  def benfordAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to audit")
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"),
+        substring(floor(abs(col(c).cast("double"))).cast("long").cast("string"),
+          1, 1).cast("int").as("digit"),
+        abs(col(c).cast("double")).as("absv"))): _*)).as("m"))
+      .select("m.*")
+      .filter(col("absv") >= 1.0d && col("digit").between(1, 9))
+    val counts = melted.groupBy(col("column"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("column")).agg(sum(col("n")).as("tot"))
+    // expected digit probabilities: the same IEEE log10 doubles on both
+    // engines (interpolated as literals into the oracle, so no drift)
+    val expFrac = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+      when(col("digit") === d, lit(BenfordP(d - 1))).otherwise(acc)
+    }
+    // densify to all 9 digits: an absent digit is a ZERO observation —
+    // it still contributes (0 − E_d)²/E_d to the chi-square and an
+    // explicit 0-count audit row
+    val digitSpine = totals.select(col("column"), col("tot"),
+      explode(sequence(lit(1), lit(9))).as("digit"))
+    val scored = digitSpine
+      .join(counts, Seq("column", "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("obs_frac",
+        round(col("n").cast("double") / col("tot").cast("double"), 6))
+      .withColumn("exp_frac", round(expFrac, 6))
+    val chi = scored.select(col("column"),
+      round(
+        (col("n").cast("double") / col("tot").cast("double") - expFrac)
+          * (col("n").cast("double") / col("tot").cast("double") - expFrac)
+          / expFrac * col("tot").cast("double"), 9)
+        .cast("decimal(28,12)").as("term"))
+      .groupBy(col("column"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("chi_sq"))
+    scored.join(broadcast(chi), "column")
+      .select(col("column"), col("digit"), col("n"),
+        col("obs_frac"), col("exp_frac"), col("chi_sq"))
+  }
+
+  /** Benford digit probabilities log10(1 + 1/d), d = 1..9, as the exact
+    * IEEE doubles both the plan and the oracle literal-interpolate. */
+  val BenfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
   /** Blocked edit-distance record linkage (fuzzy join): canonical pairs
     * `(a_id < b_id)` within a blocking key whose names are within
     * `maxDist` Levenshtein edits.

@@ -117,6 +117,59 @@ class Round10OpsSpec extends SparkTestBase {
     assert(out(6L) == (("noise", -1L)))
   }
 
+  test("benfordAudit: digit spine complete, zero digits in chi, exact fracs") {
+    // values 10..19 (digit 1) ×9 plus one 25 (digit 2); 0.4 excluded
+    val df = ((10 to 18).map(_.toDouble) :+ 25.0 :+ 0.4).toDF("x")
+    val rows = Quality.benfordAudit(df, Seq("x")).collect()
+    assert(rows.length == 9) // all 9 digits present even when unseen
+    val byDigit = rows.map(r => r.getInt(1) -> r).toMap
+    assert(byDigit(1).getLong(2) == 9L && byDigit(2).getLong(2) == 1L)
+    assert(byDigit(3).getLong(2) == 0L && byDigit(3).getDouble(3) == 0.0)
+    assert(math.abs(byDigit(1).getDouble(3) - 0.9) < 1e-9)
+    assert(math.abs(byDigit(1).getDouble(4) - math.log10(2.0)) < 1e-6)
+    // one chi_sq repeated on every digit row
+    assert(rows.map(_.getDouble(5)).distinct.length == 1)
+  }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, engulf holds") {
+    val iv = Seq(
+      // key 1: [0,10] ∪ [5,20] ∪ [20,30] one island (touch merges);
+      // [40,50] a second island
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 40L, 50L),
+      // key 2: [0,100] engulfs [10,20] and [30,40] — one island of 3
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 30L, 40L))
+      .toDF("k", "s", "e")
+    val out = Events.mergeIntervals(iv, "k", "s", "e").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 0L, 30L, 3L), (1L, 40L, 50L, 1L),
+      (2L, 0L, 100L, 3L)))
+  }
+
+  test("greedyColoring: proper coloring with min-free colors, not peel rounds") {
+    // path 1-2-3-4 plus chord 1-3: winners r0 = {1}, color 0; r1 = {2, 3}?
+    // no — 3 waits on 2? edges canonical: (1,2),(2,3),(3,4),(1,3):
+    // r0 winner {1}: color 0. r1: remaining edges (2,3),(3,4): winner {2}
+    // color mex{c(1)}=mex{0}=1. r2: winner {3}: nbrs colored {1:0, 2:1}
+    // → mex = 2. r3: winner {4}: nbr {3:2} → mex = 0.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val out = Graph.greedyColoring(e, maxRounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+    // proper-coloring law: no edge joins two same-colored nodes
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).foreach { case (a, b) =>
+      assert(out(a) != out(b))
+    }
+  }
+
+  test("greedyColoring hop bound: chain past maxRounds yields nulls") {
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Graph.greedyColoring(chain, maxRounds = 2).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // r0 winner {0} color 0; r1 winner {1} mex{0}=1; rest unresolved
+    assert(out(0L) == 0L && out(1L) == 1L)
+    assert((2L to 6L).forall(out(_) == -1L))
+  }
+
   test("dbscan minPts=1: every vector cores, isolated ones as singletons") {
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
     val df = Seq((1L, v(1, 0)), (2L, v(1, 0.01)), (3L, v(0, 1)))
