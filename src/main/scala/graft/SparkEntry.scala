@@ -1527,6 +1527,44 @@ object SparkEntry {
       // unresolved within the hop bound
       graft.operators.Graph.greedyColoring(coPurchaseEdges(s, dir),
         maxRounds = 8)),
+    "text_readability" -> ((s, dir) =>
+      // Flesch reading-ease profile: words / sentence runs / vowel-group
+      // syllables, fixed-order double score — scan-speed curation dial
+      graft.operators.TextAnalysis.readability(t(s, dir, "documents"))),
+    "text_textrank" -> ((s, dir) =>
+      // TextRank keywords: weighted PageRank over the word
+      // co-occurrence graph (window 2, content tokens only) — the rank
+      // loop reused verbatim with STRING node ids
+      graft.operators.TextAnalysis.textRankKeywords(
+        t(s, dir, "documents"), window = 2, minTokenLen = 3,
+        iters = 3, damping = 0.85, k = 30)),
+    "q2_min_cost" -> ((s, dir) => {
+      // TPC-H Q2 shape: suppliers achieving each part's minimum unit
+      // price — the correlated scalar subquery decorrelated into a
+      // keyed min + equality join-back; dimension chain broadcast
+      val u = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      val m = u.groupBy(col("l_partkey")).agg(min(col("unit")).as("mu"))
+      u.join(m, "l_partkey").filter(col("unit") === col("mu"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey"), col("s_name"), col("n_name"),
+          round(col("unit"), 6).as("unit_price"))
+        .distinct()
+    }),
+    "dq_drift" -> ((s, dir) => {
+      // snapshot drift report: dqAudit of even- vs odd-orderkey halves
+      // joined per column, 6-dp deltas on null fraction / distinct /
+      // mean — the between-batches monitoring readout
+      val li = t(s, dir, "lineitem")
+      graft.operators.Quality.auditDrift(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+        numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        otherCols = Seq("l_returnflag"))
+    }),
   )
 
   /** Co-purchase edge fixture for the graph_* queries: parts sharing an
@@ -2523,6 +2561,21 @@ object SparkEntry {
                 count(*) AS n_merged
          FROM y GROUP BY user_id, island""",
     "graph_coloring" -> OracleFragments.graphColoring(rounds = 8),
+    "text_readability" -> OracleFragments.textReadability,
+    "text_textrank" -> OracleFragments.textTextrank(
+      window = 2, minLen = 3, iters = 3, damping = 0.85, k = 30),
+    "q2_min_cost" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey,
+                           l_extendedprice / l_quantity AS unit
+                    FROM lineitem),
+            m AS (SELECT l_partkey, min(unit) AS mu FROM u GROUP BY 1)
+         SELECT DISTINCT u.l_partkey, s.s_name, n.n_name,
+                round(u.unit, 6) AS unit_price
+         FROM u JOIN m ON u.l_partkey = m.l_partkey AND u.unit = m.mu
+         JOIN supplier s ON u.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey""",
+    "dq_drift" -> OracleFragments.dqDrift(
+      Seq("l_quantity", "l_extendedprice", "l_discount"), Seq("l_returnflag")),
   )
 }
 
@@ -4137,6 +4190,110 @@ object OracleFragments {
           $steps
         $union
         UNION ALL SELECT node, NULL::BIGINT AS layer FROM r$rounds"""
+  }
+
+  /** Mirror of TextAnalysis.readability: identical ws-token words,
+    * terminal-punctuation sentence runs (floored at 1), vowel-group
+    * syllables (floored at the word count), and the Flesch score in
+    * the same left-associated double order, 4-dp round. */
+  val textReadability: String =
+    s"""SELECT doc_id, nw::INT AS n_words, ns::INT AS n_sentences,
+               nsy::INT AS n_syllables,
+               round(206.835 - 1.015 * (nw::DOUBLE / ns::DOUBLE)
+                     - 84.6 * (nsy::DOUBLE / nw::DOUBLE), 4) AS flesch
+        FROM (SELECT doc_id, len($toks) AS nw,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+                     greatest(len(regexp_extract_all(lower(text),
+                       '[aeiouy]+')), len($toks)) AS nsy
+              FROM documents)
+        WHERE nw > 0"""
+
+  /** Mirror of TextAnalysis.textRankKeywords: content tokens (length ≥
+    * minLen, non-stopword) with positions, window co-occurrence pairs,
+    * corpus-weighted symmetric edges, then the EXACT weighted-PageRank
+    * unroll [[graphPageRankWeighted]] runs — same damping/teleport
+    * literals, same dangling term (zero here: symmetric graph), 6-dp
+    * final round — over the word graph instead of co-purchase. */
+  def textTextrank(
+      window: Int, minLen: Int, iters: Int, damping: Double, k: Int): String = {
+    val stopList =
+      graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val teleport = 1.0d - damping
+    val steps = (1 to iters).map { i =>
+      s"""dang${i - 1} AS (SELECT coalesce(sum(rank), 0.0)::DOUBLE AS dm
+                           FROM r${i - 1} WHERE strength = 0),
+          r$i AS MATERIALIZED (SELECT nodes.node, nodes.strength,
+                    ($teleport::DOUBLE / (SELECT n FROM nn))
+                    + $damping::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+                        + (SELECT dm FROM dang${i - 1}) / (SELECT n FROM nn))
+                      AS rank
+                  FROM nodes LEFT JOIN (
+                    SELECT e.dst AS node,
+                           sum(r.rank * e.w / r.strength) AS contrib
+                    FROM e0 e JOIN r${i - 1} r ON r.node = e.src
+                    GROUP BY 1) c ON c.node = nodes.node)"""
+    }.mkString(",\n")
+    s"""WITH tk AS MATERIALIZED (
+            SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len($toks)),
+                       i -> {'pos': i, 'tok': ($toks)[i]})) AS u
+              FROM documents) q
+            WHERE length(u.tok) >= $minLen AND u.tok NOT IN ($stopList)),
+          pairs AS MATERIALIZED (
+            SELECT least(a.tok, b.tok) AS src, greatest(a.tok, b.tok) AS dst
+            FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+              AND b.pos - a.pos BETWEEN 1 AND $window
+            WHERE a.tok <> b.tok),
+          ec AS MATERIALIZED (
+            SELECT src, dst, count(*)::DOUBLE AS w FROM pairs GROUP BY 1, 2),
+          e0 AS MATERIALIZED (
+            SELECT src, dst, w FROM ec
+            UNION ALL SELECT dst AS src, src AS dst, w FROM ec),
+          odeg AS (SELECT src AS node, sum(w) AS strength FROM e0 GROUP BY 1),
+          nodes AS MATERIALIZED (
+            SELECT u.node, coalesce(odeg.strength, 0.0) AS strength
+            FROM (SELECT src AS node FROM e0
+                  UNION SELECT dst AS node FROM e0) u
+            LEFT JOIN odeg ON odeg.node = u.node),
+          nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+          r0 AS (SELECT node, strength,
+                        1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+          $steps
+        SELECT node AS token, round(rank, 6) AS rank FROM r$iters
+        ORDER BY round(rank, 6) DESC, node LIMIT $k"""
+  }
+
+  /** Mirror of Quality.auditDrift over even/odd-orderkey lineitem
+    * halves: per-side dqAudit metrics per column joined on the column
+    * name, 6-dp deltas; non-numeric columns carry null means. */
+  def dqDrift(numericCols: Seq[String], otherCols: Seq[String]): String = {
+    def sideSql(tag: String, parity: Int): String =
+      (numericCols.map(c => (c, true)) ++ otherCols.map(c => (c, false))).map {
+        case (c, numeric) =>
+          val mean =
+            if (numeric)
+              s"""CASE WHEN count($c) > 0 THEN
+                    round(sum($c::DECIMAL(28,6))::DOUBLE
+                          / count($c)::DOUBLE, 6) END"""
+            else "NULL::DOUBLE"
+          s"""SELECT '$c' AS "column", count(*) AS n_$tag,
+                     round((count(*) - count($c))::DOUBLE
+                           / count(*)::DOUBLE, 6) AS null_frac_$tag,
+                     count(DISTINCT $c) AS distinct_$tag,
+                     $mean AS mean_$tag
+              FROM lineitem WHERE l_orderkey % 2 = $parity"""
+      }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (${sideSql("before", 0)}),
+          a AS (${sideSql("after", 1)})
+        SELECT b."column", b.n_before, b.null_frac_before, b.distinct_before,
+               b.mean_before, a.n_after, a.null_frac_after, a.distinct_after,
+               a.mean_after,
+               round(a.null_frac_after - b.null_frac_before, 6)
+                 AS null_frac_delta,
+               a.distinct_after - b.distinct_before AS distinct_delta,
+               round(a.mean_after - b.mean_before, 6) AS mean_delta
+        FROM b JOIN a ON b."column" = a."column" """
   }
 
   /** Mirror of Quality.benfordAudit over lineitem: leading digit from

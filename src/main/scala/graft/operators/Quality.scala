@@ -463,6 +463,43 @@ object Quality {
         round(col("h_xy"), 6).as("h_joint"))
   }
 
+  /** Schema/statistics drift report between two snapshots of the same
+    * table (yesterday's partition vs today's, or source A vs source B):
+    * per column — row counts, null fractions, distinct counts and the
+    * mean (sum/rows) on each side, plus their 6-dp deltas. The
+    * monitoring companion to [[dqAudit]]: run it between every ingest
+    * batch and the previous one and alert on the deltas.
+    *
+    * Pure composition — one [[dqAudit]] pass per side (each a single
+    * global aggregate) joined on the column name: 2 scans total,
+    * O(|cols|) result rows, nothing else moves. */
+  def auditDrift(
+      before: DataFrame,
+      after: DataFrame,
+      numericCols: Seq[String],
+      otherCols: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      dqAudit(df, numericCols, otherCols).select(
+        col("column"),
+        col("n_rows").as(s"n_$tag"),
+        round(col("n_null").cast("double") / col("n_rows").cast("double"), 6)
+          .as(s"null_frac_$tag"),
+        col("n_distinct").as(s"distinct_$tag"),
+        // mean over the NON-NULL values (the standard column mean);
+        // an all-null column keeps a null mean via the 0/0 guard
+        when(col("n_rows") > col("n_null"),
+          round(col("sum_d") /
+            (col("n_rows") - col("n_null")).cast("double"), 6))
+          .as(s"mean_$tag"))
+    side(before, "before").join(side(after, "after"), "column")
+      .withColumn("null_frac_delta",
+        round(col("null_frac_after") - col("null_frac_before"), 6))
+      .withColumn("distinct_delta",
+        col("distinct_after") - col("distinct_before"))
+      .withColumn("mean_delta",
+        round(col("mean_after") - col("mean_before"), 6))
+  }
+
   /** Benford's-law first-digit audit (the classic fabricated-data /
     * corrupted-feed screen: naturally-grown magnitudes follow
     * P(d) = log10(1 + 1/d); manufactured or truncated ones don't): for

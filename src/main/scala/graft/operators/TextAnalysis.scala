@@ -763,4 +763,89 @@ object TextAnalysis {
       .select(col(idCol),
         md5Fingerprint(col(textCol)).as("fp_exact"),
         graft.functions.MinShingleMd5.minShingleMd5(col(textCol), shingleK).as("fp_rolling"))
+
+  /** Flesch-style readability profile per document (the grade-level
+    * curation dial: training mixes tune on it, and it flags both
+    * word-salad and legalese): whitespace words, sentence count
+    * (terminal-punctuation runs, floored at 1), syllable estimate
+    * (vowel-group runs per word — the standard cheap proxy), and the
+    * Flesch reading-ease score 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). All three counts are integers from RE2
+    * regex scans (cross-engine exact); the score is fixed-order double
+    * arithmetic rounded to 4 dp. Map-side only — scan-speed, like
+    * every scorer here. */
+  def readability(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = size(tokens(t))
+    val sentences = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+    // vowel-group runs over the lower-cased text ≈ syllables; every
+    // word contributes at least the one syllable `greatest` enforces
+    // at the aggregate level via the word floor
+    val syllables = greatest(
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))), words)
+    val score = lit(206.835d) -
+      lit(1.015d) * (words.cast("double") / sentences.cast("double")) -
+      lit(84.6d) * (syllables.cast("double") / words.cast("double"))
+    Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .filter(words > 0)
+      .select(col(idCol),
+        words.cast("int").as("n_words"),
+        sentences.cast("int").as("n_sentences"),
+        syllables.cast("int").as("n_syllables"),
+        round(score, 4).as("flesch"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
+    * top-`k` keywords by PageRank over the word co-occurrence graph —
+    * content tokens (≥ `minTokenLen` chars, non-stopword) co-occurring
+    * within `window` original token positions, edge weight = corpus
+    * co-occurrence count, ranks from the weighted PageRank engine.
+    *
+    * Pure composition: the token stream explodes ONCE; the window join
+    * is an equi-join on (doc, pos+offset) — `window` constant fanout,
+    * never a per-document quadratic; the aggregated word graph (≤
+    * vocab² but sparse in practice) symmetrizes into
+    * [[Graph.pageRankDirected]], whose scratch-loop/dangling-mass
+    * discipline carries over unchanged — words are just another node
+    * type (ids stay STRINGS end-to-end; nothing in the rank loop needs
+    * numeric ids). This is the warehouse-native form of the reference
+    * destination's project-then-rank round trip, on a derived graph. */
+  def textRankKeywords(
+      docs: DataFrame,
+      window: Int = 2,
+      minTokenLen: Int = 3,
+      iters: Int = 3,
+      damping: Double = 0.85,
+      k: Int = 30,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val tk = docs
+      .select(col(idCol).as("doc"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) >= minTokenLen &&
+        !col("tok").isin(Stopwords: _*))
+    val offsets = array((1 to window).map(lit): _*)
+    val a = tk.select(col("doc"), col("pos"), col("tok").as("ta"),
+      explode(offsets).as("o"))
+      .withColumn("ppos", col("pos") + col("o"))
+    val b = tk.select(col("doc"), col("pos").as("ppos"), col("tok").as("tb"))
+    val edges = a.join(b, Seq("doc", "ppos"))
+      .filter(col("ta") =!= col("tb"))
+      .select(least(col("ta"), col("tb")).as("src"),
+        greatest(col("ta"), col("tb")).as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    Graph.pageRankDirected(sym, iters = iters, damping = damping,
+        weightCol = Some("weight"))
+      .orderBy(round(col("rank"), 6).desc, col("node"))
+      .select(col("node").as("token"), round(col("rank"), 6).as("rank"))
+      .limit(k)
+  }
 }

@@ -170,6 +170,49 @@ class Round10OpsSpec extends SparkTestBase {
     assert((2L to 6L).forall(out(_) == -1L))
   }
 
+  test("readability: simple prose scores higher than dense polysyllables") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran. It was fun."),
+      (2L, "Incomprehensibility characterizes interdisciplinary epistemological paradigmatic reconceptualization methodologies."))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.readability(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) == 3) // three sentences
+    assert(out(1L).getDouble(4) > out(2L).getDouble(4))
+    assert(out(2L).getInt(3) >= 2 * out(2L).getInt(1)) // polysyllabic
+  }
+
+  test("textRank: the hub word connecting both clusters ranks first") {
+    // "data" co-occurs with every other content word; stopwords and
+    // short tokens never become nodes
+    val docs = Seq(
+      (1L, "data pipeline quality and data pipeline scale"),
+      (2L, "data quality rules the data quality gate"),
+      (3L, "xy is of a to")) // all short/stopword — contributes nothing
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.textRankKeywords(
+      docs, window = 2, minTokenLen = 3, iters = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.head._1 == "data")
+    assert(out.map(_._1).toSet.intersect(Set("and", "the", "xy", "is")).isEmpty)
+    // ranks are a probability-ish mass: all positive
+    assert(out.forall(_._2 > 0d))
+  }
+
+  test("auditDrift: detects the injected null/mean shift, flat otherwise") {
+    val before = Seq((1.0, "a"), (2.0, "b"), (3.0, "a")).toDF("x", "s")
+    val after = Seq((Some(10.0), "a"), (None, "b"), (Some(11.0), "c"))
+      .toDF("x", "s")
+    val m = Quality.auditDrift(before, after, Seq("x"), Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = m("x")
+    assert(math.abs(x.getAs[Double]("null_frac_delta") - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(x.getAs[Double]("mean_delta") - (10.5 - 2.0)) < 1e-6)
+    val s = m("s")
+    assert(s.getAs[Long]("distinct_delta") == 1L)
+    assert(s.isNullAt(s.fieldIndex("mean_delta")))
+  }
+
   test("dbscan minPts=1: every vector cores, isolated ones as singletons") {
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
     val df = Seq((1L, v(1, 0)), (2L, v(1, 0.01)), (3L, v(0, 1)))
