@@ -1565,6 +1565,36 @@ object SparkEntry {
         numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
         otherCols = Seq("l_returnflag"))
     }),
+    "corpus_budget_trim" -> ((s, dir) =>
+      // token-budget realization of a mixture plan: best-quality docs
+      // per source until the token budget is spent — histogram
+      // cumulative mass, never a per-source document window
+      graft.operators.Corpus.tokenBudgetTrim(
+          t(s, dir, "documents").withColumn("quality",
+            graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+          budgetTokens = 800L)
+        .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"))),
+    "ev_twap" -> ((s, dir) =>
+      // time-weighted average per user: each reading holds until the
+      // next one; decimal-exact value x duration products
+      graft.operators.Events.timeWeightedAvg(eventsTable(s, dir))),
+    "graph_matching" -> ((s, dir) =>
+      // deterministic greedy maximal matching: locally-minimal edges
+      // under the canonical pair order, endpoints peel per round
+      graft.operators.Graph.maximalMatching(coPurchaseEdges(s, dir),
+        maxRounds = 8)),
+    "dedup_incremental_fuzzy" -> ((s, dir) => {
+      // incremental NEAR-dup ingest: the arriving batch LSH-joined
+      // against the fingerprint history corpus (same split as
+      // dedup_incremental), exact-Jaccard verified
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.crossLshJaccard(
+          d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .select(col("doc_id").as("hist_id"), col("text")),
+          rightIdCol = "hist_id", minJaccard = 0.5)
+        .select(col("a").as("doc_id"), col("b").as("hist_id"), col("jaccard"))
+    }),
   )
 
   /** Co-purchase edge fixture for the graph_* queries: parts sharing an
@@ -2576,6 +2606,23 @@ object SparkEntry {
          JOIN nation n ON s.s_nationkey = n.n_nationkey""",
     "dq_drift" -> OracleFragments.dqDrift(
       Seq("l_quantity", "l_extendedprice", "l_discount"), Seq("l_returnflag")),
+    "corpus_budget_trim" -> OracleFragments.corpusBudgetTrim(budget = 800L),
+    "ev_twap" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, "value",
+                           lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS nms
+                    FROM events),
+         d AS (SELECT user_id, nms - ms AS dur,
+                      round("value", 6)::DECIMAL(18,6) * (nms - ms) AS wv
+               FROM s WHERE nms IS NOT NULL)
+         SELECT user_id, count(*) AS n_intervals, sum(dur)::BIGINT AS span_ms,
+                round(sum(wv)::DOUBLE / sum(dur)::DOUBLE, 6) AS twap
+         FROM d GROUP BY 1""",
+    "graph_matching" -> OracleFragments.graphMatching(rounds = 8),
+    "dedup_incremental_fuzzy" -> OracleFragments.decontaminateFuzzy(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.5,
+      corpusSrc = "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0) corp",
+      benchWhere = "doc_id % 3 = 0", rightName = "hist_id"),
   )
 }
 
@@ -2746,13 +2793,15 @@ object OracleFragments {
     * left side so the compositor can run it over its post-dedup reps. */
   def decontaminateFuzzy(
       bands: Int, rowsPerBand: Int, minJaccard: Double,
-      corpusSrc: String = "documents", benchMod: Int = 20): String = {
+      corpusSrc: String = "documents", benchMod: Int = 20,
+      benchWhere: String = null, rightName: String = "bench_id"): String = {
+    val bw = Option(benchWhere).getOrElse(s"doc_id % $benchMod = 0")
     val mh = Seq.tabulate(bands * rowsPerBand)(i => s"${minhashExpr(5, i)} AS mh$i").mkString(", ")
     def bandSelects(src: String, idc: String) = Seq.tabulate(bands) { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
       s"SELECT $idc, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM $src"
     }.mkString(" UNION ALL ")
-    s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % $benchMod = 0),
+    s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE $bw),
           sigsl AS (SELECT doc_id, $mh FROM $corpusSrc),
           sigsr AS (SELECT bench_id, $mh FROM bench),
           bkl AS (${bandSelects("sigsl", "doc_id")}),
@@ -2768,7 +2817,7 @@ object OracleFragments {
                    len(ga.g) AS sa, len(gb.g) AS sb
             FROM cands JOIN gsl ga ON cands.a = ga.gid
                        JOIN gsr gb ON cands.b = gb.gid)
-        SELECT a AS doc_id, b AS bench_id,
+        SELECT a AS doc_id, b AS $rightName,
                round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
         FROM scored
         WHERE round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) >= $minJaccard"""
@@ -4262,6 +4311,70 @@ object OracleFragments {
           $steps
         SELECT node AS token, round(rank, 6) AS rank FROM r$iters
         ORDER BY round(rank, 6) DESC, node LIMIT $k"""
+  }
+
+  /** Mirror of Corpus.tokenBudgetTrim over the quality-scored corpus:
+    * per-(source, 6-dp score) token mass, cumulative over scores
+    * descending, a score value kept while the strictly-better mass is
+    * under the budget — ties share a fate, same as filterQuality. */
+  def corpusBudgetTrim(budget: Long): String = {
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopRaw = s"len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    val quality = s"""round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
+              + least(($stopRaw) * 4.0, 1.0) * 0.3, 6)"""
+    s"""WITH q AS (SELECT doc_id, source, $quality AS quality,
+                          ($nToks)::BIGINT AS n_tokens
+                   FROM documents),
+          byval AS (SELECT source, quality, sum(n_tokens)::BIGINT AS tv
+                    FROM q GROUP BY 1, 2),
+          c AS (SELECT source, quality,
+                       coalesce(sum(tv) OVER (PARTITION BY source
+                         ORDER BY quality DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0)::BIGINT AS cum_before
+                FROM byval),
+          kept AS (SELECT source, quality FROM c WHERE cum_before < $budget)
+        SELECT q.doc_id, q.source, q.quality, q.n_tokens
+        FROM q JOIN kept ON q.source = kept.source
+           AND q.quality = kept.quality"""
+  }
+
+  /** Mirror of Graph.maximalMatching over the co-purchase graph:
+    * `rounds` unrolled local-minima rounds — the per-node minimum
+    * incident edge under (src, dst) order is encoded as
+    * src·2³² + dst (exact for 31-bit ids, same lexicographic order as
+    * the Spark side's struct min); an edge minimal at BOTH endpoints
+    * matches, its endpoints peel. MATERIALIZED per round. */
+  def graphMatching(rounds: Int): String = {
+    val K = 4294967296L
+    val steps = (0 until rounds).map { i =>
+      s"""me$i AS MATERIALIZED (
+            SELECT node, min(src * $K + dst) AS me FROM (
+              SELECT src AS node, src, dst FROM e$i
+              UNION ALL SELECT dst AS node, src, dst FROM e$i)
+            GROUP BY 1),
+          w$i AS MATERIALIZED (
+            SELECT e.src, e.dst, $i::BIGINT AS round
+            FROM e$i e JOIN me$i a ON a.node = e.src
+                       JOIN me$i b ON b.node = e.dst
+            WHERE a.me = e.src * $K + e.dst
+              AND b.me = e.src * $K + e.dst),
+          e${i + 1} AS MATERIALIZED (
+            SELECT src, dst FROM e$i
+            WHERE src NOT IN (SELECT src FROM w$i UNION
+                              SELECT dst FROM w$i)
+              AND dst NOT IN (SELECT src FROM w$i UNION
+                              SELECT dst FROM w$i))"""
+    }.mkString(",\n")
+    val union = (0 until rounds)
+      .map(i => s"SELECT src, dst, round FROM w$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e0 AS MATERIALIZED ($coPurchase),
+          $steps
+        $union"""
   }
 
   /** Mirror of Quality.auditDrift over even/odd-orderkey lineitem

@@ -434,6 +434,38 @@ object Corpus {
     docs.join(kept, Seq(groupCol, scoreCol))
   }
 
+  /** Token-budget trim per source: keep the highest-quality documents
+    * of each group until the group's TOKEN budget is spent — the
+    * realization step for a [[mixturePlan]]-style allocation sheet
+    * (the plan says how many tokens each source may contribute; this
+    * picks which documents those tokens come from). Selection works on
+    * the (group, distinct score) HISTOGRAM exactly like
+    * [[qualityThresholdFilter]] — cumulative TOKEN mass ordered by
+    * score descending, a score value is kept while the mass of
+    * strictly-better values is under the budget — so there is never a
+    * per-document window over a source partition, and equal-score
+    * documents share a fate (the boundary value may overshoot the
+    * budget by its own mass; the documented tie contract). */
+  def tokenBudgetTrim(
+      docs: DataFrame,
+      budgetTokens: Long,
+      scoreCol: String = "quality",
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val withToks = docs.withColumn("n_tokens",
+      graft.functions.TextFunctions.tokenCountWs(col(textCol)).cast("long"))
+    val byVal = withToks.groupBy(col(groupCol), col(scoreCol))
+      .agg(sum(col("n_tokens")).as("tv"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = byVal
+      .withColumn("cum_before", coalesce(sum(col("tv")).over(wCum), lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+      .select(col(groupCol), col(scoreCol))
+    withToks.join(kept, Seq(groupCol, scoreCol))
+  }
+
   /** Deterministic fixed-size sample: exactly `k` documents per group
     * (fewer when the group is smaller), chosen as the k smallest
     * `fixk:`-salted md5 coins — a reproducible reservoir. Unlike

@@ -313,6 +313,43 @@ object Events {
         round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
   }
 
+  /** Time-weighted average (TWAP) per key over an irregularly-sampled
+    * value stream: each observation holds until the next one, so its
+    * weight is that interval's duration — the honest mean for metrics
+    * sampled on change (prices, gauge readings, queue depths), where
+    * the arithmetic mean over-weights bursty periods. The last
+    * observation per key has no successor and contributes no mass
+    * (standard left-closed convention).
+    *
+    * ONE keyed shuffle: the successor lookup is a lead() under the
+    * (ts, tie) total order. Determinism: values round to 6 dp and ride
+    * DECIMAL, durations are exact millis, each product is decimal-exact
+    * — the sum is order-free; only the final mean divides as a double.
+    */
+  def timeWeightedAvg(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    events
+      .withColumn("_next_ms",
+        unix_millis(lead(col(tsCol), 1).over(w)))
+      .filter(col("_next_ms").isNotNull)
+      .withColumn("_dur", col("_next_ms") - unix_millis(col(tsCol)))
+      .withColumn("_wv",
+        round(col(valueCol).cast("double"), 6).cast("decimal(18,6)")
+          * col("_dur"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("_dur")).as("span_ms"),
+        round((sum(col("_wv")).cast("double")
+          / sum(col("_dur")).cast("double")), 6).as("twap"))
+  }
+
   /** Union of overlapping (or touching) intervals per key — the
     * gaps-and-islands coalesce: each key's `[start, end)` intervals
     * merge into maximal disjoint islands `(key, island_start,

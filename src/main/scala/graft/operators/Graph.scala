@@ -874,6 +874,69 @@ object Graph {
     colored.unionByName(unresolved)
   }
 
+  /** Deterministic greedy MAXIMAL matching (the distributed rendition
+    * of sequential greedy matching — Luby-style local minima with the
+    * canonical (src, dst) pair order as the priority, so the result is
+    * reproducible across runs, partitionings and engines): round i
+    * matches every remaining edge that is the MINIMUM incident edge of
+    * BOTH its endpoints, removes the matched endpoints, repeats. The
+    * output is a matching (no two edges share a node) and maximal (no
+    * remaining edge could be added) once the loop converges; rounds are
+    * O(log n) expected on the random-priority analysis and the hop
+    * bound caps the adversarial case. The warehouse uses: one-to-one
+    * record linkage (each left row consumes at most one right row),
+    * resource pairing, dedup keep-pair selection.
+    *
+    * Per round: one keyed min-struct aggregate over edge endpoints
+    * (never a per-node window) + two semi-joins to test "minimum at
+    * both ends" + two anti-joins to peel matched nodes — all scratch-
+    * backed with the matched count OBSERVED on the write, the
+    * [[kCore]] loop discipline. */
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
+    import graft.ops.Scratch
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    var (e, ePath) = Scratch.materializeAt(
+      canonicalEdges(edges), "match_edges")
+    val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // per node: its minimum incident edge under (src, dst) order
+      val inc = e.select(col("src").as("node"), col("src"), col("dst"))
+        .union(e.select(col("dst").as("node"), col("src"), col("dst")))
+      val minE = inc.groupBy(col("node"))
+        .agg(min(struct(col("src"), col("dst"))).as("me"))
+      val byS = minE.select(col("node").as("src"), col("me").as("mes"))
+      val byD = minE.select(col("node").as("dst"), col("me").as("med"))
+      val (win, wm, winPath) = Scratch.materializeObservedAt(
+        e.join(byS, Seq("src")).join(byD, Seq("dst"))
+          .filter(col("mes") === struct(col("src"), col("dst")) &&
+            col("med") === struct(col("src"), col("dst")))
+          .select(col("src"), col("dst"), lit(round.toLong).as("round")),
+        "match_round", count(lit(1)).as("n"))
+      val nNew = wm("n").asInstanceOf[Long]
+      if (nNew == 0L) {
+        Scratch.drop(spark, winPath)
+        done = true
+      } else {
+        matched += win
+        val mnodes = win.select(col("src").as("node"))
+          .union(win.select(col("dst").as("node")))
+        val (e2, e2Path) = Scratch.materializeAt(
+          e.join(mnodes.select(col("node").as("src")), Seq("src"), "left_anti")
+            .join(mnodes.select(col("node").as("dst")), Seq("dst"), "left_anti")
+            .select(col("src"), col("dst")),
+          "match_edges")
+        Scratch.drop(spark, ePath)
+        e = e2; ePath = e2Path
+        round += 1
+      }
+    }
+    matched.reduceOption(_.unionByName(_)).getOrElse(
+      e.select(col("src"), col("dst"), lit(0L).as("round")).filter(lit(false)))
+  }
+
   /** Per-edge triangle support over a scratch-backed canonical edge
     * table: for each edge (a, b), how many triangles contain it
     * (= |N(a)∩N(b)|). The [[triangleCount]] degree-oriented wedge

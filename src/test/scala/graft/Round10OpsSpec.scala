@@ -213,6 +213,50 @@ class Round10OpsSpec extends SparkTestBase {
     assert(s.isNullAt(s.fieldIndex("mean_delta")))
   }
 
+  test("tokenBudgetTrim: best scores first, boundary value shares a fate") {
+    // source s: scores 0.9 (10 tok), 0.8 (two docs x 10 tok), 0.5 (10)
+    // budget 15: keep 0.9 (cum_before 0) and BOTH 0.8 docs (cum_before
+    // 10 < 15 — ties share a fate, overshoot allowed); 0.5 cut (30 >= 15)
+    val docs = Seq(
+      (1L, "s", 0.9, "a b c d e f g h i j"),
+      (2L, "s", 0.8, "a b c d e f g h i j"),
+      (3L, "s", 0.8, "a b c d e f g h i j"),
+      (4L, "s", 0.5, "a b c d e f g h i j"))
+      .toDF("doc_id", "source", "quality", "text")
+    val kept = graft.operators.Corpus.tokenBudgetTrim(docs, budgetTokens = 15L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("timeWeightedAvg: durations weight values; last reading carries none") {
+    // key 1: v=10 for 100ms, v=20 for 300ms, final v=99 (no successor)
+    val ev = Seq(
+      (1L, 0L, 10.0, 1L), (1L, 100L, 20.0, 2L), (1L, 400L, 99.0, 3L))
+      .toDF("user_id", "ms", "value", "event_id")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("value"), col("event_id"))
+    val r = Events.timeWeightedAvg(ev).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 400L)
+    assert(math.abs(r.getDouble(3) - (10.0 * 100 + 20.0 * 300) / 400.0) < 1e-9)
+  }
+
+  test("maximalMatching: a matching (disjoint), maximal on the path") {
+    // path 1-2-3-4-5: greedy by pair order matches (1,2) then (3,4);
+    // 5 stays single — maximal, and no node repeats
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val m = Graph.maximalMatching(e, maxRounds = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((1L, 2L), (3L, 4L)))
+    val nodes = m.toSeq.flatMap(p => Seq(p._1, p._2))
+    assert(nodes.distinct.length == nodes.length) // a matching
+  }
+
+  test("maximalMatching: triangle matches exactly one edge") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val m = Graph.maximalMatching(e, maxRounds = 5).collect()
+    assert(m.length == 1 && m.head.getLong(0) == 1L && m.head.getLong(1) == 2L)
+  }
+
   test("dbscan minPts=1: every vector cores, isolated ones as singletons") {
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
     val df = Seq((1L, v(1, 0)), (2L, v(1, 0.01)), (3L, v(0, 1)))
