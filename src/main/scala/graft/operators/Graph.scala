@@ -751,8 +751,9 @@ object Graph {
       // zero-in-degree among the remaining graph: no surviving edge
       // points AT the node (distinct dst anti-join — no degree count
       // needed, presence is enough)
+      // anti join needs no distinct right side (one shuffle saved)
       val (src, sm, srcPath) = Scratch.materializeObservedAt(
-        remaining.join(e.select(col("dst").as("node")).distinct(),
+        remaining.join(e.select(col("dst").as("node")),
           Seq("node"), "left_anti")
           .select(col("node"), lit(round.toLong).as("layer")),
         "topo_layer", count(lit(1)).as("n"))
@@ -828,8 +829,10 @@ object Graph {
     while (!done && round < maxRounds) {
       // local minima: canonical src<dst orientation means the smaller
       // endpoint is always src, so exactly the dst side must wait
+      // anti join needs no distinct on its right side — skipping it
+      // saves a shuffle per round
       val win = remaining.join(
-        e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+        e.select(col("dst").as("node")), Seq("node"), "left_anti")
       val (winC, wm, winPath) = Scratch.materializeObservedAt(
         win.join(
           adj.join(win, Seq("node"), "left_semi")
