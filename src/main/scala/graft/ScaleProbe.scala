@@ -25,7 +25,11 @@ object ScaleProbe {
       // round-9 families: the multi-distinct audit Expand, the
       // history-anti-join incremental dedup, and the token-explode +
       // TakeOrdered vocabulary coverage — all expected ~linear
-      "dq_audit", "dedup_incremental", "vocab_oov")
+      "dq_audit", "dedup_incremental", "vocab_oov",
+      // round-10: the fixed-round peel loops (per-round work is
+      // O(remaining edges), rounds constant — expected ~linear; the
+      // disjoint-subgraph replica keeps per-round winner fractions)
+      "graph_matching", "graph_toposort")
 
   /** Generate `outDir/documents.parquet` = base replicated `factor`×
     * (skipped when already present). Each copy k rewrites the text with a
