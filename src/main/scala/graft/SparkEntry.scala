@@ -1583,6 +1583,16 @@ object SparkEntry {
       // under the canonical pair order, endpoints peel per round
       graft.operators.Graph.maximalMatching(coPurchaseEdges(s, dir),
         maxRounds = 8)),
+    "stats_chi2" -> ((s, dir) =>
+      // chi-square independence test: the significance companion to
+      // dq_mutual_info, full |X|x|Y| cell spine (absent cells are zero
+      // observations), 9-dp terms under decimal sums
+      graft.operators.Quality.chiSquareIndependence(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+    "emb_centroids" -> ((s, dir) =>
+      // per-(label, dim) centroid + variance profile — the cluster-
+      // quality audit; one keyed aggregate over posexploded coords
+      Similarity.labelCentroids(t(s, dir, "embeddings"))),
     "dedup_incremental_fuzzy" -> ((s, dir) => {
       // incremental NEAR-dup ingest: the arriving batch LSH-joined
       // against the fingerprint history corpus (same split as
@@ -2619,6 +2629,42 @@ object SparkEntry {
                 round(sum(wv)::DOUBLE / sum(dur)::DOUBLE, 6) AS twap
          FROM d GROUP BY 1""",
     "graph_matching" -> OracleFragments.graphMatching(rounds = 8),
+    "stats_chi2" ->
+      """WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y,
+                           count(*) AS cxy
+                    FROM lineitem GROUP BY 1, 2),
+         mx AS (SELECT x, sum(cxy)::BIGINT AS cx FROM j GROUP BY 1),
+         my AS (SELECT y, sum(cxy)::BIGINT AS cy FROM j GROUP BY 1),
+         tt AS (SELECT sum(cxy)::BIGINT AS n,
+                       count(DISTINCT x)::BIGINT AS nx,
+                       count(DISTINCT y)::BIGINT AS ny FROM j),
+         sp AS (SELECT coalesce(j.cxy, 0)::BIGINT AS o,
+                       cx::DOUBLE * cy::DOUBLE / n::DOUBLE AS e,
+                       n, nx, ny
+                FROM mx CROSS JOIN my CROSS JOIN tt
+                LEFT JOIN j ON j.x = mx.x AND j.y = my.y)
+         SELECT max(n) AS n,
+                round(sum(round((o::DOUBLE - e) * (o::DOUBLE - e) / e,
+                  9)::DECIMAL(28,12))::DOUBLE, 6) AS chi_sq,
+                max((nx - 1) * (ny - 1)) AS dof
+         FROM sp""",
+    "emb_centroids" ->
+      """WITH x AS (SELECT label, u.dim AS dim, u.v AS v FROM (
+             SELECT label,
+                    unnest(list_transform(generate_series(1, len(embedding)),
+                      i -> {'dim': i - 1, 'v': embedding[i]})) AS u
+             FROM embeddings)),
+         r AS (SELECT label, dim::INT AS dim, round(v::DOUBLE, 6) AS vr
+               FROM x)
+         SELECT label, dim, count(*) AS n,
+                round(sum(vr::DECIMAL(28,6))::DOUBLE
+                      / count(*)::DOUBLE, 6) AS mean,
+                round((sum((vr * vr)::DECIMAL(38,12))::DOUBLE
+                       - sum(vr::DECIMAL(28,6))::DOUBLE
+                         * sum(vr::DECIMAL(28,6))::DOUBLE
+                         / count(*)::DOUBLE)
+                      / count(*)::DOUBLE, 6) AS var_pop
+         FROM r GROUP BY 1, 2""",
     "dedup_incremental_fuzzy" -> OracleFragments.decontaminateFuzzy(
       bands = 4, rowsPerBand = 4, minJaccard = 0.5,
       corpusSrc = "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0) corp",

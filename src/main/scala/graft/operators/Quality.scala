@@ -463,6 +463,42 @@ object Quality {
         round(col("h_xy"), 6).as("h_joint"))
   }
 
+  /** Chi-square test of independence between two categorical columns —
+    * the significance companion to [[mutualInformation]] (MI says how
+    * MUCH the fields co-vary; the chi-square statistic against its
+    * degrees of freedom says whether the observed table could be
+    * independence noise). One row out: n, the statistic over all
+    * |X|·|Y| cells (expected count E = cx·cy/n; absent combinations
+    * count as zero observations, exactly like the Benford spine), and
+    * dof = (|X|−1)(|Y|−1).
+    *
+    * Same shape as [[mutualInformation]]: ONE joint-count aggregate,
+    * marginals folded from the joint table, the full cell spine from a
+    * marginal cross join (|X|·|Y| rows — audit-column sized), 9-dp
+    * terms under DECIMAL sums. */
+  def chiSquareIndependence(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.select(
+      col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val mx = joint.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val tot = joint.agg(sum(col("cxy")).as("n"),
+      count_distinct(col("x")).as("nx"), count_distinct(col("y")).as("ny"))
+    val spine = mx.crossJoin(my)
+      .join(joint, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("cxy"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val e = col("cx").cast("double") * col("cy").cast("double") /
+      col("n").cast("double")
+    spine.agg(
+      first(col("n")).as("n"),
+      sum(round((col("o").cast("double") - e) * (col("o").cast("double") - e)
+        / e, 9).cast("decimal(28,12)")).cast("double").as("chi_raw"),
+      first((col("nx") - 1) * (col("ny") - 1)).as("dof"))
+      .select(col("n"), round(col("chi_raw"), 6).as("chi_sq"), col("dof"))
+  }
+
   /** Schema/statistics drift report between two snapshots of the same
     * table (yesterday's partition vs today's, or source A vs source B):
     * per column — row counts, null fractions, distinct counts and the

@@ -765,6 +765,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
+  /** Per-label centroid profile of the embedding corpus: for each
+    * (label, dimension) — the member count, the 6-dp-decimal-exact
+    * mean coordinate, and the coordinate variance. The cluster-quality
+    * audit for any labeled/clustered embedding table (k-means cells,
+    * classifier labels, SemDeDup groups): centroids feed nearest-
+    * centroid diagnostics, variances expose degenerate or overlapping
+    * groups. The [[dimStats]] discipline keyed by (label, dim):
+    * posexplode + ONE keyed aggregate — shuffle rows = |labels|·dims,
+    * never corpus-scale; 6-dp-rounded coordinates summed as DECIMAL so
+    * the moments are order-exact across partitionings and engines. */
+  def labelCentroids(
+      corpus: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val vr = round(col("v").cast("double"), 6)
+    corpus
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(vr.cast("decimal(28,6)")).as("s"),
+        sum((vr * vr).cast("decimal(38,12)")).as("q"))
+      .select(col("label"), col("dim"), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round((col("q").cast("double")
+          - col("s").cast("double") * col("s").cast("double")
+            / col("n").cast("double")) / col("n").cast("double"), 6)
+          .as("var_pop"))
+  }
+
   /** Blocked DBSCAN over the embedding corpus (Ester et al. 1996, with
     * cosine similarity ≥ `simThreshold` as the ε-neighborhood): every
     * vector classified `core` (≥ `minPts` neighbors, self included) /

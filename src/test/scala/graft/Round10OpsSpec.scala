@@ -257,6 +257,29 @@ class Round10OpsSpec extends SparkTestBase {
     assert(m.length == 1 && m.head.getLong(0) == 1L && m.head.getLong(1) == 2L)
   }
 
+  test("chiSquareIndependence: zero for independence, n(k-1) for identity") {
+    val df = Seq(("a", "a", "p"), ("a", "a", "q"), ("b", "b", "p"), ("b", "b", "q"))
+      .toDF("x", "y", "z")
+    // y == x: 2x2 table with diagonal mass → chi2 = n, dof = 1
+    val dep = Quality.chiSquareIndependence(df, "x", "y").collect().head
+    assert(math.abs(dep.getDouble(1) - 4.0) < 1e-6 && dep.getLong(2) == 1L)
+    // z independent of x: every cell at its expected count → chi2 = 0
+    val ind = Quality.chiSquareIndependence(df, "x", "z").collect().head
+    assert(math.abs(ind.getDouble(1)) < 1e-9)
+  }
+
+  test("labelCentroids: exact means and variances per (label, dim)") {
+    val df = Seq(
+      (0, Array(1.0f, 4.0f)), (0, Array(3.0f, 4.0f)), (1, Array(10.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out((0, 0)) == ((2L, 2.0, 1.0))) // mean (1+3)/2, var_pop 1
+    assert(out((0, 1)) == ((2L, 4.0, 0.0)))
+    assert(out((1, 0)) == ((1L, 10.0, 0.0)))
+  }
+
   test("dbscan minPts=1: every vector cores, isolated ones as singletons") {
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
     val df = Seq((1L, v(1, 0)), (2L, v(1, 0.01)), (3L, v(0, 1)))
