@@ -1081,6 +1081,16 @@ object SparkEntry {
           t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
           "l_orderkey", "l_partkey"),
         rounds = 3, weightCol = Some("weight"))),
+    "graph_louvain" -> ((s, dir) =>
+      // modularity-optimizing community detection over the weighted
+      // co-purchase graph: Gauss-Seidel half-sweep local moves with
+      // exact integer gain arithmetic, rounds accepted only while the
+      // integer modularity score strictly increases
+      graft.operators.Graph.louvain(
+        graft.operators.Graph.coOccurrenceWeightedEdges(
+          t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+          "l_orderkey", "l_partkey"),
+        maxRounds = 2, weightCol = Some("weight"))),
     "graph_hits" -> ((s, dir) =>
       // Kleinberg hubs/authorities on the DIRECTED (src < dst) canonical
       // edges: low-id parts can only be hubs toward high-id authorities
@@ -2141,6 +2151,7 @@ object SparkEntry {
     "graph_label_propagation" -> OracleFragments.graphLabelPropagation(rounds = 3),
     "graph_lpa_weighted" ->
       OracleFragments.graphLabelPropagation(rounds = 3, weighted = true),
+    "graph_louvain" -> OracleFragments.graphLouvain(rounds = 2),
     "graph_hits" -> OracleFragments.graphHits(iters = 2),
     "graph_articlerank" ->
       OracleFragments.graphArticleRank(iters = 3, damping = 0.85, k = 20),
@@ -2566,7 +2577,8 @@ object SparkEntry {
                 FROM d),
          t AS (SELECT event_type, max(k) AS m, max(c) AS tot FROM cu GROUP BY 1),
          sc AS (SELECT cu.event_type, m, tot, k, b, c,
-                       ((c * m - k * tot) * (c * m - k * tot))::DOUBLE
+                       ((c * m - k * tot)::HUGEINT
+                         * (c * m - k * tot)::HUGEINT)::DOUBLE
                          / (k * (m - k) * m)::DOUBLE AS gs
                 FROM cu JOIN t ON cu.event_type = t.event_type
                 WHERE k < m)
@@ -4756,6 +4768,86 @@ object OracleFragments {
         FROM cs LEFT JOIN cuts c ON c.label = cs.label"""
   }
 
+  /** Mirror of Graph.louvain over the weighted co-purchase graph:
+    * unrolled Gauss-Seidel half-sweep local moves (odd-id nodes, then
+    * even-id nodes against the half-updated labels), gain arithmetic
+    * as exact HUGEINT (the 2m-scaled integer form), per-round 4m²-
+    * scaled integer modularity scores, and the Spark loop's acceptance
+    * rule re-derived as a CASE over those scores: the answer is the
+    * last round whose score strictly increased. */
+  def graphLouvain(rounds: Int): String = {
+    // one half-sweep: nodes with node % 2 = par move to their best-gain
+    // community (exact integer gain, smallest-c tie-break), others keep
+    def half(t: String, prev: String, par: Int, out: String): String =
+      s"""${t}st AS (SELECT l.label AS c, sum(k.ki)::BIGINT AS tot
+                     FROM $prev l JOIN ki k ON k.node = l.node GROUP BY 1),
+          ${t}cd AS (SELECT node, c, sum(w)::BIGINT AS kic FROM (
+                       SELECT a.n AS node, l.label AS c, a.w AS w
+                       FROM adj a JOIN $prev l ON a.x = l.node
+                       UNION ALL
+                       SELECT node, label AS c, 0 AS w FROM $prev)
+                     GROUP BY 1, 2),
+          ${t}mv AS (SELECT node, c AS label FROM (
+                       SELECT cd.node, cd.c,
+                              row_number() OVER (PARTITION BY cd.node ORDER BY
+                                ((SELECT m2 FROM mm)::HUGEINT * cd.kic
+                                  - k.ki::HUGEINT *
+                                    (st.tot - CASE WHEN cd.c = cur.c0
+                                              THEN k.ki ELSE 0 END)) DESC,
+                                cd.c ASC) AS rn
+                       FROM ${t}cd cd
+                       JOIN (SELECT node, label AS c0 FROM $prev) cur
+                         ON cur.node = cd.node
+                       JOIN ki k ON k.node = cd.node
+                       JOIN ${t}st st ON st.c = cd.c
+                       WHERE cd.node % 2 = $par) WHERE rn = 1),
+          $out AS MATERIALIZED (
+            SELECT node, label FROM $prev WHERE node % 2 <> $par
+            UNION ALL SELECT node, label FROM ${t}mv)"""
+    // 4m²-scaled integer modularity score of a label table
+    def scoreCte(l: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+            SELECT sum(2::HUGEINT * (SELECT m2 FROM mm) * coalesce(lc.lc, 0)
+                   - dc.dc::HUGEINT * dc.dc) AS s
+            FROM (SELECT l.label AS c, sum(k.ki)::BIGINT AS dc
+                  FROM $l l JOIN ki k ON k.node = l.node GROUP BY 1) dc
+            LEFT JOIN (SELECT ls.label AS c, sum(e0.w)::BIGINT AS lc
+                       FROM e0 JOIN $l ls ON ls.node = e0.src
+                               JOIN $l ld ON ld.node = e0.dst
+                       WHERE ls.label = ld.label GROUP BY 1) lc
+              ON lc.c = dc.c)"""
+    val stages = (1 to rounds).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      half(s"r${r}a", prev, 1, s"h$r") + ",\n" +
+        half(s"r${r}b", s"h$r", 0, s"l$r") + ",\n" +
+        scoreCte(s"l$r", s"sc$r")
+    }.mkString(",\n")
+    val accept = (1 to rounds).map { r =>
+      s"WHEN (SELECT s FROM sc$r) <= (SELECT s FROM sc${r - 1}) THEN l${r - 1}.label"
+    }.mkString("\n               ")
+    val joins = (1 to rounds)
+      .map(r => s"JOIN l$r ON l$r.node = l0.node").mkString(" ")
+    s"""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                           count(*)::BIGINT AS w
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+                    WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+                    GROUP BY 1, 2),
+          adj AS (SELECT src AS n, dst AS x, w FROM e0
+                  UNION ALL SELECT dst AS n, src AS x, w FROM e0),
+          ki AS MATERIALIZED (SELECT n AS node, sum(w)::BIGINT AS ki
+                              FROM adj GROUP BY 1),
+          mm AS (SELECT sum(ki)::BIGINT AS m2 FROM ki),
+          l0 AS MATERIALIZED (SELECT node, node AS label FROM ki),
+          ${scoreCte("l0", "sc0")},
+          $stages
+        SELECT l0.node,
+               CASE $accept
+                    ELSE l$rounds.label END AS community
+        FROM l0 $joins"""
+  }
+
   /** Mirror of Graph.degreeAssortativity: exact BIGINT moment sums over
     * the symmetrized edge ends, then the covariance-form Pearson
     * coefficient — divisions and sqrt on bit-identical operands. */
@@ -5037,12 +5129,15 @@ object OracleFragments {
                        sum((q * q)::DECIMAL(38,12))::DOUBLE AS s2
                 FROM d GROUP BY 1),
           w AS (SELECT source, n_h,
-                       round(n_h * sqrt((s2 - s1 * s1 / n_h) / n_h), 6) AS w_h
+                       round(n_h * sqrt(greatest(
+                         (s2 - s1 * s1 / n_h) / n_h, 0.0::DOUBLE)), 6) AS w_h
                 FROM s),
           tw AS (SELECT sum(w_h::DECIMAL(28,6))::DOUBLE AS w_tot FROM w),
           r AS (SELECT source,
-                       least(1.0::DOUBLE,
-                             $budget.0::DOUBLE * w_h / w_tot / n_h) AS rate
+                       CASE WHEN w_tot > 0.0
+                            THEN least(1.0::DOUBLE,
+                                 $budget.0::DOUBLE * w_h / w_tot / n_h)
+                            ELSE 0.0::DOUBLE END AS rate
                 FROM w CROSS JOIN tw),
           t AS (SELECT source, rate,
                        floor(rate * 4294967296.0)::BIGINT AS thr FROM r)

@@ -32,7 +32,8 @@ private[operators] object Blocks {
       maxRows: Long,
       op: String,
       hint: String = "within-block pairing is quadratic - split the block "
-        + "or use the LSH/IVF path"): DataFrame = {
+        + "or use the LSH/IVF path",
+      boundName: String = "maxBlockRows"): DataFrame = {
     require(maxRows > 0, "maxRows must be positive")
     val counts = withBlk.groupBy(col(blkCol)).agg(count(lit(1)).as("blk_n"))
     val guard = counts
@@ -41,7 +42,7 @@ private[operators] object Blocks {
           .otherwise(raise_error(concat(
             lit(s"$op: block "), col(blkCol).cast("string"),
             lit(" has "), col("blk_n").cast("string"),
-            lit(s" rows > maxBlockRows=$maxRows; $hint"))))
+            lit(s" rows > $boundName=$maxRows; $hint"))))
           .as("blk_ok"))
       .filter(col("blk_ok"))
       .drop("blk_ok")

@@ -306,15 +306,24 @@ object Corpus {
         sum(col("vr").cast("decimal(28,6)")).cast("double").as("s1"),
         sum((col("vr") * col("vr")).cast("decimal(38,12)")).cast("double").as("s2"))
       .select(col(sourceCol), col("n_h"),
-        round(col("n_h") * sqrt(
-          (col("s2") - col("s1") * col("s1") / col("n_h")) / col("n_h")), 6)
+        // the variance clamps at 0: a constant-valued stratum can land
+        // an ulp below zero from double rounding, and sqrt(-eps) = NaN
+        // would poison w_tot → every rate least(1, NaN) = 1, silently
+        // ignoring the budget
+        round(col("n_h") * sqrt(greatest(
+          (col("s2") - col("s1") * col("s1") / col("n_h")) / col("n_h"),
+          lit(0.0d))), 6)
           .as("w_h"))
     val totalW = strata.agg(
       sum(col("w_h").cast("decimal(28,6)")).cast("double").as("w_tot"))
     val rates = strata.crossJoin(totalW)
       .select(col(sourceCol),
-        least(lit(1.0d),
-          lit(budget.toDouble) * col("w_h") / col("w_tot") / col("n_h"))
+        // all-zero-variance corpora have no Neyman signal: w_tot = 0
+        // would make every rate 0/0 = NaN (kept as 1) — rate 0 instead
+        when(col("w_tot") > 0.0d,
+          least(lit(1.0d),
+            lit(budget.toDouble) * col("w_h") / col("w_tot") / col("n_h")))
+          .otherwise(lit(0.0d))
           .as("rate"))
       .select(col(sourceCol), col("rate"),
         floor(col("rate") * lit(4294967296.0d)).cast("long").as("thr"))

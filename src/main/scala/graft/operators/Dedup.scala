@@ -138,7 +138,8 @@ object Dedup {
       maxBucketRows: Long): DataFrame = {
     val guarded = Blocks.guardBlockSize(banded, "bk", maxBucketRows, op,
       hint = "a mass-duplicate band bucket yields quadratic candidate "
-        + "pairs - run exact dedup first or raise maxBucketRows deliberately")
+        + "pairs - run exact dedup first or raise maxBucketRows deliberately",
+      boundName = "maxBucketRows")
     val l = guarded.select(col("id").as("a"), col("bk").as("bka"))
     val r = guarded.select(col("id").as("b"), col("bk").as("bkb"))
     l.join(r, col("bka") === col("bkb") && col("a") < col("b"))
@@ -391,11 +392,13 @@ object Dedup {
       "pairs - run exact dedup first or raise maxBucketRows deliberately"
     val lb = Blocks.guardBlockSize(
       bandedKeys(l.select(col("id"), col("sig")), bands, rowsPerBand),
-      "bk", maxBucketRows, "crossLshJaccard", hint = guardHint)
+      "bk", maxBucketRows, "crossLshJaccard", hint = guardHint,
+      boundName = "maxBucketRows")
       .select(col("id").as("a"), col("bk"))
     val rb = Blocks.guardBlockSize(
       bandedKeys(r.select(col("id"), col("sig")), bands, rowsPerBand),
-      "bk", maxBucketRows, "crossLshJaccard", hint = guardHint)
+      "bk", maxBucketRows, "crossLshJaccard", hint = guardHint,
+      boundName = "maxBucketRows")
       .select(col("id").as("b"), col("bk"))
     val candidates = lb.join(rb, Seq("bk")).select(col("a"), col("b")).distinct()
     val sized = candidates
@@ -573,7 +576,8 @@ object Dedup {
       sorted.select(col("id"), col("n"), explode(slice(col("toks"), lit(1), p)).as("tk")),
       "tk", maxBucketRows, "ppjoinJaccard",
       "a prefix token shared by that many documents makes candidate "
-        + "generation quadratic - run exact dedup first or raise maxBucketRows")
+        + "generation quadratic - run exact dedup first or raise maxBucketRows",
+      boundName = "maxBucketRows")
     // total-candidate-volume contract: Σ bn·(bn−1)/2 over the prefix
     // buckets bounds the pair fanout the join below can mint
     val volGuard = broadcast(

@@ -430,7 +430,13 @@ object Events {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val tot = cum.groupBy(col(typeCol))
       .agg(max(col("k")).as("m"), max(col("c")).as("t"))
-    val dNum = col("c") * col("m") - col("k") * col("t")
+    // dNum and its square stay EXACT in decimal(38,0): the bigint
+    // square overflows past |dNum| ~ 3e9 (total-events-per-type ×
+    // buckets reaches that at scale), while the decimal form is exact
+    // to 1e38 — the oracle mirrors with HUGEINT, so the single final
+    // double division still sees identical integer operands.
+    val dNum = (col("c").cast("decimal(19,0)") * col("m") -
+      col("k") * col("t").cast("decimal(19,0)")).cast("decimal(38,0)")
     val g = (dNum * dNum).cast("double") /
       (col("k") * (col("m") - col("k")) * col("m")).cast("double")
     cum.join(tot, Seq(typeCol.toString))

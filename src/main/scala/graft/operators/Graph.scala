@@ -57,7 +57,8 @@ object Graph {
       maxGroupRows: Long = 100000L): DataFrame = {
     val a = Blocks.guardBlockSize(
       df.select(col(groupCol).as("g"), col(itemCol).as("src")),
-      "g", maxGroupRows, "coOccurrenceEdges", hint = CoOccurHint)
+      "g", maxGroupRows, "coOccurrenceEdges", hint = CoOccurHint,
+      boundName = "maxGroupRows")
     val b = df.select(col(groupCol).as("g"), col(itemCol).as("dst"))
     a.join(b, a("g") === b("g") && col("src") < col("dst"))
       .select(col("src"), col("dst"))
@@ -76,7 +77,8 @@ object Graph {
       maxGroupRows: Long = 100000L): DataFrame = {
     val a = Blocks.guardBlockSize(
       df.select(col(groupCol).as("g"), col(itemCol).as("src")),
-      "g", maxGroupRows, "coOccurrenceWeightedEdges", hint = CoOccurHint)
+      "g", maxGroupRows, "coOccurrenceWeightedEdges", hint = CoOccurHint,
+      boundName = "maxGroupRows")
     val b = df.select(col(groupCol).as("g"), col(itemCol).as("dst"))
     a.join(b, a("g") === b("g") && col("src") < col("dst"))
       .groupBy(col("src"), col("dst"))
@@ -398,7 +400,8 @@ object Graph {
     val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
       "localClusteringCoefficient",
       hint = "the wedge fanout is quadratic in node degree - truncate "
-        + "per-node adjacency upstream or raise maxDegree deliberately")
+        + "per-node adjacency upstream or raise maxDegree deliberately",
+      boundName = "maxDegree")
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("degree"))
     val w1 = adj.select(col("n"), col("x").as("x1"))
     val w2 = adj.select(col("n"), col("x").as("x2"))
@@ -894,7 +897,19 @@ object Graph {
     * (never a per-node window) + two semi-joins to test "minimum at
     * both ends" + two anti-joins to peel matched nodes — all scratch-
     * backed with the matched count OBSERVED on the write, the
-    * [[kCore]] loop discipline. */
+    * [[kCore]] loop discipline.
+    *
+    * CONTRACT on the round bound: maximality is only guaranteed when
+    * the loop CONVERGES (no edges remain). An adversarial id ordering
+    * (e.g. a path numbered so each round peels one edge) needs O(n)
+    * rounds, so exiting via `maxRounds` with edges remaining would
+    * silently return a non-maximal matching — instead the residual
+    * edge count is OBSERVED on each round's peel write and the
+    * operator fails fast naming it, the [[topoLayers]]/[[
+    * greedyColoring]] unresolved-surface discipline (those return the
+    * residual as null rows; a matching has no row to hang a null on).
+    * Escape route: raise `maxRounds` (rounds are O(log n) expected on
+    * non-adversarial orderings). */
   def maximalMatching(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
@@ -904,6 +919,7 @@ object Graph {
     val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var done = false
+    var residual = -1L // unknown until the first peel write observes it
     while (!done && round < maxRounds) {
       // per node: its minimum incident edge under (src, dst) order
       val inc = e.select(col("src").as("node"), col("src"), col("dst"))
@@ -926,16 +942,23 @@ object Graph {
         matched += win
         val mnodes = win.select(col("src").as("node"))
           .union(win.select(col("dst").as("node")))
-        val (e2, e2Path) = Scratch.materializeAt(
+        val (e2, em, e2Path) = Scratch.materializeObservedAt(
           e.join(mnodes.select(col("node").as("src")), Seq("src"), "left_anti")
             .join(mnodes.select(col("node").as("dst")), Seq("dst"), "left_anti")
             .select(col("src"), col("dst")),
-          "match_edges")
+          "match_edges", count(lit(1)).as("n"))
         Scratch.drop(spark, ePath)
         e = e2; ePath = e2Path
+        residual = em("n").asInstanceOf[Long]
+        if (residual == 0L) done = true
         round += 1
       }
     }
+    if (!done && residual > 0L)
+      throw new IllegalStateException(
+        s"maximalMatching: $residual edges remain after maxRounds=$maxRounds "
+          + "rounds - the result would NOT be maximal; raise maxRounds "
+          + "(adversarial id orderings need O(n) rounds)")
     matched.reduceOption(_.unionByName(_)).getOrElse(
       e.select(col("src"), col("dst"), lit(0L).as("round")).filter(lit(false)))
   }
@@ -1117,7 +1140,8 @@ object Graph {
     val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
       "nodeSimilarityTopK",
       hint = "the wedge fanout is quadratic in node degree - truncate "
-        + "per-node adjacency upstream or raise maxDegree deliberately")
+        + "per-node adjacency upstream or raise maxDegree deliberately",
+      boundName = "maxDegree")
     val a1 = adj.select(col("n"), col("x").as("a"))
     val a2 = adj.select(col("n"), col("x").as("b"))
     val denom: Column = metric match {
@@ -1169,7 +1193,8 @@ object Graph {
     val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
       "commonNeighborsTopK",
       hint = "the wedge fanout is quadratic in node degree - truncate "
-        + "per-node adjacency upstream or raise maxDegree deliberately")
+        + "per-node adjacency upstream or raise maxDegree deliberately",
+      boundName = "maxDegree")
     val a1 = adj.select(col("n"), col("x").as("a"))
     val a2 = adj.select(col("n"), col("x").as("b"))
     a1.join(a2, Seq("n")).filter(col("a") < col("b"))
@@ -1213,7 +1238,8 @@ object Graph {
     val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
       "adamicAdarTopK",
       hint = "the wedge fanout is quadratic in node degree - truncate "
-        + "per-node adjacency upstream or raise maxDegree deliberately")
+        + "per-node adjacency upstream or raise maxDegree deliberately",
+      boundName = "maxDegree")
     val wadj = adj.join(deg, Seq("n")).filter(col("d") >= 2)
       .select(col("n"), col("x"),
         round(lit(1.0d) / log(col("d").cast("double")), 9)
@@ -2035,5 +2061,148 @@ object Graph {
     weighted.reduce(_ union _)
       .groupBy(col("node"), col("dim"))
       .agg(round(sum(col("t")).cast("double"), 6).as("value"))
+  }
+
+  /**
+   * Louvain community detection, phase-1 local-move rendition (Blondel
+   * et al. 2008 — the flagship GDS modularity-optimizing community
+   * algorithm): every node repeatedly moves to the neighboring
+   * community with the best modularity gain until a full sweep stops
+   * improving modularity, or the round bound hits.
+   *
+   * Deterministic, oracle-able rendition of the inherently sequential
+   * classic: each ROUND is two Gauss-Seidel HALF-SWEEPS — odd-id nodes
+   * move against the current assignment, then even-id nodes against
+   * the half-updated one (the [[hits]] half-round discipline). The
+   * sequential halves remove the two-node swap oscillation synchronous
+   * parallel Louvain is known for (two adjacent singletons trading
+   * communities forever): within a half-sweep no two movers can be
+   * adjacent movers of each other's target in the swap pattern, and
+   * the second half always sees the first half's moves.
+   *
+   * Gain arithmetic is EXACT. With integer edge weights the classic
+   * gain of moving node i into community C (i removed from its own
+   * community first) is k_{i,C} − k_i·Σtot(C)/2m; scaled by 2m it is
+   * the integer  2m·k_{i,C} − k_i·(Σtot(C) − [C=C₀]·k_i), carried as
+   * DECIMAL(38,0) so a 100 TB graph cannot overflow the product. Ties
+   * break to the smallest community id (the [[labelPropagation]]
+   * determinism trade).
+   *
+   * Acceptance: after each round the 4m²-scaled INTEGER modularity
+   * score S = Σ_C (4m·L_C − d_C²) (exact-rational Newman Q: Q = S/4m²)
+   * is computed; a round that does not STRICTLY increase S is rejected
+   * and the loop stops. Accepted assignments are therefore monotone in
+   * modularity BY CONSTRUCTION (spec-assertable), and a fixed-round
+   * oracle can re-derive the stop point from the same integer scores.
+   *
+   * Scale shape: per half-sweep — one keyed Σtot aggregate, one
+   * adjacency×labels equi-join + keyed k_{i,C} aggregate, one per-node
+   * argmax aggregate (never a corpus-wide window); per round — one
+   * within-community edge sum + one degree-mass aggregate for S. Round
+   * state is a scratch table ([[pageRank]] loop discipline, constant
+   * plans), superseded tables retire eagerly.
+   *
+   * Reference context: the destination system ships Louvain as its
+   * flagship community algorithm (GDS 2.1 family, reference README);
+   * this is the warehouse-side equivalent over any edge frame.
+   */
+  def louvain(
+      edges: DataFrame,
+      maxRounds: Int = 4,
+      weightCol: Option[String] = None): DataFrame = {
+    import graft.ops.Scratch
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    val e0raw = weightCol match {
+      case None => canonicalEdges(edges).withColumn("w", lit(1L))
+      case Some(wc) =>
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .agg(sum(col(wc).cast("long")).as("w"))
+          .filter(col("w") > 0L)
+    }
+    val (e, ePath) = Scratch.materializeAt(
+      e0raw.select(col("src"), col("dst"), col("w")), "louvain_edges")
+    val (adj, adjPath) = Scratch.materializeAt(
+      e.select(col("src").as("n"), col("dst").as("x"), col("w"))
+        .union(e.select(col("dst").as("n"), col("src").as("x"), col("w"))),
+      "louvain_adj")
+    val (ki, kiPath) = Scratch.materializeAt(
+      adj.groupBy(col("n").as("node")).agg(sum(col("w")).as("ki")),
+      "louvain_ki")
+    val m2row = ki.agg(sum(col("ki")).as("m2")).head()
+    if (m2row.isNullAt(0)) { // empty graph
+      Scratch.drop(spark, ePath)
+      Scratch.drop(spark, adjPath)
+      return ki.select(col("node"), col("node").as("community"))
+    }
+    val m2 = m2row.getLong(0) // 2m — the total degree mass
+    val dec = "decimal(38,0)"
+    // 4m²-scaled integer modularity score of an assignment
+    def score(labels: DataFrame): java.math.BigDecimal =
+      labels.join(ki, Seq("node"))
+        .groupBy(col("label").as("c")).agg(sum(col("ki")).as("dc"))
+        .join(
+          e.join(labels.select(col("node").as("src"), col("label").as("ls")),
+              Seq("src"))
+            .join(labels.select(col("node").as("dst"), col("label").as("ld")),
+              Seq("dst"))
+            .filter(col("ls") === col("ld"))
+            .groupBy(col("ls").as("c")).agg(sum(col("w")).as("lc")),
+          Seq("c"), "left")
+        .agg(sum(lit(2L).cast(dec) * lit(m2) * coalesce(col("lc"), lit(0L))
+          - col("dc").cast(dec) * col("dc")).as("s"))
+        .head().getDecimal(0)
+    def halfSweep(labels: DataFrame, par: Int): DataFrame = {
+      val sumtot = labels.join(ki, Seq("node"))
+        .groupBy(col("label").as("c")).agg(sum(col("ki")).as("tot"))
+      val kic = adj.join(labels, adj("x") === labels("node"))
+        .select(adj("n").as("node"), col("label").as("c"), col("w"))
+      // the stay candidate rides as a zero-weight row: a node with no
+      // neighbor in its own community still evaluates staying (gain 0
+      // after self-removal)
+      val cand = kic
+        .unionByName(labels.select(col("node"), col("label").as("c"),
+          lit(0L).as("w")))
+        .groupBy(col("node"), col("c")).agg(sum(col("w")).as("kic"))
+      val gain = lit(m2).cast(dec) * col("kic") -
+        col("ki").cast(dec) *
+          (col("tot") - when(col("c") === col("c0"), col("ki"))
+            .otherwise(lit(0L)))
+      val moved = cand
+        .join(labels.select(col("node"), col("label").as("c0")), Seq("node"))
+        .join(ki, Seq("node"))
+        .join(sumtot, Seq("c"))
+        .filter(pmod(col("node"), lit(2L)) === par)
+        .groupBy(col("node"))
+        .agg(max_by(col("c"),
+          struct(gain.as("g"), (-col("c")).as("nc"))).as("label"))
+      labels.filter(pmod(col("node"), lit(2L)) =!= par).unionByName(moved)
+    }
+    var labels = ki.select(col("node"), col("node").as("label"))
+    var labelsPath: String = null
+    var s = score(labels)
+    var round = 1
+    var improving = true
+    while (improving && round <= maxRounds) {
+      val (h1, h1Path) = Scratch.materializeAt(halfSweep(labels, 1),
+        "louvain_h1")
+      val (h2, h2Path) = Scratch.materializeAt(halfSweep(h1, 0),
+        "louvain_labels")
+      Scratch.drop(spark, h1Path)
+      val s2 = score(h2)
+      if (s2.compareTo(s) > 0) {
+        if (labelsPath != null) Scratch.drop(spark, labelsPath)
+        labels = h2; labelsPath = h2Path; s = s2; round += 1
+      } else {
+        Scratch.drop(spark, h2Path)
+        improving = false
+      }
+    }
+    Scratch.drop(spark, ePath)
+    Scratch.drop(spark, adjPath)
+    // ki backs the returned plan only when no round was accepted
+    labels.select(col("node"), col("label").as("community"))
   }
 }

@@ -45,6 +45,11 @@ object Quality {
       otherCols: Seq[String] = Nil): DataFrame = {
     require(numericCols.nonEmpty || otherCols.nonEmpty, "no columns to audit")
     val cols = numericCols ++ otherCols
+    // a column listed twice (or in both lists) would mint duplicate
+    // __nn/__nd aliases and surface as an ambiguous-column
+    // AnalysisException at run time - fail fast with the names instead
+    require(cols.distinct.size == cols.size,
+      s"columns listed twice: ${cols.diff(cols.distinct).distinct.mkString(", ")}")
     val aggs: Seq[Column] =
       count(lit(1)).as("n_rows") +: cols.flatMap { c =>
         val base = Seq(

@@ -429,7 +429,8 @@ object Similarity {
       c.select(col("bucket"), col("id").as("src"), col("v").as("va")),
       "bucket", maxBucketRows, "knnGraph",
       hint = "per-bucket candidate fanout is quadratic - raise numPlanes "
-        + "to shrink buckets or raise maxBucketRows deliberately")
+        + "to shrink buckets or raise maxBucketRows deliberately",
+      boundName = "maxBucketRows")
     val b = c.select(col("bucket").as("bucket_b"), col("id").as("neighbor_id"),
       col("v").as("vb"))
     val scored = a.hint("shuffle_hash")

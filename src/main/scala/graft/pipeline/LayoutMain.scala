@@ -68,8 +68,16 @@ object LayoutMain {
           val aggs = cols.flatMap(c =>
             Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
           val stats = df.agg(aggs.head, aggs.tail: _*).collect().head
-          val bounds: Seq[(Double, Double)] = cols.indices.map(i =>
-            (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
+          // an empty table or an all-null column yields null min/max —
+          // getDouble would NPE; name the column instead
+          val bounds: Seq[(Double, Double)] = cols.zipWithIndex.map {
+            case (c, i) =>
+              if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1))
+                throw new IllegalArgumentException(
+                  s"zorder: column '$c' has no non-null values "
+                    + "(empty table or all-null column) - nothing to z-order")
+              (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+          }
           val buckets = cols.zip(bounds).map { case (c, (lo, hi)) =>
             Layout.minMaxBucket(col(c), lo, math.nextUp(hi), bits = 8)
           }

@@ -131,7 +131,7 @@ class GraphAnalyticsSpec extends SparkTestBase {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(err).exists(m =>
-      m.contains("commonNeighborsTopK") && m.contains("maxBlockRows")))
+      m.contains("commonNeighborsTopK") && m.contains("maxDegree")))
     // the same graph passes when the bound admits the hub
     assert(Graph.commonNeighborsTopK(star, k = 100, maxDegree = 8).count() == 28)
   }
@@ -260,7 +260,7 @@ class GraphAnalyticsSpec extends SparkTestBase {
       Graph.coOccurrenceEdges(mega, "g", "item", maxGroupRows = 5).collect()
     }
     assert(messages(err).exists(m =>
-      m.contains("coOccurrenceEdges") && m.contains("maxBlockRows")))
+      m.contains("coOccurrenceEdges") && m.contains("maxGroupRows")))
     val errW = intercept[Exception] {
       Graph.coOccurrenceWeightedEdges(mega, "g", "item", maxGroupRows = 5).collect()
     }
@@ -570,6 +570,33 @@ class GraphAnalyticsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(pendant == Map((1L, 0) -> 1L, (1L, 1) -> 2L, (1L, 2) -> 1L, (1L, 3) -> 2L,
       (2L, 0) -> 2L, (2L, 1) -> 1L, (2L, 2) -> 2L, (2L, 3) -> 1L))
+  }
+
+  test("louvain: two triangles on a bridge resolve; modularity never decreases") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val com = Graph.louvain(e, maxRounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the two triangles are the modularity-optimal communities
+    assert(com(1L) == com(2L) && com(2L) == com(3L))
+    assert(com(4L) == com(5L) && com(5L) == com(6L))
+    assert(com(1L) != com(4L))
+    // accepted assignment's modularity strictly beats the singleton start
+    def q(assign: Seq[(Long, Long)]): Double =
+      Graph.modularity(e, assign.toDF("node", "label"))
+        .agg(sum(col("q_contrib"))).head().getDouble(0)
+    val qFinal = q(com.toSeq)
+    val qSingleton = q((1L to 6L).map(n => n -> n))
+    assert(qFinal > qSingleton)
+    // and each intermediate bound is monotone: maxRounds=1 sits between
+    val q1 = q(Graph.louvain(e, maxRounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq)
+    assert(q1 >= qSingleton && qFinal >= q1)
+    // deterministic across runs
+    assert(Graph.louvain(e, maxRounds = 4).collect().toSet ==
+      Graph.louvain(e, maxRounds = 4).collect().toSet)
+    // empty input: empty result, not a crash
+    assert(Graph.louvain(e.filter(lit(false))).count() == 0)
   }
 
   test("pageRank conserves mass on the fixture co-purchase graph") {
