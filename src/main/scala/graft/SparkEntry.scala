@@ -1040,6 +1040,11 @@ object SparkEntry {
       // deterministic uniform walks (md5 coin per step) — the GDS
       // RandomWalk/node2vec sampling surface
       graft.operators.Graph.randomWalks(coPurchaseEdges(s, dir), steps = 3)),
+    "graph_node2vec_walks" -> ((s, dir) =>
+      // second-order p/q-biased walks (return 1 : triangle 4 : far 16
+      // ⇒ p=4, q=1/4 — DFS-leaning), exact integer inverse-CDF choice
+      graft.operators.Graph.node2vecWalks(coPurchaseEdges(s, dir),
+        steps = 3)),
     "graph_node_similarity" -> ((s, dir) =>
       // GDS-style node similarity: neighbor-set Jaccard from wedge
       // counts + degrees, no set arrays shipped
@@ -2144,6 +2149,8 @@ object SparkEntry {
     "graph_betweenness" ->
       OracleFragments.graphBetweenness(maxHops = 3, landmarkMod = 400, k = 50),
     "graph_random_walks" -> OracleFragments.graphRandomWalks(steps = 3, salt = "walk"),
+    "graph_node2vec_walks" -> OracleFragments.graphNode2vecWalks(
+      steps = 3, rw = 1L, cw = 4L, fw = 16L, salt = "n2v"),
     "graph_fastrp" -> OracleFragments.graphFastRP(
       dims = 8, iterations = 2, weights = Seq(1.0, 1.0), salt = "frp"),
     "graph_components" -> OracleFragments.graphComponents,
@@ -5107,6 +5114,46 @@ object OracleFragments {
           adj AS (SELECT src AS n, dst AS x FROM e0
                   UNION ALL SELECT dst AS n, src AS x FROM e0),
           s0 AS MATERIALIZED (SELECT DISTINCT n AS walk, n AS node FROM adj),
+          $stepCtes
+        $selects"""
+  }
+
+  /** Mirror of Graph.node2vecWalks: unrolled second-order steps — the
+    * same adjacency fanout + (prev, x) membership LEFT join for the
+    * bias class, per-walk cumulative integer weights in ascending
+    * neighbor-id order, and the exact (coin·W) >> 32 inverse-CDF
+    * target re-derived from the same md5 coin. */
+  def graphNode2vecWalks(
+      steps: Int, rw: Long, cw: Long, fw: Long, salt: String): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""c$i AS (SELECT cur.walk, cur.node AS at, cur.prev, a.x AS cx
+                  FROM adj a JOIN s${i - 1} cur ON a.n = cur.node),
+          w$i AS (SELECT c.walk, c.at, c.prev, c.cx,
+                         CASE WHEN c.prev IS NULL THEN 1::BIGINT
+                              WHEN c.cx = c.prev THEN $rw::BIGINT
+                              WHEN p.n IS NOT NULL THEN $cw::BIGINT
+                              ELSE $fw::BIGINT END AS wt
+                  FROM c$i c LEFT JOIN adj p
+                    ON p.n = c.prev AND p.x = c.cx),
+          s$i AS MATERIALIZED (
+            SELECT walk, min(cx) AS node, min(at) AS prev FROM (
+              SELECT walk, at, cx,
+                     (sum(wt) OVER (PARTITION BY walk ORDER BY cx
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+                     (sum(wt) OVER (PARTITION BY walk))::BIGINT AS tw,
+                     ('0x' || substr(md5(concat_ws(':', '$salt',
+                       walk::VARCHAR, '$i')), 1, 8))::BIGINT AS c
+              FROM w$i)
+            WHERE cum > ((c * tw) >> 32) GROUP BY walk)"""
+    }.mkString(",\n")
+    val selects = (0 to steps)
+      .map(i => s"SELECT walk, $i AS step, node FROM s$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          s0 AS MATERIALIZED (SELECT DISTINCT n AS walk, n AS node,
+                                     NULL::BIGINT AS prev FROM adj),
           $stepCtes
         $selects"""
   }

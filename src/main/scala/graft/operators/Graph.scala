@@ -2205,4 +2205,95 @@ object Graph {
     // ki backs the returned plan only when no round was accepted
     labels.select(col("node"), col("label").as("community"))
   }
+
+  /**
+   * Node2vec-biased random walks (Grover & Leskovec 2016 — the GDS
+   * Node2Vec sampling layer): second-order walks where the next hop x
+   * from node v (arrived from prev) is drawn ∝ α(prev, x): α = 1/p to
+   * return (x = prev), 1 for a triangle-closing x also adjacent to
+   * prev (BFS-ish), 1/q for a two-hops-out x (DFS-ish). The bias is
+   * carried as INTEGER weights — `returnWeight : commonWeight :
+   * farWeight` encodes p = commonWeight/returnWeight and
+   * q = commonWeight/farWeight — so selection is exact integer
+   * arithmetic end-to-end, reproducible across runs, partitionings
+   * and engines (the [[randomWalks]] md5-coin discipline extended
+   * from uniform argmin to weighted inverse-CDF choice).
+   *
+   * Selection: ONE md5 coin c ∈ [0, 2³²) per (walk, step); candidates
+   * ordered by ascending neighbor id carry cumulative integer weights;
+   * chosen = first candidate with cum > (c·W) >> 32, W = total weight.
+   * The shift keeps the product exact in long arithmetic (W is degree
+   * × max-weight — far under 2³¹ for any sane hub; Spark 4's ANSI
+   * mode fails loudly on overflow rather than wrapping). The first
+   * step has no prev: uniform (all weights 1).
+   *
+   * Scale shape per step: one adjacency×walk equi-join for the
+   * neighbor fanout (≤ 2|E| rows), one (prev, x) adjacency membership
+   * LEFT join for the dist-1 class, and one per-walk window whose
+   * partitions are single neighborhoods (degree-bounded, never
+   * corpus-wide); step state is a scratch table ([[pageRank]] loop
+   * discipline). The second-order "memory" is just the walk table's
+   * prev column — no per-task state, no arrays.
+   */
+  def node2vecWalks(
+      edges: DataFrame,
+      steps: Int = 3,
+      returnWeight: Long = 1L,
+      commonWeight: Long = 4L,
+      farWeight: Long = 16L,
+      salt: String = "n2v"): DataFrame = {
+    import graft.ops.Scratch
+    import org.apache.spark.sql.expressions.Window
+    require(steps >= 1, "steps must be >= 1")
+    require(returnWeight >= 1L && commonWeight >= 1L && farWeight >= 1L,
+      "bias weights must be positive integers")
+    val spark = edges.sparkSession
+    val e0 = canonicalEdges(edges)
+    val (adj, adjPath) = Scratch.materializeAt(
+      e0.select(col("src").as("n"), col("dst").as("x"))
+        .union(e0.select(col("dst").as("n"), col("src").as("x"))),
+      "n2v_adj")
+    val tables = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    var cur = Scratch.materialize(
+      adj.select(col("n").as("walk")).distinct()
+        .select(col("walk"), lit(0).as("step"), col("walk").as("node"),
+          lit(null).cast("long").as("prev")),
+      "n2v_step0")
+    tables += cur
+    for (i <- 1 to steps) {
+      val cand = adj.join(cur, adj("n") === cur("node"))
+        .select(cur("walk"), cur("node").as("at"), cur("prev"),
+          adj("x").as("cx"))
+      // dist-1 membership probe: candidate also adjacent to prev?
+      val probe = adj.select(col("n").as("prev"), col("x").as("cx"),
+        lit(1).as("isadj"))
+      val weighted = cand.join(probe, Seq("prev", "cx"), "left")
+        .withColumn("wt",
+          when(col("prev").isNull, lit(1L))
+            .when(col("cx") === col("prev"), lit(returnWeight))
+            .when(col("isadj").isNotNull, lit(commonWeight))
+            .otherwise(lit(farWeight)))
+      val wAll = Window.partitionBy(col("walk"))
+      val wCum = wAll.orderBy(col("cx").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val coin = conv(substring(md5(concat_ws(":", lit(salt),
+        col("walk").cast("string"), lit(i).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      cur = Scratch.materialize(
+        weighted
+          .withColumn("cum", sum(col("wt")).over(wCum))
+          .withColumn("tw", sum(col("wt")).over(wAll))
+          .withColumn("target", shiftright(coin * col("tw"), 32))
+          .filter(col("cum") > col("target"))
+          .groupBy(col("walk"))
+          .agg(min(struct(col("cx"), col("at"))).as("m"))
+          .select(col("walk"), lit(i).as("step"), col("m.cx").as("node"),
+            col("m.at").as("prev")),
+        s"n2v_step$i")
+      tables += cur
+    }
+    Scratch.drop(spark, adjPath)
+    tables.map(_.select(col("walk"), col("step"), col("node")))
+      .reduce(_ union _)
+  }
 }

@@ -572,6 +572,37 @@ class GraphAnalyticsSpec extends SparkTestBase {
       (2L, 0) -> 2L, (2L, 1) -> 1L, (2L, 2) -> 2L, (2L, 3) -> 1L))
   }
 
+  test("node2vecWalks: valid walks, deterministic, bias is load-bearing") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 5L))
+      .toDF("src", "dst")
+    val edgeSet = Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (2L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val w = Graph.node2vecWalks(e, steps = 3)
+    val rows = w.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // every walk starts at its id and every consecutive pair is an edge
+    val walks = rows.keys.map(_._1).toSet
+    assert(walks == Set(1L, 2L, 3L, 4L, 5L))
+    walks.foreach { wk =>
+      assert(rows((wk, 0)) == wk)
+      (0 to 2).foreach { s =>
+        assert(edgeSet((rows((wk, s)), rows((wk, s + 1)))))
+      }
+    }
+    // deterministic across runs; salt changes some choice
+    assert(Graph.node2vecWalks(e, steps = 3).collect().toSet == w.collect().toSet)
+    assert(Graph.node2vecWalks(e, steps = 3, salt = "other").collect().toSet !=
+      w.collect().toSet)
+    // the bias is load-bearing: an overwhelming RETURN weight forces the
+    // pendant bounce on every walk (step2 returns to the start node)
+    val bounce = Graph.node2vecWalks(e, steps = 2,
+      returnWeight = 1L << 30, commonWeight = 1L, farWeight = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    walks.foreach(wk => assert(bounce((wk, 2)) == wk))
+    // and the default far-leaning weights differ from uniform weights
+    assert(Graph.node2vecWalks(e, steps = 3, returnWeight = 1L,
+      commonWeight = 1L, farWeight = 1L).collect().toSet != w.collect().toSet)
+  }
+
   test("louvain: two triangles on a bridge resolve; modularity never decreases") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
       (3L, 4L)).toDF("src", "dst")
