@@ -1589,6 +1589,15 @@ object SparkEntry {
             graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
           budgetTokens = 800L)
         .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"))),
+    "corpus_domain_report" -> ((s, dir) =>
+      // per-domain dup-rate × quality × token rollup; deterministic URL
+      // fixture (the corpus ships no natural URLs): host varies by
+      // (source, doc_id % 7), parse_url extracts it back
+      graft.operators.Corpus.domainReport(
+        t(s, dir, "documents").withColumn("url",
+          concat(lit("https://"), col("source"), lit("-"),
+            pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example.com/docs/"), col("doc_id").cast("string"))))),
     "ev_twap" -> ((s, dir) =>
       // time-weighted average per user: each reading holds until the
       // next one; decimal-exact value x duration products
@@ -2636,6 +2645,7 @@ object SparkEntry {
     "dq_drift" -> OracleFragments.dqDrift(
       Seq("l_quantity", "l_extendedprice", "l_discount"), Seq("l_returnflag")),
     "corpus_budget_trim" -> OracleFragments.corpusBudgetTrim(budget = 800L),
+    "corpus_domain_report" -> OracleFragments.corpusDomainReport,
     "ev_twap" ->
       """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, "value",
                            lead(epoch_ms(ts)) OVER (PARTITION BY user_id
@@ -2799,6 +2809,35 @@ object OracleFragments {
           max(length(text))::INT AS max_chars,
           TRUE AS approx_p50_chars_ok
         FROM documents GROUP BY 1, 2"""
+  }
+
+  /** Per-domain curation rollup (Corpus.domainReport): the same
+    * deterministic URL fixture, host re-extracted from the URL string
+    * (DuckDB has no parse_url — anchored regex over the same scheme),
+    * exact md5 dup fraction, token mass, DECIMAL(18,6) quality mass. */
+  val corpusDomainReport: String = {
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopRaw = s"len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    val quality = s"""round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
+              + least(($stopRaw) * 4.0, 1.0) * 0.3, 6)"""
+    s"""WITH d AS (SELECT *,
+                 'https://' || source || '-' || (doc_id % 7)::VARCHAR
+                   || '.example.com/docs/' || doc_id::VARCHAR AS url
+               FROM documents)
+        SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+               count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_unique,
+               round(1.0 - count(DISTINCT md5(text))::DOUBLE
+                 / count(*)::DOUBLE, 6) AS dup_frac,
+               sum($nToks)::BIGINT AS total_tokens_ws,
+               round(sum(CAST($quality AS DECIMAL(18,6)))::DOUBLE, 6)
+                 AS sum_quality,
+               round(sum(CAST($quality AS DECIMAL(18,6)))::DOUBLE
+                 / count(*)::DOUBLE, 6) AS mean_quality
+        FROM d GROUP BY 1"""
   }
 
   val textFingerprint: String =
