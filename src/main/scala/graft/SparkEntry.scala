@@ -1160,6 +1160,17 @@ object SparkEntry {
         we.agg(min(col("src")).as("node")), maxHops = 4,
         weightCol = Some("weight"))
     }),
+    "graph_wsp" -> ((s, dir) => {
+      // DIRECTED weighted SSSP (the GDS Dijkstra surface, one-way
+      // relaxation): canonical src<dst co-purchase edges read as a
+      // low-id → high-id DAG, shared-order counts as costs
+      val we = graft.operators.Graph.coOccurrenceWeightedEdges(
+        t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+        "l_orderkey", "l_partkey")
+      graft.operators.Graph.shortestPaths(we,
+        we.agg(min(col("src")).as("node")), maxHops = 4,
+        weightCol = Some("weight"), directed = true)
+    }),
     // ---- text cleaning / sampling / chunking (training-data prep) ----
     "text_pii_redact" -> ((s, dir) => {
       // PII-laden fixture derived deterministically from doc_id (the
@@ -2180,6 +2191,8 @@ object SparkEntry {
     "graph_kcore" -> OracleFragments.graphKCore(k = 20, rounds = 12),
     "graph_ktruss" -> OracleFragments.graphKTruss(k = 6, rounds = 8),
     "graph_shortest_paths" -> OracleFragments.graphShortestPaths(maxHops = 4),
+    "graph_wsp" ->
+      OracleFragments.graphShortestPaths(maxHops = 4, directed = true),
     "text_pii_redact" -> OracleFragments.textPiiRedact,
     "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
     "sample_weighted" -> OracleFragments.sampleWeighted(k = 25),
@@ -4637,7 +4650,7 @@ object OracleFragments {
         SELECT e.vec_id, coalesce(a.role, 'noise') AS role, a.cluster
         FROM embeddings e LEFT JOIN assigned a ON e.vec_id = a.id"""
 
-  def graphShortestPaths(maxHops: Int): String = {
+  def graphShortestPaths(maxHops: Int, directed: Boolean = false): String = {
     val steps = (1 to maxHops).map { i =>
       s"""r$i AS (SELECT node, min(d) AS dist FROM (
                     SELECT node, dist AS d FROM r${i - 1}
@@ -4646,14 +4659,17 @@ object OracleFragments {
                     FROM adj a JOIN r${i - 1} r ON a.src = r.node)
                   GROUP BY 1)"""
     }.mkString(",\n")
+    val adj =
+      if (directed) "SELECT src, dst, w FROM e0"
+      else """SELECT src, dst, w FROM e0
+                  UNION ALL SELECT dst AS src, src AS dst, w FROM e0"""
     s"""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
                            count(*)::DOUBLE AS w
                     FROM lineitem a JOIN lineitem b
                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
                     WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
                     GROUP BY 1, 2),
-          adj AS (SELECT src, dst, w FROM e0
-                  UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+          adj AS ($adj),
           r0 AS (SELECT (SELECT min(src) FROM e0) AS node, 0.0::DOUBLE AS dist),
           $steps
         SELECT node, dist FROM r$maxHops"""

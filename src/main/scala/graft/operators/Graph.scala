@@ -1072,28 +1072,45 @@ object Graph {
    * default to 1.0 (hop counting); integer-valued weights keep the
    * distance sums bit-exact cross-engine (doubles below 2^53).
    * Unreached nodes are absent from the output.
+   *
+   * `directed = true` relaxes along edge direction only (parallel
+   * edges still sum their weights, matching the undirected
+   * canonicalization) — the one-way road network / DAG cost form of
+   * the same min-plus rounds.
    */
   def shortestPaths(
       edges: DataFrame,
       sources: DataFrame,
       maxHops: Int = 4,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      directed: Boolean = false): DataFrame = {
     import graft.ops.Scratch
     require(maxHops >= 1, "maxHops must be >= 1")
     val spark = edges.sparkSession
-    val e0 = weightCol match {
-      case None =>
+    val e0 = (weightCol, directed) match {
+      case (None, false) =>
         canonicalEdges(edges).withColumn("w", lit(1.0d))
-      case Some(wc) =>
+      case (None, true) =>
+        edges.filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          .withColumn("w", lit(1.0d))
+      case (Some(wc), false) =>
         edges.filter(col("src") =!= col("dst"))
           .groupBy(least(col("src"), col("dst")).as("src"),
             greatest(col("src"), col("dst")).as("dst"))
           .agg(sum(col(wc).cast("double")).as("w"))
           .filter(col("w") > 0.0d)
+      case (Some(wc), true) =>
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col(wc).cast("double")).as("w"))
+          .filter(col("w") > 0.0d)
     }
+    val adjBase = e0.select(col("src"), col("dst"), col("w"))
     val (adj, adjPath) = Scratch.materializeAt(
-      e0.select(col("src"), col("dst"), col("w"))
-        .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w"))),
+      if (directed) adjBase
+      else adjBase.union(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w"))),
       "sssp_adj")
     var dist = sources.select(col(sources.columns.head).as("node"))
       .distinct().withColumn("dist", lit(0.0d))

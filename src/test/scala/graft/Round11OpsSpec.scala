@@ -27,4 +27,25 @@ class Round11OpsSpec extends SparkTestBase {
     // quality mass is the 6-dp per-doc score summed exactly
     assert(b.getDouble(5) == b.getDouble(6)) // one doc: sum == mean
   }
+
+  test("shortestPaths directed: one-way relaxation, parallel edges sum") {
+    import graft.operators.Graph
+    // 1 →(2.0) 2 →(3.0) 3, plus a cheap BACKWARD edge 3→1 the forward
+    // run must ignore; parallel 1→2 edges sum (2.0 + 1.0 = 3.0)
+    val e = Seq((1L, 2L, 2.0), (1L, 2L, 1.0), (2L, 3L, 3.0), (3L, 1L, 0.5))
+      .toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node")
+    val d = Graph.shortestPaths(e, src, maxHops = 4, weightCol = Some("w"),
+      directed = true).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(1L -> 0.0, 2L -> 3.0, 3L -> 6.0))
+    // from node 3, only the backward edge leads anywhere
+    val d3 = Graph.shortestPaths(e, Seq(3L).toDF("node"), maxHops = 4,
+      weightCol = Some("w"), directed = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d3 == Map(3L -> 0.0, 1L -> 0.5, 2L -> 3.5))
+    // the undirected run reaches 3 more cheaply via the back edge
+    val du = Graph.shortestPaths(e, src, maxHops = 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(du(3L) == 0.5)
+  }
 }
