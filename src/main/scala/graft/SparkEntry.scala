@@ -1327,6 +1327,14 @@ object SparkEntry {
       // scratch-state rounds — returns the merges.txt table
       graft.operators.TextAnalysis.bpeMerges(t(s, dir, "documents"),
         rounds = 6)),
+    "vocab_unigram_lm" -> ((s, dir) =>
+      // SentencePiece-style unigram-LM tokenizer training: EM over all
+      // segmentations (forward-backward expectations, no Viterbi path),
+      // prune-to-keepMulti rounds — the other tokenizer real pipelines
+      // train beside BPE
+      graft.operators.TextAnalysis.unigramLmVocab(t(s, dir, "documents"),
+        seedMulti = 60, keepMulti = 40, emRounds = 2,
+        maxPieceLen = 3, maxWordLen = 12)),
     "text_bpe_encode" -> ((s, dir) =>
       // token-budget arithmetic with the LEARNED tokenizer: per-doc ws
       // vs BPE symbol counts off the vocabulary-sized final state table
@@ -2328,6 +2336,9 @@ object SparkEntry {
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
     "mm_phash_pairs" -> OracleFragments.mmPhashPairs(bits = 32, maxHamming = 3),
     "vocab_bpe_merges" -> OracleFragments.vocabBpeMerges(rounds = 6),
+    "vocab_unigram_lm" -> OracleFragments.vocabUnigramLm(
+      seedMulti = 60, keepMulti = 40, emRounds = 2,
+      maxPieceLen = 3, maxWordLen = 12),
     "text_bpe_encode" -> OracleFragments.vocabBpeEncode(rounds = 6),
     "basket_rules" ->
       """WITH li AS (
@@ -5246,6 +5257,101 @@ object OracleFragments {
         SELECT d.doc_id, d.source, round(t.rate, 6) AS rate
         FROM d JOIN t USING (source)
         WHERE ('0x' || substr(md5('ney:' || d.doc_id::VARCHAR), 1, 8))::BIGINT < t.thr"""
+  }
+
+  /** Unigram-LM tokenizer learning (TextAnalysis.unigramLmVocab):
+    * the same word table, substring-occurrence explode, seed top-k,
+    * and unrolled EM rounds — forward/backward DPs as list_reduce
+    * folds (identical fixed evaluation order ⇒ bit-identical IEEE
+    * chains), 12-dp expectation terms summed as DECIMAL(38,12), the
+    * 1e-12 prob floor, and exact-decimal prune ranking. */
+  def vocabUnigramLm(
+      seedMulti: Int, keepMulti: Int, emRounds: Int,
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val L = maxPieceLen
+    def alphaTerms: String = (1 to L).map { k =>
+      s"""CASE WHEN x[1]::INT >= $k
+            THEN acc[x[1]::INT - $k + 1]
+              * coalesce(map_extract(pm.pm,
+                  substr(w.word, x[1]::INT - $k + 1, $k))[1], 0.0)
+            ELSE 0.0 END"""
+    }.mkString(" + ")
+    def brevTerms: String = (1 to L).map { k =>
+      s"""CASE WHEN x[1]::INT + $k <= w.n
+            THEN coalesce(map_extract(pm.pm,
+                   substr(w.word, x[1]::INT + 1, $k))[1], 0.0)
+              * acc[w.n - x[1]::INT - $k + 1]
+            ELSE 0.0 END"""
+    }.mkString(" + ")
+    val rounds = (1 to emRounds).map { r =>
+      s"""pm$r AS (SELECT o.word,
+                map_from_entries(list({'k': o.piece, 'v': v.p})) AS pm
+              FROM (SELECT DISTINCT word, piece FROM occ) o
+              JOIN v${r - 1} v ON v.piece = o.piece GROUP BY o.word),
+        st$r AS MATERIALIZED (
+          SELECT w.word, w.cnt, w.n, pm.pm,
+                 list_reduce(list_prepend([1.0],
+                     list_transform(generate_series(1, w.n),
+                       i -> [i::DOUBLE])),
+                   (acc, x) -> list_append(acc, $alphaTerms)) AS alpha,
+                 list_reduce(list_prepend([1.0],
+                     list_transform(generate_series(w.n - 1, 0, -1),
+                       i -> [i::DOUBLE])),
+                   (acc, x) -> list_append(acc, $brevTerms)) AS brev
+          FROM w JOIN pm$r pm ON pm.word = w.word),
+        tm$r AS (SELECT o.piece,
+                round(st.cnt::DOUBLE * st.alpha[o.s]
+                  * coalesce(map_extract(st.pm, o.piece)[1], 0.0)
+                  * st.brev[st.n - o.s - o.k + 2]
+                  / st.alpha[st.n + 1], 12) AS term
+              FROM occ o JOIN st$r st ON st.word = o.word
+              WHERE coalesce(map_extract(st.pm, o.piece)[1], 0.0) > 0.0),
+        ec$r AS MATERIALIZED (SELECT piece, sum(term::DECIMAL(38,12)) AS ec
+                              FROM tm$r GROUP BY 1),
+        sc$r AS (SELECT piece, ec,
+                greatest(round(ec::DOUBLE
+                  / (SELECT sum(ec) FROM ec$r)::DOUBLE, 12), 1e-12) AS p
+              FROM ec$r),
+        v$r AS MATERIALIZED (
+          SELECT piece, p, ec FROM sc$r WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, p, ec FROM (
+            SELECT piece, p, ec,
+                   row_number() OVER (ORDER BY ec DESC, piece ASC) AS rn
+            FROM sc$r WHERE length(piece) > 1) WHERE rn <= $keepMulti)"""
+    }.mkString(",\n")
+    s"""WITH w AS MATERIALIZED (
+          SELECT word, count(*)::BIGINT AS cnt, length(word)::INT AS n
+          FROM (SELECT unnest($toks) AS word FROM documents)
+          WHERE length(word) >= 1 AND length(word) <= $maxWordLen
+          GROUP BY 1),
+        occ AS MATERIALIZED (
+          SELECT word, cnt, n, o.s AS s, o.k AS k,
+                 substr(word, o.s, o.k) AS piece
+          FROM (SELECT word, cnt, n,
+                       unnest(flatten(list_transform(generate_series(1, n),
+                         j -> list_transform(
+                           generate_series(1, least($L, n - j + 1)),
+                           k -> {'s': j, 'k': k})))) AS o
+                FROM w)),
+        s0 AS (SELECT piece, sum(cnt)::BIGINT AS c0 FROM occ GROUP BY 1),
+        sd AS (SELECT piece, c0 FROM s0 WHERE length(piece) = 1
+               UNION ALL
+               SELECT piece, c0 FROM (
+                 SELECT piece, c0,
+                        row_number() OVER (ORDER BY c0 DESC, piece ASC) AS rn
+                 FROM s0 WHERE length(piece) > 1) WHERE rn <= $seedMulti),
+        v0 AS MATERIALIZED (
+          SELECT piece,
+                 greatest(round(c0::DOUBLE
+                   / (SELECT sum(c0)::BIGINT FROM sd)::DOUBLE, 12), 1e-12)
+                   AS p,
+                 NULL::DECIMAL(38,12) AS ec
+          FROM sd),
+        $rounds
+        SELECT piece, length(piece)::INT AS piece_len, p AS prob,
+               round(ec::DOUBLE, 6) AS expected_count
+        FROM v$emRounds"""
   }
 
   /** BPE merge-rule learning (TextAnalysis.bpeMerges): same word table,

@@ -848,4 +848,149 @@ object TextAnalysis {
       .select(col("node").as("token"), round(col("rank"), 6).as("rank"))
       .limit(k)
   }
+
+  /**
+   * Unigram-LM (SentencePiece-style) tokenizer vocabulary learning
+   * (Kudo 2018, "Subword Regularization") — the second of the two
+   * tokenizers real pipelines train, next to [[bpeMerges]]: seed a
+   * candidate vocabulary with corpus substrings, then run EM rounds
+   * where the E-step computes each piece's EXPECTED count over ALL
+   * segmentations of every word (forward-backward, not Viterbi — no
+   * argmax path ever materializes) and the M-step renormalizes, with
+   * the vocabulary pruned to the `keepMulti` highest-expectation
+   * multi-char pieces after each round (single chars are never pruned,
+   * so every word stays segmentable).
+   *
+   * Determinism discipline: the α/β dynamic programs are per-row
+   * `aggregate` folds over word positions — FIXED evaluation order, so
+   * both engines chain the identical IEEE multiply/adds bit-for-bit;
+   * probabilities are 12-dp-rounded ratios of exact aggregates with a
+   * 1e-12 floor (a piece can never round to an unsegmentable 0);
+   * per-occurrence expectations are 12-dp terms summed as
+   * DECIMAL(38,12) (summation-order-exact), and pruning compares those
+   * exact decimals with a piece-id tie-break. Words longer than
+   * `maxWordLen` are excluded from training (the standard rare-long-
+   * word trimming; bounds the DP arrays).
+   *
+   * Scale shape per EM round: one (word-substring × vocab) equi-join
+   * collapsed to a per-word piece→prob MAP (word-length×L entries —
+   * bounded), the DP as pure map-side lambdas, one occurrence explode
+   * (≤ n·L rows per word) into a piece-keyed aggregate, one 1-row
+   * total, one vocab-sized top-k. The corpus is scanned ONCE into the
+   * word table; rounds cost vocabulary+word-table size, never corpus
+   * size (the [[bpeMerges]] property).
+   */
+  def unigramLmVocab(
+      docs: DataFrame,
+      seedMulti: Int = 150,
+      keepMulti: Int = 100,
+      emRounds: Int = 2,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12,
+      textCol: String = "text"): DataFrame = {
+    import graft.ops.Scratch
+    require(emRounds >= 1, "emRounds must be >= 1")
+    require(seedMulti >= keepMulti && keepMulti >= 1,
+      "need seedMulti >= keepMulti >= 1")
+    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
+      "need maxWordLen >= maxPieceLen >= 2")
+    val spark = docs.sparkSession
+    val L = maxPieceLen
+    val (words, wordsPath) = Scratch.materializeAt(
+      Par.fanOut(docs.select(col(textCol)))
+        .select(explode(tokens(col(textCol))).as("word"))
+        .filter(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("n", length(col("word")).cast("int")),
+      "ulm_words")
+    // every (start, len) substring occurrence, one explode
+    def withOcc(df: DataFrame): DataFrame = df.select(df.columns.map(col) :+
+      explode(flatten(transform(
+        sequence(lit(1), col("n")),
+        j => transform(sequence(lit(1), least(lit(L), col("n") - j + 1)),
+          k => struct(j.as("s"), k.as("k")))))).as("o"): _*)
+    val occ = withOcc(words)
+      .select(col("word"), col("cnt"), col("n"), col("o.s").as("s"),
+        col("o.k").as("k"),
+        col("word").substr(col("o.s"), col("o.k")).as("piece"))
+    // integer-exact occurrence-weighted seed counts
+    val seedCounts = occ.groupBy(col("piece")).agg(sum(col("cnt")).as("c0"))
+    val seed = seedCounts.filter(length(col("piece")) === 1)
+      .unionByName(seedCounts.filter(length(col("piece")) > 1)
+        .orderBy(col("c0").desc, col("piece").asc).limit(seedMulti))
+    var (vocab, vocabPath) = Scratch.materializeAt(
+      seed.crossJoin(broadcast(seed.agg(sum(col("c0")).as("tot"))))
+        .select(col("piece"),
+          greatest(
+            round(col("c0").cast("double") / col("tot").cast("double"), 12),
+            lit(1e-12d)).as("p"),
+          lit(null).cast("decimal(38,12)").as("ec")),
+      "ulm_vocab")
+    for (_ <- 1 to emRounds) {
+      // per-word piece→prob map (word-length×L entries, bounded)
+      val pm = occ.select(col("word"), col("piece")).distinct()
+        .join(vocab.select(col("piece"), col("p")), Seq("piece"))
+        .groupBy(col("word"))
+        .agg(map_from_entries(collect_list(struct(col("piece"), col("p"))))
+          .as("pm"))
+      def pOf(pc: Column) =
+        coalesce(try_element_at(col("pm"), pc), lit(0.0d))
+      // α[i] = P(prefix of length i); array element m holds α[m−1]
+      val alpha = aggregate(
+        sequence(lit(1), col("n")),
+        array(lit(1.0d)),
+        (acc, i) => concat(acc, array(
+          (1 to L).map(k =>
+            when(i >= k,
+              element_at(acc, (i - k + 1).cast("int")) *
+                pOf(col("word").substr(i - k + 1, lit(k))))
+              .otherwise(lit(0.0d))).reduce(_ + _))))
+      // β[i] = P(suffix from i), folded n−1 → 0; element m holds β[n−m+1]
+      val brev = aggregate(
+        sequence(col("n") - 1, lit(0), lit(-1)),
+        array(lit(1.0d)),
+        (acc, i) => concat(acc, array(
+          (1 to L).map(k =>
+            when(i + lit(k) <= col("n"),
+              pOf(col("word").substr(i + 1, lit(k))) *
+                element_at(acc, (col("n") - i - k + 1).cast("int")))
+              .otherwise(lit(0.0d))).reduce(_ + _))))
+      val st = words.join(pm, Seq("word"))
+        .select(col("word"), col("cnt"), col("n"), col("pm"),
+          alpha.as("alpha"), brev.as("brev"))
+      val terms = withOcc(st)
+        .select(col("cnt"), col("n"), col("pm"), col("alpha"), col("brev"),
+          col("o.s").as("s"), col("o.k").as("k"),
+          col("word").substr(col("o.s"), col("o.k")).as("piece"))
+        .select(col("piece"),
+          pOf(col("piece")).as("p"),
+          round(col("cnt").cast("double") *
+            element_at(col("alpha"), col("s").cast("int")) *
+            pOf(col("piece")) *
+            element_at(col("brev"),
+              (col("n") - col("s") - col("k") + 2).cast("int")) /
+            element_at(col("alpha"), (col("n") + 1).cast("int")), 12)
+            .as("term"))
+        .filter(col("p") > 0.0d)
+      val ec = terms.groupBy(col("piece"))
+        .agg(sum(col("term").cast("decimal(38,12)")).as("ec"))
+      val scored = ec
+        .crossJoin(broadcast(ec.agg(sum(col("ec")).as("tot"))))
+        .select(col("piece"), col("ec"),
+          greatest(
+            round(col("ec").cast("double") / col("tot").cast("double"), 12),
+            lit(1e-12d)).as("p"))
+      val kept = scored.filter(length(col("piece")) === 1)
+        .unionByName(scored.filter(length(col("piece")) > 1)
+          .orderBy(col("ec").desc, col("piece").asc).limit(keepMulti))
+      val (next, nextPath) = Scratch.materializeAt(
+        kept.select(col("piece"), col("p"), col("ec")), "ulm_vocab")
+      Scratch.drop(spark, vocabPath)
+      vocab = next
+      vocabPath = nextPath
+    }
+    Scratch.drop(spark, wordsPath)
+    vocab.select(col("piece"), length(col("piece")).cast("int").as("piece_len"),
+      col("p").as("prob"), round(col("ec").cast("double"), 6).as("expected_count"))
+  }
 }

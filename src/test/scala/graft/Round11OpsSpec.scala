@@ -28,6 +28,31 @@ class Round11OpsSpec extends SparkTestBase {
     assert(b.getDouble(5) == b.getDouble(6)) // one doc: sum == mean
   }
 
+  test("unigramLmVocab: expectations conserve char mass, chars kept, prune bound") {
+    import graft.operators.TextAnalysis
+    val docs = (0L until 50L).map(i => (i, "abab abc cab")).toDF("doc_id", "text")
+    val v = TextAnalysis.unigramLmVocab(docs, seedMulti = 20, keepMulti = 5,
+      emRounds = 2, maxPieceLen = 3, maxWordLen = 12)
+    val rows = v.collect().map(r =>
+      r.getString(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    // every single char survives pruning, with a positive prob
+    assert(Set("a", "b", "c").subsetOf(rows.keySet))
+    assert(rows.values.forall(_._2 >= 1e-12))
+    // multi-char pieces pruned to keepMulti
+    assert(rows.count(_._1.length > 1) <= 5)
+    // forward-backward consistency: expected counts weighted by piece
+    // length recover the corpus char mass (50 × (4 + 3 + 3) = 500)
+    val mass = rows.map { case (p, (len, _, ec)) => len * ec }.sum
+    assert(math.abs(mass - 500.0) < 1e-3, s"char mass $mass")
+    // the dominant bigram "ab" (appears in abab ×2 and abc) outweighs "ca"
+    assert(rows.contains("ab"))
+    assert(!rows.contains("zz"))
+    // deterministic across runs
+    val v2 = TextAnalysis.unigramLmVocab(docs, seedMulti = 20, keepMulti = 5,
+      emRounds = 2, maxPieceLen = 3, maxWordLen = 12)
+    assert(v2.collect().toSet == v.collect().toSet)
+  }
+
   test("shortestPaths directed: one-way relaxation, parallel edges sum") {
     import graft.operators.Graph
     // 1 →(2.0) 2 →(3.0) 3, plus a cheap BACKWARD edge 3→1 the forward
