@@ -4497,8 +4497,11 @@ object OracleFragments {
               AND dst NOT IN (SELECT src FROM w$i UNION
                               SELECT dst FROM w$i))"""
     }.mkString(",\n")
-    val union = (0 until rounds)
-      .map(i => s"SELECT src, dst, round FROM w$i")
+    val union = ((0 until rounds)
+      .map(i => s"SELECT src, dst, round FROM w$i") :+
+      // the round-bound residual rides with a null round (non-maximality
+      // is in-band, never silent); empty when the peel converged
+      s"SELECT src, dst, NULL::BIGINT AS round FROM e$rounds")
       .mkString("\nUNION ALL ")
     s"""WITH e0 AS MATERIALIZED ($coPurchase),
           $steps

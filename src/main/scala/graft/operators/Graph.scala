@@ -903,13 +903,13 @@ object Graph {
     * the loop CONVERGES (no edges remain). An adversarial id ordering
     * (e.g. a path numbered so each round peels one edge) needs O(n)
     * rounds, so exiting via `maxRounds` with edges remaining would
-    * silently return a non-maximal matching — instead the residual
-    * edge count is OBSERVED on each round's peel write and the
-    * operator fails fast naming it, the [[topoLayers]]/[[
-    * greedyColoring]] unresolved-surface discipline (those return the
-    * residual as null rows; a matching has no row to hang a null on).
-    * Escape route: raise `maxRounds` (rounds are O(log n) expected on
-    * non-adversarial orderings). */
+    * silently look maximal — instead the residual edge count is
+    * OBSERVED on each round's peel write and the still-pairable
+    * residual edges are RETURNED with `round = NULL` (the
+    * [[topoLayers]]/[[greedyColoring]] unresolved-surface discipline:
+    * non-maximality is visible in-band, matched rows filter
+    * `round IS NOT NULL`). Escape route: raise `maxRounds` (rounds
+    * are O(log n) expected on non-adversarial orderings). */
   def maximalMatching(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
@@ -954,13 +954,14 @@ object Graph {
         round += 1
       }
     }
-    if (!done && residual > 0L)
-      throw new IllegalStateException(
-        s"maximalMatching: $residual edges remain after maxRounds=$maxRounds "
-          + "rounds - the result would NOT be maximal; raise maxRounds "
-          + "(adversarial id orderings need O(n) rounds)")
-    matched.reduceOption(_.unionByName(_)).getOrElse(
+    val matchedAll = matched.reduceOption(_.unionByName(_)).getOrElse(
       e.select(col("src"), col("dst"), lit(0L).as("round")).filter(lit(false)))
+    if (!done && residual > 0L)
+      // bound exhausted with edges remaining: the residual rides along
+      // with a null round so non-maximality is never silent
+      matchedAll.unionByName(
+        e.select(col("src"), col("dst"), lit(null).cast("long").as("round")))
+    else matchedAll
   }
 
   /** Per-edge triangle support over a scratch-backed canonical edge

@@ -53,6 +53,24 @@ class Round11OpsSpec extends SparkTestBase {
     assert(v2.collect().toSet == v.collect().toSet)
   }
 
+  test("maximalMatching: round-bound residual surfaces as null-round rows") {
+    import graft.operators.Graph
+    // path 1..6: round 1 matches only (1,2) (the global minimum chains);
+    // with maxRounds = 1 the remaining pairable edges must ride along
+    // with round = NULL instead of silently vanishing
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val m = Graph.maximalMatching(e, maxRounds = 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(m((1L, 2L)) == Some(0L))
+    assert(Set((3L, 4L), (4L, 5L), (5L, 6L)).forall(p => m(p).isEmpty))
+    assert(m.size == 4)
+    // enough rounds: converged, no null rows
+    val full = Graph.maximalMatching(e, maxRounds = 8).collect()
+    assert(full.forall(!_.isNullAt(2)))
+  }
+
   test("shortestPaths directed: one-way relaxation, parallel edges sum") {
     import graft.operators.Graph
     // 1 →(2.0) 2 →(3.0) 3, plus a cheap BACKWARD edge 3→1 the forward
