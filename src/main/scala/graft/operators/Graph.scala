@@ -750,33 +750,73 @@ object Graph {
     val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var done = false
+    // zero-in-degree among the remaining graph: no surviving edge
+    // points AT the node (distinct dst anti-join — no degree count
+    // needed, presence is enough; the anti join needs no distinct
+    // right side — one shuffle saved)
+    def wave(rem: DataFrame, edg: DataFrame, r: Int): DataFrame =
+      rem.join(edg.select(col("dst").as("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("layer"))
     while (!done && round < maxRounds) {
-      // zero-in-degree among the remaining graph: no surviving edge
-      // points AT the node (distinct dst anti-join — no degree count
-      // needed, presence is enough)
-      // anti join needs no distinct right side (one shuffle saved)
-      val (src, sm, srcPath) = Scratch.materializeObservedAt(
-        remaining.join(e.select(col("dst").as("node")),
+      // TWO peel waves composed lazily per materialization set: wave 2
+      // runs on wave 1's lazy residue, so each loop iteration costs 3
+      // write jobs for 2 rounds instead of 6 (the stage-scheduling
+      // constant is what dominates these node-sized frames; identical
+      // layer assignment — batching is physical only). The convergence
+      // witness observes BOTH waves' counts on the one layer write.
+      val batched = round + 1 < maxRounds
+      if (batched) {
+        val src1 = wave(remaining, e, round)
+        val e1 = e.join(src1.select(col("node").as("src")),
+          Seq("src"), "left_anti")
+        val r1 = remaining.join(src1.select(col("node")),
           Seq("node"), "left_anti")
-          .select(col("node"), lit(round.toLong).as("layer")),
-        "topo_layer", count(lit(1)).as("n"))
-      val nNew = sm("n").asInstanceOf[Long]
-      if (nNew == 0L) {
-        Scratch.drop(spark, srcPath)
-        done = true // only cycles (or nothing) left
+        val src2 = wave(r1, e1, round + 1)
+        val (src, sm, srcPath) = Scratch.materializeObservedAt(
+          src1.unionByName(src2), "topo_layer",
+          count(when(col("layer") === round.toLong, 1)).as("n1"),
+          count(when(col("layer") === (round + 1).toLong, 1)).as("n2"))
+        val n1 = sm("n1").asInstanceOf[Long]
+        val n2 = sm("n2").asInstanceOf[Long]
+        if (n1 == 0L) {
+          Scratch.drop(spark, srcPath)
+          done = true // only cycles (or nothing) left
+        } else {
+          layers += src
+          val (e2, e2Path) = Scratch.materializeAt(
+            e.join(src.select(col("node").as("src")), Seq("src"), "left_anti"),
+            "topo_edges")
+          Scratch.drop(spark, ePath)
+          e = e2; ePath = e2Path
+          val (r2, r2Path) = Scratch.materializeAt(
+            remaining.join(src.select(col("node")), Seq("node"), "left_anti"),
+            "topo_nodes")
+          if (remainingPath != nodesPath) Scratch.drop(spark, remainingPath)
+          remaining = r2; remainingPath = r2Path
+          done = n2 == 0L // wave 2 empty ⇒ fixpoint (cycles only left)
+          round += 2
+        }
       } else {
-        layers += src
-        val (e2, e2Path) = Scratch.materializeAt(
-          e.join(src.select(col("node").as("src")), Seq("src"), "left_anti"),
-          "topo_edges")
-        Scratch.drop(spark, ePath)
-        e = e2; ePath = e2Path
-        val (r2, r2Path) = Scratch.materializeAt(
-          remaining.join(src.select(col("node")), Seq("node"), "left_anti"),
-          "topo_nodes")
-        if (remainingPath != nodesPath) Scratch.drop(spark, remainingPath)
-        remaining = r2; remainingPath = r2Path
-        round += 1
+        val (src, sm, srcPath) = Scratch.materializeObservedAt(
+          wave(remaining, e, round), "topo_layer", count(lit(1)).as("n"))
+        val nNew = sm("n").asInstanceOf[Long]
+        if (nNew == 0L) {
+          Scratch.drop(spark, srcPath)
+          done = true
+        } else {
+          layers += src
+          val (e2, e2Path) = Scratch.materializeAt(
+            e.join(src.select(col("node").as("src")), Seq("src"), "left_anti"),
+            "topo_edges")
+          Scratch.drop(spark, ePath)
+          e = e2; ePath = e2Path
+          val (r2, r2Path) = Scratch.materializeAt(
+            remaining.join(src.select(col("node")), Seq("node"), "left_anti"),
+            "topo_nodes")
+          if (remainingPath != nodesPath) Scratch.drop(spark, remainingPath)
+          remaining = r2; remainingPath = r2Path
+          round += 1
+        }
       }
     }
     val unresolved = remaining.select(col("node"),
@@ -829,24 +869,52 @@ object Graph {
         (acc, x) => when(x === acc, acc + 1L).otherwise(acc))
     var round = 0
     var done = false
+    // one coloring wave: local minima of the remaining graph take the
+    // mex of their already-colored neighborhoods. Canonical src<dst
+    // orientation means the smaller endpoint is always src, so exactly
+    // the dst side must wait; the anti join needs no distinct on its
+    // right side — skipping it saves a shuffle per wave.
+    def waveC(rem: DataFrame, edg: DataFrame, cold: DataFrame): DataFrame = {
+      val win = rem.join(
+        edg.select(col("dst").as("node")), Seq("node"), "left_anti")
+      win.join(
+        adj.join(win, Seq("node"), "left_semi")
+          .join(cold.withColumnRenamed("node", "nbr"), Seq("nbr"))
+          .groupBy(col("node"))
+          .agg(mex(collect_set(col("color"))).as("c")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("c"), lit(0L)).as("color"))
+    }
     while (!done && round < maxRounds) {
-      // local minima: canonical src<dst orientation means the smaller
-      // endpoint is always src, so exactly the dst side must wait
-      // anti join needs no distinct on its right side — skipping it
-      // saves a shuffle per round
-      val win = remaining.join(
-        e.select(col("dst").as("node")), Seq("node"), "left_anti")
-      val (winC, wm, winPath) = Scratch.materializeObservedAt(
-        win.join(
-          adj.join(win, Seq("node"), "left_semi")
-            .join(colored.withColumnRenamed("node", "nbr"), Seq("nbr"))
-            .groupBy(col("node"))
-            .agg(mex(collect_set(col("color"))).as("c")),
-          Seq("node"), "left")
-          .select(col("node"), coalesce(col("c"), lit(0L)).as("color")),
-        "color_round", count(lit(1)).as("n"))
-      val nNew = wm("n").asInstanceOf[Long]
-      if (nNew == 0L) {
+      // TWO waves composed lazily per materialization set (the
+      // topoLayers batching: wave 2 colors against wave 1's lazy
+      // residue and assignments — identical colors, half the write
+      // jobs; wave 1's subplan re-evaluates inside wave 2, the
+      // documented compute-for-scheduling trade). A `wv` marker column
+      // carries the per-wave convergence counts through the one write.
+      val batched = round + 1 < maxRounds
+      val (winC, n1, n2, winPath) = if (batched) {
+        val w1 = waveC(remaining, e, colored)
+        val e1 = e
+          .join(w1.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(w1.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+        val r1 = remaining.join(w1.select(col("node")), Seq("node"), "left_anti")
+        val w2 = waveC(r1, e1, colored.unionByName(w1))
+        val (both, wm, p) = Scratch.materializeObservedAt(
+          w1.withColumn("wv", lit(0)).unionByName(w2.withColumn("wv", lit(1))),
+          "color_round",
+          count(when(col("wv") === 0, 1)).as("n1"),
+          count(when(col("wv") === 1, 1)).as("n2"))
+        (both.select(col("node"), col("color")),
+          wm("n1").asInstanceOf[Long], wm("n2").asInstanceOf[Long], p)
+      } else {
+        val (w, wm, p) = Scratch.materializeObservedAt(
+          waveC(remaining, e, colored), "color_round",
+          count(lit(1)).as("n"))
+        (w, wm("n").asInstanceOf[Long], -1L, p)
+      }
+      if (n1 == 0L) {
         Scratch.drop(spark, winPath)
         done = true
       } else {
@@ -868,7 +936,10 @@ object Graph {
         remaining = r2; remainingPath = r2Path
         // winC fully consumed by the three writes above — retire now
         Scratch.drop(spark, winPath)
-        round += 1
+        if (batched) {
+          done = n2 == 0L // wave 2 idle ⇒ fixpoint
+          round += 2
+        } else round += 1
       }
     }
     // adjacency and the residual edge table fed their last round's
@@ -920,38 +991,61 @@ object Graph {
     var round = 0
     var done = false
     var residual = -1L // unknown until the first peel write observes it
-    while (!done && round < maxRounds) {
-      // per node: its minimum incident edge under (src, dst) order
-      val inc = e.select(col("src").as("node"), col("src"), col("dst"))
-        .union(e.select(col("dst").as("node"), col("src"), col("dst")))
+    // one matching wave over an edge set: every edge that is the
+    // minimum incident edge of BOTH its endpoints matches
+    def waveM(edg: DataFrame, r: Int): DataFrame = {
+      val inc = edg.select(col("src").as("node"), col("src"), col("dst"))
+        .union(edg.select(col("dst").as("node"), col("src"), col("dst")))
       val minE = inc.groupBy(col("node"))
         .agg(min(struct(col("src"), col("dst"))).as("me"))
       val byS = minE.select(col("node").as("src"), col("me").as("mes"))
       val byD = minE.select(col("node").as("dst"), col("me").as("med"))
-      val (win, wm, winPath) = Scratch.materializeObservedAt(
-        e.join(byS, Seq("src")).join(byD, Seq("dst"))
-          .filter(col("mes") === struct(col("src"), col("dst")) &&
-            col("med") === struct(col("src"), col("dst")))
-          .select(col("src"), col("dst"), lit(round.toLong).as("round")),
-        "match_round", count(lit(1)).as("n"))
-      val nNew = wm("n").asInstanceOf[Long]
-      if (nNew == 0L) {
+      edg.join(byS, Seq("src")).join(byD, Seq("dst"))
+        .filter(col("mes") === struct(col("src"), col("dst")) &&
+          col("med") === struct(col("src"), col("dst")))
+        .select(col("src"), col("dst"), lit(r.toLong).as("round"))
+    }
+    def peel(edg: DataFrame, w: DataFrame): DataFrame = {
+      val mnodes = w.select(col("src").as("node"))
+        .union(w.select(col("dst").as("node")))
+      edg.join(mnodes.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(mnodes.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+    }
+    while (!done && round < maxRounds) {
+      // TWO waves per materialization set (the topoLayers batching:
+      // wave 2 matches wave 1's lazy residue — identical matching,
+      // half the write jobs; the round column carries both waves'
+      // convergence counts through the one write)
+      val batched = round + 1 < maxRounds
+      val (win, n1, n2, winPath) = if (batched) {
+        val w1 = waveM(e, round)
+        val w2 = waveM(peel(e, w1), round + 1)
+        val (both, wm, p) = Scratch.materializeObservedAt(
+          w1.unionByName(w2), "match_round",
+          count(when(col("round") === round.toLong, 1)).as("n1"),
+          count(when(col("round") === (round + 1).toLong, 1)).as("n2"))
+        (both, wm("n1").asInstanceOf[Long], wm("n2").asInstanceOf[Long], p)
+      } else {
+        val (w, wm, p) = Scratch.materializeObservedAt(
+          waveM(e, round), "match_round", count(lit(1)).as("n"))
+        (w, wm("n").asInstanceOf[Long], -1L, p)
+      }
+      if (n1 == 0L) {
         Scratch.drop(spark, winPath)
+        // a nonempty edge set always has a both-ends-minimal edge, so
+        // an idle wave 1 means no edges remained
+        residual = 0L
         done = true
       } else {
         matched += win
-        val mnodes = win.select(col("src").as("node"))
-          .union(win.select(col("dst").as("node")))
         val (e2, em, e2Path) = Scratch.materializeObservedAt(
-          e.join(mnodes.select(col("node").as("src")), Seq("src"), "left_anti")
-            .join(mnodes.select(col("node").as("dst")), Seq("dst"), "left_anti")
-            .select(col("src"), col("dst")),
-          "match_edges", count(lit(1)).as("n"))
+          peel(e, win), "match_edges", count(lit(1)).as("n"))
         Scratch.drop(spark, ePath)
         e = e2; ePath = e2Path
         residual = em("n").asInstanceOf[Long]
-        if (residual == 0L) done = true
-        round += 1
+        if (residual == 0L || (batched && n2 == 0L)) done = true
+        round += (if (batched) 2 else 1)
       }
     }
     val matchedAll = matched.reduceOption(_.unionByName(_)).getOrElse(
