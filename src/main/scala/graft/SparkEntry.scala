@@ -1335,6 +1335,17 @@ object SparkEntry {
       graft.operators.TextAnalysis.unigramLmVocab(t(s, dir, "documents"),
         seedMulti = 60, keepMulti = 40, emRounds = 2,
         maxPieceLen = 3, maxWordLen = 12)),
+    "text_unigram_encode" -> ((s, dir) => {
+      // encode the corpus with the learned unigram vocab: per-doc ws vs
+      // Viterbi-segmentation piece counts — the real-tokenizer budget
+      // arithmetic (bpeEncodeCounts companion)
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.unigramEncodeCounts(docs,
+        graft.operators.TextAnalysis.unigramLmVocab(docs,
+          seedMulti = 60, keepMulti = 40, emRounds = 2,
+          maxPieceLen = 3, maxWordLen = 12),
+        maxPieceLen = 3)
+    }),
     "text_bpe_encode" -> ((s, dir) =>
       // token-budget arithmetic with the LEARNED tokenizer: per-doc ws
       // vs BPE symbol counts off the vocabulary-sized final state table
@@ -2337,6 +2348,9 @@ object SparkEntry {
     "mm_phash_pairs" -> OracleFragments.mmPhashPairs(bits = 32, maxHamming = 3),
     "vocab_bpe_merges" -> OracleFragments.vocabBpeMerges(rounds = 6),
     "vocab_unigram_lm" -> OracleFragments.vocabUnigramLm(
+      seedMulti = 60, keepMulti = 40, emRounds = 2,
+      maxPieceLen = 3, maxWordLen = 12),
+    "text_unigram_encode" -> OracleFragments.textUnigramEncode(
       seedMulti = 60, keepMulti = 40, emRounds = 2,
       maxPieceLen = 3, maxWordLen = 12),
     "text_bpe_encode" -> OracleFragments.vocabBpeEncode(rounds = 6),
@@ -5270,6 +5284,17 @@ object OracleFragments {
     * 1e-12 prob floor, and exact-decimal prune ranking. */
   def vocabUnigramLm(
       seedMulti: Int, keepMulti: Int, emRounds: Int,
+      maxPieceLen: Int, maxWordLen: Int): String =
+    s"""WITH ${unigramLmCtes(seedMulti, keepMulti, emRounds, maxPieceLen,
+        maxWordLen)}
+        SELECT piece, length(piece)::INT AS piece_len, p AS prob,
+               round(ec::DOUBLE, 6) AS expected_count
+        FROM v$emRounds"""
+
+  /** The [[vocabUnigramLm]] WITH-body (word table → seed → EM rounds →
+    * final vocab CTE `v<emRounds>`), shared with the encode mirror. */
+  private def unigramLmCtes(
+      seedMulti: Int, keepMulti: Int, emRounds: Int,
       maxPieceLen: Int, maxWordLen: Int): String = {
     val L = maxPieceLen
     def alphaTerms: String = (1 to L).map { k =>
@@ -5323,7 +5348,7 @@ object OracleFragments {
                    row_number() OVER (ORDER BY ec DESC, piece ASC) AS rn
             FROM sc$r WHERE length(piece) > 1) WHERE rn <= $keepMulti)"""
     }.mkString(",\n")
-    s"""WITH w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
           SELECT word, count(*)::BIGINT AS cnt, length(word)::INT AS n
           FROM (SELECT unnest($toks) AS word FROM documents)
           WHERE length(word) >= 1 AND length(word) <= $maxWordLen
@@ -5351,10 +5376,64 @@ object OracleFragments {
                    AS p,
                  NULL::DECIMAL(38,12) AS ec
           FROM sd),
-        $rounds
-        SELECT piece, length(piece)::INT AS piece_len, p AS prob,
-               round(ec::DOUBLE, 6) AS expected_count
-        FROM v$emRounds"""
+        $rounds"""
+  }
+
+  /** Mirror of TextAnalysis.unigramEncodeCounts over the vocabulary
+    * [[vocabUnigramLm]] learns: the same vocab CTE block, then a
+    * Viterbi fold per distinct word — (score, count) cells, candidates
+    * compared (score desc, count asc, shorter-last-piece first) with
+    * exact double equality — joined back to the document word stream. */
+  def textUnigramEncode(
+      seedMulti: Int, keepMulti: Int, emRounds: Int,
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val L = maxPieceLen
+    def cand(k: Int): String =
+      s"""CASE WHEN x[1].sc::INT >= $k
+            THEN {'sc': acc[x[1].sc::INT - $k + 1].sc
+                    * coalesce(map_extract(pm.pm,
+                        substr(w.word, x[1].sc::INT - $k + 1, $k))[1], 0.0),
+                  'ct': acc[x[1].sc::INT - $k + 1].ct + 1}
+            ELSE {'sc': -1.0::DOUBLE, 'ct': 0::BIGINT} END"""
+    val fold = (2 to L).foldLeft(cand(1)) { (a, k) =>
+      val b = cand(k)
+      s"""CASE WHEN ($b).sc > ($a).sc
+               OR (($b).sc = ($a).sc AND ($b).ct < ($a).ct)
+          THEN ($b) ELSE ($a) END"""
+    }
+    s"""WITH ${unigramLmCtes(seedMulti, keepMulti, emRounds, maxPieceLen,
+        maxWordLen)},
+        dwords AS MATERIALIZED (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest($toks) AS word FROM documents)
+          WHERE length(word) > 0),
+        ewn AS (SELECT DISTINCT word, length(word)::INT AS n FROM dwords),
+        eocc AS (SELECT DISTINCT word, substr(word, o.s, o.k) AS piece FROM (
+                   SELECT word, n,
+                          unnest(flatten(list_transform(generate_series(1, n),
+                            j -> list_transform(
+                              generate_series(1, least($L, n - j + 1)),
+                              k -> {'s': j, 'k': k})))) AS o
+                   FROM ewn)),
+        epm AS (SELECT e.word,
+                       map_from_entries(list({'k': e.piece, 'v': v.p})) AS pm
+                FROM eocc e JOIN v$emRounds v ON v.piece = e.piece
+                GROUP BY e.word),
+        edp AS MATERIALIZED (
+          SELECT w.word, w.n,
+                 list_reduce(list_prepend([{'sc': 1.0::DOUBLE, 'ct': 0::BIGINT}],
+                     list_transform(generate_series(1, w.n),
+                       i -> [{'sc': i::DOUBLE, 'ct': 0::BIGINT}])),
+                   (acc, x) -> list_append(acc, $fold)) AS dp
+          FROM ewn w JOIN epm pm ON pm.word = w.word),
+        ecnt AS (SELECT word,
+                        CASE WHEN dp[n + 1].sc > 0.0
+                             THEN dp[n + 1].ct END AS n_pieces
+                 FROM edp)
+        SELECT d.doc_id, count(*)::BIGINT AS n_tokens_ws,
+               sum(c.n_pieces)::BIGINT AS n_tokens_unigram
+        FROM dwords d JOIN ecnt c USING (word)
+        GROUP BY 1"""
   }
 
   /** BPE merge-rule learning (TextAnalysis.bpeMerges): same word table,

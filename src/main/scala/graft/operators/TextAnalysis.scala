@@ -993,4 +993,89 @@ object TextAnalysis {
     vocab.select(col("piece"), length(col("piece")).cast("int").as("piece_len"),
       col("p").as("prob"), round(col("ec").cast("double"), 6).as("expected_count"))
   }
+
+  /**
+   * Encode the corpus with a learned unigram-LM vocabulary
+   * ([[unigramLmVocab]]'s output, or any `(piece, prob)` frame): per
+   * document, the whitespace token count and the piece count of each
+   * word's VITERBI (max-probability) segmentation — the token-budget
+   * arithmetic a pipeline runs with its real SentencePiece model (the
+   * [[bpeEncodeCounts]] companion for the other tokenizer family).
+   *
+   * The Viterbi DP is a per-row `aggregate` fold over word positions
+   * carrying (best score, piece count) pairs; candidates are compared
+   * by (score desc, count asc, shorter-last-piece first) with EXACT
+   * double equality on ties — both engines chain identical IEEE
+   * multiplies in the same order, so the chosen segmentation is
+   * bit-reproducible (the [[unigramLmVocab]] discipline). A word
+   * containing a piece-less span (no vocab char — cannot happen when
+   * encoding the training corpus) yields a null count rather than a
+   * fabricated one.
+   *
+   * Scale shape: vocabulary joined to the distinct word table once
+   * (piece→prob maps bounded by word length × `maxPieceLen`), DP as
+   * map-side lambdas, one join back to the per-document word stream —
+   * corpus scanned twice total, never per piece.
+   */
+  def unigramEncodeCounts(
+      docs: DataFrame,
+      vocab: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxPieceLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+      StructField, StructType}
+    val L = maxPieceLen
+    val words = graft.ops.Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val distinctWords = words.select(col("word")).distinct()
+      .withColumn("n", length(col("word")).cast("int"))
+    // per-word piece→prob map from the word's own substrings
+    val wordPieces = distinctWords.select(col("word"), col("n"),
+      explode(flatten(transform(
+        sequence(lit(1), col("n")),
+        j => transform(sequence(lit(1), least(lit(L), col("n") - j + 1)),
+          k => struct(j.as("s"), k.as("k")))))).as("o"))
+      .select(col("word"),
+        col("word").substr(col("o.s"), col("o.k")).as("piece"))
+      .distinct()
+    val pm = wordPieces
+      .join(vocab.select(col("piece"), col("prob").as("p")), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("p"))))
+        .as("pm"))
+    def pOf(pc: Column) =
+      coalesce(try_element_at(col("pm"), pc), lit(0.0d))
+    val cellType = StructType(Seq(
+      StructField("sc", DoubleType), StructField("ct", LongType)))
+    def cell(sc: Column, ct: Column) = struct(sc.as("sc"), ct.as("ct"))
+    // better(a, b): higher score wins; exact ties prefer fewer pieces,
+    // then the earlier candidate (shorter last piece — fold order)
+    def better(a: Column, b: Column): Column =
+      when(b.getField("sc") > a.getField("sc") ||
+        (b.getField("sc") === a.getField("sc") &&
+          b.getField("ct") < a.getField("ct")), b).otherwise(a)
+    val dp = aggregate(
+      sequence(lit(1), col("n")),
+      array(cell(lit(1.0d), lit(0L))).cast(ArrayType(cellType)),
+      (acc, i) => concat(acc, array(
+        (1 to L).map { k =>
+          when(i >= k,
+            cell(
+              element_at(acc, (i - k + 1).cast("int")).getField("sc") *
+                pOf(col("word").substr(i - k + 1, lit(k))),
+              element_at(acc, (i - k + 1).cast("int")).getField("ct") + 1L))
+            .otherwise(cell(lit(-1.0d), lit(0L)))
+        }.reduce(better))))
+    val counted = distinctWords.join(pm, Seq("word"))
+      .select(col("word"),
+        element_at(dp, (col("n") + 1).cast("int")).as("best"))
+      .select(col("word"),
+        when(col("best.sc") > 0.0d, col("best.ct")).as("n_pieces"))
+    words.join(counted, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens_ws"),
+        sum(col("n_pieces")).as("n_tokens_unigram"))
+  }
 }

@@ -53,6 +53,27 @@ class Round11OpsSpec extends SparkTestBase {
     assert(v2.collect().toSet == v.collect().toSet)
   }
 
+  test("unigramEncodeCounts: Viterbi segmentation follows the probabilities") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "abab ab")).toDF("doc_id", "text")
+    def enc(pAb: Double): (Long, Long) = {
+      val vocab = Seq(("a", 0.1), ("b", 0.1), ("ab", pAb))
+        .toDF("piece", "prob")
+      val r = TextAnalysis.unigramEncodeCounts(docs, vocab, maxPieceLen = 2)
+        .collect().head
+      (r.getLong(1), r.getLong(2))
+    }
+    // strong "ab": abab → ab·ab (2 pieces), ab → ab (1) ⇒ 3 total
+    assert(enc(0.5) == ((2L, 3L)))
+    // weak "ab": char paths win — abab → 4, ab → 2 ⇒ 6 total
+    assert(enc(0.005) == ((2L, 6L)))
+    // a vocab-less char yields a null count, not a fabricated one
+    val bad = Seq(("a", 0.5)).toDF("piece", "prob")
+    val r = TextAnalysis.unigramEncodeCounts(docs, bad, maxPieceLen = 2)
+      .collect().head
+    assert(r.isNullAt(2))
+  }
+
   test("maximalMatching: round-bound residual surfaces as null-round rows") {
     import graft.operators.Graph
     // path 1..6: round 1 matches only (1,2) (the global minimum chains);
