@@ -1335,6 +1335,19 @@ object SparkEntry {
       graft.operators.TextAnalysis.unigramLmVocab(t(s, dir, "documents"),
         seedMulti = 60, keepMulti = 40, emRounds = 2,
         maxPieceLen = 3, maxWordLen = 12)),
+    "text_line_dedup" -> ((s, dir) =>
+      // CCNet-style corpus-wide line dedup; line-structured fixture
+      // (the corpus ships single-line docs): raw tokens, 6 per line
+      graft.operators.TextAnalysis.lineDedup(
+        t(s, dir, "documents").withColumn("text",
+          array_join(
+            transform(
+              sequence(lit(0),
+                floor((size(split(col("text"), " ")) - 1) / lit(6))
+                  .cast("int")),
+              i => array_join(
+                slice(split(col("text"), " "), i * 6 + 1, lit(6)), " ")),
+            "\n")))),
     "text_unigram_encode" -> ((s, dir) => {
       // encode the corpus with the learned unigram vocab: per-doc ws vs
       // Viterbi-segmentation piece counts — the real-tokenizer budget
@@ -2353,6 +2366,7 @@ object SparkEntry {
     "text_unigram_encode" -> OracleFragments.textUnigramEncode(
       seedMulti = 60, keepMulti = 40, emRounds = 2,
       maxPieceLen = 3, maxWordLen = 12),
+    "text_line_dedup" -> OracleFragments.textLineDedup,
     "text_bpe_encode" -> OracleFragments.vocabBpeEncode(rounds = 6),
     "basket_rules" ->
       """WITH li AS (
@@ -5435,6 +5449,35 @@ object OracleFragments {
         FROM dwords d JOIN ecnt c USING (word)
         GROUP BY 1"""
   }
+
+  /** Mirror of TextAnalysis.lineDedup over the 6-tokens-per-line
+    * fixture: same first-occurrence selection (min (doc, idx) as a
+    * composite integer — idx < 2^20 by construction), per-doc rebuild
+    * via ordered string_agg; a doc whose every line was seen earlier
+    * keeps the empty string on both engines. */
+  val textLineDedup: String =
+    s"""WITH d AS (SELECT doc_id,
+              array_to_string(list_transform(
+                generate_series(0,
+                  (len(string_split(text, ' ')) - 1) // 6),
+                i -> array_to_string(
+                  string_split(text, ' ')[i*6+1 : i*6+6], ' ')),
+                chr(10)) AS text
+            FROM documents),
+          l AS (SELECT id, u.idx AS idx, u.line AS line,
+                       md5(trim(lower(u.line))) AS h FROM (
+                  SELECT doc_id AS id,
+                         unnest(list_transform(generate_series(1, len(ls)),
+                           i -> {'idx': i - 1, 'line': ls[i]})) AS u
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                        FROM d))),
+          f AS (SELECT h, min(id * 1048576 + idx) AS fk FROM l GROUP BY 1)
+        SELECT l.id AS doc_id, count(*)::BIGINT AS n_lines,
+               sum(CASE WHEN l.id * 1048576 + l.idx = f.fk
+                   THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               coalesce(string_agg(CASE WHEN l.id * 1048576 + l.idx = f.fk
+                 THEN l.line END, chr(10) ORDER BY l.idx), '') AS text_clean
+        FROM l JOIN f USING (h) GROUP BY 1"""
 
   /** BPE merge-rule learning (TextAnalysis.bpeMerges): same word table,
     * char symbols, per-round weighted pair argmax (count DESC, pair ASC)

@@ -1078,4 +1078,49 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens_ws"),
         sum(col("n_pieces")).as("n_tokens_unigram"))
   }
+
+  /**
+   * Corpus-wide LINE-level deduplication (the CCNet §4.1 paragraph-
+   * dedup stage, FineWeb's line-wise filter): boilerplate lines —
+   * navigation, cookie banners, license headers — repeat across
+   * thousands of pages; each distinct (normalized) line keeps exactly
+   * ONE occurrence corpus-wide, the minimum (doc, line-index) under
+   * the total order, and every other copy is dropped from its
+   * document. The dedup grain between whole-document exact dedup and
+   * token-window span flags ([[Dedup.spanDuplicates]]).
+   *
+   * Per document: surviving text (original line order), line counts
+   * kept/total. Determinism: first-occurrence selection is a pure
+   * (doc_id, idx) struct-min — no timestamps, no partition order.
+   *
+   * Scale shape: one line explode, ONE hash-keyed min aggregate
+   * (two-phase, map-side partials), one join back on the hash, one
+   * doc-keyed rebuild aggregate — two keyed shuffles total, no
+   * windows. The rebuild collects only each doc's OWN lines
+   * (document-sized arrays, the same bound as the text itself).
+   */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("h", md5(trim(lower(col("line")))))
+    val first = lines.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("idx"))).as("f"))
+    lines.join(first, Seq("h"))
+      .withColumn("keep",
+        col("f.id") === col("id") && col("f.idx") === col("idx"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("text_clean"))
+  }
 }

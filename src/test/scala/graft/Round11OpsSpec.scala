@@ -53,6 +53,21 @@ class Round11OpsSpec extends SparkTestBase {
     assert(v2.collect().toSet == v.collect().toSet)
   }
 
+  test("lineDedup: first occurrence survives corpus-wide, docs rebuild in order") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "keep me\nboilerplate footer\nunique one"),
+      (2L, "boilerplate footer\nfresh line"),
+      (3L, "boilerplate footer") // fully duplicate doc → empty rebuild
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lineDedup(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3)))
+      .toMap
+    assert(r(1L) == ((3L, 3L, "keep me\nboilerplate footer\nunique one")))
+    assert(r(2L) == ((2L, 1L, "fresh line")))
+    assert(r(3L) == ((1L, 0L, "")))
+  }
+
   test("unigramEncodeCounts: Viterbi segmentation follows the probabilities") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "abab ab")).toDF("doc_id", "text")
