@@ -1448,6 +1448,15 @@ object SparkEntry {
       // robust clipped mean per type over the heavy-tailed event metric
       graft.operators.Quality.winsorize(
         eventsTable(s, dir), "event_type", "value")),
+    "stats_ks_test" -> ((s, dir) => {
+      // nonparametric distribution-drift readout: exact two-sample KS
+      // over even- vs odd-orderkey price populations
+      val li = t(s, dir, "lineitem")
+      graft.operators.Quality.ksTest(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
     "vocab_oov" -> ((s, dir) =>
       // tokenizer-coverage / drift check: per-source OOV rate against
       // the corpus top-N vocabulary (TakeOrdered, broadcast membership)
@@ -2446,6 +2455,24 @@ object SparkEntry {
          LEFT JOIN iv ON f.user_id = iv.user_id
                      AND f.ts >= iv.valid_from
                      AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)""",
+    "stats_ks_test" ->
+      """WITH c AS (SELECT round(l_extendedprice::DOUBLE, 6) AS v,
+                sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+                sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+              FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         cu AS (SELECT v,
+                (sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))::BIGINT AS cuma,
+                (sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))::BIGINT AS cumb
+              FROM c),
+         t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+         d AS (SELECT max(abs(cuma::DOUBLE / (SELECT na FROM t)::DOUBLE
+                - cumb::DOUBLE / (SELECT nb FROM t)::DOUBLE)) AS d FROM cu)
+        SELECT (SELECT na FROM t) AS na, (SELECT nb FROM t) AS nb,
+               round(d, 6) AS d_stat,
+               round(sqrt((SELECT na FROM t)::DOUBLE * (SELECT nb FROM t)::DOUBLE
+                 / ((SELECT na FROM t) + (SELECT nb FROM t))::DOUBLE) * d, 6)
+                 AS ks_scaled
+        FROM d""",
     "stats_ab_ttest" ->
       """WITH a AS (
            SELECT event_type,

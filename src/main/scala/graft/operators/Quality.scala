@@ -639,4 +639,51 @@ object Quality {
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
   }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov test: D = max |F_a(x) − F_b(x)| over
+   * the empirical CDFs — the NONPARAMETRIC drift detector next to
+   * [[auditDrift]]'s moment deltas (a distribution can keep its mean
+   * and variance while its shape drifts; KS catches that). Emits one
+   * row: sample sizes, the exact D statistic over 6-dp-rounded values,
+   * and the scaled statistic √(n_a·n_b/(n_a+n_b))·D (compare against
+   * the usual 1.358 ⇒ α=0.05 critical value; the asymptotic p-value
+   * needs exp(), which libms round differently — left to the caller).
+   *
+   * Determinism: values 6-dp-rounded up front (the score-histogram
+   * discipline — the CDF walk runs over DISTINCT rounded values, a
+   * bounded histogram, not per-row), cumulative counts are exact
+   * integers, and each CDF difference is one double subtraction of
+   * exact ratios — bit-identical cross-engine. Scale shape: one
+   * two-phase keyed count per distinct value, one ordered cumulative
+   * pass over the value histogram (the [[TextAnalysis.zipfFit]]
+   * unpartitioned-window-over-histogram trade, documented there), one
+   * max aggregate.
+   */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, sa: Int, sb: Int): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(round(col(valueCol).cast("double"), 6).as("v"),
+          lit(sa.toLong).as("ia"), lit(sb.toLong).as("ib"))
+    val counts = side(a, 1, 0).unionByName(side(b, 0, 1))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        abs(col("cuma").cast("double") / col("na").cast("double") -
+          col("cumb").cast("double") / col("nb").cast("double")).as("diff"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("diff")).as("d"))
+      .select(col("na"), col("nb"),
+        round(col("d"), 6).as("d_stat"),
+        round(sqrt(col("na").cast("double") * col("nb").cast("double") /
+          (col("na") + col("nb")).cast("double")) * col("d"), 6)
+          .as("ks_scaled"))
+  }
 }

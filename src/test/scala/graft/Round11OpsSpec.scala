@@ -53,6 +53,20 @@ class Round11OpsSpec extends SparkTestBase {
     assert(v2.collect().toSet == v.collect().toSet)
   }
 
+  test("ksTest: identical samples score 0, disjoint ranges score 1") {
+    import graft.operators.Quality
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("m")
+    val same = Quality.ksTest(a, a, "m").collect().head
+    assert(same.getLong(0) == 4L && same.getLong(1) == 4L)
+    assert(same.getDouble(2) == 0.0)
+    val b = Seq(10.0, 11.0, 12.0).toDF("m")
+    val disj = Quality.ksTest(a, b, "m").collect().head
+    assert(disj.getDouble(2) == 1.0)
+    // half-shifted: a={1..4}, c={3,4,5,6} → max gap at v=2: |2/4 - 0| = 0.5
+    val c = Seq(3.0, 4.0, 5.0, 6.0).toDF("m")
+    assert(Quality.ksTest(a, c, "m").collect().head.getDouble(2) == 0.5)
+  }
+
   test("lineDedup: first occurrence survives corpus-wide, docs rebuild in order") {
     import graft.operators.TextAnalysis
     val docs = Seq(
