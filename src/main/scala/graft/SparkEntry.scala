@@ -1096,6 +1096,14 @@ object SparkEntry {
           t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
           "l_orderkey", "l_partkey"),
         maxRounds = 2, weightCol = Some("weight"))),
+    "graph_louvain2" -> ((s, dir) =>
+      // MULTI-LEVEL Louvain: phase → contract communities into
+      // super-nodes (intra mass as self-loops) → phase again → map back
+      graft.operators.Graph.louvain(
+        graft.operators.Graph.coOccurrenceWeightedEdges(
+          t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+          "l_orderkey", "l_partkey"),
+        maxRounds = 2, weightCol = Some("weight"), levels = 2)),
     "graph_hits" -> ((s, dir) =>
       // Kleinberg hubs/authorities on the DIRECTED (src < dst) canonical
       // edges: low-id parts can only be hubs toward high-id authorities
@@ -2220,6 +2228,7 @@ object SparkEntry {
     "graph_lpa_weighted" ->
       OracleFragments.graphLabelPropagation(rounds = 3, weighted = true),
     "graph_louvain" -> OracleFragments.graphLouvain(rounds = 2),
+    "graph_louvain2" -> OracleFragments.graphLouvain(rounds = 2, levels = 2),
     "graph_hits" -> OracleFragments.graphHits(iters = 2),
     "graph_articlerank" ->
       OracleFragments.graphArticleRank(iters = 3, damping = 0.85, k = 20),
@@ -4906,15 +4915,71 @@ object OracleFragments {
     * scaled integer modularity scores, and the Spark loop's acceptance
     * rule re-derived as a CASE over those scores: the answer is the
     * last round whose score strictly increased. */
-  def graphLouvain(rounds: Int): String = {
-    // one half-sweep: nodes with node % 2 = par move to their best-gain
-    // community (exact integer gain, smallest-c tie-break), others keep
+  def graphLouvain(rounds: Int, levels: Int = 1): String = {
+    // the weighted co-purchase graph + the invariant degree mass 2m
+    val base =
+      s"""e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                        count(*)::BIGINT AS w
+                 FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+                 WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+                 GROUP BY 1, 2),
+          sw0 AS (SELECT src AS node, 0::BIGINT AS selfw FROM e0 WHERE false),
+          mm AS (SELECT 2 * sum(w)::BIGINT AS m2 FROM e0)"""
+    val phases = (1 to levels).map { lv =>
+      val p = s"p$lv"
+      val (eT, swT) = if (lv == 1) ("e0", "sw0") else (s"e$lv", s"sw$lv")
+      val contraction =
+        if (lv == 1) ""
+        else {
+          val prevFin = s"p${lv - 1}fin"
+          val prevE = if (lv == 2) "e0" else s"e${lv - 1}"
+          val prevSw = if (lv == 2) "sw0" else s"sw${lv - 1}"
+          s"""tag$lv AS (SELECT e.w, ls.label AS ls, ld.label AS ld
+                FROM $prevE e JOIN $prevFin ls ON ls.node = e.src
+                              JOIN $prevFin ld ON ld.node = e.dst),
+          e$lv AS MATERIALIZED (
+            SELECT least(ls, ld) AS src, greatest(ls, ld) AS dst,
+                   sum(w)::BIGINT AS w
+            FROM tag$lv WHERE ls <> ld GROUP BY 1, 2),
+          sw$lv AS MATERIALIZED (
+            SELECT c.node, coalesce(i.intra, 0)::BIGINT AS selfw
+            FROM (SELECT DISTINCT label AS node FROM $prevFin) c
+            LEFT JOIN (SELECT node, sum(intra)::BIGINT AS intra FROM (
+                         SELECT ls AS node, sum(w)::BIGINT AS intra
+                         FROM tag$lv WHERE ls = ld GROUP BY 1
+                         UNION ALL
+                         SELECT f.label AS node, sum(s.selfw)::BIGINT AS intra
+                         FROM $prevFin f JOIN $prevSw s ON s.node = f.node
+                         GROUP BY 1) GROUP BY 1) i ON i.node = c.node),
+          """
+        }
+      contraction + louvainPhase(p, eT, swT, rounds)
+    }.mkString(",\n")
+    val mapBack = (2 to levels).foldLeft("p1fin.label") { (acc, lv) =>
+      s"(SELECT f.label FROM p${lv}fin f WHERE f.node = $acc)"
+    }
+    s"""WITH $base,
+          $phases
+        SELECT p1fin.node, $mapBack AS community
+        FROM p1fin"""
+  }
+
+  /** One Louvain phase over edge table `eT` (src, dst, w) and self-mass
+    * table `swT` (node, selfw): unrolled Gauss-Seidel half-sweeps with
+    * exact HUGEINT gain arithmetic, per-round 4m²-scaled integer
+    * modularity scores (self mass enters k_i and L_C but never a move
+    * decision), and the acceptance CASE folded into a `<p>fin` label
+    * CTE: the answer is the last round whose score strictly rose. */
+  private def louvainPhase(
+      p: String, eT: String, swT: String, rounds: Int): String = {
     def half(t: String, prev: String, par: Int, out: String): String =
       s"""${t}st AS (SELECT l.label AS c, sum(k.ki)::BIGINT AS tot
-                     FROM $prev l JOIN ki k ON k.node = l.node GROUP BY 1),
+                     FROM $prev l JOIN ${p}ki k ON k.node = l.node GROUP BY 1),
           ${t}cd AS (SELECT node, c, sum(w)::BIGINT AS kic FROM (
                        SELECT a.n AS node, l.label AS c, a.w AS w
-                       FROM adj a JOIN $prev l ON a.x = l.node
+                       FROM ${p}adj a JOIN $prev l ON a.x = l.node
                        UNION ALL
                        SELECT node, label AS c, 0 AS w FROM $prev)
                      GROUP BY 1, 2),
@@ -4929,54 +4994,56 @@ object OracleFragments {
                        FROM ${t}cd cd
                        JOIN (SELECT node, label AS c0 FROM $prev) cur
                          ON cur.node = cd.node
-                       JOIN ki k ON k.node = cd.node
+                       JOIN ${p}ki k ON k.node = cd.node
                        JOIN ${t}st st ON st.c = cd.c
                        WHERE cd.node % 2 = $par) WHERE rn = 1),
           $out AS MATERIALIZED (
             SELECT node, label FROM $prev WHERE node % 2 <> $par
             UNION ALL SELECT node, label FROM ${t}mv)"""
-    // 4m²-scaled integer modularity score of a label table
     def scoreCte(l: String, out: String): String =
       s"""$out AS MATERIALIZED (
-            SELECT sum(2::HUGEINT * (SELECT m2 FROM mm) * coalesce(lc.lc, 0)
+            SELECT sum(2::HUGEINT * (SELECT m2 FROM mm)
+                     * (coalesce(lc.lc, 0) + dc.swc)
                    - dc.dc::HUGEINT * dc.dc) AS s
-            FROM (SELECT l.label AS c, sum(k.ki)::BIGINT AS dc
-                  FROM $l l JOIN ki k ON k.node = l.node GROUP BY 1) dc
-            LEFT JOIN (SELECT ls.label AS c, sum(e0.w)::BIGINT AS lc
-                       FROM e0 JOIN $l ls ON ls.node = e0.src
-                               JOIN $l ld ON ld.node = e0.dst
+            FROM (SELECT l.label AS c, sum(k.ki)::BIGINT AS dc,
+                         sum(coalesce(s.selfw, 0))::BIGINT AS swc
+                  FROM $l l JOIN ${p}ki k ON k.node = l.node
+                  LEFT JOIN $swT s ON s.node = l.node GROUP BY 1) dc
+            LEFT JOIN (SELECT ls.label AS c, sum(e.w)::BIGINT AS lc
+                       FROM $eT e JOIN $l ls ON ls.node = e.src
+                               JOIN $l ld ON ld.node = e.dst
                        WHERE ls.label = ld.label GROUP BY 1) lc
               ON lc.c = dc.c)"""
     val stages = (1 to rounds).map { r =>
-      val prev = if (r == 1) "l0" else s"l${r - 1}"
-      half(s"r${r}a", prev, 1, s"h$r") + ",\n" +
-        half(s"r${r}b", s"h$r", 0, s"l$r") + ",\n" +
-        scoreCte(s"l$r", s"sc$r")
+      val prev = if (r == 1) s"${p}l0" else s"${p}l${r - 1}"
+      half(s"${p}r${r}a", prev, 1, s"${p}h$r") + ",\n" +
+        half(s"${p}r${r}b", s"${p}h$r", 0, s"${p}l$r") + ",\n" +
+        scoreCte(s"${p}l$r", s"${p}sc$r")
     }.mkString(",\n")
     val accept = (1 to rounds).map { r =>
-      s"WHEN (SELECT s FROM sc$r) <= (SELECT s FROM sc${r - 1}) THEN l${r - 1}.label"
+      s"WHEN (SELECT s FROM ${p}sc$r) <= (SELECT s FROM ${p}sc${r - 1}) " +
+        s"THEN ${p}l${r - 1}.label"
     }.mkString("\n               ")
     val joins = (1 to rounds)
-      .map(r => s"JOIN l$r ON l$r.node = l0.node").mkString(" ")
-    s"""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
-                           count(*)::BIGINT AS w
-                    FROM lineitem a JOIN lineitem b
-                      ON a.l_orderkey = b.l_orderkey
-                     AND a.l_partkey < b.l_partkey
-                    WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
-                    GROUP BY 1, 2),
-          adj AS (SELECT src AS n, dst AS x, w FROM e0
-                  UNION ALL SELECT dst AS n, src AS x, w FROM e0),
-          ki AS MATERIALIZED (SELECT n AS node, sum(w)::BIGINT AS ki
-                              FROM adj GROUP BY 1),
-          mm AS (SELECT sum(ki)::BIGINT AS m2 FROM ki),
-          l0 AS MATERIALIZED (SELECT node, node AS label FROM ki),
-          ${scoreCte("l0", "sc0")},
-          $stages
-        SELECT l0.node,
-               CASE $accept
-                    ELSE l$rounds.label END AS community
-        FROM l0 $joins"""
+      .map(r => s"JOIN ${p}l$r ON ${p}l$r.node = ${p}l0.node").mkString(" ")
+    s"""${p}adj AS (SELECT src AS n, dst AS x, w FROM $eT
+                  UNION ALL SELECT dst AS n, src AS x, w FROM $eT),
+          ${p}ki AS MATERIALIZED (
+            SELECT u.node,
+                   (coalesce(k.kw, 0) + 2 * coalesce(s.selfw, 0))::BIGINT AS ki
+            FROM (SELECT n AS node FROM ${p}adj
+                  UNION SELECT node FROM $swT) u
+            LEFT JOIN (SELECT n AS node, sum(w)::BIGINT AS kw
+                       FROM ${p}adj GROUP BY 1) k ON k.node = u.node
+            LEFT JOIN $swT s ON s.node = u.node),
+          ${p}l0 AS MATERIALIZED (SELECT node, node AS label FROM ${p}ki),
+          ${scoreCte(s"${p}l0", s"${p}sc0")},
+          $stages,
+          ${p}fin AS MATERIALIZED (
+            SELECT ${p}l0.node,
+                   CASE $accept
+                        ELSE ${p}l$rounds.label END AS label
+            FROM ${p}l0 $joins)"""
   }
 
   /** Mirror of Graph.degreeAssortativity: exact BIGINT moment sums over

@@ -2217,13 +2217,25 @@ object Graph {
    * Reference context: the destination system ships Louvain as its
    * flagship community algorithm (GDS 2.1 family, reference README);
    * this is the warehouse-side equivalent over any edge frame.
+   *
+   * `levels > 1` runs the full MULTI-LEVEL Louvain: after a phase
+   * converges, communities contract into super-nodes (cross edges
+   * summed, intra-community mass carried as SELF-LOOP weight — it
+   * enters k_i and L_C but never a move decision, since a self-loop
+   * travels with its node), the phase reruns on the contracted graph,
+   * and the hierarchy maps back to original nodes. 2m is invariant
+   * across contractions, so scores at every level remain the SAME
+   * original-graph modularity scale — acceptance stays monotone
+   * end-to-end.
    */
   def louvain(
       edges: DataFrame,
       maxRounds: Int = 4,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      levels: Int = 1): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    require(levels >= 1, "levels must be >= 1")
     val spark = edges.sparkSession
     val e0raw = weightCol match {
       case None => canonicalEdges(edges).withColumn("w", lit(1L))
@@ -2234,88 +2246,157 @@ object Graph {
           .agg(sum(col(wc).cast("long")).as("w"))
           .filter(col("w") > 0L)
     }
-    val (e, ePath) = Scratch.materializeAt(
-      e0raw.select(col("src"), col("dst"), col("w")), "louvain_edges")
-    val (adj, adjPath) = Scratch.materializeAt(
-      e.select(col("src").as("n"), col("dst").as("x"), col("w"))
-        .union(e.select(col("dst").as("n"), col("src").as("x"), col("w"))),
-      "louvain_adj")
-    val (ki, kiPath) = Scratch.materializeAt(
-      adj.groupBy(col("n").as("node")).agg(sum(col("w")).as("ki")),
-      "louvain_ki")
-    val m2row = ki.agg(sum(col("ki")).as("m2")).head()
-    if (m2row.isNullAt(0)) { // empty graph
-      Scratch.drop(spark, ePath)
-      Scratch.drop(spark, adjPath)
-      return ki.select(col("node"), col("node").as("community"))
-    }
-    val m2 = m2row.getLong(0) // 2m — the total degree mass
     val dec = "decimal(38,0)"
-    // 4m²-scaled integer modularity score of an assignment
-    def score(labels: DataFrame): java.math.BigDecimal =
-      labels.join(ki, Seq("node"))
-        .groupBy(col("label").as("c")).agg(sum(col("ki")).as("dc"))
-        .join(
-          e.join(labels.select(col("node").as("src"), col("label").as("ls")),
-              Seq("src"))
-            .join(labels.select(col("node").as("dst"), col("label").as("ld")),
-              Seq("dst"))
-            .filter(col("ls") === col("ld"))
-            .groupBy(col("ls").as("c")).agg(sum(col("w")).as("lc")),
-          Seq("c"), "left")
-        .agg(sum(lit(2L).cast(dec) * lit(m2) * coalesce(col("lc"), lit(0L))
-          - col("dc").cast(dec) * col("dc")).as("s"))
-        .head().getDecimal(0)
-    def halfSweep(labels: DataFrame, par: Int): DataFrame = {
-      val sumtot = labels.join(ki, Seq("node"))
-        .groupBy(col("label").as("c")).agg(sum(col("ki")).as("tot"))
-      val kic = adj.join(labels, adj("x") === labels("node"))
-        .select(adj("n").as("node"), col("label").as("c"), col("w"))
-      // the stay candidate rides as a zero-weight row: a node with no
-      // neighbor in its own community still evaluates staying (gain 0
-      // after self-removal)
-      val cand = kic
-        .unionByName(labels.select(col("node"), col("label").as("c"),
-          lit(0L).as("w")))
-        .groupBy(col("node"), col("c")).agg(sum(col("w")).as("kic"))
-      val gain = lit(m2).cast(dec) * col("kic") -
-        col("ki").cast(dec) *
-          (col("tot") - when(col("c") === col("c0"), col("ki"))
-            .otherwise(lit(0L)))
-      val moved = cand
-        .join(labels.select(col("node"), col("label").as("c0")), Seq("node"))
-        .join(ki, Seq("node"))
-        .join(sumtot, Seq("c"))
-        .filter(pmod(col("node"), lit(2L)) === par)
-        .groupBy(col("node"))
-        .agg(max_by(col("c"),
-          struct(gain.as("g"), (-col("c")).as("nc"))).as("label"))
-      labels.filter(pmod(col("node"), lit(2L)) =!= par).unionByName(moved)
-    }
-    var labels = ki.select(col("node"), col("node").as("label"))
-    var labelsPath: String = null
-    var s = score(labels)
-    var round = 1
-    var improving = true
-    while (improving && round <= maxRounds) {
-      val (h1, h1Path) = Scratch.materializeAt(halfSweep(labels, 1),
-        "louvain_h1")
-      val (h2, h2Path) = Scratch.materializeAt(halfSweep(h1, 0),
-        "louvain_labels")
-      Scratch.drop(spark, h1Path)
-      val s2 = score(h2)
-      if (s2.compareTo(s) > 0) {
-        if (labelsPath != null) Scratch.drop(spark, labelsPath)
-        labels = h2; labelsPath = h2Path; s = s2; round += 1
-      } else {
-        Scratch.drop(spark, h2Path)
-        improving = false
+    var (e, ePath) = Scratch.materializeAt(
+      e0raw.select(col("src"), col("dst"), col("w")), "louvain_edges")
+    // self-loop mass per node: zero at level 1, the contracted
+    // intra-community weight at deeper levels. A self-loop never
+    // changes a MOVE decision (it travels with its node) but it does
+    // enter the node's degree mass k_i and the community's L_C.
+    var sw = e.select(col("src").as("node"), lit(0L).as("selfw"))
+      .filter(lit(false))
+    var swPath: String = null
+    val m2row = e.agg((sum(col("w")) * 2L).as("m2")).head()
+    if (m2row.isNullAt(0)) // empty graph; its (empty) scratch backs the plan
+      return e.select(col("src").as("node"), col("src").as("community"))
+    val m2 = m2row.getLong(0) // 2m — invariant across contractions
+    // one phase of half-sweep local moves over (cross-edges e, self
+    // mass sw); returns the phase's label table (node → community)
+    def phase(e: DataFrame, sw: DataFrame): (DataFrame, String) = {
+      val (adj, adjPath) = Scratch.materializeAt(
+        e.select(col("src").as("n"), col("dst").as("x"), col("w"))
+          .union(e.select(col("dst").as("n"), col("src").as("x"), col("w"))),
+        "louvain_adj")
+      // node universe = edge endpoints ∪ self-mass nodes: a community
+      // whose merge swallowed its whole component has ONLY a self-loop
+      // at the next level and must not vanish from the hierarchy
+      val kiBase = adj.groupBy(col("n").as("node")).agg(sum(col("w")).as("kw"))
+      val (ki, kiPath) = Scratch.materializeAt(
+        kiBase.select(col("node"))
+          .unionByName(sw.select(col("node"))).distinct()
+          .join(kiBase, Seq("node"), "left")
+          .join(sw, Seq("node"), "left")
+          .select(col("node"),
+            (coalesce(col("kw"), lit(0L)) +
+              lit(2L) * coalesce(col("selfw"), lit(0L))).as("ki")),
+        "louvain_ki")
+      // 4m²-scaled integer modularity score of an assignment
+      def score(labels: DataFrame): java.math.BigDecimal =
+        labels.join(ki, Seq("node"))
+          .join(sw, Seq("node"), "left")
+          .groupBy(col("label").as("c"))
+          .agg(sum(col("ki")).as("dc"),
+            sum(coalesce(col("selfw"), lit(0L))).as("swc"))
+          .join(
+            e.join(labels.select(col("node").as("src"), col("label").as("ls")),
+                Seq("src"))
+              .join(labels.select(col("node").as("dst"), col("label").as("ld")),
+                Seq("dst"))
+              .filter(col("ls") === col("ld"))
+              .groupBy(col("ls").as("c")).agg(sum(col("w")).as("lc")),
+            Seq("c"), "left")
+          .agg(sum(lit(2L).cast(dec) * lit(m2) *
+            (coalesce(col("lc"), lit(0L)) + col("swc"))
+            - col("dc").cast(dec) * col("dc")).as("s"))
+          .head().getDecimal(0)
+      def halfSweep(labels: DataFrame, par: Int): DataFrame = {
+        val sumtot = labels.join(ki, Seq("node"))
+          .groupBy(col("label").as("c")).agg(sum(col("ki")).as("tot"))
+        val kic = adj.join(labels, adj("x") === labels("node"))
+          .select(adj("n").as("node"), col("label").as("c"), col("w"))
+        // the stay candidate rides as a zero-weight row: a node with no
+        // neighbor in its own community still evaluates staying (gain 0
+        // after self-removal)
+        val cand = kic
+          .unionByName(labels.select(col("node"), col("label").as("c"),
+            lit(0L).as("w")))
+          .groupBy(col("node"), col("c")).agg(sum(col("w")).as("kic"))
+        val gain = lit(m2).cast(dec) * col("kic") -
+          col("ki").cast(dec) *
+            (col("tot") - when(col("c") === col("c0"), col("ki"))
+              .otherwise(lit(0L)))
+        val moved = cand
+          .join(labels.select(col("node"), col("label").as("c0")), Seq("node"))
+          .join(ki, Seq("node"))
+          .join(sumtot, Seq("c"))
+          .filter(pmod(col("node"), lit(2L)) === par)
+          .groupBy(col("node"))
+          .agg(max_by(col("c"),
+            struct(gain.as("g"), (-col("c")).as("nc"))).as("label"))
+        labels.filter(pmod(col("node"), lit(2L)) =!= par).unionByName(moved)
       }
+      var labels = ki.select(col("node"), col("node").as("label"))
+      var labelsPath: String = kiPath // identity labels read the ki table
+      var s = score(labels)
+      var round = 1
+      var improving = true
+      while (improving && round <= maxRounds) {
+        val (h1, h1Path) = Scratch.materializeAt(halfSweep(labels, 1),
+          "louvain_h1")
+        val (h2, h2Path) = Scratch.materializeAt(halfSweep(h1, 0),
+          "louvain_labels")
+        Scratch.drop(spark, h1Path)
+        val s2 = score(h2)
+        if (s2.compareTo(s) > 0) {
+          if (labelsPath != kiPath) Scratch.drop(spark, labelsPath)
+          labels = h2; labelsPath = h2Path; s = s2; round += 1
+        } else {
+          Scratch.drop(spark, h2Path)
+          improving = false
+        }
+      }
+      Scratch.drop(spark, adjPath)
+      if (labelsPath != kiPath) Scratch.drop(spark, kiPath)
+      (labels, labelsPath)
+    }
+    // level 1
+    var (labels, labelsPath) = phase(e, sw)
+    var (map, mapPath) = Scratch.materializeAt(
+      labels.select(col("node"), col("label").as("community")), "louvain_map")
+    Scratch.drop(spark, labelsPath)
+    // deeper levels: contract communities into super-nodes (cross
+    // edges summed between communities, intra mass into self-loops —
+    // the standard Louvain aggregation phase) and move again
+    for (_ <- 2 to levels) {
+      val ls = map.select(col("node").as("src"), col("community").as("ls"))
+      val ld = map.select(col("node").as("dst"), col("community").as("ld"))
+      val tagged = e.join(ls, Seq("src")).join(ld, Seq("dst"))
+      val (e2, e2Path) = Scratch.materializeAt(
+        tagged.filter(col("ls") =!= col("ld"))
+          .groupBy(least(col("ls"), col("ld")).as("src"),
+            greatest(col("ls"), col("ld")).as("dst"))
+          .agg(sum(col("w")).as("w")),
+        "louvain_edges")
+      val (sw2, sw2Path) = Scratch.materializeAt(
+        map.select(col("community").as("node")).distinct()
+          .join(tagged.filter(col("ls") === col("ld"))
+              .groupBy(col("ls").as("node")).agg(sum(col("w")).as("intra"))
+              .unionByName(map.join(sw, Seq("node"))
+                .groupBy(col("community").as("node"))
+                .agg(sum(col("selfw")).as("intra")))
+              .groupBy(col("node")).agg(sum(col("intra")).as("selfw")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("selfw"), lit(0L)).as("selfw")),
+        "louvain_selfw")
+      Scratch.drop(spark, ePath)
+      if (swPath != null) Scratch.drop(spark, swPath)
+      e = e2; ePath = e2Path
+      sw = sw2; swPath = sw2Path
+      val (l2, l2Path) = phase(e, sw)
+      val (map2, map2Path) = Scratch.materializeAt(
+        map.join(
+          l2.select(col("node").as("community_prev"),
+            col("label").as("community2")),
+          map("community") === col("community_prev"))
+          .select(map("node"), col("community2").as("community")),
+        "louvain_map")
+      Scratch.drop(spark, l2Path)
+      Scratch.drop(spark, mapPath)
+      map = map2; mapPath = map2Path
     }
     Scratch.drop(spark, ePath)
-    Scratch.drop(spark, adjPath)
-    // ki backs the returned plan only when no round was accepted
-    labels.select(col("node"), col("label").as("community"))
+    if (swPath != null) Scratch.drop(spark, swPath)
+    map
   }
 
   /**

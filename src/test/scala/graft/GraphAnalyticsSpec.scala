@@ -628,6 +628,24 @@ class GraphAnalyticsSpec extends SparkTestBase {
       Graph.louvain(e, maxRounds = 4).collect().toSet)
     // empty input: empty result, not a crash
     assert(Graph.louvain(e.filter(lit(false))).count() == 0)
+    // MULTI-LEVEL: one round alone leaves the merge unfinished; the
+    // contraction level completes it (intra mass rides as self-loops)
+    val one = Graph.louvain(e, maxRounds = 1, levels = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one.values.toSet.size > 2) // level 1 alone: not yet the triangles
+    val two = Graph.louvain(e, maxRounds = 1, levels = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(1L) == two(2L) && two(2L) == two(3L))
+    assert(two(4L) == two(5L) && two(5L) == two(6L))
+    assert(two(1L) != two(4L))
+    // hierarchy never lowers modularity: q(levels=2) >= q(levels=1)
+    assert(q(two.toSeq) >= q(one.toSeq))
+    // already-optimal assignments are stable under an extra level
+    val stable = Graph.louvain(e, maxRounds = 4, levels = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stable(1L) == stable(2L) && stable(2L) == stable(3L) &&
+      stable(4L) == stable(5L) && stable(5L) == stable(6L) &&
+      stable(1L) != stable(4L))
   }
 
   test("pageRank conserves mass on the fixture co-purchase graph") {
