@@ -1045,6 +1045,14 @@ object SparkEntry {
       // ⇒ p=4, q=1/4 — DFS-leaning), exact integer inverse-CDF choice
       graft.operators.Graph.node2vecWalks(coPurchaseEdges(s, dir),
         steps = 3)),
+    "graph_weighted_walks" -> ((s, dir) =>
+      // GDS relationship-weight walk sampling: next hop ∝ shared-order
+      // count, same exact integer inverse-CDF choice
+      graft.operators.Graph.weightedRandomWalks(
+        graft.operators.Graph.coOccurrenceWeightedEdges(
+          t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+          "l_orderkey", "l_partkey"),
+        steps = 3)),
     "graph_node_similarity" -> ((s, dir) =>
       // GDS-style node similarity: neighbor-set Jaccard from wedge
       // counts + degrees, no set arrays shipped
@@ -1167,6 +1175,17 @@ object SparkEntry {
       graft.operators.Graph.shortestPaths(we,
         we.agg(min(col("src")).as("node")), maxHops = 4,
         weightCol = Some("weight"))
+    }),
+    "graph_wsp_paths" -> ((s, dir) => {
+      // Dijkstra-surface PATH reconstruction: id sequences ride the
+      // relaxation inside the min struct; equal costs break to the
+      // lexicographically smallest route
+      val we = graft.operators.Graph.coOccurrenceWeightedEdges(
+        t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+        "l_orderkey", "l_partkey")
+      graft.operators.Graph.shortestPathTree(we,
+        we.agg(min(col("src")).as("node")), maxHops = 4,
+        weightCol = Some("weight"), directed = true)
     }),
     "graph_wsp" -> ((s, dir) => {
       // DIRECTED weighted SSSP (the GDS Dijkstra surface, one-way
@@ -2220,6 +2239,8 @@ object SparkEntry {
     "graph_random_walks" -> OracleFragments.graphRandomWalks(steps = 3, salt = "walk"),
     "graph_node2vec_walks" -> OracleFragments.graphNode2vecWalks(
       steps = 3, rw = 1L, cw = 4L, fw = 16L, salt = "n2v"),
+    "graph_weighted_walks" ->
+      OracleFragments.graphWeightedWalks(steps = 3, salt = "wwalk"),
     "graph_fastrp" -> OracleFragments.graphFastRP(
       dims = 8, iterations = 2, weights = Seq(1.0, 1.0), salt = "frp"),
     "graph_components" -> OracleFragments.graphComponents,
@@ -2243,6 +2264,7 @@ object SparkEntry {
     "graph_shortest_paths" -> OracleFragments.graphShortestPaths(maxHops = 4),
     "graph_wsp" ->
       OracleFragments.graphShortestPaths(maxHops = 4, directed = true),
+    "graph_wsp_paths" -> OracleFragments.graphWspPaths(maxHops = 4),
     "text_pii_redact" -> OracleFragments.textPiiRedact,
     "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
     "sample_weighted" -> OracleFragments.sampleWeighted(k = 25),
@@ -4753,6 +4775,33 @@ object OracleFragments {
         SELECT node, dist FROM r$maxHops"""
   }
 
+  /** Mirror of Graph.shortestPathTree (directed, weighted): the path
+    * rides the relaxation as a BIGINT list inside the min struct —
+    * (distance, lexicographically smallest sequence) total order. */
+  def graphWspPaths(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT node, min({'d': d, 'p': p}) AS m FROM (
+                    SELECT node, m.d AS d, m.p AS p FROM r${i - 1}
+                    UNION ALL
+                    SELECT a.dst AS node, r.m.d + a.w AS d,
+                           list_append(r.m.p, a.dst) AS p
+                    FROM adj a JOIN r${i - 1} r ON a.src = r.node)
+                  GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                           count(*)::DOUBLE AS w
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                    WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+                    GROUP BY 1, 2),
+          adj AS (SELECT src, dst, w FROM e0),
+          r0 AS (SELECT n AS node, {'d': 0.0::DOUBLE, 'p': [n]} AS m
+                 FROM (SELECT (SELECT min(src) FROM e0) AS n)),
+          $steps
+        SELECT node, m.d AS dist, array_to_string(m.p, '->') AS path
+        FROM r$maxHops"""
+  }
+
   /** Mirror of Graph.labelPropagation: synchronous min-tie-break LPA,
     * `rounds` unrolled iterations. Each round's argmax (strongest
     * neighbor-label vote, smallest label on ties) is a row_number
@@ -5345,6 +5394,40 @@ object OracleFragments {
                   UNION ALL SELECT dst AS n, src AS x FROM e0),
           s0 AS MATERIALIZED (SELECT DISTINCT n AS walk, n AS node,
                                      NULL::BIGINT AS prev FROM adj),
+          $stepCtes
+        $selects"""
+  }
+
+  /** Mirror of Graph.weightedRandomWalks: unrolled steps, per-walk
+    * cumulative integer edge weights in ascending neighbor-id order,
+    * the exact (coin·W) >> 32 inverse-CDF target per (walk, step). */
+  def graphWeightedWalks(steps: Int, salt: String): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""s$i AS MATERIALIZED (
+            SELECT walk, min(cx) AS node FROM (
+              SELECT c.walk, c.cx,
+                     (sum(c.wt) OVER (PARTITION BY c.walk ORDER BY c.cx
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+                     (sum(c.wt) OVER (PARTITION BY c.walk))::BIGINT AS tw,
+                     ('0x' || substr(md5(concat_ws(':', '$salt',
+                        c.walk::VARCHAR, '$i')), 1, 8))::BIGINT AS coin
+              FROM (SELECT r.walk, a.x AS cx, a.w AS wt
+                    FROM adj a JOIN s${i - 1} r ON a.n = r.node) c)
+            WHERE cum > ((coin * tw) >> 32) GROUP BY walk)"""
+    }.mkString(",\n")
+    val selects = (0 to steps)
+      .map(i => s"SELECT walk, $i AS step, node FROM s$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                           count(*)::BIGINT AS w
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+                    WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+                    GROUP BY 1, 2),
+          adj AS (SELECT src AS n, dst AS x, w FROM e0
+                  UNION ALL SELECT dst AS n, src AS x, w FROM e0),
+          s0 AS MATERIALIZED (SELECT DISTINCT n AS walk, n AS node FROM adj),
           $stepCtes
         $selects"""
   }

@@ -2489,4 +2489,136 @@ object Graph {
     tables.map(_.select(col("walk"), col("step"), col("node")))
       .reduce(_ union _)
   }
+
+  /**
+   * WEIGHTED deterministic random walks (the GDS RandomWalk
+   * relationship-weight semantic): the next hop is drawn ∝ the edge's
+   * integer weight — heavier ties are proportionally likelier — via
+   * the same exact inverse-CDF machinery as [[node2vecWalks]] (one
+   * md5 coin per (walk, step), cumulative integer weights in
+   * ascending neighbor-id order, target (coin·W) >> 32). Parallel
+   * edges sum their weights at canonicalization. [[randomWalks]] is
+   * the uniform special case (different selection mechanics, same
+   * reproducibility guarantee).
+   */
+  def weightedRandomWalks(
+      edges: DataFrame,
+      steps: Int = 3,
+      weightCol: String = "weight",
+      salt: String = "wwalk"): DataFrame = {
+    import graft.ops.Scratch
+    import org.apache.spark.sql.expressions.Window
+    require(steps >= 1, "steps must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = edges.filter(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .filter(col("w") > 0L)
+    val (adj, adjPath) = Scratch.materializeAt(
+      e0.select(col("src").as("n"), col("dst").as("x"), col("w"))
+        .union(e0.select(col("dst").as("n"), col("src").as("x"), col("w"))),
+      "wwalk_adj")
+    val tables = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    var cur = Scratch.materialize(
+      adj.select(col("n").as("walk")).distinct()
+        .select(col("walk"), lit(0).as("step"), col("walk").as("node")),
+      "wwalk_step0")
+    tables += cur
+    for (i <- 1 to steps) {
+      val wAll = Window.partitionBy(col("walk"))
+      val wCum = wAll.orderBy(col("cx").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val coin = conv(substring(md5(concat_ws(":", lit(salt),
+        col("walk").cast("string"), lit(i).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      cur = Scratch.materialize(
+        adj.join(cur, adj("n") === cur("node"))
+          .select(cur("walk"), adj("x").as("cx"), adj("w").as("wt"))
+          .withColumn("cum", sum(col("wt")).over(wCum))
+          .withColumn("tw", sum(col("wt")).over(wAll))
+          .withColumn("target", shiftright(coin * col("tw"), 32))
+          .filter(col("cum") > col("target"))
+          .groupBy(col("walk"))
+          .agg(min(col("cx")).as("node"))
+          .select(col("walk"), lit(i).as("step"), col("node")),
+        s"wwalk_step$i")
+      tables += cur
+    }
+    Scratch.drop(spark, adjPath)
+    tables.reduce(_ union _)
+  }
+
+  /**
+   * Shortest-path TREE: the [[shortestPaths]] hop-bounded weighted
+   * SSSP that also RECONSTRUCTS the winning path (the GDS Dijkstra
+   * source-target surface returns node-id sequences, not just costs).
+   * The path rides the relaxation as an id array inside the min
+   * struct: comparison is (distance, then LEXICOGRAPHICALLY smallest
+   * node sequence) — a total order, so among equal-cost routes the
+   * winner is deterministic across runs, partitionings and engines.
+   * With multiple seeds the winning origin is `path[0]`.
+   *
+   * Scale note: rows carry O(maxHops) id arrays — the per-row state
+   * is bounded by the hop bound, never by graph size; the loop is the
+   * same one-join-one-aggregate round as [[shortestPaths]].
+   */
+  def shortestPathTree(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxHops: Int = 4,
+      weightCol: Option[String] = None,
+      directed: Boolean = false): DataFrame = {
+    import graft.ops.Scratch
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = (weightCol, directed) match {
+      case (None, false) =>
+        canonicalEdges(edges).withColumn("w", lit(1.0d))
+      case (None, true) =>
+        edges.filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          .withColumn("w", lit(1.0d))
+      case (Some(wc), false) =>
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .agg(sum(col(wc).cast("double")).as("w"))
+          .filter(col("w") > 0.0d)
+      case (Some(wc), true) =>
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col(wc).cast("double")).as("w"))
+          .filter(col("w") > 0.0d)
+    }
+    val adjBase = e0.select(col("src"), col("dst"), col("w"))
+    val (adj, adjPath) = Scratch.materializeAt(
+      if (directed) adjBase
+      else adjBase.union(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w"))),
+      "spt_adj")
+    var dist = sources.select(col(sources.columns.head).as("node")).distinct()
+      .select(col("node"), lit(0.0d).as("dist"),
+        array(col("node")).as("path"))
+    var distPath: String = null
+    for (_ <- 1 to maxHops) {
+      val relaxed = adj.join(dist, adj("src") === dist("node"))
+        .select(adj("dst").as("node"), (dist("dist") + adj("w")).as("d"),
+          concat(dist("path"), array(adj("dst"))).as("p"))
+      val (next, nextPath) = Scratch.materializeAt(
+        dist.select(col("node"), col("dist").as("d"), col("path").as("p"))
+          .union(relaxed)
+          .groupBy(col("node"))
+          .agg(min(struct(col("d"), col("p"))).as("m"))
+          .select(col("node"), col("m.d").as("dist"), col("m.p").as("path")),
+        "spt_dist")
+      if (distPath != null) Scratch.drop(spark, distPath)
+      dist = next
+      distPath = nextPath
+    }
+    Scratch.drop(spark, adjPath)
+    dist.select(col("node"), col("dist"),
+      array_join(transform(col("path"), x => x.cast("string")), "->")
+        .as("path"))
+  }
 }

@@ -53,6 +53,45 @@ class Round11OpsSpec extends SparkTestBase {
     assert(v2.collect().toSet == v.collect().toSet)
   }
 
+  test("weightedRandomWalks: heavy edges dominate, walks stay on edges") {
+    import graft.operators.Graph
+    // node 2's neighbors: 1 (weight 1) vs 3 (weight 2^30) — every
+    // visit to 2 steps to 3 for any realistic coin
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L << 30), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val w = Graph.weightedRandomWalks(e, steps = 3)
+    val rows = w.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows((2L, 1)) == 3L) // walk from 2, step 1 → heavy edge
+    // valid walk: consecutive nodes are adjacent
+    val edgeSet = Set((1L, 2L), (2L, 3L), (3L, 4L)).flatMap {
+      case (a, b) => Seq((a, b), (b, a)) }
+    rows.keys.map(_._1).toSet.foreach { (wk: Long) =>
+      (0 to 2).foreach(s => assert(edgeSet((rows((wk, s)), rows((wk, s + 1))))))
+    }
+    // deterministic
+    assert(Graph.weightedRandomWalks(e, steps = 3).collect().toSet ==
+      w.collect().toSet)
+  }
+
+  test("shortestPathTree: reconstructs cheapest route, lexicographic ties") {
+    import graft.operators.Graph
+    val e = Seq((1L, 2L, 5.0), (2L, 3L, 5.0), (1L, 3L, 20.0))
+      .toDF("src", "dst", "w")
+    val t = Graph.shortestPathTree(e, Seq(1L).toDF("node"), maxHops = 4,
+      weightCol = Some("w")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(t(3L) == ((10.0, "1->2->3"))) // two hops beat the direct edge
+    assert(t(2L) == ((5.0, "1->2")))
+    assert(t(1L) == ((0.0, "1")))
+    // equal-cost diamond: the lexicographically smaller route wins
+    val d = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 4L, 1.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "w")
+    val td = Graph.shortestPathTree(d, Seq(1L).toDF("node"), maxHops = 3,
+      weightCol = Some("w")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(td(4L) == "1->2->4")
+  }
+
   test("ksTest: identical samples score 0, disjoint ranges score 1") {
     import graft.operators.Quality
     val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("m")
