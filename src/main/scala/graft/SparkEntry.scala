@@ -526,6 +526,10 @@ object SparkEntry {
           lit(0.0d), (a, x) => a + x), 6).as("self_dot"))
     }),
     "ev_top_types" -> ((s, dir) => Events.topEventTypes(eventsTable(s, dir))),
+    "ev_top_paths" -> ((s, dir) =>
+      // journey mining: most common 3-step consecutive event-type
+      // sequences (the discovery step before funnel() measures one)
+      graft.operators.Events.topPaths(eventsTable(s, dir), n = 3, k = 20)),
     "ev_transitions" -> ((s, dir) =>
       // first-order Markov matrix: P(next event type | current), the
       // per-user step counts behind path analysis
@@ -639,6 +643,29 @@ object SparkEntry {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+    "q7_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: shipping volume between DISTINCT nation pairs
+      // by ship year — the fact joins both role-played nation dims
+      // (each broadcast), decimal-exact revenue
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
         .agg(sum(rev).cast("double").as("revenue"))
     }),
     "q18_large_orders" -> ((s, dir) => {
@@ -1692,10 +1719,19 @@ object SparkEntry {
       // observations), 9-dp terms under decimal sums
       graft.operators.Quality.chiSquareIndependence(
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+    "stats_cramers_v" -> ((s, dir) =>
+      // normalized association strength: V = sqrt(chi2/(n·min dims)) —
+      // comparable across tables and sample sizes, unlike raw chi2
+      graft.operators.Quality.cramersV(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
     "emb_centroids" -> ((s, dir) =>
       // per-(label, dim) centroid + variance profile — the cluster-
       // quality audit; one keyed aggregate over posexploded coords
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    "emb_nearest_centroid" -> ((s, dir) =>
+      // centroid-classifier confusion readout: assign every vector its
+      // most cosine-similar label centroid, flag against the true label
+      Similarity.nearestCentroid(t(s, dir, "embeddings"))),
     "dedup_incremental_fuzzy" -> ((s, dir) => {
       // incremental NEAR-dup ingest: the arriving batch LSH-joined
       // against the fingerprint history corpus (same split as
@@ -1941,6 +1977,17 @@ object SparkEntry {
          SELECT user_id, event_type, cnt,
                 row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC)::INT AS rnk
          FROM c QUALIFY rnk <= 2""",
+    "ev_top_paths" ->
+      """WITH seq AS (SELECT user_id, event_type AS t0,
+                lead(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS t1,
+                lead(event_type, 2) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS t2
+              FROM events)
+         SELECT t0 || '->' || t1 || '->' || t2 AS path,
+                count(*)::BIGINT AS n_occurrences
+         FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         GROUP BY 1 ORDER BY n_occurrences DESC, path ASC LIMIT 20""",
     "ev_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
@@ -2016,6 +2063,18 @@ object SparkEntry {
          WHERE r_name = 'ASIA'
            AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
          GROUP BY 1""",
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate)::INT AS l_year,
+                sum(l_extendedprice::DECIMAL(18,2)
+                    * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3""",
     "q18_large_orders" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
                 total_qty::DOUBLE AS total_qty
@@ -2787,6 +2846,31 @@ object SparkEntry {
                   9)::DECIMAL(28,12))::DOUBLE, 6) AS chi_sq,
                 max((nx - 1) * (ny - 1)) AS dof
          FROM sp""",
+    "stats_cramers_v" ->
+      """WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y,
+                           count(*) AS cxy
+                    FROM lineitem GROUP BY 1, 2),
+         mx AS (SELECT x, sum(cxy)::BIGINT AS cx FROM j GROUP BY 1),
+         my AS (SELECT y, sum(cxy)::BIGINT AS cy FROM j GROUP BY 1),
+         tt AS (SELECT sum(cxy)::BIGINT AS n,
+                       count(DISTINCT x)::BIGINT AS nx,
+                       count(DISTINCT y)::BIGINT AS ny FROM j),
+         sp AS (SELECT coalesce(j.cxy, 0)::BIGINT AS o,
+                       cx::DOUBLE * cy::DOUBLE / n::DOUBLE AS e,
+                       n, nx, ny
+                FROM mx CROSS JOIN my CROSS JOIN tt
+                LEFT JOIN j ON j.x = mx.x AND j.y = my.y),
+         c AS (SELECT max(n) AS n,
+                      round(sum(round((o::DOUBLE - e) * (o::DOUBLE - e) / e,
+                        9)::DECIMAL(28,12))::DOUBLE, 6) AS chi_sq,
+                      max((nx - 1) * (ny - 1)) AS dof,
+                      max(least(nx - 1, ny - 1)) AS mind
+               FROM sp)
+         SELECT n, chi_sq, dof,
+                CASE WHEN mind > 0
+                     THEN round(sqrt(chi_sq / (n * mind)::DOUBLE), 6)
+                END AS cramers_v
+         FROM c""",
     "emb_centroids" ->
       """WITH x AS (SELECT label, u.dim AS dim, u.v AS v FROM (
              SELECT label,
@@ -2808,6 +2892,36 @@ object SparkEntry {
       bands = 4, rowsPerBand = 4, minJaccard = 0.5,
       corpusSrc = "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0) corp",
       benchWhere = "doc_id % 3 = 0", rightName = "hist_id"),
+    "emb_nearest_centroid" -> {
+      val dot = "list_aggregate(list_transform(list_zip(e.embedding, c.cvec), " +
+        "z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum')"
+      val na = "sqrt(list_aggregate(list_transform(e.embedding, " +
+        "x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+      val nb = "sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))"
+      s"""WITH x AS (SELECT label, u.dim AS dim, u.v AS v FROM (
+             SELECT label,
+                    unnest(list_transform(generate_series(1, len(embedding)),
+                      i -> {'dim': i - 1, 'v': embedding[i]})) AS u
+             FROM embeddings)),
+         r AS (SELECT label, dim::INT AS dim, round(v::DOUBLE, 6) AS vr
+               FROM x),
+         ct AS (SELECT label AS clabel, dim,
+                       round(sum(vr::DECIMAL(28,6))::DOUBLE
+                             / count(*)::DOUBLE, 6) AS mean
+                FROM r GROUP BY 1, 2),
+         cv AS (SELECT clabel,
+                       list_transform(list_sort(list({'dim': dim, 'mean': mean})),
+                         s -> s.mean) AS cvec
+                FROM ct GROUP BY 1),
+         sc AS (SELECT e.vec_id, e.label, c.clabel,
+                       round($dot / ($na * $nb), 6) AS sim
+                FROM embeddings e CROSS JOIN cv c)
+        SELECT vec_id, label AS true_label, clabel AS assigned_label,
+               sim, clabel = label AS correct
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, clabel ASC) AS rn FROM sc)
+        WHERE rn = 1"""
+    },
   )
 }
 

@@ -313,6 +313,32 @@ object Events {
         round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
   }
 
+  /** Top-k user JOURNEY paths (funnel discovery): the most common
+    * length-`n` consecutive event-type sequences across all users,
+    * from each user's (ts, event_id)-ordered stream — the exploratory
+    * mining step BEFORE [[funnel]] measures a chosen sequence.
+    * Consecutive means adjacent in the user's stream (no gap
+    * tolerance; sessionize first to bound journeys). One user-keyed
+    * window (bounded partitions — a user's own events), one keyed
+    * count, top-k by (count desc, path asc) — deterministic. */
+  def topPaths(events: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2 && n <= 8, "path length must be in [2, 8]")
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val steps = (1 until n).map(i =>
+      lead(col("event_type"), i).over(w).as(s"t$i"))
+    val withNext = events.select(
+      (col("event_type").as("t0") +: steps): _*)
+      .filter((1 until n).map(i => col(s"t$i").isNotNull).reduce(_ && _))
+    withNext
+      .groupBy(concat_ws("->",
+        (0 until n).map(i => col(s"t$i")): _*).as("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Time-weighted average (TWAP) per key over an irregularly-sampled
     * value stream: each observation holds until the next one, so its
     * weight is that interval's duration — the honest mean for metrics

@@ -641,6 +641,29 @@ object Quality {
   }
 
   /**
+   * Cramér's V effect size for two categorical columns:
+   * V = √(χ² / (n · min(|X|−1, |Y|−1))) — the NORMALIZED companion to
+   * [[chiSquareIndependence]] (χ² grows with n, so it says whether an
+   * association exists; V ∈ [0,1] says how strong it is, comparable
+   * across tables and sample sizes). One extra tiny distinct-count
+   * aggregate beside the χ² plan; a single-level column (min dim 0)
+   * yields a null V rather than a division blow-up.
+   */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val chi = chiSquareIndependence(df, xCol, yCol)
+    val dims = df
+      .select(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+      .agg(count_distinct(col("x")).as("nx"), count_distinct(col("y")).as("ny"))
+    chi.crossJoin(broadcast(dims))
+      .select(col("n"), col("chi_sq"), col("dof"),
+        when(least(col("nx") - 1, col("ny") - 1) > 0,
+          round(sqrt(col("chi_sq") /
+            (col("n") * least(col("nx") - 1, col("ny") - 1)).cast("double")),
+            6))
+          .as("cramers_v"))
+  }
+
+  /**
    * Two-sample Kolmogorov–Smirnov test: D = max |F_a(x) − F_b(x)| over
    * the empirical CDFs — the NONPARAMETRIC drift detector next to
    * [[auditDrift]]'s moment deltas (a distribution can keep its mean

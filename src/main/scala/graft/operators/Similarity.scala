@@ -876,4 +876,50 @@ object Similarity {
     assigned.unionByName(noise)
       .select(col("id").as(idCol), col("role"), col("cluster"))
   }
+
+  /**
+   * Nearest-centroid assignment (the weak-label audit / centroid
+   * classifier over any labeled embedding table): every vector is
+   * assigned the label whose [[labelCentroids]] mean vector is most
+   * cosine-similar, with a `correct` flag against the true label —
+   * the confusion readout that tells you whether a labeling scheme is
+   * geometrically coherent before training on it.
+   *
+   * Determinism: centroid coordinates are the 6-dp decimal-exact
+   * means; similarities are fixed-order double folds rounded to 6 dp;
+   * argmax breaks ties to the smallest label. Scale shape: the
+   * centroid table is |labels| rows broadcast; scoring is one
+   * map-side pass (|labels| fold evaluations per row) + one per-id
+   * argmax aggregate — no corpus-side shuffle beyond the aggregate.
+   */
+  def nearestCentroid(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val cents = labelCentroids(corpus, labelCol = labelCol, vecCol = vecCol)
+      .groupBy(col("label").as("clabel"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean")))),
+        x => x.getField("mean")).as("cvec"))
+    val dot = aggregate(
+      zip_with(col(vecCol), col("cvec"), (a, b) => a.cast("double") * b),
+      lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(
+      transform(col(vecCol), x => x.cast("double") * x),
+      lit(0.0d), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(
+      transform(col("cvec"), x => x * x),
+      lit(0.0d), (acc, x) => acc + x))
+    val sim = round(dot / (na * nb), 6)
+    corpus.select(col(idCol), col(labelCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col(labelCol), col("clabel"), sim.as("sim"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(min(struct((-col("sim")).as("ns"), col("clabel"))).as("m"))
+      .select(col(idCol), col(labelCol).as("true_label"),
+        col("m.clabel").as("assigned_label"),
+        (-col("m.ns")).as("sim"),
+        (col("m.clabel") === col(labelCol)).as("correct"))
+  }
 }
