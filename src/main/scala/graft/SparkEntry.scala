@@ -165,6 +165,29 @@ object SparkEntry {
 
     // ==== extension operators: deduplication ====
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_url" -> ((s, dir) =>
+      // FineWeb-style URL-level dedup over the canonical key; noisy URL
+      // fixture (the corpus ships none): case jitter, default port,
+      // trailing slash and tracking params all derived from doc_id so
+      // canonicalization provably collapses them
+      graft.operators.Corpus.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(pmod(col("doc_id"), lit(2L)) === 0, lit("https://"))
+              .otherwise(lit("HTTPS://")),
+            when(pmod(col("doc_id"), lit(3L)) === 0, upper(col("source")))
+              .otherwise(col("source")),
+            lit(".Example.COM"),
+            when(pmod(col("doc_id"), lit(5L)) === 0, lit(":443"))
+              .otherwise(lit("")),
+            lit("/Docs/"), pmod(col("doc_id"), lit(40L)).cast("string"),
+            when(pmod(col("doc_id"), lit(4L)) === 0, lit("/"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4L)) === 1,
+                lit("?utm_source=feed&id=7&ref=tw"))
+              .when(pmod(col("doc_id"), lit(4L)) === 2,
+                lit("?id=7&utm_campaign=x"))
+              .otherwise(lit(""))).as("url")))),
     "dedup_spans" -> ((s, dir) =>
       // span-level ExactSubstr flag: docs sharing any exact 8-token
       // window with another doc (Lee et al. 2021 granularity)
@@ -1225,6 +1248,26 @@ object SparkEntry {
         we.agg(min(col("src")).as("node")), maxHops = 4,
         weightCol = Some("weight"), directed = true)
     }),
+    "graph_mst" -> ((s, dir) => {
+      // minimum spanning forest by Borůvka rounds (the GDS spanning-tree
+      // surface): per round every component claims its cheapest outgoing
+      // edge under the (w, src, dst) total order, components merge
+      val we = graft.operators.Graph.coOccurrenceWeightedEdges(
+        t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+        "l_orderkey", "l_partkey")
+      graft.operators.Graph.boruvkaMst(we, maxRounds = 3,
+        weightCol = Some("weight"))
+    }),
+    "graph_kshortest" -> ((s, dir) => {
+      // Yen's-surface analogue for COSTS: k smallest distinct path costs
+      // per node, hop-bounded k-frontier Bellman-Ford relaxation
+      val we = graft.operators.Graph.coOccurrenceWeightedEdges(
+        t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0),
+        "l_orderkey", "l_partkey")
+      graft.operators.Graph.kShortestDistances(we,
+        we.agg(min(col("src")).as("node")), k = 3, maxHops = 4,
+        weightCol = Some("weight"), directed = true)
+    }),
     // ---- text cleaning / sampling / chunking (training-data prep) ----
     "text_pii_redact" -> ((s, dir) => {
       // PII-laden fixture derived deterministically from doc_id (the
@@ -1599,6 +1642,16 @@ object SparkEntry {
         orderCols = Seq("ts", "event_id"),
         payloadCols = Seq("state", "value", "last_ms"))
     }),
+    "dq_approx_distinct" -> ((s, dir) =>
+      // HLL++ cardinality sketch vs the exact anchor: the oracle
+      // falsifies the published error bound, not the sketch internals
+      graft.operators.Quality.approxDistinctAudit(
+        t(s, dir, "lineitem"), "l_partkey", "l_returnflag")),
+    "corpus_epoch_shuffle" -> ((s, dir) =>
+      // epoch-1 training order: per-doc salted coin = order key, shard
+      // = key mod 64; a writer realizes it shard-by-shard
+      graft.operators.Corpus.epochShuffle(
+        t(s, dir, "documents"), epoch = 1, nShards = 64)),
     "dq_entropy" -> ((s, dir) =>
       // Shannon-entropy distribution profile of categorical audit
       // columns (plus a derived length bucket) — the drift companion
@@ -1708,6 +1761,22 @@ object SparkEntry {
       // time-weighted average per user: each reading holds until the
       // next one; decimal-exact value x duration products
       graft.operators.Events.timeWeightedAvg(eventsTable(s, dir))),
+    "ev_ewma" -> ((s, dir) =>
+      // per-user EWMA of the latest 16 readings: closed-form weights
+      // computed once on the driver and shared with the oracle
+      graft.operators.Events.ewma(eventsTable(s, dir),
+        alpha = 0.25, lastN = 16)),
+    "ev_attribution_outer" -> ((s, dir) => {
+      // LEFT-OUTER stream-stream attribution (batch rendition): every
+      // view row emits; unconverted views carry null click columns
+      val ev = eventsTable(s, dir)
+      graft.streaming.EventStreams.attributeClicksOuter(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts")),
+        horizonMinutes = 60)
+    }),
     "graph_matching" -> ((s, dir) =>
       // deterministic greedy maximal matching: locally-minimal edges
       // under the canonical pair order, endpoints peel per round
@@ -1803,6 +1872,7 @@ object SparkEntry {
       OracleFragments.textRepetitionProfile(topNs = Seq(2, 3, 4), dupNs = Seq(5, 10)),
     "corpus_report" -> OracleFragments.corpusReport,
     "dedup_exact" -> OracleFragments.dedupExact,
+    "dedup_url" -> OracleFragments.dedupUrl,
     "dedup_spans" -> OracleFragments.dedupSpans(spanTokens = 8),
     "dedup_minhash_lsh" -> OracleFragments.dedupMinhashLsh(bands = 4, rowsPerBand = 2),
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
@@ -1813,6 +1883,16 @@ object SparkEntry {
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
     "sample_mixture" -> OracleFragments.sampleMixture(
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
+    "dq_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_exact,
+                TRUE AS within_bound
+         FROM lineitem GROUP BY 1""",
+    "corpus_epoch_shuffle" ->
+      """SELECT doc_id, c % 64 AS shard, c AS order_key
+         FROM (SELECT doc_id,
+                      ('0x' || substr(md5('epoch1:' || doc_id::VARCHAR),
+                        1, 8))::BIGINT AS c
+               FROM documents)""",
     "decontaminate_fuzzy" -> OracleFragments.decontaminateFuzzy(
       bands = 4, rowsPerBand = 4, minJaccard = 0.5),
     "decontaminate_report" -> OracleFragments.decontaminateReport(
@@ -2324,6 +2404,8 @@ object SparkEntry {
     "graph_wsp" ->
       OracleFragments.graphShortestPaths(maxHops = 4, directed = true),
     "graph_wsp_paths" -> OracleFragments.graphWspPaths(maxHops = 4),
+    "graph_mst" -> OracleFragments.graphMst(rounds = 3),
+    "graph_kshortest" -> OracleFragments.graphKShortest(k = 3, maxHops = 4),
     "text_pii_redact" -> OracleFragments.textPiiRedact,
     "chunk_overlap" -> OracleFragments.chunkOverlap(chunkTokens = 32, overlapTokens = 8),
     "sample_weighted" -> OracleFragments.sampleWeighted(k = 25),
@@ -2826,6 +2908,17 @@ object SparkEntry {
          SELECT user_id, count(*) AS n_intervals, sum(dur)::BIGINT AS span_ms,
                 round(sum(wv)::DOUBLE / sum(dur)::DOUBLE, 6) AS twap
          FROM d GROUP BY 1""",
+    "ev_ewma" -> OracleFragments.evEwma(alpha = 0.25, lastN = 16),
+    "ev_attribution_outer" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                    FROM events WHERE event_type = 'view'),
+            c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click')
+         SELECT v.user_id, view_id, click_id,
+                epoch_ms(view_ts) AS view_ms, epoch_ms(click_ts) AS click_ms
+         FROM v LEFT JOIN c ON v.user_id = c.c_user_id
+          AND click_ts >= view_ts
+          AND click_ts <= view_ts + INTERVAL 60 MINUTE""",
     "graph_matching" -> OracleFragments.graphMatching(rounds = 8),
     "stats_chi2" ->
       """WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y,
@@ -3074,6 +3167,56 @@ object OracleFragments {
           count(*) AS n_dups
         FROM documents GROUP BY 1"""
 
+  /** Mirror of Corpus.urlDedup over the same noisy-URL fixture: the
+    * canonicalization rules step by step (fragment strip, lowercase
+    * head, default-port drop, one trailing slash, tracking-param
+    * filter + bytewise sort). DuckDB's regexp_extract returns NULL on
+    * no-match where Spark's returns '' — the coalesces align the
+    * empty-query and no-head paths. */
+  val dedupUrl: String =
+    """WITH u AS (SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+            || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+            || '.Example.COM'
+            || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+            || '/Docs/' || (doc_id % 40)::VARCHAR
+            || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&id=7&ref=tw'
+                     WHEN doc_id % 4 = 2 THEN '?id=7&utm_campaign=x'
+                     ELSE '' END) AS url
+          FROM documents),
+          s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+                 FROM u),
+          s2 AS (SELECT doc_id, nofrag,
+                        coalesce(regexp_extract(nofrag,
+                          '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1), '') AS head
+                 FROM s1),
+          s3 AS (SELECT doc_id,
+                        regexp_replace(lower(head), ':(80|443)$', '') AS headl,
+                        substring(nofrag, length(head) + 1) AS tail
+                 FROM s2),
+          s4 AS (SELECT doc_id, headl,
+                        regexp_replace(coalesce(
+                          regexp_extract(tail, '^([^?]*)', 1), ''),
+                          '/$', '') AS path,
+                        coalesce(
+                          regexp_extract(tail, '^[^?]*\?(.*)$', 1), '') AS q
+                 FROM s3),
+          s5 AS (SELECT doc_id, headl, path,
+                        coalesce(array_to_string(list_sort(list_filter(
+                          string_split(q, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p,
+                            '(?i)^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=.*)?$'))),
+                          '&'), '') AS kept
+                 FROM s4),
+          c AS (SELECT doc_id,
+                       headl || path ||
+                         (CASE WHEN kept = '' THEN ''
+                               ELSE '?' || kept END) AS canonical_url
+                FROM s5)
+        SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_docs
+        FROM c GROUP BY 1"""
+
   def dedupMinhashLsh(bands: Int, rowsPerBand: Int): String = {
     val mh = Seq.tabulate(bands * rowsPerBand)(i => s"${minhashExpr(5, i)} AS mh$i").mkString(", ")
     val bandSelects = Seq.tabulate(bands) { b =>
@@ -3165,6 +3308,31 @@ object OracleFragments {
           cc AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x)
         SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
+
+  /** Mirror of Events.ewma: the SAME driver-computed weight table
+    * (repeated IEEE multiplication, shortest-round-trip literals — the
+    * cross-engine constant-sharing discipline), 9-dp terms summed under
+    * DECIMAL(28,12). */
+  def evEwma(alpha: Double, lastN: Int): String = {
+    val pows = graft.operators.Events.ewmaPows(alpha, lastN)
+    val wLast = (1 to lastN).map(i => s"WHEN $i THEN ${pows(i - 1)}").mkString(" ")
+    val wMid = (1 to lastN).map(i => s"WHEN $i THEN ${alpha * pows(i - 1)}").mkString(" ")
+    s"""WITH e AS (SELECT user_id, "value",
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                   FROM events),
+         f AS (SELECT * FROM e WHERE rn <= $lastN),
+         g AS (SELECT user_id, "value", rn,
+                      count(*) OVER (PARTITION BY user_id) AS m FROM f),
+         t AS (SELECT user_id, m,
+                      round("value" * (CASE WHEN rn = m THEN (CASE m $wLast END)
+                                            ELSE (CASE rn $wMid END) END),
+                        9)::DECIMAL(28,12) AS term
+               FROM g)
+        SELECT user_id, max(m)::BIGINT AS n_used,
+               round(sum(term)::DOUBLE, 6) AS ewma
+        FROM t GROUP BY 1"""
+  }
 
   /** The per-purpose-salted coin mirroring Corpus.coin. */
   def coinSql(salt: String): String =
@@ -4915,6 +5083,78 @@ object OracleFragments {
         SELECT node, m.d AS dist, array_to_string(m.p, '->') AS path
         FROM r$maxHops"""
   }
+
+  /** Mirror of Graph.boruvkaMst: `rounds` unrolled Borůvka rounds over
+    * the BIGINT-weighted co-purchase edges. Per round: each component's
+    * minimum outgoing edge under the (w, src, dst) total order (a
+    * row_number window per component — fine on DuckDB's small data;
+    * the Spark side is a keyed min-struct), DISTINCT across the two
+    * claiming sides, then a min-label recursive-CTE closure over the
+    * selected component pairs re-labels the merged components. */
+  def graphMst(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""ce$i AS (SELECT e.src, e.dst, e.w, a.comp AS cs, b.comp AS cd
+                   FROM e0 e JOIN comp${i - 1} a ON e.src = a.node
+                             JOIN comp${i - 1} b ON e.dst = b.node
+                   WHERE a.comp <> b.comp),
+          pick$i AS (SELECT c, oc, w, src, dst,
+                            row_number() OVER (PARTITION BY c
+                              ORDER BY w, src, dst) AS rn
+                     FROM (SELECT cs AS c, cd AS oc, w, src, dst FROM ce$i
+                           UNION ALL
+                           SELECT cd AS c, cs AS oc, w, src, dst FROM ce$i)),
+          sel$i AS (SELECT DISTINCT src, dst, w FROM pick$i WHERE rn = 1),
+          pe$i AS (SELECT c AS s, oc AS d FROM pick$i WHERE rn = 1
+                   UNION SELECT oc AS s, c AS d FROM pick$i WHERE rn = 1),
+          reach$i AS (SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM pe$i)
+                      UNION
+                      SELECT r.x, e2.d AS y
+                      FROM reach$i r JOIN pe$i e2 ON r.y = e2.s),
+          lab$i AS (SELECT x AS comp, min(y) AS lab FROM reach$i GROUP BY 1),
+          comp$i AS (SELECT c.node, coalesce(l.lab, c.comp) AS comp
+                     FROM comp${i - 1} c LEFT JOIN lab$i l ON c.comp = l.comp)"""
+    }.mkString(",\n")
+    val out = (1 to rounds).map { i =>
+      s"SELECT src, dst, w, $i AS round FROM sel$i"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH RECURSIVE e0 AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+            GROUP BY 1, 2),
+          comp0 AS (SELECT node, node AS comp FROM (
+                      SELECT src AS node FROM e0
+                      UNION SELECT dst AS node FROM e0)),
+          $steps
+        $out"""
+  }
+
+  /** Mirror of Graph.kShortestDistances: ground truth enumerates ALL
+    * hop-bounded walks from the source by recursive CTE, then takes the
+    * k smallest DISTINCT costs per node — the definitionally-correct
+    * answer the k-frontier relaxation must reproduce. Costs are sums of
+    * integer-valued doubles (exact regardless of order). */
+  def graphKShortest(k: Int, maxHops: Int): String =
+    s"""WITH RECURSIVE e0 AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   count(*)::DOUBLE AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+            GROUP BY 1, 2),
+          walk(node, cost, hops) AS (
+            SELECT (SELECT min(src) FROM e0), 0.0::DOUBLE, 0
+            UNION ALL
+            SELECT a.dst, wk.cost + a.w, wk.hops + 1
+            FROM walk wk JOIN e0 a ON a.src = wk.node
+            WHERE wk.hops < $maxHops),
+          d AS (SELECT DISTINCT node, cost FROM walk),
+          r AS (SELECT node, cost,
+                       row_number() OVER (PARTITION BY node
+                         ORDER BY cost) AS k_idx
+                FROM d)
+        SELECT node, k_idx, cost AS dist FROM r WHERE k_idx <= $k"""
 
   /** Mirror of Graph.labelPropagation: synchronous min-tie-break LPA,
     * `rounds` unrolled iterations. Each round's argmax (strongest

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -242,6 +242,30 @@ object Corpus {
         when(col(sourceCol) === src, lit((rate * 4294967296L).toLong)).otherwise(acc)
     }
     docs.filter(c < threshold)
+  }
+
+  /**
+   * Deterministic epoch shuffle — the global training-order
+   * randomization a data loader consumes: each document draws an
+   * `epoch`-salted [[coin]] as its `order_key` and lands in shard
+   * `order_key mod nShards`; the realized order is (shard, order_key).
+   * Properties the md5 coin buys: reproducible across runs/engines/
+   * partitionings, a DIFFERENT pseudo-random permutation per epoch
+   * (the salt), and independence from the samplers' coins (per-purpose
+   * salts). Zero windows, zero shuffles in THIS plan — a writer
+   * realizes the order with `repartition(shard)` +
+   * `sortWithinPartitions(order_key)`, which is the one unavoidable
+   * exchange a global shuffle needs, sized by `nShards`.
+   */
+  def epochShuffle(
+      docs: DataFrame,
+      epoch: Int,
+      nShards: Int = 1024,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val c = coin(idCol, s"epoch$epoch:")
+    docs.select(col(idCol), pmod(c, lit(nShards.toLong)).as("shard"),
+      c.as("order_key"))
   }
 
   /** Quality-weighted mixture sampling — the mixture-TUNING form a
@@ -1044,4 +1068,62 @@ object Corpus {
         round(col("qmass").cast("double") / col("n_docs").cast("double"), 6)
           .as("mean_quality"))
   }
+
+  /**
+   * URL canonicalization (the FineWeb/CCNet URL-dedup key). Rules, in
+   * order — each is a pure string transform so the whole thing is one
+   * codegen'd projection, no UDF, no network:
+   *
+   *   1. strip the fragment (`#…`);
+   *   2. lowercase scheme + authority (the RFC 3986 case-insensitive
+   *      parts; path and query keep their case) and drop an explicit
+   *      default port (`:80`/`:443`);
+   *   3. strip ONE trailing slash from the path (`…/docs/` ≡ `…/docs`;
+   *      a bare `scheme://host/` canonicalizes to no-slash);
+   *   4. drop tracking query params (utm_*, fbclid, gclid, msclkid,
+   *      ref, mc_cid, mc_eid — case-insensitive), sort the survivors
+   *      bytewise, rejoin; an emptied query drops its `?`.
+   *
+   * A URL with no `scheme://` head passes through steps 1/3/4 with the
+   * head treated as empty (relative refs canonicalize by path+query
+   * only). Deterministic, engine-reproducible, scan-speed.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val head = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val tail = noFrag.substr(length(head) + 1, length(noFrag))
+    canonicalizeUrlParts(lower(head), tail)
+  }
+
+  private def canonicalizeUrlParts(headLower: Column, tail: Column): Column = {
+    val headNoPort = regexp_replace(headLower, ":(80|443)$", "")
+    val path = regexp_replace(regexp_extract(tail, "^([^?]*)", 1), "/$", "")
+    val q = regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    val kept = array_join(
+      array_sort(filter(split(q, "&"), p =>
+        p =!= lit("") && !p.rlike(
+          "(?i)^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=.*)?$"))),
+      "&")
+    concat(headNoPort, path,
+      when(kept === lit(""), lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /**
+   * URL-level exact dedup over the canonical key: one keyed shuffle,
+   * keeper = the minimum id per canonical URL (deterministic). The
+   * FineWeb pipeline's first dedup stage — at 100 TB this is the cheap
+   * pass that runs before any content hashing, and it composes with
+   * [[Dedup.exact]] downstream (same keep-min contract).
+   *
+   * Returns (canonical_url, keep_id, n_docs).
+   */
+  def urlDedup(
+      docs: DataFrame,
+      urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(idCol).as("id"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_docs"))
 }

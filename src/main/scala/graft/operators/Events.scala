@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -375,6 +375,64 @@ object Events {
         round((sum(col("_wv")).cast("double")
           / sum(col("_dur")).cast("double")), 6).as("twap"))
   }
+
+  /**
+   * Exponentially-weighted moving average of each key's latest `lastN`
+   * values — the smoothed per-entity level monitoring dashboards track.
+   * The recursion s_t = α·x_t + (1−α)·s_{t−1} with s_1 = x_oldest
+   * unrolls to the closed form
+   *
+   *   s = Σ_{i=1..m−1} α·(1−α)^{i−1}·x_i  +  (1−α)^{m−1}·x_m
+   *
+   * (x_1 newest, m = values used ≤ lastN), so the whole thing is one
+   * keyed window pass + one aggregate — no recursion, no state. The
+   * weight table is computed ONCE on the driver by repeated IEEE
+   * multiplication and embedded as literals, so every engine running
+   * the mirrored plan sees bit-identical constants ([[changePoint]]'s
+   * cross-engine determinism discipline); per-term products round to
+   * 9 dp and sum under DECIMAL(28,12) — order-independent, exact.
+   *
+   * Bounding to `lastN` is the scale contract: per-key state is O(N)
+   * rows through one partition-pruned window, never a full history
+   * scan per key. Keys order their events (ts, tie) descending; ties
+   * break on `tieCol` so the window is total.
+   */
+  def ewma(
+      events: DataFrame,
+      alpha: Double = 0.25,
+      lastN: Int = 16,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    require(lastN >= 1, "lastN must be >= 1")
+    val pows = ewmaPows(alpha, lastN) // pows(i) = (1-alpha)^i
+    def caseOn(c: Column, v: Int => Double): Column =
+      (1 to lastN).foldLeft(lit(null).cast("double")) { (acc, i) =>
+        when(c === i, lit(v(i))).otherwise(acc)
+      }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= lastN)
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("_wt",
+        when(col("_rn") === col("_m"), caseOn(col("_m"), i => pows(i - 1)))
+          .otherwise(caseOn(col("_rn"), i => alpha * pows(i - 1))))
+      .withColumn("_term",
+        round(col(valueCol).cast("double") * col("_wt"), 9)
+          .cast("decimal(28,12)"))
+      .groupBy(col(keyCol))
+      .agg(max(col("_m")).cast("long").as("n_used"),
+        round(sum(col("_term")).cast("double"), 6).as("ewma"))
+  }
+
+  /** (1−α)^0 .. (1−α)^(n−1) by repeated multiplication — the shared
+    * constant table [[ewma]] and its oracle both interpolate. */
+  def ewmaPows(alpha: Double, n: Int): Array[Double] =
+    Array.iterate(1.0, n)(_ * (1.0 - alpha))
 
   /** Union of overlapping (or touching) intervals per key — the
     * gaps-and-islands coalesce: each key's `[start, end)` intervals

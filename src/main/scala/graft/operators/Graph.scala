@@ -2621,4 +2621,185 @@ object Graph {
       array_join(transform(col("path"), x => x.cast("string")), "->")
         .as("path"))
   }
+
+  /**
+   * Minimum spanning forest by Borůvka rounds (Borůvka 1926; the GDS
+   * spanning-tree surface — GDS 2.1 ships Prim, whose sequential
+   * frontier is the one shape a shuffle engine cannot run; Borůvka is
+   * the standard distributed rendition and computes the SAME forest
+   * under distinct edge weights). Per round, every component selects
+   * its minimum-weight outgoing edge under the TOTAL order
+   * (w, src, dst) — the id tie-break makes the forest unique and
+   * engine-reproducible even with duplicate weights — selected edges
+   * join the forest, and touching components merge. Component count at
+   * least halves per round, so `maxRounds` = ⌈log₂ V⌉ completes; an
+   * early exit fires the first round the OBSERVED cross-edge count
+   * hits zero (forest complete).
+   *
+   * Scale shape per round: two label equi-joins to tag edge endpoints,
+   * one keyed min-struct aggregate for the per-component pick (never a
+   * corpus-wide window), and a component-graph merge over ≤ #components
+   * selected pairs delegated to [[Corpus.connectedComponents]] (its
+   * observed-count-gated union-find / pointer-jumping switch). Labels
+   * live in scratch tables ([[pageRank]] loop discipline) — the plan
+   * stays constant-size in rounds; per-round selections are
+   * materialized once and the returned frame unions those scans.
+   *
+   * Returns (src, dst, w, round): the forest edges with the round that
+   * selected each. sum(w) is the forest weight; counting rows against
+   * `V - #components` certifies completeness.
+   */
+  def boruvkaMst(
+      edges: DataFrame,
+      maxRounds: Int = 8,
+      weightCol: Option[String] = None): DataFrame = {
+    import graft.ops.Scratch
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = weightCol match {
+      case None => canonicalEdges(edges).withColumn("w", lit(1L))
+      case Some(wc) =>
+        // canonical undirected pair; parallel edges keep the cheapest
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .agg(min(col(wc)).as("w"))
+    }
+    val (e, ePath) = Scratch.materializeAt(
+      e0.select(col("src"), col("dst"), col("w")), "mst_edges")
+    val empty = e.select(col("src"), col("dst"), col("w"),
+      lit(1).as("round")).filter(lit(false))
+    var comp = Scratch.materialize(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct().select(col("node"), col("node").as("comp")),
+      "mst_comp")
+    var out: DataFrame = empty
+    var done = false
+    for (r <- 1 to maxRounds if !done) {
+      val cs = comp.select(col("node").as("src"), col("comp").as("cs"))
+      val cd = comp.select(col("node").as("dst"), col("comp").as("cd"))
+      val cross = e.join(cs, Seq("src")).join(cd, Seq("dst"))
+        .filter(col("cs") =!= col("cd"))
+      // both endpoints' components compete for the edge; the min struct
+      // is totally ordered by (w, src, dst) so the pick is unique
+      val sides = cross.select(col("cs").as("c"), col("w"), col("src"),
+          col("dst"), col("cd"))
+        .unionByName(cross.select(col("cd").as("c"), col("w"), col("src"),
+          col("dst"), col("cs").as("cd")))
+      val (sel, m, _) = Scratch.materializeObservedAt(
+        sides.groupBy(col("c"))
+          .agg(min(struct(col("w"), col("src"), col("dst"), col("c").as("ca"),
+            col("cd").as("cb"))).as("m"))
+          .select(col("m.w").as("w"), col("m.src").as("src"),
+            col("m.dst").as("dst"), col("m.ca").as("ca"), col("m.cb").as("cb"))
+          .groupBy(col("src"), col("dst"), col("w"))
+          .agg(min(col("ca")).as("ca"), max(col("cb")).as("cb")),
+        s"mst_sel_$r", count(lit(1)).as("n"))
+      if (m("n").asInstanceOf[Long] == 0L) done = true
+      else {
+        out = out.unionByName(
+          sel.select(col("src"), col("dst"), col("w"), lit(r).as("round")))
+        // merge the touching components: min label over the selected
+        // component pairs, applied back onto every node's label
+        val merged = Corpus.connectedComponents(
+          sel.select(col("ca"), col("cb")), aCol = "ca", bCol = "cb")
+          .select(col("id").as("comp"), col("label"))
+        comp = Scratch.materialize(
+          comp.join(merged, Seq("comp"), "left")
+            .select(col("node"), coalesce(col("label"), col("comp")).as("comp")),
+          s"mst_comp_$r")
+      }
+    }
+    out
+  }
+
+  /**
+   * K-shortest path costs (the GDS Yen's-surface analogue for COSTS):
+   * for every reachable node, the `k` smallest DISTINCT path costs from
+   * the source set within `maxHops` edges, ranked ascending. Bounded
+   * Bellman-Ford relaxation carrying a k-cost frontier instead of one
+   * minimum — correct by optimal substructure: the j-th smallest
+   * distinct cost at v via edge (u,v) extends one of the k smallest
+   * distinct costs at u (any cost outside u's top-k has k smaller
+   * distinct extensions, all ≤ it), so per-round top-k pruning loses
+   * nothing the final top-k needs, hop bound included.
+   *
+   * State is FLAT (node, cost) rows, ≤ k per node — never an
+   * unbounded array; the per-round candidate volume at a node is
+   * k·(in-degree+1), so in-degree is an enforced contract
+   * ([[Blocks.guardBlockSize]]) exactly like the wedge-join family:
+   * a 10M-in-degree hub at 100× would otherwise mint a 10M·k
+   * aggregation buffer on one key. Each round is one adjacency
+   * equi-join + one keyed sorted-set aggregate over a scratch table
+   * ([[shortestPaths]] loop discipline).
+   *
+   * Returns (node, k_idx, dist): rank 1..k by ascending cost.
+   */
+  def kShortestDistances(
+      edges: DataFrame,
+      sources: DataFrame,
+      k: Int = 3,
+      maxHops: Int = 4,
+      weightCol: Option[String] = None,
+      directed: Boolean = true,
+      maxInDegree: Long = 100000L): DataFrame = {
+    import graft.ops.Scratch
+    require(k >= 1, "k must be >= 1")
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = (weightCol, directed) match {
+      case (None, false) =>
+        canonicalEdges(edges).withColumn("w", lit(1.0d))
+      case (None, true) =>
+        edges.filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          .withColumn("w", lit(1.0d))
+      case (Some(wc), false) =>
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .agg(sum(col(wc).cast("double")).as("w"))
+          .filter(col("w") > 0.0d)
+      case (Some(wc), true) =>
+        edges.filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col(wc).cast("double")).as("w"))
+          .filter(col("w") > 0.0d)
+    }
+    val adjBase = e0.select(col("src"), col("dst"), col("w"))
+    val adjAll =
+      if (directed) adjBase
+      else adjBase.union(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val (adj, adjPath) = Scratch.materializeAt(
+      Blocks.guardBlockSize(adjAll, "dst", maxInDegree, "kShortestDistances",
+        hint = "the per-round candidate volume at a node is k x in-degree "
+          + "- truncate the adjacency upstream or raise maxInDegree "
+          + "deliberately",
+        boundName = "maxInDegree"),
+      "ksp_adj")
+    var st = sources.select(col(sources.columns.head).as("node"))
+      .distinct().withColumn("d", lit(0.0d))
+    var stPath: String = null
+    for (_ <- 1 to maxHops) {
+      val relaxed = adj.join(st, adj("src") === st("node"))
+        .select(adj("dst").as("node"), (st("d") + adj("w")).as("d"))
+      val (next, nextPath) = Scratch.materializeAt(
+        st.select(col("node"), col("d"))
+          .union(relaxed)
+          .groupBy(col("node"))
+          .agg(slice(array_sort(collect_set(col("d"))), 1, k).as("ds"))
+          .select(col("node"), explode(col("ds")).as("d")),
+        "ksp_state")
+      if (stPath != null) Scratch.drop(spark, stPath)
+      st = next
+      stPath = nextPath
+    }
+    Scratch.drop(spark, adjPath)
+    st.groupBy(col("node"))
+      .agg(array_sort(collect_set(col("d"))).as("ds"))
+      .select(col("node"), posexplode(col("ds")))
+      .select(col("node"), (col("pos") + 1L).cast("long").as("k_idx"),
+        col("col").as("dist"))
+  }
 }

@@ -709,4 +709,32 @@ object Quality {
           (col("na") + col("nb")).cast("double")) * col("d"), 6)
           .as("ks_scaled"))
   }
+
+  /**
+   * Approximate-distinct audit (the HLL++ sketch surface): per group,
+   * `approx_count_distinct` (relative standard deviation `rsd`) checked
+   * against the exact distinct count, emitting whether the estimate
+   * landed within `maxRelError`. The sketch is THE cardinality path at
+   * 100 TB — O(1) mergeable state per group, pure map-side partials, no
+   * value shuffle — while the exact count here is the GATE anchor only
+   * (the error-contract-boolean pattern of `corpusReport`'s percentile
+   * sketch: the oracle can't reproduce HLL internals, but it can
+   * falsify the published error bound). `maxRelError` defaults to 4
+   * standard deviations of the configured rsd — a bound the estimator
+   * misses with probability ~6e-5 per group, so a red gate means a
+   * broken sketch, not bad luck.
+   */
+  def approxDistinctAudit(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      rsd: Double = 0.01,
+      maxRelError: Double = 0.04): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_distinct(col(valueCol)).as("n_exact"),
+        approx_count_distinct(col(valueCol), rsd).as("_n_approx"))
+      .select(col(groupCol), col("n_exact"),
+        (abs(col("_n_approx") - col("n_exact")).cast("double") <=
+          lit(maxRelError) * col("n_exact").cast("double"))
+          .as("within_bound"))
 }

@@ -156,7 +156,31 @@ object EventStreams {
   def attributeClicks(
       views: DataFrame,
       clicks: DataFrame,
-      horizonMinutes: Int = 60): DataFrame = {
+      horizonMinutes: Int = 60): DataFrame =
+    attributionJoin(views, clicks, horizonMinutes, "inner")
+
+  /**
+   * LEFT-OUTER rendition of [[attributeClicks]]: every view emits, with
+   * null click columns for views no click converted — the funnel-loss
+   * side the inner join can't see. In streaming mode this is the
+   * watermarked stream-stream OUTER join: Spark holds a view in state
+   * until the click-side watermark passes `view_ts + horizon`, then
+   * emits the unmatched row with nulls — which is exactly why BOTH
+   * watermarks and the two-sided time bound are required (an unbounded
+   * outer join could never prove a view unmatched). Batch runs the
+   * identical plan minus watermarks for the oracle.
+   */
+  def attributeClicksOuter(
+      views: DataFrame,
+      clicks: DataFrame,
+      horizonMinutes: Int = 60): DataFrame =
+    attributionJoin(views, clicks, horizonMinutes, "left_outer")
+
+  private def attributionJoin(
+      views: DataFrame,
+      clicks: DataFrame,
+      horizonMinutes: Int,
+      joinType: String): DataFrame = {
     val v = views
       .withWatermark("ts", s"$horizonMinutes minutes")
       .select(col("user_id"), col("view_id"), col("ts").as("view_ts"))
@@ -166,7 +190,8 @@ object EventStreams {
     v.join(c,
       col("user_id") === col("c_user_id") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         unix_millis(col("view_ts")).as("view_ms"),
         unix_millis(col("click_ts")).as("click_ms"))

@@ -1,0 +1,186 @@
+package graft
+
+import graft.operators.{Corpus, Graph}
+import org.apache.spark.sql.functions._
+
+/** Round-12 operators: Borůvka spanning forest, k-shortest path costs,
+  * URL canonicalization dedup. */
+class Round12OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic pseudo-random multigraph: ~150 candidate edges over 40
+  // nodes, weights made unique by the (w, src, dst) tie-break anyway
+  private def randomGraph(): Seq[(Long, Long, Long)] =
+    (0 until 150).flatMap { i =>
+      val a = (i * 7919L) % 40L
+      val b = (i * 104729L + 3L) % 40L
+      if (a == b) None else Some((math.min(a, b), math.max(a, b), (i * 31L) % 17L + 1L))
+    }
+
+  /** Kruskal under the same (w, src, dst) total order — with a total
+    * order the forest is unique, so Borůvka must reproduce it exactly. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val dedup = edges.groupBy(e => (e._1, e._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).min) }.toSeq
+    val picked = scala.collection.mutable.Set[(Long, Long, Long)]()
+    for ((s, d, w) <- dedup.sortBy(e => (e._3, e._1, e._2))) {
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) { parent(rs) = rd; picked += ((s, d, w)) }
+    }
+    picked.toSet
+  }
+
+  test("boruvkaMst equals Kruskal under the shared total order; forest is complete") {
+    val es = randomGraph()
+    val df = es.toDF("src", "dst", "wt")
+    val got = Graph.boruvkaMst(df, maxRounds = 8, weightCol = Some("wt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = kruskal(es)
+    assert(got == want)
+    // completeness: |forest| = V - C on this connected-or-not graph
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val comps = Graph.connectedComponents(df)
+      .select("component").distinct().count()
+    assert(got.size.toLong == nodes.size - comps)
+  }
+
+  test("boruvkaMst: empty input and single-component early exit") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "wt")
+    assert(Graph.boruvkaMst(empty, weightCol = Some("wt")).count() == 0L)
+    // a triangle resolves in one round and exits early (no round-2 rows)
+    val tri = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L)).toDF("src", "dst", "wt")
+    val rows = Graph.boruvkaMst(tri, maxRounds = 8, weightCol = Some("wt")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (2L, 3L)))
+    assert(rows.forall(_.getInt(3) == 1))
+  }
+
+  test("kShortestDistances: matches brute-force walk enumeration on a DAG") {
+    val es = Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (2L, 4L, 5L)).toDF("src", "dst", "wt")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.kShortestDistances(es, src, k = 3, maxHops = 4,
+      weightCol = Some("wt"), directed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force: all hop<=4 walk costs, k smallest distinct per node
+    val adj = Seq((1L, 2L, 1.0), (1L, 3L, 2.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (2L, 4L, 5.0))
+    var frontier = Seq((1L, 0.0))
+    var all = frontier
+    for (_ <- 1 to 4) {
+      frontier = frontier.flatMap { case (n, c) =>
+        adj.collect { case (s, d, w) if s == n => (d, c + w) } }
+      all ++= frontier
+    }
+    val want = all.distinct.groupBy(_._1).flatMap { case (n, cs) =>
+      cs.map(_._2).distinct.sorted.take(3).zipWithIndex
+        .map { case (c, i) => (n, (i + 1).toLong, c) }
+    }.toSet
+    assert(got == want)
+    // rank-1 costs are exactly the single-source shortest distances
+    val sp = Graph.shortestPaths(es, src, maxHops = 4,
+      weightCol = Some("wt"), directed = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    got.filter(_._2 == 1L).foreach { case (n, _, c) => assert(sp(n) == c) }
+  }
+
+  test("kShortestDistances: in-degree guard trips on a hub") {
+    val hub = (1L to 30L).map(i => (i, 99L, 1L)).toDF("src", "dst", "wt")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val err = intercept[Exception] {
+      Graph.kShortestDistances(hub, src, k = 2, maxHops = 2,
+        weightCol = Some("wt"), directed = true, maxInDegree = 10L).collect()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("kShortestDistances") && msgs.contains("maxInDegree"))
+  }
+
+  test("canonicalizeUrl: each rule, one at a time") {
+    val cases = Seq(
+      ("https://A.Example.COM/Path#frag", "https://a.example.com/Path"),
+      ("HTTPS://host.com:443/x", "https://host.com/x"),
+      ("http://host.com:80/x", "http://host.com/x"),
+      ("http://host.com:8080/x", "http://host.com:8080/x"),
+      ("https://h.com/docs/", "https://h.com/docs"),
+      ("https://h.com/", "https://h.com"),
+      ("https://h.com/p?b=2&utm_source=x&a=1", "https://h.com/p?a=1&b=2"),
+      ("https://h.com/p?UTM_Campaign=x&fbclid=1&gclid=2&ref=3", "https://h.com/p"),
+      ("/relative/path/?utm_source=x", "/relative/path"),
+      ("https://h.com/Case/Kept?Q=UpPeR", "https://h.com/Case/Kept?Q=UpPeR"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Corpus.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"for $in") }
+  }
+
+  test("ewma: closed form equals the driver-side recursion") {
+    val ts = (i: Long) => new java.sql.Timestamp(i * 60000L)
+    val rows = Seq(
+      (1L, ts(1), 10.0, 101L), (1L, ts(2), 20.0, 102L), (1L, ts(3), 30.0, 103L),
+      (2L, ts(5), 7.0, 104L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = graft.operators.Events.ewma(rows, alpha = 0.25, lastN = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // s = 0.25*30 + 0.25*0.75*20 + 0.75^2*10 (oldest carries the tail)
+    def rec(vs: Seq[Double]) = vs.tail.foldLeft(vs.head)((s, x) => 0.25 * x + 0.75 * s)
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - rec(Seq(10.0, 20.0, 30.0))) < 1e-9)
+    assert(got(2L) == (1L, 7.0))
+  }
+
+  test("ewma: lastN truncation uses only the newest N values") {
+    val ts = (i: Long) => new java.sql.Timestamp(i * 1000L)
+    val rows = (1L to 10L).map(i => (1L, ts(i), i.toDouble, 100L + i))
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = graft.operators.Events.ewma(rows, alpha = 0.5, lastN = 4)
+      .collect().head
+    // newest 4 values are 7,8,9,10 → s over (7,8,9,10)
+    def rec(vs: Seq[Double]) = vs.tail.foldLeft(vs.head)((s, x) => 0.5 * x + 0.5 * s)
+    assert(got.getLong(1) == 4L)
+    assert(math.abs(got.getDouble(2) - rec(Seq(7.0, 8.0, 9.0, 10.0))) < 1e-9)
+  }
+
+  test("epochShuffle: deterministic, epoch-dependent, shard = key mod n") {
+    val docs = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
+    val e1 = Corpus.epochShuffle(docs, epoch = 1, nShards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e1b = Corpus.epochShuffle(docs, epoch = 1, nShards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e2 = Corpus.epochShuffle(docs, epoch = 2, nShards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(e1 == e1b) // reproducible
+    assert(e1 != e2)  // epochs permute differently
+    assert(e1.values.forall { case (s, k) => s == (k % 8 + 8) % 8 && s >= 0 })
+    // order keys are (essentially) collision-free 32-bit draws here
+    assert(e1.values.map(_._2).toSet.size == 200)
+  }
+
+  test("approxDistinctAudit: exact anchor matches and the bound holds") {
+    val df = (0L until 3000L).map(i => (s"g${i % 3}", i % 500))
+      .toDF("grp", "v")
+    val r = graft.operators.Quality.approxDistinctAudit(df, "v", "grp")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r.keySet == Set("g0", "g1", "g2"))
+    assert(r.values.forall { case (n, ok) => n == 500L && ok })
+  }
+
+  test("urlDedup: canonical variants collapse to one keeper") {
+    val docs = Seq(
+      (1L, "https://a.com/x?utm_source=f"),
+      (2L, "HTTPS://A.com/x/"),
+      (3L, "https://a.com:443/x#top"),
+      (4L, "https://a.com/y"),
+      (5L, "https://b.com/x")).toDF("doc_id", "url")
+    val r = Corpus.urlDedup(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(
+      "https://a.com/x" -> (1L, 3L),
+      "https://a.com/y" -> (4L, 1L),
+      "https://b.com/x" -> (5L, 1L)))
+  }
+}

@@ -36,7 +36,7 @@ class ScaleOpsSpec extends SparkTestBase {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(err).exists(m =>
-      m.contains("lshJaccard") && m.contains("maxBlockRows")))
+      m.contains("lshJaccard") && m.contains("maxBucketRows")))
     // a bound that admits the bucket lets the (deliberately) quadratic
     // output through: all 300·299/2 identical pairs at jaccard 1.0
     assert(Dedup.lshJaccard(dup, minJaccard = 0.9, maxBucketRows = 2000)
@@ -74,7 +74,7 @@ class ScaleOpsSpec extends SparkTestBase {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(err).exists(m =>
-      m.contains("ppjoinJaccard") && m.contains("maxBlockRows")))
+      m.contains("ppjoinJaccard") && m.contains("maxBucketRows")))
     // under a bound that admits the bucket: all identical pairs at 1.0
     assert(Dedup.ppjoinJaccard(dup, minJaccard = 0.9, maxBucketRows = 2000)
       .count() == 300L * 299L / 2L)

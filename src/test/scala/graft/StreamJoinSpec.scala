@@ -56,6 +56,51 @@ class StreamJoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream attribution emits unmatched views once the watermark passes") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // base offset well past epoch 0: Spark's stream-stream join starts
+    // with watermark = 0, and an outer-side row AT the initial watermark
+    // is filtered as late — epoch-0 event times are the one fixture that
+    // trips it (real event times are decades past it)
+    val t = (m: Long) => new java.sql.Timestamp((100000L + m) * 60000L)
+    val realViews = Seq(Ev(1L, 10L, t(0)), Ev(2L, 11L, t(5)))
+    val realClicks = Seq(Ev(1L, 20L, t(30))) // user 2 never converts
+    val batch = EventStreams.attributeClicksOuter(
+      realViews.toDF().withColumnRenamed("id", "view_id"),
+      realClicks.toDF().withColumnRenamed("id", "click_id"),
+      horizonMinutes = 60)
+
+    val vs = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    // sentinels far in the future advance BOTH watermarks past every
+    // real view's [view_ts, view_ts + horizon] window so unmatched rows
+    // flush; user -1 matches nothing
+    vs.addData(realViews :+ Ev(-1L, 98L, t(100000)))
+    cs.addData(realClicks :+ Ev(-1L, 99L, t(100000)))
+    val streamed = EventStreams.attributeClicksOuter(
+      vs.toDF().withColumnRenamed("id", "view_id"),
+      cs.toDF().withColumnRenamed("id", "click_id"),
+      horizonMinutes = 60)
+    val q = streamed.writeStream.format("memory")
+      .queryName("attr_outer_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the watermark computed at the END of batch 1 takes effect in
+      // batch 2 — push one more sentinel row so a second microbatch
+      // actually runs and evicts/emits the unmatched view
+      vs.addData(Seq(Ev(-1L, 96L, t(100001))))
+      cs.addData(Seq(Ev(-1L, 97L, t(100001))))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM attr_outer_test")
+        .filter(col("user_id") =!= -1L)
+      assert(batch.count() == 2L) // one match + one null-click row
+      assert(batch.filter(col("click_id").isNull).count() == 1L)
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("attribution horizon excludes older views") {
     val views = Seq(
       Ev(1L, 10L, new java.sql.Timestamp(0L)),          // 61 min before the click
