@@ -645,6 +645,42 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     }),
+    "q4_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: EXISTS → LEFT SEMI join of the order quarter
+      // against late-shipping lineitems; the priority rollup counts
+      // each order once no matter how many lineitems were late
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      o.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    "q10_returned_items" -> ((s, dir) => {
+      // TPC-H Q10 shape: revenue lost to returns per customer for a
+      // quarter — fact joins keyed, the nation dim broadcast, top 20
+      // under a deterministic (revenue, custkey) order
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = t(s, dir, "nation")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
     "q5_local_supplier" -> ((s, dir) => {
       // TPC-H Q5 shape: the 6-way snowflake join. Dimension chain
       // region -> nation is broadcast (tiny); customer/supplier ride
@@ -1445,6 +1481,20 @@ object SparkEntry {
               i => array_join(
                 slice(split(col("text"), " "), i * 6 + 1, lit(6)), " ")),
             "\n")))),
+    "text_boilerplate_strip" -> ((s, dir) =>
+      // line-df boilerplate filter: ALL copies of a line in >= 3 docs
+      // drop (lineDedup keeps the first; this is the other policy)
+      graft.operators.TextAnalysis.boilerplateStrip(
+        t(s, dir, "documents").withColumn("text",
+          array_join(
+            transform(
+              sequence(lit(0),
+                floor((size(split(col("text"), " ")) - 1) / lit(6))
+                  .cast("int")),
+              i => array_join(
+                slice(split(col("text"), " "), i * 6 + 1, lit(6)), " ")),
+            "\n")),
+        minDf = 3L)),
     "text_unigram_encode" -> ((s, dir) => {
       // encode the corpus with the learned unigram vocab: per-doc ws vs
       // Viterbi-segmentation piece counts — the real-tokenizer budget
@@ -1766,6 +1816,10 @@ object SparkEntry {
       // computed once on the driver and shared with the oracle
       graft.operators.Events.ewma(eventsTable(s, dir),
         alpha = 0.25, lastN = 16)),
+    "ev_ohlc" -> ((s, dir) =>
+      // hourly OHLC bars per user: open/close ride struct min/max
+      // aggregates — one keyed shuffle, no windows
+      graft.operators.Events.ohlcBars(eventsTable(s, dir))),
     "ev_attribution_outer" -> ((s, dir) => {
       // LEFT-OUTER stream-stream attribution (batch rendition): every
       // view row emits; unconverted views carry null click columns
@@ -2132,6 +2186,37 @@ object SparkEntry {
               JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY 1 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                (sum(l_extendedprice::DECIMAL(18,2)
+                     * (1 - l_discount::DECIMAL(18,2))))::DOUBLE AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
+    "ev_ohlc" ->
+      """SELECT user_id,
+                epoch_ms(date_trunc('hour', ts)) AS bar_start_ms,
+                min({'t': epoch_ms(ts), 'e': event_id, 'v': "value"}).v AS open,
+                max("value") AS high, min("value") AS low,
+                max({'t': epoch_ms(ts), 'e': event_id, 'v': "value"}).v AS close,
+                count(*)::BIGINT AS n_events
+         FROM events GROUP BY 1, 2""",
     "q5_local_supplier" ->
       """SELECT n_name,
                 sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
@@ -2548,6 +2633,7 @@ object SparkEntry {
       seedMulti = 60, keepMulti = 40, emRounds = 2,
       maxPieceLen = 3, maxWordLen = 12),
     "text_line_dedup" -> OracleFragments.textLineDedup,
+    "text_boilerplate_strip" -> OracleFragments.textBoilerplateStrip(minDf = 3L),
     "text_bpe_encode" -> OracleFragments.vocabBpeEncode(rounds = 6),
     "basket_rules" ->
       """WITH li AS (
@@ -6007,6 +6093,32 @@ object OracleFragments {
                sum(CASE WHEN l.id * 1048576 + l.idx = f.fk
                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
                coalesce(string_agg(CASE WHEN l.id * 1048576 + l.idx = f.fk
+                 THEN l.line END, chr(10) ORDER BY l.idx), '') AS text_clean
+        FROM l JOIN f USING (h) GROUP BY 1"""
+
+  /** Mirror of TextAnalysis.boilerplateStrip over the same 6-words-per-
+    * line fixture as [[textLineDedup]]: a line whose normalized hash
+    * appears in >= minDf distinct docs drops EVERY occurrence. */
+  def textBoilerplateStrip(minDf: Long): String =
+    s"""WITH d AS (SELECT doc_id,
+              array_to_string(list_transform(
+                generate_series(0,
+                  (len(string_split(text, ' ')) - 1) // 6),
+                i -> array_to_string(
+                  string_split(text, ' ')[i*6+1 : i*6+6], ' ')),
+                chr(10)) AS text
+            FROM documents),
+          l AS (SELECT id, u.idx AS idx, u.line AS line,
+                       md5(trim(lower(u.line))) AS h FROM (
+                  SELECT doc_id AS id,
+                         unnest(list_transform(generate_series(1, len(ls)),
+                           i -> {'idx': i - 1, 'line': ls[i]})) AS u
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                        FROM d))),
+          f AS (SELECT h, count(DISTINCT id)::BIGINT AS df FROM l GROUP BY 1)
+        SELECT l.id AS doc_id, count(*)::BIGINT AS n_lines,
+               sum(CASE WHEN f.df < $minDf THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               coalesce(string_agg(CASE WHEN f.df < $minDf
                  THEN l.line END, chr(10) ORDER BY l.idx), '') AS text_clean
         FROM l JOIN f USING (h) GROUP BY 1"""
 

@@ -377,6 +377,35 @@ object Events {
   }
 
   /**
+   * OHLC bars — the resample step time-series and market-data pipelines
+   * run before modeling: per (key, hour bucket), the opening value
+   * (earliest event, `tieCol`-broken), high, low, closing value
+   * (latest event) and the event count. Open/close ride struct
+   * min/max aggregates ordered by (epoch-millis, tie, value) — pure
+   * two-phase hash aggregation with map-side partials, no windows, one
+   * keyed shuffle; the struct total order makes the bar deterministic
+   * under any row order or partitioning.
+   */
+  def ohlcBars(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val tagged = struct(unix_millis(col(tsCol)).as("t"),
+      col(tieCol).as("e"), col(valueCol).cast("double").as("v"))
+    events
+      .groupBy(col(keyCol),
+        unix_millis(date_trunc("hour", col(tsCol))).as("bar_start_ms"))
+      .agg(
+        min(tagged).getField("v").as("open"),
+        max(col(valueCol).cast("double")).as("high"),
+        min(col(valueCol).cast("double")).as("low"),
+        max(tagged).getField("v").as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /**
    * Exponentially-weighted moving average of each key's latest `lastN`
    * values — the smoothed per-entity level monitoring dashboards track.
    * The recursion s_t = α·x_t + (1−α)·s_{t−1} with s_1 = x_oldest

@@ -1099,6 +1099,46 @@ object TextAnalysis {
    * windows. The rebuild collects only each doc's OWN lines
    * (document-sized arrays, the same bound as the text itself).
    */
+  /**
+   * Boilerplate LINE stripping by document frequency — the companion
+   * policy to [[lineDedup]]: where line-dedup keeps the FIRST copy of
+   * every repeated line, boilerplate-strip removes ALL copies of any
+   * (normalized) line appearing in at least `minDf` distinct documents
+   * — navigation chrome, cookie banners and license headers are noise
+   * in every document they touch, including the first (the CCNet/
+   * RefinedWeb line-filter distinction). Lines under the threshold
+   * keep every occurrence.
+   *
+   * Same shape as [[lineDedup]]: one line explode, one hash-keyed
+   * distinct-doc count (two-phase), one join back, one doc-keyed
+   * rebuild — two keyed shuffles, no windows.
+   */
+  def boilerplateStrip(
+      docs: DataFrame,
+      minDf: Long = 3L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDf >= 2L, "minDf must be >= 2 (1 would strip everything)")
+    val lines = Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("h", md5(trim(lower(col("line")))))
+    val df = lines.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("df"))
+    lines.join(df, Seq("h"))
+      .withColumn("keep", col("df") < minDf)
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("text_clean"))
+  }
+
   def lineDedup(
       docs: DataFrame,
       idCol: String = "doc_id",

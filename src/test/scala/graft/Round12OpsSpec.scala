@@ -169,6 +169,44 @@ class Round12OpsSpec extends SparkTestBase {
     assert(r.values.forall { case (n, ok) => n == 500L && ok })
   }
 
+  test("boilerplateStrip drops ALL copies of a high-df line; lineDedup keeps the first") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "cookie banner\nunique one"),
+      (2L, "cookie banner\nunique two"),
+      (3L, "Cookie Banner\nunique three"), // normalization: case-folded hash
+      (4L, "rare line\nunique four"),
+      (5L, "rare line\nunique five")) // df=2 < minDf=3 → kept everywhere
+      .toDF("doc_id", "text")
+    val stripped = TextAnalysis.boilerplateStrip(docs, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(stripped(1L) == (1L, "unique one"))
+    assert(stripped(2L) == (1L, "unique two"))
+    assert(stripped(3L) == (1L, "unique three"))
+    assert(stripped(4L) == (2L, "rare line\nunique four"))
+    assert(stripped(5L) == (2L, "rare line\nunique five"))
+    // the sibling policy: lineDedup keeps doc 1's banner copy
+    val deduped = TextAnalysis.lineDedup(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(deduped(1L) == "cookie banner\nunique one")
+    assert(deduped(2L) == "unique two")
+  }
+
+  test("ohlcBars: open/close pick by (ts, tie); high/low by value") {
+    val ts = (m: Long) => new java.sql.Timestamp(3600000L + m * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 5.0, 101L), (1L, ts(0), 4.0, 100L), // tie: event 100 opens
+      (1L, ts(10), 9.0, 102L), (1L, ts(20), 2.0, 103L),
+      (1L, ts(59), 6.0, 104L),
+      (1L, ts(60), 7.0, 105L)) // next hour bar
+      .toDF("user_id", "ts", "value", "event_id")
+    val bars = graft.operators.Events.ohlcBars(rows).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(bars(3600000L) == (4.0, 9.0, 2.0, 6.0, 5L))
+    assert(bars(7200000L) == (7.0, 7.0, 7.0, 7.0, 1L))
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),
