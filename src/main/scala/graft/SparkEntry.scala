@@ -254,6 +254,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8))
     }),
+    "sim_kmeans" -> ((s, dir) =>
+      // GDS-kmeans surface: unrolled deterministic L2 Lloyd; sum of
+      // sq_dist is the inertia the elbow heuristic reads
+      Similarity.kmeans(t(s, dir, "embeddings"), k = 8, iters = 2)),
     "sim_knn_graph" -> ((s, dir) =>
       // corpus-wide kNN graph (GDS K-Nearest Neighbors): every node's
       // top-3 in-bucket cosine neighbors via the bucket self-join
@@ -2054,6 +2058,7 @@ object SparkEntry {
     "sim_lsh_topk" -> OracleFragments.simLshTopK(
       numPlanes = 8, dim = 64, maxQueryId = 8, k = 5),
     "sim_knn_graph" -> OracleFragments.simKnnGraph(numPlanes = 8, dim = 64, k = 3),
+    "sim_kmeans" -> OracleFragments.simKmeans(k = 8, iters = 2),
     "sim_ivf_topk" -> OracleFragments.simIvfTopK(
       cells = 8, iters = 2, nProbe = 4, maxQueryId = 8, k = 5),
     "sim_ivf_pairs" -> OracleFragments.simIvfPairs(
@@ -4039,6 +4044,47 @@ object OracleFragments {
                  FROM v QUALIFY row_number() OVER (ORDER BY vid) <= $cells),
           ${steps.mkString(",\n          ")},
           ${assign("af", s"c$iters")}"""
+  }
+
+  /** 6-dp-rounded Euclidean squared distance mirroring
+    * Similarity.sqDist's fold. */
+  def sqDistOf(a: String, b: String): String =
+    s"round(list_aggregate(list_transform(list_zip($a, $b), " +
+      s"z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)), " +
+      s"'sum'), 6)"
+
+  /** Mirror of Similarity.kmeans: unrolled L2 Lloyd rounds — the
+    * [[ivfLloydCtes]] shape with the Euclidean argmin (dist ASC, cell
+    * ASC) instead of cosine — and a final assignment keeping the 6-dp
+    * squared distance. */
+  def simKmeans(k: Int, iters: Int): String = {
+    def assign(name: String, centsCte: String, keepD: Boolean): String = {
+      val dCol = if (keepD) ", d" else ""
+      s"""$name AS (
+            SELECT vid, v, cell$dCol FROM (
+              SELECT vv.vid, vv.v, cc.cell,
+                     ${sqDistOf("vv.v", "cc.cv")} AS d,
+                     row_number() OVER (PARTITION BY vv.vid
+                       ORDER BY ${sqDistOf("vv.v", "cc.cv")} ASC, cc.cell ASC) AS rn
+              FROM v vv CROSS JOIN $centsCte cc) WHERE rn = 1)"""
+    }
+    def update(name: String, assignCte: String): String =
+      s"""$name AS (
+            SELECT cell, list(mr ORDER BY pos) AS cv FROM (
+              SELECT cell, pos, round(avg(x), 6) AS mr FROM (
+                SELECT cell, unnest(v)::DOUBLE AS x, generate_subscripts(v, 1) AS pos
+                FROM $assignCte)
+              GROUP BY cell, pos) GROUP BY cell)"""
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assign(s"a$i", s"c${i - 1}", keepD = false), update(s"c$i", s"a$i"))
+    }
+    s"""WITH v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+          c0 AS (SELECT (row_number() OVER (ORDER BY vid) - 1)::INT AS cell,
+                        list_transform(v, x -> round(x::DOUBLE, 6)) AS cv
+                 FROM v QUALIFY row_number() OVER (ORDER BY vid) <= $k),
+          ${steps.mkString(",\n          ")},
+          ${assign("af", s"c$iters", keepD = true)}
+        SELECT vid AS vec_id, cell AS cluster, d AS sq_dist FROM af"""
   }
 
   /** IVF-cell-blocked cosine pairs (Similarity.ivfCosinePairs): the same

@@ -647,6 +647,42 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x)
 
+  /**
+   * K-means clustering (the GDS `kmeans` surface, Euclidean): `iters`
+   * deterministic Lloyd rounds — k-smallest-id init, 6-dp-pinned
+   * centroid literals each round ([[ivfIndex]]'s determinism
+   * discipline with the L2 argmin of [[pqTopK]]'s codebook builds) —
+   * then one map-side assignment emitting each vector's cluster and
+   * 6-dp squared distance. Per round: one k-literal codegen'd argmin
+   * projection + one (cell, dim)-keyed mean — no windows over the
+   * corpus, centroids never exceed k×dim driver doubles. The returned
+   * frame is the assignment; summing `sq_dist` gives the inertia the
+   * elbow heuristic reads.
+   */
+  def kmeans(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val c = Par.fanOut(corpus.select(col(idCol).as("vid"),
+      transform(col(vecCol), _.cast("double")).as("v")))
+    // same documented persist window as ivfIndex: the Lloyd collects
+    // would otherwise re-run the full lineage each round
+    if (iters > 0) c.persist()
+    val cents = lloydL2(c, k, iters)
+    if (iters > 0) c.unpersist(blocking = false)
+    val scored = cents.map { case (cell, cv) =>
+      struct(
+        round(sqDist(col("v"), array(cv.map(lit(_)): _*)), 6).as("d"),
+        lit(cell).as("cell"))
+    }
+    c.withColumn("best", array_min(array(scored: _*)))
+      .select(col("vid").as(idCol),
+        col("best.cell").cast("int").as("cluster"),
+        col("best.d").as("sq_dist"))
+  }
+
   /** Deterministic per-subspace Lloyd over pre-sliced double vectors
     * `(vid, v)` — the [[ivfIndex]] loop with Euclidean argmin. Returns
     * the pinned 6-dp codebook, cells dense 0..k-1. The caller persists

@@ -207,6 +207,25 @@ class Round12OpsSpec extends SparkTestBase {
     assert(bars(7200000L) == (7.0, 7.0, 7.0, 7.0, 1L))
   }
 
+  test("kmeans: two tight blobs separate perfectly and inertia shrinks with rounds") {
+    import graft.operators.Similarity
+    // blob A near (0,0), blob B near (10,10); ids interleaved so the
+    // k-smallest-id init starts with one seed in each blob
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Seq(base + (i % 5) * 0.1f, base - (i % 3) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.kmeans(vecs, k = 2, iters = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2)))
+    val byCluster = r.groupBy(_._2).view.mapValues(_.map(_._1 % 2).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet == Set(Set(0L), Set(1L))) // pure blobs
+    val inertia2 = r.map(_._3).sum
+    val inertia0 = Similarity.kmeans(vecs, k = 2, iters = 0).collect()
+      .map(_.getDouble(2)).sum
+    assert(inertia2 <= inertia0 + 1e-6) // Lloyd never worsens it
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),
