@@ -13,7 +13,8 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, record_path=None):
+    record = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -24,20 +25,20 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
-            print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
+            print(f"MISSING  {name}: no spark output"); record[name] = "missing"; n_bad += 1; continue
         try:
             got = canon(con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df())
             want = canon(con.sql(sql).df())
         except Exception as e:
-            print(f"ERROR    {name}: {e}"); n_bad += 1; continue
+            print(f"ERROR    {name}: {e}"); record[name] = f"error: {e}"[:300]; n_bad += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"SCHEMA   {name}: spark={list(got.columns)} oracle={list(want.columns)}")
-            n_bad += 1; continue
+            record[name] = "schema_mismatch"; n_bad += 1; continue
         if len(got) != len(want):
             print(f"ROWS     {name}: spark={len(got)} oracle={len(want)}")
-            n_bad += 1; continue
+            record[name] = f"row_mismatch: spark={len(got)} oracle={len(want)}"; n_bad += 1; continue
         if got.equals(want):
-            print(f"OK       {name} ({len(got)} rows)"); n_ok += 1; continue
+            print(f"OK       {name} ({len(got)} rows)"); record[name] = f"ok ({len(got)} rows)"; n_ok += 1; continue
         # tolerate tiny float jitter, flag everything else
         import pandas as pd
         diff_cols = []
@@ -58,9 +59,9 @@ def main(sf_dir, out_dir):
             for c in hard[:2]:
                 neq = got[c] != want[c]
                 print(f"   {c}: spark={got[c][neq].head(3).tolist()} oracle={want[c][neq].head(3).tolist()}")
-            n_bad += 1
+            record[name] = f"value_mismatch: {hard}"; n_bad += 1
         else:
-            print(f"OK~      {name} (float jitter only: {[c for c,_ in diff_cols]})"); n_ok += 1
+            print(f"OK~      {name} (float jitter only: {[c for c,_ in diff_cols]})"); record[name] = f"ok~ ({len(got)} rows)"; n_ok += 1
     # queries with no oracle: rows-only check
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
@@ -68,10 +69,16 @@ def main(sf_dir, out_dir):
             files = glob.glob(f"{d}/*.parquet")
             n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
             print(f"{'ROWSONLY' if n > 0 else 'EMPTY!  '} {name} ({n} rows)")
-            if n == 0: n_bad += 1
+            record[name] = f"rows_only ({n} rows)"
+            if n == 0: record[name] = "empty"; n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
+    if record_path:
+        json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
+                   "queries": dict(sorted(record.items()))},
+                  open(record_path, "w"), indent=1)
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"))
+                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify",
+                  sys.argv[3] if len(sys.argv) > 3 else None))
