@@ -649,6 +649,32 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     }),
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // TPC-H Q6 shape: pure scan-pushdown aggregate — every predicate
+      // reaches the parquet reader, decimal-exact revenue product
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))).cast("double")
+          .as("revenue"))),
+    "q12_priority_mix" -> ((s, dir) => {
+      // TPC-H Q12 shape: conditional CASE counts per group — how many
+      // critical- vs normal-priority orders each line status carries
+      val li = t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
     "q4_order_priority" -> ((s, dir) => {
       // TPC-H Q4 shape: EXISTS → LEFT SEMI join of the order quarter
       // against late-shipping lineitems; the priority rollup counts
@@ -1608,6 +1634,15 @@ object SparkEntry {
         li.filter(col("l_orderkey") % 2 === 1),
         "l_extendedprice")
     }),
+    "stats_mannwhitney" -> ((s, dir) => {
+      // rank-based location-shift test over the same two populations:
+      // integer histogram mid-ranks, tie-corrected z
+      val li = t(s, dir, "lineitem")
+      graft.operators.Quality.mannWhitneyU(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
     "vocab_oov" -> ((s, dir) =>
       // tokenizer-coverage / drift check: per-source OOV rate against
       // the corpus top-N vocabulary (TakeOrdered, broadcast membership)
@@ -1719,6 +1754,10 @@ object SparkEntry {
       // distribution MI + joint entropy from one joint-count aggregate
       graft.operators.Quality.mutualInformation(
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+    "ev_cusum" -> ((s, dir) =>
+      // run-accumulating drift monitor: slow rate creep the single-split
+      // changepoint can't flag; exact integer deviations, window pair
+      graft.operators.Events.cusum(eventsTable(s, dir))),
     "ev_changepoint" -> ((s, dir) =>
       // single level-shift detection per event type over its hourly
       // rate series: integer-rational binary-segmentation statistic,
@@ -2191,6 +2230,24 @@ object SparkEntry {
               JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY 1 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q6_forecast_revenue" ->
+      """SELECT sum(l_extendedprice::DECIMAL(18,2)
+                    * l_discount::DECIMAL(18,2))::DOUBLE AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q12_priority_mix" ->
+      """SELECT l_linestatus,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS order_count
          FROM orders o
@@ -2736,6 +2793,30 @@ object SparkEntry {
                  / ((SELECT na FROM t) + (SELECT nb FROM t))::DOUBLE) * d, 6)
                  AS ks_scaled
         FROM d""",
+    "stats_mannwhitney" ->
+      """WITH c AS (SELECT round(l_extendedprice::DOUBLE, 6) AS v,
+                sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+                sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cb,
+                count(*)::BIGINT AS t
+              FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         r AS (SELECT ca, cb, t,
+                 2 * coalesce(sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+               FROM c),
+         g AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+                      sum(ca::DECIMAL(38,0) * r2) AS r2a,
+                      sum(t::DECIMAL(38,0) * t * t - t) AS ties
+               FROM r)
+        SELECT na, nb,
+               (r2a - na::DECIMAL(38,0) * (na + 1))::DOUBLE / 2.0::DOUBLE AS u_a,
+               round(((r2a - na::DECIMAL(38,0) * (na + 1))::DOUBLE / 2.0::DOUBLE
+                      - na::DOUBLE * nb::DOUBLE / 2.0::DOUBLE)
+                     / sqrt(na::DOUBLE * nb::DOUBLE
+                            * ((na + nb + 1)::DOUBLE
+                               - ties::DOUBLE
+                                 / ((na + nb)::DOUBLE * (na + nb - 1)::DOUBLE))
+                            / 12.0::DOUBLE), 6) AS z
+        FROM g""",
     "stats_ab_ttest" ->
       """WITH a AS (
            SELECT event_type,
@@ -2948,6 +3029,52 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY event_type
                         ORDER BY gs DESC, k ASC) AS rn FROM sc)
          WHERE rn = 1""",
+    "ev_cusum" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                           count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1),
+         g AS (SELECT event_type,
+                      unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+               FROM s),
+         d0 AS (SELECT g.event_type, g.b, coalesce(c.cnt, 0)::BIGINT AS cnt
+                FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.b = c.b),
+         cu AS (SELECT event_type, b, cnt,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY b) AS k,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS c
+                FROM d0),
+         t AS (SELECT event_type, max(k) AS m, max(c) AS tot FROM cu GROUP BY 1),
+         dv AS (SELECT cu.event_type, b, k, m, tot,
+                       (c * m - k * tot)::HUGEINT AS d
+                FROM cu JOIN t ON cu.event_type = t.event_type),
+         ud AS (SELECT event_type, b, k, m, tot,
+                       d - min(d) OVER (PARTITION BY event_type ORDER BY b
+                         ROWS UNBOUNDED PRECEDING) AS up,
+                       max(d) OVER (PARTITION BY event_type ORDER BY b
+                         ROWS UNBOUNDED PRECEDING) - d AS dn
+                FROM dv),
+         pu AS (SELECT event_type, b, up FROM (
+                  SELECT event_type, b, up,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY up DESC, k ASC) AS rn
+                  FROM ud) WHERE rn = 1),
+         pd AS (SELECT event_type, b, dn FROM (
+                  SELECT event_type, b, dn,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY dn DESC, k ASC) AS rn
+                  FROM ud) WHERE rn = 1)
+        SELECT u.event_type, max(u.m)::BIGINT AS n_buckets,
+               max(u.tot)::BIGINT AS total,
+               round(max(pu.up)::DOUBLE / max(u.m)::DOUBLE, 6) AS cusum_up,
+               epoch_ms(max(pu.b)) AS up_peak_ms,
+               round(max(pd.dn)::DOUBLE / max(u.m)::DOUBLE, 6) AS cusum_down,
+               epoch_ms(max(pd.b)) AS down_peak_ms
+        FROM ud u
+        JOIN pu ON u.event_type = pu.event_type
+        JOIN pd ON u.event_type = pd.event_type
+        GROUP BY 1""",
     "graph_toposort" -> OracleFragments.graphTopoLayers(rounds = 8),
     "emb_dbscan" -> OracleFragments.embDbscan(threshold = 0.25, minPts = 4),
     "dq_benford" -> OracleFragments.dqBenford(

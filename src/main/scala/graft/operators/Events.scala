@@ -571,4 +571,69 @@ object Events {
         round((col("best.t") - col("best.c")).cast("double")
           / (col("best.m") - col("best.k")).cast("double"), 6).as("mean_after"))
   }
+
+  /**
+   * CUSUM drift monitor per event type over the bucketed rate series —
+   * the RUN-accumulating companion to [[changePoint]]'s single split:
+   * a slow sustained rate creep that no single bucket flags still
+   * accumulates in the cumulative sums. Statistic in exact integers:
+   * with m buckets, total T and prefix counts c_k, the m-scaled
+   * deviation from the uniform-rate line is D_k = m·c_k − k·T
+   * ([[changePoint]]'s dNum); the upward CUSUM is
+   * max_k (D_k − min_{j≤k} D_j) and the downward one mirrors it —
+   * reported ÷m as average-events-per-bucket units, with each side's
+   * peak bucket (earliest tie). D_k stays DECIMAL(38,0)-exact (the
+   * BIGINT form overflows at scale), so the only doubles are the two
+   * final divisions.
+   *
+   * Shape: the same densified per-type series as [[changePoint]]
+   * (grid bounded by the resample-grid contract), ONE type-keyed
+   * Exchange under three window passes, one argmax aggregate.
+   */
+  def cusum(
+      events: DataFrame,
+      bucket: String = "hour",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val b = date_trunc(bucket, col(tsCol))
+    val counts = events
+      .groupBy(col(typeCol), b.as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = counts.groupBy(col(typeCol))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+    val grid = span.select(col(typeCol),
+      explode(sequence(col("b0"), col("b1"),
+        expr(s"interval 1 $bucket"))).as("b"))
+    val series = grid.join(counts, Seq(typeCol.toString, "b"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("b").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = series
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("c", sum(col("cnt")).over(wRun))
+    val tot = cum.groupBy(col(typeCol))
+      .agg(max(col("k")).as("m"), max(col("c")).as("t"))
+    val d = (col("c").cast("decimal(19,0)") * col("m") -
+      col("k") * col("t").cast("decimal(19,0)")).cast("decimal(38,0)")
+    val dev = cum.join(tot, Seq(typeCol.toString))
+      .withColumn("d", d)
+      .withColumn("up", col("d") - min(col("d")).over(wRun))
+      .withColumn("dn", max(col("d")).over(wRun) - col("d"))
+    dev.groupBy(col(typeCol))
+      .agg(
+        max(col("m")).as("n_buckets"), max(col("t")).as("total"),
+        max_by(struct(col("b")), struct(col("up"), (-col("k")).as("nk")))
+          .as("bu"),
+        max(col("up")).as("cu"),
+        max_by(struct(col("b")), struct(col("dn"), (-col("k")).as("nk")))
+          .as("bd"),
+        max(col("dn")).as("cd"))
+      .select(col(typeCol), col("n_buckets"), col("total"),
+        round(col("cu").cast("double") / col("n_buckets").cast("double"), 6)
+          .as("cusum_up"),
+        unix_millis(col("bu.b")).as("up_peak_ms"),
+        round(col("cd").cast("double") / col("n_buckets").cast("double"), 6)
+          .as("cusum_down"),
+        unix_millis(col("bd.b")).as("down_peak_ms"))
+  }
 }

@@ -711,6 +711,54 @@ object Quality {
   }
 
   /**
+   * Two-sample Mann–Whitney U test (Wilcoxon rank-sum): the
+   * nonparametric location-shift companion to [[ksTest]]'s shape test
+   * and [[welchTTest]]'s parametric read — rank-based, so one fat tail
+   * can't swamp the verdict the way it inflates a t statistic. Emits
+   * one row: sample sizes, U for sample a, and the tie-corrected
+   * normal approximation z.
+   *
+   * Determinism end-to-end INTEGER: ranks live on the DISTINCT
+   * 6-dp-rounded value histogram ([[ksTest]]'s documented
+   * window-over-histogram trade), doubled mid-rank 2r(v) =
+   * 2·cum_before + n_v + 1 keeps tie midpoints exact, R and the tie
+   * term Σ(t³−t) accumulate under DECIMAL(38,0), and the only doubles
+   * are the final fixed-order z arithmetic (each op one IEEE
+   * instruction, mirrored verbatim in the oracle).
+   */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, sa: Int, sb: Int): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(round(col(valueCol).cast("double"), 6).as("v"),
+          lit(sa.toLong).as("ia"), lit(sb.toLong).as("ib"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = side(a, 1, 0).unionByName(side(b, 0, 1))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("r2",
+        lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) + col("t") + 1L)
+    val aggd = ranked.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      sum(col("ca").cast(dec) * col("r2").cast(dec)).as("r2a"),
+      sum((col("t").cast(dec) * col("t") * col("t") - col("t")))
+        .as("ties"))
+    val n = col("na") + col("nb")
+    val u2 = (col("r2a") - col("na").cast(dec) * (col("na") + 1L)).cast("double")
+    val sigma2 = col("na").cast("double") * col("nb").cast("double") *
+      ((n + 1L).cast("double") -
+        col("ties").cast("double") /
+          (n.cast("double") * (n - 1L).cast("double"))) / lit(12.0d)
+    aggd.select(col("na"), col("nb"),
+      (u2 / 2.0d).as("u_a"),
+      round((u2 / 2.0d - col("na").cast("double") * col("nb").cast("double")
+        / 2.0d) / sqrt(sigma2), 6).as("z"))
+  }
+
+  /**
    * Approximate-distinct audit (the HLL++ sketch surface): per group,
    * `approx_count_distinct` (relative standard deviation `rsd`) checked
    * against the exact distinct count, emitting whether the estimate

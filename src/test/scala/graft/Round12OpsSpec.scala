@@ -226,6 +226,31 @@ class Round12OpsSpec extends SparkTestBase {
     assert(inertia2 <= inertia0 + 1e-6) // Lloyd never worsens it
   }
 
+  test("mannWhitneyU: hand-computed U and tie-corrected z on a tiny fixture") {
+    val a = Seq(1.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    val r = graft.operators.Quality.mannWhitneyU(a, b, "v").collect().head
+    // ranks: 1→1, 2→{2,3}→2.5, 3→{4,5}→4.5, 4→6; R_A = 8, U_A = 2
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0)
+    // sigma^2 = (9/12)·(7 − 12/30) = 4.95; z = (2 − 4.5)/sqrt(4.95)
+    assert(math.abs(r.getDouble(3) - (-2.5 / math.sqrt(4.95))) < 1e-6)
+  }
+
+  test("cusum: run deviations on a hand-built rate series") {
+    val h = (i: Long) => new java.sql.Timestamp(i * 3600000L)
+    // hourly counts [1, 0, 9]: D_k = 3c_k − 10k = (−7, −17, 0)
+    val rows = (Seq((1L, h(0))) ++ (1L to 9L).map(i => (100L + i, h(2))))
+      .map { case (id, ts) => (id, ts, 7L, "t", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.operators.Events.cusum(rows).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 10L) // m, total
+    assert(math.abs(r.getDouble(3) - 17.0 / 3) < 1e-6) // cusum_up
+    assert(r.getLong(4) == h(2).getTime)               // up peak
+    assert(math.abs(r.getDouble(5) - 10.0 / 3) < 1e-6) // cusum_down
+    assert(r.getLong(6) == h(1).getTime)               // down peak
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),
