@@ -1634,6 +1634,11 @@ object SparkEntry {
         li.filter(col("l_orderkey") % 2 === 1),
         "l_extendedprice")
     }),
+    "stats_bootstrap" -> ((s, dir) =>
+      // deterministic Poisson bootstrap: 32 md5-coin replicas, exact
+      // decimal weighted sums, percentile interval from the sorted means
+      graft.operators.Quality.bootstrapMeanCI(
+        eventsTable(s, dir), "event_id", "value", b = 32)),
     "stats_mannwhitney" -> ((s, dir) => {
       // rank-based location-shift test over the same two populations:
       // integer histogram mid-ranks, tie-corrected z
@@ -2793,6 +2798,7 @@ object SparkEntry {
                  / ((SELECT na FROM t) + (SELECT nb FROM t))::DOUBLE) * d, 6)
                  AS ks_scaled
         FROM d""",
+    "stats_bootstrap" -> OracleFragments.statsBootstrap(b = 32, salt = "boot"),
     "stats_mannwhitney" ->
       """WITH c AS (SELECT round(l_extendedprice::DOUBLE, 6) AS v,
                 sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
@@ -3550,6 +3556,33 @@ object OracleFragments {
         SELECT user_id, max(m)::BIGINT AS n_used,
                round(sum(term)::DOUBLE, 6) AS ewma
         FROM t GROUP BY 1"""
+  }
+
+  /** Mirror of Quality.bootstrapMeanCI: the SAME Poisson(1) integer
+    * thresholds (Quality.PoissonThresholds — one source of truth), the
+    * same salted per-(replica, id) coin, decimal-exact weighted sums,
+    * and the same percentile pick from the sorted replica means. */
+  def statsBootstrap(b: Int, salt: String): String = {
+    val cases = graft.operators.Quality.PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN c < $t THEN $k" }.mkString(" ")
+    s"""WITH e AS (SELECT event_id, round("value"::DOUBLE, 6)::DECIMAL(28,6) AS v
+                   FROM events WHERE "value" IS NOT NULL),
+         reps AS (SELECT e.event_id, e.v, r.r,
+                         ('0x' || substr(md5('$salt:' || r.r::VARCHAR || ':'
+                           || e.event_id::VARCHAR), 1, 8))::BIGINT AS c
+                  FROM e CROSS JOIN (SELECT unnest(range(0, $b)) AS r) r),
+         wts AS (SELECT r, v, (CASE $cases ELSE 7 END)::BIGINT AS w FROM reps),
+         m AS (SELECT r, sum(w::DECIMAL(28,6) * v)::DOUBLE
+                        / sum(w)::DOUBLE AS m
+               FROM wts GROUP BY 1),
+         ms AS (SELECT list_sort(list(m)) AS ms FROM m),
+         o AS (SELECT count(*)::BIGINT AS n_rows,
+                      sum(v)::DOUBLE / count(*)::DOUBLE AS mean
+               FROM e)
+        SELECT o.n_rows, round(o.mean, 6) AS mean,
+               round(ms.ms[2], 6) AS boot_lo,
+               round(ms.ms[${b - 1}], 6) AS boot_hi
+        FROM o CROSS JOIN ms"""
   }
 
   /** The per-purpose-salted coin mirroring Corpus.coin. */

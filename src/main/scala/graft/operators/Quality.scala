@@ -758,6 +758,68 @@ object Quality {
         / 2.0d) / sqrt(sigma2), 6).as("z"))
   }
 
+  /** Cumulative Poisson(1) thresholds ⌊F(k)·2^32⌋ for k = 0..6 (mass
+    * past 7 is ~1e-5 and truncates to weight 7) — computed once here
+    * and interpolated into BOTH engines (the EWMA constant-sharing
+    * discipline). */
+  private[graft] val PoissonThresholds: Seq[Long] = {
+    val pmf = (0 to 6).map { k =>
+      math.exp(-1.0) / (1 to k).foldLeft(1.0)((a, i) => a * i)
+    }
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => (c * 4294967296.0).toLong)
+  }
+
+  /**
+   * Bootstrap confidence interval for a mean — the DETERMINISTIC
+   * distributed rendition of the classic resample: each of `b`
+   * replicas draws every row a Poisson(1) number of times (the
+   * Poisson bootstrap, Chamandy et al. 2012 — the form that needs no
+   * global n and runs as a pure map-side weight), with the draw an
+   * md5-coin inverse-CDF lookup against driver-computed integer
+   * thresholds — reproducible across runs, partitionings and engines,
+   * like every sampler in [[Corpus]]. Emits one row: n, the point
+   * mean, and the percentile-bootstrap interval (2nd and (b−1)-th of
+   * the b sorted replica means ≈ 5%/95% at b = 32).
+   *
+   * Scale shape: one b-way explode (b·n rows — b is a constant ≤ 64),
+   * one b-group aggregate with decimal-exact Σwx, one b-element array
+   * sort. No per-row state, no windows, nothing driver-side but the
+   * threshold constants.
+   */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      b: Int = 32,
+      salt: String = "boot"): DataFrame = {
+    require(b >= 4, "b must be >= 4 (percentile indices degenerate)")
+    val coin = conv(substring(md5(concat_ws(":", lit(salt),
+      col("r").cast("string"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val weight = PoissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(7L)) { case (acc, (t, k)) =>
+        when(col("c") < t, lit(k.toLong)).otherwise(acc)
+      }
+    val v = round(col(valueCol).cast("double"), 6).cast("decimal(28,6)")
+    val reps = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(idCol), v.as("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .withColumn("c", coin)
+      .withColumn("w", weight)
+    val means = reps.groupBy(col("r"))
+      .agg((sum(col("w").cast("decimal(28,6)") * col("v")).cast("double") /
+        sum(col("w")).cast("double")).as("m"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+    val overall = df.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(v).cast("double") / count(lit(1)).cast("double")).as("mean"))
+    overall.crossJoin(broadcast(means))
+      .select(col("n_rows"), round(col("mean"), 6).as("mean"),
+        round(element_at(col("ms"), 2), 6).as("boot_lo"),
+        round(element_at(col("ms"), b - 1), 6).as("boot_hi"))
+  }
+
   /**
    * Approximate-distinct audit (the HLL++ sketch surface): per group,
    * `approx_count_distinct` (relative standard deviation `rsd`) checked

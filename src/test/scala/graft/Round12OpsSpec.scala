@@ -251,6 +251,26 @@ class Round12OpsSpec extends SparkTestBase {
     assert(r.getLong(6) == h(1).getTime)               // down peak
   }
 
+  test("bootstrapMeanCI: deterministic, interval brackets the point mean") {
+    import graft.operators.Quality
+    val df = (1L to 500L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
+    val r1 = Quality.bootstrapMeanCI(df, "id", "v", b = 32).collect().head
+    val r2 = Quality.bootstrapMeanCI(df, "id", "v", b = 32).collect().head
+    assert(r1 == r2) // md5 coins: bit-reproducible
+    val (n, mean, lo, hi) =
+      (r1.getLong(0), r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(n == 500L)
+    assert(lo < hi && lo <= mean && mean <= hi)
+    // a different salt draws a different resample
+    val r3 = Quality.bootstrapMeanCI(df, "id", "v", b = 32, salt = "boot2")
+      .collect().head
+    assert(r3.getDouble(2) != lo || r3.getDouble(3) != hi)
+    // thresholds are a valid increasing CDF image
+    val t = Quality.PoissonThresholds
+    assert(t == t.sorted && t.distinct.size == t.size)
+    assert(t.last > (0.999d * 4294967296.0d).toLong)
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),
