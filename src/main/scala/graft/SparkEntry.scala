@@ -1378,6 +1378,24 @@ object SparkEntry {
       // filter-before-shuffle, broadcast df/N, decimal-exact term sum
       graft.operators.TextAnalysis.bm25Scores(t(s, dir, "documents"),
         queryTerms = Seq("join", "vector", "stream", "window"))),
+    "retrieval_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical top-50 fused with embedding-
+      // cosine top-50 (query = vec 0) by reciprocal-rank fusion; both
+      // lists rank above a TakeOrdered limit, never a global window
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = graft.operators.TextAnalysis.bm25Scores(
+          t(s, dir, "documents"),
+          queryTerms = Seq("join", "vector", "stream", "window"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
+      val lex = lexTop.withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0L), k = 50)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      graft.operators.TextAnalysis.rrfFuse(Seq(lex, sem), topK = 20)
+    }),
     "quality_classifier" -> ((s, dir) =>
       // model-based quality filter: hashed linear classifier scoring,
       // zero-shuffle (model rides as one broadcast weight-array row)
@@ -2567,6 +2585,9 @@ object SparkEntry {
     "dsir_scores" -> OracleFragments.dsirScores(benchMod = 20),
     "quality_classifier" ->
       OracleFragments.qualityClassifier(dims = 4096, thetaMilli = 0L),
+    "retrieval_rrf" -> OracleFragments.retrievalRrf(
+      terms = Seq("join", "vector", "stream", "window"),
+      n = 50, kRrf = 60, topK = 20),
     "text_bm25" -> OracleFragments.textBm25(
       terms = Seq("join", "vector", "stream", "window"), k1 = 1.2, b = 0.75),
     "text_ttr" -> OracleFragments.textTtr,
@@ -4291,6 +4312,35 @@ object OracleFragments {
                round(sum(score)::DOUBLE, 6) AS bm25
         FROM per GROUP BY 1"""
   }
+
+  /** Mirror of the retrieval_rrf composition: the [[textBm25]] block
+    * ranked to its lexical top-N, the query-0 cosine top-N, and the
+    * 12-dp reciprocal-rank terms summed under DECIMAL(28,12). The
+    * 1.0::DOUBLE keeps the reciprocal in IEEE doubles (DuckDB parses a
+    * bare 1.0 as DECIMAL). */
+  def retrievalRrf(terms: Seq[String], n: Int, kRrf: Int, topK: Int): String =
+    s"""WITH bm AS (${textBm25(terms, k1 = 1.2, b = 0.75)}),
+          lex AS (SELECT id, rank FROM (
+                    SELECT doc_id AS id,
+                           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                             AS rank
+                    FROM bm) WHERE rank <= $n),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          sem0 AS (SELECT c.vec_id AS id, ${cosineOf("q.qv", "c.embedding")} AS sim
+                   FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 0),
+          sem AS (SELECT id, rank FROM (
+                    SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC)
+                             AS rank
+                    FROM sem0) WHERE rank <= $n),
+          u AS (SELECT id, round(1.0::DOUBLE / ($kRrf + rank), 12)
+                           ::DECIMAL(28,12) AS c FROM lex
+                UNION ALL
+                SELECT id, round(1.0::DOUBLE / ($kRrf + rank), 12)
+                           ::DECIMAL(28,12) AS c FROM sem),
+          f AS (SELECT id, count(*)::BIGINT AS n_lists, sum(c) AS rrf
+                FROM u GROUP BY 1)
+        SELECT id, n_lists, round(rrf::DOUBLE, 9) AS rrf
+        FROM f ORDER BY rrf DESC, id ASC LIMIT $topK"""
 
   /** Type-token ratio (TextAnalysis.lexicalDiversity). */
   val textTtr: String =

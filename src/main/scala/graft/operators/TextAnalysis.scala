@@ -1100,6 +1100,40 @@ object TextAnalysis {
    * (document-sized arrays, the same bound as the text itself).
    */
   /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+   * retrieval combiner: given ranked candidate lists from heterogeneous
+   * retrievers (BM25 lexical, embedding-cosine semantic, …), score each
+   * id Σ 1/(kRrf + rank_i) over the lists it appears in and keep the
+   * fused top-k. Rank-space fusion needs no score calibration across
+   * retrievers — exactly why it's the production default for
+   * lexical+vector search.
+   *
+   * Inputs are (id, rank) frames — each already truncated to its own
+   * top-N, so every frame is N rows and the whole fusion is
+   * constant-sized regardless of corpus scale. Determinism: each
+   * 1/(kRrf+rank) term is one IEEE division rounded to 12 dp and
+   * summed under DECIMAL(28,12) (order-exact), final order
+   * (rrf DESC, id ASC).
+   */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      kRrf: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val u = lists.map(df =>
+        df.select(col("id"),
+          round(lit(1.0d) / (lit(kRrf) + col("rank")), 12).cast(dec).as("c")))
+      .reduce(_ unionByName _)
+    u.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("c")).as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(topK)
+      .select(col("id"), col("n_lists"),
+        round(col("rrf").cast("double"), 9).as("rrf"))
+  }
+
+  /**
    * Boilerplate LINE stripping by document frequency — the companion
    * policy to [[lineDedup]]: where line-dedup keeps the FIRST copy of
    * every repeated line, boilerplate-strip removes ALL copies of any

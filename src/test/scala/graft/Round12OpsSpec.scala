@@ -271,6 +271,17 @@ class Round12OpsSpec extends SparkTestBase {
     assert(t.last > (0.999d * 4294967296.0d).toLong)
   }
 
+  test("rrfFuse: appearing in both lists beats either single rank-1") {
+    import graft.operators.TextAnalysis
+    val la = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val lb = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val r = TextAnalysis.rrfFuse(Seq(la, lb), kRrf = 60, topK = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.map(_._1).toSeq == Seq(20L, 10L, 30L)) // 1/61+1/62 > 1/61 > 1/62
+    assert(r.head._2 == 2L)
+    assert(math.abs(r.head._3 - (1.0 / 61 + 1.0 / 62)) < 1e-9)
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),
