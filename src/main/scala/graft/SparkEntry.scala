@@ -1652,6 +1652,26 @@ object SparkEntry {
         li.filter(col("l_orderkey") % 2 === 1),
         "l_extendedprice")
     }),
+    "dq_snapshot_diff" -> ((s, dir) => {
+      // warehouse reconciliation: the "new" snapshot is derived
+      // deterministically (drop %13 keys, add 100 new keys, bump
+      // %7 prices) so every status bucket is provably non-empty
+      val old = t(s, dir, "orders")
+      val neu = old.filter(pmod(col("o_orderkey"), lit(13L)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(7L)) === 0,
+            col("o_totalprice") + lit(1.0d)).otherwise(col("o_totalprice")))
+        .unionByName(old.filter(pmod(col("o_orderkey"), lit(101L)) === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      graft.operators.Quality.snapshotDiff(old, neu,
+        keyCols = Seq("o_orderkey"),
+        compareCols = Seq("o_totalprice", "o_orderstatus"))
+    }),
+    "dq_skew_report" -> ((s, dir) =>
+      // shuffle-risk audit: per candidate key, top-key share + exact
+      // Gini from the count-of-counts histogram
+      graft.operators.Quality.keySkewReport(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
     "stats_bootstrap" -> ((s, dir) =>
       // deterministic Poisson bootstrap: 32 md5-coin replicas, exact
       // decimal weighted sums, percentile interval from the sorted means
@@ -2819,6 +2839,41 @@ object SparkEntry {
                  / ((SELECT na FROM t) + (SELECT nb FROM t))::DOUBLE) * d, 6)
                  AS ks_scaled
         FROM d""",
+    "dq_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                      FROM orders),
+         neu AS (SELECT o_orderkey,
+                        CASE WHEN o_orderkey % 7 = 0
+                             THEN o_totalprice + 1.0::DOUBLE
+                             ELSE o_totalprice END AS o_totalprice,
+                        o_orderstatus
+                 FROM orders WHERE o_orderkey % 13 <> 0
+                 UNION ALL
+                 SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+                 FROM orders WHERE o_orderkey % 101 = 3),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+                      o.o_orderkey IS NOT NULL AS in_old,
+                      n.o_orderkey IS NOT NULL AS in_new,
+                      (o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                        AS chg,
+                      o.o_totalprice IS DISTINCT FROM n.o_totalprice AS chg_p,
+                      o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS chg_s
+               FROM old o FULL OUTER JOIN neu n
+                 ON o.o_orderkey = n.o_orderkey)
+        SELECT CASE WHEN NOT in_old THEN 'added'
+                    WHEN NOT in_new THEN 'removed'
+                    WHEN chg THEN 'changed' ELSE 'unchanged' END AS metric,
+               count(*)::BIGINT AS n
+        FROM j GROUP BY 1
+        UNION ALL
+        SELECT 'changed:o_totalprice', sum(CASE WHEN chg_p THEN 1 ELSE 0 END)::BIGINT
+        FROM j WHERE in_old AND in_new
+        UNION ALL
+        SELECT 'changed:o_orderstatus', sum(CASE WHEN chg_s THEN 1 ELSE 0 END)::BIGINT
+        FROM j WHERE in_old AND in_new""",
+    "dq_skew_report" -> OracleFragments.dqSkewReport(
+      Seq("l_orderkey", "l_partkey", "l_suppkey")),
     "stats_bootstrap" -> OracleFragments.statsBootstrap(b = 32, salt = "boot"),
     "stats_mannwhitney" ->
       """WITH c AS (SELECT round(l_extendedprice::DOUBLE, 6) AS v,
@@ -3578,6 +3633,31 @@ object OracleFragments {
                round(sum(term)::DOUBLE, 6) AS ewma
         FROM t GROUP BY 1"""
   }
+
+  /** Mirror of Quality.keySkewReport: exact Gini from the
+    * count-of-counts histogram, HUGEINT position-run sums, one final
+    * double division per column. */
+  def dqSkewReport(cols: Seq[String]): String =
+    cols.map { kc =>
+      s"""SELECT '$kc' AS "column", t::BIGINT AS n_rows, nk AS n_keys,
+                 maxc AS max_count,
+                 round(maxc::DOUBLE / t::DOUBLE, 6) AS top_share,
+                 round((2 * s - (nk + 1)::HUGEINT * t)::DOUBLE
+                       / (nk::DOUBLE * t::DOUBLE), 6) AS gini
+          FROM (
+            SELECT sum(c::HUGEINT * m) AS t, sum(m)::BIGINT AS nk,
+                   max(c)::BIGINT AS maxc,
+                   sum(c::HUGEINT * (m * k0 + m * (m + 1) // 2)) AS s
+            FROM (
+              SELECT c, m,
+                     coalesce(sum(m) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS k0
+              FROM (SELECT c, count(*)::BIGINT AS m
+                    FROM (SELECT $kc AS key, count(*)::BIGINT AS c
+                          FROM lineitem GROUP BY 1)
+                    GROUP BY 1)))"""
+    }.mkString("\n        UNION ALL\n        ")
 
   /** Mirror of Quality.bootstrapMeanCI: the SAME Poisson(1) integer
     * thresholds (Quality.PoissonThresholds — one source of truth), the

@@ -758,6 +758,91 @@ object Quality {
         / 2.0d) / sqrt(sigma2), 6).as("z"))
   }
 
+  /**
+   * Snapshot diff — the table-to-table reconciliation every warehouse
+   * migration/backfill runs: full outer join of two snapshots on the
+   * key, each key classified added / removed / changed / unchanged
+   * (change = any compare column differs under NULL-SAFE equality), and
+   * one summary row per status plus one `changed:<col>` row per compare
+   * column. ONE keyed shuffle (the outer join) + one tiny aggregate;
+   * at 100 TB bucket both snapshots by the key and the join co-locates.
+   */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs key and compare columns")
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_in_old", lit(1))
+    val n = newDf.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"${c}__new")): _*)
+      .withColumn("_in_new", lit(1))
+    val j = o.join(n, keyCols, "full_outer")
+    val changedCol = compareCols.map(c =>
+      !(col(c) <=> col(s"${c}__new"))).reduce(_ || _)
+    val status = when(col("_in_old").isNull, lit("added"))
+      .when(col("_in_new").isNull, lit("removed"))
+      .when(changedCol, lit("changed"))
+      .otherwise(lit("unchanged"))
+    val tagged = j.withColumn("_status", status)
+    val summary = tagged.groupBy(col("_status").as("metric"))
+      .agg(count(lit(1)).as("n"))
+    val perCol = compareCols.map { c =>
+      tagged.filter(col("_in_old").isNotNull && col("_in_new").isNotNull)
+        .agg(sum(when(!(col(c) <=> col(s"${c}__new")), 1L).otherwise(0L))
+          .as("n"))
+        .select(lit(s"changed:$c").as("metric"), col("n"))
+    }
+    perCol.foldLeft(summary)(_ unionByName _)
+  }
+
+  /**
+   * Key-skew report — the audit you run BEFORE picking join/aggregate
+   * strategies at 100 TB: for each candidate key column, the row and
+   * key counts, the heaviest key's share, and the Gini coefficient of
+   * the per-key row distribution (0 = uniform, →1 = one hub holds
+   * everything; a high-Gini key wants salting or a skew-join hint).
+   *
+   * Gini computes EXACTLY from the count-of-counts histogram: keys
+   * sorted by their row count c ascending occupy position runs, the
+   * run of the m_c keys with count c after k0 smaller keys contributes
+   * c·(m·k0 + m(m+1)/2) to Σ i·x_(i), and
+   * G = (2Σ − (n+1)·T)/(n·T) needs just one double division at the
+   * end. The ordering window runs over the DISTINCT-count histogram
+   * (the [[ksTest]] bounded-histogram trade), never over keys.
+   */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewReport needs at least one key column")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    keyCols.map { kc =>
+      val counts = df.groupBy(col(kc).as("key")).agg(count(lit(1)).as("c"))
+      val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      val w = Window.orderBy(col("c").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val aggd = hist
+        .withColumn("k0", coalesce(sum(col("m")).over(w), lit(0L)))
+        .withColumn("runsum", expr("m * k0 + m * (m + 1) div 2"))
+        .agg(
+          sum(col("c").cast(dec) * col("m")).as("t"),
+          sum(col("m")).as("nk"),
+          max(col("c")).as("maxc"),
+          sum(col("c").cast(dec) * col("runsum")).as("s"))
+      aggd.select(
+        lit(kc).as("column"),
+        col("t").cast("long").as("n_rows"),
+        col("nk").as("n_keys"),
+        col("maxc").as("max_count"),
+        round(col("maxc").cast("double") / col("t").cast("double"), 6)
+          .as("top_share"),
+        round((lit(2L).cast(dec) * col("s") -
+          (col("nk") + 1L).cast(dec) * col("t")).cast("double") /
+          (col("nk").cast("double") * col("t").cast("double")), 6)
+          .as("gini"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cumulative Poisson(1) thresholds ⌊F(k)·2^32⌋ for k = 0..6 (mass
     * past 7 is ~1e-5 and truncates to weight 7) — computed once here
     * and interpolated into BOTH engines (the EWMA constant-sharing

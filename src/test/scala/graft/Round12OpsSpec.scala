@@ -282,6 +282,37 @@ class Round12OpsSpec extends SparkTestBase {
     assert(math.abs(r.head._3 - (1.0 / 61 + 1.0 / 62)) < 1e-9)
   }
 
+  test("snapshotDiff: every status bucket classified, null-safe compares") {
+    import graft.operators.Quality
+    val old = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"),
+      (4L, Double.NaN, "D")).toDF("k", "p", "s")
+      .withColumn("p", when(col("k") === 4L, lit(null)).otherwise(col("p")))
+    val neu = Seq((1L, 10.0, "A"), (2L, 21.0, "B"), (5L, 50.0, "E"),
+      (4L, 40.0, "D")).toDF("k", "p", "s")
+    val r = Quality.snapshotDiff(old, neu, Seq("k"), Seq("p", "s"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("unchanged") == 1L) // key 1
+    assert(r("changed") == 2L)   // key 2 (price), key 4 (null -> 40)
+    assert(r("removed") == 1L)   // key 3
+    assert(r("added") == 1L)     // key 5
+    assert(r("changed:p") == 2L && r("changed:s") == 0L)
+  }
+
+  test("keySkewReport: uniform keys gini 0, one hub drives it up") {
+    import graft.operators.Quality
+    val uniform = (1L to 100L).map(i => (i % 10, i)).toDF("k", "x")
+    val u = Quality.keySkewReport(uniform, Seq("k")).collect().head
+    assert(u.getLong(1) == 100L && u.getLong(2) == 10L) // n_rows, n_keys
+    assert(u.getDouble(4) == 0.1 && u.getDouble(5) == 0.0) // share, gini
+    // 9 keys with 1 row + one hub with 91: sorted x = (1..1, 91)
+    val hub = ((1L to 9L).map(i => (i, i)) ++ (1L to 91L).map(i => (99L, i)))
+      .toDF("k", "x")
+    val h = Quality.keySkewReport(hub, Seq("k")).collect().head
+    // G = (2*(1*1+..+9*1 + 10*91) - 11*100) / (10*100) = (2*955-1100)/1000
+    assert(h.getDouble(5) == 0.81)
+    assert(h.getDouble(4) == 0.91)
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),
