@@ -1797,6 +1797,9 @@ object SparkEntry {
       // distribution MI + joint entropy from one joint-count aggregate
       graft.operators.Quality.mutualInformation(
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+    "ev_latency_bands" -> ((s, dir) =>
+      // p50/p90/p99 per (type, hour) — the SLO dashboard aggregate
+      graft.operators.Events.latencyBands(eventsTable(s, dir))),
     "ev_cusum" -> ((s, dir) =>
       // run-accumulating drift monitor: slow rate creep the single-split
       // changepoint can't flag; exact integer deviations, window pair
@@ -1937,6 +1940,21 @@ object SparkEntry {
       // per-(label, dim) centroid + variance profile — the cluster-
       // quality audit; one keyed aggregate over posexploded coords
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    "emb_confusion" -> ((s, dir) =>
+      // nearest-centroid classifier confusion matrix — the label-
+      // quality eval rollup over the cohesion audit
+      Similarity.nearestCentroid(t(s, dir, "embeddings"))
+        .groupBy(col("true_label"), col("assigned_label"))
+        .agg(count(lit(1)).as("n"))),
+    "stats_cohens_kappa" -> ((s, dir) => {
+      // chance-corrected agreement between the C4 and Gopher filters:
+      // kappa ~ 1 means redundant filters, ~ 0 orthogonal signals
+      val docs = t(s, dir, "documents")
+      graft.operators.Quality.cohensKappa(
+        graft.operators.TextAnalysis.c4Rules(docs, minWords = 5),
+        graft.operators.TextAnalysis.gopherRules(docs,
+          minTokens = 25, maxTokens = 100000))
+    }),
     "emb_nearest_centroid" -> ((s, dir) =>
       // centroid-classifier confusion readout: assign every vector its
       // most cosine-similar label centroid, flag against the true label
@@ -3111,6 +3129,14 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY event_type
                         ORDER BY gs DESC, k ASC) AS rn FROM sc)
          WHERE rn = 1""",
+    "ev_latency_bands" ->
+      """SELECT event_type,
+                epoch_ms(date_trunc('hour', ts)) AS bar_start_ms,
+                count(*)::BIGINT AS n,
+                round(quantile_cont("value", 0.5), 6) AS p50,
+                round(quantile_cont("value", 0.9), 6) AS p90,
+                round(quantile_cont("value", 0.99), 6) AS p99
+         FROM events GROUP BY 1, 2""",
     "ev_cusum" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
                            count(*) AS cnt
@@ -3285,36 +3311,12 @@ object SparkEntry {
       bands = 4, rowsPerBand = 4, minJaccard = 0.5,
       corpusSrc = "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0) corp",
       benchWhere = "doc_id % 3 = 0", rightName = "hist_id"),
-    "emb_nearest_centroid" -> {
-      val dot = "list_aggregate(list_transform(list_zip(e.embedding, c.cvec), " +
-        "z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum')"
-      val na = "sqrt(list_aggregate(list_transform(e.embedding, " +
-        "x -> x::DOUBLE * x::DOUBLE), 'sum'))"
-      val nb = "sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))"
-      s"""WITH x AS (SELECT label, u.dim AS dim, u.v AS v FROM (
-             SELECT label,
-                    unnest(list_transform(generate_series(1, len(embedding)),
-                      i -> {'dim': i - 1, 'v': embedding[i]})) AS u
-             FROM embeddings)),
-         r AS (SELECT label, dim::INT AS dim, round(v::DOUBLE, 6) AS vr
-               FROM x),
-         ct AS (SELECT label AS clabel, dim,
-                       round(sum(vr::DECIMAL(28,6))::DOUBLE
-                             / count(*)::DOUBLE, 6) AS mean
-                FROM r GROUP BY 1, 2),
-         cv AS (SELECT clabel,
-                       list_transform(list_sort(list({'dim': dim, 'mean': mean})),
-                         s -> s.mean) AS cvec
-                FROM ct GROUP BY 1),
-         sc AS (SELECT e.vec_id, e.label, c.clabel,
-                       round($dot / ($na * $nb), 6) AS sim
-                FROM embeddings e CROSS JOIN cv c)
-        SELECT vec_id, label AS true_label, clabel AS assigned_label,
-               sim, clabel = label AS correct
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY sim DESC, clabel ASC) AS rn FROM sc)
-        WHERE rn = 1"""
-    },
+    "emb_nearest_centroid" -> OracleFragments.embNearestCentroid,
+    "emb_confusion" ->
+      s"""WITH nc AS (${OracleFragments.embNearestCentroid})
+        SELECT true_label, assigned_label, count(*)::BIGINT AS n
+        FROM nc GROUP BY 1, 2""",
+    "stats_cohens_kappa" -> OracleFragments.statsCohensKappa,
   )
 }
 
@@ -3633,6 +3635,73 @@ object OracleFragments {
                round(sum(term)::DOUBLE, 6) AS ewma
         FROM t GROUP BY 1"""
   }
+
+  /** Mirror of Similarity.nearestCentroid (moved here so the confusion
+    * rollup can reuse it verbatim). */
+  val embNearestCentroid: String = {
+    val dot = "list_aggregate(list_transform(list_zip(e.embedding, c.cvec), " +
+      "z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum')"
+    val na = "sqrt(list_aggregate(list_transform(e.embedding, " +
+      "x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    val nb = "sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))"
+    s"""WITH x AS (SELECT label, u.dim AS dim, u.v AS v FROM (
+             SELECT label,
+                    unnest(list_transform(generate_series(1, len(embedding)),
+                      i -> {'dim': i - 1, 'v': embedding[i]})) AS u
+             FROM embeddings)),
+         r AS (SELECT label, dim::INT AS dim, round(v::DOUBLE, 6) AS vr
+               FROM x),
+         ct AS (SELECT label AS clabel, dim,
+                       round(sum(vr::DECIMAL(28,6))::DOUBLE
+                             / count(*)::DOUBLE, 6) AS mean
+                FROM r GROUP BY 1, 2),
+         cv AS (SELECT clabel,
+                       list_transform(list_sort(list({'dim': dim, 'mean': mean})),
+                         s -> s.mean) AS cvec
+                FROM ct GROUP BY 1),
+         sc AS (SELECT e.vec_id, e.label, c.clabel,
+                       round($dot / ($na * $nb), 6) AS sim
+                FROM embeddings e CROSS JOIN cv c)
+        SELECT vec_id, label AS true_label, clabel AS assigned_label,
+               sim, clabel = label AS correct
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, clabel ASC) AS rn FROM sc)
+        WHERE rn = 1"""
+  }
+
+  /** Mirror of Quality.cohensKappa over the C4 × Gopher verdicts: the
+    * two rule fragments joined on doc_id, exact 2×2 confusion counts,
+    * the same po/pe/kappa op order. */
+  val statsCohensKappa: String =
+    s"""WITH ca AS (${textC4Rules(minWords = 5)}),
+         gb AS (${textGopherRules(minTokens = 25, maxTokens = 100000,
+      minAvgTokenLen = 3.0, maxAvgTokenLen = 10.0,
+      maxPunctRatio = 0.2, minStopwordHits = 2)}),
+         j AS (SELECT ca.doc_id, ca.pass AS pa, gb.pass AS pb
+               FROM ca JOIN gb ON ca.doc_id = gb.doc_id),
+         m AS (SELECT count(*)::BIGINT AS n,
+                      sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END)::BIGINT AS n11,
+                      sum(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END)::BIGINT AS n00,
+                      sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)::BIGINT AS n10,
+                      sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END)::BIGINT AS n01
+               FROM j)
+        SELECT n, (n11 + n00) AS n_agree,
+               round((n11 + n00)::DOUBLE / n::DOUBLE, 6) AS po,
+               round(((n11 + n10) * (n11 + n01)
+                      + (n00 + n01) * (n00 + n10))::DOUBLE
+                     / (n::DOUBLE * n::DOUBLE), 6) AS pe,
+               CASE WHEN 1.0::DOUBLE - (((n11 + n10) * (n11 + n01)
+                        + (n00 + n01) * (n00 + n10))::DOUBLE
+                        / (n::DOUBLE * n::DOUBLE)) <> 0.0::DOUBLE
+                    THEN round(((n11 + n00)::DOUBLE / n::DOUBLE
+                          - ((n11 + n10) * (n11 + n01)
+                             + (n00 + n01) * (n00 + n10))::DOUBLE
+                            / (n::DOUBLE * n::DOUBLE))
+                         / (1.0::DOUBLE - ((n11 + n10) * (n11 + n01)
+                             + (n00 + n01) * (n00 + n10))::DOUBLE
+                           / (n::DOUBLE * n::DOUBLE)), 6)
+               END AS kappa
+        FROM m"""
 
   /** Mirror of Quality.keySkewReport: exact Gini from the
     * count-of-counts histogram, HUGEINT position-run sums, one final

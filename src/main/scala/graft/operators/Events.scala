@@ -573,6 +573,28 @@ object Events {
   }
 
   /**
+   * Percentile bands per (type, hour bucket) — the latency-SLO
+   * dashboard read (p50/p90/p99 per service per hour): exact
+   * `percentile` per group (group size is one type-hour's events —
+   * data-model bounded; at extreme cardinality swap `percentile_approx`
+   * under the error-contract pattern). One keyed aggregate, map-side
+   * partials; values round to 6 dp for engine-stable interpolation.
+   */
+  def latencyBands(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(col(typeCol),
+        unix_millis(date_trunc("hour", col(tsCol))).as("bar_start_ms"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col(valueCol), lit(0.5)), 6).as("p50"),
+        round(percentile(col(valueCol), lit(0.9)), 6).as("p90"),
+        round(percentile(col(valueCol), lit(0.99)), 6).as("p99"))
+
+  /**
    * CUSUM drift monitor per event type over the bucketed rate series —
    * the RUN-accumulating companion to [[changePoint]]'s single split:
    * a slow sustained rate creep that no single bucket flags still

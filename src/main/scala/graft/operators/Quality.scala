@@ -843,6 +843,38 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * Cohen's kappa agreement between two boolean verdict frames — the
+   * filter-redundancy audit: two quality filters that agree at
+   * chance-corrected κ ≈ 1 are measuring the same thing (drop one);
+   * κ ≈ 0 means orthogonal signals worth composing. One equi-join +
+   * one 2×2 confusion aggregate; po/pe divide exact integer counts, so
+   * the statistic is engine-reproducible with the final rounding.
+   */
+  def cohensKappa(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String = "doc_id",
+      passCol: String = "pass"): DataFrame = {
+    val j = a.select(col(idCol), col(passCol).as("pa"))
+      .join(b.select(col(idCol), col(passCol).as("pb")), Seq(idCol))
+    val m = j.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pa") && col("pb"), 1L).otherwise(0L)).as("n11"),
+      sum(when(!col("pa") && !col("pb"), 1L).otherwise(0L)).as("n00"),
+      sum(when(col("pa") && !col("pb"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("pa") && col("pb"), 1L).otherwise(0L)).as("n01"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n00") + col("n01")) * (col("n00") + col("n10"))).cast("double") /
+      (nD * nD)
+    m.select(col("n"), (col("n11") + col("n00")).as("n_agree"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(lit(1.0d) - pe =!= 0.0d,
+        round((po - pe) / (lit(1.0d) - pe), 6)).as("kappa"))
+  }
+
   /** Cumulative Poisson(1) thresholds ⌊F(k)·2^32⌋ for k = 0..6 (mass
     * past 7 is ~1e-5 and truncates to weight 7) — computed once here
     * and interpolated into BOTH engines (the EWMA constant-sharing

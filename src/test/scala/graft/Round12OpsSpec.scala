@@ -313,6 +313,21 @@ class Round12OpsSpec extends SparkTestBase {
     assert(h.getDouble(4) == 0.91)
   }
 
+  test("cohensKappa: hand-computed 2x2 agreement") {
+    import graft.operators.Quality
+    val a = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("doc_id", "pass")
+    val b = Seq((1L, true), (2L, false), (3L, false), (4L, false))
+      .toDF("doc_id", "pass")
+    val r = Quality.cohensKappa(a, b).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.5)
+    // identical raters with both classes present: kappa = 1
+    val same = Quality.cohensKappa(a, a).collect().head
+    assert(same.getDouble(4) == 1.0)
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),
