@@ -1677,6 +1677,15 @@ object SparkEntry {
       // decimal weighted sums, percentile interval from the sorted means
       graft.operators.Quality.bootstrapMeanCI(
         eventsTable(s, dir), "event_id", "value", b = 32)),
+    "stats_psi" -> ((s, dir) => {
+      // scorecard drift: current (odd-orderkey) prices binned against
+      // the baseline's (even-orderkey) decile fences
+      val li = t(s, dir, "lineitem")
+      graft.operators.Quality.psi(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
     "stats_mannwhitney" -> ((s, dir) => {
       // rank-based location-shift test over the same two populations:
       // integer histogram mid-ranks, tie-corrected z
@@ -2893,6 +2902,7 @@ object SparkEntry {
     "dq_skew_report" -> OracleFragments.dqSkewReport(
       Seq("l_orderkey", "l_partkey", "l_suppkey")),
     "stats_bootstrap" -> OracleFragments.statsBootstrap(b = 32, salt = "boot"),
+    "stats_psi" -> OracleFragments.statsPsi(nBins = 10),
     "stats_mannwhitney" ->
       """WITH c AS (SELECT round(l_extendedprice::DOUBLE, 6) AS v,
                 sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
@@ -3702,6 +3712,39 @@ object OracleFragments {
                            / (n::DOUBLE * n::DOUBLE)), 6)
                END AS kappa
         FROM m"""
+
+  /** Mirror of Quality.psi over the even/odd-orderkey price split: the
+    * SAME Scala decile fractions, quantile_cont fences (≡ Spark's exact
+    * `percentile`, the stats_outliers-proven idiom), fence-fold binning,
+    * 1e-6-clamped shares, 9-dp (p−q)·ln(p/q) terms under DECIMAL. */
+  def statsPsi(nBins: Int): String = {
+    val pcts = (1 until nBins).map(_.toDouble / nBins).mkString(", ")
+    def share(c: String, n: String) =
+      s"greatest($c::DOUBLE / $n::DOUBLE, 1e-6)"
+    s"""WITH a AS (SELECT l_extendedprice AS v FROM lineitem
+                   WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+         b AS (SELECT l_extendedprice AS v FROM lineitem
+               WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+         f AS (SELECT quantile_cont(v, [$pcts]) AS f FROM a),
+         ba AS (SELECT len(list_filter(f.f, x -> a.v > x)) AS bin, 0 AS side
+                FROM a CROSS JOIN f
+                UNION ALL
+                SELECT len(list_filter(f.f, x -> b.v > x)), 1
+                FROM b CROSS JOIN f),
+         c AS (SELECT bin,
+                      sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+                      sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+               FROM ba GROUP BY 1),
+         t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+         terms AS (SELECT na, nb,
+                          round((${share("ca", "na")} - ${share("cb", "nb")})
+                                * ln(${share("ca", "na")}
+                                     / ${share("cb", "nb")}),
+                            9)::DECIMAL(28,12) AS term
+                   FROM c CROSS JOIN t)
+        SELECT na, nb, round(sum(term)::DOUBLE, 6) AS psi
+        FROM terms GROUP BY 1, 2"""
+  }
 
   /** Mirror of Quality.keySkewReport: exact Gini from the
     * count-of-counts histogram, HUGEINT position-run sums, one final

@@ -829,11 +829,13 @@ object Quality {
           sum(col("m")).as("nk"),
           max(col("c")).as("maxc"),
           sum(col("c").cast(dec) * col("runsum")).as("s"))
+      // an empty table audits as zero keys (null aggregates -> 0 counts,
+      // null ratios), not as a null row
       aggd.select(
         lit(kc).as("column"),
-        col("t").cast("long").as("n_rows"),
-        col("nk").as("n_keys"),
-        col("maxc").as("max_count"),
+        coalesce(col("t").cast("long"), lit(0L)).as("n_rows"),
+        coalesce(col("nk"), lit(0L)).as("n_keys"),
+        coalesce(col("maxc"), lit(0L)).as("max_count"),
         round(col("maxc").cast("double") / col("t").cast("double"), 6)
           .as("top_share"),
         round((lit(2L).cast(dec) * col("s") -
@@ -841,6 +843,51 @@ object Quality {
           (col("nk").cast("double") * col("t").cast("double")), 6)
           .as("gini"))
     }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Population stability index (PSI) — the scorecard-monitoring drift
+   * metric next to [[ksTest]]: bin the CURRENT sample against the
+   * BASELINE's decile fences and sum (p−q)·ln(p/q) over bins
+   * (rule-of-thumb: <0.1 stable, >0.25 investigate). Fences are the
+   * baseline's exact percentiles (broadcast, one tiny row); binning is
+   * a map-side fold over the fence array; shares clamp at 1e-6 so an
+   * emptied bin contributes a finite penalty instead of ±∞. Terms
+   * round to 9 dp and sum under DECIMAL(28,12) — order-exact; the
+   * fence doubles and every per-term op mirror verbatim in the oracle.
+   */
+  def psi(
+      base: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val pcts = (1 until nBins).map(_.toDouble / nBins)
+    val fences = base.filter(col(valueCol).isNotNull)
+      .agg(percentile(col(valueCol),
+        typedLit(pcts)).as("f"))
+    def binned(df: DataFrame, side: Int): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .crossJoin(broadcast(fences))
+        .select(aggregate(col("f"), lit(0),
+          (acc, fv) => acc + when(col(valueCol) > fv, 1).otherwise(0))
+          .as("bin"),
+          lit(side).as("side"))
+    val counts = binned(base, 0).unionByName(binned(cur, 1))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val p = greatest(col("ca").cast("double") / col("na").cast("double"),
+      lit(1e-6d))
+    val q = greatest(col("cb").cast("double") / col("nb").cast("double"),
+      lit(1e-6d))
+    counts.crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        round((p - q) * log(p / q), 9).cast(dec).as("term"))
+      .groupBy(col("na"), col("nb"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
   }
 
   /**

@@ -328,6 +328,38 @@ class Round12OpsSpec extends SparkTestBase {
     assert(same.getDouble(4) == 1.0)
   }
 
+  test("psi: identical samples score 0, a shifted sample scores high") {
+    import graft.operators.Quality
+    val base = (1L to 1000L).map(i => Tuple1((i % 100).toDouble)).toDF("v")
+    val same = Quality.psi(base, base, "v").collect().head
+    assert(same.getDouble(2) == 0.0)
+    val shifted = (1L to 1000L).map(i => Tuple1((i % 100).toDouble + 50.0)).toDF("v")
+    val drift = Quality.psi(base, shifted, "v").collect().head
+    assert(drift.getDouble(2) > 0.25) // "investigate" territory
+    assert(drift.getLong(0) == 1000L && drift.getLong(1) == 1000L)
+  }
+
+  test("empty-input hygiene: new operators return empty or degenerate frames, no throw") {
+    import graft.operators.{Events, Quality, TextAnalysis}
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.ewma(noEvents).count() == 0L)
+    assert(Events.cusum(noEvents).count() == 0L)
+    assert(Events.ohlcBars(noEvents).count() == 0L)
+    assert(Events.latencyBands(noEvents).count() == 0L)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.boilerplateStrip(noDocs).count() == 0L)
+    val noUrls = Seq.empty[(Long, String)].toDF("doc_id", "url")
+    assert(graft.operators.Corpus.urlDedup(noUrls).count() == 0L)
+    val noKeyed = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(Quality.keySkewReport(noKeyed, Seq("k")).collect().head.getLong(2) == 0L)
+    val ks = Graph.kShortestDistances(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "wt"),
+      Seq(Tuple1(1L)).toDF("node"), k = 2, maxHops = 2, weightCol = Some("wt"))
+    assert(ks.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((1L, 0.0))) // the source itself at cost 0
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),
