@@ -1677,6 +1677,11 @@ object SparkEntry {
       // decimal weighted sums, percentile interval from the sorted means
       graft.operators.Quality.bootstrapMeanCI(
         eventsTable(s, dir), "event_id", "value", b = 32)),
+    "corpus_quantile_norm" -> ((s, dir) =>
+      // batch-effect correction: per-returnflag quantity distributions
+      // mapped onto the pooled quantiles, all-integer rank compares
+      graft.operators.Corpus.quantileNormalize(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
     "stats_psi" -> ((s, dir) => {
       // scorecard drift: current (odd-orderkey) prices binned against
       // the baseline's (even-orderkey) decile fences
@@ -2903,6 +2908,26 @@ object SparkEntry {
       Seq("l_orderkey", "l_partkey", "l_suppkey")),
     "stats_bootstrap" -> OracleFragments.statsBootstrap(b = 32, salt = "boot"),
     "stats_psi" -> OracleFragments.statsPsi(nBins = 10),
+    "corpus_quantile_norm" ->
+      """WITH rows0 AS (SELECT l_returnflag AS g,
+                               round(l_quantity::DOUBLE, 6) AS v
+                        FROM lineitem WHERE l_quantity IS NOT NULL),
+         gh AS (SELECT g, v, count(*)::BIGINT AS cnt FROM rows0 GROUP BY 1, 2),
+         gg AS (SELECT g, v, cnt,
+                       coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0)::BIGINT AS c0,
+                       (sum(cnt) OVER (PARTITION BY g))::BIGINT AS ng
+                FROM gh),
+         ph AS (SELECT v AS pv, count(*)::BIGINT AS pcnt FROM rows0 GROUP BY 1),
+         p AS (SELECT pv, (sum(pcnt) OVER (ORDER BY pv
+                 ROWS UNBOUNDED PRECEDING))::BIGINT AS pc FROM ph),
+         t AS (SELECT count(*)::BIGINT AS nn FROM rows0)
+        SELECT gg.g AS l_returnflag, gg.v AS l_quantity, gg.cnt AS n,
+               min(p.pv) AS v_norm
+        FROM gg CROSS JOIN t JOIN p
+          ON 2::HUGEINT * p.pc * gg.ng >= t.nn::HUGEINT * (2 * gg.c0 + gg.cnt + 1)
+        GROUP BY 1, 2, 3""",
     "stats_mannwhitney" ->
       """WITH c AS (SELECT round(l_extendedprice::DOUBLE, 6) AS v,
                 sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,

@@ -268,6 +268,60 @@ object Corpus {
       c.as("order_key"))
   }
 
+  /**
+   * Quantile normalization across groups — the batch-effect correction
+   * a mixture designer runs before a GLOBAL quality threshold: one
+   * source's scorer may be systematically harsher, so each group's
+   * value maps to the POOLED distribution's value at the same
+   * within-group rank (the microarray-normalization classic, applied
+   * to per-source quality scores). After normalization a single
+   * corpus-wide cut treats every source fairly.
+   *
+   * Entirely INTEGER comparisons: a group value with before-count c₀,
+   * tie-count t and group size n sits at plotting fraction
+   * (2c₀+t+1)/(2n); its normalized value is the smallest pooled value
+   * whose cumulative count C satisfies 2·C·n ≥ N·(2c₀+t+1) — the
+   * cross-multiplied form needs no float anywhere (DECIMAL(38,0)
+   * products), so the mapping is bit-identical across engines and
+   * partitionings.
+   *
+   * Scale contract: both sides are VALUE HISTOGRAMS (the
+   * [[Quality.ksTest]] discipline — normalize 6-dp-bucketed scores,
+   * not raw floats), so the ordering windows and the theta join run
+   * over distinct-value counts, never rows. The join fanout is
+   * |group-histogram| × |pooled-histogram| before the min-aggregate —
+   * bounded by the bucketing, the documented contract.
+   */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol).cast("double"), 6).as("v"))
+    val gh = rows.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = gh
+      .withColumn("c0", coalesce(sum(col("cnt")).over(wg), lit(0L)))
+      .withColumn("ng", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      .withColumn("a", lit(2L) * col("c0") + col("cnt") + 1L)
+    val ph = rows.groupBy(col("v").as("pv")).agg(count(lit(1)).as("pcnt"))
+    val wp = Window.orderBy(col("pv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = ph.withColumn("pc", sum(col("pcnt")).over(wp))
+    val totals = rows.agg(count(lit(1)).as("nn"))
+    g.crossJoin(broadcast(totals))
+      .join(broadcast(p), // histogram-sized by contract — BNLJ, no shuffle
+        lit(2L).cast(dec) * col("pc") * col("ng") >=
+          col("nn").cast(dec) * col("a"))
+      .groupBy(col("g").as(groupCol), col("v").as(valueCol),
+        col("cnt").as("n"))
+      .agg(min(col("pv")).as("v_norm"))
+  }
+
   /** Quality-weighted mixture sampling — the mixture-TUNING form a
     * training-data pipeline actually runs: keep probability = source
     * rate × per-document weight (clamped to [0,1]), so within one

@@ -360,6 +360,18 @@ class Round12OpsSpec extends SparkTestBase {
       Seq((1L, 0.0))) // the source itself at cost 0
   }
 
+  test("quantileNormalize: shifted groups land on identical pooled quantiles") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val r = Corpus.quantileNormalize(df, "g", "v").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(3)))
+    val byG = r.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // both groups: ranks 1/3, 2/3, 3/3 → pooled values 2, 11, 13
+    assert(byG("a") == Seq(2.0, 11.0, 13.0))
+    assert(byG("b") == Seq(2.0, 11.0, 13.0))
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),
