@@ -342,6 +342,15 @@ object SparkEntry {
         .select(col("doc_id").as("bench_id"), col("text"))
       graft.operators.Corpus.decontaminate(docs, bench)
     }),
+    "decontaminate_bloom" -> ((s, dir) => {
+      // Bloom pre-gate + exact verify: same fixture as `decontaminate`,
+      // and — because a Bloom filter has no false negatives — the same
+      // oracle, full value equality (not just an error contract)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.operators.Corpus.decontaminateBloom(docs, bench)
+    }),
     "decontaminate_fuzzy" -> ((s, dir) => {
       // near-dup contamination (vs exact 8-gram overlap): training docs
       // whose shingle Jaccard against any benchmark doc clears 0.5;
@@ -770,6 +779,68 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+    }),
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: a scalar subquery over an aggregated CTE — the
+      // max-revenue supplier(s). Catalyst executes the subquery ONCE
+      // (SubqueryExec, one-row broadcast into the filter), never
+      // per-row; revenue arithmetic is DECIMAL-exact on both engines so
+      // the equality against the max is bit-safe
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q15_v")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q15_v")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+          FROM lineitem_q15_v
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM supplier_q15_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)""")
+    }),
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      // TPC-H Q17 shape: CORRELATED scalar subquery — revenue from
+      // orders below half the part's average quantity. Catalyst
+      // decorrelates (RewriteCorrelatedScalarSubquery) into one
+      // per-part aggregate + equi-join — no per-row subquery execution;
+      // quantities are integral doubles so the avg threshold is
+      // IEEE-identical across engines
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17_v")
+      t(s, dir, "part").createOrReplaceTempView("part_q17_v")
+      s.sql("""
+        SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                               AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+        FROM lineitem_q17_v JOIN part_q17_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4' AND p_type = 'PROMO'
+          AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem_q17_v l2
+                            WHERE l2.l_partkey = p_partkey)""")
+    }),
+    "q20_promo_suppliers" -> ((s, dir) => {
+      // TPC-H Q20 shape: nested IN subqueries with a CORRELATED scalar
+      // inside — suppliers whose shipped volume of a promo part
+      // dominates that part's total. The per-(supplier, part) rollup
+      // plays partsupp; Catalyst decorrelates the threshold into a
+      // per-part aggregate joined on l_partkey and turns both INs into
+      // semi-joins
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q20_v")
+      t(s, dir, "part").createOrReplaceTempView("part_q20_v")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q20_v")
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier_q20_v
+        WHERE s_suppkey IN (
+          SELECT sp.l_suppkey FROM
+            (SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+             FROM lineitem_q20_v GROUP BY 1, 2) sp
+          WHERE sp.l_partkey IN (SELECT p_partkey FROM part_q20_v
+                                 WHERE p_name LIKE 'red%')
+            AND sp.qty > (SELECT 0.15 * sum(l2.l_quantity)
+                          FROM lineitem_q20_v l2
+                          WHERE l2.l_partkey = sp.l_partkey))""")
     }),
     "semi_join" -> ((s, dir) =>
       t(s, dir, "customer").join(t(s, dir, "orders"),
@@ -2108,6 +2179,11 @@ object SparkEntry {
          FROM m""",
     "decontaminate" -> OracleFragments.decontaminate(
       nTokens = 8, minHits = 1, benchMod = 20),
+    // the Bloom pre-gate is output-invisible (no false negatives; the
+    // exact join re-verifies survivors), so the oracle is the SAME
+    // exact re-derivation — full value equality
+    "decontaminate_bloom" -> OracleFragments.decontaminate(
+      nTokens = 8, minHits = 1, benchMod = 20),
     "corpus_prepare" -> OracleFragments.corpusPrepare(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20,
       nTokens = 8, minHits = 1, benchMod = 20,
@@ -2385,6 +2461,38 @@ object SparkEntry {
                     FROM lineitem GROUP BY 1 HAVING total_qty > 200) big
                 ON o_orderkey = big.l_orderkey
               JOIN customer ON o_custkey = c_custkey""",
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev::DOUBLE AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_rev = (SELECT max(total_rev) FROM revenue)""",
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE
+                      / 7.0, 2)::DOUBLE AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#4' AND p_type = 'PROMO'
+           AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
+    "q20_promo_suppliers" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier
+         WHERE s_suppkey IN (
+           SELECT sp.l_suppkey FROM
+             (SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+              FROM lineitem GROUP BY 1, 2) sp
+           WHERE sp.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'red%')
+             AND sp.qty > (SELECT 0.15 * sum(l2.l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = sp.l_partkey))""",
     "semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
@@ -3657,7 +3765,7 @@ object OracleFragments {
     s"""WITH e AS (SELECT user_id, "value",
                           row_number() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rn
-                   FROM events),
+                   FROM events WHERE "value" IS NOT NULL),
          f AS (SELECT * FROM e WHERE rn <= $lastN),
          g AS (SELECT user_id, "value", rn,
                       count(*) OVER (PARTITION BY user_id) AS m FROM f),
@@ -3744,8 +3852,10 @@ object OracleFragments {
     * 1e-6-clamped shares, 9-dp (p−q)·ln(p/q) terms under DECIMAL. */
   def statsPsi(nBins: Int): String = {
     val pcts = (1 until nBins).map(_.toDouble / nBins).mkString(", ")
-    def share(c: String, n: String) =
-      s"greatest($c::DOUBLE / $n::DOUBLE, 1e-6)"
+    def share(c: String, n: String) = // nullif: DuckDB's IEEE x/0 is
+      // inf/NaN where Spark's non-ANSI divide is null — null both, then
+      // the coalesce clamps both engines to the same 1e-6 floor
+      s"greatest(coalesce($c::DOUBLE / nullif($n, 0)::DOUBLE, 1e-6), 1e-6)"
     s"""WITH a AS (SELECT l_extendedprice AS v FROM lineitem
                    WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
          b AS (SELECT l_extendedprice AS v FROM lineitem
@@ -3784,7 +3894,8 @@ object OracleFragments {
           FROM (
             SELECT sum(c::HUGEINT * m) AS t, sum(m)::BIGINT AS nk,
                    max(c)::BIGINT AS maxc,
-                   sum(c::HUGEINT * (m * k0 + m * (m + 1) // 2)) AS s
+                   sum(c::HUGEINT * (m::HUGEINT * k0
+                                     + m::HUGEINT * (m + 1) // 2)) AS s
             FROM (
               SELECT c, m,
                      coalesce(sum(m) OVER (ORDER BY c

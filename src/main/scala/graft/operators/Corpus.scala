@@ -289,34 +289,68 @@ object Corpus {
    * [[Quality.ksTest]] discipline — normalize 6-dp-bucketed scores,
    * not raw floats), so the ordering windows and the theta join run
    * over distinct-value counts, never rows. The join fanout is
-   * |group-histogram| × |pooled-histogram| before the min-aggregate —
-   * bounded by the bucketing, the documented contract.
+   * |group-histogram| × |pooled-histogram| before the min-aggregate.
+   * Unlike a [0,1] score (where 6-dp rounding bounds distinct values
+   * at ~1e6), a wide-range double column makes that fanout UNBOUNDED —
+   * so the contract is ENFORCED, not assumed (the [[decontaminate]]
+   * observed-count discipline): the group histogram is materialized
+   * once with its exact row count riding the write job, the pooled
+   * histogram (derived FROM it — the input is scanned exactly once)
+   * likewise, and the call fails fast with the measured sizes when
+   * `|pooled| > maxPooledRows` (the broadcast bound) or
+   * `|group-hist| × |pooled| > maxJoinFanout` (the comparison bound).
+   * The escape route is coarser bucketing: pre-round/bin `valueCol`
+   * before the call. As a bonus the global row total rides the same
+   * observation and embeds as a literal — the old plan scanned the
+   * input three times (group hist, pooled hist, totals) and
+   * cross-joined a 1-row frame; this one scans it once.
    */
   def quantileNormalize(
       df: DataFrame,
       groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      maxPooledRows: Long = 4000000L,
+      maxJoinFanout: Long = 2000000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxPooledRows > 0, "maxPooledRows must be positive")
+    require(maxJoinFanout > 0, "maxJoinFanout must be positive")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
         round(col(valueCol).cast("double"), 6).as("v"))
-    val gh = rows.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val (gh, ghMeta) = graft.ops.Scratch.materializeObserved(
+      rows.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt")),
+      "qnorm_gh", count(lit(1)).as("n_hist"), sum(col("cnt")).as("nn"))
+    val nGh = ghMeta("n_hist").asInstanceOf[Long]
+    if (nGh == 0L) // empty input: no rows to normalize, and the window/
+      // join below would otherwise see a null nn literal
+      return gh.select(col("g").as(groupCol), col("v").as(valueCol),
+        col("cnt").as("n"), col("v").as("v_norm"))
+    val nn = ghMeta("nn").asInstanceOf[Long]
+    val (p0, phMeta) = graft.ops.Scratch.materializeObserved(
+      gh.groupBy(col("v").as("pv")).agg(sum(col("cnt")).as("pcnt")),
+      "qnorm_ph", count(lit(1)).as("n_hist"))
+    val nPh = phMeta("n_hist").asInstanceOf[Long]
+    require(nPh <= maxPooledRows,
+      s"quantileNormalize: pooled value histogram has $nPh rows > " +
+        s"maxPooledRows=$maxPooledRows - the 6-dp bucketing does not " +
+        s"bound this column; pre-round/bin '$valueCol' coarser")
+    require(BigInt(nGh) * BigInt(nPh) <= BigInt(maxJoinFanout),
+      s"quantileNormalize: histogram join fanout $nGh x $nPh > " +
+        s"maxJoinFanout=$maxJoinFanout - pre-round/bin '$valueCol' " +
+        "coarser or normalize per-partition")
     val wg = Window.partitionBy(col("g")).orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val g = gh
       .withColumn("c0", coalesce(sum(col("cnt")).over(wg), lit(0L)))
       .withColumn("ng", sum(col("cnt")).over(Window.partitionBy(col("g"))))
       .withColumn("a", lit(2L) * col("c0") + col("cnt") + 1L)
-    val ph = rows.groupBy(col("v").as("pv")).agg(count(lit(1)).as("pcnt"))
     val wp = Window.orderBy(col("pv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val p = ph.withColumn("pc", sum(col("pcnt")).over(wp))
-    val totals = rows.agg(count(lit(1)).as("nn"))
-    g.crossJoin(broadcast(totals))
-      .join(broadcast(p), // histogram-sized by contract — BNLJ, no shuffle
+    val p = p0.withColumn("pc", sum(col("pcnt")).over(wp))
+    g.join(broadcast(p), // histogram-sized, gate-measured — BNLJ
         lit(2L).cast(dec) * col("pc") * col("ng") >=
-          col("nn").cast(dec) * col("a"))
+          lit(nn).cast(dec) * col("a"))
       .groupBy(col("g").as(groupCol), col("v").as(valueCol),
         col("cnt").as("n"))
       .agg(min(col("pv")).as("v_norm"))
@@ -763,6 +797,85 @@ object Corpus {
         explode(tokenShingles(col(textCol), nTokens)).as("g"))
       .filter(length(col("g")) > 0)
       .select(col("doc_id"), gramHash(col("g")).as("gram"))
+    val hits = dg.join(bgSide, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).cast("int").as("n_gram_hits"),
+        countDistinct(col("bench_id")).cast("int").as("n_bench_docs"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_gram_hits"), lit(0)).as("n_gram_hits"),
+        coalesce(col("n_bench_docs"), lit(0)).as("n_bench_docs"),
+        (coalesce(col("n_gram_hits"), lit(0)) >= minHits).as("contaminated"))
+  }
+
+  /** [[decontaminate]] with a Bloom-filter pre-pass — the scan-speed
+    * first gate a 100 TB pipeline runs BEFORE the exact verify join:
+    * the benchmark gram table (built once, same scratch as the exact
+    * path) aggregates into a Bloom sketch (`df.stat.bloomFilter`, the
+    * `spark-sketch` `putLong`/`mightContainLong` family Catalyst's own
+    * runtime filters use), and the corpus gram stream is filtered
+    * map-side by `BloomFilterMightContain` before any shuffle — only
+    * grams the sketch admits (true hits + an `fpp` fraction of false
+    * positives) reach the exact join. A Bloom filter has NO false
+    * negatives, so the exact verify on the survivors reproduces
+    * [[decontaminate]]'s output bit-for-bit — the oracle for this path
+    * is full value equality against the exact re-derivation, stronger
+    * than an error-contract boolean.
+    *
+    * Driver-side state is the SKETCH ONLY (`optimalNumBits(n_grams,
+    * fpp)` ≈ 1.2 MB per million grams at 1% — the bounded-collect
+    * discipline of the k×dim centroid pins), embedded as a binary
+    * literal so the map-side test ships with the task binary exactly
+    * like an injected runtime filter's scalar-subquery result. The
+    * sketch is sized from the OBSERVED gram count riding the scratch
+    * write, never a guess.
+    */
+  def decontaminateBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      nTokens: Int = 8,
+      minHits: Int = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      fpp: Double = 0.01,
+      maxBroadcastGrams: Long = 2000000L): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0,1)")
+    def gramHash(gram: Column) = gramHash60(gram)
+    val (bg, bgMeta, _) = graft.ops.Scratch.materializeObservedAt(
+      benchmark
+        .select(col(benchIdCol).as("bench_id"),
+          explode(tokenShingles(col(textCol), nTokens)).as("g"))
+        .filter(length(col("g")) > 0)
+        .select(col("bench_id"), gramHash(col("g")).as("gram"))
+        .distinct(),
+      "deconb_bg", count(lit(1)).as("n_grams"))
+    val nGrams = bgMeta("n_grams").asInstanceOf[Long]
+    if (nGrams == 0L) // no benchmark grams: nothing can match (and the
+      // bloom aggregate has no zero-item serialization) — all docs clean
+      return docs.select(col(idCol).as("doc_id"),
+        lit(0).as("n_gram_hits"), lit(0).as("n_bench_docs"),
+        lit(0 >= minHits).as("contaminated"))
+    val bloomLit: Column = {
+      val bf = bg.stat.bloomFilter("gram", math.max(nGrams, 1L), fpp)
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      lit(os.toByteArray)
+    }
+    def mightContain(gram: Column): Column =
+      org.apache.spark.sql.GraftExpr.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.GraftExpr.expression(bloomLit),
+          org.apache.spark.sql.GraftExpr.expression(gram)))
+    val bgSide =
+      if (nGrams <= maxBroadcastGrams) broadcast(bg) else bg
+    val dg = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokenShingles(col(textCol), nTokens)).as("g"))
+      .filter(length(col("g")) > 0)
+      .select(col("doc_id"), gramHash(col("g")).as("gram"))
+      .filter(mightContain(col("gram"))) // scan-speed pre-gate
     val hits = dg.join(bgSide, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).cast("int").as("n_gram_hits"),

@@ -444,6 +444,11 @@ object Events {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).desc, col(tieCol).desc)
     events
+      // null values carry no signal: without this filter a null inside
+      // the last-N window consumes a rank slot and counts in n_used
+      // while its term silently drops from the sum (the isNotNull
+      // hygiene of mannWhitneyU/psi/bootstrapMeanCI)
+      .filter(col(valueCol).isNotNull)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= lastN)
       .withColumn("_m", count(lit(1)).over(Window.partitionBy(col(keyCol))))

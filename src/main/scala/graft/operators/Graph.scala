@@ -2247,8 +2247,11 @@ object Graph {
           .filter(col("w") > 0L)
     }
     val dec = "decimal(38,0)"
-    var (e, ePath) = Scratch.materializeAt(
-      e0raw.select(col("src"), col("dst"), col("w")), "louvain_edges")
+    // 2m rides the edge-table write as an Observation (no separate
+    // driver aggregate): invariant across contractions
+    var (e, eMeta, ePath) = Scratch.materializeObservedAt(
+      e0raw.select(col("src"), col("dst"), col("w")), "louvain_edges",
+      (sum(col("w")) * 2L).as("m2"))
     // self-loop mass per node: zero at level 1, the contracted
     // intra-community weight at deeper levels. A self-loop never
     // changes a MOVE decision (it travels with its node) but it does
@@ -2256,10 +2259,9 @@ object Graph {
     var sw = e.select(col("src").as("node"), lit(0L).as("selfw"))
       .filter(lit(false))
     var swPath: String = null
-    val m2row = e.agg((sum(col("w")) * 2L).as("m2")).head()
-    if (m2row.isNullAt(0)) // empty graph; its (empty) scratch backs the plan
+    if (eMeta("m2") == null) // empty graph; its (empty) scratch backs the plan
       return e.select(col("src").as("node"), col("src").as("community"))
-    val m2 = m2row.getLong(0) // 2m — invariant across contractions
+    val m2 = eMeta("m2").asInstanceOf[Long] // 2m
     // one phase of half-sweep local moves over (cross-edges e, self
     // mass sw); returns the phase's label table (node → community)
     def phase(e: DataFrame, sw: DataFrame): (DataFrame, String) = {
@@ -2271,34 +2273,22 @@ object Graph {
       // whose merge swallowed its whole component has ONLY a self-loop
       // at the next level and must not vanish from the hierarchy
       val kiBase = adj.groupBy(col("n").as("node")).agg(sum(col("w")).as("kw"))
-      val (ki, kiPath) = Scratch.materializeAt(
+      // the identity-assignment score rides the ki WRITE as an
+      // Observation: under identity labels no two nodes share a
+      // community, so L_C = 0 and s₀ = Σᵢ[2·m2·selfwᵢ − kᵢ²] — a flat
+      // sum over the written rows, no separate driver job
+      val (ki, kiMeta, kiPath) = Scratch.materializeObservedAt(
         kiBase.select(col("node"))
           .unionByName(sw.select(col("node"))).distinct()
           .join(kiBase, Seq("node"), "left")
           .join(sw, Seq("node"), "left")
           .select(col("node"),
             (coalesce(col("kw"), lit(0L)) +
-              lit(2L) * coalesce(col("selfw"), lit(0L))).as("ki")),
-        "louvain_ki")
-      // 4m²-scaled integer modularity score of an assignment
-      def score(labels: DataFrame): java.math.BigDecimal =
-        labels.join(ki, Seq("node"))
-          .join(sw, Seq("node"), "left")
-          .groupBy(col("label").as("c"))
-          .agg(sum(col("ki")).as("dc"),
-            sum(coalesce(col("selfw"), lit(0L))).as("swc"))
-          .join(
-            e.join(labels.select(col("node").as("src"), col("label").as("ls")),
-                Seq("src"))
-              .join(labels.select(col("node").as("dst"), col("label").as("ld")),
-                Seq("dst"))
-              .filter(col("ls") === col("ld"))
-              .groupBy(col("ls").as("c")).agg(sum(col("w")).as("lc")),
-            Seq("c"), "left")
-          .agg(sum(lit(2L).cast(dec) * lit(m2) *
-            (coalesce(col("lc"), lit(0L)) + col("swc"))
-            - col("dc").cast(dec) * col("dc")).as("s"))
-          .head().getDecimal(0)
+              lit(2L) * coalesce(col("selfw"), lit(0L))).as("ki"),
+            coalesce(col("selfw"), lit(0L)).as("selfw")),
+        "louvain_ki",
+        sum(lit(2L * m2).cast(dec) * col("selfw") -
+          col("ki").cast(dec) * col("ki").cast(dec)).as("s0"))
       def halfSweep(labels: DataFrame, par: Int): DataFrame = {
         val sumtot = labels.join(ki, Seq("node"))
           .groupBy(col("label").as("c")).agg(sum(col("ki")).as("tot"))
@@ -2325,18 +2315,49 @@ object Graph {
             struct(gain.as("g"), (-col("c")).as("nc"))).as("label"))
         labels.filter(pmod(col("node"), lit(2L)) =!= par).unionByName(moved)
       }
+      // 4m²-scaled integer modularity of the sweep result rides ITS OWN
+      // write job as an Observation (the ParquetWireSink stats pattern),
+      // replacing the old per-round score action: the community-grouped
+      // Σ_C[2·m2·(L_C + self_C) − d_C²] restates as the FLAT per-node
+      // sum Σᵢ[m2·w_intra(i) + 2·m2·selfwᵢ − kᵢ·d_{C(i)}] (adjacency
+      // counts each intra edge twice; Σ_{i∈C} kᵢ·d_C = d_C²), with d_C
+      // a per-community window and neighbor labels one adjacency join —
+      // the sweep subtree is referenced twice in the plan but its
+      // shuffle is deduped by ReuseExchange, so each accepted round
+      // costs exactly two write jobs (h1, scored h2) and zero heads.
+      def scoredSweep(labels: DataFrame, par: Int)
+          : (DataFrame, String, java.math.BigDecimal) = {
+        import org.apache.spark.sql.expressions.Window
+        val core = halfSweep(labels, par)
+        val nbrW = adj
+          .join(core.select(col("node").as("x"), col("label").as("lx")),
+            Seq("x"))
+          .groupBy(col("n").as("node"), col("lx").as("label"))
+          .agg(sum(col("w")).as("w_intra"))
+        val enriched = core
+          .join(ki, Seq("node"))
+          .join(nbrW, Seq("node", "label"), "left")
+          .select(col("node"), col("label"),
+            (lit(m2).cast(dec) * coalesce(col("w_intra"), lit(0L)) +
+              lit(2L * m2).cast(dec) * col("selfw") -
+              col("ki").cast(dec) *
+                sum(col("ki")).over(Window.partitionBy(col("label")))
+                  .cast(dec)).as("s_i"))
+        val (scan, met, path) = Scratch.materializeObservedAt(
+          enriched, "louvain_labels", sum(col("s_i")).as("s"))
+        (scan.select(col("node"), col("label")), path,
+          met("s").asInstanceOf[java.math.BigDecimal])
+      }
       var labels = ki.select(col("node"), col("node").as("label"))
       var labelsPath: String = kiPath // identity labels read the ki table
-      var s = score(labels)
+      var s = kiMeta("s0").asInstanceOf[java.math.BigDecimal]
       var round = 1
       var improving = true
       while (improving && round <= maxRounds) {
         val (h1, h1Path) = Scratch.materializeAt(halfSweep(labels, 1),
           "louvain_h1")
-        val (h2, h2Path) = Scratch.materializeAt(halfSweep(h1, 0),
-          "louvain_labels")
+        val (h2, h2Path, s2) = scoredSweep(h1, 0)
         Scratch.drop(spark, h1Path)
-        val s2 = score(h2)
         if (s2.compareTo(s) > 0) {
           if (labelsPath != kiPath) Scratch.drop(spark, labelsPath)
           labels = h2; labelsPath = h2Path; s = s2; round += 1
@@ -2667,9 +2688,12 @@ object Graph {
     }
     val (e, ePath) = Scratch.materializeAt(
       e0.select(col("src"), col("dst"), col("w")), "mst_edges")
-    val empty = e.select(col("src"), col("dst"), col("w"),
+    // empty seed built from the PRE-materialization plan (folds to an
+    // empty LocalRelation), not the scratch scan — the returned union
+    // must stay readable after the edge table is retired below
+    val empty = e0.select(col("src"), col("dst"), col("w"),
       lit(1).as("round")).filter(lit(false))
-    var comp = Scratch.materialize(
+    var (comp, compPath) = Scratch.materializeAt(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct().select(col("node"), col("node").as("comp")),
       "mst_comp")
@@ -2704,12 +2728,22 @@ object Graph {
         val merged = Corpus.connectedComponents(
           sel.select(col("ca"), col("cb")), aCol = "ca", bCol = "cb")
           .select(col("id").as("comp"), col("label"))
-        comp = Scratch.materialize(
+        val (nextComp, nextPath) = Scratch.materializeAt(
           comp.join(merged, Seq("comp"), "left")
             .select(col("node"), coalesce(col("label"), col("comp")).as("comp")),
           s"mst_comp_$r")
+        // the new label table supersedes the old one the moment it is
+        // written — retire it eagerly (kShortestDistances discipline)
+        // instead of accumulating O(rounds) dead parquet dirs
+        Scratch.drop(spark, compPath)
+        comp = nextComp
+        compPath = nextPath
       }
     }
+    // only the mst_sel_* scans the returned frame reads must survive:
+    // the edge table and the final label table back no output scan
+    Scratch.drop(spark, ePath)
+    Scratch.drop(spark, compPath)
     out
   }
 

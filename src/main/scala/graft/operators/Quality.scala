@@ -823,7 +823,20 @@ object Quality {
         .rowsBetween(Window.unboundedPreceding, -1)
       val aggd = hist
         .withColumn("k0", coalesce(sum(col("m")).over(w), lit(0L)))
-        .withColumn("runsum", expr("m * k0 + m * (m + 1) div 2"))
+        // DECIMAL(38,0) BEFORE the multiply: with ~3e9+ keys sharing a
+        // count, m*k0 / m*(m+1) would silently wrap in BIGINT (Spark is
+        // non-ANSI) — mirror of the oracle's HUGEINT arithmetic. The
+        // triangular term halves the EVEN factor in BIGINT first (m or
+        // m+1 — one always is) so the decimal math is pure integer
+        // multiply/add, no decimal division (whose Spark result scale
+        // would cost integer digits at the top of DECIMAL(38,0)).
+        .withColumn("runsum",
+          col("m").cast(dec) * col("k0").cast(dec) +
+            when(col("m") % 2 === 0,
+              expr("m div 2").cast(dec) *
+                (col("m").cast(dec) + lit(1L).cast(dec)))
+              .otherwise(col("m").cast(dec) *
+                expr("(m + 1) div 2").cast(dec)))
         .agg(
           sum(col("c").cast(dec) * col("m")).as("t"),
           sum(col("m")).as("nk"),
@@ -879,10 +892,16 @@ object Quality {
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
     val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val p = greatest(col("ca").cast("double") / col("na").cast("double"),
-      lit(1e-6d))
-    val q = greatest(col("cb").cast("double") / col("nb").cast("double"),
-      lit(1e-6d))
+    // explicit n>0 guard: a degenerate empty sample divides by zero,
+    // where Spark's non-ANSI double divide is null but an IEEE engine's
+    // is inf/NaN — null the share on BOTH engines (oracle mirrors with
+    // nullif) so the 1e-6 clamp is the single cross-engine floor
+    def share(c: Column, n: Column): Column =
+      greatest(coalesce(
+        when(n > 0L, c.cast("double") / n.cast("double")), lit(1e-6d)),
+        lit(1e-6d))
+    val p = share(col("ca"), col("na"))
+    val q = share(col("cb"), col("nb"))
     counts.crossJoin(broadcast(totals))
       .select(col("na"), col("nb"),
         round((p - q) * log(p / q), 9).cast(dec).as("term"))

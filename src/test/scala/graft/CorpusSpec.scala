@@ -207,6 +207,25 @@ class CorpusSpec extends SparkTestBase {
     assert(out.size == 3) // closure over ALL docs, not just hits
   }
 
+  test("decontaminateBloom: pre-gated path reproduces the exact verdicts (no false negatives)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3))).toSet
+    val exact = rows(Corpus.decontaminate(docs, bench))
+    // the Bloom sketch admits every benchmark gram (no false negatives)
+    // and the exact join re-verifies survivors, so the output is
+    // bit-identical to the exact path — even at a sloppy 20% fpp
+    assert(rows(Corpus.decontaminateBloom(docs, bench)) == exact)
+    assert(rows(Corpus.decontaminateBloom(docs, bench, fpp = 0.2)) == exact)
+    // empty benchmark: an empty sketch admits nothing; all docs clean
+    val none = Corpus.decontaminateBloom(docs,
+      bench.filter(lit(false)), fpp = 0.01)
+    assert(none.filter(col("contaminated")).count() == 0)
+  }
+
   test("prepareTrainingSet: fuzzy decontamination drops the paraphrased leak exact misses") {
     // the leak: one typo in the MIDDLE token of a 15-token benchmark
     // doc. Every 8-token gram spans the changed token → ZERO exact

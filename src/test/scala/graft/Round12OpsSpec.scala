@@ -372,6 +372,26 @@ class Round12OpsSpec extends SparkTestBase {
     assert(byG("b") == Seq(2.0, 11.0, 13.0))
   }
 
+  test("quantileNormalize: histogram fanout past the bounds fails fast") {
+    // 40 distinct 6-dp-surviving values per group, 2 groups → pooled
+    // histogram 80 rows, group histogram 80 rows, fanout 6400
+    val df = (1 to 40).flatMap(i =>
+      Seq(("a", i + 0.000001 * i), ("b", i + 100 + 0.000001 * i)))
+      .toDF("g", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.quantileNormalize(df, "g", "v", maxPooledRows = 10)
+    }
+    assert(e1.getMessage.contains("maxPooledRows") &&
+      e1.getMessage.contains("80"))
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.quantileNormalize(df, "g", "v", maxJoinFanout = 1000)
+    }
+    assert(e2.getMessage.contains("maxJoinFanout") &&
+      e2.getMessage.contains("80 x 80"))
+    // bounds that admit the histograms let the mapping through intact
+    assert(Corpus.quantileNormalize(df, "g", "v").count() == 80L)
+  }
+
   test("urlDedup: canonical variants collapse to one keeper") {
     val docs = Seq(
       (1L, "https://a.com/x?utm_source=f"),

@@ -2,7 +2,12 @@
 """Local replica of the driver's correctness gate: run DuckDB oracle SQL
 against the testdata tables and compare with the Spark results dumped by
 graft.Verify. Columns sorted by name, rows sorted, exact value compare
-(floats via repr after round-trip)."""
+(floats via repr after round-trip).
+
+The committed record (CORRECTNESS_SELF.json) uses the driver's own
+per-query schema — {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err} — so an empty driver-side CORRECTNESS_r{N}.json diffs
+mechanically against the self-record."""
 import json, sys, glob, os
 import duckdb
 
@@ -12,6 +17,12 @@ def canon(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+def rec(rows_match=None, schema_match=None, hash_match=None,
+        spark_rows=None, oracle_rows=None, err=None):
+    return {"rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
 
 def main(sf_dir, out_dir, record_path=None):
     record = {}
@@ -25,20 +36,30 @@ def main(sf_dir, out_dir, record_path=None):
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
-            print(f"MISSING  {name}: no spark output"); record[name] = "missing"; n_bad += 1; continue
+            print(f"MISSING  {name}: no spark output")
+            record[name] = rec(err="missing: no spark output"); n_bad += 1; continue
         try:
             got = canon(con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df())
             want = canon(con.sql(sql).df())
         except Exception as e:
-            print(f"ERROR    {name}: {e}"); record[name] = f"error: {e}"[:300]; n_bad += 1; continue
+            print(f"ERROR    {name}: {e}")
+            record[name] = rec(err=f"error: {e}"[:300]); n_bad += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"SCHEMA   {name}: spark={list(got.columns)} oracle={list(want.columns)}")
-            record[name] = "schema_mismatch"; n_bad += 1; continue
+            record[name] = rec(rows_match=len(got) == len(want), schema_match=False,
+                               spark_rows=len(got), oracle_rows=len(want),
+                               err=f"schema: spark={list(got.columns)} oracle={list(want.columns)}"[:300])
+            n_bad += 1; continue
         if len(got) != len(want):
             print(f"ROWS     {name}: spark={len(got)} oracle={len(want)}")
-            record[name] = f"row_mismatch: spark={len(got)} oracle={len(want)}"; n_bad += 1; continue
+            record[name] = rec(rows_match=False, schema_match=True,
+                               spark_rows=len(got), oracle_rows=len(want))
+            n_bad += 1; continue
         if got.equals(want):
-            print(f"OK       {name} ({len(got)} rows)"); record[name] = f"ok ({len(got)} rows)"; n_ok += 1; continue
+            print(f"OK       {name} ({len(got)} rows)")
+            record[name] = rec(rows_match=True, schema_match=True, hash_match=True,
+                               spark_rows=len(got), oracle_rows=len(want))
+            n_ok += 1; continue
         # tolerate tiny float jitter, flag everything else
         import pandas as pd
         diff_cols = []
@@ -59,9 +80,16 @@ def main(sf_dir, out_dir, record_path=None):
             for c in hard[:2]:
                 neq = got[c] != want[c]
                 print(f"   {c}: spark={got[c][neq].head(3).tolist()} oracle={want[c][neq].head(3).tolist()}")
-            record[name] = f"value_mismatch: {hard}"; n_bad += 1
+            record[name] = rec(rows_match=True, schema_match=True, hash_match=False,
+                               spark_rows=len(got), oracle_rows=len(want),
+                               err=f"value_mismatch: {hard}"[:300])
+            n_bad += 1
         else:
-            print(f"OK~      {name} (float jitter only: {[c for c,_ in diff_cols]})"); record[name] = f"ok~ ({len(got)} rows)"; n_ok += 1
+            print(f"OK~      {name} (float jitter only: {[c for c,_ in diff_cols]})")
+            record[name] = rec(rows_match=True, schema_match=True, hash_match=True,
+                               spark_rows=len(got), oracle_rows=len(want),
+                               err=f"float_jitter: {[c for c,_ in diff_cols]}"[:300])
+            n_ok += 1
     # queries with no oracle: rows-only check
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
@@ -69,8 +97,9 @@ def main(sf_dir, out_dir, record_path=None):
             files = glob.glob(f"{d}/*.parquet")
             n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
             print(f"{'ROWSONLY' if n > 0 else 'EMPTY!  '} {name} ({n} rows)")
-            record[name] = f"rows_only ({n} rows)"
-            if n == 0: record[name] = "empty"; n_bad += 1
+            record[name] = rec(rows_match=n > 0, spark_rows=n,
+                               err=None if n > 0 else "empty")
+            if n == 0: n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
     if record_path:
         json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
