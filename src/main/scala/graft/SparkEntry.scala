@@ -192,6 +192,11 @@ object SparkEntry {
       // span-level ExactSubstr flag: docs sharing any exact 8-token
       // window with another doc (Lee et al. 2021 granularity)
       Dedup.spanDuplicates(t(s, dir, "documents"))),
+    "dedup_strip_spans" -> ((s, dir) =>
+      // ExactSubstr REMOVAL: duplicated 8-token windows keep their
+      // globally-first occurrence; every other occurrence is cut and
+      // the text rebuilt from surviving tokens
+      Dedup.stripDuplicateSpans(t(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshCandidates(t(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -241,6 +246,12 @@ object SparkEntry {
     "sim_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8))
+    }),
+    "emb_hard_negatives" -> ((s, dir) => {
+      // contrastive-training prep: per anchor, the most-similar
+      // WRONG-class items (the negatives that teach the boundary)
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(e, e.filter(col("vec_id") < 8))
     }),
     "sim_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), blockCol = "label",
@@ -363,6 +374,17 @@ object SparkEntry {
     }),
     "pack_chunks" -> ((s, dir) =>
       graft.operators.Corpus.packChunks(t(s, dir, "documents"), targetTokens = 512)),
+    "pack_greedy" -> ((s, dir) =>
+      // doc-boundary greedy next-fit packing per (source, shard) — the
+      // padding-paying alternative to pack_chunks' split-at-boundary
+      graft.operators.Corpus.packGreedyBins(t(s, dir, "documents"),
+        budgetTokens = 512L)),
+    "pack_efficiency" -> ((s, dir) =>
+      // bins used + padding waste + utilization per source — the
+      // budget-tuning audit over the greedy pack
+      graft.operators.Corpus.packEfficiency(
+        graft.operators.Corpus.packGreedyBins(t(s, dir, "documents"),
+          budgetTokens = 512L), budgetTokens = 512L)),
     "corpus_prepare" -> ((s, dir) => {
       // the END-TO-END compositor: top-80%-per-source quality gate ->
       // LSH near-dup clustering -> keep-one -> benchmark
@@ -841,6 +863,224 @@ object SparkEntry {
             AND sp.qty > (SELECT 0.15 * sum(l2.l_quantity)
                           FROM lineitem_q20_v l2
                           WHERE l2.l_partkey = sp.l_partkey))""")
+    }),
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 shape: EXISTS + NOT EXISTS with a non-equality
+      // correlated predicate (l_suppkey <>) — the sole-blame audit:
+      // suppliers whose line was the ONLY late one in a multi-supplier
+      // finished order. Catalyst plans both subqueries as semi/anti
+      // joins on the equality key with the <> as join condition — no
+      // per-row subquery
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q21_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q21_v")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q21_v")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_q21_v, lineitem_q21_v l1, orders_q21_v
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT * FROM lineitem_q21_v l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT * FROM lineitem_q21_v l3
+                            JOIN orders_q21_v o3
+                              ON l3.l_orderkey = o3.o_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate
+                                                + INTERVAL 60 DAY)
+        GROUP BY s_name""")
+    }),
+    "q22_dormant_accounts" -> ((s, dir) => {
+      // TPC-H Q22 shape: two uncorrelated scalar subqueries + a
+      // correlated NOT EXISTS (anti-join) — above-average-balance
+      // customers with no large order. The above-average compare is
+      // cross-multiplied over exact integer CENTS (balance·n > Σcents),
+      // the repo's integer-comparison discipline, so the boundary is
+      // bit-identical across engines; nationkey buckets play Q22's
+      // phone country code
+      t(s, dir, "customer").createOrReplaceTempView("customer_q22_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q22_v")
+      s.sql("""
+        WITH cb AS (SELECT c_custkey, c_nationkey,
+                           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+                    FROM customer_q22_v),
+             pos AS (SELECT count(*) AS n, sum(cents) AS s
+                     FROM cb WHERE cents > 0)
+        SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+               count(*) AS numcust,
+               round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS totacctbal
+        FROM cb
+        WHERE cents * (SELECT n FROM pos) > (SELECT s FROM pos)
+          AND NOT EXISTS (SELECT * FROM orders_q22_v
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 400000)
+        GROUP BY c_nationkey % 5""")
+    }),
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: national market share — one nation's slice of a
+      // region's PROMO-part revenue by order year. The conditional
+      // numerator rides the SAME aggregate as the denominator (one
+      // pass); region→nation chains broadcast; the share is a single
+      // IEEE division of two exact DECIMAL sums, rounded to 6 dp
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+          col("n_regionkey"))), col("c_nationkey") === col("cnk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("nat_rev"),
+          sum(rev).as("all_rev"))
+        .select(col("o_year"),
+          round(col("nat_rev").cast("double") / col("all_rev").cast("double"),
+            6).as("mkt_share"))
+    }),
+    "q9_product_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape: product-type profit by (supplier nation, year).
+      // No partsupp table in this corpus, so supply cost is the
+      // deterministic stand-in retailprice·0.5 — a MULTIPLY, not a
+      // divide: decimal division rounds under engine-specific result
+      // scales, while ·DECIMAL(2,1) 0.5 is exact on both engines;
+      // amount = rev − cost·qty stays DECIMAL end to end. The p_name
+      // LIKE plays Q9's '%green%' filter
+      val p = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val amount = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")) -
+        col("p_retailprice").cast("decimal(18,2)") *
+          lit(0.5).cast("decimal(2,1)") *
+          col("l_quantity").cast("decimal(18,2)")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+    }),
+    "q11_important_stock" -> ((s, dir) => {
+      // TPC-H Q11 shape: HAVING against uncorrelated scalar subqueries
+      // — parts whose stocked value exceeds 1.4× the mean national
+      // value (mean-relative so the cut survives any SF, unlike Q11's
+      // fixed fraction whose bar rises with the part count). The
+      // per-(part,supplier) qty rollup plays partsupp (the q20
+      // convention), retailprice plays supplycost. The compare is
+      // cross-multiplied in DECIMAL (value·10n > 14·total — integers ×
+      // exact decimals) so the boundary is exact on both engines;
+      // Catalyst runs each total ONCE (SubqueryExec, one-row reuse)
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q11_v")
+      t(s, dir, "part").createOrReplaceTempView("part_q11_v")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q11_v")
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS availqty
+          FROM lineitem_q11_v GROUP BY 1, 2),
+        v AS (
+          SELECT l_partkey AS ps_partkey,
+                 sum(CAST(p_retailprice AS DECIMAL(18,2)) * availqty) AS value
+          FROM ps JOIN part_q11_v ON p_partkey = l_partkey
+                  JOIN supplier_q11_v ON s_suppkey = l_suppkey
+          WHERE s_nationkey % 5 = 2
+          GROUP BY 1)
+        SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+        FROM v
+        WHERE value * (SELECT count(*) * 10 FROM v) >
+              (SELECT sum(value) * 14 FROM v)""")
+    }),
+    "q13_customer_distribution" -> ((s, dir) => {
+      // TPC-H Q13 shape: the double aggregate — orders-per-customer via
+      // a LEFT OUTER join (zero-order customers must appear), then the
+      // distribution of those counts. The priority filter plays Q13's
+      // o_comment NOT LIKE; count(o_orderkey) counts only matched rows
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(!col("o_orderpriority").like("4-%"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    "q14_promo_revenue" -> ((s, dir) => {
+      // TPC-H Q14 shape: conditional revenue share for one month —
+      // promo-part revenue over all revenue, 100·(one IEEE division of
+      // two exact DECIMAL sums), 6 dp. Part dim broadcast; the date
+      // filter pushes to the lineitem scan
+      val li = t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val p = t(s, dir, "part")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),
+          sum(rev).as("all_rev"))
+        .select(round(lit(100.0) * col("promo").cast("double") /
+          col("all_rev").cast("double"), 6).as("promo_revenue"))
+    }),
+    "q16_parts_supplier" -> ((s, dir) => {
+      // TPC-H Q16 shape: supplier count per part profile with a NOT IN
+      // exclusion — distinct (part,supplier) pairs from lineitem play
+      // partsupp; negative-balance suppliers play the complaints
+      // filter. Catalyst turns the NOT IN into a null-aware anti join
+      // and the count(DISTINCT) expands in the aggregate
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q16_v")
+      t(s, dir, "part").createOrReplaceTempView("part_q16_v")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q16_v")
+      s.sql("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem_q16_v) ps
+          JOIN part_q16_v ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type NOT IN ('STANDARD', 'ECONOMY')
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16_v
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size""")
+    }),
+    "q19_discounted_revenue" -> ((s, dir) => {
+      // TPC-H Q19 shape: OR'd multi-bracket predicate over the
+      // part⋈lineitem join — Catalyst extracts the common p_partkey =
+      // l_partkey equi-key and keeps the three (brand, size, quantity)
+      // brackets as the join residual; p_size plays the container list
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      val bracket =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey") && bracket)
+        .agg(sum(rev).cast("double").as("revenue"))
     }),
     "semi_join" -> ((s, dir) =>
       t(s, dir, "customer").join(t(s, dir, "orders"),
@@ -1437,6 +1677,10 @@ object SparkEntry {
         .limit(50)),
     "text_unigram_lm" -> ((s, dir) =>
       graft.operators.TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
+    "text_perplexity" -> ((s, dir) =>
+      // CCNet-style LM quality gate: bigram stupid-backoff perplexity,
+      // model trained on the corpus itself in one pass
+      graft.operators.TextAnalysis.ngramLmPerplexity(t(s, dir, "documents"))),
     "dsir_scores" -> ((s, dir) => {
       // DSIR importance scoring: the benchmark slice (every 20th doc,
       // the decontaminate fixture) plays the target domain
@@ -1990,6 +2234,11 @@ object SparkEntry {
       // computed once on the driver and shared with the oracle
       graft.operators.Events.ewma(eventsTable(s, dir),
         alpha = 0.25, lastN = 16)),
+    "ev_holt_forecast" -> ((s, dir) =>
+      // Holt level+trend over the latest 8 readings, 3-step forecast:
+      // the recursion unrolls to driver-computed coefficient literals
+      graft.operators.Events.holtForecast(eventsTable(s, dir),
+        alpha = 0.5, beta = 0.3, lastN = 8, horizon = 3)),
     "ev_ohlc" -> ((s, dir) =>
       // hourly OHLC bars per user: open/close ride struct min/max
       // aggregates — one keyed shuffle, no windows
@@ -2117,6 +2366,7 @@ object SparkEntry {
     "dedup_exact" -> OracleFragments.dedupExact,
     "dedup_url" -> OracleFragments.dedupUrl,
     "dedup_spans" -> OracleFragments.dedupSpans(spanTokens = 8),
+    "dedup_strip_spans" -> OracleFragments.dedupStripSpans(spanTokens = 8),
     "dedup_minhash_lsh" -> OracleFragments.dedupMinhashLsh(bands = 4, rowsPerBand = 2),
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
     "dedup_ppjoin" -> OracleFragments.dedupPpjoin(minJaccard = 0.9),
@@ -2225,6 +2475,10 @@ object SparkEntry {
     "emb_pca_scores" -> OracleFragments.embPcaScores(iters = 4),
     "emb_quantize" -> OracleFragments.embQuantize,
     "pack_chunks" -> OracleFragments.packChunks(targetTokens = 512),
+    "pack_greedy" ->
+      OracleFragments.packGreedy(budgetTokens = 512L, shardRows = 1024L),
+    "pack_efficiency" ->
+      OracleFragments.packEfficiency(budgetTokens = 512L, shardRows = 1024L),
     "tfidf_terms" -> OracleFragments.tfidfTerms(k = 3),
     "skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
@@ -2241,6 +2495,8 @@ object SparkEntry {
                 TRUE AS approx_p50_ok
          FROM events GROUP BY 1""",
     "sim_cosine_topk" -> OracleFragments.simCosineTopK(maxQueryId = 8, k = 5),
+    "emb_hard_negatives" ->
+      OracleFragments.embHardNegatives(maxAnchorId = 8, k = 5),
     "sim_cosine_pairs" -> OracleFragments.simCosinePairs(threshold = 0.40),
     // embeddings dim is 64 at every sf (TESTDATA.md); the plane matrix and
     // the unrolled Lloyd steps below are generated from the SAME Scala
@@ -2493,6 +2749,126 @@ object SparkEntry {
              AND sp.qty > (SELECT 0.15 * sum(l2.l_quantity)
                            FROM lineitem l2
                            WHERE l2.l_partkey = sp.l_partkey))""",
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*)::BIGINT AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT * FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT * FROM lineitem l3
+                             JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o3.o_orderdate
+                                                 + INTERVAL 60 DAY)
+         GROUP BY s_name""",
+    "q22_dormant_accounts" ->
+      """WITH cb AS (SELECT c_custkey, c_nationkey,
+                            CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+                     FROM customer),
+              pos AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+                      FROM cb WHERE cents > 0)
+         SELECT (c_nationkey % 5)::INT AS cntrycode,
+                count(*)::BIGINT AS numcust,
+                round(sum(cents)::DOUBLE / 100, 2) AS totacctbal
+         FROM cb
+         WHERE cents * (SELECT n FROM pos) > (SELECT s FROM pos)
+           AND NOT EXISTS (SELECT * FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 400000)
+         GROUP BY c_nationkey % 5""",
+    "q8_market_share" ->
+      """SELECT year(o_orderdate)::INT AS o_year,
+                round(sum(CASE WHEN n2.n_name = 'NATION_7'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                    (1 - CAST(l_discount AS DECIMAL(18,2)))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE /
+                      sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (1 - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE,
+                      6) AS mkt_share
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2))) -
+                    CAST(p_retailprice AS DECIMAL(18,2)) *
+                    CAST(0.5 AS DECIMAL(2,1)) *
+                    CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_profit
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2""",
+    "q11_important_stock" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS availqty
+           FROM lineitem GROUP BY 1, 2),
+         v AS (
+           SELECT l_partkey AS ps_partkey,
+                  sum(CAST(p_retailprice AS DECIMAL(18,2)) * availqty) AS value
+           FROM ps JOIN part ON p_partkey = l_partkey
+                   JOIN supplier ON s_suppkey = l_suppkey
+           WHERE s_nationkey % 5 = 2
+           GROUP BY 1)
+         SELECT ps_partkey, value::DOUBLE AS value
+         FROM v
+         WHERE value * (SELECT count(*) * 10 FROM v) >
+               (SELECT sum(value) * 14 FROM v)""",
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '4-%'
+               GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+                      sum(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                    (1 - CAST(l_discount AS DECIMAL(18,2)))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE /
+                      sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (1 - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE,
+                      6) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q16_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+           JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#5'
+           AND p_type NOT IN ('STANDARD', 'ECONOMY')
+           AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size""",
+    "q19_discounted_revenue" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 40)""",
     "semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
@@ -2742,6 +3118,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> OracleFragments.boilerplateNgrams(n = 5, minDf = 2L, k = 20),
     "vocab_topk" -> OracleFragments.vocabTopK(minCount = 2, k = 50),
     "text_unigram_lm" -> OracleFragments.textUnigramLm,
+    "text_perplexity" -> OracleFragments.textPerplexity(alpha = 0.4),
     "dsir_scores" -> OracleFragments.dsirScores(benchMod = 20),
     "quality_classifier" ->
       OracleFragments.qualityClassifier(dims = 4096, thetaMilli = 0L),
@@ -3378,6 +3755,8 @@ object SparkEntry {
                 round(sum(wv)::DOUBLE / sum(dur)::DOUBLE, 6) AS twap
          FROM d GROUP BY 1""",
     "ev_ewma" -> OracleFragments.evEwma(alpha = 0.25, lastN = 16),
+    "ev_holt_forecast" -> OracleFragments.evHoltForecast(
+      alpha = 0.5, beta = 0.3, lastN = 8, horizon = 3),
     "ev_attribution_outer" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
                     FROM events WHERE event_type = 'view'),
@@ -3779,6 +4158,38 @@ object OracleFragments {
         FROM t GROUP BY 1"""
   }
 
+  /** Mirror of Events.holtForecast: the evEwma window chain with TWO
+    * coefficient CASE tables (level + trend) interpolated from the
+    * SAME driver-computed Events.holtCoeffs literals. */
+  def evHoltForecast(
+      alpha: Double, beta: Double, lastN: Int, horizon: Int): String = {
+    val coeffs = (1 to lastN)
+      .map(m => m -> graft.operators.Events.holtCoeffs(alpha, beta, m)).toMap
+    def caseTable(pick: (Int, Int) => Double): String =
+      "CASE " + (for { m <- 1 to lastN; rn <- 1 to m } yield
+        s"WHEN m = $m AND rn = $rn THEN ${pick(m, rn)}").mkString(" ") + " END"
+    val wl = caseTable((m, rn) => coeffs(m)._1(m - rn))
+    val wb = caseTable((m, rn) => coeffs(m)._2(m - rn))
+    s"""WITH e AS (SELECT user_id, "value",
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                   FROM events WHERE "value" IS NOT NULL),
+         f AS (SELECT * FROM e WHERE rn <= $lastN),
+         g AS (SELECT user_id, "value", rn,
+                      count(*) OVER (PARTITION BY user_id) AS m FROM f),
+         t AS (SELECT user_id, m,
+                      round("value" * ($wl), 9)::DECIMAL(28,12) AS tl,
+                      round("value" * ($wb), 9)::DECIMAL(28,12) AS tb
+               FROM g),
+         s AS (SELECT user_id, max(m)::BIGINT AS n_used,
+                      round(sum(tl)::DOUBLE, 6) AS level,
+                      round(sum(tb)::DOUBLE, 6) AS trend
+               FROM t GROUP BY 1)
+        SELECT user_id, n_used, level, trend,
+               round(level + $horizon.0 * trend, 6) AS forecast
+        FROM s"""
+  }
+
   /** Mirror of Similarity.nearestCentroid (moved here so the confusion
     * rollup can reuse it verbatim). */
   val embNearestCentroid: String = {
@@ -3991,6 +4402,51 @@ object OracleFragments {
     s"""list_distinct(list_transform(
           range(1, greatest(len($toks) - ${n - 1}, 1) + 1),
           i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))"""
+
+  /** Mirror of Dedup.stripDuplicateSpans: positioned NON-distinct token
+    * windows, global first-occurrence keeper per duplicated gram
+    * (row_number over (doc_id, spos)), cut list per doc, higher-order
+    * token filter (a token survives iff NO cut covers it — merge-free,
+    * identical to the Spark exists()). 0-based spos on both engines. */
+  def dedupStripSpans(spanTokens: Int): String = {
+    val L = spanTokens
+    s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
+          w AS (SELECT doc_id, l,
+                       list_transform(
+                         range(1, greatest(len(l) - ${L - 1}, 1) + 1),
+                         i -> array_to_string(l[i:i+${L - 1}], ' ')) AS wins
+                FROM d),
+          o0 AS (SELECT doc_id, wins,
+                        unnest(range(1, len(wins) + 1)) AS i FROM w),
+          occ AS (SELECT doc_id, (i - 1)::INT AS spos,
+                         ('0x' || substr(md5(wins[i]), 1, 15))::BIGINT AS gram
+                  FROM o0 WHERE length(wins[i]) > 0),
+          rk AS (SELECT doc_id, spos, gram,
+                        row_number() OVER (PARTITION BY gram
+                          ORDER BY doc_id, spos) AS rn,
+                        count(*) OVER (PARTITION BY gram) AS n_occ
+                 FROM occ),
+          cl AS (SELECT doc_id,
+                        list(struct_pack(cstart := spos,
+                                         cend := spos + $L)) AS cuts
+                 FROM rk WHERE n_occ > 1 AND rn > 1 GROUP BY 1),
+          kept AS (
+            SELECT d.doc_id, d.l,
+                   CASE WHEN cl.doc_id IS NULL THEN d.l
+                        ELSE list_transform(
+                          list_filter(
+                            list_transform(range(1, len(d.l) + 1),
+                              i -> struct_pack(i := i - 1, t := d.l[i])),
+                            s -> len(list_filter(cl.cuts,
+                              c -> s.i >= c.cstart AND s.i < c.cend)) = 0),
+                          s -> s.t) END AS k
+            FROM d LEFT JOIN cl USING (doc_id))
+        -- coalesce: DuckDB array_to_string([]) is NULL, Spark's is ''
+        SELECT doc_id, coalesce(array_to_string(k, ' '), '') AS clean_text,
+               len(l)::INT AS n_tokens,
+               (len(l) - len(k))::INT AS n_removed_tokens
+        FROM kept"""
+  }
 
   /** Mirror of Dedup.spanDuplicates: distinct per-doc token windows,
     * postings per gram hash, spans-in-≥2-docs rollup per document. */
@@ -4275,6 +4731,55 @@ object OracleFragments {
                ((sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
                    ROWS UNBOUNDED PRECEDING) - n_tokens) // $targetTokens)::BIGINT AS chunk_id
         FROM t"""
+
+  /** Mirror of Corpus.packGreedyBins: the greedy next-fit fold as a
+    * recursive CTE stepping one ordered row per (group, shard) —
+    * recursion depth = rows per shard, bounded by shardRows. The step
+    * mirrors the Spark fold's exact newBin condition (fill > 0 AND
+    * fill + n > budget), so zero-token docs and oversize-first docs
+    * agree across engines. */
+  private def packGreedyCte(budgetTokens: Long, shardRows: Long): String =
+    s"""WITH RECURSIVE base AS (
+          SELECT source AS "group", doc_id // $shardRows AS shard, doc_id,
+                 len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens,
+                 row_number() OVER (PARTITION BY source, doc_id // $shardRows
+                                    ORDER BY doc_id) AS rn
+          FROM documents),
+        st AS (
+          SELECT "group", shard, rn, doc_id, n_tokens,
+                 0::BIGINT AS bin, n_tokens AS fill
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b."group", b.shard, b.rn, b.doc_id, b.n_tokens,
+                 CASE WHEN s.fill > 0 AND s.fill + b.n_tokens > $budgetTokens
+                      THEN s.bin + 1 ELSE s.bin END,
+                 CASE WHEN s.fill > 0 AND s.fill + b.n_tokens > $budgetTokens
+                      THEN b.n_tokens ELSE s.fill + b.n_tokens END
+          FROM st s JOIN base b
+            ON b."group" = s."group" AND b.shard = s.shard
+               AND b.rn = s.rn + 1)"""
+
+  def packGreedy(budgetTokens: Long, shardRows: Long): String =
+    s"""${packGreedyCte(budgetTokens, shardRows)}
+        SELECT "group", shard, doc_id, n_tokens, bin,
+               n_tokens > $budgetTokens AS oversize
+        FROM st"""
+
+  /** Mirror of Corpus.packEfficiency over the packGreedy CTE. */
+  def packEfficiency(budgetTokens: Long, shardRows: Long): String =
+    s"""${packGreedyCte(budgetTokens, shardRows)},
+        bins AS (
+          SELECT "group", shard, bin, sum(n_tokens) AS fill,
+                 count(*) AS n_docs
+          FROM st GROUP BY 1, 2, 3)
+        SELECT "group", sum(n_docs)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_bins,
+               sum(fill)::BIGINT AS total_tokens,
+               sum(greatest($budgetTokens - fill, 0))::BIGINT AS padding_waste,
+               round(sum(fill)::DOUBLE /
+                     (count(*) * $budgetTokens)::DOUBLE, 6) AS utilization
+        FROM bins GROUP BY 1"""
 
   def tfidfTerms(k: Int): String =
     s"""WITH terms AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS term FROM documents),
@@ -4732,6 +5237,24 @@ object OracleFragments {
                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
             FROM scored)
         SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= $k"""
+
+  /** Mirror of Similarity.hardNegativesTopK: the simCosineTopK chain
+    * with the label-mismatch filter in place of the self-pair filter. */
+  def embHardNegatives(maxAnchorId: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS anchor_label
+                   FROM embeddings WHERE vec_id < $maxAnchorId),
+          c AS (SELECT vec_id AS negative_id, embedding AS cv, label AS neg_label
+                FROM embeddings),
+          scored AS (
+            SELECT q.anchor_id, c.negative_id, $cosineExpr AS sim
+            FROM c CROSS JOIN q WHERE c.neg_label <> q.anchor_label),
+          ranked AS (
+            SELECT anchor_id, negative_id, sim,
+                   row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY sim DESC, negative_id ASC) AS rank
+            FROM scored)
+        SELECT anchor_id, negative_id, sim, rank::INT AS rank
+        FROM ranked WHERE rank <= $k"""
 
   def evSessionize(gapMinutes: Int): String = {
     val gapMs = gapMinutes * 60000L
@@ -5296,6 +5819,39 @@ object OracleFragments {
                round(sum(m.logp)::DOUBLE / count(*), 6) AS avg_logp
         FROM tok t JOIN model m ON t.token = m.token
         GROUP BY 1"""
+
+  /** Mirror of TextAnalysis.ngramLmPerplexity: bigram stupid backoff
+    * (seen → c(v,w)/c(v); unseen → α·c(w)/N; first token → c(w)/N),
+    * 9-dp ln terms under DECIMAL(28,12), exp over the 9-dp-rounded
+    * negative mean so both engines exponentiate the same argument. */
+  def textPerplexity(alpha: Double): String =
+    s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
+          px AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d),
+          tok AS (SELECT doc_id, i AS pos, l[i] AS token,
+                         CASE WHEN i > 1 THEN l[i - 1] END AS prev FROM px),
+          total AS (SELECT count(*)::DOUBLE AS total FROM tok),
+          uni AS (SELECT token, count(*)::BIGINT AS n_w FROM tok GROUP BY 1),
+          bi AS (SELECT prev, token, count(*)::BIGINT AS n_vw FROM tok
+                 WHERE prev IS NOT NULL GROUP BY 1, 2),
+          t2 AS (
+            SELECT t.doc_id,
+                   round(ln(CASE
+                       WHEN t.prev IS NULL
+                         THEN coalesce(u.n_w, 1) / (SELECT total FROM total)
+                       WHEN b.n_vw IS NOT NULL
+                         THEN b.n_vw::DOUBLE / uv.n_w::DOUBLE
+                       ELSE $alpha * (coalesce(u.n_w, 1)
+                            / (SELECT total FROM total)) END),
+                     9)::DECIMAL(28,12) AS term
+            FROM tok t
+            LEFT JOIN uni u ON t.token = u.token
+            LEFT JOIN uni uv ON t.prev = uv.token
+            LEFT JOIN bi b ON t.prev = b.prev AND t.token = b.token)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(sum(term)::DOUBLE / count(*), 6) AS avg_logp,
+               round(exp(round(-sum(term)::DOUBLE / count(*), 9)), 6)
+                 AS perplexity
+        FROM t2 GROUP BY 1"""
 
   /** Mirror of TextAnalysis.dsirScores: add-1-smoothed unigram LM ratio
     * over the union vocabulary, per-token ln-ratio rounded to 9 dp and

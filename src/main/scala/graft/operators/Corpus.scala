@@ -1293,4 +1293,106 @@ object Corpus {
         col(idCol).as("id"))
       .groupBy(col("canonical_url"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /**
+   * Greedy DOC-BOUNDARY bin packing (next-fit): within each
+   * (`groupCol`, shard) stream ordered by id, each document goes into
+   * the current bin unless it would overflow `budgetTokens`, which
+   * opens the next bin — documents are never split (the padding-paying
+   * alternative to [[packChunks]], which splits documents at exact
+   * budget boundaries; training stacks pick one per Raffel et al. 2020
+   * §2.2's packing discussion).
+   *
+   * Greedy packing is inherently SEQUENTIAL — bin k's boundary depends
+   * on every placement before it — so it cannot be a window function.
+   * The scale contract makes it parallel anyway: real packers pack per
+   * OUTPUT SHARD, and the shard is the deterministic `idCol div
+   * shardRows` — each (group, shard) is a bounded unit (≤ `shardRows`
+   * docs) packed independently by one in-memory fold (`aggregate`
+   * higher-order function over the sorted struct array; the fold's
+   * array append is quadratic in COPIES, which the shard bound turns
+   * into a constant ~shardRows² per task — the knob is a packing/
+   * parallelism dial, not a correctness one). No collect, no UDF; one
+   * keyed shuffle.
+   *
+   * A document with more tokens than `budgetTokens` still gets its own
+   * bin (flagged `oversize`) — next-fit never splits, so the bin
+   * overflows rather than the document disappearing.
+   *
+   * Returns (group, shard, doc_id, n_tokens, bin, oversize): `bin` is
+   * 0-based within its (group, shard).
+   */
+  def packGreedyBins(
+      docs: DataFrame,
+      budgetTokens: Long,
+      shardRows: Long = 1024L,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(shardRows > 0, "shardRows must be positive")
+    val sorted = docs
+      .select(col(groupCol).as("group"),
+        expr(s"$idCol div ${shardRows}L").as("shard"),
+        struct(col(idCol).cast("long").as("doc_id"),
+          tokenCountBpe(col(textCol)).cast("long").as("n_tokens")).as("d"))
+      .groupBy(col("group"), col("shard"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+    // fold state: (bin, fill, out); newBin fires only when the bin is
+    // non-empty AND the doc would overflow — zero-token docs leave fill
+    // untouched, an oversize FIRST doc stays in bin 0 (both mirrored
+    // exactly by the oracle's recursive step)
+    val packed = sorted.withColumn("out",
+      aggregate(
+        col("ds"),
+        struct(lit(0L).as("bin"), lit(0L).as("fill"),
+          expr("CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n_tokens: BIGINT, bin: BIGINT>>)").as("out")),
+        (acc, d) => {
+          val n = d.getField("n_tokens")
+          val newBin = acc.getField("fill") > 0L &&
+            acc.getField("fill") + n > budgetTokens
+          val bin = when(newBin, acc.getField("bin") + 1L)
+            .otherwise(acc.getField("bin"))
+          val fill = when(newBin, n).otherwise(acc.getField("fill") + n)
+          struct(bin.as("bin"), fill.as("fill"),
+            concat(acc.getField("out"), array(struct(
+              d.getField("doc_id").as("doc_id"), n.as("n_tokens"),
+              bin.as("bin")))).as("out"))
+        },
+        acc => acc.getField("out")))
+    packed
+      .select(col("group"), col("shard"), explode(col("out")).as("p"))
+      .select(col("group"), col("shard"),
+        col("p.doc_id").as("doc_id"), col("p.n_tokens").as("n_tokens"),
+        col("p.bin").as("bin"),
+        (col("p.n_tokens") > budgetTokens).as("oversize"))
+  }
+
+  /**
+   * Packing-efficiency audit over [[packGreedyBins]] output: per group,
+   * how many bins the greedy pack used and how much of the token budget
+   * went to padding — the number a pipeline watches when tuning
+   * `budgetTokens` (utilization near 1 = dense batches; low utilization
+   * = wasted FLOPs at training time). Waste counts only UNDER-full bins
+   * (an oversize bin pads nothing); two keyed aggregations, both on
+   * keys the input already carries.
+   */
+  def packEfficiency(packed: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    packed
+      .groupBy(col("group"), col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n_docs"))
+      .groupBy(col("group"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(col("fill")).as("total_tokens"),
+        sum(greatest(lit(budgetTokens) - col("fill"), lit(0L)))
+          .as("padding_waste"))
+      .select(col("group"), col("n_docs"), col("n_bins"),
+        col("total_tokens"), col("padding_waste"),
+        round(col("total_tokens").cast("double") /
+          (col("n_bins") * budgetTokens).cast("double"), 6)
+          .as("utilization"))
+  }
 }

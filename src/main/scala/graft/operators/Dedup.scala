@@ -644,4 +644,72 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0)).as("n_dup_spans"),
         (coalesce(col("n_dup_spans"), lit(0)) > 0).as("span_dup"))
   }
+
+  /** EXACT-substring dedup with REMOVAL (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr stage, re-expressed relationally at token
+    * granularity): every `spanTokens`-token sliding window that occurs
+    * at more than one (doc, position) keeps its globally FIRST
+    * occurrence (min (doc_id, pos) — deterministic) and every other
+    * occurrence's token range is cut from its document; the cleaned
+    * text is rebuilt from the surviving tokens. Suffix-array substring
+    * matching becomes a keyed GROUP BY over hashed sliding windows —
+    * the relational shape of the same criterion.
+    *
+    * Output: (doc_id, clean_text, n_tokens, n_removed_tokens) for every
+    * input document (whole-doc duplicates of short texts collapse to an
+    * empty clean_text — the truncated-window convention makes exact
+    * short-doc dups mutual whole-doc spans, removed all but first).
+    *
+    * Scale shape: the positioned window table is ONE keyed groupBy
+    * (60-bit gram hash) + one join back — two shuffles total; cut
+    * intervals collect per document (bounded by the document's own
+    * token count, never corpus-wide) and the rebuild is a per-row
+    * higher-order filter whose work is |tokens| × |cuts| within one
+    * document. No corpus-wide windows, no suffix arrays, no driver
+    * state. Overlapping duplicated spans need no interval merge: a
+    * token survives iff NO cut covers it, which is invariant under
+    * merging. */
+  def stripDuplicateSpans(
+      docs: DataFrame,
+      spanTokens: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val base = Scratch.materialize(
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"),
+        tokenWindows(col(textCol), spanTokens).as("wins")),
+      "strip_base")
+    val occ = base
+      .select(col("doc_id"), posexplode(col("wins")).as(Seq("spos", "g")))
+      .filter(length(col("g")) > 0)
+      .select(col("doc_id"), col("spos"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gram"))
+    val keepers = occ.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("spos"))).as("k"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1L)
+      .select(col("gram"), col("k.doc_id").as("kdoc"), col("k.spos").as("kpos"))
+    val cuts = occ.join(keepers, Seq("gram"))
+      .filter(!(col("doc_id") === col("kdoc") && col("spos") === col("kpos")))
+      .select(col("doc_id"), col("spos").as("cstart"),
+        (col("spos") + lit(spanTokens)).as("cend"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("cstart"), col("cend"))).as("cuts"))
+    base.join(cuts, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("cuts").isNull, col("toks"))
+          .otherwise(transform(
+            filter(
+              transform(col("toks"), (t, i) =>
+                struct(i.as("i"), t.as("t"))),
+              s => !exists(col("cuts"), c =>
+                s.getField("i") >= c.getField("cstart") &&
+                  s.getField("i") < c.getField("cend"))),
+            s => s.getField("t"))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed_tokens"))
+  }
 }

@@ -468,6 +468,92 @@ object Events {
   def ewmaPows(alpha: Double, n: Int): Array[Double] =
     Array.iterate(1.0, n)(_ * (1.0 - alpha))
 
+  /**
+   * Holt linear-trend smoothing + h-step forecast of each key's latest
+   * `lastN` values — the trend companion to [[ewma]] (level-only
+   * smoothing flags a drift late; Holt's trend term projects it). The
+   * recursion (y_1 oldest … y_m newest, m ≤ lastN)
+   *
+   *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+   *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1},   l_1 = y_1, b_1 = y_2−y_1
+   *
+   * is LINEAR in the y's, so l_m and b_m unroll to fixed coefficient
+   * vectors per m — computed ONCE on the driver ([[holtCoeffs]]) and
+   * embedded as literals keyed by (m, rank), exactly the [[ewma]]
+   * weight-table discipline: per-term products round to 9 dp, sum under
+   * DECIMAL(28,12), and the mirrored oracle interpolates the SAME
+   * literals — no engine re-runs the recursion. A single-value key has
+   * level = y, trend = 0. Forecast = level + `horizon`·trend over the
+   * 6-dp-rounded sums (both engines compose the same rounded inputs).
+   *
+   * Scale contract = [[ewma]]'s: one partition-pruned per-key window
+   * bounded at `lastN` rows, one aggregate; the coefficient table is
+   * O(lastN²) literals in the plan, not data.
+   */
+  def holtForecast(
+      events: DataFrame,
+      alpha: Double = 0.5,
+      beta: Double = 0.3,
+      lastN: Int = 8,
+      horizon: Int = 3,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    require(beta > 0.0 && beta < 1.0, "beta must be in (0,1)")
+    require(lastN >= 1, "lastN must be >= 1")
+    require(horizon >= 1, "horizon must be >= 1")
+    val coeffs = (1 to lastN).map(m => m -> holtCoeffs(alpha, beta, m)).toMap
+    // weight for (values-used m, recency rank rn): oldest-index m - rn
+    def caseOn(pick: (Int, Int) => Double): Column =
+      (for { m <- 1 to lastN; rn <- 1 to m } yield (m, rn))
+        .foldLeft(lit(null).cast("double")) { case (acc, (m, rn)) =>
+          when(col("_m") === m && col("_rn") === rn, lit(pick(m, rn)))
+            .otherwise(acc)
+        }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    events
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= lastN)
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("_tl",
+        round(col(valueCol).cast("double") *
+          caseOn((m, rn) => coeffs(m)._1(m - rn)), 9).cast("decimal(28,12)"))
+      .withColumn("_tb",
+        round(col(valueCol).cast("double") *
+          caseOn((m, rn) => coeffs(m)._2(m - rn)), 9).cast("decimal(28,12)"))
+      .groupBy(col(keyCol))
+      .agg(max(col("_m")).cast("long").as("n_used"),
+        round(sum(col("_tl")).cast("double"), 6).as("level"),
+        round(sum(col("_tb")).cast("double"), 6).as("trend"))
+      .withColumn("forecast",
+        round(col("level") + lit(horizon.toDouble) * col("trend"), 6))
+  }
+
+  /** Coefficient vectors (c_level, c_trend) of Holt's recursion over m
+    * values (index 0 = oldest): the recursion run on COEFFICIENT
+    * vectors instead of values — the shared constant table
+    * [[holtForecast]] and its oracle both interpolate. m = 1 degrades
+    * to (level = y, trend = 0). */
+  def holtCoeffs(
+      alpha: Double, beta: Double, m: Int): (Array[Double], Array[Double]) = {
+    if (m == 1) return (Array(1.0), Array(0.0))
+    var l = Array.tabulate(m)(i => if (i == 0) 1.0 else 0.0)
+    var b = Array.tabulate(m)(i =>
+      if (i == 0) -1.0 else if (i == 1) 1.0 else 0.0)
+    for (t <- 1 until m) {
+      val lNew = Array.tabulate(m)(i =>
+        (1 - alpha) * (l(i) + b(i)) + (if (i == t) alpha else 0.0))
+      val bNew = Array.tabulate(m)(i =>
+        beta * (lNew(i) - l(i)) + (1 - beta) * b(i))
+      l = lNew; b = bNew
+    }
+    (l, b)
+  }
+
   /** Union of overlapping (or touching) intervals per key — the
     * gaps-and-islands coalesce: each key's `[start, end)` intervals
     * merge into maximal disjoint islands `(key, island_start,

@@ -89,6 +89,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive training — the
+    * embedding-finetune data-prep step (DPR / SimCSE style): for each
+    * ANCHOR, the `k` most-similar corpus items that carry a DIFFERENT
+    * label. Highest-similarity wrong-class items are the negatives that
+    * actually teach the decision boundary; random negatives are trivial
+    * at scale. Same shape as [[bruteForceTopK]]: the anchor set is the
+    * scale knob (a sampled/selected SMALL frame, broadcast), the corpus
+    * streams map-side against it, and the top-k window partitions by
+    * anchor — the corpus is never self-joined. 6-dp cosine rounding
+    * keeps the rank order engine-exact. */
+  def hardNegativesTopK(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      k: Int = 5): DataFrame = {
+    val q = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("qv"),
+      col(labelCol).as("anchor_label"))
+    val c = Par.fanOut(corpus.select(col(idCol).as("negative_id"),
+      col(vecCol).as("cv"), col(labelCol).as("neg_label")))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("sim").desc, col("negative_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("negative_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "negative_id", "sim", "rank")
+  }
+
   /** All pairs with cosine ≥ threshold, blocked by a partition column
     * (e.g. an IVF cluster / class label) so the pair space stays linear
     * per block instead of O(n²) global. The small-blocks contract is

@@ -496,6 +496,77 @@ object TextAnalysis {
     * NOT be forced broadcast). Per-token logs are rounded to 9 dp and
     * summed as DECIMAL, so the mean is summation-order-exact and
     * engine-reproducible. */
+  /** Bigram-LM perplexity scoring with stupid backoff — the CCNet
+    * quality-gate shape one rung up from [[unigramLogProb]]: Wenzek et
+    * al. 2020 score documents with an n-gram LM and keep the
+    * low-perplexity head/middle of each language; Brants et al. 2007
+    * ("stupid backoff") is the published score this mirrors:
+    * S(w|v) = c(v,w)/c(v) when the bigram was seen, else α·c(w)/N with
+    * α = 0.4. The model is trained on the corpus itself in one pass —
+    * a real deployment would swap the two count tables for its KenLM
+    * dump; the scoring plumbing is identical.
+    *
+    * Determinism: every probability is a single IEEE division (or one
+    * multiply by the 0.4 literal) of exact integer counts; ln rounds
+    * to 9 dp and sums under DECIMAL(28,12) (the [[unigramLogProb]] /
+    * [[Quality.psi]] discipline); perplexity exponentiates the
+    * 9-dp-rounded negative mean so both engines call exp on the SAME
+    * argument, and the result rounds to 6 dp. A document's first token
+    * has no context and scores as the unigram c(w)/N (no backoff
+    * penalty — there is nothing to back off FROM).
+    *
+    * Scale shape: the positioned token table materializes once (its
+    * lag window is per-document, never global) and feeds the two count
+    * aggregates and the scoring joins; both model joins are keyed and
+    * left to AQE — a web-scale bigram table must NOT be forced
+    * broadcast. N rides a 1-row broadcast frame. */
+  def ngramLmPerplexity(
+      docs: DataFrame,
+      model: Option[DataFrame] = None,
+      alpha: Double = 0.4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0,1]")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def positioned(d: DataFrame, prefix: String) =
+      graft.ops.Scratch.materialize(
+        d.select(col(idCol).as("doc_id"),
+            posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+          .withColumn("prev", lag(col("token"), 1).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos")))),
+        prefix)
+    val tok = positioned(docs, "nglm_tok")
+    // model trained on `model` when given (the KenLM-dump stand-in),
+    // else on the scored corpus itself (CCNet's self-trained gate)
+    val mtok = model.map(positioned(_, "nglm_model")).getOrElse(tok)
+    val total = mtok.agg(count(lit(1)).as("total"))
+    val uni = mtok.groupBy(col("token")).agg(count(lit(1)).as("n_w"))
+    val bi = mtok.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("n_vw"))
+    // OOV floor: an unseen token scores as count 1 (only reachable with
+    // an external model — the self-trained gate has no OOV)
+    val u = coalesce(col("n_w"), lit(1L)).cast("double") /
+      col("total").cast("double")
+    val p =
+      when(col("prev").isNull, u)
+        .when(col("n_vw").isNotNull,
+          col("n_vw").cast("double") / col("n_v").cast("double"))
+        .otherwise(lit(alpha) * u)
+    val scored = tok
+      .join(uni, Seq("token"), "left")
+      .join(uni.select(col("token").as("prev"), col("n_w").as("n_v")),
+        Seq("prev"), "left")
+      .join(bi, Seq("prev", "token"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round(log(p), 9).cast(dec)).as("s"))
+    scored.select(col("doc_id"), col("n_tokens"),
+      round(col("s").cast("double") / col("n_tokens"), 6).as("avg_logp"),
+      round(exp(round(-col("s").cast("double") / col("n_tokens"), 9)), 6)
+        .as("perplexity"))
+  }
+
   def unigramLogProb(
       docs: DataFrame,
       idCol: String = "doc_id",
