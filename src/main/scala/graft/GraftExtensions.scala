@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_intersect_size"),
       GraftExtensions.intersectSizeInfo,
       GraftExtensions.intersectSizeBuilder))
+    // the custom-operator stack: plans graft.plans.AsOfJoinPlan nodes
+    // (config-based twin of NativeAsOf.ensureStrategy)
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -605,6 +605,19 @@ object SparkEntry {
         keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
         leftCols = Seq("event_id"))
     }),
+    "ev_asof_native" -> ((s, dir) => {
+      // the SAME as-of semantics through the custom physical operator
+      // (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec): one
+      // O(n+m) sort-merge pass per co-partition instead of the
+      // union+window composition
+      val ev = eventsTable(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ms"), col("ts_ms").as("err_ms"))
+      graft.plans.NativeAsOf.asOf(
+        ev.select(col("event_id"), col("user_id"), col("ts_ms")), errors,
+        keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
+        leftCols = Seq("event_id"))
+    }),
     "ev_asof_nearest" -> ((s, dir) => {
       // each event joined to the user's CLOSEST error event either
       // direction (ties -> the earlier one)
@@ -2584,6 +2597,12 @@ object SparkEntry {
                 round(n::DOUBLE / tot::DOUBLE, 6) AS p
          FROM c JOIN t USING (event_type)""",
     "ev_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+                epoch_ms(r.ts) AS asof_err_ms
+         FROM events e
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') r
+           ON e.user_id = r.user_id AND e.ts >= r.ts""",
+    "ev_asof_native" ->
       """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
                 epoch_ms(r.ts) AS asof_err_ms
          FROM events e

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.plans.{AsOfJoinExec, NativeAsOf}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+/** The custom as-of physical operator: plan shape, equivalence with the
+  * window composition, and merge edge cases. */
+class NativeAsOfSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  // raw parquet ts is TIMESTAMP_NTZ; unix_millis needs TIMESTAMP
+  private def events() = spark.read.parquet(s"${sf()}/events.parquet")
+    .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("plans as AsOfJoinExec with exchanges/sorts supplied by Catalyst") {
+    val ev = events().withColumn("ts_ms", unix_millis(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_ms"), col("ts_ms").as("err_ms"))
+    val out = NativeAsOf.asOf(
+      ev.select("event_id", "user_id", "ts_ms"), errors,
+      keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
+      leftCols = Seq("event_id"))
+    out.collect() // force AQE to finalize the plan
+    val plan = out.queryExecution.executedPlan
+    val execs = collectWithSubqueries(plan) { case e: AsOfJoinExec => e }
+    assert(execs.nonEmpty, s"no AsOfJoinExec in:\n$plan")
+    // Catalyst supplied the SMJ-style requirements: both children sorted
+    val e = execs.head
+    assert(e.left.outputOrdering.nonEmpty && e.right.outputOrdering.nonEmpty)
+  }
+
+  test("differential: native exec equals the union+window composition") {
+    val ev = events().withColumn("ts_ms", unix_millis(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_ms"), col("ts_ms").as("err_ms"))
+    val native = NativeAsOf.asOf(
+      ev.select("event_id", "user_id", "ts_ms"), errors,
+      keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
+      leftCols = Seq("event_id"))
+    val composed = AsOfJoin.asOf(
+      left = ev.select(col("event_id"), col("user_id"), col("ts_ms")),
+      right = errors.select(col("user_id"), col("ts_ms"),
+        col("err_ms")),
+      keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
+      leftCols = Seq("event_id"))
+    assert(native.schema.fieldNames.toSeq ==
+      composed.schema.fieldNames.toSeq)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
+  test("merge edges: no match, null keys/ts, tie at equal ts, key gaps") {
+    val left = Seq(
+      (1L, 10L, 100L), // before any right row -> null
+      (2L, 10L, 205L), // between rights -> 200
+      (3L, 10L, 300L), // exact tie -> 300 (inclusive)
+      (4L, 20L, 150L), // key with no right rows -> null
+      (5L, 30L, 500L), // key after right's keys -> null
+      (6L, -1L, 400L) // null-ish? no: plain key with right row below
+    ).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq(
+      (10L, 200L, 200L), (10L, 300L, 300L),
+      (-1L, 350L, 350L),
+      (25L, 100L, 100L) // key never asked for
+    ).toDF("user_id", "ts_ms", "err_ms")
+    val out = NativeAsOf.asOf(left, right, "user_id", "ts_ms", "err_ms",
+      Seq("event_id")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(200L))
+    assert(out(3L).contains(300L))
+    assert(out(4L).isEmpty)
+    assert(out(5L).isEmpty)
+    assert(out(6L).contains(350L))
+    // null key / null ts on the left never match
+    val withNulls = Seq(
+      (7L, Option.empty[Long], Option(100L)),
+      (8L, Option(10L), Option.empty[Long]))
+      .toDF("event_id", "user_id", "ts_ms")
+    val out2 = NativeAsOf.asOf(withNulls, right, "user_id", "ts_ms",
+      "err_ms", Seq("event_id")).collect()
+    assert(out2.forall(_.isNullAt(3)))
+  }
+
+  test("string keys merge correctly") {
+    val left = Seq(("a", 5L, 1L), ("b", 5L, 2L), ("c", 5L, 3L))
+      .toDF("k", "ts", "id")
+    val right = Seq(("a", 1L, 11L), ("b", 9L, 22L), ("c", 2L, 33L))
+      .toDF("k", "ts", "v")
+    val out = NativeAsOf.asOf(left, right, "k", "ts", "v", Seq("id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L).contains(11L) && out(2L).isEmpty && out(3L).contains(33L))
+  }
+}
