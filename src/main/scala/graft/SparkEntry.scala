@@ -618,6 +618,17 @@ object SparkEntry {
         keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
         leftCols = Seq("event_id"))
     }),
+    "ev_asof_native_fwd" -> ((s, dir) => {
+      // forward direction through the same custom operator: earliest
+      // error at-or-after each event
+      val ev = eventsTable(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ms"), col("ts_ms").as("err_ms"))
+      graft.plans.NativeAsOf.asOf(
+        ev.select(col("event_id"), col("user_id"), col("ts_ms")), errors,
+        keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
+        leftCols = Seq("event_id"), direction = "forward")
+    }),
     "ev_asof_nearest" -> ((s, dir) => {
       // each event joined to the user's CLOSEST error event either
       // direction (ties -> the earlier one)
@@ -2608,6 +2619,12 @@ object SparkEntry {
          FROM events e
          ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') r
            ON e.user_id = r.user_id AND e.ts >= r.ts""",
+    "ev_asof_native_fwd" ->
+      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+                epoch_ms(r.ts) AS asof_err_ms
+         FROM events e
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') r
+           ON e.user_id = r.user_id AND e.ts <= r.ts""",
     "ev_asof_nearest" ->
       """WITH r AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
           b AS (SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,

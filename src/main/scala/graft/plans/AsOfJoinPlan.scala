@@ -52,7 +52,8 @@ case class AsOfJoinPlan(
     rightKey: Attribute,
     rightTs: Attribute,
     rightValue: Attribute,
-    asofOut: AttributeReference)
+    asofOut: AttributeReference,
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
@@ -76,7 +77,7 @@ class AsOfJoinStrategy extends SparkStrategy {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftKey, p.leftTs, p.rightKey, p.rightTs,
-        p.rightValue, p.asofOut) :: Nil
+        p.rightValue, p.asofOut, p.forward) :: Nil
     case _ => Nil
   }
 }
@@ -89,7 +90,8 @@ case class AsOfJoinExec(
     rightKey: Attribute,
     rightTs: Attribute,
     rightValue: Attribute,
-    asofOut: AttributeReference)
+    asofOut: AttributeReference,
+    forward: Boolean = false)
   extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
@@ -145,9 +147,10 @@ case class AsOfJoinExec(
         val lk = lKeyB.eval(l)
         val lt = lTsB.eval(l)
         if (lk == null || lt == null) proj(joined(l, nullRow))
-        else {
-          // consume right rows while they are "behind or at" (key, ts):
-          // left ts ascends within a key, so consumed rows stay valid
+        else if (!forward) {
+          // BACKWARD: consume right rows while "behind or at" (key, ts)
+          // — left ts ascends within a key, so consumed rows stay valid;
+          // the match is the last consumed row if it shares the key
           var done = false
           while (!done && rNext != null) {
             val rk = rKeyB.eval(rNext)
@@ -165,6 +168,28 @@ case class AsOfJoinExec(
           }
           val hit = lastRow != null && keyCmp(lastKey, lk) == 0
           proj(joined(l, if (hit) lastRow else nullRow))
+        } else {
+          // FORWARD: discard right rows strictly before (key, ts); the
+          // match is then rNext itself when it shares the key (its ts
+          // is >= lt by the loop exit condition)
+          var done = false
+          var hit = false
+          while (!done && rNext != null) {
+            val rk = rKeyB.eval(rNext)
+            val rt = rTsB.eval(rNext)
+            if (rk == null || rt == null) {
+              rNext = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val kc = keyCmp(rk, lk)
+              if (kc < 0 || (kc == 0 && tsCmp(rt, lt) < 0)) {
+                rNext = if (rIter.hasNext) rIter.next() else null
+              } else {
+                done = true
+                hit = kc == 0
+              }
+            }
+          }
+          proj(joined(l, if (hit) rNext else nullRow))
         }
       }
     }
@@ -204,18 +229,22 @@ object AsOfJoinExec {
 /** Public API over the custom operator. */
 object NativeAsOf {
 
-  /** Backward inclusive as-of join via [[AsOfJoinExec]] — same output
-    * contract as [[graft.operators.AsOfJoin.asOf]] with
-    * direction="backward": `leftCols ++ (key, ts, asof_<valueCol>)`.
-    * Both sides are re-aliased projections, so self-as-of (left and
-    * right from the same table) gets fresh attribute ids. */
+  /** Inclusive as-of join via [[AsOfJoinExec]] — same output contract
+    * as [[graft.operators.AsOfJoin.asOf]]: `leftCols ++ (key, ts,
+    * asof_<valueCol>)`; direction "backward" (latest right ts <= left
+    * ts) or "forward" (earliest right ts >= left ts), both one O(n+m)
+    * merge. Both sides are re-aliased projections, so self-as-of (left
+    * and right from the same table) gets fresh attribute ids. */
   def asOf(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
       valueCol: String,
-      leftCols: Seq[String]): DataFrame = {
+      leftCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"direction must be backward|forward, got $direction")
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lSel = (leftCols :+ keyCol :+ tsCol).distinct
@@ -234,7 +263,8 @@ object NativeAsOf {
       nullable = true)()
     GraftPlanApi.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, keyCol), attr(lPlan, tsCol),
-      attr(rPlan, keyCol), attr(rPlan, tsCol), rv, out))
+      attr(rPlan, keyCol), attr(rPlan, tsCol), rv, out,
+      forward = direction == "forward"))
   }
 
   /** Idempotently register [[AsOfJoinStrategy]] on the session. */

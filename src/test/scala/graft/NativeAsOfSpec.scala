@@ -85,6 +85,35 @@ class NativeAsOfSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(out2.forall(_.isNullAt(3)))
   }
 
+  test("forward direction: earliest right at-or-after, differential") {
+    val ev = events().withColumn("ts_ms", unix_millis(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_ms"), col("ts_ms").as("err_ms"))
+    val native = NativeAsOf.asOf(
+      ev.select("event_id", "user_id", "ts_ms"), errors,
+      keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
+      leftCols = Seq("event_id"), direction = "forward")
+    val composed = AsOfJoin.asOf(
+      left = ev.select(col("event_id"), col("user_id"), col("ts_ms")),
+      right = errors.select(col("user_id"), col("ts_ms"), col("err_ms")),
+      keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
+      leftCols = Seq("event_id"), direction = "forward")
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+    // hand edge: exact tie matches (inclusive), later rights skipped
+    val l = Seq((1L, 10L, 200L), (2L, 10L, 201L), (3L, 10L, 999L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val r = Seq((10L, 200L, 200L), (10L, 300L, 300L))
+      .toDF("user_id", "ts_ms", "err_ms")
+    val out = NativeAsOf.asOf(l, r, "user_id", "ts_ms", "err_ms",
+      Seq("event_id"), direction = "forward").collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+    assert(out(1L).contains(200L)) // inclusive tie
+    assert(out(2L).contains(300L)) // next one forward
+    assert(out(3L).isEmpty) // nothing after
+  }
+
   test("string keys merge correctly") {
     val left = Seq(("a", 5L, 1L), ("b", 5L, 2L), ("c", 5L, 3L))
       .toDF("k", "ts", "id")
