@@ -1519,6 +1519,11 @@ object SparkEntry {
         metric = "cosine")),
     "graph_components" -> ((s, dir) =>
       graft.operators.Graph.connectedComponents(coPurchaseEdges(s, dir))),
+    "graph_influence_max" -> ((s, dir) =>
+      // greedy IC-model seed selection over md5-coin live-edge samples
+      // (the GDS CELF surface); spread = touched component mass
+      graft.operators.Graph.influenceMaximization(coPurchaseEdges(s, dir),
+        k = 3, p = 0.15, samples = 3)),
     "graph_scc" -> ((s, dir) => {
       // directed rendition of the co-purchase graph: the canonical
       // (src < dst) edges directed by id-sum PARITY — even sums point
@@ -3125,6 +3130,8 @@ object SparkEntry {
     "graph_fastrp" -> OracleFragments.graphFastRP(
       dims = 8, iterations = 2, weights = Seq(1.0, 1.0), salt = "frp"),
     "graph_components" -> OracleFragments.graphComponents,
+    "graph_influence_max" ->
+      OracleFragments.graphInfluenceMax(k = 3, p = 0.15, samples = 3),
     "graph_scc" -> OracleFragments.graphScc,
     "graph_label_propagation" -> OracleFragments.graphLabelPropagation(rounds = 3),
     "graph_lpa_weighted" ->
@@ -6759,6 +6766,70 @@ object OracleFragments {
             SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
           cc AS (SELECT x AS node, min(y) AS component FROM reach GROUP BY x)
         SELECT node, component FROM cc"""
+
+  /** Mirror of Graph.influenceMaximization: per-sample md5-coin live
+    * edges over the SAME canonical co-purchase fixture, per-sample
+    * reachability closure → components (+ singleton fallback), the
+    * (sample, node, comp, size) table, then `k` unrolled greedy rounds
+    * — each an argmax over the not-yet-covered component sizes with
+    * chosen-node exclusion, exactly the Spark loop's rule (gain DESC,
+    * node ASC). All arithmetic integer-exact. */
+  def graphInfluenceMax(k: Int, p: Double, samples: Int): String = {
+    val threshold = (p * 4294967296.0).toLong
+    val sampleVals = (0 until samples).map(r => s"($r)").mkString(",")
+    val rounds = new StringBuilder
+    for (i <- 1 to k) {
+      val notCovered =
+        if (i == 1) ""
+        else (1 until i).map(j =>
+          s"""AND NOT EXISTS (SELECT 1 FROM cov$j c
+                              WHERE c.s = a.s AND c.comp = a.comp)""")
+          .mkString(" ")
+      val notChosen =
+        if (i == 1) ""
+        else "WHERE node NOT IN (" +
+          (1 until i).map(j => s"SELECT node FROM s$j").mkString(" UNION ALL ") + ")"
+      rounds.append(s""",
+          g$i AS (SELECT a.node, sum(a.csize)::BIGINT AS gain
+                  FROM a2 a WHERE TRUE $notCovered GROUP BY 1),
+          s$i AS (SELECT node, gain FROM g$i $notChosen
+                  ORDER BY gain DESC, node ASC LIMIT 1),
+          cov$i AS (SELECT DISTINCT a.s, a.comp FROM a2 a
+                    JOIN s$i ON a.node = s$i.node)""")
+    }
+    val res = (1 to k).map(i => s"SELECT $i AS rank, node, gain FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE e0 AS ($coPurchase),
+          smp(s) AS (VALUES $sampleVals),
+          live AS (SELECT t.s, e.src, e.dst FROM e0 e CROSS JOIN smp t
+                   WHERE ('0x' || substr(md5('icm:' || t.s || ':' ||
+                            e.src || ':' || e.dst), 1, 8))::BIGINT
+                         < $threshold),
+          ed AS (SELECT s, src AS a, dst AS b FROM live
+                 UNION SELECT s, dst AS a, src AS b FROM live),
+          reach AS (
+            SELECT s, a AS x, a AS y FROM (SELECT DISTINCT s, a FROM ed)
+            UNION
+            SELECT r.s, r.x, e.b AS y FROM reach r
+            JOIN ed e ON r.s = e.s AND r.y = e.a),
+          ccc AS (SELECT s, x AS node, min(y) AS comp0
+                  FROM reach GROUP BY 1, 2),
+          -- explicit outer DISTINCT: inside WITH RECURSIVE, DuckDB does
+          -- NOT dedup a plain UNION of a non-self-referencing CTE
+          nodes AS (SELECT DISTINCT node FROM
+                    (SELECT src AS node FROM e0
+                     UNION ALL SELECT dst AS node FROM e0)),
+          asgn AS (SELECT t.s, n.node, coalesce(c.comp0, n.node) AS comp
+                   FROM nodes n CROSS JOIN smp t
+                   LEFT JOIN ccc c ON c.s = t.s AND c.node = n.node),
+          sizes AS (SELECT s, comp, count(*) AS csize
+                    FROM asgn GROUP BY 1, 2),
+          a2 AS (SELECT a.s, a.node, a.comp, z.csize
+                 FROM asgn a JOIN sizes z USING (s, comp))${rounds}
+        SELECT rank::INT AS rank, node, gain,
+               (sum(gain) OVER (ORDER BY rank))::BIGINT AS cum_spread
+        FROM ($res)"""
+  }
 
   /** Mirror of Graph.stronglyConnectedComponents: EXACT mutual
     * reachability over the parity-directed co-purchase edges (closure

@@ -2836,4 +2836,103 @@ object Graph {
       .select(col("node"), (col("pos") + 1L).cast("long").as("k_idx"),
         col("col").as("dist"))
   }
+
+  /**
+   * Influence maximization (the GDS alpha "Influence Maximization
+   * (CELF)" surface, Kempe/Kleinberg/Tardos 2003 greedy): pick `k`
+   * seed nodes maximizing expected spread under the independent-cascade
+   * model, spread estimated over `samples` deterministic LIVE-EDGE
+   * graphs — each undirected edge is live in sample r iff its
+   * md5("icm:r:src:dst") coin clears the p·2³² integer threshold (the
+   * [[Corpus.coin]] discipline: reproducible, oracle-re-derivable). In
+   * an undirected live-edge graph a seed's reach IS its connected
+   * component, so spread = Σ over samples of the distinct component
+   * sizes the seed set touches — greedy marginal gain is one keyed
+   * aggregate per round over the precomputed (sample, node, component,
+   * size) table.
+   *
+   * Scale shape: the per-sample live graphs reuse
+   * [[connectedComponents]] (the observed-count-gated CC loop) —
+   * `samples` bounded runs at build time; the assignment table
+   * materializes ONCE and every greedy round is one anti-filter +
+   * keyed sum + a 1-row argmax head (the documented bounded-collect
+   * discipline: k·(samples+1) driver rows total). The covered set
+   * rides into each round as ≤ k·samples literals, never a join
+   * against driver state.
+   *
+   * Returns (rank, node, gain, cum_spread): gain = the seed's marginal
+   * summed component sizes across samples (exact integers; divide by
+   * `samples` for the expected-spread estimate), cum_spread the running
+   * total. Fewer than `k` rows when every component is covered first.
+   */
+  def influenceMaximization(
+      edges: DataFrame,
+      k: Int = 3,
+      p: Double = 0.15,
+      samples: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    import graft.ops.Scratch
+    require(k >= 1, "k must be >= 1")
+    require(p > 0.0 && p < 1.0, "p must be in (0,1)")
+    require(samples >= 1, "samples must be >= 1")
+    val spark = edges.sparkSession
+    val threshold = (p * 4294967296.0).toLong // exact shared literal
+    val e = canonicalEdges(edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst")))
+    val (eMat, ePath) = Scratch.materializeAt(e, "icm_edges")
+    val nodes = eMat.select(col("src").as("node"))
+      .union(eMat.select(col("dst").as("node"))).distinct()
+    val perSample = (0 until samples).map { r =>
+      val coin = conv(substring(md5(concat_ws(":",
+        lit("icm"), lit(r), col("src"), col("dst"))), 1, 8), 16, 10)
+        .cast("long")
+      val live = eMat.filter(coin < threshold)
+      val cc = Corpus.connectedComponents(live, aCol = "src", bCol = "dst")
+      nodes.join(cc.select(col("id").as("node"), col("label")),
+          Seq("node"), "left")
+        .select(lit(r).as("sample"), col("node"),
+          coalesce(col("label"), col("node")).as("comp"))
+    }
+    val assignAll = perSample.reduce(_ unionByName _)
+    val (asgn0, aPath) = Scratch.materializeAt(assignAll, "icm_assign")
+    val sizes = asgn0.groupBy(col("sample"), col("comp"))
+      .agg(count(lit(1)).as("csize"))
+    val (asgn, a2Path) = Scratch.materializeAt(
+      asgn0.join(sizes, Seq("sample", "comp")), "icm_scored")
+    Scratch.drop(spark, aPath)
+    var covered = Seq.empty[(Int, Long)] // (sample, comp) pairs, <= k*samples
+    var chosen = Seq.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var cum = 0L
+    var exhausted = false
+    for (rank <- 1 to k if !exhausted) {
+      val uncovered =
+        if (covered.isEmpty) asgn
+        else asgn.filter(!covered.map { case (s, c) =>
+          col("sample") === s && col("comp") === c }.reduce(_ || _))
+      val gains = (if (chosen.isEmpty) uncovered
+        else uncovered.filter(!col("node").isin(chosen: _*)))
+        .groupBy(col("node")).agg(sum(col("csize")).as("gain"))
+        .orderBy(col("gain").desc, col("node").asc)
+        .limit(1).collect()
+      if (gains.isEmpty) exhausted = true
+      else {
+        val node = gains.head.getLong(0)
+        val gain = gains.head.getLong(1)
+        cum += gain
+        out += ((rank, node, gain, cum))
+        chosen :+= node
+        covered ++= asgn.filter(col("node") === node)
+          .select(col("sample"), col("comp")).collect()
+          .map(x => (x.getInt(0), x.getLong(1)))
+      }
+    }
+    Scratch.drop(spark, ePath)
+    Scratch.drop(spark, a2Path)
+    import spark.implicits._
+    out.toSeq.toDF("rank", "node", "gain", "cum_spread")
+      .select(col("rank").cast("int").as("rank"), col("node"),
+        col("gain"), col("cum_spread"))
+  }
 }
