@@ -2334,6 +2334,104 @@ object SparkEntry {
           rightIdCol = "hist_id", minJaccard = 0.5)
         .select(col("a").as("doc_id"), col("b").as("hist_id"), col("jaccard"))
     }),
+    "stats_spearman" -> ((s, dir) =>
+      // monotone-association audit: rank correlation of quantity vs
+      // price — integer mid-ranks over the joint value histogram
+      graft.operators.Quality.spearmanCorr(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")),
+    "stats_wasserstein" -> ((s, dir) => {
+      // magnitude-aware drift: earth-mover distance between the even-
+      // and odd-orderkey price populations, in price units
+      val li = t(s, dir, "lineitem")
+      graft.operators.Quality.wasserstein1(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
+    "stats_jsd" -> ((s, dir) => {
+      // corpus-composition divergence: event-type mix of the even- vs
+      // odd-user halves under symmetric, always-finite JSD
+      val ev = eventsTable(s, dir).filter(col("user_id").isNotNull)
+      graft.operators.Quality.jensenShannon(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        "event_type")
+    }),
+    "stats_kaplan_meier" -> ((s, dir) =>
+      // retention curve: value as duration, click as the event, other
+      // event types right-censored; log-survival product-limit steps
+      graft.operators.Quality.kaplanMeier(
+        eventsTable(s, dir).filter(col("event_type").isNotNull)
+          .withColumn("is_click", col("event_type") === "click"),
+        "value", "is_click")),
+    "vocab_coverage" -> ((s, dir) =>
+      // tokenizer-freeze readout: Good-Turing unseen mass + Chao1
+      // richness lower bound from the count-of-counts
+      graft.operators.TextAnalysis.vocabCoverage(t(s, dir, "documents"))),
+    "graph_katz" -> ((s, dir) =>
+      // attenuated-walk centrality: 3 rounds of x <- 1 + 0.05 A x over
+      // the co-purchase graph, decimal-exact neighbor sums
+      graft.operators.Graph.katzCentrality(
+        coPurchaseEdges(s, dir), alpha = 0.05, iters = 3)),
+    "graph_rectangles" -> ((s, dir) =>
+      // 4-cycle census via the 2-diagonals identity over guarded
+      // common-neighbor pairs
+      graft.operators.Graph.rectangleCount(coPurchaseEdges(s, dir))),
+    "sim_hamming_topk" -> ((s, dir) => {
+      // binary-quantized ANN: sign-bit codes, Hamming shortlist of 20,
+      // exact-cosine rerank to top 5
+      val e = t(s, dir, "embeddings")
+      Similarity.hammingTopK(e, e.filter(col("vec_id") < 8),
+        dim = 64, m = 20, k = 5)
+    }),
+    "sim_kcenter" -> ((s, dir) =>
+      // farthest-point coreset: 4 greedy k-center picks, pinned-center
+      // map-side distance folds
+      Similarity.kCenterCoreset(t(s, dir, "embeddings"), k = 4)),
+    "retrieval_mmr" -> ((s, dir) => {
+      // diversified retrieval: MMR greedy rerank of the query-0 top-20
+      // shortlist, relevance traded against max-redundancy at 0.7
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrDiversify(
+        e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0),
+        lambda = 0.7, m = 20, k = 5)
+    }),
+    "stats_theil_u" -> ((s, dir) =>
+      // directional dependence audit: how much of returnflag does
+      // knowing linestatus remove, and vice versa
+      graft.operators.Quality.theilsU(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+    "sketch_heavy_hitters" -> ((s, dir) =>
+      // hot-key audit: exact top-20 suppliers probed against the CMS,
+      // never-undercount + 3eps*N overcount contracts as the gate
+      graft.operators.Quality.cmsHeavyHitters(
+        t(s, dir, "lineitem"), "l_suppkey",
+        eps = 0.005, confidence = 0.99, seed = 42, k = 20)),
+    "layout_zorder_ranges" -> ((s, dir) => {
+      // data-skipping readout of the Z-order layout: per Morton-range
+      // bucket (the would-be file), row count + min/max of BOTH
+      // interleaved columns — tight on both, which a single-column
+      // sort can't give
+      import graft.ops.Layout
+      val li = t(s, dir, "lineitem")
+      val mm = li.agg(
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      val (p0, p1) = (mm.getLong(0).toDouble, mm.getLong(1).toDouble + 1.0d)
+      val (s0, s1) = (mm.getLong(2).toDouble, mm.getLong(3).toDouble + 1.0d)
+      val z = Layout.mortonKey(Seq(
+        Layout.minMaxBucket(col("l_partkey"), p0, p1, 8),
+        Layout.minMaxBucket(col("l_suppkey"), s0, s1, 8)), 8)
+      li.select(col("l_partkey"), col("l_suppkey"), z.as("zkey"))
+        .withColumn("bucket", shiftrightunsigned(col("zkey"), 11))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_part"),
+          max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"),
+          max(col("l_suppkey")).as("max_supp"))
+    }),
   )
 
   /** Co-purchase edge fixture for the graph_* queries: parts sharing an
@@ -3882,6 +3980,145 @@ object SparkEntry {
         SELECT true_label, assigned_label, count(*)::BIGINT AS n
         FROM nc GROUP BY 1, 2""",
     "stats_cohens_kappa" -> OracleFragments.statsCohensKappa,
+    "stats_spearman" ->
+      """WITH rows0 AS (SELECT round(l_quantity::DOUBLE, 6) AS vx,
+                               round(l_extendedprice::DOUBLE, 6) AS vy
+                        FROM lineitem
+                        WHERE l_quantity IS NOT NULL
+                          AND l_extendedprice IS NOT NULL),
+         joint AS (SELECT vx, vy, count(*)::BIGINT AS c
+                   FROM rows0 GROUP BY 1, 2),
+         hx AS (SELECT vx AS v, sum(c)::BIGINT AS t FROM joint GROUP BY 1),
+         rx AS (SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + t + 1 AS r2x FROM hx),
+         hy AS (SELECT vy AS v, sum(c)::BIGINT AS t FROM joint GROUP BY 1),
+         ry AS (SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + t + 1 AS r2y FROM hy),
+         j AS (SELECT c, r2x, r2y
+               FROM joint JOIN rx ON joint.vx = rx.v
+                          JOIN ry ON joint.vy = ry.v),
+         g AS (SELECT sum(c)::BIGINT AS n,
+                      sum(c::HUGEINT * r2x) AS sx,
+                      sum(c::HUGEINT * r2y) AS sy,
+                      sum(c::HUGEINT * r2x * r2x) AS sxx,
+                      sum(c::HUGEINT * r2y * r2y) AS syy,
+                      sum(c::HUGEINT * r2x * r2y) AS sxy FROM j)
+        SELECT n, round((n::HUGEINT * sxy - sx * sy)::DOUBLE
+                 / sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE
+                      * (n::HUGEINT * syy - sy * sy)::DOUBLE), 6) AS rho
+        FROM g""",
+    "stats_wasserstein" ->
+      """WITH c AS (SELECT round(l_extendedprice::DOUBLE * 1000000.0::DOUBLE,
+                                 0)::BIGINT AS vu,
+                sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+                sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+              FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         cu AS (SELECT vu,
+                (sum(ca) OVER w)::BIGINT AS cuma,
+                (sum(cb) OVER w)::BIGINT AS cumb,
+                lead(vu) OVER (ORDER BY vu) AS nextv
+              FROM c WINDOW w AS (ORDER BY vu ROWS UNBOUNDED PRECEDING)),
+         t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+         s AS (SELECT sum(abs(cuma::HUGEINT * (SELECT nb FROM t)
+                            - cumb::HUGEINT * (SELECT na FROM t))
+                          * (nextv - vu)::HUGEINT) AS tsum
+               FROM cu WHERE nextv IS NOT NULL)
+        SELECT (SELECT na FROM t) AS na, (SELECT nb FROM t) AS nb,
+               round((SELECT tsum FROM s)::DOUBLE
+                 / ((SELECT na FROM t)::HUGEINT * (SELECT nb FROM t))::DOUBLE
+                 / 1000000.0::DOUBLE, 6) AS w1""",
+    "stats_jsd" ->
+      """WITH c AS (SELECT event_type AS k,
+                sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+                sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+              GROUP BY 1),
+         t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+         per AS (SELECT
+                (CASE WHEN ca > 0 THEN
+                   round((ca::DOUBLE / t.na::DOUBLE)
+                     * ln((2::HUGEINT * ca * t.nb)::DOUBLE
+                        / (ca::HUGEINT * t.nb + cb::HUGEINT * t.na)::DOUBLE), 9)
+                 ELSE 0 END)::DECIMAL(28,12) AS tp,
+                (CASE WHEN cb > 0 THEN
+                   round((cb::DOUBLE / t.nb::DOUBLE)
+                     * ln((2::HUGEINT * cb * t.na)::DOUBLE
+                        / (ca::HUGEINT * t.nb + cb::HUGEINT * t.na)::DOUBLE), 9)
+                 ELSE 0 END)::DECIMAL(28,12) AS tq
+              FROM c CROSS JOIN t)
+        SELECT (SELECT na FROM t) AS na, (SELECT nb FROM t) AS nb,
+               (SELECT count(*) FROM c)::BIGINT AS n_keys,
+               round((sum(tp) + sum(tq))::DOUBLE / 2.0::DOUBLE, 6) AS jsd_nats
+        FROM per""",
+    "stats_kaplan_meier" ->
+      """WITH h AS (SELECT round(value::DOUBLE, 6) AS t,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                  AS d_events,
+                sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END)::BIGINT
+                  AS c_censored
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1),
+         tot AS (SELECT sum(d_events + c_censored)::BIGINT AS n_total FROM h),
+         r AS (SELECT t, d_events, c_censored,
+                 (SELECT n_total FROM tot)
+                   - coalesce(sum(d_events + c_censored) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS n_risk
+               FROM h),
+         s AS (SELECT t, n_risk, d_events, c_censored,
+                 sum((CASE WHEN d_events > 0 AND n_risk > d_events THEN
+                        round(ln((n_risk - d_events)::DOUBLE / n_risk::DOUBLE), 9)
+                      ELSE 0 END)::DECIMAL(28,12))
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS log_s
+               FROM r)
+        SELECT t, n_risk, d_events, c_censored,
+               CASE WHEN n_risk = d_events THEN NULL
+                    ELSE round(log_s::DOUBLE, 6) END AS log_s
+        FROM s WHERE d_events > 0""",
+    "vocab_coverage" -> OracleFragments.vocabCoverage,
+    "graph_katz" -> OracleFragments.graphKatz(alpha = 0.05, iters = 3),
+    "graph_rectangles" -> OracleFragments.graphRectangles,
+    "sim_hamming_topk" ->
+      OracleFragments.simHammingTopK(maxQueryId = 8, m = 20, k = 5),
+    "sim_kcenter" -> OracleFragments.simKCenter(k = 4),
+    "retrieval_mmr" ->
+      OracleFragments.retrievalMmr(lambda = 0.7, m = 20, k = 5),
+    "stats_theil_u" ->
+      """WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y,
+                           count(*) AS cxy
+                    FROM lineitem GROUP BY 1, 2),
+         mx AS (SELECT x, sum(cxy)::BIGINT AS cx FROM j GROUP BY 1),
+         my AS (SELECT y, sum(cxy)::BIGINT AS cy FROM j GROUP BY 1),
+         tt AS (SELECT sum(cxy)::BIGINT AS n FROM j),
+         hx AS (SELECT (-sum(round((cx::DOUBLE / n::DOUBLE)
+                   * ln(cx::DOUBLE / n::DOUBLE), 9)::DECIMAL(28,12)))::DOUBLE
+                   AS hx FROM mx CROSS JOIN tt),
+         hy AS (SELECT (-sum(round((cy::DOUBLE / n::DOUBLE)
+                   * ln(cy::DOUBLE / n::DOUBLE), 9)::DECIMAL(28,12)))::DOUBLE
+                   AS hy FROM my CROSS JOIN tt),
+         mi AS (SELECT max(n) AS n,
+                  (sum(round((cxy::DOUBLE / n::DOUBLE)
+                     * ln(n::DOUBLE * cxy::DOUBLE
+                          / (cx::DOUBLE * cy::DOUBLE)), 9)::DECIMAL(28,12))
+                    )::DOUBLE AS mi_raw
+                FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tt)
+        SELECT n, round(mi_raw, 6) AS mi,
+               round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+               CASE WHEN hx > 0 THEN round(mi_raw / hx, 6) END AS u_x_given_y,
+               CASE WHEN hy > 0 THEN round(mi_raw / hy, 6) END AS u_y_given_x
+        FROM mi CROSS JOIN hx CROSS JOIN hy""",
+    "sketch_heavy_hitters" ->
+      // error-contract oracle (the approxDistinctAudit pattern): the
+      // exact top-k anchors the rows; the CMS bounds must BOTH hold
+      """SELECT l_suppkey::BIGINT AS key, count(*)::BIGINT AS n_exact,
+                true AS est_ge_exact, true AS within_bound
+         FROM lineitem WHERE l_suppkey IS NOT NULL
+         GROUP BY 1 ORDER BY n_exact DESC, key ASC LIMIT 20""",
+    "layout_zorder_ranges" -> OracleFragments.layoutZorderRanges,
   )
 }
 
@@ -5010,6 +5247,128 @@ object OracleFragments {
   /** Sequential-fold dot/norm identical to Similarity.dot/norm. */
   val cosineExpr: String = cosineOf("q.qv", "c.cv")
 
+  /** Mirror of the layout_zorder_ranges composition: Layout.minMaxBucket
+    * (floor-scaled min-max 8-bit buckets, the +1.0 half-open hi) and
+    * Layout.mortonKey's bit interleave (col 0 on even bits), bucketed by
+    * zkey >> 11 into the 32 would-be files. */
+  val layoutZorderRanges: String = {
+    def bucketOf(c: String, lo: String, hi: String): String =
+      s"least(greatest(floor((($c::DOUBLE - $lo) / ($hi - $lo)) * 256), " +
+        s"0.0::DOUBLE), 255.0::DOUBLE)::BIGINT"
+    val interleave = (0 until 8).flatMap { b =>
+      Seq(s"(((bp >> $b) & 1) << ${2 * b})", s"(((bs >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" | ")
+    s"""WITH mm AS (SELECT min(l_partkey)::DOUBLE AS p0,
+                         max(l_partkey)::DOUBLE + 1.0::DOUBLE AS p1,
+                         min(l_suppkey)::DOUBLE AS s0,
+                         max(l_suppkey)::DOUBLE + 1.0::DOUBLE AS s1
+                  FROM lineitem),
+          b AS (SELECT l_partkey, l_suppkey,
+                  ${bucketOf("l_partkey", "p0", "p1")} AS bp,
+                  ${bucketOf("l_suppkey", "s0", "s1")} AS bs
+                FROM lineitem CROSS JOIN mm),
+          z AS (SELECT l_partkey, l_suppkey, ($interleave) AS zkey FROM b)
+        SELECT zkey >> 11 AS bucket, count(*)::BIGINT AS n,
+               min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+               min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM z GROUP BY 1"""
+  }
+
+  /** One 32-bit sign word of Similarity.signWords: bit j−1 of word `w`
+    * set iff component w·32+j is ≥ 0 — disjoint powers of two, summed. */
+  private def signWord(e: String, w: Int): String =
+    s"(list_aggregate(list_transform(generate_series(1, 32), " +
+      s"j -> CASE WHEN $e[${w * 32} + j] >= 0 THEN (1::BIGINT << (j - 1)) " +
+      s"ELSE 0 END), 'sum'))::BIGINT"
+
+  /** Mirror of Similarity.hammingTopK: same sign-bit words, XOR +
+    * bit_count coarse ranking, exact-cosine rerank of the shortlist. */
+  def simHammingTopK(maxQueryId: Int, m: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                 ${signWord("embedding", 0)} AS qw0,
+                 ${signWord("embedding", 1)} AS qw1
+               FROM embeddings WHERE vec_id < $maxQueryId),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 ${signWord("embedding", 0)} AS cw0,
+                 ${signWord("embedding", 1)} AS cw1
+               FROM embeddings),
+          h AS (SELECT q.query_id, c.neighbor_id, q.qv, c.cv,
+                 (bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)))::INT
+                   AS hamming
+               FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+          coarse AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming, neighbor_id) AS crn FROM h),
+          fine AS (SELECT query_id, neighbor_id, hamming,
+                     ${cosineOf("qv", "cv")} AS sim
+                   FROM coarse WHERE crn <= $m),
+          ranked AS (SELECT query_id, neighbor_id, hamming, sim,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS rank
+                     FROM fine)
+        SELECT query_id, neighbor_id, hamming, sim, rank::INT AS rank
+        FROM ranked WHERE rank <= $k"""
+
+  /** Mirror of Similarity.kCenterCoreset: unrolled farthest-point
+    * rounds, min-dist accumulated by least() (associative — identical
+    * to the Spark side's per-round least over all pinned centers). */
+  def simKCenter(k: Int): String = {
+    require(k >= 2, "the unrolled oracle needs k >= 2")
+    val rounds = (2 to k).map { r =>
+      val dPrev = if (r == 2) "c" else s"d${r - 2}"
+      val dExpr =
+        if (r == 2) sqDistOf("c.v", "s1.v")
+        else s"least(d${r - 2}.d, ${sqDistOf(s"d${r - 2}.v", s"s${r - 1}.v")})"
+      s"""d${r - 1} AS (SELECT $dPrev.vid, $dPrev.v, $dExpr AS d
+            FROM $dPrev, s${r - 1} WHERE $dPrev.vid <> s${r - 1}.vid),
+          s$r AS (SELECT vid, v, d FROM d${r - 1}
+                  ORDER BY d DESC, vid LIMIT 1)"""
+    }.mkString(",\n")
+    val sel = (1 to k).map { r =>
+      if (r == 1) s"SELECT 1 AS rank, vid AS vec_id, NULL::DOUBLE AS dist FROM s1"
+      else s"SELECT $r AS rank, vid AS vec_id, d AS dist FROM s$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+          s1 AS (SELECT vid, v FROM c ORDER BY vid LIMIT 1),
+          $rounds
+        $sel"""
+  }
+
+  /** Mirror of Similarity.mmrDiversify: the query-0 cosine shortlist,
+    * then unrolled greedy picks of λ·rel − (1−λ)·max-sim-to-chosen.
+    * The (1−λ) literal is the Scala double's exact shortest repr, cast
+    * ::DOUBLE so DuckDB lands on the same IEEE value. */
+  def retrievalMmr(lambda: Double, m: Int, k: Int): String = {
+    val oneMinus = 1.0d - lambda
+    val rounds = (1 to k).map { r =>
+      if (r == 1)
+        s"""s1 AS (SELECT vid, v, rel,
+              round($lambda::DOUBLE * rel - $oneMinus::DOUBLE * 0.0::DOUBLE, 9)
+                AS score
+            FROM cands ORDER BY score DESC, vid LIMIT 1)"""
+      else {
+        val prev = (1 until r).map(i => s"s$i")
+        val sims = prev.map(p => cosineOf("c.v", s"$p.v")).mkString(", ")
+        val red = if (prev.size == 1) sims else s"greatest($sims)"
+        val excl = prev.map(p => s"c.vid <> $p.vid").mkString(" AND ")
+        s"""s$r AS (SELECT c.vid, c.v, c.rel,
+              round($lambda::DOUBLE * c.rel - $oneMinus::DOUBLE * ($red), 9)
+                AS score
+            FROM cands c, ${prev.mkString(", ")} WHERE $excl
+            ORDER BY score DESC, c.vid LIMIT 1)"""
+      }
+    }.mkString(",\n")
+    val sel = (1 to k)
+      .map(r => s"SELECT $r AS rank, vid AS vec_id, rel, score FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cands AS (SELECT vec_id AS vid, embedding AS v,
+                           ${cosineOf("embedding", "qv")} AS rel
+                    FROM embeddings, qq WHERE vec_id <> 0
+                    ORDER BY rel DESC, vid LIMIT $m),
+          $rounds
+        $sel"""
+  }
+
   /** Mirror of Similarity.knnGraph: the [[simLshTopK]] re-derivation
     * with the broadcast query join replaced by the bucket-key
     * self-join — every node ranked against its bucket mates. */
@@ -5842,6 +6201,65 @@ object OracleFragments {
         SELECT gram, df FROM d ORDER BY df DESC, gram ASC LIMIT $k"""
 
   /** Mirror of TextAnalysis.vocabulary + the top-k rank the query adds. */
+  /** Mirror of TextAnalysis.vocabCoverage: count-of-counts from the
+    * same whitespace tokens; exact integers into single double ops. */
+  val vocabCoverage: String =
+    s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+          v AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+          g AS (SELECT sum(c)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_distinct,
+                       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                       sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+                FROM v)
+        SELECT n_tokens, n_distinct, n1, n2,
+               round(n1::DOUBLE / n_tokens::DOUBLE, 6) AS gt_unseen_mass,
+               round(1.0::DOUBLE - n1::DOUBLE / n_tokens::DOUBLE, 6)
+                 AS coverage,
+               round(n_distinct::DOUBLE
+                 + (n1::DOUBLE * (n1 - 1)::DOUBLE)
+                   / (2.0::DOUBLE * (n2 + 1)::DOUBLE), 6) AS chao1
+        FROM g"""
+
+  /** Mirror of Graph.katzCentrality: unrolled x <- 1 + alpha*A*x rounds
+    * over the symmetrized co-purchase adjacency, 9-dp scores summed as
+    * DECIMAL(28,12) per round (the eigenvector/HITS discipline). */
+  def graphKatz(alpha: Double, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (
+            SELECT e.dst AS node,
+                   sum(round(x.score, 9)::DECIMAL(28,12)) AS c
+            FROM e e JOIN x${i - 1} x ON x.node = e.src GROUP BY 1),
+          x$i AS MATERIALIZED (
+            SELECT n.node,
+                   round(1.0::DOUBLE + $alpha::DOUBLE
+                     * coalesce(c.c::DOUBLE, 0.0::DOUBLE), 9) AS score
+            FROM nodes n LEFT JOIN c$i c ON c.node = n.node)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($coPurchase),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          x0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS score FROM nodes),
+          $rounds
+        SELECT node, round(score, 6) AS katz FROM x$iters"""
+  }
+
+  /** Mirror of Graph.rectangleCount: the common-neighbor pair census
+    * and the exact Σc(c−1)//4 two-diagonals identity. */
+  val graphRectangles: String =
+    s"""WITH e0 AS ($coPurchase),
+          adj AS (SELECT src AS n, dst AS x FROM e0
+                  UNION ALL SELECT dst AS n, src AS x FROM e0),
+          p AS (SELECT a1.x AS a, a2.x AS b, count(*)::BIGINT AS c
+                FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
+                GROUP BY 1, 2)
+        SELECT count(*)::BIGINT AS n_pairs,
+               coalesce(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0)::BIGINT
+                 AS n_diagonal_pairs,
+               coalesce(sum(c::HUGEINT * (c - 1)) // 4, 0)::BIGINT
+                 AS rectangles
+        FROM p"""
+
   def vocabTopK(minCount: Long, k: Int): String =
     s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
           v AS (SELECT token, count(*) AS n FROM tok

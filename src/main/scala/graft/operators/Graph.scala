@@ -2935,4 +2935,101 @@ object Graph {
       .select(col("rank").cast("int").as("rank"), col("node"),
         col("gain"), col("cum_spread"))
   }
+
+  /**
+   * Katz centrality (the GDS/graph-theory attenuated-path score; Katz
+   * 1953): fixed `iters` rounds of x ← 1 + α·A·x over the SYMMETRIZED
+   * canonical edge set, x₀ = 1 — counts walks of every length into a
+   * node, each damped by α per hop, so it reads like "PageRank without
+   * the out-degree division": a hub's influence is NOT split among its
+   * neighbors. No normalization (β = 1 supplies the scale), so leaves
+   * keep score 1 and the readout is in absolute walk units.
+   *
+   * Determinism is the [[eigenvectorCentrality]] discipline: each
+   * neighbor-sum takes 9-dp-rounded scores under a DECIMAL(28,12) sum
+   * (summation-order-exact), the α multiply and +1 are single IEEE
+   * double ops on bit-identical operands, and each round's score is
+   * 9-dp-rounded back. Scale shape: one adjacency×scores equi-join +
+   * keyed aggregate per round against scratch tables (constant-size
+   * plans), the node-universe left join keeps zero-in-degree nodes at
+   * the β floor; nothing driver-side, nothing broadcast that is
+   * O(graph).
+   */
+  def katzCentrality(
+      edges: DataFrame, alpha: Double = 0.05, iters: Int = 3): DataFrame = {
+    import graft.ops.Scratch
+    require(iters >= 1, "iters must be >= 1")
+    require(alpha > 0.0d && alpha < 1.0d, "alpha must be in (0, 1)")
+    val spark = edges.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val e0 = canonicalEdges(edges)
+    val (adj, adjPath) = Scratch.materializeAt(
+      e0.select(col("src"), col("dst"))
+        .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+      "katz_adj")
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var scores = nodes.withColumn("score", lit(1.0d))
+    var scoresPath: String = null // round 0 is a projection of adj
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(scores, adj("src") === scores("node"))
+        .groupBy(adj("dst").as("node"))
+        .agg(sum(round(col("score"), 9).cast(dec)).as("c"))
+      val (next, nextPath) = Scratch.materializeAt(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            round(lit(1.0d) + lit(alpha) *
+              coalesce(col("c").cast("double"), lit(0.0d)), 9).as("score")),
+        "katz_scores")
+      if (scoresPath != null) Scratch.drop(spark, scoresPath)
+      scores = next
+      scoresPath = nextPath
+    }
+    Scratch.drop(spark, adjPath)
+    scores.select(col("node"), round(col("score"), 6).as("katz"))
+  }
+
+  /**
+   * Global 4-cycle (rectangle) count — the bipartite-ish cousin of the
+   * triangle count: C4s are the smallest cycles a bipartite graph CAN
+   * have, so rectangle density is the clustering signal where triangles
+   * are structurally impossible (user×item, doc×term graphs). Counts
+   * via diagonal pairs: for each node pair (a, b) with c common
+   * neighbors, C(c,2) cycles cross that diagonal, and every 4-cycle has
+   * exactly 2 diagonals — #C4 = Σ c(c−1) / 4. Emits one row:
+   * co-neighbor pair count, pairs with ≥2 shared neighbors (the
+   * closable diagonals), and the rectangle count.
+   *
+   * Exact INTEGER arithmetic end-to-end (DECIMAL(38,0) for the Σc(c−1)
+   * accumulator; the /4 is exact by the 2-diagonals identity). Scale
+   * shape: the [[commonNeighborsTopK]] wedge self-join with the same
+   * ENFORCED `maxDegree` contract (per-node wedge fanout is quadratic
+   * in degree — the guard fails fast with the offending count), one
+   * keyed count, one global aggregate.
+   */
+  def rectangleCount(
+      edges: DataFrame, maxDegree: Long = 100000): DataFrame = {
+    import graft.ops.Scratch
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = Scratch.materialize(canonicalEdges(edges), "c4_edges")
+    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
+      .union(e.select(col("dst").as("n"), col("src").as("x")))
+    val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
+      "rectangleCount",
+      hint = "the wedge fanout is quadratic in node degree - truncate "
+        + "per-node adjacency upstream or raise maxDegree deliberately",
+      boundName = "maxDegree")
+    val a1 = adj.select(col("n"), col("x").as("a"))
+    val a2 = adj.select(col("n"), col("x").as("b"))
+    a1.join(a2, Seq("n")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_diagonal_pairs"),
+        coalesce(sum(col("c").cast(dec) * (col("c") - 1L)),
+          lit(0L).cast(dec)).as("s"))
+      .select(col("n_pairs"),
+        coalesce(col("n_diagonal_pairs"), lit(0L)).as("n_diagonal_pairs"),
+        (col("s") / lit(4)).cast("long").as("rectangles"))
+  }
 }

@@ -1030,4 +1030,315 @@ object Quality {
         (abs(col("_n_approx") - col("n_exact")).cast("double") <=
           lit(maxRelError) * col("n_exact").cast("double"))
           .as("within_bound"))
+
+  /**
+   * Count-min-sketch heavy-hitter audit — the streaming-ingest
+   * frequency sketch next to [[approxDistinctAudit]]'s HLL: the exact
+   * top-`k` keys (the gate anchor) probed against a CMS built with
+   * `(eps, confidence, seed)`, emitting the sketch's two contracts as
+   * booleans — a CMS NEVER under-counts (est ≥ exact, a hard
+   * guarantee), and over-counts by more than 3·eps·N only with
+   * probability ≤ (1/6)^depth per key (Markov on each of the depth
+   * independent rows, then the min) — ~1e-5 at the default confidence,
+   * and the sketch is seed-deterministic besides. The oracle can't
+   * reproduce CMS internals; it CAN falsify these bounds (the
+   * error-contract-boolean pattern).
+   *
+   * Scale shape: the sketch is ONE mergeable aggregate (map-side
+   * partials, O(1/eps·log(1/δ)) state — the point at 100 TB where an
+   * exact groupBy of a hot column is a full shuffle); the exact top-k
+   * is TakeOrdered; the k driver-side probes are bounded by k.
+   */
+  def cmsHeavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      eps: Double = 0.005,
+      confidence: Double = 0.99,
+      seed: Int = 42,
+      k: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"))
+    val top = keyed.groupBy(col("key")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("key").asc).limit(k)
+      .collect()
+    val sketch = keyed.stat.countMinSketch("key", eps, confidence, seed)
+    val slack = math.ceil(3.0d * eps * sketch.totalCount()).toLong
+    top.toSeq.map { r =>
+      val key = r.getLong(0)
+      val exact = r.getLong(1)
+      val est = sketch.estimateCount(key)
+      (key, exact, est >= exact, est <= exact + slack)
+    }.toDF("key", "n_exact", "est_ge_exact", "within_bound")
+  }
+
+  /**
+   * Theil's uncertainty coefficient U — the NORMALIZED, asymmetric
+   * companion to [[mutualInformation]] and [[cramersV]]:
+   * U(X|Y) = MI / H(X) reads "what fraction of X's entropy does knowing
+   * Y remove" (0 = independent, 1 = Y determines X), and the asymmetry
+   * is the point — a many-to-one mapping scores 1 in one direction and
+   * less in the other, which symmetric Cramér's V hides. One row: n,
+   * MI, both marginal entropies, both conditional directions.
+   *
+   * Same determinism shape as [[mutualInformation]]: every entropy /
+   * MI term is 9-dp-rounded and summed under DECIMAL(28,12); the U
+   * divisions are single IEEE ops on those exact decimals' doubles,
+   * nulled when the denominator entropy is 0 (a constant column). One
+   * joint-count shuffle; marginals fold FROM the joint table.
+   */
+  def theilsU(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val joint = df.select(
+      col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val mx = joint.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val tot = joint.agg(sum(col("cxy")).as("n"))
+    def marginalEntropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .agg((-sum(round((col(cnt).cast("double") / col("n").cast("double"))
+          * log(col(cnt).cast("double") / col("n").cast("double")), 9)
+          .cast(dec))).cast("double").as(out))
+    val hx = marginalEntropy(mx, "cx", "hx")
+    val hy = marginalEntropy(my, "cy", "hy")
+    val pxy = col("cxy").cast("double") / col("n").cast("double")
+    val ratio = col("n").cast("double") * col("cxy").cast("double") /
+      (col("cx").cast("double") * col("cy").cast("double"))
+    joint
+      .join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .agg(first(col("n")).as("n"),
+        sum(round(pxy * log(ratio), 9).cast(dec)).cast("double").as("mi_raw"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"),
+        round(col("mi_raw"), 6).as("mi"),
+        round(col("hx"), 6).as("h_x"),
+        round(col("hy"), 6).as("h_y"),
+        when(col("hx") > 0, round(col("mi_raw") / col("hx"), 6))
+          .otherwise(lit(null).cast("double")).as("u_x_given_y"),
+        when(col("hy") > 0, round(col("mi_raw") / col("hy"), 6))
+          .otherwise(lit(null).cast("double")).as("u_y_given_x"))
+  }
+
+  /**
+   * Spearman rank correlation — the monotone-association companion to
+   * the Pearson family in `stats_corr`: rank both columns (mid-ranks
+   * for ties), then Pearson over the ranks. Robust to the heavy tails
+   * that swamp raw-moment correlation, which is why feature-audit
+   * pipelines run it next to Pearson before trusting either.
+   *
+   * Determinism end-to-end INTEGER until the final division (the
+   * [[mannWhitneyU]] discipline): values 6-dp-rounded, ranks are the
+   * DOUBLED mid-ranks 2r(v) = 2·cum_before + n_v + 1 computed on each
+   * column's DISTINCT-value histogram (the doubled form keeps tie
+   * midpoints in exact integers), and every moment sum
+   * (Σc·2rx, Σc·2rx², Σc·2rx·2ry, …) accumulates under DECIMAL(38,0)
+   * over the JOINT (vx, vy) histogram. The ρ numerator and the two
+   * variance legs are exact integers; the only doubles are the final
+   * two int→double conversions, one multiply, one sqrt, one divide —
+   * bit-identical cross-engine. (The doubled ranks scale both the
+   * numerator and each variance leg by 4, so ρ is unchanged.)
+   *
+   * Scale shape: ONE keyed shuffle builds the joint histogram; the two
+   * per-column rank histograms re-aggregate FROM it (never a second
+   * scan of the input) and join back broadcast; ranks use the
+   * [[ksTest]]/[[TextAnalysis.zipfFit]] window-over-histogram trade —
+   * the unpartitioned window orders the bounded distinct-value
+   * histogram, not the rows.
+   */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol).cast("double"), 6).as("vx"),
+        round(col(yCol).cast("double"), 6).as("vy"))
+      .groupBy(col("vx"), col("vy"))
+      .agg(count(lit(1)).as("c"))
+    def ranks(vc: String, out: String): DataFrame = {
+      val w = Window.orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      joint.groupBy(col(vc).as("v")).agg(sum(col("c")).as("t"))
+        .withColumn(out,
+          lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) + col("t") + 1L)
+        .select(col("v"), col(out))
+    }
+    // NOT broadcast-hinted: the rank histograms are O(distinct values)
+    // — usually tiny, but a wide-range double column keeps them
+    // corpus-sized, so the join strategy is left to AQE (which
+    // broadcasts exactly when the runtime size is small).
+    val rx = ranks("vx", "r2x")
+    val ry = ranks("vy", "r2y")
+    val j = joint
+      .join(rx, joint("vx") === rx("v")).drop("v")
+      .join(ry, joint("vy") === ry("v")).drop("v")
+    val g = j.agg(
+      sum(col("c")).as("n"),
+      sum(col("c").cast(dec) * col("r2x")).as("sx"),
+      sum(col("c").cast(dec) * col("r2y")).as("sy"),
+      sum(col("c").cast(dec) * col("r2x") * col("r2x")).as("sxx"),
+      sum(col("c").cast(dec) * col("r2y") * col("r2y")).as("syy"),
+      sum(col("c").cast(dec) * col("r2x") * col("r2y")).as("sxy"))
+    g.select(col("n"),
+      round((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+          .cast("double") *
+          (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+            .cast("double")), 6).as("rho"))
+  }
+
+  /**
+   * 1-D Wasserstein-1 (earth mover's) distance between two samples —
+   * the magnitude-aware drift metric the KS/PSI family lacks: KS caps
+   * at 1 no matter HOW far the mass moved, W₁ = ∫|F_a − F_b| dx reads
+   * in the value's own units (so "prices drifted by ~$40 of transport
+   * per unit mass" is a direct readout).
+   *
+   * Determinism: values land on the 6-dp micro-unit integer grid
+   * (`round(v·1e6) :: long` — the histogram discipline with the grid
+   * made explicit), CDF steps are exact integer counts, and each
+   * trapezoid term |cumA·nb − cumB·na|·Δvµ is an exact DECIMAL(38,0)
+   * product summed exactly; the result is ONE double division of
+   * bit-identical integers at the end. Scale shape: one keyed count
+   * per distinct value + one ordered cumulative/lead pass over the
+   * bounded value histogram (the [[ksTest]] trade) + one aggregate.
+   */
+  def wasserstein1(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(df: DataFrame, sa: Long, sb: Long): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(round(col(valueCol).cast("double") * lit(1e6), 0)
+          .cast("long").as("vu"),
+          lit(sa).as("ia"), lit(sb).as("ib"))
+    val counts = side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
+      .groupBy(col("vu"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    val wCum = Window.orderBy(col("vu").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy(col("vu").asc)
+    val cum = counts
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("nextv", lead(col("vu"), 1).over(wLead))
+      .filter(col("nextv").isNotNull)
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(totals))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(
+        abs(col("cuma").cast(dec) * col("nb") -
+          col("cumb").cast(dec) * col("na")) *
+          (col("nextv") - col("vu")).cast(dec)).as("tsum"))
+      .select(col("na"), col("nb"),
+        round(col("tsum").cast("double") /
+          (col("na").cast(dec) * col("nb")).cast("double") / lit(1e6), 6)
+          .as("w1"))
+  }
+
+  /**
+   * Jensen–Shannon divergence between two CATEGORICAL distributions
+   * (base e): JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2 — the
+   * symmetric, always-finite cousin of KL that corpus-mixture audits
+   * use to compare source/label composition between two snapshots
+   * (zero-count categories contribute 0 on their own side instead of
+   * blowing up the way raw KL does).
+   *
+   * Determinism: each category's log argument is ONE division of
+   * exact integers — p/m = 2·ca·nb / (ca·nb + cb·na), all DECIMAL(38,0)
+   * products — so the double entering `ln` is bit-identical
+   * cross-engine; each term p·ln(p/m) is 9-dp-rounded and summed under
+   * DECIMAL(28,12) (the [[ksTest]]-family absorb-the-ulp discipline,
+   * same as `text_perplexity`'s ln handling). One keyed count + one
+   * tiny aggregate; the totals ride a broadcast 1-row frame.
+   */
+  def jensenShannon(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def side(df: DataFrame, sa: Long, sb: Long): DataFrame =
+      df.filter(col(keyCol).isNotNull)
+        .select(col(keyCol).cast("string").as("k"),
+          lit(sa).as("ia"), lit(sb).as("ib"))
+    val counts = side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
+      .groupBy(col("k"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val caNb = col("ca").cast(big) * col("nb")
+    val cbNa = col("cb").cast(big) * col("na")
+    val termP = when(col("ca") > 0,
+      round((col("ca").cast("double") / col("na").cast("double")) *
+        log((lit(2L).cast(big) * caNb).cast("double") /
+          (caNb + cbNa).cast("double")), 9).cast(dec))
+      .otherwise(lit(0L).cast(dec))
+    val termQ = when(col("cb") > 0,
+      round((col("cb").cast("double") / col("nb").cast("double")) *
+        log((lit(2L).cast(big) * cbNa).cast("double") /
+          (caNb + cbNa).cast("double")), 9).cast(dec))
+      .otherwise(lit(0L).cast(dec))
+    counts.crossJoin(broadcast(totals))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(termP).as("sp"), sum(termQ).as("sq"))
+      .select(col("na"), col("nb"), col("n_keys"),
+        round((col("sp") + col("sq")).cast("double") / 2.0d, 6)
+          .as("jsd_nats"))
+  }
+
+  /**
+   * Kaplan–Meier survival estimate over (duration, event) pairs — the
+   * right-censoring-aware retention/lifetime curve (user churn, job
+   * lifetimes, time-to-first-click): at each distinct event time t,
+   * n_risk subjects remain, d_events fail, c_censored leave without
+   * failing, and the product-limit estimate multiplies the survival
+   * by (n−d)/n.
+   *
+   * The emitted curve is LOG-survival (natural log), not S(t): the
+   * cumulative product is computed as a cumulative sum of
+   * 9-dp-rounded ln((n−d)/n) terms under DECIMAL(28,12) — summation-
+   * order-exact — and exp() is deliberately NOT applied, the same
+   * libm-divergence reason [[ksTest]] leaves the asymptotic p-value
+   * to the caller. Each ln argument is one division of exact integer
+   * counts, bit-identical cross-engine.
+   *
+   * Scale shape: one keyed count per distinct 6-dp duration + two
+   * ordered passes over the bounded duration histogram (the
+   * [[ksTest]] window-over-histogram trade) — never a per-row window.
+   */
+  def kaplanMeier(
+      df: DataFrame, durationCol: String, eventCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val h = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(round(col(durationCol).cast("double"), 6).as("t"),
+        when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("e"))
+      .groupBy(col("t"))
+      .agg(sum(col("e")).as("d_events"),
+        sum(lit(1L) - col("e")).as("c_censored"))
+    val wBefore = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = h.agg(
+      sum(col("d_events") + col("c_censored")).as("n_total"))
+    val risk = h.crossJoin(broadcast(totals))
+      .withColumn("n_risk",
+        col("n_total") -
+          coalesce(sum(col("d_events") + col("c_censored")).over(wBefore),
+            lit(0L)))
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // A final event time can consume every remaining subject (S(t)=0,
+    // log-survival -inf): that row — necessarily the last, no subjects
+    // survive past it — emits NULL log_s; its ln is never evaluated.
+    risk
+      .withColumn("lterm",
+        when(col("d_events") > 0 && col("n_risk") > col("d_events"),
+          round(log((col("n_risk") - col("d_events")).cast("double") /
+            col("n_risk").cast("double")), 9).cast(dec))
+          .otherwise(lit(0L).cast(dec)))
+      .withColumn("log_s", sum(col("lterm")).over(wCum))
+      .filter(col("d_events") > 0)
+      .select(col("t"), col("n_risk"), col("d_events"), col("c_censored"),
+        when(col("n_risk") === col("d_events"),
+          lit(null).cast("double"))
+          .otherwise(round(col("log_s").cast("double"), 6)).as("log_s"))
+  }
 }

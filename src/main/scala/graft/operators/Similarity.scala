@@ -990,4 +990,197 @@ object Similarity {
         (-col("m.ns")).as("sim"),
         (col("m.clabel") === col(labelCol)).as("correct"))
   }
+
+  /** 1-bit sign quantization: bit j of word w is set iff component
+    * w·32+j is ≥ 0, packed 32 bits per BIGINT word (32, not 64 — bit 63
+    * would need wrapping overflow semantics that ANSI engines reject,
+    * and HALF the storage win is already the win). Disjoint powers of
+    * two, so the sum IS the bitwise OR — codegen'd, no UDF, no shuffle. */
+  private def signWords(vec: Column, dim: Int, prefix: String): Seq[Column] = {
+    val nWords = (dim + 31) / 32
+    (0 until nWords).map { w =>
+      (0 until math.min(32, dim - w * 32)).map { j =>
+        when(element_at(vec, w * 32 + j + 1).cast("double") >= 0.0d,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"$prefix$w")
+    }
+  }
+
+  /**
+   * Binary-quantized ANN: coarse search by HAMMING distance over the
+   * 1-bit sign codes (the 64×-compression retrieval trick — the code
+   * fits a cache line where the float vector doesn't), then exact
+   * cosine RERANK of the `m` survivors down to top `k`. The recall
+   * story is the usual two-stage one: sign-bit Hamming approximates
+   * angle (each agreeing bit is a half-space both vectors share), the
+   * rerank restores exact order among the shortlist.
+   *
+   * Scale shape is [[bruteForceTopK]]'s: the query side is the small
+   * frame (codes + vector broadcast), the corpus streams map-side
+   * computing its codes inline — XOR + bit_count per word, all
+   * codegen'd integer ops, the float math deferred to the m-row
+   * shortlist. Per-query top-m and top-k are rank windows partitioned
+   * by query. Determinism: Hamming is exact integers (ties break on
+   * neighbor id); the rerank cosine is 6-dp-rounded.
+   */
+  def hammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      m: Int = 20,
+      k: Int = 5): DataFrame = {
+    require(m >= k, "shortlist m must be >= k")
+    val nWords = (dim + 31) / 32
+    val q = queries.select(
+      col(idCol).as("query_id") +: col(vecCol).as("qv") +:
+        signWords(col(vecCol), dim, "qw"): _*)
+    val c = Par.fanOut(corpus.select(
+      col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+        signWords(col(vecCol), dim, "cw"): _*))
+    val hamming = (0 until nWords)
+      .map(i => bit_count(col(s"qw$i").bitwiseXOR(col(s"cw$i"))))
+      .reduce(_ + _).cast("int")
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val wFine = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+        hamming.as("hamming"))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= m)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wFine))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "hamming", "sim", "rank")
+  }
+
+  /**
+   * Greedy k-center coreset (farthest-point traversal, Gonzalez 1985):
+   * seed with the smallest id, then `k−1` rounds each picking the point
+   * FARTHEST (max over points of min 6-dp squared-L2 distance to the
+   * chosen set) — the classic 2-approximation to the k-center cover,
+   * and the "spread" selection active-learning / data-pruning pipelines
+   * use where k-means medoids over-sample dense regions.
+   *
+   * Scale shape: the chosen set is k vectors — they PIN into the plan
+   * as constant array literals (the [[kmeans]] centroid discipline), so
+   * every round is ONE map-side projection (≤k codegen'd distance
+   * folds per row) + a TakeOrdered(1) argmax; no shuffle, no window,
+   * nothing driver-side beyond the k bounded 1-row picks. Ties break
+   * to the smallest id; distances 6-dp-rounded, so the traversal is
+   * engine-exact.
+   */
+  def kCenterCoreset(
+      corpus: DataFrame,
+      k: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = corpus.sparkSession
+    val c = Par.fanOut(corpus.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).as("v")))
+    val seed = c.orderBy(col("vid").asc).limit(1)
+      .collect().headOption
+    if (seed.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("rank", "vec_id", "dist")
+    }
+    def vecOf(row: org.apache.spark.sql.Row): Seq[Double] =
+      row.getSeq[Float](1).map(_.toDouble)
+    var picked = Vector((seed.get.getLong(0), vecOf(seed.get),
+      Option.empty[Double]))
+    var exhausted = false
+    while (picked.size < k && !exhausted) {
+      val minDist = picked
+        .map { case (_, cv, _) =>
+          round(sqDist(col("v"), array(cv.map(lit(_)): _*)), 6) }
+        .reduce(least(_, _))
+      val next = c.filter(!col("vid").isInCollection(picked.map(_._1)))
+        .select(col("vid"), col("v"), minDist.as("d"))
+        .orderBy(col("d").desc, col("vid").asc).limit(1)
+        .collect().headOption
+      next match {
+        case None => exhausted = true
+        case Some(row) =>
+          picked :+= ((row.getLong(0), vecOf(row), Some(row.getDouble(2))))
+      }
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((vid, _, d), i) => (i + 1, vid, d) }
+      .toDF("rank", "vec_id", "dist")
+  }
+
+  /**
+   * Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+   * retrieval: from the `m` most-query-relevant candidates, greedily
+   * pick `k` maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — each
+   * pick trades relevance against redundancy with what's already
+   * chosen, the standard de-redundancy rerank over a dense-retrieval
+   * shortlist.
+   *
+   * Scale shape: relevance is ONE broadcast-query map-side pass +
+   * TakeOrdered(m) — the corpus is never self-joined; the greedy loop
+   * then runs over the MATERIALIZED m-row shortlist with the chosen
+   * vectors pinned as literals ([[kCenterCoreset]]'s discipline): k
+   * bounded 1-row argmax picks, each a ≤k-fold projection over m rows.
+   * Determinism: rel and pairwise sims 6-dp-rounded, scores
+   * 9-dp-rounded, ties to the smallest id.
+   */
+  def mmrDiversify(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      lambda: Double = 0.7,
+      m: Int = 20,
+      k: Int = 5): DataFrame = {
+    import graft.ops.Scratch
+    require(m >= k, "shortlist m must be >= k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRow = query.select(col(vecCol)).limit(1).collect().headOption
+    if (qRow.isEmpty)
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("rank", "vec_id", "rel", "score")
+    val qv = array(qRow.get.getSeq[Float](0).map(x => lit(x.toDouble)): _*)
+    val (cands, candsPath) = Scratch.materializeAt(
+      Par.fanOut(corpus.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).as("v")))
+        .select(col("vid"), col("v"), round(cosine(col("v"), qv), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vid").asc).limit(m),
+      "mmr_cands")
+    var picked = Vector.empty[(Long, Seq[Double], Double, Double)]
+    var exhausted = false
+    while (picked.size < k && !exhausted) {
+      val redundancy =
+        if (picked.isEmpty) lit(0.0d)
+        else picked.map { case (_, sv, _, _) =>
+          round(cosine(col("v"), array(sv.map(lit(_)): _*)), 6)
+        }.reduce(greatest(_, _))
+      val score = round(lit(lambda) * col("rel") -
+        lit(1.0d - lambda) * redundancy, 9)
+      val next = cands.filter(!col("vid").isInCollection(picked.map(_._1)))
+        .select(col("vid"), col("v"), col("rel"), score.as("score"))
+        .orderBy(col("score").desc, col("vid").asc).limit(1)
+        .collect().headOption
+      next match {
+        case None => exhausted = true
+        case Some(row) =>
+          picked :+= ((row.getLong(0),
+            row.getSeq[Float](1).map(_.toDouble),
+            row.getDouble(2), row.getDouble(3)))
+      }
+    }
+    Scratch.drop(spark, candsPath)
+    picked.zipWithIndex
+      .map { case ((vid, _, rel, score), i) => (i + 1, vid, rel, score) }
+      .toDF("rank", "vec_id", "rel", "score")
+  }
 }

@@ -1268,4 +1268,42 @@ object TextAnalysis {
             x => x.getField("line")),
           "\n").as("text_clean"))
   }
+
+  /**
+   * Vocabulary-coverage estimators over the token count-of-counts —
+   * the "how much vocabulary have we NOT seen yet" readout a tokenizer
+   * training run checks before freezing its vocab:
+   *
+   *  - Good–Turing unseen mass N₁/N (Good 1953): the probability the
+   *    NEXT token drawn is a previously-unseen type — the leave-one-out
+   *    estimate from the singleton count;
+   *  - coverage = 1 − N₁/N, the mass the current vocab explains;
+   *  - Chao1 richness D + N₁(N₁−1)/(2(N₂+1)) (Chao 1984,
+   *    bias-corrected form — defined even when no doubletons exist):
+   *    a lower bound on the TRUE type count including unseen types.
+   *
+   * One token explode + one keyed count + one global aggregate; every
+   * input to the three estimates is an exact integer, the divisions
+   * are single IEEE double ops on bit-identical operands, 6-dp-rounded.
+   */
+  def vocabCoverage(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("n_tokens"), col("n_distinct"), col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("gt_unseen_mass"),
+        round(lit(1.0d) -
+          col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("coverage"),
+        round(col("n_distinct").cast("double") +
+          (col("n1").cast("double") * (col("n1") - 1L).cast("double")) /
+            (lit(2.0d) * (col("n2") + 1L).cast("double")), 6)
+          .as("chao1"))
 }

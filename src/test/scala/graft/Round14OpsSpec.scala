@@ -1,0 +1,210 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+/** Round-14 stats operators: Spearman rank correlation, 1-D
+  * Wasserstein distance, Jensen-Shannon divergence, Kaplan-Meier
+  * log-survival. */
+class Round14OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Spark round() semantics: HALF_UP via BigDecimal
+  private def r(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("spearmanCorr: monotone with ties is 1, hand case is -0.5") {
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0))
+      .toDF("x", "y")
+    val out1 = Quality.spearmanCorr(mono, "x", "y").collect().head
+    assert(out1.getLong(0) == 4L && out1.getDouble(1) == 1.0)
+    // ranks x=[1,2,3], y=[3,1,2] -> Pearson over ranks = -0.5
+    val hand = Seq((1.0, 30.0), (2.0, 10.0), (3.0, 20.0)).toDF("x", "y")
+    val out2 = Quality.spearmanCorr(hand, "x", "y").collect().head
+    assert(out2.getLong(0) == 3L && out2.getDouble(1) == -0.5)
+    // anti-monotone -> -1; nulls on either side are dropped
+    val anti = Seq((Some(1.0), Some(9.0)), (Some(2.0), Some(5.0)),
+      (Some(3.0), Some(1.0)), (None, Some(7.0)), (Some(4.0), None))
+      .toDF("x", "y")
+    val out3 = Quality.spearmanCorr(anti, "x", "y").collect().head
+    assert(out3.getLong(0) == 3L && out3.getDouble(1) == -1.0)
+  }
+
+  test("wasserstein1: unit shift of a two-point distribution costs 1") {
+    val a = Seq(0.0, 1.0).toDF("v")
+    val b = Seq(1.0, 2.0).toDF("v")
+    val out = Quality.wasserstein1(a, b, "v").collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 2L)
+    assert(out.getDouble(2) == 1.0)
+    // identical samples -> 0
+    val z = Quality.wasserstein1(a, a, "v").collect().head
+    assert(z.getDouble(2) == 0.0)
+    // asymmetric masses: a={0}, b={0,3}: |F_a-F_b| = 0.5 on [0,3) -> 1.5
+    val a2 = Seq(0.0).toDF("v")
+    val b2 = Seq(0.0, 3.0).toDF("v")
+    assert(Quality.wasserstein1(a2, b2, "v").collect().head.getDouble(2)
+      == 1.5)
+  }
+
+  test("jensenShannon: identical mix is 0, disjoint mix is ln 2") {
+    val a = Seq("x", "x", "y").toDF("k")
+    val same = Quality.jensenShannon(a, a, "k").collect().head
+    assert(same.getLong(0) == 3L && same.getLong(1) == 3L)
+    assert(same.getLong(2) == 2L && same.getDouble(3) == 0.0)
+    val b = Seq("z").toDF("k")
+    val dis = Quality.jensenShannon(a, b, "k").collect().head
+    // every category one-sided: each term is ln 2, JSD = ln 2
+    assert(dis.getLong(2) == 3L)
+    assert(dis.getDouble(3) == r(r(math.log(2.0), 9), 6))
+  }
+
+  test("kaplanMeier: product-limit steps, censoring, terminal S=0") {
+    val df = Seq((1.0, true), (2.0, false), (3.0, true), (3.0, true),
+      (4.0, false)).toDF("dur", "ev")
+    val out = Quality.kaplanMeier(df, "dur", "ev").collect()
+      .map(x => x.getDouble(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // t=1: n=5 d=1 c=0; t=3: n=3 d=2 c=0 (t=2 censor consumed one)
+    val l1 = r(math.log(4.0 / 5.0), 9)
+    val l3 = r(math.log(1.0 / 3.0), 9)
+    assert(out(1.0) == ((5L, 1L, 0L, r(l1, 6))))
+    assert(out(3.0) == ((3L, 2L, 0L, r(l1 + l3, 6))))
+    assert(!out.contains(2.0) && !out.contains(4.0)) // censor-only times
+    // all remaining fail at the last time -> NULL log_s, no ln(0)
+    val term = Seq((1.0, true), (2.0, true)).toDF("dur", "ev")
+    val rows = Quality.kaplanMeier(term, "dur", "ev").collect()
+      .sortBy(_.getDouble(0))
+    assert(rows(0).getDouble(4) == r(r(math.log(0.5), 9), 6))
+    assert(rows(1).isNullAt(4))
+  }
+
+  test("vocabCoverage: count-of-counts estimators on a hand corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.vocabCoverage(docs).collect().head
+    // tokens a,a,b,c: N=4 D=3 n1=2 n2=1
+    assert(out.getLong(0) == 4L && out.getLong(1) == 3L)
+    assert(out.getLong(2) == 2L && out.getLong(3) == 1L)
+    assert(out.getDouble(4) == 0.5 && out.getDouble(5) == 0.5)
+    assert(out.getDouble(6) == 3.5) // 3 + 2*1/(2*2)
+  }
+
+  test("katzCentrality: star graph, three attenuated rounds") {
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val out = operators.Graph.katzCentrality(e, alpha = 0.05, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // center: 1+.05*2 -> 1.1; 1+.05*2.1 -> 1.105; 1+.05*2.11 -> 1.1055
+    // leaf:   1.05; 1+.05*1.1 -> 1.055; 1+.05*1.105 -> 1.05525
+    assert(out(1L) == 1.1055)
+    assert(out(2L) == 1.05525 && out(3L) == 1.05525)
+  }
+
+  test("rectangleCount: one square is one rectangle, triangles are zero") {
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = operators.Graph.rectangleCount(sq).collect().head
+    assert(out.getLong(0) == 2L) // diagonals (1,3) and (2,4)
+    assert(out.getLong(1) == 2L && out.getLong(2) == 1L)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t0 = operators.Graph.rectangleCount(tri).collect().head
+    assert(t0.getLong(0) == 3L && t0.getLong(1) == 0L && t0.getLong(2) == 0L)
+  }
+
+  test("theilsU: determination is directional") {
+    // y determines x (each y value maps to one x), but not vice versa
+    val df = Seq(("a", "p"), ("a", "q"), ("b", "r"), ("b", "r"))
+      .toDF("x", "y")
+    val out = Quality.theilsU(df, "x", "y").collect().head
+    assert(out.getLong(0) == 4L)
+    assert(out.getDouble(4) == 1.0) // U(X|Y): knowing y removes all of H(X)
+    assert(out.getDouble(5) < 1.0) // U(Y|X) strictly less
+    assert(out.getDouble(1) == out.getDouble(2)) // MI == H(X) here
+    // independent columns -> U 0 both ways
+    val ind = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+      .toDF("x", "y")
+    val o2 = Quality.theilsU(ind, "x", "y").collect().head
+    assert(o2.getDouble(4) == 0.0 && o2.getDouble(5) == 0.0)
+    // constant x -> H(X)=0 -> U(X|Y) null
+    val const = Seq(("a", "p"), ("a", "q")).toDF("x", "y")
+    assert(Quality.theilsU(const, "x", "y").collect().head.isNullAt(4))
+  }
+
+  test("cmsHeavyHitters: exact anchors, sketch contracts hold") {
+    val df = (Seq.fill(50)(7L) ++ Seq.fill(30)(3L) ++ (100L until 120L))
+      .toDF("k")
+    val out = Quality.cmsHeavyHitters(df, "k", k = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2),
+        x.getBoolean(3))).toMap
+    assert(out.keySet == Set(7L, 3L))
+    assert(out(7L)._1 == 50L && out(3L)._1 == 30L)
+    assert(out.values.forall(v => v._2 && v._3))
+  }
+
+  test("layout mortonKey: interleaved ranges are tight on both columns") {
+    import graft.ops.Layout
+    // 2-bit toy: points on a 4x4 grid; bucket by zkey >> 2 quarters
+    val df = (for { a <- 0 to 3; b <- 0 to 3 } yield (a, b)).toDF("a", "b")
+    val z = Layout.mortonKey(Seq(col("a").cast("long"),
+      col("b").cast("long")), 2)
+    val out = df.select(col("a"), col("b"), z.as("zkey"))
+      .withColumn("bucket", shiftrightunsigned(col("zkey"), 2))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("a").as("mina"), max("a").as("maxa"),
+        min("b").as("minb"), max("b").as("maxb"))
+      .collect()
+    assert(out.length == 4 && out.forall(_.getLong(1) == 4L))
+    // every quarter is a 2x2 square: both column ranges span exactly 1
+    assert(out.forall(r => r.getInt(3) - r.getInt(2) == 1
+      && r.getInt(5) - r.getInt(4) == 1))
+  }
+
+  test("hammingTopK: sign codes shortlist by Hamming, cosine reranks") {
+    import operators.Similarity
+    // 64-dim vectors: query all-positive; n1 flips 1 sign, n2 flips 4,
+    // n3 flips 40 (far) — shortlist of 2 keeps n1/n2, rerank by cosine
+    def vec(flips: Set[Int]): Array[Float] =
+      (0 until 64).map(i => if (flips(i)) -1.0f else 1.0f).toArray
+    val corpus = Seq(
+      (1L, vec(Set(3))),
+      (2L, vec(Set(1, 7, 33, 60))),
+      (3L, vec((0 until 40).toSet))).toDF("vec_id", "embedding")
+    val q = Seq((0L, vec(Set.empty[Int]))).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(corpus, q, dim = 64, m = 2, k = 2)
+      .collect().map(x =>
+        (x.getLong(1), x.getInt(2), x.getDouble(3), x.getInt(4)))
+    assert(out.length == 2)
+    assert(out.map(_._1).toSet == Set(1L, 2L)) // far vector pruned
+    val byRank = out.sortBy(_._4)
+    assert(byRank(0)._1 == 1L && byRank(0)._2 == 1) // hamming 1
+    assert(byRank(1)._1 == 2L && byRank(1)._2 == 4) // hamming 4
+    assert(byRank(0)._3 > byRank(1)._3) // cosine order matches
+  }
+
+  test("kCenterCoreset: farthest-point traversal on a line") {
+    import operators.Similarity
+    // points at x=0,1,9,10 (dim-2 padded): seed=min id (x=0), then
+    // farthest x=10, then x=9 vs x=1 -> min-dists 1 vs 1 -> tie to id 2
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(9.0f, 0.0f)), (4L, Array(10.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(pts, k = 3)
+      .collect().sortBy(_.getInt(0))
+    assert(out(0).getLong(1) == 1L && out(0).isNullAt(2))
+    assert(out(1).getLong(1) == 4L && out(1).getDouble(2) == 100.0)
+    assert(out(2).getLong(1) == 2L && out(2).getDouble(2) == 1.0)
+  }
+
+  test("mmrDiversify: redundancy penalty demotes the near-duplicate") {
+    import operators.Similarity
+    // c1 ~ query, c2 = c1 near-clone (redundant), c3 lower-rel but far
+    // from c1: after picking c1, MMR prefers c3 over the clone
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.9f, 0.11f, 0.0f)),
+      (3L, Array(0.6f, -0.6f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrDiversify(corpus, q, lambda = 0.5, m = 3, k = 2)
+      .collect().sortBy(_.getInt(0))
+    assert(out(0).getLong(1) == 1L)
+    assert(out(1).getLong(1) == 3L) // clone (id 2) demoted
+  }
+}
