@@ -2408,6 +2408,27 @@ object SparkEntry {
       graft.operators.Quality.cmsHeavyHitters(
         t(s, dir, "lineitem"), "l_suppkey",
         eps = 0.005, confidence = 0.99, seed = 42, k = 20)),
+    "ev_acf" -> ((s, dir) =>
+      // seasonality/burstiness readout: lag-1..3 autocorrelation of the
+      // per-type hourly rate series (zero-filled span)
+      graft.operators.Events.acfByType(eventsTable(s, dir), maxLag = 3)),
+    "quality_calibration" -> ((s, dir) => {
+      // reliability diagram: heuristic quality score binned against the
+      // C4 keep decision — predicted rate vs empirical rate per decile
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.calibrationReport(
+        graft.operators.TextAnalysis.textStats(docs)
+          .select(col("doc_id"), col("quality"))
+          .join(graft.operators.TextAnalysis.c4Rules(docs, minWords = 5)
+            .select(col("doc_id"), col("pass")), "doc_id"),
+        "quality", "pass")
+    }),
+    "retrieval_ndcg" -> ((s, dir) => {
+      // ranking-quality eval: NDCG@10 of the cosine top-k under
+      // same-label relevance, shared-constant position discounts
+      val e = t(s, dir, "embeddings")
+      Similarity.ndcgAtK(e, e.filter(col("vec_id") < 8), k = 10)
+    }),
     "layout_zorder_ranges" -> ((s, dir) => {
       // data-skipping readout of the Z-order layout: per Morton-range
       // bucket (the would-be file), row count + min/max of BOTH
@@ -4005,9 +4026,12 @@ object SparkEntry {
                       sum(c::HUGEINT * r2x * r2x) AS sxx,
                       sum(c::HUGEINT * r2y * r2y) AS syy,
                       sum(c::HUGEINT * r2x * r2y) AS sxy FROM j)
-        SELECT n, round((n::HUGEINT * sxy - sx * sy)::DOUBLE
-                 / sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE
-                      * (n::HUGEINT * syy - sy * sy)::DOUBLE), 6) AS rho
+        SELECT n, CASE WHEN (n::HUGEINT * sxx - sx * sx) > 0
+                        AND (n::HUGEINT * syy - sy * sy) > 0 THEN
+                 round((n::HUGEINT * sxy - sx * sy)::DOUBLE
+                   / sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE
+                        * (n::HUGEINT * syy - sy * sy)::DOUBLE), 6)
+               END AS rho
         FROM g""",
     "stats_wasserstein" ->
       """WITH c AS (SELECT round(l_extendedprice::DOUBLE * 1000000.0::DOUBLE,
@@ -4026,9 +4050,10 @@ object SparkEntry {
                           * (nextv - vu)::HUGEINT) AS tsum
                FROM cu WHERE nextv IS NOT NULL)
         SELECT (SELECT na FROM t) AS na, (SELECT nb FROM t) AS nb,
-               round((SELECT tsum FROM s)::DOUBLE
+               CASE WHEN (SELECT na FROM t) > 0 AND (SELECT nb FROM t) > 0
+               THEN round((SELECT tsum FROM s)::DOUBLE
                  / ((SELECT na FROM t)::HUGEINT * (SELECT nb FROM t))::DOUBLE
-                 / 1000000.0::DOUBLE, 6) AS w1""",
+                 / 1000000.0::DOUBLE, 6) END AS w1""",
     "stats_jsd" ->
       """WITH c AS (SELECT event_type AS k,
                 sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
@@ -4038,12 +4063,12 @@ object SparkEntry {
               GROUP BY 1),
          t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
          per AS (SELECT
-                (CASE WHEN ca > 0 THEN
+                (CASE WHEN ca > 0 AND t.nb > 0 THEN
                    round((ca::DOUBLE / t.na::DOUBLE)
                      * ln((2::HUGEINT * ca * t.nb)::DOUBLE
                         / (ca::HUGEINT * t.nb + cb::HUGEINT * t.na)::DOUBLE), 9)
                  ELSE 0 END)::DECIMAL(28,12) AS tp,
-                (CASE WHEN cb > 0 THEN
+                (CASE WHEN cb > 0 AND t.na > 0 THEN
                    round((cb::DOUBLE / t.nb::DOUBLE)
                      * ln((2::HUGEINT * cb * t.na)::DOUBLE
                         / (ca::HUGEINT * t.nb + cb::HUGEINT * t.na)::DOUBLE), 9)
@@ -4119,6 +4144,10 @@ object SparkEntry {
          FROM lineitem WHERE l_suppkey IS NOT NULL
          GROUP BY 1 ORDER BY n_exact DESC, key ASC LIMIT 20""",
     "layout_zorder_ranges" -> OracleFragments.layoutZorderRanges,
+    "ev_acf" -> OracleFragments.evAcf(maxLag = 3),
+    "quality_calibration" -> OracleFragments.qualityCalibration(minWords = 5),
+    "retrieval_ndcg" ->
+      OracleFragments.retrievalNdcg(maxQueryId = 8, k = 10),
   )
 }
 
@@ -5272,6 +5301,101 @@ object OracleFragments {
                min(l_partkey) AS min_part, max(l_partkey) AS max_part,
                min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
         FROM z GROUP BY 1"""
+  }
+
+  /** Mirror of Events.acfByType: the changePoint zero-filled spine,
+    * per-type lead() windows, 9-dp deviation products under
+    * DECIMAL(38,12), one acf division per lag. */
+  def evAcf(maxLag: Int): String = {
+    val leads = (1 to maxLag)
+      .map(kk => s"lead(cnt, $kk) OVER w AS lead$kk").mkString(", ")
+    val devC = "(l.cnt::DOUBLE - st.s::DOUBLE / st.m::DOUBLE)"
+    val nums = (1 to maxLag).map { kk =>
+      s"""sum((CASE WHEN lead$kk IS NOT NULL THEN
+            round($devC * (lead$kk::DOUBLE - st.s::DOUBLE / st.m::DOUBLE), 9)
+          ELSE 0 END)::DECIMAL(38,12)) AS num$kk"""
+    }.mkString(",\n")
+    val sels = (1 to maxLag).map { kk =>
+      s"""SELECT event_type, $kk AS lag, m,
+            CASE WHEN den > 0 THEN round(num$kk::DOUBLE / den::DOUBLE, 6)
+            END AS acf FROM a"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                          count(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+          s AS (SELECT event_type, min(b) AS b0, max(b) AS b1
+                FROM c GROUP BY 1),
+          g AS (SELECT event_type,
+                       unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+                FROM s),
+          d AS (SELECT g.event_type, g.b, coalesce(c.cnt, 0)::BIGINT AS cnt
+                FROM g LEFT JOIN c ON g.event_type = c.event_type
+                                  AND g.b = c.b),
+          st AS (SELECT event_type, count(*)::BIGINT AS m,
+                        sum(cnt)::BIGINT AS s FROM d GROUP BY 1),
+          l AS (SELECT event_type, b, cnt, $leads
+                FROM d WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+          a AS (SELECT l.event_type, st.m,
+                  sum(round($devC * $devC, 9)::DECIMAL(38,12)) AS den,
+                  $nums
+                FROM l JOIN st USING (event_type) GROUP BY 1, 2)
+        $sels"""
+  }
+
+  /** Mirror of the quality_calibration composition: textStats quality
+    * joined to the C4 keep decision, decile bins, decimal mean score. */
+  def qualityCalibration(minWords: Int): String =
+    s"""WITH ts AS ($textStats),
+          c4 AS (${textC4Rules(minWords)}),
+          j AS (SELECT ts.quality AS score, c4.pass
+                FROM ts JOIN c4 USING (doc_id)),
+          b AS (SELECT least(floor(score * 10.0::DOUBLE),
+                             9.0::DOUBLE)::BIGINT AS bin,
+                       score,
+                       (CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS y
+                FROM j WHERE score IS NOT NULL AND pass IS NOT NULL)
+        SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pass,
+               round(sum(round(score, 6)::DECIMAL(28,6))::DOUBLE
+                 / count(*)::DOUBLE, 6) AS mean_score,
+               round(sum(y)::DOUBLE / count(*)::DOUBLE, 6) AS pass_rate
+        FROM b GROUP BY 1"""
+
+  /** Mirror of Similarity.ndcgAtK: same cosine ranking as simCosineTopK,
+    * binary same-label relevance, and the SAME 9-dp discount/ideal
+    * constants Similarity.discounts computes (no engine evaluates a
+    * log at query time — the shared-constants pattern). */
+  def retrievalNdcg(maxQueryId: Int, k: Int): String = {
+    val disc = graft.operators.Similarity.discounts(k)
+    val ideal = disc.scanLeft(BigDecimal(0))(_ + _).tail
+    val dl = disc.map(d => s"$d::DECIMAL(18,9)").mkString(", ")
+    val il = ideal.map(d => s"$d::DECIMAL(18,9)").mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+                   FROM embeddings WHERE vec_id < $maxQueryId),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                       label AS clabel FROM embeddings),
+          scored AS (
+            SELECT q.query_id, q.qlabel, c.clabel, c.neighbor_id,
+                   $cosineExpr AS sim
+            FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, qlabel, clabel,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored),
+          agg AS (
+            SELECT query_id,
+                   sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)::BIGINT
+                     AS n_rel,
+                   sum(CASE WHEN clabel = qlabel
+                       THEN list_extract([$dl], rank)
+                       ELSE 0::DECIMAL(18,9) END) AS dcg
+            FROM ranked WHERE rank <= $k GROUP BY 1)
+        SELECT query_id, n_rel, round(dcg::DOUBLE, 6) AS dcg,
+               CASE WHEN n_rel > 0 THEN
+                 round(dcg::DOUBLE
+                   / list_extract([$il], n_rel::INT)::DOUBLE, 6)
+               END AS ndcg
+        FROM agg"""
   }
 
   /** One 32-bit sign word of Similarity.signWords: bit j−1 of word `w`

@@ -589,6 +589,64 @@ object Events {
       .drop("_island")
   }
 
+  /** Autocorrelation of the per-type bucketed event-rate series at lags
+    * 1..`maxLag` — the seasonality/burstiness readout run before
+    * choosing a forecast window ([[holtForecast]]) or an anomaly
+    * baseline ([[anomalies]]): acf(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+    *
+    * Series densified over the type's own span exactly like
+    * [[changePoint]] (gaps are zero counts, not missing rows).
+    * Determinism: deviations are doubles from exact-integer operands
+    * (one division each), every product 9-dp-rounded and summed under
+    * DECIMAL(38,12) — summation-order-exact; the acf division is one
+    * IEEE op; constant series (zero denominator) emit NULL. Shape: one
+    * keyed count, one bounded per-type window for the lags, one keyed
+    * aggregate, posexplode of the maxLag-wide row into (lag, acf) rows. */
+  def acfByType(
+      events: DataFrame,
+      maxLag: Int = 3,
+      bucket: String = "hour",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 24, "maxLag must be in [1, 24]")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val b = date_trunc(bucket, col(tsCol))
+    val counts = events
+      .groupBy(col(typeCol), b.as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = counts.groupBy(col(typeCol))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+    val grid = span.select(col(typeCol),
+      explode(sequence(col("b0"), col("b1"),
+        expr(s"interval 1 $bucket"))).as("b"))
+    val series = grid.join(counts, Seq(typeCol, "b"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val stats = series.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("m"), sum(col("cnt")).as("s"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("b").asc)
+    val lagged = series.select(
+      col(typeCol) +: col("cnt") +:
+        (1 to maxLag).map(k =>
+          lead(col("cnt"), k).over(w).as(s"lead$k")): _*)
+    val mean = col("s").cast("double") / col("m").cast("double")
+    val dev = col("cnt").cast("double") - mean
+    val aggd = lagged.join(stats, Seq(typeCol))
+      .groupBy(col(typeCol), col("m"))
+      .agg(sum(round(dev * dev, 9).cast(dec)).as("den"),
+        (1 to maxLag).map(k =>
+          sum(when(col(s"lead$k").isNotNull,
+            round(dev * (col(s"lead$k").cast("double") - mean), 9)
+              .cast(dec)).otherwise(lit(0L).cast(dec))).as(s"num$k")): _*)
+    aggd
+      .select(col(typeCol), col("m"), col("den"),
+        posexplode(array((1 to maxLag).map(k => col(s"num$k")): _*))
+          .as(Seq("pos", "num")))
+      .select(col(typeCol), (col("pos") + 1).cast("int").as("lag"), col("m"),
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("acf"))
+  }
+
   /** Single change-point detection per event type over its bucketed
     * rate series (binary segmentation, one split — the level-shift
     * audit behind "did traffic for X step up/down, and when"): bucket

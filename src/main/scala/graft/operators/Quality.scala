@@ -1180,13 +1180,17 @@ object Quality {
       sum(col("c").cast(dec) * col("r2x") * col("r2x")).as("sxx"),
       sum(col("c").cast(dec) * col("r2y") * col("r2y")).as("syy"),
       sum(col("c").cast(dec) * col("r2x") * col("r2y")).as("sxy"))
+    // a constant column has zero rank variance: rho is undefined (the
+    // 0/0 would be engine-dependent NaN), so emit NULL — the psi /
+    // theilsU degenerate-input discipline
+    val vx = col("n").cast(dec) * col("sxx") - col("sx") * col("sx")
+    val vy = col("n").cast(dec) * col("syy") - col("sy") * col("sy")
     g.select(col("n"),
-      round((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
-        .cast("double") /
-        sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
-          .cast("double") *
-          (col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
-            .cast("double")), 6).as("rho"))
+      when(vx > 0 && vy > 0,
+        round((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("rho"))
   }
 
   /**
@@ -1224,6 +1228,8 @@ object Quality {
       .withColumn("nextv", lead(col("vu"), 1).over(wLead))
       .filter(col("nextv").isNotNull)
     val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // an empty SIDE makes W1 undefined (na·nb = 0; the division would
+    // be engine-dependent inf/NaN) — emit NULL, the psi discipline
     cum.crossJoin(broadcast(totals))
       .groupBy(col("na"), col("nb"))
       .agg(sum(
@@ -1231,9 +1237,10 @@ object Quality {
           col("cumb").cast(dec) * col("na")) *
           (col("nextv") - col("vu")).cast(dec)).as("tsum"))
       .select(col("na"), col("nb"),
-        round(col("tsum").cast("double") /
-          (col("na").cast(dec) * col("nb")).cast("double") / lit(1e6), 6)
-          .as("w1"))
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("tsum").cast("double") /
+            (col("na").cast(dec) * col("nb")).cast("double") / lit(1e6), 6))
+          .otherwise(lit(null).cast("double")).as("w1"))
   }
 
   /**
@@ -1265,12 +1272,16 @@ object Quality {
     val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val caNb = col("ca").cast(big) * col("nb")
     val cbNa = col("cb").cast(big) * col("na")
-    val termP = when(col("ca") > 0,
+    // the nb > 0 / na > 0 legs keep the ln argument strictly positive
+    // when one SIDE is empty (a degenerate input where JSD is
+    // undefined; DuckDB's ln(0) hard-errors where Spark's returns
+    // null) — the psi divide-by-zero discipline
+    val termP = when(col("ca") > 0 && col("nb") > 0,
       round((col("ca").cast("double") / col("na").cast("double")) *
         log((lit(2L).cast(big) * caNb).cast("double") /
           (caNb + cbNa).cast("double")), 9).cast(dec))
       .otherwise(lit(0L).cast(dec))
-    val termQ = when(col("cb") > 0,
+    val termQ = when(col("cb") > 0 && col("na") > 0,
       round((col("cb").cast("double") / col("nb").cast("double")) *
         log((lit(2L).cast(big) * cbNa).cast("double") /
           (caNb + cbNa).cast("double")), 9).cast(dec))

@@ -991,6 +991,67 @@ object Similarity {
         (col("m.clabel") === col(labelCol)).as("correct"))
   }
 
+  /**
+   * NDCG@k retrieval evaluation against same-label relevance — the
+   * ranking-quality score a retrieval stack ([[bruteForceTopK]] /
+   * [[ivfTopK]] / [[lshTopK]]) is tuned by: each query's top-`k`
+   * cosine ranking is scored DCG = Σ rel_i·(1/log₂(i+1)) with binary
+   * relevance "neighbor carries the query's label", normalized by the
+   * ideal DCG of its own relevant count.
+   *
+   * Determinism: the position discounts 1/log₂(i+1) and their prefix
+   * sums are 9-dp DECIMAL CONSTANTS computed once (here) and
+   * interpolated verbatim into the oracle — the MinHashSignature
+   * shared-constants pattern — so no engine ever evaluates a log; DCG
+   * and IDCG are exact decimal sums, the NDCG division is one IEEE op.
+   * Shape: the [[bruteForceTopK]] broadcast-query scan + per-query
+   * rank window, then one keyed aggregate per query.
+   */
+  def ndcgAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      k: Int = 10): DataFrame = {
+    val disc = discounts(k)
+    val ideal = disc.scanLeft(BigDecimal(0))(_ + _).tail
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val c = Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("clabel")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val discArr = array(disc.map(d => lit(d.bigDecimal)): _*)
+    val idealArr = array(ideal.map(d => lit(d.bigDecimal)): _*)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qlabel"),
+        col("clabel"), round(cosine(col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_rel"),
+        sum(when(col("clabel") === col("qlabel"),
+          element_at(discArr, col("rank").cast("int")))
+          .otherwise(lit(BigDecimal(0).bigDecimal))).as("dcg"))
+      .select(col("query_id"), col("n_rel"),
+        round(col("dcg").cast("double"), 6).as("dcg"),
+        when(col("n_rel") > 0,
+          round(col("dcg").cast("double") /
+            element_at(idealArr, col("n_rel").cast("int")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("ndcg"))
+  }
+
+  /** The shared 9-dp NDCG position discounts 1/log₂(i+1), i = 1..k —
+    * computed ONCE here and interpolated into the DuckDB oracle so no
+    * engine evaluates a log at query time. */
+  def discounts(k: Int): Seq[BigDecimal] =
+    (1 to k).map(i => BigDecimal(1.0d / (math.log(i + 1.0d) / math.log(2.0d)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+
   /** 1-bit sign quantization: bit j of word w is set iff component
     * w·32+j is ≥ 0, packed 32 bits per BIGINT word (32, not 64 — bit 63
     * would need wrapping overflow semantics that ANSI engines reject,

@@ -1270,6 +1270,42 @@ object TextAnalysis {
   }
 
   /**
+   * Calibration report between a [0,1] quality score and a boolean
+   * outcome — the reliability-diagram table every model-based filter
+   * ([[hashedLinearScores]], the heuristic `quality` in [[textStats]])
+   * gets checked against before its threshold is trusted: rows land in
+   * ten fixed score bins, each bin emits its size, mean score
+   * (predicted rate) and empirical positive rate. A calibrated scorer
+   * tracks the diagonal; the gap per bin is the actionable readout.
+   *
+   * Determinism: bin = floor(score·10) clamped to 9 (scores are
+   * 6-dp-rounded upstream, the multiply/floor are single IEEE ops);
+   * mean score is an exact DECIMAL(28,6) sum over 6-dp values divided
+   * once; the rate is one integer division. ONE keyed aggregate.
+   */
+  def calibrationReport(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame =
+    scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(col(scoreCol).cast("double") * 10.0d), lit(9.0d))
+          .cast("long").as("bin"),
+        col(scoreCol).cast("double").as("score"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("n_pass"),
+        sum(round(col("score"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ssum"))
+      .select(col("bin"), col("n"), col("n_pass"),
+        round(col("ssum").cast("double") / col("n").cast("double"), 6)
+          .as("mean_score"),
+        round(col("n_pass").cast("double") / col("n").cast("double"), 6)
+          .as("pass_rate"))
+
+  /**
    * Vocabulary-coverage estimators over the token count-of-counts —
    * the "how much vocabulary have we NOT seen yet" readout a tokenizer
    * training run checks before freezing its vocab:

@@ -28,6 +28,20 @@ class Round14OpsSpec extends SparkTestBase {
       .toDF("x", "y")
     val out3 = Quality.spearmanCorr(anti, "x", "y").collect().head
     assert(out3.getLong(0) == 3L && out3.getDouble(1) == -1.0)
+    // constant column -> zero rank variance -> NULL, not engine NaN
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(Quality.spearmanCorr(const, "x", "y").collect().head.isNullAt(1))
+  }
+
+  test("wasserstein1/jensenShannon: empty side degenerates to NULL/0") {
+    val a = Seq(0.0, 1.0).toDF("v")
+    val none = a.filter(col("v") < -1)
+    val w = Quality.wasserstein1(a, none, "v").collect().head
+    assert(w.getLong(1) == 0L && w.isNullAt(2))
+    val ka = Seq("x", "y").toDF("k")
+    val j = Quality.jensenShannon(ka, ka.filter(col("k") === "zz"), "k")
+      .collect().head
+    assert(j.getLong(1) == 0L && j.getDouble(3) == 0.0) // no ln(0) path
   }
 
   test("wasserstein1: unit shift of a two-point distribution costs 1") {
@@ -125,6 +139,52 @@ class Round14OpsSpec extends SparkTestBase {
     // constant x -> H(X)=0 -> U(X|Y) null
     val const = Seq(("a", "p"), ("a", "q")).toDF("x", "y")
     assert(Quality.theilsU(const, "x", "y").collect().head.isNullAt(4))
+  }
+
+  test("acfByType: alternating hourly series has acf(1) = -0.75") {
+    import java.sql.Timestamp
+    // counts per hour h0..h3 = [2,1,2,1]: mean 1.5, den = 1,
+    // num1 = -0.75, num2 = 0.5, num3 = -0.25
+    def ts(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:10:00")
+    val rows = Seq(ts(0), ts(0), ts(1), ts(2), ts(2), ts(3))
+      .map(t => (1L, t, "view")).toDF("event_id", "ts", "event_type")
+    val out = operators.Events.acfByType(rows, maxLag = 3)
+      .collect().map(x => x.getInt(1) -> (x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(out(1) == ((4L, -0.75)) && out(2) == ((4L, 0.5))
+      && out(3) == ((4L, -0.25)))
+    // constant series -> zero denominator -> NULL acf
+    val const = Seq(ts(0), ts(1)).map(t => (1L, t, "x"))
+      .toDF("event_id", "ts", "event_type")
+    assert(operators.Events.acfByType(const, maxLag = 1)
+      .collect().forall(_.isNullAt(3)))
+  }
+
+  test("calibrationReport: decile bins, clamped top, exact rates") {
+    val df = Seq((0.05, false), (0.15, false), (0.95, true), (1.0, true))
+      .toDF("score", "label")
+    val out = operators.TextAnalysis.calibrationReport(df, "score", "label")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(out(0L) == ((1L, 0L, 0.05, 0.0)))
+    assert(out(1L) == ((1L, 0L, 0.15, 0.0)))
+    assert(out(9L) == ((2L, 2L, 0.975, 1.0))) // 1.0 clamps into bin 9
+    assert(out.size == 3)
+  }
+
+  test("ndcgAtK: shared-constant discounts, same-label relevance") {
+    import operators.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ndcgAtK(corpus, q, k = 10).collect().head
+    val d = Similarity.discounts(10)
+    assert(out.getLong(1) == 2L) // relevant at ranks 1 and 3
+    assert(out.getDouble(2) == r((d(0) + d(2)).toDouble, 6))
+    assert(out.getDouble(3) ==
+      r((d(0) + d(2)).toDouble / (d(0) + d(1)).toDouble, 6))
   }
 
   test("cmsHeavyHitters: exact anchors, sketch contracts hold") {
