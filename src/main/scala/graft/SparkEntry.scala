@@ -2408,6 +2408,23 @@ object SparkEntry {
       graft.operators.Quality.cmsHeavyHitters(
         t(s, dir, "lineitem"), "l_suppkey",
         eps = 0.005, confidence = 0.99, seed = 42, k = 20)),
+    "stats_woe_iv" -> ((s, dir) =>
+      // feature-separability audit: order-value bands against the
+      // finished-order label; per-band WOE + IV contribution
+      graft.operators.Quality.woeIv(
+        t(s, dir, "orders")
+          .withColumn("band",
+            floor(col("o_totalprice").cast("double") / lit(25000.0d))
+              .cast("long"))
+          .withColumn("is_f", col("o_orderstatus") === "F"),
+        "band", "is_f")),
+    "feat_target_encoding" -> ((s, dir) =>
+      // m-estimate smoothed category rate: order priority encoded
+      // against the finished-order label, shrunk toward the prior
+      graft.operators.Quality.targetEncoding(
+        t(s, dir, "orders")
+          .withColumn("is_f", col("o_orderstatus") === "F"),
+        "o_orderpriority", "is_f", m = 10.0d)),
     "ev_acf" -> ((s, dir) =>
       // seasonality/burstiness readout: lag-1..3 autocorrelation of the
       // per-type hourly rate series (zero-filled span)
@@ -4144,6 +4161,48 @@ object SparkEntry {
          FROM lineitem WHERE l_suppkey IS NOT NULL
          GROUP BY 1 ORDER BY n_exact DESC, key ASC LIMIT 20""",
     "layout_zorder_ranges" -> OracleFragments.layoutZorderRanges,
+    "stats_woe_iv" ->
+      """WITH r AS (SELECT floor(o_totalprice::DOUBLE / 25000.0::DOUBLE)::BIGINT
+                      AS bucket,
+                    (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+                      AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+         c AS (SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+                      (count(*) - sum(y))::BIGINT AS n_neg
+               FROM r GROUP BY 1),
+         t AS (SELECT sum(n_pos)::BIGINT AS tot_pos,
+                      sum(n_neg)::BIGINT AS tot_neg FROM c)
+        SELECT bucket, n, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                     AND tot_pos > 0 AND tot_neg > 0 THEN
+                 round(round(ln((n_pos::HUGEINT * tot_neg)::DOUBLE
+                   / (n_neg::HUGEINT * tot_pos)::DOUBLE), 9), 6) END AS woe,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                     AND tot_pos > 0 AND tot_neg > 0 THEN
+                 round((n_pos::DOUBLE / tot_pos::DOUBLE
+                      - n_neg::DOUBLE / tot_neg::DOUBLE)
+                   * round(ln((n_pos::HUGEINT * tot_neg)::DOUBLE
+                       / (n_neg::HUGEINT * tot_pos)::DOUBLE), 9), 6)
+               END AS iv_term
+        FROM c CROSS JOIN t""",
+    "feat_target_encoding" ->
+      """WITH r AS (SELECT o_orderpriority AS category,
+                    (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+                      AS y
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_orderstatus IS NOT NULL),
+         c AS (SELECT category, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+               FROM r GROUP BY 1),
+         t AS (SELECT sum(n)::BIGINT AS tot_n, sum(n_pos)::BIGINT AS tot_pos
+               FROM c)
+        SELECT category, n, n_pos,
+               round(n_pos::DOUBLE / n::DOUBLE, 6) AS raw_rate,
+               round((n_pos::DOUBLE
+                   + 10.0::DOUBLE * (tot_pos::DOUBLE / tot_n::DOUBLE))
+                 / (n::DOUBLE + 10.0::DOUBLE), 6) AS encoded
+        FROM c CROSS JOIN t""",
     "ev_acf" -> OracleFragments.evAcf(maxLag = 3),
     "quality_calibration" -> OracleFragments.qualityCalibration(minWords = 5),
     "retrieval_ndcg" ->

@@ -1032,6 +1032,87 @@ object Quality {
           .as("within_bound"))
 
   /**
+   * Weight-of-Evidence / Information-Value feature audit — the credit-
+   * scoring-lineage readout for "how separable is this binary label by
+   * this bucketed feature": per bucket, WOE = ln((pos_b/POS)/(neg_b/NEG))
+   * (positive where the bucket over-indexes on positives), and the IV
+   * term (pos_b/POS − neg_b/NEG)·WOE, whose sum is the feature's IV
+   * (<0.02 useless, >0.3 strong, by the usual rule of thumb).
+   *
+   * Determinism: the WOE ln argument is ONE division of exact integer
+   * products pos_b·NEG / neg_b·POS, 9-dp-rounded; the IV term
+   * multiplies two single-division shares' difference by that rounded
+   * WOE — every op an IEEE instruction on bit-identical operands. A
+   * one-sided bucket (no positives or no negatives) emits NULL woe/iv
+   * (its raw WOE is ±∞; cap-or-drop is a modeling choice left to the
+   * caller). ONE keyed aggregate + a broadcast 1-row totals frame.
+   */
+  def woeIv(df: DataFrame, bucketCol: String, labelCol: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df
+      .filter(col(bucketCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(bucketCol).as("bucket"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val totals = counts.agg(sum(col("n_pos")).as("tot_pos"),
+      sum(col("n_neg")).as("tot_neg"))
+    val woe9 = round(log(
+      (col("n_pos").cast(big) * col("tot_neg")).cast("double") /
+        (col("n_neg").cast(big) * col("tot_pos")).cast("double")), 9)
+    val share = col("n_pos").cast("double") / col("tot_pos").cast("double") -
+      col("n_neg").cast("double") / col("tot_neg").cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0 &&
+          col("tot_pos") > 0 && col("tot_neg") > 0,
+          round(woe9, 6)).otherwise(lit(null).cast("double")).as("woe"),
+        when(col("n_pos") > 0 && col("n_neg") > 0 &&
+          col("tot_pos") > 0 && col("tot_neg") > 0,
+          round(share * woe9, 6)).otherwise(lit(null).cast("double"))
+          .as("iv_term"))
+  }
+
+  /**
+   * Smoothed target encoding (the "mean target per category" feature
+   * with an m-estimate Bayesian shrink toward the global prior —
+   * Micci-Barreca 2001): enc_c = (pos_c + m·prior) / (n_c + m), so a
+   * 3-row category reads mostly as the prior while a 30k-row category
+   * reads as its own rate — the leakage-aware alternative to raw
+   * per-category means for high-cardinality features.
+   *
+   * Determinism: prior = POS/N is one division of exact integers;
+   * m·prior one multiply; the encode one add + one divide — all IEEE
+   * ops on bit-identical operands, 6-dp-rounded. ONE keyed count plus
+   * the broadcast 1-row totals frame; the category cardinality is the
+   * output size (never joined back to rows here — do that downstream
+   * with a broadcast of this frame when small, a keyed join when not).
+   */
+  def targetEncoding(
+      df: DataFrame,
+      catCol: String,
+      labelCol: String,
+      m: Double = 10.0d): DataFrame = {
+    require(m >= 0.0d, "smoothing m must be non-negative")
+    val counts = df
+      .filter(col(catCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(catCol).cast("string").as("category"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val totals = counts.agg(sum(col("n")).as("tot_n"),
+      sum(col("n_pos")).as("tot_pos"))
+    val prior = col("tot_pos").cast("double") / col("tot_n").cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("category"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round((col("n_pos").cast("double") + lit(m) * prior) /
+          (col("n").cast("double") + lit(m)), 6).as("encoded"))
+  }
+
+  /**
    * Count-min-sketch heavy-hitter audit — the streaming-ingest
    * frequency sketch next to [[approxDistinctAudit]]'s HLL: the exact
    * top-`k` keys (the gate anchor) probed against a CMS built with

@@ -187,6 +187,36 @@ class Round14OpsSpec extends SparkTestBase {
       r((d(0) + d(2)).toDouble / (d(0) + d(1)).toDouble, 6))
   }
 
+  test("woeIv: over-indexed bucket positive, one-sided bucket NULL") {
+    // bucket 1: 3 pos / 1 neg (over-indexed); bucket 2: 1 pos / 3 neg;
+    // bucket 3: 2 pos / 0 neg (one-sided -> NULL)
+    val df = (Seq.fill(3)((1L, true)) ++ Seq((1L, false)) ++
+      Seq((2L, true)) ++ Seq.fill(3)((2L, false)) ++
+      Seq.fill(2)((3L, true))).toDF("b", "y")
+    val out = Quality.woeIv(df, "b", "y").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // totals: pos 6, neg 4; woe(1) = ln((3*4)/(1*6)) = ln 2,
+    // woe(2) = ln((1*4)/(3*6)) = ln(2/9)
+    assert(out(1L).getDouble(4) == r(r(math.log(2.0), 9), 6))
+    assert(out(2L).getDouble(4) == r(r(math.log(2.0 / 9.0), 9), 6))
+    assert(out(3L).isNullAt(4) && out(3L).isNullAt(5))
+    // iv terms: (3/6 - 1/4) * ln2 and (1/6 - 3/4) * (-ln2), both > 0
+    assert(out(1L).getDouble(5) > 0 && out(2L).getDouble(5) > 0)
+  }
+
+  test("targetEncoding: small category shrinks to the prior") {
+    // prior = 5/10; big category (8 rows, all pos) stays near 1,
+    // tiny category (2 rows, no pos) pulls strongly toward 0.5
+    val df = (Seq.fill(8)(("big", true)) ++ Seq.fill(2)(("tiny", false)))
+      .toDF("c", "y")
+    val out = Quality.targetEncoding(df, "c", "y", m = 10.0)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(out("big").getDouble(3) == 1.0) // raw rate
+    assert(out("big").getDouble(4) == r((8.0 + 10.0 * 0.8) / 18.0, 6))
+    assert(out("tiny").getDouble(4) == r((0.0 + 10.0 * 0.8) / 12.0, 6))
+    assert(out("tiny").getDouble(4) > out("tiny").getDouble(3))
+  }
+
   test("cmsHeavyHitters: exact anchors, sketch contracts hold") {
     val df = (Seq.fill(50)(7L) ++ Seq.fill(30)(3L) ++ (100L until 120L))
       .toDF("k")
