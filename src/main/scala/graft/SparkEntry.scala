@@ -2408,6 +2408,47 @@ object SparkEntry {
       graft.operators.Quality.cmsHeavyHitters(
         t(s, dir, "lineitem"), "l_suppkey",
         eps = 0.005, confidence = 0.99, seed = 42, k = 20)),
+    "stats_auc" -> ((s, dir) => {
+      // threshold-free filter-model eval: exact rank-sum AUC of the
+      // heuristic quality score against the Gopher keep decision
+      val docs = t(s, dir, "documents")
+      graft.operators.Quality.aucRoc(
+        graft.operators.TextAnalysis.textStats(docs)
+          .select(col("doc_id"), col("quality"))
+          .join(graft.operators.TextAnalysis.gopherRules(docs,
+            minTokens = 25, maxTokens = 100000)
+            .select(col("doc_id"), col("pass")), "doc_id"),
+        "quality", "pass")
+    }),
+    "stats_pr_curve" -> ((s, dir) => {
+      // operating-point table: precision/recall/F1 at each decile
+      // threshold of the same score/label pair
+      val docs = t(s, dir, "documents")
+      graft.operators.Quality.prCurve(
+        graft.operators.TextAnalysis.textStats(docs)
+          .select(col("doc_id"), col("quality"))
+          .join(graft.operators.TextAnalysis.gopherRules(docs,
+            minTokens = 25, maxTokens = 100000)
+            .select(col("doc_id"), col("pass")), "doc_id"),
+        "quality", "pass")
+    }),
+    "er_clusters" -> ((s, dir) => {
+      // entity resolution end-to-end: blocked edit-distance linkage
+      // pairs closed into entity clusters (min-id component labels)
+      val parts = t(s, dir, "part")
+      val pairs = graft.operators.Quality.editLinkage(
+        parts, idCol = "p_partkey", nameCol = "p_name",
+        blockExprs = Seq(regexp_extract(col("p_name"), "(\\S+)$", 1),
+          col("p_size").cast("string")),
+        maxDist = 4)
+      val cc = graft.operators.Corpus.connectedComponents(
+        pairs.select(col("a_id"), col("b_id")), "a_id", "b_id")
+      parts.select(col("p_partkey"))
+        .join(cc.withColumnRenamed("id", "p_partkey"), Seq("p_partkey"),
+          "left")
+        .select(col("p_partkey"),
+          coalesce(col("label"), col("p_partkey")).as("entity_id"))
+    }),
     "stats_woe_iv" -> ((s, dir) =>
       // feature-separability audit: order-value bands against the
       // finished-order label; per-band WOE + IV contribution
@@ -4161,6 +4202,26 @@ object SparkEntry {
          FROM lineitem WHERE l_suppkey IS NOT NULL
          GROUP BY 1 ORDER BY n_exact DESC, key ASC LIMIT 20""",
     "layout_zorder_ranges" -> OracleFragments.layoutZorderRanges,
+    "stats_auc" -> OracleFragments.statsAuc,
+    "stats_pr_curve" -> OracleFragments.statsPrCurve,
+    "er_clusters" ->
+      """WITH RECURSIVE k AS (
+           SELECT regexp_extract(p_name, '(\S+)$', 1) || '|' || p_size::VARCHAR AS blk,
+                  p_partkey AS id, p_name AS name FROM part),
+         pairs AS (
+           SELECT a.id AS a_id, b.id AS b_id
+           FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+           WHERE abs(length(a.name) - length(b.name)) <= 4
+             AND levenshtein(a.name, b.name) <= 4),
+         edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+                   UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         reach AS (
+           SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
+         cc AS (SELECT x AS id, min(y) AS entity FROM reach GROUP BY x)
+        SELECT p.p_partkey, coalesce(cc.entity, p.p_partkey) AS entity_id
+        FROM part p LEFT JOIN cc ON p.p_partkey = cc.id""",
     "stats_woe_iv" ->
       """WITH r AS (SELECT floor(o_totalprice::DOUBLE / 25000.0::DOUBLE)::BIGINT
                       AS bucket,
@@ -5400,6 +5461,77 @@ object OracleFragments {
                 FROM l JOIN st USING (event_type) GROUP BY 1, 2)
         $sels"""
   }
+
+  /** The stats_auc / stats_pr_curve input: textStats quality joined to
+    * the Gopher keep decision (the text_gopher_rules parameters). */
+  private val scoreLabelCtes: String =
+    s"""ts AS ($textStats),
+        gb AS (${textGopherRules(minTokens = 25, maxTokens = 100000,
+      minAvgTokenLen = 3.0, maxAvgTokenLen = 10.0,
+      maxPunctRatio = 0.2, minStopwordHits = 2)}),
+        sl AS (SELECT ts.quality AS score, gb.pass
+               FROM ts JOIN gb USING (doc_id)
+               WHERE ts.quality IS NOT NULL AND gb.pass IS NOT NULL)"""
+
+  /** Mirror of Quality.aucRoc: mannWhitney's doubled mid-ranks on the
+    * 6-dp score histogram, rank-sum AUC as one exact-integer division. */
+  val statsAuc: String =
+    s"""WITH $scoreLabelCtes,
+          c AS (SELECT round(score::DOUBLE, 6) AS v,
+                       sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS ca,
+                       sum(CASE WHEN pass THEN 0 ELSE 1 END)::BIGINT AS cb,
+                       count(*)::BIGINT AS t
+                FROM sl GROUP BY 1),
+          r AS (SELECT ca, cb,
+                  2 * coalesce(sum(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + t + 1 AS r2
+                FROM c),
+          g AS (SELECT sum(ca)::BIGINT AS n_pos, sum(cb)::BIGINT AS n_neg,
+                       sum(ca::HUGEINT * r2) AS r2a FROM r)
+        SELECT n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 round((r2a - n_pos::HUGEINT * (n_pos + 1))::DOUBLE
+                   / (2::HUGEINT * n_pos * n_neg)::DOUBLE, 6) END AS auc,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 round(2.0::DOUBLE
+                   * ((r2a - n_pos::HUGEINT * (n_pos + 1))::DOUBLE
+                      / (2::HUGEINT * n_pos * n_neg)::DOUBLE)
+                   - 1.0::DOUBLE, 6) END AS gini
+        FROM g"""
+
+  /** Mirror of Quality.prCurve: decile-bucket histogram, suffix-sum
+    * tp/fp over the literal 0..9 spine, identical division chains. */
+  val statsPrCurve: String =
+    s"""WITH $scoreLabelCtes,
+          c AS (SELECT greatest(least(floor(score::DOUBLE * 10.0::DOUBLE),
+                         9.0::DOUBLE), 0.0::DOUBLE)::BIGINT AS bucket,
+                       sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS pos,
+                       sum(CASE WHEN pass THEN 0 ELSE 1 END)::BIGINT AS neg
+                FROM sl GROUP BY 1),
+          spine AS (SELECT unnest(generate_series(0, 9)) AS i),
+          d AS (SELECT spine.i, coalesce(c.pos, 0)::BIGINT AS pos,
+                       coalesce(c.neg, 0)::BIGINT AS neg
+                FROM spine LEFT JOIN c ON c.bucket = spine.i),
+          cum AS (SELECT i,
+                    (sum(pos) OVER w)::BIGINT AS tp,
+                    (sum(neg) OVER w)::BIGINT AS fp
+                  FROM d WINDOW w AS (ORDER BY i DESC
+                    ROWS UNBOUNDED PRECEDING)),
+          t AS (SELECT sum(pos)::BIGINT AS tot_pos FROM d)
+        SELECT i::INT AS threshold_decile, tp, fp,
+               (t.tot_pos - tp)::BIGINT AS fn,
+               CASE WHEN tp + fp > 0 THEN
+                 round(tp::DOUBLE / (tp + fp)::DOUBLE, 6) END AS precision,
+               CASE WHEN t.tot_pos > 0 THEN
+                 round(tp::DOUBLE / t.tot_pos::DOUBLE, 6) END AS recall,
+               CASE WHEN tp + fp > 0 AND t.tot_pos > 0 AND tp > 0 THEN
+                 round(2.0::DOUBLE
+                   * (tp::DOUBLE / (tp + fp)::DOUBLE)
+                   * (tp::DOUBLE / t.tot_pos::DOUBLE)
+                   / ((tp::DOUBLE / (tp + fp)::DOUBLE)
+                     + (tp::DOUBLE / t.tot_pos::DOUBLE)), 6) END AS f1
+        FROM cum CROSS JOIN t"""
 
   /** Mirror of the quality_calibration composition: textStats quality
     * joined to the C4 keep decision, decile bins, decimal mean score. */

@@ -1032,6 +1032,96 @@ object Quality {
           .as("within_bound"))
 
   /**
+   * Exact ROC-AUC of a score against a binary label via the rank-sum
+   * identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) — the threshold-free
+   * discrimination readout every quality-filter model gets judged by
+   * (AUC 0.5 = coin flip, 1 = perfect separation), sidestepping any
+   * curve integration. Ties get mid-ranks, the standard correction.
+   *
+   * Determinism is [[mannWhitneyU]] verbatim: doubled mid-ranks on the
+   * 6-dp score histogram, R⁺ under DECIMAL(38,0), AUC as ONE double
+   * division of exact integers — bit-identical cross-engine. Gini
+   * (= 2·AUC − 1) rides along. Degenerate one-class inputs emit NULL.
+   */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(round(col(scoreCol).cast("double"), 6).as("v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"),
+        (count(lit(1)) - sum(col("ia"))).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts.withColumn("r2",
+      lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) + col("t") + 1L)
+    val aggd = ranked.agg(
+      sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
+      sum(col("ca").cast(dec) * col("r2")).as("r2a"))
+    // 2R+ = r2a, so AUC = (r2a - 2*np(np+1)/2) / (2*np*nn)
+    val num = (col("r2a") - col("n_pos").cast(dec) * (col("n_pos") + 1L))
+      .cast("double")
+    val den = (lit(2L).cast(dec) * col("n_pos") * col("n_neg")).cast("double")
+    aggd.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0, round(num / den, 6))
+        .otherwise(lit(null).cast("double")).as("auc"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(lit(2.0d) * (num / den) - 1.0d, 6))
+        .otherwise(lit(null).cast("double")).as("gini"))
+  }
+
+  /**
+   * Precision/recall/F1 sweep over the ten fixed decile thresholds of a
+   * [0,1] score — the operating-point table a filter threshold is
+   * picked from (the curve companion to [[aucRoc]]'s single number and
+   * [[TextAnalysis.calibrationReport]]'s reliability read). Threshold
+   * t = i/10 predicts positive where score ≥ t (bucket ≥ i after the
+   * decile floor), so tp/fp are suffix sums over the 10-bucket
+   * histogram — exact integers; the spine is a literal range, so every
+   * threshold row exists even when buckets are empty.
+   *
+   * Determinism: counts exact; precision/recall one division each; F1
+   * = 2pr/(p+r) from those doubles — identical IEEE op chains, 6-dp
+   * rounds; empty-prediction / one-class cells emit NULL.
+   */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(greatest(least(floor(col(scoreCol).cast("double") * 10.0d),
+        lit(9.0d)), lit(0.0d)).cast("long").as("bucket"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+    val spine = spark.range(0, 10).select(col("id").as("i"))
+    val dense = spine.join(counts, spine("i") === counts("bucket"), "left")
+      .select(col("i"),
+        coalesce(col("pos"), lit(0L)).as("pos"),
+        coalesce(col("neg"), lit(0L)).as("neg"))
+    val wTop = Window.orderBy(col("i").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = dense.agg(sum(col("pos")).as("tot_pos"))
+    val p = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val r = col("tp").cast("double") / col("tot_pos").cast("double")
+    dense
+      .withColumn("tp", sum(col("pos")).over(wTop))
+      .withColumn("fp", sum(col("neg")).over(wTop))
+      .crossJoin(broadcast(totals))
+      .select(col("i").cast("int").as("threshold_decile"),
+        col("tp"), col("fp"), (col("tot_pos") - col("tp")).as("fn"),
+        when(col("tp") + col("fp") > 0, round(p, 6))
+          .otherwise(lit(null).cast("double")).as("precision"),
+        when(col("tot_pos") > 0, round(r, 6))
+          .otherwise(lit(null).cast("double")).as("recall"),
+        when(col("tp") + col("fp") > 0 && col("tot_pos") > 0 &&
+          col("tp") > 0,
+          round(lit(2.0d) * p * r / (p + r), 6))
+          .otherwise(lit(null).cast("double")).as("f1"))
+  }
+
+  /**
    * Weight-of-Evidence / Information-Value feature audit — the credit-
    * scoring-lineage readout for "how separable is this binary label by
    * this bucketed feature": per bucket, WOE = ln((pos_b/POS)/(neg_b/NEG))

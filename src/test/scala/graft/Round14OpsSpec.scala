@@ -217,6 +217,38 @@ class Round14OpsSpec extends SparkTestBase {
     assert(out("tiny").getDouble(4) > out("tiny").getDouble(3))
   }
 
+  test("aucRoc: perfect, random, and tied separations") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("s", "y")
+    val p = Quality.aucRoc(perfect, "s", "y").collect().head
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == 1.0 && p.getDouble(3) == 1.0)
+    // all scores tied -> mid-ranks give AUC exactly 0.5
+    val tied = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("s", "y")
+    assert(Quality.aucRoc(tied, "s", "y").collect().head.getDouble(2) == 0.5)
+    // one-class input -> NULL
+    val one = Seq((0.9, true), (0.1, true)).toDF("s", "y")
+    assert(Quality.aucRoc(one, "s", "y").collect().head.isNullAt(2))
+  }
+
+  test("prCurve: suffix-sum operating points on the decile spine") {
+    // scores .95(+), .55(+), .35(-), .15(-): at t=0.4 -> tp=2 fp=0;
+    // at t=0.0 -> tp=2 fp=2
+    val df = Seq((0.95, true), (0.55, true), (0.35, false), (0.15, false))
+      .toDF("s", "y")
+    val out = Quality.prCurve(df, "s", "y").collect()
+      .map(x => x.getInt(0) -> x).toMap
+    assert(out.size == 10) // spine is dense even with empty buckets
+    assert(out(4).getLong(1) == 2L && out(4).getLong(2) == 0L)
+    assert(out(4).getDouble(4) == 1.0 && out(4).getDouble(5) == 1.0
+      && out(4).getDouble(6) == 1.0)
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 2L)
+    assert(out(0).getDouble(4) == 0.5 && out(0).getDouble(5) == 1.0)
+    assert(out(6).getLong(1) == 1L) // only 0.95 at t=0.6
+    assert(out(9).getLong(1) == 1L && out(9).getDouble(4) == 1.0)
+  }
+
   test("cmsHeavyHitters: exact anchors, sketch contracts hold") {
     val df = (Seq.fill(50)(7L) ++ Seq.fill(30)(3L) ++ (100L until 120L))
       .toDF("k")
