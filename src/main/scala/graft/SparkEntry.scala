@@ -209,6 +209,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), blockCols = Seq("lang", "source"),
         minJaccard = 0.30)),
+    "dedup_containment" -> ((s, dir) =>
+      // asymmetric near-dup: one doc's shingles mostly INSIDE the
+      // other's (quote lifting) - pairs symmetric Jaccard misses
+      Dedup.ngramContainment(t(s, dir, "documents"),
+        blockCols = Seq("lang", "source"), minContainment = 0.5)),
 
     "dedup_lsh_jaccard" -> ((s, dir) =>
       // the scalable near-dup pipeline: LSH candidates -> exact verify
@@ -2575,6 +2580,8 @@ object SparkEntry {
     "dedup_strip_spans" -> OracleFragments.dedupStripSpans(spanTokens = 8),
     "dedup_minhash_lsh" -> OracleFragments.dedupMinhashLsh(bands = 4, rowsPerBand = 2),
     "dedup_ngram_jaccard" -> OracleFragments.dedupNgramJaccard(minJaccard = 0.30),
+    "dedup_containment" ->
+      OracleFragments.dedupContainment(minContainment = 0.5),
     "dedup_ppjoin" -> OracleFragments.dedupPpjoin(minJaccard = 0.9),
     "dedup_lsh_jaccard" -> OracleFragments.dedupLshJaccard(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
@@ -5239,6 +5246,26 @@ object OracleFragments {
         SELECT a, b, round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
         FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
         WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $minJaccard"""
+
+  /** Mirror of Dedup.ngramContainment: same distinct-shingle sets and
+    * block keys, score = |A∩B| / min(|A|,|B|), sizes kept in the output. */
+  def dedupContainment(minContainment: Double): String =
+    s"""WITH grams AS (
+          SELECT doc_id AS id, lang, source, unnest(${shingles(5)}) AS gram
+          FROM documents),
+        sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+        inter AS (
+          SELECT g1.id AS a, g2.id AS b, count(*) AS inter
+          FROM grams g1 JOIN grams g2
+            ON g1.lang = g2.lang AND g1.source = g2.source
+           AND g1.gram = g2.gram AND g1.id < g2.id
+          GROUP BY 1, 2)
+        SELECT a, b, sa.sz::INT AS sz_a, sb.sz::INT AS sz_b,
+               round(inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE, 6)
+                 AS containment
+        FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+        WHERE round(inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE, 6)
+          >= $minContainment"""
 
   /** Hashed linear classifier scoring (TextAnalysis.hashedLinearScores
     * with syntheticHashedWeights): the oracle re-derives the bucket

@@ -473,6 +473,58 @@ object Dedup {
   }
 
   /**
+   * Exact n-gram CONTAINMENT within blocks — the asymmetric companion
+   * to [[ngramJaccard]] (Broder's containment): score =
+   * |A∩B| / min(|A|, |B|), which fires when one document's shingle set
+   * sits mostly INSIDE the other's — quote lifting, page-in-page
+   * embedding, prefix/suffix republication — exactly the pairs whose
+   * JACCARD is tiny because the big doc's union term swamps it.
+   *
+   * The algorithmic consequence is the interesting part: Jaccard's
+   * size-ratio prefilter (min(sz)/max(sz) ≥ j) is UNAVAILABLE here — a
+   * 50-shingle doc inside a 50k-shingle doc is precisely the target —
+   * so candidate volume is bounded ONLY by the blocking contract; the
+   * `maxBlockRows` guard is doing all the scale work and is therefore
+   * non-negotiable. Same fenced one-intersect-per-pair verification
+   * tail, 6-dp rounding, (a < b) canonical pairs.
+   */
+  def ngramContainment(
+      docs: DataFrame,
+      blockCols: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      minContainment: Double = 0.5,
+      maxBlockRows: Long = 100000L): DataFrame = {
+    val grams = Par.fanOut(docs.select(
+        col(idCol).as("id"),
+        struct(blockCols.map(col): _*).as("blk"),
+        col(textCol)))
+      .select(col("id"), col("blk"), shingles(col(textCol), shingleK).as("gs"))
+      .withColumn("sz", size(col("gs")))
+    val a = Blocks.guardBlockSize(
+      grams.select(col("blk"), col("id").as("a"), col("gs").as("gs_a"),
+        col("sz").as("sz_a")),
+      "blk", maxBlockRows, "ngramContainment",
+      hint = "containment has no size-ratio prefilter - the block bound "
+        + "is the only candidate-volume contract; refine the blocking "
+        + "key or pre-cluster with LSH")
+    val b = grams.select(col("blk").as("blk_b"), col("id").as("b"),
+      col("gs").as("gs_b"), col("sz").as("sz_b"))
+    a.hint("shuffle_hash")
+      .join(b, col("blk") === col("blk_b") && col("a") < col("b"))
+      .select(col("a"), col("b"), col("sz_a"), col("sz_b"),
+        fence(graft.functions.ArrayIntersectSize
+          .arrayIntersectSize(col("gs_a"), col("gs_b"))).as("inter"))
+      .withColumn("containment",
+        round(col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("sz_a"), col("sz_b"),
+        col("containment"))
+  }
+
+  /**
    * Span-level exact-substring duplicate detection (Lee et al. 2021,
    * "Deduplicating Training Data Makes Language Models Better" — the
    * ExactSubstr criterion, at token-window granularity): flag every

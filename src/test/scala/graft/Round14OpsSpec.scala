@@ -249,6 +249,25 @@ class Round14OpsSpec extends SparkTestBase {
     assert(out(9).getLong(1) == 1L && out(9).getDouble(4) == 1.0)
   }
 
+  test("ngramContainment: subset doc scores 1.0 where jaccard is low") {
+    import operators.Dedup
+    // char-5 shingles: B's {abcde,bcdef} sit inside A's 4-shingle set
+    val docs = Seq(
+      (1L, "abcdefgh", "en"), (2L, "abcdef", "en"),
+      (3L, "zzzzzzzz", "en")).toDF("doc_id", "text", "lang")
+    val out = Dedup.ngramContainment(docs, blockCols = Seq("lang"),
+      minContainment = 0.5).collect()
+    assert(out.length == 1)
+    val r0 = out.head
+    assert(r0.getLong(0) == 1L && r0.getLong(1) == 2L)
+    assert(r0.getInt(2) == 4 && r0.getInt(3) == 2)
+    assert(r0.getDouble(4) == 1.0)
+    // the same pair under symmetric jaccard reads only 0.5
+    val j = Dedup.ngramJaccard(docs, blockCols = Seq("lang"),
+      minJaccard = 0.0).collect().filter(r => r.getLong(1) == 2L)
+    assert(j.head.getDouble(2) == 0.5)
+  }
+
   test("cmsHeavyHitters: exact anchors, sketch contracts hold") {
     val df = (Seq.fill(50)(7L) ++ Seq.fill(30)(3L) ++ (100L until 120L))
       .toDF("k")
