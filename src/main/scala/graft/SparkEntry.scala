@@ -2413,6 +2413,20 @@ object SparkEntry {
       graft.operators.Quality.cmsHeavyHitters(
         t(s, dir, "lineitem"), "l_suppkey",
         eps = 0.005, confidence = 0.99, seed = 42, k = 20)),
+    "stats_conformal" -> ((s, dir) =>
+      // distribution-free alert thresholds: per event type, the
+      // ceil((n+1)*0.9)-th smallest value - 90% coverage order statistic
+      graft.operators.Quality.conformalThreshold(
+        eventsTable(s, dir), "value", "event_type")),
+    "sim_recall_at_k" -> ((s, dir) => {
+      // the ANN tuning readout: IVF at nProbe=2 scored against the
+      // exact cosine top-5 per query
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, q, k = 5),
+        Similarity.ivfTopK(e, q, k = 5, nProbe = 2), k = 5)
+    }),
     "stats_auc" -> ((s, dir) => {
       // threshold-free filter-model eval: exact rank-sum AUC of the
       // heuristic quality score against the Gopher keep decision
@@ -4209,6 +4223,26 @@ object SparkEntry {
          FROM lineitem WHERE l_suppkey IS NOT NULL
          GROUP BY 1 ORDER BY n_exact DESC, key ASC LIMIT 20""",
     "layout_zorder_ranges" -> OracleFragments.layoutZorderRanges,
+    "stats_conformal" ->
+      """WITH h AS (SELECT event_type AS g, round(value::DOUBLE, 6) AS v,
+                           count(*)::BIGINT AS c
+                    FROM events
+                    WHERE value IS NOT NULL AND event_type IS NOT NULL
+                    GROUP BY 1, 2),
+         ns AS (SELECT g, sum(c)::BIGINT AS n,
+                       floor(((sum(c) + 1) * 9 + 9)::DOUBLE
+                         / 10.0::DOUBLE)::BIGINT AS k
+                FROM h GROUP BY 1),
+         cum AS (SELECT g, v, (sum(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM h),
+         q AS (SELECT cum.g, min(v) AS qhat
+               FROM cum JOIN ns ON cum.g = ns.g AND cum.cum >= ns.k
+               GROUP BY 1)
+        SELECT ns.g AS event_type, ns.n, ns.k,
+               CASE WHEN ns.k <= ns.n THEN q.qhat END AS qhat
+        FROM ns LEFT JOIN q ON q.g = ns.g""",
+    "sim_recall_at_k" -> OracleFragments.simRecallAtK(
+      maxQueryId = 8, k = 5, cells = 8, iters = 2, nProbe = 2),
     "stats_auc" -> OracleFragments.statsAuc,
     "stats_pr_curve" -> OracleFragments.statsPrCurve,
     "er_clusters" ->
@@ -5488,6 +5522,26 @@ object OracleFragments {
                 FROM l JOIN st USING (event_type) GROUP BY 1, 2)
         $sels"""
   }
+
+  /** Mirror of the sim_recall_at_k composition: the simCosineTopK and
+    * simIvfTopK re-derivations nested as SUBQUERIES (their CTE
+    * namespaces collide — q/scored/ranked — so each keeps its own WITH
+    * scope), intersected on the pair key. */
+  def simRecallAtK(
+      maxQueryId: Int, k: Int, cells: Int, iters: Int, nProbe: Int): String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id
+                    FROM (${simCosineTopK(maxQueryId, k)}) x),
+          ap AS (SELECT query_id, neighbor_id
+                 FROM (${simIvfTopK(cells, iters, nProbe, maxQueryId, k)}) y),
+          h AS (SELECT ap.query_id, count(*)::BIGINT AS hits
+                FROM ap JOIN ex ON ap.query_id = ex.query_id
+                              AND ap.neighbor_id = ex.neighbor_id
+                GROUP BY 1)
+        SELECT qq.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+               round(coalesce(h.hits, 0)::DOUBLE / ${k.toDouble}::DOUBLE, 6)
+                 AS recall
+        FROM (SELECT DISTINCT query_id FROM ex) qq
+        LEFT JOIN h ON h.query_id = qq.query_id"""
 
   /** The stats_auc / stats_pr_curve input: textStats quality joined to
     * the Gopher keep decision (the text_gopher_rules parameters). */

@@ -1032,6 +1032,53 @@ object Quality {
           .as("within_bound"))
 
   /**
+   * Split-conformal prediction threshold per group (Vovk; the
+   * distribution-free calibration step behind "flag anything scoring
+   * above q̂ and you'll be wrong at most α of the time"): q̂ is the
+   * ⌈(n+1)·(1−α)⌉-th smallest calibration value — a pure order
+   * statistic, no distributional assumption. Groups whose calibration
+   * set is too small for the coverage level (k > n) emit NULL — the
+   * standard "collect more calibration data" signal, not a made-up
+   * threshold.
+   *
+   * Coverage is a RATIONAL `coverNum/coverDen` (default 9/10 ⇒ α=0.1)
+   * so the rank k = ⌈(n+1)·cover⌉ is exact integer arithmetic. The
+   * order statistic reads off the per-group 6-dp value histogram's
+   * cumulative counts (the [[ksTest]] window-over-histogram trade,
+   * partitioned by group) — never a per-row sort.
+   */
+  def conformalThreshold(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      coverNum: Long = 9L,
+      coverDen: Long = 10L): DataFrame = {
+    require(coverDen > 0 && coverNum > 0 && coverNum <= coverDen,
+      "coverage must be a rational in (0, 1]")
+    val h = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol).cast("double"), 6).as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val ns = h.groupBy(col("g")).agg(sum(col("c")).as("n"))
+      // ceil((n+1)*num/den) in exact integers; the double divide is
+      // exact below 2^53 and mirrored verbatim in the oracle
+      .withColumn("k",
+        floor(((col("n") + 1L) * lit(coverNum) + lit(coverDen - 1L))
+          .cast("double") / lit(coverDen.toDouble)).cast("long"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("c")).over(w))
+    val qhat = cum.join(ns.select(col("g"), col("k")), Seq("g"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("g")).agg(min(col("v")).as("qhat"))
+    ns.join(qhat, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("n"), col("k"),
+        when(col("k") <= col("n"), col("qhat"))
+          .otherwise(lit(null).cast("double")).as("qhat"))
+  }
+
+  /**
    * Exact ROC-AUC of a score against a binary label via the rank-sum
    * identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) — the threshold-free
    * discrimination readout every quality-filter model gets judged by

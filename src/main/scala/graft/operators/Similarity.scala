@@ -1045,6 +1045,30 @@ object Similarity {
           .otherwise(lit(null).cast("double")).as("ndcg"))
   }
 
+  /**
+   * Recall@k of an approximate ranking against the exact one — THE
+   * tuning metric for every ANN dial in this module ([[ivfTopK]]'s
+   * nProbe, [[lshTopK]]'s planes, [[hammingTopK]]'s shortlist m): per
+   * query, |approx ∩ exact| / k. Queries the approximate pass missed
+   * entirely surface with recall 0 (the exact side anchors the query
+   * universe). Pure composition: one left-semi join on the pair key +
+   * one keyed count — both inputs are k-per-query frames, so every
+   * shape here is bounded by queries×k.
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(k.toDouble), 6).as("recall"))
+  }
+
   /** The shared 9-dp NDCG position discounts 1/log₂(i+1), i = 1..k —
     * computed ONCE here and interpolated into the DuckDB oracle so no
     * engine evaluates a log at query time. */

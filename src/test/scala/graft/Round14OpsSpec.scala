@@ -268,6 +268,34 @@ class Round14OpsSpec extends SparkTestBase {
     assert(j.head.getDouble(2) == 0.5)
   }
 
+  test("conformalThreshold: order statistic, small groups NULL") {
+    // g1: values 1..10, n=10, k = ceil(11*0.9) = 10 -> qhat = 10.0
+    // g2: 3 values, k = ceil(4*0.9) = 4 > n -> NULL
+    val df = ((1 to 10).map(i => ("g1", i.toDouble)) ++
+      Seq(("g2", 1.0), ("g2", 2.0), ("g2", 3.0))).toDF("g", "v")
+    val out = Quality.conformalThreshold(df, "v", "g")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(out("g1").getLong(1) == 10L && out("g1").getLong(2) == 10L)
+    assert(out("g1").getDouble(3) == 10.0)
+    assert(out("g2").getLong(2) == 4L && out("g2").isNullAt(3))
+    // 50% coverage on g1: k = ceil(11/2) = 6 -> 6th smallest
+    val half = Quality.conformalThreshold(df.filter(col("g") === "g1"),
+      "v", "g", coverNum = 1L, coverDen = 2L).collect().head
+    assert(half.getLong(2) == 6L && half.getDouble(3) == 6.0)
+  }
+
+  test("recallAtK: missed queries anchor at zero") {
+    import operators.Similarity
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(exact, approx, k = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    assert(out(1L) == ((1L, 0.5)))
+    assert(out(2L) == ((0L, 0.0))) // approx returned nothing for q2
+  }
+
   test("cmsHeavyHitters: exact anchors, sketch contracts hold") {
     val df = (Seq.fill(50)(7L) ++ Seq.fill(30)(3L) ++ (100L until 120L))
       .toDF("k")
