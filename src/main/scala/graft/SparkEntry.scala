@@ -2413,6 +2413,31 @@ object SparkEntry {
       graft.operators.Quality.cmsHeavyHitters(
         t(s, dir, "lineitem"), "l_suppkey",
         eps = 0.005, confidence = 0.99, seed = 42, k = 20)),
+    "stats_two_proportion" -> ((s, dir) =>
+      // conversion-rate A/B: odd-user arm vs even-user arm on the
+      // click rate, pooled-null z
+      graft.operators.Quality.twoProportionZ(
+        eventsTable(s, dir).filter(col("user_id").isNotNull)
+          .withColumn("arm", col("user_id") % 2 === 1)
+          .withColumn("converted", col("event_type") === "click"),
+        "arm", "converted")),
+    "ev_anomaly_mad" -> ((s, dir) =>
+      // robust anomaly flags: modified z over the median/MAD baseline
+      // a fat-tailed burst cannot inflate
+      graft.operators.Events.anomaliesMad(eventsTable(s, dir),
+        threshold = 3.5)),
+    "sim_matryoshka_recall" -> ((s, dir) => {
+      // truncation eval: how much of the exact top-5 survives scoring
+      // on the 16-dim embedding prefix (the matryoshka dial)
+      val e = t(s, dir, "embeddings")
+      val sliced = e.withColumn("embedding",
+        slice(col("embedding"), 1, 16))
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5),
+        Similarity.bruteForceTopK(sliced,
+          sliced.filter(col("vec_id") < 8), k = 5),
+        k = 5)
+    }),
     "stats_conformal" -> ((s, dir) =>
       // distribution-free alert thresholds: per event type, the
       // ceil((n+1)*0.9)-th smallest value - 90% coverage order statistic
@@ -4223,6 +4248,33 @@ object SparkEntry {
          FROM lineitem WHERE l_suppkey IS NOT NULL
          GROUP BY 1 ORDER BY n_exact DESC, key ASC LIMIT 20""",
     "layout_zorder_ranges" -> OracleFragments.layoutZorderRanges,
+    "stats_two_proportion" ->
+      """WITH r AS (SELECT (user_id % 2 = 1) AS b,
+                           (event_type = 'click') AS y
+                    FROM events
+                    WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         g AS (SELECT
+                 sum(CASE WHEN NOT b THEN 1 ELSE 0 END)::BIGINT AS n0,
+                 sum(CASE WHEN NOT b AND y THEN 1 ELSE 0 END)::BIGINT AS x0,
+                 sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n1,
+                 sum(CASE WHEN b AND y THEN 1 ELSE 0 END)::BIGINT AS x1
+               FROM r)
+        SELECT n0, x0, n1, x1,
+               CASE WHEN n0 > 0 THEN round(x0::DOUBLE / n0::DOUBLE, 6) END
+                 AS rate0,
+               CASE WHEN n1 > 0 THEN round(x1::DOUBLE / n1::DOUBLE, 6) END
+                 AS rate1,
+               CASE WHEN n0 > 0 AND n1 > 0 AND x0 + x1 > 0
+                     AND x0 + x1 < n0 + n1 THEN
+                 round((x1::DOUBLE / n1::DOUBLE - x0::DOUBLE / n0::DOUBLE)
+                   / sqrt(((x0 + x1)::DOUBLE / (n0 + n1)::DOUBLE)
+                     * (1.0::DOUBLE - (x0 + x1)::DOUBLE / (n0 + n1)::DOUBLE)
+                     * (1.0::DOUBLE / n0::DOUBLE + 1.0::DOUBLE / n1::DOUBLE)),
+                   6) END AS z
+        FROM g""",
+    "ev_anomaly_mad" -> OracleFragments.evAnomalyMad(threshold = 3.5),
+    "sim_matryoshka_recall" ->
+      OracleFragments.simMatryoshkaRecall(maxQueryId = 8, k = 5, dims = 16),
     "stats_conformal" ->
       """WITH h AS (SELECT event_type AS g, round(value::DOUBLE, 6) AS v,
                            count(*)::BIGINT AS c
@@ -5521,6 +5573,72 @@ object OracleFragments {
                   $nums
                 FROM l JOIN st USING (event_type) GROUP BY 1, 2)
         $sels"""
+  }
+
+  /** Mirror of Events.anomaliesMad: both lower medians as order
+    * statistics off per-type histograms, the 0.6745 Iglewicz-Hoaglin
+    * constant verbatim, MAD-0 types emit nothing. */
+  def evAnomalyMad(threshold: Double): String =
+    s"""WITH ev AS (SELECT event_type AS g, event_id AS id,
+                           round(value::DOUBLE, 6) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         h1 AS (SELECT g, v, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+         k1 AS (SELECT g, floor((sum(c) + 1)::DOUBLE / 2.0::DOUBLE)::BIGINT
+                  AS k FROM h1 GROUP BY 1),
+         c1 AS (SELECT g, v, (sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM h1),
+         med AS (SELECT c1.g, min(v) AS med
+                 FROM c1 JOIN k1 ON c1.g = k1.g AND c1.cum >= k1.k
+                 GROUP BY 1),
+         resid AS (SELECT ev.g, ev.id, ev.v, med.med,
+                          round(abs(ev.v - med.med), 6) AS r
+                   FROM ev JOIN med ON ev.g = med.g),
+         h2 AS (SELECT g, r AS v, count(*)::BIGINT AS c
+                FROM resid GROUP BY 1, 2),
+         k2 AS (SELECT g, floor((sum(c) + 1)::DOUBLE / 2.0::DOUBLE)::BIGINT
+                  AS k FROM h2 GROUP BY 1),
+         c2 AS (SELECT g, v, (sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM h2),
+         mad AS (SELECT c2.g, min(v) AS mad
+                 FROM c2 JOIN k2 ON c2.g = k2.g AND c2.cum >= k2.k
+                 GROUP BY 1)
+        SELECT resid.id AS event_id, resid.g AS event_type, resid.v,
+               resid.med,
+               round(0.6745::DOUBLE * resid.r / mad.mad, 6) AS mod_z
+        FROM resid JOIN mad ON resid.g = mad.g
+        WHERE mad.mad > 0
+          AND round(0.6745::DOUBLE * resid.r / mad.mad, 6) > $threshold"""
+
+  /** Mirror of the sim_matryoshka_recall composition: the exact
+    * simCosineTopK ranking against the same ranking scored on the
+    * `dims`-prefix slice, intersected per query. */
+  def simMatryoshkaRecall(maxQueryId: Int, k: Int, dims: Int): String = {
+    val sliced =
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding[1:$dims] AS qv
+                     FROM embeddings WHERE vec_id < $maxQueryId),
+            c AS (SELECT vec_id AS neighbor_id, embedding[1:$dims] AS cv
+                  FROM embeddings),
+            scored AS (SELECT q.query_id, c.neighbor_id, $cosineExpr AS sim
+                       FROM c CROSS JOIN q
+                       WHERE c.neighbor_id <> q.query_id),
+            ranked AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+          SELECT query_id, neighbor_id FROM ranked WHERE rank <= $k"""
+    s"""WITH ex AS (SELECT query_id, neighbor_id
+                    FROM (${simCosineTopK(maxQueryId, k)}) x),
+          ap AS (SELECT query_id, neighbor_id FROM ($sliced) y),
+          h AS (SELECT ap.query_id, count(*)::BIGINT AS hits
+                FROM ap JOIN ex ON ap.query_id = ex.query_id
+                              AND ap.neighbor_id = ex.neighbor_id
+                GROUP BY 1)
+        SELECT qq.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+               round(coalesce(h.hits, 0)::DOUBLE / ${k.toDouble}::DOUBLE, 6)
+                 AS recall
+        FROM (SELECT DISTINCT query_id FROM ex) qq
+        LEFT JOIN h ON h.query_id = qq.query_id"""
   }
 
   /** Mirror of the sim_recall_at_k composition: the simCosineTopK and

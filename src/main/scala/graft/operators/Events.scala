@@ -668,6 +668,56 @@ object Events {
     * never a corpus-scale window. Output per type: the best split's
     * bucket start, its G statistic, and the 6-dp mean rates on each
     * side. Types with m < 2 buckets yield no row. */
+  /** Median-absolute-deviation anomaly flags (the Iglewicz–Hoaglin
+    * modified z-score 0.6745·|x − med| / MAD > threshold) — the ROBUST
+    * sibling of [[anomalies]]'s mean/σ z-score: one fat-tailed burst
+    * inflates σ and masks itself, while the median/MAD baseline barely
+    * moves. Emits the flagged events with their modified z.
+    *
+    * Both medians are LOWER-median order statistics (k = ⌈n/2⌉) read
+    * off 6-dp value histograms' cumulative counts — the
+    * [[Quality.conformalThreshold]] shape, partitioned by type; never a
+    * per-row sort. Every residual is one subtraction of 6-dp doubles
+    * re-rounded to 6 dp, the z chain single IEEE ops with the 0.6745
+    * consistency constant mirrored verbatim in the oracle. A type whose
+    * MAD is 0 (over half its values identical) emits no flags — the
+    * standard MAD degeneracy, left to the caller's fallback. Shape: two
+    * keyed histogram passes + two histogram joins + one per-row filter. */
+  def anomaliesMad(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      idCol: String = "event_id",
+      threshold: Double = 3.5): DataFrame = {
+    def medianOf(df: DataFrame, out: String): DataFrame = {
+      val h = df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      val ks = h.groupBy(col("g")).agg(sum(col("c")).as("n"))
+        .withColumn("k",
+          floor((col("n") + 1L).cast("double") / 2.0d).cast("long"))
+      val w = Window.partitionBy(col("g")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("c")).over(w))
+        .join(ks.select(col("g"), col("k")), Seq("g"))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("g")).agg(min(col("v")).as(out))
+    }
+    val ev = events
+      .filter(col(typeCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("g"), col(idCol).as("id"),
+        round(col(valueCol).cast("double"), 6).as("v"))
+    val med = medianOf(ev.select(col("g"), col("v")), "med")
+    val resid = ev.join(med, Seq("g"))
+      .withColumn("r", round(abs(col("v") - col("med")), 6))
+    val mad = medianOf(resid.select(col("g"), col("r").as("v")), "mad")
+    resid.join(mad, Seq("g"))
+      .filter(col("mad") > 0)
+      .withColumn("mod_z",
+        round(lit(0.6745d) * col("r") / col("mad"), 6))
+      .filter(col("mod_z") > threshold)
+      .select(col("id").as(idCol), col("g").as(typeCol), col("v"),
+        col("med"), col("mod_z"))
+  }
+
   def changePoint(
       events: DataFrame,
       bucket: String = "hour",

@@ -1032,6 +1032,50 @@ object Quality {
           .as("within_bound"))
 
   /**
+   * Two-proportion z-test — the conversion-rate companion to
+   * [[welchTTest]]'s mean test: for two variants with x successes of n
+   * trials each, z = (p̂₁ − p̂₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) under the
+   * pooled null proportion p̂ — the A/B readout when the metric is a
+   * rate (CTR, keep-rate, pass-rate), where a t-test on 0/1 values
+   * wastes the known variance structure.
+   *
+   * Determinism: all counts exact integers; p̂₁, p̂₂, p̂ are one
+   * division each, the z chain a fixed sequence of IEEE ops on
+   * bit-identical operands, 6-dp-rounded. Degenerate inputs (either
+   * arm empty, or a pooled rate of exactly 0 or 1 — zero variance)
+   * emit NULL. ONE aggregate pass over the two-arm frame.
+   */
+  def twoProportionZ(
+      df: DataFrame, armCol: String, successCol: String): DataFrame = {
+    val g = df
+      .filter(col(armCol).isNotNull && col(successCol).isNotNull)
+      .select(when(col(armCol).cast("boolean"), 1L).otherwise(0L).as("b"),
+        when(col(successCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .agg(
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("b") === 0, col("y")).otherwise(0L)).as("x0"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("b") === 1, col("y")).otherwise(0L)).as("x1"))
+    val p0 = col("x0").cast("double") / col("n0").cast("double")
+    val p1 = col("x1").cast("double") / col("n1").cast("double")
+    val pp = (col("x0") + col("x1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val se = sqrt(pp * (lit(1.0d) - pp) *
+      (lit(1.0d) / col("n0").cast("double") +
+        lit(1.0d) / col("n1").cast("double")))
+    g.select(col("n0"), col("x0"), col("n1"), col("x1"),
+      when(col("n0") > 0, round(p0, 6))
+        .otherwise(lit(null).cast("double")).as("rate0"),
+      when(col("n1") > 0, round(p1, 6))
+        .otherwise(lit(null).cast("double")).as("rate1"),
+      when(col("n0") > 0 && col("n1") > 0 &&
+        col("x0") + col("x1") > 0 &&
+        col("x0") + col("x1") < col("n0") + col("n1"),
+        round((p1 - p0) / se, 6))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /**
    * Split-conformal prediction threshold per group (Vovk; the
    * distribution-free calibration step behind "flag anything scoring
    * above q̂ and you'll be wrong at most α of the time"): q̂ is the

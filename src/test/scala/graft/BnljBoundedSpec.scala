@@ -63,6 +63,10 @@ class BnljBoundedSpec extends SparkTestBase {
       "build = 8 query vectors + their sign words (vec_id < 8 key filter)",
     "retrieval_ndcg" ->
       "build = 8 query vectors + labels (vec_id < 8 key filter)",
+    "sim_recall_at_k" ->
+      "build = 8 query vectors, both rankings (vec_id < 8 key filter)",
+    "sim_matryoshka_recall" ->
+      "build = 8 query vectors, full + sliced (vec_id < 8 key filter)",
     "emb_hard_negatives" ->
       "build = 8 anchor vectors (vec_id < 8 key filter, bruteForceTopK shape)",
     "sim_pq_topk" ->

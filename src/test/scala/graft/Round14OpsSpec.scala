@@ -284,6 +284,38 @@ class Round14OpsSpec extends SparkTestBase {
     assert(half.getLong(2) == 6L && half.getDouble(3) == 6.0)
   }
 
+  test("twoProportionZ: pooled-null z, degenerate arms NULL") {
+    // arm0: 2/4 convert; arm1: 3/4 -> p=5/8, z = (0.75-0.5)/se
+    val df = Seq((false, true), (false, true), (false, false),
+      (false, false), (true, true), (true, true), (true, true),
+      (true, false)).toDF("arm", "conv")
+    val out = Quality.twoProportionZ(df, "arm", "conv").collect().head
+    assert(out.getLong(0) == 4L && out.getLong(1) == 2L)
+    assert(out.getLong(2) == 4L && out.getLong(3) == 3L)
+    assert(out.getDouble(4) == 0.5 && out.getDouble(5) == 0.75)
+    val p = 5.0 / 8.0
+    val se = math.sqrt(p * (1.0 - p) * (1.0 / 4 + 1.0 / 4))
+    assert(out.getDouble(6) == r((0.75 - 0.5) / se, 6))
+    // all conversions -> zero pooled variance -> NULL z
+    val alln = Seq((false, true), (true, true)).toDF("arm", "conv")
+    assert(Quality.twoProportionZ(alln, "arm", "conv")
+      .collect().head.isNullAt(6))
+  }
+
+  test("anomaliesMad: robust flags, MAD-degenerate types emit nothing") {
+    // type a: values 10x ~1.0 plus one 100.0 -> med 1, MAD small but
+    // positive (residual spread), outlier flagged
+    val a = (1 to 10).map(i => (i.toLong, "a", 1.0 + i * 0.01)) :+
+      (99L, "a", 100.0)
+    // type b: all values identical -> MAD 0 -> no flags
+    val b = (1 to 5).map(i => (100L + i, "b", 7.0))
+    val df = (a ++ b).toDF("event_id", "event_type", "value")
+    val out = graft.operators.Events
+      .anomaliesMad(df, threshold = 3.5).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 99L)
+    assert(out.head.getDouble(4) > 3.5)
+  }
+
   test("recallAtK: missed queries anchor at zero") {
     import operators.Similarity
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
