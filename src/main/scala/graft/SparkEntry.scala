@@ -5739,8 +5739,8 @@ object OracleFragments {
           c4 AS (${textC4Rules(minWords)}),
           j AS (SELECT ts.quality AS score, c4.pass
                 FROM ts JOIN c4 USING (doc_id)),
-          b AS (SELECT least(floor(score * 10.0::DOUBLE),
-                             9.0::DOUBLE)::BIGINT AS bin,
+          b AS (SELECT greatest(least(floor(score * 10.0::DOUBLE),
+                             9.0::DOUBLE), 0.0::DOUBLE)::BIGINT AS bin,
                        score,
                        (CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS y
                 FROM j WHERE score IS NOT NULL AND pass IS NOT NULL)

@@ -1290,8 +1290,8 @@ object TextAnalysis {
     scored
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(
-        least(floor(col(scoreCol).cast("double") * 10.0d), lit(9.0d))
-          .cast("long").as("bin"),
+        greatest(least(floor(col(scoreCol).cast("double") * 10.0d),
+          lit(9.0d)), lit(0.0d)).cast("long").as("bin"),
         col(scoreCol).cast("double").as("score"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
       .groupBy(col("bin"))
