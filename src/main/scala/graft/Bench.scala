@@ -67,6 +67,54 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+
+    // ---- 10× scale probe: empirical scaling evidence for the dedup
+    // spine over a density-neutral 10× corpus (ScaleProbe). Runs FIRST,
+    // on a cold quiet JVM: in round 9 the probe ran at the tail of the
+    // 38-minute bench and BOTH x10 reps landed on the contended end —
+    // every probe base read 2-3× its quiet value and one ratio recorded
+    // 29.2 where quiet controls measure 2.8-3.3. Probe-first plus the
+    // paired-ratio statistic below makes the record contention-proof.
+    //
+    // Each spine query runs at BASE then at 10× back to back, so both
+    // timings of a pair see the same JVM/GC/machine state. The (base,
+    // x10) pair repeats SPARK_GRAFT_PROBE_REPS times (default 2) and the
+    // recorded ratio is the MIN over reps of the PER-PAIR ratio
+    // x10_i/base_i — pairing cancels ambient load that hits both
+    // measurements of a rep, which min(x10)/min(base) does not when the
+    // load lands asymmetrically (exactly the r9 failure). base/x10 are
+    // still reported as per-scale mins for absolute-time reads.
+    val probe = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
+        && new java.io.File(s"$sfDir/documents.parquet").exists()
+        && only.isEmpty) {
+      // v4: the lineitem replica gained the dq_audit columns — the
+      // version bump invalidates v3 marker dirs that lack them
+      val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
+        s"tmp/scale_probe_v4_${new java.io.File(sfDir).getName}")
+      val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt.max(1)
+      val t0 = System.nanoTime()
+      ScaleProbe.ensureFixture(spark, sfDir, probeDir, factor = 10)
+      probe += "gen" -> f"${(System.nanoTime() - t0) / 1e9}%.3f"
+      for (name <- ScaleProbe.spineQueries) SparkEntry.queries.get(name).foreach { fn =>
+        try {
+          val pairs = (1 to probeReps).map { _ =>
+            val t1 = System.nanoTime()
+            run(fn(spark, sfDir))
+            val base = (System.nanoTime() - t1) / 1e9
+            val t2 = System.nanoTime()
+            run(fn(spark, probeDir))
+            val x10 = (System.nanoTime() - t2) / 1e9
+            (base, x10)
+          }
+          val base = pairs.map(_._1).min
+          val x10 = pairs.map(_._2).min
+          val ratio = pairs.map { case (b, x) => x / b }.min
+          probe += name -> f"""{"base":$base%.3f,"x10":$x10%.3f,"ratio":$ratio%.1f}"""
+        } catch { case e: Throwable => System.err.println(s"[bench] scale10 $name: $e") }
+      }
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -93,47 +141,6 @@ object Bench {
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val total = results.flatMap { case (_, ts, _) => if (ts.isEmpty) None else Some(median(ts)) }.sum
-    // ---- 10× scale probe: empirical scaling evidence for the dedup
-    // spine over a density-neutral 10× corpus (ScaleProbe). Each spine
-    // query runs at BASE then at 10× back to back, so both timings see
-    // the same JVM/GC/machine state and the ratio is load-controlled —
-    // comparing a single-shot 10× number against the medians above
-    // (measured minutes earlier, different heap state) swung the
-    // apparent ratio 13s↔32s run to run and read as fake super-linearity.
-    // The (base, x10) pair repeats SPARK_GRAFT_PROBE_REPS times (default
-    // 2) and the ratio comes from the per-scale MINS: a single load
-    // spike landing on one x10 rep turned a measured 9.1 ratio into a
-    // recorded 51.5 in round 6 — min-of-pairs is the cheapest statistic
-    // that survives it.
-    val probe = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
-        && new java.io.File(s"$sfDir/documents.parquet").exists()
-        && only.isEmpty) {
-      // v4: the lineitem replica gained the dq_audit columns — the
-      // version bump invalidates v3 marker dirs that lack them
-      val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
-        s"tmp/scale_probe_v4_${new java.io.File(sfDir).getName}")
-      val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt.max(1)
-      val t0 = System.nanoTime()
-      ScaleProbe.ensureFixture(spark, sfDir, probeDir, factor = 10)
-      probe += "gen" -> f"${(System.nanoTime() - t0) / 1e9}%.3f"
-      for (name <- ScaleProbe.spineQueries) SparkEntry.queries.get(name).foreach { fn =>
-        try {
-          val pairs = (1 to probeReps).map { _ =>
-            val t1 = System.nanoTime()
-            run(fn(spark, sfDir))
-            val base = (System.nanoTime() - t1) / 1e9
-            val t2 = System.nanoTime()
-            run(fn(spark, probeDir))
-            val x10 = (System.nanoTime() - t2) / 1e9
-            (base, x10)
-          }
-          val base = pairs.map(_._1).min
-          val x10 = pairs.map(_._2).min
-          probe += name -> f"""{"base":$base%.3f,"x10":$x10%.3f,"ratio":${x10 / base}%.1f}"""
-        } catch { case e: Throwable => System.err.println(s"[bench] scale10 $name: $e") }
-      }
-    }
     val probeJson =
       if (probe.isEmpty) ""
       else probe.map { case (k, v) => "\"" + k + "\":" + v }

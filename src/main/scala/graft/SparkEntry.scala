@@ -4155,7 +4155,7 @@ object SparkEntry {
                FROM cu WHERE nextv IS NOT NULL)
         SELECT (SELECT na FROM t) AS na, (SELECT nb FROM t) AS nb,
                CASE WHEN (SELECT na FROM t) > 0 AND (SELECT nb FROM t) > 0
-               THEN round((SELECT tsum FROM s)::DOUBLE
+               THEN round(coalesce((SELECT tsum FROM s), 0)::DOUBLE
                  / ((SELECT na FROM t)::HUGEINT * (SELECT nb FROM t))::DOUBLE
                  / 1000000.0::DOUBLE, 6) END AS w1""",
     "stats_jsd" ->

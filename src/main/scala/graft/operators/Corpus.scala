@@ -829,7 +829,13 @@ object Corpus {
     * literal so the map-side test ships with the task binary exactly
     * like an injected runtime filter's scalar-subquery result. The
     * sketch is sized from the OBSERVED gram count riding the scratch
-    * write, never a guess.
+    * write, never a guess — and the count is ENFORCED under
+    * `maxSketchGrams` (the quantileNormalize contract style): a
+    * benchmark side past the bound would allocate an unbounded driver
+    * sketch (~1.2 GB at 1e9 grams) and bloat every task binary with
+    * it, so it fails fast with the measured count and the escape
+    * routes (raise the bound, raise `fpp`, or run the plain exact
+    * [[decontaminate]] whose join side never lands on the driver).
     */
   def decontaminateBloom(
       docs: DataFrame,
@@ -840,7 +846,8 @@ object Corpus {
       textCol: String = "text",
       benchIdCol: String = "bench_id",
       fpp: Double = 0.01,
-      maxBroadcastGrams: Long = 2000000L): DataFrame = {
+      maxBroadcastGrams: Long = 2000000L,
+      maxSketchGrams: Long = 50000000L): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0,1)")
     def gramHash(gram: Column) = gramHash60(gram)
     val (bg, bgMeta, _) = graft.ops.Scratch.materializeObservedAt(
@@ -852,6 +859,12 @@ object Corpus {
         .distinct(),
       "deconb_bg", count(lit(1)).as("n_grams"))
     val nGrams = bgMeta("n_grams").asInstanceOf[Long]
+    require(nGrams <= maxSketchGrams,
+      s"decontaminateBloom: observed $nGrams benchmark grams exceeds " +
+        s"maxSketchGrams=$maxSketchGrams — the Bloom sketch would cost " +
+        s"~${nGrams * 10 / 8 / (1 << 20)} MiB of driver heap AND ride " +
+        "every task binary. Raise the bound, raise fpp, or use the " +
+        "exact decontaminate() whose join side never lands on the driver.")
     if (nGrams == 0L) // no benchmark grams: nothing can match (and the
       // bloom aggregate has no zero-item serialization) — all docs clean
       return docs.select(col(idCol).as("doc_id"),

@@ -647,27 +647,6 @@ object Events {
           .otherwise(lit(null).cast("double")).as("acf"))
   }
 
-  /** Single change-point detection per event type over its bucketed
-    * rate series (binary segmentation, one split — the level-shift
-    * audit behind "did traffic for X step up/down, and when"): bucket
-    * the stream into fixed windows, then pick the split k maximizing
-    * the between-segment sum of squares of the count series. For a
-    * series of m buckets with total T and prefix sum C_k, that
-    * objective reduces to the INTEGER rational
-    * `G(k) = (C_k·m − k·T)² / (k·(m−k)·m)` — numerator and denominator
-    * are exact BIGINTs, so the only floating-point op is one IEEE
-    * division, bit-identical cross-engine (the priority-sampling
-    * precedent). Ties break toward the earliest split.
-    *
-    * EMPTY buckets inside a type's span count as zero: the series is
-    * densified against the type's own [first, last] bucket range via a
-    * per-type sequence (range/bucket is bounded — the resample-grid
-    * contract), so a gap reads as a rate drop, not as a missing row.
-    * Shape: one (type, bucket)-keyed count, one bounded per-type
-    * window pass for prefix sums, one `max_by` argmax aggregate —
-    * never a corpus-scale window. Output per type: the best split's
-    * bucket start, its G statistic, and the 6-dp mean rates on each
-    * side. Types with m < 2 buckets yield no row. */
   /** Median-absolute-deviation anomaly flags (the Iglewicz–Hoaglin
     * modified z-score 0.6745·|x − med| / MAD > threshold) — the ROBUST
     * sibling of [[anomalies]]'s mean/σ z-score: one fat-tailed burst
@@ -718,6 +697,27 @@ object Events {
         col("med"), col("mod_z"))
   }
 
+  /** Single change-point detection per event type over its bucketed
+    * rate series (binary segmentation, one split — the level-shift
+    * audit behind "did traffic for X step up/down, and when"): bucket
+    * the stream into fixed windows, then pick the split k maximizing
+    * the between-segment sum of squares of the count series. For a
+    * series of m buckets with total T and prefix sum C_k, that
+    * objective reduces to the INTEGER rational
+    * `G(k) = (C_k·m − k·T)² / (k·(m−k)·m)` — numerator and denominator
+    * are exact BIGINTs, so the only floating-point op is one IEEE
+    * division, bit-identical cross-engine (the priority-sampling
+    * precedent). Ties break toward the earliest split.
+    *
+    * EMPTY buckets inside a type's span count as zero: the series is
+    * densified against the type's own [first, last] bucket range via a
+    * per-type sequence (range/bucket is bounded — the resample-grid
+    * contract), so a gap reads as a rate drop, not as a missing row.
+    * Shape: one (type, bucket)-keyed count, one bounded per-type
+    * window pass for prefix sums, one `max_by` argmax aggregate —
+    * never a corpus-scale window. Output per type: the best split's
+    * bucket start, its G statistic, and the 6-dp mean rates on each
+    * side. Types with m < 2 buckets yield no row. */
   def changePoint(
       events: DataFrame,
       bucket: String = "hour",

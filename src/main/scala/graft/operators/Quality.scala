@@ -1490,17 +1490,26 @@ object Quality {
       .withColumn("nextv", lead(col("vu"), 1).over(wLead))
       .filter(col("nextv").isNotNull)
     val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    // an empty SIDE makes W1 undefined (na·nb = 0; the division would
-    // be engine-dependent inf/NaN) — emit NULL, the psi discipline
-    cum.crossJoin(broadcast(totals))
-      .groupBy(col("na"), col("nb"))
+    // one row ALWAYS survives: the trapezoid sum is aggregated on its
+    // own (a grand aggregate emits exactly one row even over the empty
+    // frame) and attached to the totals row, instead of grouping the
+    // trapezoid rows by (na, nb) — a single-distinct-value input (where
+    // every lead(vu) is null and `cum` is empty) previously emitted
+    // ZERO rows while the oracle's scalar-subquery SELECT emits one.
+    // W1 of a point mass vs a point mass at the same value is
+    // mathematically 0, so tsum coalesces to 0; an empty SIDE still
+    // makes W1 undefined (na·nb = 0; the division would be
+    // engine-dependent inf/NaN) — NULL, the psi discipline.
+    val trap = cum
+      .crossJoin(broadcast(totals.select(col("na").as("na2"), col("nb").as("nb2"))))
       .agg(sum(
-        abs(col("cuma").cast(dec) * col("nb") -
-          col("cumb").cast(dec) * col("na")) *
+        abs(col("cuma").cast(dec) * col("nb2") -
+          col("cumb").cast(dec) * col("na2")) *
           (col("nextv") - col("vu")).cast(dec)).as("tsum"))
+    totals.crossJoin(broadcast(trap))
       .select(col("na"), col("nb"),
         when(col("na") > 0 && col("nb") > 0,
-          round(col("tsum").cast("double") /
+          round(coalesce(col("tsum"), lit(0L).cast(dec)).cast("double") /
             (col("na").cast(dec) * col("nb")).cast("double") / lit(1e6), 6))
           .otherwise(lit(null).cast("double")).as("w1"))
   }
@@ -1548,10 +1557,15 @@ object Quality {
         log((lit(2L).cast(big) * cbNa).cast("double") /
           (caNb + cbNa).cast("double")), 9).cast(dec))
       .otherwise(lit(0L).cast(dec))
-    counts.crossJoin(broadcast(totals))
-      .groupBy(col("na"), col("nb"))
+    // one row ALWAYS survives (the wasserstein1 shape): the per-key
+    // terms are grand-aggregated on their own and attached to the
+    // totals row — grouping the joined rows by (na, nb) emitted ZERO
+    // rows when both inputs are empty, while the oracle's
+    // scalar-subquery SELECT emits one (na/nb/jsd all NULL, n_keys 0).
+    val terms = counts.crossJoin(broadcast(totals))
       .agg(count(lit(1)).as("n_keys"),
         sum(termP).as("sp"), sum(termQ).as("sq"))
+    totals.crossJoin(broadcast(terms))
       .select(col("na"), col("nb"), col("n_keys"),
         round((col("sp") + col("sq")).cast("double") / 2.0d, 6)
           .as("jsd_nats"))

@@ -44,6 +44,28 @@ class Round14OpsSpec extends SparkTestBase {
     assert(j.getLong(1) == 0L && j.getDouble(3) == 0.0) // no ln(0) path
   }
 
+  test("wasserstein1/jensenShannon: degenerate inputs still emit ONE row") {
+    // constant value column: every lead(vu) is null so the trapezoid
+    // frame is EMPTY — W1 is mathematically 0 there and the oracle's
+    // scalar-subquery SELECT always emits a row, so we must too
+    val ca = Seq(5.0, 5.0, 5.0).toDF("v")
+    val cb = Seq(5.0, 5.0).toDF("v")
+    val w = Quality.wasserstein1(ca, cb, "v").collect()
+    assert(w.length == 1)
+    assert(w.head.getLong(0) == 3L && w.head.getLong(1) == 2L)
+    assert(w.head.getDouble(2) == 0.0)
+    // both inputs empty: one row, NULL na/nb/jsd, n_keys 0
+    val ka = Seq("x").toDF("k").filter(col("k") === "zz")
+    val j = Quality.jensenShannon(ka, ka, "k").collect()
+    assert(j.length == 1)
+    assert(j.head.isNullAt(0) && j.head.isNullAt(1))
+    assert(j.head.getLong(2) == 0L && j.head.isNullAt(3))
+    // both wasserstein inputs empty: one row, NULL everywhere
+    val we = Quality.wasserstein1(ka.withColumn("v", lit(1.0)),
+      ka.withColumn("v", lit(1.0)), "v").collect()
+    assert(we.length == 1 && we.head.isNullAt(2))
+  }
+
   test("wasserstein1: unit shift of a two-point distribution costs 1") {
     val a = Seq(0.0, 1.0).toDF("v")
     val b = Seq(1.0, 2.0).toDF("v")

@@ -19,10 +19,15 @@ def canon(df):
     return df
 
 def rec(rows_match=None, schema_match=None, hash_match=None,
-        spark_rows=None, oracle_rows=None, err=None):
-    return {"rows_match": rows_match, "schema_match": schema_match,
-            "hash_match": hash_match, "spark_rows": spark_rows,
-            "oracle_rows": oracle_rows, "err": err}
+        spark_rows=None, oracle_rows=None, err=None, jitter_ok=None):
+    r = {"rows_match": rows_match, "schema_match": schema_match,
+         "hash_match": hash_match, "spark_rows": spark_rows,
+         "oracle_rows": oracle_rows, "err": err}
+    # only present on the float-jitter branch: values differ within the
+    # repr round-trip tolerance, counted ok but NOT hash-identical
+    if jitter_ok is not None:
+        r["jitter_ok"] = jitter_ok
+    return r
 
 def main(sf_dir, out_dir, record_path=None):
     record = {}
@@ -86,7 +91,10 @@ def main(sf_dir, out_dir, record_path=None):
             n_bad += 1
         else:
             print(f"OK~      {name} (float jitter only: {[c for c,_ in diff_cols]})")
-            record[name] = rec(rows_match=True, schema_match=True, hash_match=True,
+            # hash_match=False: the values are NOT bit-identical, only
+            # within tolerance — jitter_ok carries the ok-vs-ok~ distinction
+            record[name] = rec(rows_match=True, schema_match=True, hash_match=False,
+                               jitter_ok=True,
                                spark_rows=len(got), oracle_rows=len(want),
                                err=f"float_jitter: {[c for c,_ in diff_cols]}"[:300])
             n_ok += 1
