@@ -634,6 +634,25 @@ object SparkEntry {
         keyCol = "user_id", tsCol = "ts_ms", valueCol = "err_ms",
         leftCols = Seq("event_id"), direction = "forward")
     }),
+    "ev_asof_native_multi" -> ((s, dir) => {
+      // MULTIPLE payload columns through the native operator in ONE
+      // merge — timestamp, id and value of the matched error row, all
+      // from the SAME row (the whole-payload contract). The right side
+      // is pre-aggregated to unique (user, ts) with a deterministic
+      // max-event-id representative: the merge keeps the last of a
+      // (key, ts) tie, which is sort-nondeterministic for payloads.
+      val ev = eventsTable(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("event_id")).as("err_event_id"),
+          max_by(col("value"), col("event_id")).as("err_value"))
+        .withColumn("err_ms", col("ts_ms"))
+      graft.plans.NativeAsOf.asOfMulti(
+        ev.select(col("event_id"), col("user_id"), col("ts_ms")), errors,
+        keyCol = "user_id", tsCol = "ts_ms",
+        valueCols = Seq("err_ms", "err_event_id", "err_value"),
+        leftCols = Seq("event_id"))
+    }),
     "ev_asof_nearest" -> ((s, dir) => {
       // each event joined to the user's CLOSEST error event either
       // direction (ties -> the earlier one)
@@ -2853,6 +2872,17 @@ object SparkEntry {
          FROM events e
          ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') r
            ON e.user_id = r.user_id AND e.ts <= r.ts""",
+    "ev_asof_native_multi" ->
+      """WITH r AS (SELECT user_id, ts, max(event_id) AS err_event_id,
+                           max_by("value", event_id) AS err_value
+                    FROM events WHERE event_type = 'error'
+                    GROUP BY user_id, ts)
+         SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+                epoch_ms(r.ts) AS asof_err_ms,
+                r.err_event_id AS asof_err_event_id,
+                r.err_value AS asof_err_value
+         FROM events e
+         ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts""",
     "ev_asof_nearest" ->
       """WITH r AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
           b AS (SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,

@@ -1106,8 +1106,14 @@ object Corpus {
       "corpus_reps")
     // the reps write was the last reader of the quality-filtered base
     basePath.foreach(graft.ops.Scratch.drop(docs.sparkSession, _))
+    // Bloom pre-filtered exact decontamination: bit-identical output to
+    // the plain exact path (a Bloom filter has no false negatives and
+    // the exact join re-verifies every survivor — the decontaminate_bloom
+    // gate proves full value equality), but the corpus gram stream is
+    // cut map-side BEFORE the shuffle, which at 100 TB is the difference
+    // between shuffling every gram and shuffling the ~fpp tail.
     val clean0 = reps.join(
-      decontaminate(reps, benchmark, idCol = idCol)
+      decontaminateBloom(reps, benchmark, idCol = idCol)
         .filter(!col("contaminated"))
         .select(col("doc_id").as(idCol)),
       Seq(idCol))

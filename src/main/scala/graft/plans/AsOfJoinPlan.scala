@@ -51,18 +51,18 @@ case class AsOfJoinPlan(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    rightValue: Attribute,
-    asofOut: AttributeReference,
+    rightValues: Seq[Attribute],
+    asofOuts: Seq[AttributeReference],
     forward: Boolean = false)
   extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output :+ asofOut
+  override def output: Seq[Attribute] = left.output ++ asofOuts
 
-  // asofOut is GENERATED here, not forwarded from a child — declaring
-  // it keeps CheckAnalysis' missing-attribute audit happy (the
+  // asofOuts are GENERATED here, not forwarded from a child — declaring
+  // them keeps CheckAnalysis' missing-attribute audit happy (the
   // Generate/ScriptTransformation convention)
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofOut :: Nil)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofOuts)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -77,7 +77,7 @@ class AsOfJoinStrategy extends SparkStrategy {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftKey, p.leftTs, p.rightKey, p.rightTs,
-        p.rightValue, p.asofOut, p.forward) :: Nil
+        p.rightValues, p.asofOuts, p.forward) :: Nil
     case _ => Nil
   }
 }
@@ -89,15 +89,15 @@ case class AsOfJoinExec(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    rightValue: Attribute,
-    asofOut: AttributeReference,
+    rightValues: Seq[Attribute],
+    asofOuts: Seq[AttributeReference],
     forward: Boolean = false)
   extends SparkPlan with BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output :+ asofOut
+  override def output: Seq[Attribute] = left.output ++ asofOuts
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofOut :: Nil)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofOuts)
 
   // the SortMergeJoin ask: co-partition both sides on the key and sort
   // each partition by (key, ts) — EnsureRequirements supplies the
@@ -129,8 +129,10 @@ case class AsOfJoinExec(
     // non-nullable at the source: the miss path substitutes an all-null
     // row, and BindReferences takes nullability from the INPUT schema —
     // left as-is, a non-nullable BoundReference skips the null check
-    // and reads raw zeros
-    val projExprs: Seq[Expression] = lOut :+ rightValue
+    // and reads raw zeros. The merge already holds the FULL matched
+    // right row, so attaching k value columns is projection width
+    // only — the scan and its O(1) state are unchanged.
+    val projExprs: Seq[Expression] = lOut ++ rightValues
     val projInput = lOut ++ rOut.map(_.withNullability(true))
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rKeyB = BindReferences.bindReference[Expression](rightKey, rOut)
@@ -242,28 +244,45 @@ object NativeAsOf {
       tsCol: String,
       valueCol: String,
       leftCols: Seq[String],
+      direction: String = "backward"): DataFrame =
+    asOfMulti(left, right, keyCol, tsCol, Seq(valueCol), leftCols, direction)
+
+  /** [[asOf]] attaching MULTIPLE right-side payload columns in one
+    * merge — each emitted as `asof_<col>`, all from the SAME matched
+    * row (the whole-payload contract the union+window composition
+    * gets by packing a struct). The merge holds the full right row
+    * either way, so k columns cost only projection width. */
+  def asOfMulti(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      leftCols: Seq[String],
       direction: String = "backward"): DataFrame = {
     require(Set("backward", "forward")(direction),
       s"direction must be backward|forward, got $direction")
+    require(valueCols.nonEmpty, "asOfNative: at least one value column")
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lSel = (leftCols :+ keyCol :+ tsCol).distinct
     val l = left.select(lSel.map(c => col(c).as(c)): _*)
     val r = right.select(
-      Seq(keyCol, tsCol, valueCol).distinct.map(c => col(c).as(c)): _*)
+      (Seq(keyCol, tsCol) ++ valueCols).distinct.map(c => col(c).as(c)): _*)
     val lPlan = l.queryExecution.analyzed
     val rPlan = r.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"asOfNative: column $n missing"))
-    val rv = attr(rPlan, valueCol)
+    val rvs = valueCols.map(attr(rPlan, _))
     AsOfJoinExec.cmpFn(attr(lPlan, keyCol).dataType) // fail fast on type
     AsOfJoinExec.cmpFn(attr(lPlan, tsCol).dataType)
-    val out = AttributeReference(s"asof_$valueCol", rv.dataType,
-      nullable = true)()
+    val outs = valueCols.zip(rvs).map { case (c, rv) =>
+      AttributeReference(s"asof_$c", rv.dataType, nullable = true)()
+    }
     GraftPlanApi.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, keyCol), attr(lPlan, tsCol),
-      attr(rPlan, keyCol), attr(rPlan, tsCol), rv, out,
+      attr(rPlan, keyCol), attr(rPlan, tsCol), rvs, outs,
       forward = direction == "forward"))
   }
 

@@ -114,6 +114,43 @@ class NativeAsOfSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(out(3L).isEmpty) // nothing after
   }
 
+  test("asOfMulti: k payload columns ride the same matched row") {
+    // differential vs k independent single-value native runs — every
+    // asof_<col> must come from the SAME matched right row
+    val ev = events().withColumn("ts_ms", unix_millis(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(col("event_id")).as("err_event_id"),
+        max_by(col("value"), col("event_id")).as("err_value"))
+      .withColumn("err_ms", col("ts_ms"))
+    val multi = NativeAsOf.asOfMulti(
+      ev.select("event_id", "user_id", "ts_ms"), errors,
+      keyCol = "user_id", tsCol = "ts_ms",
+      valueCols = Seq("err_ms", "err_event_id", "err_value"),
+      leftCols = Seq("event_id"))
+    assert(multi.schema.fieldNames.toSeq == Seq("event_id", "user_id",
+      "ts_ms", "asof_err_ms", "asof_err_event_id", "asof_err_value"))
+    for (vc <- Seq("err_ms", "err_event_id", "err_value")) {
+      val single = NativeAsOf.asOf(
+        ev.select("event_id", "user_id", "ts_ms"), errors,
+        keyCol = "user_id", tsCol = "ts_ms", valueCol = vc,
+        leftCols = Seq("event_id"))
+      val m = multi.select(col("event_id"), col("user_id"), col("ts_ms"),
+        col(s"asof_$vc"))
+      assert(m.exceptAll(single).isEmpty && single.exceptAll(m).isEmpty,
+        s"multi disagrees with single-value run on $vc")
+    }
+    // hand case incl. the miss path: ALL payload columns null together
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 250L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val r = Seq((10L, 200L, 7L, 0.5)).toDF("user_id", "ts_ms", "rid", "rv")
+    val out = NativeAsOf.asOfMulti(l, r, "user_id", "ts_ms",
+      Seq("rid", "rv"), Seq("event_id")).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(out(1L).isNullAt(3) && out(1L).isNullAt(4))
+    assert(out(2L).getLong(3) == 7L && out(2L).getDouble(4) == 0.5)
+  }
+
   test("string keys merge correctly") {
     val left = Seq(("a", 5L, 1L), ("b", 5L, 2L), ("c", 5L, 3L))
       .toDF("k", "ts", "id")
