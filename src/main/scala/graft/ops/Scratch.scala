@@ -54,6 +54,15 @@ object Scratch {
     * (see `drop`) instead of leaving them to the JVM shutdown hook — a
     * long-lived session running many iterative jobs would otherwise
     * accumulate O(iterations) dead parquet directories. */
+  /** Marker file dropped into every observed-write scratch directory —
+    * the machine-readable record that this table's row count was
+    * MEASURED on the write (the decontaminate / quantileNormalize gate
+    * discipline). `BnljBoundedSpec` reads it to accept a broadcast of
+    * the table without a per-prefix whitelist: any future
+    * `materializeObserved` site is covered automatically, and a scratch
+    * table written WITHOUT observation never picks up the marker. */
+  val observedMarker = "_GRAFT_OBSERVED"
+
   def materializeObservedAt(
       df: DataFrame,
       prefix: String,
@@ -64,6 +73,9 @@ object Scratch {
     val obs = Observation()
     df.observe(obs, metric, metrics: _*)
       .write.mode("overwrite").parquet(path)
+    val marker = new org.apache.hadoop.fs.Path(path, observedMarker)
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .create(marker, true).close()
     (spark.read.parquet(path), obs.get, path)
   }
 

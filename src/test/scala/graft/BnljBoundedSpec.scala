@@ -18,16 +18,23 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
  */
 class BnljBoundedSpec extends SparkTestBase {
 
-  /** Scratch prefixes whose tables are written via
-    * `Scratch.materializeObservedAt` behind a runtime row-count gate —
-    * broadcast-safe by MEASUREMENT. Add a prefix here ONLY together
-    * with the observed-count `require`/`raise_error` in the operator. */
-  private val gatedScratchPrefixes = Seq("qnorm_gh", "qnorm_ph")
-
+  /** A scan of a scratch table written via
+    * `Scratch.materializeObservedAt` — recognized by the
+    * [[graft.ops.Scratch.observedMarker]] file the writer drops into
+    * the directory. Its row count was MEASURED during the write (the
+    * decontaminate / quantileNormalize gate discipline), so a broadcast
+    * of it is bounded by observation, not hope; every future
+    * `materializeObserved` site is covered with no whitelist edit. A
+    * scratch table written WITHOUT observation never has the marker. */
   private def isGatedScratchScan(p: SparkPlan): Boolean = p match {
     case f: FileSourceScanLike =>
-      f.relation.location.rootPaths.exists(rp =>
-        gatedScratchPrefixes.exists(pre => rp.toString.contains(pre)))
+      f.relation.location.rootPaths.exists { rp =>
+        val marker = new org.apache.hadoop.fs.Path(
+          rp, graft.ops.Scratch.observedMarker)
+        try marker.getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(marker)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
     case _ => false
   }
 
