@@ -2232,7 +2232,8 @@ object Graph {
       edges: DataFrame,
       maxRounds: Int = 4,
       weightCol: Option[String] = None,
-      levels: Int = 1): DataFrame = {
+      levels: Int = 1,
+      maxLocalEdges: Long = 400000L): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     require(levels >= 1, "levels must be >= 1")
@@ -2247,11 +2248,12 @@ object Graph {
           .filter(col("w") > 0L)
     }
     val dec = "decimal(38,0)"
-    // 2m rides the edge-table write as an Observation (no separate
-    // driver aggregate): invariant across contractions
+    // 2m and the edge count ride the edge-table write as Observations
+    // (no separate driver aggregate): m2 is invariant across
+    // contractions; the count gates the local phase fast path below
     var (e, eMeta, ePath) = Scratch.materializeObservedAt(
       e0raw.select(col("src"), col("dst"), col("w")), "louvain_edges",
-      (sum(col("w")) * 2L).as("m2"))
+      (sum(col("w")) * 2L).as("m2"), count(lit(1)).as("n_edges"))
     // self-loop mass per node: zero at level 1, the contracted
     // intra-community weight at deeper levels. A self-loop never
     // changes a MOVE decision (it travels with its node) but it does
@@ -2263,8 +2265,28 @@ object Graph {
       return e.select(col("src").as("node"), col("src").as("community"))
     val m2 = eMeta("m2").asInstanceOf[Long] // 2m
     // one phase of half-sweep local moves over (cross-edges e, self
-    // mass sw); returns the phase's label table (node → community)
-    def phase(e: DataFrame, sw: DataFrame): (DataFrame, String) = {
+    // mass sw); returns the phase's label table (node → community).
+    // `nEdges`/`nSelf` are the OBSERVED row counts of the two inputs
+    // (riding their write jobs): under `maxLocalEdges` the phase runs
+    // as a driver-local sweep loop — the [[Corpus.connectedComponents]]
+    // union-find switchover, and exactly what production Louvain does
+    // once contraction shrinks the graph (level 2+ graphs are
+    // |communities|-sized; burning 6+ distributed jobs of pure stage
+    // scheduling on a 10k-node graph is the measured sf0.1 cost). The
+    // local sweep replays the SAME integer arithmetic (BigInt ⊇
+    // DECIMAL(38,0)), same snapshot semantics, same (gain, -c)
+    // tie-break — value-identical by construction, differential-spec
+    // enforced, and the collect is bounded by the observed counts,
+    // never by hope. Long-typed node ids only; anything else (or
+    // maxLocalEdges = 0, the spec's override) takes the distributed
+    // scratch-table loop.
+    def phase(e: DataFrame, sw: DataFrame,
+        nEdges: Long, nSelf: Long): (DataFrame, String) = {
+      if (maxLocalEdges > 0 && nEdges <= maxLocalEdges &&
+          nSelf <= maxLocalEdges &&
+          e.schema("src").dataType ==
+            org.apache.spark.sql.types.LongType)
+        return (louvainLocalPhase(e, sw, m2, maxRounds), null)
       val (adj, adjPath) = Scratch.materializeAt(
         e.select(col("src").as("n"), col("dst").as("x"), col("w"))
           .union(e.select(col("dst").as("n"), col("src").as("x"), col("w"))),
@@ -2289,11 +2311,18 @@ object Graph {
         "louvain_ki",
         sum(lit(2L * m2).cast(dec) * col("selfw") -
           col("ki").cast(dec) * col("ki").cast(dec)).as("s0"))
+      // labels tables CARRY (ki, selfw) alongside (node, label): the
+      // node-mass columns are functionally dependent on the node, so
+      // riding them on every labels scratch write lets each half-sweep
+      // take Σtot straight off the labels table and the move decision
+      // read ki/selfw from the c0 join it does anyway — three per-sweep
+      // re-joins against the ki table gone (the round-9 verdict trim)
       def halfSweep(labels: DataFrame, par: Int): DataFrame = {
-        val sumtot = labels.join(ki, Seq("node"))
+        val sumtot = labels
           .groupBy(col("label").as("c")).agg(sum(col("ki")).as("tot"))
-        val kic = adj.join(labels, adj("x") === labels("node"))
-          .select(adj("n").as("node"), col("label").as("c"), col("w"))
+        val kic = adj
+          .join(labels.select(col("node").as("x"), col("label")), Seq("x"))
+          .select(col("n").as("node"), col("label").as("c"), col("w"))
         // the stay candidate rides as a zero-weight row: a node with no
         // neighbor in its own community still evaluates staying (gain 0
         // after self-removal)
@@ -2306,14 +2335,17 @@ object Graph {
             (col("tot") - when(col("c") === col("c0"), col("ki"))
               .otherwise(lit(0L)))
         val moved = cand
-          .join(labels.select(col("node"), col("label").as("c0")), Seq("node"))
-          .join(ki, Seq("node"))
+          .join(labels.select(col("node"), col("label").as("c0"),
+            col("ki"), col("selfw")), Seq("node"))
           .join(sumtot, Seq("c"))
           .filter(pmod(col("node"), lit(2L)) === par)
-          .groupBy(col("node"))
+          .groupBy(col("node"), col("ki"), col("selfw"))
           .agg(max_by(col("c"),
             struct(gain.as("g"), (-col("c")).as("nc"))).as("label"))
-        labels.filter(pmod(col("node"), lit(2L)) =!= par).unionByName(moved)
+          .select(col("node"), col("label"), col("ki"), col("selfw"))
+        labels.filter(pmod(col("node"), lit(2L)) =!= par)
+          .select(col("node"), col("label"), col("ki"), col("selfw"))
+          .unionByName(moved)
       }
       // 4m²-scaled integer modularity of the sweep result rides ITS OWN
       // write job as an Observation (the ParquetWireSink stats pattern),
@@ -2335,9 +2367,8 @@ object Graph {
           .groupBy(col("n").as("node"), col("lx").as("label"))
           .agg(sum(col("w")).as("w_intra"))
         val enriched = core
-          .join(ki, Seq("node"))
           .join(nbrW, Seq("node", "label"), "left")
-          .select(col("node"), col("label"),
+          .select(col("node"), col("label"), col("ki"), col("selfw"),
             (lit(m2).cast(dec) * coalesce(col("w_intra"), lit(0L)) +
               lit(2L * m2).cast(dec) * col("selfw") -
               col("ki").cast(dec) *
@@ -2345,15 +2376,20 @@ object Graph {
                   .cast(dec)).as("s_i"))
         val (scan, met, path) = Scratch.materializeObservedAt(
           enriched, "louvain_labels", sum(col("s_i")).as("s"))
-        (scan.select(col("node"), col("label")), path,
-          met("s").asInstanceOf[java.math.BigDecimal])
+        (scan.select(col("node"), col("label"), col("ki"), col("selfw")),
+          path, met("s").asInstanceOf[java.math.BigDecimal])
       }
-      var labels = ki.select(col("node"), col("node").as("label"))
+      var labels = ki.select(col("node"), col("node").as("label"),
+        col("ki"), col("selfw"))
       var labelsPath: String = kiPath // identity labels read the ki table
       var s = kiMeta("s0").asInstanceOf[java.math.BigDecimal]
       var round = 1
       var improving = true
       while (improving && round <= maxRounds) {
+        // the odd half-sweep IS materialized: inlining it into the
+        // scored even-sweep plan was measured SLOWER (10.7 s vs 10.0 s
+        // at sf0.1) — the inner sweep subtree appears 4× in the fused
+        // plan and exchange reuse does not collapse all copies
         val (h1, h1Path) = Scratch.materializeAt(halfSweep(labels, 1),
           "louvain_h1")
         val (h2, h2Path, s2) = scoredSweep(h1, 0)
@@ -2371,7 +2407,8 @@ object Graph {
       (labels, labelsPath)
     }
     // level 1
-    var (labels, labelsPath) = phase(e, sw)
+    var (labels, labelsPath) = phase(e, sw,
+      eMeta("n_edges").asInstanceOf[Long], 0L)
     var (map, mapPath) = Scratch.materializeAt(
       labels.select(col("node"), col("label").as("community")), "louvain_map")
     Scratch.drop(spark, labelsPath)
@@ -2382,13 +2419,13 @@ object Graph {
       val ls = map.select(col("node").as("src"), col("community").as("ls"))
       val ld = map.select(col("node").as("dst"), col("community").as("ld"))
       val tagged = e.join(ls, Seq("src")).join(ld, Seq("dst"))
-      val (e2, e2Path) = Scratch.materializeAt(
+      val (e2, e2Meta, e2Path) = Scratch.materializeObservedAt(
         tagged.filter(col("ls") =!= col("ld"))
           .groupBy(least(col("ls"), col("ld")).as("src"),
             greatest(col("ls"), col("ld")).as("dst"))
           .agg(sum(col("w")).as("w")),
-        "louvain_edges")
-      val (sw2, sw2Path) = Scratch.materializeAt(
+        "louvain_edges", count(lit(1)).as("n_edges"))
+      val (sw2, sw2Meta, sw2Path) = Scratch.materializeObservedAt(
         map.select(col("community").as("node")).distinct()
           .join(tagged.filter(col("ls") === col("ld"))
               .groupBy(col("ls").as("node")).agg(sum(col("w")).as("intra"))
@@ -2398,12 +2435,14 @@ object Graph {
               .groupBy(col("node")).agg(sum(col("intra")).as("selfw")),
             Seq("node"), "left")
           .select(col("node"), coalesce(col("selfw"), lit(0L)).as("selfw")),
-        "louvain_selfw")
+        "louvain_selfw", count(lit(1)).as("n_selfw"))
       Scratch.drop(spark, ePath)
       if (swPath != null) Scratch.drop(spark, swPath)
       e = e2; ePath = e2Path
       sw = sw2; swPath = sw2Path
-      val (l2, l2Path) = phase(e, sw)
+      val (l2, l2Path) = phase(e, sw,
+        e2Meta("n_edges").asInstanceOf[Long],
+        sw2Meta("n_selfw").asInstanceOf[Long])
       val (map2, map2Path) = Scratch.materializeAt(
         map.join(
           l2.select(col("node").as("community_prev"),
@@ -2418,6 +2457,102 @@ object Graph {
     Scratch.drop(spark, ePath)
     if (swPath != null) Scratch.drop(spark, swPath)
     map
+  }
+
+  /** Driver-local rendition of one [[louvain]] phase — reachable ONLY
+    * under the observed `maxLocalEdges` gate. Replays the distributed
+    * phase exactly: identity start, rounds of two snapshot half-sweeps
+    * (odd ids then even ids, moves computed against the half-sweep's
+    * INPUT labels), gain = m2·k_{i,C} − k_i·(Σtot(C) − [C=C₀]·k_i) as
+    * exact BigInt (⊇ the distributed DECIMAL(38,0)), ties to the
+    * smallest community id, rounds accepted only while the 4m²-scaled
+    * integer modularity strictly increases. All fold orders are
+    * commutative integer sums, so map iteration order cannot leak into
+    * the result — value-identical to the scratch-table loop by
+    * construction (LouvainLocalSpec runs both paths differentially). */
+  private def louvainLocalPhase(
+      e: DataFrame, sw: DataFrame, m2: Long, maxRounds: Int): DataFrame = {
+    import scala.collection.mutable
+    val spark = e.sparkSession
+    val edgeRows = e.select(col("src"), col("dst"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val selfw = mutable.LongMap.empty[Long]
+    sw.select(col("node"), col("selfw")).collect()
+      .foreach(r => selfw(r.getLong(0)) = r.getLong(1))
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Long)]]
+    val kw = mutable.LongMap.empty[Long]
+    for ((s, d, w) <- edgeRows) {
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, w))
+      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += ((s, w))
+      kw(s) = kw.getOrElse(s, 0L) + w
+      kw(d) = kw.getOrElse(d, 0L) + w
+    }
+    val nodes = (adj.keysIterator ++ selfw.keysIterator).toArray.distinct
+    val ki = mutable.LongMap.empty[Long]
+    nodes.foreach(n =>
+      ki(n) = kw.getOrElse(n, 0L) + 2L * selfw.getOrElse(n, 0L))
+    val m2b = BigInt(m2)
+    def halfSweep(labels: mutable.LongMap[Long], par: Long)
+        : mutable.LongMap[Long] = {
+      val tot = mutable.LongMap.empty[BigInt]
+      nodes.foreach { n =>
+        val c = labels(n); tot(c) = tot.getOrElse(c, BigInt(0)) + ki(n) }
+      val out = labels.clone()
+      nodes.foreach { n =>
+        if (java.lang.Math.floorMod(n, 2L) == par) {
+          val c0 = labels(n)
+          val cand = mutable.LongMap.empty[Long]
+          cand(c0) = 0L // the stay candidate (gain 0 after self-removal)
+          adj.get(n).foreach(_.foreach { case (x, w) =>
+            val cx = labels(x); cand(cx) = cand.getOrElse(cx, 0L) + w })
+          var bestC = c0
+          var bestG: BigInt = null
+          cand.foreach { case (c, kic) =>
+            val g = m2b * kic - BigInt(ki(n)) *
+              (tot.getOrElse(c, BigInt(0)) -
+                (if (c == c0) BigInt(ki(n)) else BigInt(0)))
+            if (bestG == null || g > bestG || (g == bestG && c < bestC)) {
+              bestG = g; bestC = c
+            }
+          }
+          out(n) = bestC
+        }
+      }
+      out
+    }
+    def score(labels: mutable.LongMap[Long]): BigInt = {
+      val dC = mutable.LongMap.empty[BigInt]
+      nodes.foreach { n =>
+        val c = labels(n); dC(c) = dC.getOrElse(c, BigInt(0)) + ki(n) }
+      var s = BigInt(0)
+      nodes.foreach { n =>
+        var wIntra = 0L
+        adj.get(n).foreach(_.foreach { case (x, w) =>
+          if (labels(x) == labels(n)) wIntra += w })
+        s += m2b * wIntra + 2 * m2b * BigInt(selfw.getOrElse(n, 0L)) -
+          BigInt(ki(n)) * dC(labels(n))
+      }
+      s
+    }
+    var labels = {
+      val m = mutable.LongMap.empty[Long]; nodes.foreach(n => m(n) = n); m }
+    var s = score(labels)
+    var round = 1
+    var improving = true
+    while (improving && round <= maxRounds) {
+      val h2 = halfSweep(halfSweep(labels, 1L), 0L)
+      val s2 = score(h2)
+      if (s2 > s) { labels = h2; s = s2; round += 1 }
+      else improving = false
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.sorted.map(n =>
+        org.apache.spark.sql.Row(n, labels(n))): _*)
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /**

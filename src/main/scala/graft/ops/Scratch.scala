@@ -81,12 +81,14 @@ object Scratch {
 
   /** Delete a scratch table eagerly (any Hadoop-FS scheme). Callers must
     * only drop paths whose LAST reader has finished — a dropped table's
-    * returned scan is a dangling plan. */
-  def drop(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-    ()
-  }
+    * returned scan is a dangling plan. A null path is a no-op: driver-
+    * local fast paths hand back plans with no backing scratch table. */
+  def drop(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    if (path != null) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      ()
+    }
 
   /** A fresh scratch directory path (created only for the local default
     * root; configured roots get a unique child path, not pre-created). */

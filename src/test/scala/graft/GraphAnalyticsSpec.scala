@@ -648,6 +648,32 @@ class GraphAnalyticsSpec extends SparkTestBase {
       stable(1L) != stable(4L))
   }
 
+  test("louvain: gated local phase equals the distributed scratch loop") {
+    // the same fixture the gated queries run: weighted co-purchase
+    // edges, single- and multi-level, local fast path (default gate)
+    // vs the distributed loop (maxLocalEdges = 0 override) — exact
+    // value equality, the union-find-fast-path differential discipline
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .filter(col("l_partkey") % 4 === 0)
+    val e = Graph.coOccurrenceWeightedEdges(li, "l_orderkey", "l_partkey")
+    for (lv <- Seq(1, 2)) {
+      val local = Graph.louvain(e, maxRounds = 2,
+        weightCol = Some("weight"), levels = lv).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      val dist = Graph.louvain(e, maxRounds = 2,
+        weightCol = Some("weight"), levels = lv, maxLocalEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(local == dist, s"local/distributed divergence at levels=$lv")
+    }
+    // unweighted hand graph with a self-mass level: bridge triangles
+    val hand = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    assert(
+      Graph.louvain(hand, maxRounds = 1, levels = 2).collect().toSet ==
+      Graph.louvain(hand, maxRounds = 1, levels = 2, maxLocalEdges = 0L)
+        .collect().toSet)
+  }
+
   test("pageRank conserves mass on the fixture co-purchase graph") {
     val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .filter(col("l_partkey") % 4 === 0)
