@@ -2129,6 +2129,25 @@ object SparkEntry {
       Similarity.pqTopK(e, e.filter(pmod(col("vec_id"), lit(100)) === 0),
         k = 5, dims = 64, m = 4, ksub = 4, iters = 2)
     }),
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      // IVF-PQ composed ANN (the FAISS IVFPQ architecture): coarse
+      // cosine cells prune to nProbe per query, PQ codes score the
+      // probed cells by ADC, exact cosine re-ranks the shortlist
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8),
+        k = 5, cells = 8, nProbe = 2, dims = 64, m = 4, ksub = 4,
+        iters = 2, shortlist = 20)
+    }),
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      // the composed index's tuning readout: recall@5 vs the exact
+      // cosine top-5 at the same probe budget as sim_ivfpq_topk
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, q, k = 5),
+        Similarity.ivfPqTopK(e, q, k = 5, cells = 8, nProbe = 2,
+          dims = 64, m = 4, ksub = 4, iters = 2, shortlist = 20), k = 5)
+    }),
     "cdc_merge" -> ((s, dir) => {
       // MERGE/upsert snapshot maintenance: target = latest per-user
       // state from even-id events, change batch = odd-id events
@@ -3533,6 +3552,12 @@ object SparkEntry {
          SELECT dim::INT AS dim, n, round(s1 / n, 6) AS mean,
                 round((s2 - s1 * s1 / n) / n, 8) AS var_pop, min_v, max_v
          FROM a""",
+    "sim_ivfpq_topk" -> OracleFragments.simIvfPqTopK(
+      cells = 8, iters = 2, nProbe = 2, dims = 64, m = 4, ksub = 4,
+      maxQueryId = 8, k = 5, shortlist = 20),
+    "sim_ivfpq_recall" -> OracleFragments.simIvfPqRecall(
+      cells = 8, iters = 2, nProbe = 2, dims = 64, m = 4, ksub = 4,
+      maxQueryId = 8, k = 5, shortlist = 20),
     "sim_pq_topk" -> OracleFragments.simPqTopK(
       dims = 64, m = 4, ksub = 4, iters = 2, k = 5, queryMod = 100),
     "ev_sliding_window" ->
@@ -8391,8 +8416,12 @@ object OracleFragments {
     * discipline), corpus codes, and the ADC ranking: sum of exact
     * query-slice↔assigned-centroid distances, rounded 6 dp, id
     * tie-break. */
-  def simPqTopK(dims: Int, m: Int, ksub: Int, iters: Int,
-      k: Int, queryMod: Int): String = {
+  /** Per-subspace PQ codebook CTEs over the shared `v` CTE: for each
+    * subspace j — the slice table s$j, unrolled Lloyd rounds c$j0..a$ji,
+    * and the final code assignment e$j (vid → cell). Shared between
+    * [[simPqTopK]] and [[simIvfPqTopK]]; the CTE names never collide
+    * with [[ivfLloydCtes]]' c0../a1../af namespace. */
+  private def pqSliceCtes(dims: Int, m: Int, ksub: Int, iters: Int): String = {
     val sub = dims / m
     def sliceCtes(j: Int): String = {
       val lo = j * sub + 1
@@ -8424,23 +8453,37 @@ object OracleFragments {
           ${steps.mkString(",\n          ")},
           ${assign(s"e$j", s"c$j$iters")}"""
     }
-    val allCtes = (0 until m).map(sliceCtes).mkString(",\n          ")
-    val joins = (0 until m).map { j =>
+    (0 until m).map(sliceCtes).mkString(",\n          ")
+  }
+
+  /** The M code joins (vid → per-subspace codebook row) shared by the
+    * PQ oracles; `x` is the scored corpus alias. */
+  private def pqCodeJoins(m: Int, iters: Int): String =
+    (0 until m).map { j =>
       s"""JOIN e$j ON e$j.vid = x.vid
           JOIN c$j$iters cc$j ON cc$j.cell = e$j.cell"""
     }.mkString("\n          ")
-    val adist = (0 until m).map { j =>
+
+  /** The ADC distance expression Σ_j l2(q-slice_j, codebook_j) against
+    * query alias `q`; left-assoc + matches the Spark reduce order. */
+  private def pqAdcExpr(dims: Int, m: Int, qAlias: String): String = {
+    val sub = dims / m
+    (0 until m).map { j =>
       val lo = j * sub + 1
       val hi = (j + 1) * sub
-      l2Of(s"list_transform(q.qv[$lo:$hi], x -> x::DOUBLE)", s"cc$j.cv")
+      l2Of(s"list_transform($qAlias.qv[$lo:$hi], x -> x::DOUBLE)", s"cc$j.cv")
     }.mkString(" + ")
+  }
+
+  def simPqTopK(dims: Int, m: Int, ksub: Int, iters: Int,
+      k: Int, queryMod: Int): String =
     s"""WITH v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
-          $allCtes,
+          ${pqSliceCtes(dims, m, ksub, iters)},
           q AS (SELECT vid AS qid, v AS qv FROM v WHERE vid % $queryMod = 0),
           pairs AS (
-            SELECT q.qid, x.vid, round($adist, 6) AS adist
+            SELECT q.qid, x.vid, round(${pqAdcExpr(dims, m, "q")}, 6) AS adist
             FROM q CROSS JOIN v x
-            $joins
+            ${pqCodeJoins(m, iters)}
             WHERE x.vid <> q.qid)
         SELECT qid AS query_id, vid AS neighbor_id, adist, rank::INT AS rank
         FROM (
@@ -8448,5 +8491,64 @@ object OracleFragments {
                  row_number() OVER (PARTITION BY qid
                    ORDER BY adist ASC, vid ASC) AS rank
           FROM pairs) WHERE rank <= $k"""
-  }
+
+  /** Mirror of Similarity.ivfPqTopK — [[ivfLloydCtes]] (coarse cells)
+    * and [[pqSliceCtes]] (fine codes) composed: probe = per-query
+    * top-nProbe cells by centroid cosine, ADC only against probed
+    * cells' members, shortlist by (adist, id), exact cosine re-rank. */
+  def simIvfPqTopK(cells: Int, iters: Int, nProbe: Int, dims: Int,
+      m: Int, ksub: Int, maxQueryId: Int, k: Int, shortlist: Int): String =
+    s"""WITH ${ivfLloydCtes(cells, iters)},
+          ${pqSliceCtes(dims, m, ksub, iters)},
+          q AS (SELECT vid AS query_id, v AS qv FROM v
+                WHERE vid < $maxQueryId),
+          probed AS (
+            SELECT query_id, qv, cell FROM (
+              SELECT q.query_id, q.qv, cc.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${cosineOf("q.qv", "cc.cv")} DESC,
+                                cc.cell ASC) AS crn
+              FROM q CROSS JOIN c$iters cc) WHERE crn <= $nProbe),
+          adc AS (
+            SELECT p.query_id, x.vid AS neighbor_id,
+                   round(${pqAdcExpr(dims, m, "p")}, 6) AS adist
+            FROM probed p JOIN af x ON x.cell = p.cell
+            ${pqCodeJoins(m, iters)}
+            WHERE x.vid <> p.query_id),
+          short AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adist ASC, neighbor_id ASC) AS srank
+              FROM adc) WHERE srank <= $shortlist),
+          rer AS (
+            SELECT s.query_id, s.neighbor_id,
+                   ${cosineOf("q.qv", "x.v")} AS sim
+            FROM short s JOIN v x ON x.vid = s.neighbor_id
+            JOIN q ON q.query_id = s.query_id)
+        SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM rer) WHERE rank <= $k"""
+
+  /** Mirror of the sim_ivfpq_recall composition: [[simCosineTopK]] and
+    * [[simIvfPqTopK]] nested as subqueries (own WITH scopes),
+    * intersected on the pair key — the [[simRecallAtK]] shape. */
+  def simIvfPqRecall(cells: Int, iters: Int, nProbe: Int, dims: Int,
+      m: Int, ksub: Int, maxQueryId: Int, k: Int, shortlist: Int): String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id
+                    FROM (${simCosineTopK(maxQueryId, k)}) x),
+          ap AS (SELECT query_id, neighbor_id
+                 FROM (${simIvfPqTopK(cells, iters, nProbe, dims, m, ksub,
+      maxQueryId, k, shortlist)}) y),
+          h AS (SELECT ap.query_id, count(*)::BIGINT AS hits
+                FROM ap JOIN ex ON ap.query_id = ex.query_id
+                              AND ap.neighbor_id = ex.neighbor_id
+                GROUP BY 1)
+        SELECT qq.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+               round(coalesce(h.hits, 0)::DOUBLE / ${k.toDouble}::DOUBLE, 6)
+                 AS recall
+        FROM (SELECT DISTINCT query_id FROM ex) qq
+        LEFT JOIN h ON h.query_id = qq.query_id"""
 }

@@ -834,6 +834,119 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
+  /** IVF-PQ composed ANN top-k — the architecture a production
+    * 100 TB ANN serving/dedup pass actually runs (the FAISS IVFPQ
+    * shape, Jégou et al. 2011): the COARSE quantizer ([[ivfIndex]]
+    * cosine cells) prunes the corpus to the `nProbe` most-promising
+    * cells per query, PQ codes ([[pqTopK]]'s M per-subspace Lloyd
+    * codebooks) score only the probed cells' vectors by ADC table
+    * lookups, and an EXACT cosine re-rank over the `shortlist` best
+    * ADC candidates fixes the final order. Composes the two gated
+    * disciplines end to end:
+    *
+    *  - memory: the scored index is (vid, cell, M codes) — M bytes per
+    *    vector at ksub ≤ 256 — never the raw vectors; the exact re-rank
+    *    fetches originals for only `shortlist` rows per query;
+    *  - compute: per candidate pair M `element_at` + adds (the ADC
+    *    point), and only within probed cells — the IVF point;
+    *  - shape: assignment/encoding are map-side projections over pinned
+    *    6-dp literal codebooks (zero shuffle), the probe and ADC tables
+    *    ride a broadcast, the shortlist is a per-query bounded window,
+    *    and the re-rank joins k-bounded rows back to the corpus.
+    *
+    * Codes are over RAW vectors (not residuals): residual encoding is
+    * the production refinement, but raw codes keep every stage
+    * re-derivable by the DuckDB oracle exactly — the same determinism
+    * trade as everything in this module (6-dp pinned codebooks, 6-dp
+    * rounded distances, id tie-breaks). */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      cells: Int = 8,
+      nProbe: Int = 2,
+      dims: Int = 64,
+      m: Int = 4,
+      ksub: Int = 4,
+      iters: Int = 2,
+      shortlist: Int = 20): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val sub = dims / m
+    def sliceD(vec: Column, j: Int): Column =
+      transform(slice(vec, j * sub + 1, sub), _.cast("double"))
+
+    // coarse cells (the sim_ivf_topk discipline)
+    val (assigned, centroids) = ivfIndex(corpus, idCol, vecCol, cells, iters)
+
+    // per-subspace codebooks over the full corpus (the sim_pq_topk
+    // discipline; same documented persist window for the Lloyd collects)
+    val sliced = assigned.select(col("vid") +: col("cell") +:
+      (0 until m).map(j => sliceD(col("v"), j).as(s"s$j")): _*)
+    if (iters > 0) sliced.persist()
+    val books: Seq[Seq[(Int, Seq[Double])]] =
+      (0 until m).map { j =>
+        lloydL2(sliced.select(col("vid"), col(s"s$j").as("v")), ksub, iters)
+      }
+    if (iters > 0) sliced.unpersist(blocking = false)
+
+    // the scored index: (vid, cell, M codes) — vectors do NOT ride
+    val encoded = (0 until m).foldLeft(sliced) { (df, j) =>
+      val scored = books(j).map { case (cell, cv) =>
+        struct(
+          round(sqDist(col(s"s$j"), array(cv.map(lit(_)): _*)), 6).as("d"),
+          lit(cell).as("cell"))
+      }
+      df.withColumn(s"code$j", array_min(array(scored: _*)).getField("cell"))
+    }.select(col("vid") +: col("cell") +:
+      (0 until m).map(j => col(s"code$j")): _*)
+
+    // query side: probe the nProbe most-similar cells (coarse, cosine)
+    // and attach the per-subspace ADC tables (fine, L2) to each probe
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed = q0.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cell"),
+        round(cosine(col("qv"), col("cv")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("crn") <= nProbe)
+    val qTabs = (0 until m).foldLeft(probed) { (df, j) =>
+      val dists = books(j).sortBy(_._1).map { case (_, cv) =>
+        sqDist(sliceD(col("qv"), j), array(cv.map(lit(_)): _*))
+      }
+      df.withColumn(s"qt$j", array(dists: _*))
+    }.select(col("query_id") +: col("cell") +:
+      (0 until m).map(j => col(s"qt$j")): _*)
+
+    // ADC over probed cells only; shortlist by approximate distance
+    val adist = round(
+      (0 until m).map(j => element_at(col(s"qt$j"), col(s"code$j") + 1))
+        .reduce(_ + _), 6)
+    val scoredAdc = encoded.join(broadcast(qTabs), "cell")
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), adist.as("adist"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = scoredAdc.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    // exact cosine re-rank on the shortlist: originals fetched for
+    // shortlist-bounded rows only (AQE broadcasts the tiny side)
+    val rer = short
+      .join(assigned.select(col("vid").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .join(q0, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Per-label centroid profile of the embedding corpus: for each
     * (label, dimension) — the member count, the 6-dp-decimal-exact
     * mean coordinate, and the coordinate variance. The cluster-quality

@@ -68,6 +68,41 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.05, f"recall $recall%.2f below 5x-chance floor")
   }
 
+  test("ivfPqTopK: full probe budget + corpus shortlist equals brute force") {
+    // nProbe = cells and shortlist = |corpus| disable both pruning
+    // stages; the exact cosine re-rank must then reproduce
+    // bruteForceTopK exactly — the nProbe=cells ≡ brute-force law the
+    // plain IVF gate proves, extended through the PQ stage
+    val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(e, q, k = 4)
+      .select("query_id", "neighbor_id", "sim", "rank")
+    val full = Similarity.ivfPqTopK(e, q, k = 4, cells = 4, nProbe = 4,
+      dims = 64, m = 4, ksub = 4, iters = 1, shortlist = 100000)
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+  }
+
+  test("ivfPqTopK: pruned output is well-formed and deterministic") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    def run() = Similarity.ivfPqTopK(e, q, k = 3, cells = 4, nProbe = 2,
+      dims = 64, m = 4, ksub = 4, iters = 1, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val a = run()
+    assert(a == run())
+    assert(a.forall { case (qid, nid, _, _) => qid != nid })
+    // exact-cosine re-rank: sims are monotone non-increasing with rank
+    a.groupBy(_._1).values.foreach { rs =>
+      val sims = rs.sortBy(_._4).map(_._3)
+      assert(sims == sims.sorted.reverse)
+    }
+    // shortlist below k is a caller error
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(e, q, k = 5, shortlist = 3)
+    }
+  }
+
   test("planLshBands: fits the budget and is the closest threshold in it") {
     val (b, r) = graft.operators.Dedup.planLshBands(16, 0.5)
     assert(b * r <= 16)
