@@ -312,6 +312,21 @@ object SparkEntry {
       graft.operators.Corpus.mixtureSample(t(s, dir, "documents"),
           rates = Map("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25)
         .select(col("doc_id"), col("source"))),
+    "stats_fdr" -> ((s, dir) => {
+      // Benjamini-Hochberg step-up over a per-key p-value table. The
+      // gate's p column is the deterministic md5-coin uniform grid per
+      // part key (the operator takes ANY p column; a coin fixture
+      // exercises rank/threshold/k* mechanics reproducibly cross-engine)
+      val p = t(s, dir, "part").select(col("p_partkey").as("key"),
+        (conv(substring(md5(concat(lit("fdr:"),
+          col("p_partkey").cast("string"))), 1, 8), 16, 10).cast("long")
+          % 1000000L).cast("double") / lit(1e6)).toDF("key", "p_value")
+      graft.operators.Quality.bhFdr(p, qPermille = 50)
+    }),
+    "ev_seasonal" -> ((s, dir) =>
+      // hour-of-day seasonal profile per type: bucket counts rolled up
+      // by clock hour, mean events/bucket + share of type mass
+      graft.operators.Events.seasonalProfile(eventsTable(s, dir))),
     "sample_quality_weighted" -> ((s, dir) =>
       // mixture tuning: per-source rate × per-document quality weight;
       // the 6-dp-rounded quality score keeps the threshold product
@@ -2101,6 +2116,19 @@ object SparkEntry {
       graft.operators.Dedup.incrementalExact(
         d.filter(pmod(col("doc_id"), lit(3)) =!= 0), history)
     }),
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      // the Bloom fast path on continuous-ingest dedup: definitely-new
+      // batch rows (sketch miss) never shuffle against history; only
+      // the maybe sliver pays the exact anti-join — output is
+      // bit-identical to the plain exact path, which the oracle
+      // re-derives
+      val d = t(s, dir, "documents")
+      val history = graft.operators.Dedup.exact(
+        d.filter(pmod(col("doc_id"), lit(3)) === 1))
+        .select(col("fingerprint").as("fp"))
+      graft.operators.Dedup.incrementalExactBloom(
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 1), history)
+    }),
     "dedup_rate_report" -> ((s, dir) =>
       // per-source duplicate-rate report card: one keyed agg over
       // fingerprints, the corpus-health metric per crawl/source
@@ -2666,6 +2694,40 @@ object SparkEntry {
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
     "sample_mixture" -> OracleFragments.sampleMixture(
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
+    "stats_fdr" ->
+      """WITH h AS (SELECT p_partkey AS key,
+                  round((('0x' || substr(md5('fdr:' || p_partkey::VARCHAR),
+                     1, 8))::BIGINT % 1000000)::DOUBLE / 1000000.0::DOUBLE,
+                    6) AS p,
+                  (('0x' || substr(md5('fdr:' || p_partkey::VARCHAR),
+                     1, 8))::BIGINT % 1000000) AS pu
+                FROM part),
+         m AS (SELECT count(*)::BIGINT AS m FROM h),
+         r AS (SELECT key, p, pu, m.m,
+                      row_number() OVER (ORDER BY pu ASC, key ASC) AS rank
+               FROM h CROSS JOIN m),
+         ks AS (SELECT coalesce(max(rank), 0) AS k_star FROM r
+                WHERE pu * m * 1000 <= rank * 50 * 1000000)
+        SELECT key, p AS p_value, rank::INT AS rank, m,
+               (rank <= (SELECT k_star FROM ks)) AS reject
+        FROM r""",
+    "ev_seasonal" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                           count(*)::BIGINT AS cnt
+                    FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                    GROUP BY 1, 2),
+         s AS (SELECT event_type, extract(hour FROM b)::INT AS hod,
+                      count(*)::BIGINT AS n_buckets,
+                      sum(cnt)::BIGINT AS events
+               FROM b GROUP BY 1, 2),
+         t AS (SELECT event_type, sum(events)::BIGINT AS total
+               FROM s GROUP BY 1)
+        SELECT s.event_type, s.hod, s.n_buckets, s.events,
+               round(s.events::DOUBLE / s.n_buckets::DOUBLE, 6)
+                 AS mean_per_bucket,
+               round(s.events::DOUBLE / t.total::DOUBLE, 6) AS share
+        FROM s JOIN t USING (event_type)""",
     "dq_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_exact,
                 TRUE AS within_bound
@@ -3856,6 +3918,16 @@ object SparkEntry {
                      WHERE doc_id % 3 = 0),
             b AS (SELECT doc_id, md5($norm) AS fp FROM documents
                   WHERE doc_id % 3 <> 0)
+          SELECT b.fp, min(b.doc_id) AS keep_id, count(*) AS n_batch
+          FROM b ANTI JOIN h ON b.fp = h.fp
+          GROUP BY 1"""
+    },
+    "dedup_incremental_bloom" -> {
+      val norm = OracleFragments.norm
+      s"""WITH h AS (SELECT DISTINCT md5($norm) AS fp FROM documents
+                     WHERE doc_id % 3 = 1),
+            b AS (SELECT doc_id, md5($norm) AS fp FROM documents
+                  WHERE doc_id % 3 <> 1)
           SELECT b.fp, min(b.doc_id) AS keep_id, count(*) AS n_batch
           FROM b ANTI JOIN h ON b.fp = h.fp
           GROUP BY 1"""

@@ -68,6 +68,67 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
   }
 
+  /** [[incrementalExact]] with a Bloom-filter fast path — the
+    * continuous-ingest shape at 100 TB, where the history table is
+    * giant and the arriving batch is mostly NEW: the history
+    * fingerprint set aggregates into a driver-side Bloom sketch
+    * (observed-count sized, ENFORCED under `maxSketchFps` — the
+    * [[graft.operators.Corpus.decontaminateBloom]] contract), and each
+    * batch row tests the sketch map-side. `mightContain = false` means
+    * DEFINITELY absent from history (a Bloom filter has no false
+    * negatives) — those rows take the fast path straight to the batch
+    * collapse without ever shuffling against history; only the
+    * `mightContain = true` sliver (true dups + an `fpp` fraction of
+    * false positives) pays the exact anti-join. Output is bit-identical
+    * to [[incrementalExact]] — the oracle re-derives the plain exact
+    * path. The batch scan feeds both branches (a landed ingest batch is
+    * re-read columnar, not recomputed — at warehouse scale it is a
+    * staged file either way). */
+  def incrementalExactBloom(
+      batch: DataFrame,
+      historyFps: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpCol: String = "fp",
+      fpp: Double = 0.01,
+      maxSketchFps: Long = 50000000L): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0,1)")
+    val b = Par.fanOut(batch.select(col(idCol), col(textCol)))
+      .select(col(idCol), md5Fingerprint(col(textCol)).as("fp"))
+    val (h, hm, _) = graft.ops.Scratch.materializeObservedAt(
+      historyFps.select(col(fpCol).as("fp")).distinct(),
+      "incb_hist", count(lit(1)).as("n_fps"))
+    val nFps = hm("n_fps").asInstanceOf[Long]
+    require(nFps <= maxSketchFps,
+      s"incrementalExactBloom: observed $nFps history fingerprints " +
+        s"exceeds maxSketchFps=$maxSketchFps — the driver sketch would " +
+        s"cost ~${nFps * 10 / 8 / (1 << 20)} MiB and ride every task " +
+        "binary. Raise the bound, raise fpp, or use incrementalExact " +
+        "(bucket the history by fp and the anti-join co-locates).")
+    if (nFps == 0L) // empty history: everything is new
+      return b.groupBy(col("fp"))
+        .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
+    val bloomLit: Column = {
+      val bf = h.select(xxhash64(col("fp")).as("fph"))
+        .stat.bloomFilter("fph", math.max(nFps, 1L), fpp)
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      lit(os.toByteArray)
+    }
+    def mightContain(v: Column): Column =
+      org.apache.spark.sql.GraftExpr.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.GraftExpr.expression(bloomLit),
+          org.apache.spark.sql.GraftExpr.expression(v)))
+    val tested = b.withColumn("mc", mightContain(xxhash64(col("fp"))))
+    val sureNew = tested.filter(!col("mc")).select(col(idCol), col("fp"))
+    val maybe = tested.filter(col("mc")).select(col(idCol), col("fp"))
+      .join(h, Seq("fp"), "left_anti")
+    sureNew.unionByName(maybe)
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
+  }
+
   /** Per-source duplicate-rate report card: document count, distinct
     * fingerprints, and the duplicate fraction — the corpus-health
     * metric an ingest pipeline tracks per crawl/source. One pass, one

@@ -857,4 +857,39 @@ object Events {
           .as("cusum_down"),
         unix_millis(col("bd.b")).as("down_peak_ms"))
   }
+
+  /** Hour-of-day seasonal profile per event type — the diurnal-shape
+    * readout behind capacity planning and "is this burst just the
+    * daily peak" triage: events bucket to hours, hourly counts roll up
+    * by clock hour (0..23), and each (type, hour-of-day) slot reports
+    * its bucket count, event total, 6-dp mean events/bucket, and its
+    * share of the type's total mass. The residual read is one
+    * subtraction away (observed bucket − slot mean), and subtracting
+    * the profile from the series is the additive seasonal-adjustment
+    * step of a classical decomposition.
+    *
+    * Shape: one (type, hour-bucket) count, one (type, hour-of-day)
+    * rollup, type totals as a tiny broadcast — no windows anywhere.
+    * Share is one fixed-order double division of exact longs. */
+  def seasonalProfile(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val buckets = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val slots = buckets
+      .groupBy(col(typeCol), hour(col("b")).as("hod"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("cnt")).as("events"))
+    val totals = slots.groupBy(col(typeCol))
+      .agg(sum(col("events")).as("total"))
+    slots.join(broadcast(totals), Seq(typeCol.toString))
+      .select(col(typeCol), col("hod").cast("int").as("hod"),
+        col("n_buckets"), col("events"),
+        round(col("events").cast("double")
+          / col("n_buckets").cast("double"), 6).as("mean_per_bucket"),
+        round(col("events").cast("double")
+          / col("total").cast("double"), 6).as("share"))
+  }
 }

@@ -1628,4 +1628,47 @@ object Quality {
           lit(null).cast("double"))
           .otherwise(round(col("log_s").cast("double"), 6)).as("log_s"))
   }
+
+  /**
+   * Benjamini–Hochberg FDR control over a table of per-hypothesis
+   * p-values (Benjamini & Hochberg 1995) — the multiple-testing
+   * correction a metric-sweep A/B readout needs: testing 200 segments
+   * at α=0.05 "discovers" ~10 false positives; BH caps the EXPECTED
+   * false-discovery fraction at `qPermille`/1000 instead. Rejects
+   * hypotheses ranked 1..k*, k* = max{i : p_(i) ≤ i·q/m}.
+   *
+   * Determinism: p-values land on the 6-dp micro-unit grid, ranks
+   * break ties by key, and the step-up condition is the all-integer
+   * cross-multiplication `pu·m·1000 ≤ i·qPermille·10⁶` — no float
+   * boundary can flip a rejection between engines. The ordering window
+   * runs over the HYPOTHESIS table — one row per tested group, bounded
+   * by construction (the Welch/chi²-family output shape), never corpus
+   * rows; m and k* ride 1-row broadcast frames.
+   */
+  def bhFdr(
+      hypotheses: DataFrame,
+      keyCol: String = "key",
+      pCol: String = "p_value",
+      qPermille: Int = 50): DataFrame = {
+    require(qPermille > 0 && qPermille < 1000,
+      "qPermille must be in (0, 1000)")
+    val h = hypotheses
+      .filter(col(pCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        round(col(pCol).cast("double"), 6).as("p"),
+        (round(col(pCol).cast("double") * 1e6, 0)).cast("long").as("pu"))
+    val m = h.agg(count(lit(1)).as("m"))
+    val ranked = h.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pu").asc, col("key").asc)))
+      .withColumn("elig",
+        col("pu") * col("m") * lit(1000L) <=
+          col("rank") * lit(qPermille.toLong) * lit(1000000L))
+    val kStar = ranked.filter(col("elig"))
+      .agg(coalesce(max(col("rank")), lit(0L)).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("key").as(keyCol), col("p").as("p_value"),
+        col("rank").cast("int").as("rank"), col("m"),
+        (col("rank") <= col("k_star")).as("reject"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, Events, Quality}
+import org.apache.spark.sql.functions._
+
+/** Round-15 operators: Benjamini-Hochberg FDR, hour-of-day seasonal
+  * profile, Bloom-prefiltered incremental dedup. */
+class Round15OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bhFdr: textbook step-up, boundary inclusive, all/none extremes") {
+    // classic example: m=5, q=0.05 -> k*=2 (p=(0.01,0.02) rejected:
+    // 0.01 <= 1*0.05/5 = 0.01 inclusive boundary, 0.02 <= 0.02)
+    val h = Seq(("a", 0.01), ("b", 0.02), ("c", 0.20), ("d", 0.50),
+      ("e", 0.90)).toDF("key", "p_value")
+    val out = Quality.bhFdr(h).collect()
+      .map(r => r.getString(0) -> (r.getInt(2), r.getBoolean(4))).toMap
+    assert(out("a") == (1, true) && out("b") == (2, true))
+    assert(!out("c")._2 && !out("d")._2 && !out("e")._2)
+    // BH rejects a superset of rank-1..k*: rejects are a prefix of ranks
+    val rej = Quality.bhFdr(h).collect()
+      .filter(_.getBoolean(4)).map(_.getInt(2)).sorted.toSeq
+    assert(rej == (1 to rej.size))
+    // all tiny -> all rejected; all large -> none; nulls dropped
+    val tiny = Seq(("a", 0.001), ("b", 0.002)).toDF("key", "p_value")
+    assert(Quality.bhFdr(tiny).collect().forall(_.getBoolean(4)))
+    val big = Seq(("a", 0.9), ("b", 0.95)).toDF("key", "p_value")
+    assert(Quality.bhFdr(big).collect().forall(!_.getBoolean(4)))
+    val withNull = Seq(("a", Some(0.01)), ("b", None)).toDF("key", "p_value")
+    assert(Quality.bhFdr(withNull).count() == 1)
+    intercept[IllegalArgumentException] { Quality.bhFdr(h, qPermille = 0) }
+  }
+
+  test("seasonalProfile: shares sum to 1 per type, slot math is exact") {
+    val ev = Seq(
+      // type x: 2 buckets at hod 3 (days 1,2), 1 bucket at hod 5
+      ("x", "2024-01-01 03:10:00", 1L), ("x", "2024-01-01 03:20:00", 2L),
+      ("x", "2024-01-02 03:05:00", 3L),
+      ("x", "2024-01-01 05:00:00", 4L),
+      ("y", "2024-01-01 03:00:00", 5L))
+      .toDF("event_type", "ts_s", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = Events.seasonalProfile(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // x@3: 2 buckets, 3 events, mean 1.5, share 3/4
+    assert(out(("x", 3)) == (2L, 3L, 1.5, 0.75))
+    assert(out(("x", 5)) == (1L, 1L, 1.0, 0.25))
+    assert(out(("y", 3)) == (1L, 1L, 1.0, 1.0))
+    // shares sum to 1 within each type
+    val sums = Events.seasonalProfile(ev).groupBy(col("event_type"))
+      .agg(round(sum(col("share")), 6).as("s")).collect()
+      .map(_.getDouble(1))
+    assert(sums.forall(_ == 1.0))
+  }
+
+  test("incrementalExactBloom: bit-identical to the exact path") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val history = Dedup.exact(docs.filter(pmod(col("doc_id"), lit(3)) === 1))
+      .select(col("fingerprint").as("fp"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
+    val exact = Dedup.incrementalExact(batch, history)
+    val bloom = Dedup.incrementalExactBloom(batch, history)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    // empty history: everything is new, equal to a plain batch collapse
+    val none = history.filter(lit(false))
+    assert(Dedup.incrementalExactBloom(batch, none).count() ==
+      Dedup.incrementalExact(batch, none).count())
+    // the sketch-size contract is ENFORCED with the measured count
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalExactBloom(batch, history, maxSketchFps = 1L)
+    }
+    assert(err.getMessage.contains("maxSketchFps"))
+  }
+}
