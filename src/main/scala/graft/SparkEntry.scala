@@ -235,6 +235,15 @@ object SparkEntry {
       graft.operators.Corpus.dupClusters(
         docs, Dedup.lshJaccard(docs, minJaccard = 0.20))
     }),
+    "split_assign_clustered" -> ((s, dir) => {
+      // leakage-safe splits: every near-dup cluster lands WHOLLY in one
+      // split (coin on the cluster id, members inherit) — a train/test
+      // boundary can't run through a duplicate group
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.assignSplitsClustered(
+        docs, Dedup.lshJaccard(docs, minJaccard = 0.20),
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+    }),
     "skew_salted_agg" -> ((s, dir) =>
       graft.ops.SkewAgg.saltedCountSum(eventsTable(s, dir),
         keyCol = "event_type", valueCol = "value", saltFrom = col("event_id"))),
@@ -1761,6 +1770,12 @@ object SparkEntry {
       // filter-before-shuffle, broadcast df/N, decimal-exact term sum
       graft.operators.TextAnalysis.bm25Scores(t(s, dir, "documents"),
         queryTerms = Seq("join", "vector", "stream", "window"))),
+    "text_blocklist" -> ((s, dir) =>
+      // scan-time keyword safety gate: literal-array blocklist, one
+      // codegen'd filter per row, zero shuffles; keep verdict under an
+      // integer-exact hits/tokens fraction
+      graft.operators.TextAnalysis.blocklistFilter(t(s, dir, "documents"),
+        blocklist = Seq("slow", "broken", "stale"), maxHitFrac = 0.02)),
     "retrieval_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 lexical top-50 fused with embedding-
       // cosine top-50 (query = vec 0) by reciprocal-rank fusion; both
@@ -2692,6 +2707,9 @@ object SparkEntry {
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
     "dedup_clusters" -> OracleFragments.dedupClusters(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
+    "split_assign_clustered" -> OracleFragments.splitAssignClustered(
+      bands = 4, rowsPerBand = 4, minJaccard = 0.20,
+      splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
     "sample_mixture" -> OracleFragments.sampleMixture(
       rates = Seq("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25),
     "stats_fdr" ->
@@ -3502,6 +3520,8 @@ object SparkEntry {
     "retrieval_rrf" -> OracleFragments.retrievalRrf(
       terms = Seq("join", "vector", "stream", "window"),
       n = 50, kRrf = 60, topK = 20),
+    "text_blocklist" -> OracleFragments.textBlocklist(
+      terms = Seq("slow", "broken", "stale"), maxHitFrac = 0.02),
     "text_bm25" -> OracleFragments.textBm25(
       terms = Seq("join", "vector", "stream", "window"), k1 = 1.2, b = 0.75),
     "text_ttr" -> OracleFragments.textTtr,
@@ -4781,6 +4801,26 @@ object OracleFragments {
           cc AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x)
         SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
+
+  /** Mirror of Corpus.assignSplitsClustered: the [[dedupClusters]]
+    * closure, then the `split:` coin over DISTINCT cluster ids, members
+    * inheriting their cluster's split. */
+  def splitAssignClustered(bands: Int, rowsPerBand: Int,
+      minJaccard: Double, splits: Seq[(String, Double)]): String = {
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => ((c / total) * 4294967296L).toLong)
+    val coin =
+      s"('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 8))::BIGINT"
+    val whens = splits.map(_._1).zip(bounds).init
+      .map { case (name, b) => s"WHEN $coin < $b THEN '$name'" }.mkString(" ")
+    s"""WITH cl AS (${dedupClusters(bands, rowsPerBand, minJaccard)}),
+          sa AS (SELECT cluster_id,
+                        CASE $whens ELSE '${splits.last._1}' END AS split
+                 FROM (SELECT DISTINCT cluster_id FROM cl))
+        SELECT cl.doc_id, cl.cluster_id, sa.split
+        FROM cl JOIN sa USING (cluster_id)"""
+  }
 
   /** Mirror of Events.ewma: the SAME driver-computed weight table
     * (repeated IEEE multiplication, shortest-round-trip literals — the
@@ -6163,6 +6203,20 @@ object OracleFragments {
             WHERE ${cosineOf("x.v", "y.v")} >= $threshold)
         SELECT af.vid AS vec_id, af.cell, (d.b IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON af.vid = d.b"""
+
+  /** Mirror of TextAnalysis.blocklistFilter: same tokens, literal term
+    * list, integer cross-multiplied verdict. */
+  def textBlocklist(terms: Seq[String], maxHitFrac: Double): String = {
+    val fracMicro = math.round(maxHitFrac * 1e6)
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH h AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens,
+                 list_filter($toks, t -> list_contains([$termList], t)) AS h
+               FROM documents)
+        SELECT doc_id, n_tokens, len(h)::BIGINT AS n_hits,
+               len(list_distinct(h))::BIGINT AS n_terms_hit,
+               (len(h)::BIGINT * 1000000 <= $fracMicro * n_tokens) AS pass
+        FROM h"""
+  }
 
   /** Okapi BM25 (TextAnalysis.bm25Scores): same normalization/tokens,
     * exact long-sum avgdl, per-term 9-dp round summed as DECIMAL. */

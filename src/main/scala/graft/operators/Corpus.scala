@@ -633,6 +633,31 @@ object Corpus {
     docs.withColumn("split", expr)
   }
 
+  /** LEAKAGE-SAFE split assignment: [[assignSplits]] keyed by the
+    * near-dup CLUSTER instead of the document — every member of a dup
+    * cluster inherits the split of its cluster id (the component's min
+    * member), so a train/test boundary can never run THROUGH a
+    * duplicate group. With per-document coins, a corpus with 1%
+    * near-dup pairs leaks ~2·p_test·p_train of them across the
+    * boundary — exactly the contamination the decontamination stage
+    * exists to prevent, self-inflicted at split time. Shape: the
+    * cluster resolution is [[dupClusters]] (gated CC engine); the coin
+    * is a map-side projection over the DISTINCT cluster ids joined
+    * back on the cluster key. Cluster ids live in the same id space as
+    * documents (min member), so the same `split:` coin applies. */
+  def assignSplitsClustered(
+      docs: DataFrame,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = dupClusters(docs, pairs, idCol)
+    val assigned = assignSplits(
+      clusters.select(col("cluster_id").as(idCol)).distinct(), splits, idCol)
+      .select(col(idCol).as("cluster_id"), col("split"))
+    clusters.join(assigned, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
   /** Greedy token-budget packing: within each `partCol` stream (ordered
     * by id), documents are concatenated and split into chunks of
     * ~`targetTokens` — chunk k holds the docs whose cumulative token

@@ -772,6 +772,41 @@ object TextAnalysis {
     * df is |queryTerms| rows, broadcast. Determinism: per-term scores
     * rounded to 9 dp and summed as DECIMAL — order-exact — then one
     * 6-dp output round. */
+  /** Term-blocklist safety filter — the keyword gate (NSFW lists,
+    * boilerplate markers, policy terms) a training-data pipeline runs
+    * at scan time, before anything expensive: per document the token
+    * hit count against a literal blocklist, the distinct terms hit,
+    * and a keep verdict under `maxHitFrac` (hits/tokens ≤ frac,
+    * compared as the exact integer cross-product n_hits·10⁶ ≤
+    * ⌊frac·10⁶⌋·n_tokens — no float boundary). Map-side ONLY: the
+    * blocklist rides the plan as a literal array, the scan is one
+    * codegen'd filter per row, ZERO shuffles (the hashedLinearScores
+    * shape) — at 100 TB this is scan-speed work. A 10⁵+-term list
+    * outgrows a plan literal; the swap is [[bm25Scores]]' token-explode
+    * + broadcast-join shape. */
+  def blocklistFilter(
+      docs: DataFrame,
+      blocklist: Seq[String],
+      maxHitFrac: Double = 0.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistFilter needs at least one term")
+    require(maxHitFrac >= 0.0 && maxHitFrac <= 1.0,
+      "maxHitFrac must be in [0,1]")
+    val fracMicro = math.round(maxHitFrac * 1e6)
+    val bl = array(blocklist.map(lit(_)): _*)
+    docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), size(col("tk")).cast("long").as("n_tokens"),
+        filter(col("tk"), t => array_contains(bl, t)).as("h"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("h")).cast("long").as("n_hits"),
+        size(array_distinct(col("h"))).cast("long").as("n_terms_hit"),
+        (size(col("h")).cast("long") * lit(1000000L) <=
+          lit(fracMicro) * col("n_tokens")).as("pass"))
+  }
+
   def bm25Scores(
       docs: DataFrame,
       queryTerms: Seq[String],

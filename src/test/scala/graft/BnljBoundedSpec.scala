@@ -74,6 +74,9 @@ class BnljBoundedSpec extends SparkTestBase {
       "build = 8 query vectors, both rankings (vec_id < 8 key filter)",
     "sim_matryoshka_recall" ->
       "build = 8 query vectors, full + sliced (vec_id < 8 key filter)",
+    "sim_ivfpq_recall" ->
+      ("build = 8 query vectors (vec_id < 8 key filter) in the exact " +
+        "bruteForceTopK side of the recall compare"),
     "emb_hard_negatives" ->
       "build = 8 anchor vectors (vec_id < 8 key filter, bruteForceTopK shape)",
     "sim_pq_topk" ->
