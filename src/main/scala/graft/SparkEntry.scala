@@ -336,6 +336,11 @@ object SparkEntry {
       // hour-of-day seasonal profile per type: bucket counts rolled up
       // by clock hour, mean events/bucket + share of type mass
       graft.operators.Events.seasonalProfile(eventsTable(s, dir))),
+    "ev_holt_winters" -> ((s, dir) =>
+      // additive Holt-Winters over the zero-densified hourly rate
+      // series: driver-unrolled coefficient literals shared with the
+      // oracle, forecast = level + h*trend + clock-phase seasonal
+      graft.operators.Events.holtWintersForecast(eventsTable(s, dir))),
     "sample_quality_weighted" -> ((s, dir) =>
       // mixture tuning: per-source rate × per-document quality weight;
       // the 6-dp-rounded quality score keeps the threshold product
@@ -4168,6 +4173,9 @@ object SparkEntry {
                 round(sum(wv)::DOUBLE / sum(dur)::DOUBLE, 6) AS twap
          FROM d GROUP BY 1""",
     "ev_ewma" -> OracleFragments.evEwma(alpha = 0.25, lastN = 16),
+    "ev_holt_winters" -> OracleFragments.evHoltWinters(
+      alpha = 0.3, beta = 0.1, gamma = 0.2, season = 24, window = 48,
+      horizon = 3),
     "ev_holt_forecast" -> OracleFragments.evHoltForecast(
       alpha = 0.5, beta = 0.3, lastN = 8, horizon = 3),
     "ev_attribution_outer" ->
@@ -4820,6 +4828,56 @@ object OracleFragments {
                  FROM (SELECT DISTINCT cluster_id FROM cl))
         SELECT cl.doc_id, cl.cluster_id, sa.split
         FROM cl JOIN sa USING (cluster_id)"""
+  }
+
+  /** Mirror of Events.holtWintersForecast: the SAME driver-computed
+    * coefficient vectors ([[graft.operators.Events.holtWintersCoeffs]])
+    * interpolated as CASE literals over the zero-densified hourly
+    * spine; 9-dp terms under DECIMAL(28,12), forecast composed from
+    * the 6-dp-rounded sums. */
+  def evHoltWinters(alpha: Double, beta: Double, gamma: Double,
+      season: Int, window: Int, horizon: Int): String = {
+    val (cl, cb, cs) = graft.operators.Events.holtWintersCoeffs(
+      alpha, beta, gamma, season, window, horizon)
+    def caseOf(arr: Array[Double]): String =
+      (1 to window).map(rn => s"WHEN $rn THEN ${arr(window - rn)}")
+        .mkString(" ")
+    s"""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                          count(*)::BIGINT AS cnt
+                   FROM events
+                   WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                   GROUP BY 1, 2),
+         g AS (SELECT event_type,
+                      unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+               FROM (SELECT event_type, min(b) AS b0, max(b) AS b1
+                     FROM c GROUP BY 1)),
+         s AS (SELECT g.event_type, g.b, coalesce(c.cnt, 0)::BIGINT AS cnt
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.b = c.b),
+         r AS (SELECT event_type, cnt,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY b DESC) AS rn
+               FROM s),
+         f AS (SELECT * FROM r WHERE rn <= $window),
+         k AS (SELECT event_type FROM f GROUP BY 1
+               HAVING count(*) = $window),
+         t AS (SELECT f.event_type,
+                      round(cnt::DOUBLE * (CASE rn ${caseOf(cl)} END), 9)
+                        ::DECIMAL(28,12) AS tl,
+                      round(cnt::DOUBLE * (CASE rn ${caseOf(cb)} END), 9)
+                        ::DECIMAL(28,12) AS tb,
+                      round(cnt::DOUBLE * (CASE rn ${caseOf(cs)} END), 9)
+                        ::DECIMAL(28,12) AS tsn
+               FROM f JOIN k USING (event_type)),
+         a AS (SELECT event_type,
+                      round(sum(tl)::DOUBLE, 6) AS level,
+                      round(sum(tb)::DOUBLE, 6) AS trend,
+                      round(sum(tsn)::DOUBLE, 6) AS seasonal
+               FROM t GROUP BY 1)
+        SELECT event_type, ${window}::BIGINT AS n_used, level, trend,
+               seasonal,
+               round(level + $horizon * trend + seasonal, 6) AS forecast
+        FROM a"""
   }
 
   /** Mirror of Events.ewma: the SAME driver-computed weight table

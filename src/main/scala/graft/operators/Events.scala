@@ -554,6 +554,133 @@ object Events {
     (l, b)
   }
 
+  /**
+   * Holt–Winters ADDITIVE seasonal smoothing + h-step forecast of each
+   * event type's zero-densified hourly rate series — the seasonal rung
+   * above [[holtForecast]]: a diurnal traffic pattern reads as trend
+   * churn to plain Holt, while the seasonal term absorbs it and the
+   * forecast projects level + trend + the matching clock-phase
+   * seasonal. Recursion over the last `window` buckets (y_1 oldest …
+   * y_m newest, m = window, s = `season`):
+   *
+   *   l_s = mean(y_1..y_s),  b_s = Σᵢ(y_{s+i} − y_i)/s²,
+   *   sea_t = y_t − l_s (t ≤ s), then for t = s+1..m
+   *   l_t = α(y_t − sea_{t−s}) + (1−α)(l_{t−1} + b_{t−1})
+   *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+   *   sea_t = γ(y_t − l_t) + (1−γ)·sea_{t−s}
+   *
+   * Everything is LINEAR in the y's, so level, trend and the
+   * forecast-phase seasonal unroll to fixed coefficient vectors
+   * ([[holtWintersCoeffs]]) — the [[holtForecast]] constant-table
+   * discipline: driver-computed literals shared verbatim with the
+   * oracle, 9-dp terms under DECIMAL(28,12), forecast composed from
+   * the 6-dp-rounded sums. Types with fewer than `window` buckets in
+   * their span emit NO row (seasonal estimation needs the full window
+   * — and a single fixed m keeps the interpolated CASE table at
+   * 3·window literals instead of 3·window²). Forecast = level +
+   * h·trend + sea at phase m − s + ((h−1) mod s) + 1.
+   *
+   * Scale shape: one (type, bucket) count, the bounded per-type grid
+   * densification ([[changePoint]]'s spine), one window pass bounded
+   * at `window` rows per type, one aggregate.
+   */
+  def holtWintersForecast(
+      events: DataFrame,
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      gamma: Double = 0.2,
+      season: Int = 24,
+      window: Int = 48,
+      horizon: Int = 3,
+      bucket: String = "hour",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    require(beta > 0.0 && beta < 1.0, "beta must be in (0,1)")
+    require(gamma > 0.0 && gamma < 1.0, "gamma must be in (0,1)")
+    require(season >= 2, "season must be >= 2")
+    require(window >= 2 * season,
+      "window must cover two seasons (level/trend/seasonal init)")
+    require(horizon >= 1, "horizon must be >= 1")
+    val (cl, cb, cs) =
+      holtWintersCoeffs(alpha, beta, gamma, season, window, horizon)
+    val bcol = date_trunc(bucket, col(tsCol))
+    val counts = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol), bcol.as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = counts.groupBy(col(typeCol))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col(typeCol),
+        explode(sequence(col("b0"), col("b1"),
+          expr(s"interval 1 $bucket"))).as("b"))
+    val series = grid.join(counts, Seq(typeCol, "b"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("b").desc)
+    def caseOn(arr: Array[Double]): Column =
+      (1 to window).foldLeft(lit(null).cast("double")) { (acc, rn) =>
+        when(col("_rn") === rn, lit(arr(window - rn))).otherwise(acc)
+      }
+    series
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= window)
+      .withColumn("_m",
+        count(lit(1)).over(Window.partitionBy(col(typeCol))))
+      .filter(col("_m") === window)
+      .withColumn("_tl", round(col("cnt").cast("double") * caseOn(cl), 9)
+        .cast("decimal(28,12)"))
+      .withColumn("_tb", round(col("cnt").cast("double") * caseOn(cb), 9)
+        .cast("decimal(28,12)"))
+      .withColumn("_ts", round(col("cnt").cast("double") * caseOn(cs), 9)
+        .cast("decimal(28,12)"))
+      .groupBy(col(typeCol))
+      .agg(round(sum(col("_tl")).cast("double"), 6).as("level"),
+        round(sum(col("_tb")).cast("double"), 6).as("trend"),
+        round(sum(col("_ts")).cast("double"), 6).as("seasonal"))
+      .select(col(typeCol), lit(window.toLong).as("n_used"),
+        col("level"), col("trend"), col("seasonal"),
+        round(col("level") + lit(horizon.toDouble) * col("trend")
+          + col("seasonal"), 6).as("forecast"))
+  }
+
+  /** Coefficient vectors (c_level, c_trend, c_seasonal-at-forecast-
+    * phase) of the additive Holt–Winters recursion over m values
+    * (index 0 = oldest) — the recursion run on coefficient vectors
+    * instead of values; [[holtWintersForecast]] and its oracle
+    * interpolate the SAME literals. */
+  def holtWintersCoeffs(
+      alpha: Double, beta: Double, gamma: Double,
+      season: Int, m: Int, horizon: Int)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    require(m >= 2 * season, "m must cover two seasons")
+    val s = season
+    var l = Array.tabulate(m)(j => if (j < s) 1.0 / s else 0.0)
+    var b = Array.tabulate(m)(j =>
+      if (j < s) -1.0 / (s.toDouble * s)
+      else if (j < 2 * s) 1.0 / (s.toDouble * s)
+      else 0.0)
+    val sea = scala.collection.mutable.Map[Int, Array[Double]]()
+    for (t <- 1 to s)
+      sea(t) = Array.tabulate(m)(j => (if (j == t - 1) 1.0 else 0.0) - l(j))
+    for (t <- s + 1 to m) {
+      val lPrev = l
+      val bPrev = b
+      val sPrev = sea(t - s)
+      val lNew = Array.tabulate(m)(j =>
+        alpha * ((if (j == t - 1) 1.0 else 0.0) - sPrev(j)) +
+          (1 - alpha) * (lPrev(j) + bPrev(j)))
+      val bNew = Array.tabulate(m)(j =>
+        beta * (lNew(j) - lPrev(j)) + (1 - beta) * bPrev(j))
+      sea(t) = Array.tabulate(m)(j =>
+        gamma * ((if (j == t - 1) 1.0 else 0.0) - lNew(j)) +
+          (1 - gamma) * sPrev(j))
+      l = lNew
+      b = bNew
+    }
+    val tF = m - s + ((horizon - 1) % s) + 1
+    (l, b, sea(tF))
+  }
+
   /** Union of overlapping (or touching) intervals per key — the
     * gaps-and-islands coalesce: each key's `[start, end)` intervals
     * merge into maximal disjoint islands `(key, island_start,

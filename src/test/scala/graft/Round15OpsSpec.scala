@@ -54,6 +54,40 @@ class Round15OpsSpec extends SparkTestBase {
     assert(sums.forall(_ == 1.0))
   }
 
+  test("holtWinters: constant series is flat, alternating series " +
+      "forecasts the matching phase") {
+    def series(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        (1 to c).map(i => ("x", f"2024-01-01 ${h}%02d:0$i:00"))
+      }.toDF("event_type", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+    // constant 2/hour: level = 2, trend = 0, seasonal = 0, forecast = 2
+    val flat = Events.holtWintersForecast(series(Seq.fill(6)(2)),
+      alpha = 0.5, beta = 0.5, gamma = 0.5, season = 2, window = 6,
+      horizon = 1).collect().head
+    assert(flat.getDouble(2) == 2.0 && flat.getDouble(3) == 0.0)
+    assert(flat.getDouble(4) == 0.0 && flat.getDouble(5) == 2.0)
+    // alternating 1,3,1,3,1,3: horizon 1 lands on the low phase (1),
+    // horizon 2 on the high phase (3) — the seasonal term carries it
+    val alt = Seq(1, 3, 1, 3, 1, 3)
+    val h1 = Events.holtWintersForecast(series(alt), alpha = 0.5,
+      beta = 0.5, gamma = 0.5, season = 2, window = 6, horizon = 1)
+      .collect().head
+    assert(h1.getDouble(2) == 2.0 && h1.getDouble(3) == 0.0)
+    assert(h1.getDouble(5) == 1.0, s"h1 forecast ${h1.getDouble(5)}")
+    val h2 = Events.holtWintersForecast(series(alt), alpha = 0.5,
+      beta = 0.5, gamma = 0.5, season = 2, window = 6, horizon = 2)
+      .collect().head
+    assert(h2.getDouble(5) == 3.0, s"h2 forecast ${h2.getDouble(5)}")
+    // a type whose span is shorter than the window emits no row
+    assert(Events.holtWintersForecast(series(Seq(1, 2, 1, 2)),
+      season = 2, window = 6).count() == 0)
+    // parameter contracts
+    intercept[IllegalArgumentException] {
+      Events.holtWintersForecast(series(alt), season = 2, window = 3)
+    }
+  }
+
   test("incrementalExactBloom: bit-identical to the exact path") {
     val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
     val history = Dedup.exact(docs.filter(pmod(col("doc_id"), lit(3)) === 1))
