@@ -1254,6 +1254,12 @@ object SparkEntry {
     "ev_funnel" -> ((s, dir) =>
       graft.operators.Events.funnel(eventsTable(s, dir),
         Seq("view", "click", "purchase"))),
+    "ev_funnel_windowed" -> ((s, dir) =>
+      // conversion-window funnel: each step must land within 24 h of
+      // the user's previous step — the "converted within a day" read
+      graft.operators.Events.funnel(eventsTable(s, dir),
+        Seq("view", "click", "purchase"),
+        windowSeconds = Some(86400L))),
     "ev_resample" -> ((s, dir) =>
       // irregular events -> hourly grid with last-value carry-forward
       graft.operators.Events.resampleLastValue(eventsTable(s, dir), stepSeconds = 3600L)),
@@ -2112,6 +2118,15 @@ object SparkEntry {
       // pairing) through the Manku banded Hamming multi-index
       Multimodal.phashPairs(
         Multimodal.synthesizeMedia(t(s, dir, "documents")))),
+    "mm_phash_clusters" -> ((s, dir) => {
+      // media near-dup GROUPS: the Hamming pair list closed into min-id
+      // clusters over every media doc (the keep-one-per-group input a
+      // media dedup pass consumes)
+      val media = Multimodal.synthesizeMedia(t(s, dir, "documents"))
+      graft.operators.Corpus.dupClusters(
+        media.select(col("doc_id")),
+        Multimodal.phashPairs(media).select(col("a"), col("b")))
+    }),
     "dq_constraints" -> ((s, dir) => {
       // declarative Deequ-style constraint suite: row-local checks +
       // uniqueness fold into ONE aggregate pass; each referential check
@@ -2555,6 +2570,18 @@ object SparkEntry {
       // threshold of the same score/label pair
       val docs = t(s, dir, "documents")
       graft.operators.Quality.prCurve(
+        graft.operators.TextAnalysis.textStats(docs)
+          .select(col("doc_id"), col("quality"))
+          .join(graft.operators.TextAnalysis.gopherRules(docs,
+            minTokens = 25, maxTokens = 100000)
+            .select(col("doc_id"), col("pass")), "doc_id"),
+        "quality", "pass")
+    }),
+    "stats_gains" -> ((s, dir) => {
+      // cumulative gains/lift by score decile over the same score/label
+      // pair: what fraction of the good docs the top-k% by score keep
+      val docs = t(s, dir, "documents")
+      graft.operators.Quality.gainsTable(
         graft.operators.TextAnalysis.textStats(docs)
           .select(col("doc_id"), col("quality"))
           .join(graft.operators.TextAnalysis.gopherRules(docs,
@@ -3342,6 +3369,22 @@ object SparkEntry {
           SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
           UNION ALL
           SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT""",
+    "ev_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                          AND e.ts <= s1.t + INTERVAL 86400 SECONDS
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                          AND e.ts <= s2.t + INTERVAL 86400 SECONDS
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+          SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM s1)::BIGINT AS n_users
+          UNION ALL
+          SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT""",
     "ev_resample" ->
       """WITH ev AS (SELECT user_id, (epoch_ms(ts) // 1000) AS sec,
                             max(value::DOUBLE) AS v
@@ -3658,6 +3701,8 @@ object SparkEntry {
          FROM w GROUP BY 1, 2, 3""",
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
     "mm_phash_pairs" -> OracleFragments.mmPhashPairs(bits = 32, maxHamming = 3),
+    "mm_phash_clusters" ->
+      OracleFragments.mmPhashClusters(bits = 32, maxHamming = 3),
     "vocab_bpe_merges" -> OracleFragments.vocabBpeMerges(rounds = 6),
     "vocab_unigram_lm" -> OracleFragments.vocabUnigramLm(
       seedMulti = 60, keepMulti = 40, emRounds = 2,
@@ -4452,6 +4497,7 @@ object SparkEntry {
       maxQueryId = 8, k = 5, cells = 8, iters = 2, nProbe = 2),
     "stats_auc" -> OracleFragments.statsAuc,
     "stats_pr_curve" -> OracleFragments.statsPrCurve,
+    "stats_gains" -> OracleFragments.statsGains,
     "er_clusters" ->
       """WITH RECURSIVE k AS (
            SELECT regexp_extract(p_name, '(\S+)$', 1) || '|' || p_size::VARCHAR AS blk,
@@ -5926,6 +5972,36 @@ object OracleFragments {
 
   /** Mirror of Quality.prCurve: decile-bucket histogram, suffix-sum
     * tp/fp over the literal 0..9 spine, identical division chains. */
+  /** Mirror of Quality.gainsTable: the statsPrCurve decile spine with
+    * cumulative population/positive shares and lift. */
+  val statsGains: String =
+    s"""WITH $scoreLabelCtes,
+          c AS (SELECT greatest(least(floor(score::DOUBLE * 10.0::DOUBLE),
+                         9.0::DOUBLE), 0.0::DOUBLE)::BIGINT AS bucket,
+                       sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS pos,
+                       count(*)::BIGINT AS n
+                FROM sl GROUP BY 1),
+          spine AS (SELECT unnest(generate_series(0, 9)) AS i),
+          d AS (SELECT spine.i, coalesce(c.pos, 0)::BIGINT AS pos,
+                       coalesce(c.n, 0)::BIGINT AS n
+                FROM spine LEFT JOIN c ON c.bucket = spine.i),
+          cum AS (SELECT i,
+                    (sum(pos) OVER w)::BIGINT AS cum_pos,
+                    (sum(n) OVER w)::BIGINT AS cum_n
+                  FROM d WINDOW w AS (ORDER BY i DESC
+                    ROWS UNBOUNDED PRECEDING)),
+          t AS (SELECT sum(pos)::BIGINT AS tot_pos,
+                       sum(n)::BIGINT AS tot_n FROM d)
+        SELECT i::INT AS score_decile, cum_n, cum_pos,
+               CASE WHEN t.tot_n > 0 THEN
+                 round(cum_n::DOUBLE / t.tot_n::DOUBLE, 6) END AS pop_share,
+               CASE WHEN t.tot_pos > 0 THEN
+                 round(cum_pos::DOUBLE / t.tot_pos::DOUBLE, 6) END AS gain,
+               CASE WHEN cum_n > 0 AND t.tot_pos > 0 AND t.tot_n > 0 THEN
+                 round((cum_pos::DOUBLE * t.tot_n::DOUBLE)
+                   / (cum_n::DOUBLE * t.tot_pos::DOUBLE), 6) END AS lift
+        FROM cum CROSS JOIN t"""
+
   val statsPrCurve: String =
     s"""WITH $scoreLabelCtes,
           c AS (SELECT greatest(least(floor(score::DOUBLE * 10.0::DOUBLE),
@@ -6524,6 +6600,21 @@ object OracleFragments {
         FROM s x JOIN s y ON x.doc_id < y.doc_id
         WHERE bit_count(xor(x.fp, y.fp)) <= $maxHamming"""
   }
+
+  /** Mirror of the mm_phash_clusters composition: [[mmPhashPairs]]
+    * closed into min-id components over every media doc (the
+    * dedupClusters recursive-CTE shape). */
+  def mmPhashClusters(bits: Int, maxHamming: Int): String =
+    s"""WITH RECURSIVE pairs AS (${mmPhashPairs(bits, maxHamming)}),
+          edges AS (SELECT a AS s, b AS d FROM pairs
+                    UNION SELECT b AS s, a AS d FROM pairs),
+          reach AS (
+            SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
+          cc AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x)
+        SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
 
   def mmSampleFrames(stride: Int): String =
     s"""WITH meta AS ($mmDecodeMeta),

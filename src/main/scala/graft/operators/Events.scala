@@ -124,8 +124,10 @@ object Events {
       steps: Seq[String],
       userCol: String = "user_id",
       typeCol: String = "event_type",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts",
+      windowSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowSeconds.forall(_ > 0L), "windowSeconds must be positive")
     val ev = events.filter(col(typeCol).isin(steps: _*))
       .select(col(userCol), col(typeCol), col(tsCol))
     var cur = ev.filter(col(typeCol) === steps.head)
@@ -136,8 +138,15 @@ object Events {
     var out = Vector(stepCount(1, steps.head, cur))
     for ((st, i) <- steps.zipWithIndex.drop(1)) {
       val prev = cur.select(col(userCol).as("_u"), col("t").as("_pt"))
+      // with a conversion window, step i must land within `windowSeconds`
+      // of the user's step-(i−1) time — the product-analytics "converted
+      // within a day" read; the chained per-step min keeps determinism
+      val within = windowSeconds.map(ws =>
+        col(tsCol) <= col("_pt") + expr(s"INTERVAL $ws seconds"))
+        .getOrElse(lit(true))
       cur = ev.filter(col(typeCol) === st)
-        .join(prev, col(userCol) === col("_u") && col(tsCol) > col("_pt"))
+        .join(prev,
+          col(userCol) === col("_u") && col(tsCol) > col("_pt") && within)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
       out :+= stepCount(i + 1, st, cur)
     }

@@ -1213,6 +1213,58 @@ object Quality {
   }
 
   /**
+   * Cumulative gains / lift table by score decile — the "how much of
+   * the signal do the top-k% scored rows capture" readout a quality-
+   * filter budget decision reads (keep the top 30% by score → what
+   * fraction of the good documents survive): rows bucket to score
+   * deciles, deciles rank best-first, and each row reports the
+   * cumulative population share, cumulative positive share (gain), and
+   * lift = gain/share. The [[prCurve]] decile-spine discipline: a
+   * literal 10-row spine keeps every operating point present, suffix
+   * sums run over the 10-row frame, shares are single divisions of
+   * exact longs. Lift of an empty prefix is NULL.
+   */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(greatest(least(floor(col(scoreCol).cast("double") * 10.0d),
+        lit(9.0d)), lit(0.0d)).cast("long").as("bucket"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+    val spine = spark.range(0, 10).select(col("id").as("i"))
+    val dense = spine.join(counts, spine("i") === counts("bucket"), "left")
+      .select(col("i"),
+        coalesce(col("pos"), lit(0L)).as("pos"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wTop = Window.orderBy(col("i").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = dense.agg(sum(col("pos")).as("tot_pos"),
+      sum(col("n")).as("tot_n"))
+    dense
+      .withColumn("cum_pos", sum(col("pos")).over(wTop))
+      .withColumn("cum_n", sum(col("n")).over(wTop))
+      .crossJoin(broadcast(totals))
+      .select(col("i").cast("int").as("score_decile"),
+        col("cum_n"), col("cum_pos"),
+        when(col("tot_n") > 0,
+          round(col("cum_n").cast("double")
+            / col("tot_n").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("pop_share"),
+        when(col("tot_pos") > 0,
+          round(col("cum_pos").cast("double")
+            / col("tot_pos").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("gain"),
+        when(col("cum_n") > 0 && col("tot_pos") > 0 && col("tot_n") > 0,
+          round((col("cum_pos").cast("double")
+              * col("tot_n").cast("double"))
+            / (col("cum_n").cast("double")
+              * col("tot_pos").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("lift"))
+  }
+
+  /**
    * Weight-of-Evidence / Information-Value feature audit — the credit-
    * scoring-lineage readout for "how separable is this binary label by
    * this bucketed feature": per bucket, WOE = ln((pos_b/POS)/(neg_b/NEG))
