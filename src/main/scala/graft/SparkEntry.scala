@@ -244,6 +244,19 @@ object SparkEntry {
         docs, Dedup.lshJaccard(docs, minJaccard = 0.20),
         Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
     }),
+    "skew_salted_join" -> ((s, dir) => {
+      // salted shuffle join on the 5-value (maximally skewed) type key:
+      // the dim replicates 16x, each event picks one deterministic
+      // salt - a hot key spreads over 16 reducers; result == plain join
+      val ev = eventsTable(s, dir).filter(col("event_type").isNotNull)
+      val dim = ev.groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 4).as("type_avg"))
+      graft.ops.SkewAgg.saltedJoin(
+        ev.select(col("event_id"), col("event_type"), col("value")),
+        dim, "event_type", col("event_id"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"), col("type_avg"))
+    }),
     "skew_salted_agg" -> ((s, dir) =>
       graft.ops.SkewAgg.saltedCountSum(eventsTable(s, dir),
         keyCol = "event_type", valueCol = "value", saltFrom = col("event_id"))),
@@ -278,6 +291,13 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => { // full oracle: md5-literal planes
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8))
+    }),
+    "sim_int8_topk" -> ((s, dir) => {
+      // memory-bound retrieval over int8 codes: exact integer dot
+      // products, two fixed-order IEEE multiplies — no float-summation
+      // hazard anywhere
+      val e = t(s, dir, "embeddings")
+      Similarity.int8TopK(e, e.filter(col("vec_id") < 8))
     }),
     "sim_kmeans" -> ((s, dir) =>
       // GDS-kmeans surface: unrolled deterministic L2 Lloyd; sum of
@@ -2882,6 +2902,13 @@ object SparkEntry {
     "pack_efficiency" ->
       OracleFragments.packEfficiency(budgetTokens = 512L, shardRows = 1024L),
     "tfidf_terms" -> OracleFragments.tfidfTerms(k = 3),
+    "skew_salted_join" ->
+      """WITH d AS (SELECT event_type, round(avg(value), 4) AS type_avg
+                    FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+         SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+                d.type_avg
+         FROM events e JOIN d USING (event_type)
+         WHERE e.event_type IS NOT NULL""",
     "skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
                 round(sum(value), 4) AS total
@@ -3682,6 +3709,7 @@ object SparkEntry {
          SELECT dim::INT AS dim, n, round(s1 / n, 6) AS mean,
                 round((s2 - s1 * s1 / n) / n, 8) AS var_pop, min_v, max_v
          FROM a""",
+    "sim_int8_topk" -> OracleFragments.simInt8TopK(maxQueryId = 8, k = 5),
     "sim_ivfpq_topk" -> OracleFragments.simIvfPqTopK(
       cells = 8, iters = 2, nProbe = 2, dims = 64, m = 4, ksub = 4,
       maxQueryId = 8, k = 5, shortlist = 20),
@@ -5767,6 +5795,38 @@ object OracleFragments {
                x -> CASE WHEN amax = 0 THEN 0
                     ELSE least(greatest(round(x::DOUBLE * 127.0 / amax), -127), 127)::INT END)) AS q
       FROM t"""
+
+  /** Mirror of Similarity.int8TopK: the embQuantize quantization, the
+    * exact BIGINT code dot, and (sq·sc)·dot in the same fixed multiply
+    * order. */
+  def simInt8TopK(maxQueryId: Int, k: Int): String = {
+    val dot = "list_aggregate(list_transform(list_zip(qs.qq, c.q), " +
+      "z -> z[1]::BIGINT * z[2]::BIGINT), 'sum')"
+    s"""WITH t AS (SELECT vec_id, embedding,
+            list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)),
+              'max') AS amax
+          FROM embeddings),
+          z AS (SELECT vec_id, amax / 127.0 AS scale,
+                  list_transform(embedding,
+                    x -> CASE WHEN amax = 0 THEN 0
+                         ELSE least(greatest(
+                           round(x::DOUBLE * 127.0 / amax), -127), 127)::INT
+                         END) AS q
+                FROM t),
+          qs AS (SELECT vec_id AS query_id, scale AS sq, q AS qq
+                 FROM z WHERE vec_id < $maxQueryId),
+          scored AS (
+            SELECT qs.query_id, c.vec_id AS neighbor_id,
+                   round((qs.sq * c.scale) * ($dot)::DOUBLE, 6) AS score
+            FROM z c CROSS JOIN qs WHERE c.vec_id <> qs.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, score, rank::INT AS rank
+        FROM ranked WHERE rank <= $k"""
+  }
 
   /** Sequential-fold dot/norm identical to Similarity.dot/norm, over any
     * two SQL list expressions. */

@@ -65,6 +65,41 @@ object Similarity {
               .otherwise(least(greatest(round(x * 127.0d / m), lit(-127.0d)), lit(127.0d))
                 .cast("int"))).as("q"))).getItem(0)
 
+  /** Top-k retrieval over INT8-QUANTIZED vectors — the memory-bound
+    * serving path [[quantizeInt8]] exists for (4× smaller than fp32,
+    * SIMD-able integer dot products): both sides quantize to
+    * (scale, codes), the pair score is (scale_q·scale_c)·Σ qᵢ·cᵢ with
+    * the Σ an EXACT integer sum (codes are ±127, the dot fits a long
+    * at any sane dim) and exactly two IEEE multiplies in fixed order —
+    * cross-engine reproducible with no float-summation hazard at all,
+    * unlike fp32 dot products. Ranks approximate the un-normalized dot
+    * product; L2-normalize first ([[l2Normalize]]) when cosine order
+    * is wanted. Same broadcast-the-queries shape as
+    * [[bruteForceTopK]]. */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantizeInt8(col(vecCol)).as("qz"))
+    val c = Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+      quantizeInt8(col(vecCol)).as("cz")))
+    val idot = aggregate(
+      zip_with(col("qz.q"), col("cz.q"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("qz.scale") * col("cz.scale") * idot.cast("double"), 6)
+          .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). `queries` must be small enough to
     * broadcast — that's the point of the baseline. */

@@ -35,4 +35,30 @@ object SkewAgg {
       .groupBy(col(keyCol))
       .agg(sum(col("__n")).cast("long").as("n"),
         round(sum(col("__s")), 4).as("total"))
+
+  /** SALTED equi-join for a skewed fact key against a small dimension —
+    * the shuffle-join skew fix when the dim side is too big (or the
+    * join too mid-plan) for a broadcast and AQE's skew split can't see
+    * the stage: every dim row replicates `saltBuckets` ways with an
+    * explicit salt, every fact row picks ONE deterministic salt from
+    * `saltFrom`, and the join key becomes (key, salt) — a hot key's
+    * rows now spread over `saltBuckets` reducers instead of one.
+    * Result identical to the plain join (each fact row meets exactly
+    * its salt's dim replica); dim cost is `saltBuckets`× replication,
+    * the standard trade. Fact columns pass through + the dim's
+    * non-key columns. */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      saltFrom: Column,
+      saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val dimR = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    fact
+      .withColumn("__salt", pmod(xxhash64(saltFrom), lit(saltBuckets.toLong)))
+      .join(dimR, Seq(keyCol, "__salt"))
+      .drop("__salt")
+  }
 }
