@@ -303,6 +303,22 @@ object SparkEntry {
       // GDS-kmeans surface: unrolled deterministic L2 Lloyd; sum of
       // sq_dist is the inertia the elbow heuristic reads
       Similarity.kmeans(t(s, dir, "embeddings"), k = 8, iters = 2)),
+    "emb_outliers" -> ((s, dir) => {
+      // density outliers: every vector beyond its OWN cluster's p90
+      // distance fence (conformal order statistic off the sq_dist
+      // histogram, broadcast back) — the embedding-space anomaly read
+      // k-means centroids can't give alone. kmeans assignment is a
+      // map-side projection over pinned literals, so the two references
+      // cost two scans, not two Lloyd builds
+      val km = Similarity.kmeans(t(s, dir, "embeddings"), k = 8, iters = 2)
+      val fence = graft.operators.Quality
+        .conformalThreshold(km, "sq_dist", "cluster", 9L, 10L)
+        .filter(col("qhat").isNotNull)
+        .select(col("cluster"), col("qhat"))
+      km.join(broadcast(fence), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("sq_dist"), col("qhat"),
+          (col("sq_dist") > col("qhat")).as("outlier"))
+    }),
     "sim_knn_graph" -> ((s, dir) =>
       // corpus-wide kNN graph (GDS K-Nearest Neighbors): every node's
       // top-3 in-bucket cosine neighbors via the bucket self-join
@@ -3710,6 +3726,25 @@ object SparkEntry {
                 round((s2 - s1 * s1 / n) / n, 8) AS var_pop, min_v, max_v
          FROM a""",
     "sim_int8_topk" -> OracleFragments.simInt8TopK(maxQueryId = 8, k = 5),
+    "emb_outliers" ->
+      s"""WITH km AS (SELECT * FROM (${OracleFragments.simKmeans(8, 2)}) x),
+           h AS (SELECT cluster AS g, round(sq_dist, 6) AS v,
+                        count(*)::BIGINT AS c
+                 FROM km GROUP BY 1, 2),
+           ns AS (SELECT g, sum(c)::BIGINT AS n,
+                         floor(((sum(c) + 1) * 9 + 9)::DOUBLE
+                           / 10.0::DOUBLE)::BIGINT AS k
+                  FROM h GROUP BY g),
+           cum AS (SELECT g, v,
+                          (sum(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+                   FROM h),
+           q AS (SELECT cum.g, min(v) AS qhat
+                 FROM cum JOIN ns USING (g)
+                 WHERE cum.cum >= ns.k GROUP BY cum.g)
+         SELECT km.vec_id, km.cluster, km.sq_dist, q.qhat,
+                (km.sq_dist > q.qhat) AS outlier
+         FROM km JOIN q ON km.cluster = q.g""",
     "sim_ivfpq_topk" -> OracleFragments.simIvfPqTopK(
       cells = 8, iters = 2, nProbe = 2, dims = 64, m = 4, ksub = 4,
       maxQueryId = 8, k = 5, shortlist = 20),
