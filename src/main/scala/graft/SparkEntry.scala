@@ -372,6 +372,11 @@ object SparkEntry {
       // hour-of-day seasonal profile per type: bucket counts rolled up
       // by clock hour, mean events/bucket + share of type mass
       graft.operators.Events.seasonalProfile(eventsTable(s, dir))),
+    "dq_freshness" -> ((s, dir) =>
+      // ingest-SLO staleness audit per type: lag behind the table-wide
+      // watermark + trailing-24h activity, exact epoch-milli arithmetic
+      graft.operators.Quality.freshnessReport(eventsTable(s, dir),
+        "event_type", "ts")),
     "ev_holt_winters" -> ((s, dir) =>
       // additive Holt-Winters over the zero-densified hourly rate
       // series: driver-unrolled coefficient literals shared with the
@@ -2797,6 +2802,18 @@ object SparkEntry {
         SELECT key, p AS p_value, rank::INT AS rank, m,
                (rank <= (SELECT k_star FROM ks)) AS reject
         FROM r""",
+    "dq_freshness" ->
+      """WITH r AS (SELECT event_type AS k, epoch_ms(ts) AS ms FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         wm AS (SELECT max(ms) AS wm_ms FROM r)
+         SELECT k AS event_type, count(*)::BIGINT AS n_rows,
+                min(ms) AS oldest_ms, max(ms) AS newest_ms,
+                (max(wm.wm_ms) - max(ms))::BIGINT AS lag_ms,
+                sum(CASE WHEN ms > wm.wm_ms - 86400000 THEN 1 ELSE 0 END)
+                  ::BIGINT AS n_recent,
+                (sum(CASE WHEN ms > wm.wm_ms - 86400000 THEN 1 ELSE 0 END)
+                  = 0) AS stale
+         FROM r CROSS JOIN wm GROUP BY k""",
     "ev_seasonal" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS b,
                            count(*)::BIGINT AS cnt

@@ -1682,6 +1682,41 @@ object Quality {
   }
 
   /**
+   * Data-freshness / staleness audit per partition key — the ingest
+   * SLO readout a warehouse pipeline pages on: per key, the newest and
+   * oldest event time, the lag behind the table-wide watermark (the
+   * global max — a source whose feed died shows a growing lag), row
+   * count, and the count inside the trailing `windowHours` of the
+   * watermark (a zero with a big total = the feed stopped). One keyed
+   * aggregate + a broadcast 1-row watermark frame; lag arithmetic on
+   * exact epoch millis.
+   */
+  def freshnessReport(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowHours: Int = 24): DataFrame = {
+    require(windowHours >= 1, "windowHours must be >= 1")
+    val rows = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_millis(col(tsCol)).as("ms"))
+    val wm = rows.agg(max(col("ms")).as("wm_ms"))
+    val winMs = windowHours * 3600000L
+    rows.crossJoin(broadcast(wm))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ms")).as("oldest_ms"),
+        max(col("ms")).as("newest_ms"),
+        max(col("wm_ms")).as("wm_ms"),
+        sum(when(col("ms") > col("wm_ms") - lit(winMs), 1L).otherwise(0L))
+          .as("n_recent"))
+      .select(col("k").as(keyCol), col("n_rows"), col("oldest_ms"),
+        col("newest_ms"),
+        (col("wm_ms") - col("newest_ms")).as("lag_ms"),
+        col("n_recent"),
+        (col("n_recent") === 0L).as("stale"))
+  }
+
+  /**
    * Benjamini–Hochberg FDR control over a table of per-hypothesis
    * p-values (Benjamini & Hochberg 1995) — the multiple-testing
    * correction a metric-sweep A/B readout needs: testing 200 segments

@@ -88,6 +88,22 @@ class Round15OpsSpec extends SparkTestBase {
     }
   }
 
+  test("freshnessReport: lag vs watermark, trailing window, stale flag") {
+    val ev = Seq(
+      ("live", "2024-01-10 12:00:00"), ("live", "2024-01-10 11:00:00"),
+      ("dead", "2024-01-01 00:00:00"), ("dead", "2024-01-02 00:00:00"))
+      .toDF("event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = graft.operators.Quality
+      .freshnessReport(ev, "event_type", "ts", windowHours = 24)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    // watermark = live's newest; live lags 0 and is fresh
+    assert(out("live") == (2L, 0L, 2L, false))
+    // dead lags 8.5 days behind the watermark, nothing in trailing 24 h
+    assert(out("dead") == (2L, 8L * 86400000L + 43200000L, 0L, true))
+  }
+
   test("saltedJoin: identical to the plain join, salt never leaks") {
     val ev = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
       .filter(col("event_type").isNotNull)
