@@ -377,6 +377,11 @@ object SparkEntry {
       // watermark + trailing-24h activity, exact epoch-milli arithmetic
       graft.operators.Quality.freshnessReport(eventsTable(s, dir),
         "event_type", "ts")),
+    "ev_seasonal_anomaly" -> ((s, dir) =>
+      // hourly buckets clearing 1.5x their type's same-clock-hour
+      // baseline — burst detection against the RIGHT reference
+      graft.operators.Events.seasonalAnomalies(eventsTable(s, dir),
+        ratioNum = 3L, ratioDen = 2L)),
     "ev_holt_winters" -> ((s, dir) =>
       // additive Holt-Winters over the zero-densified hourly rate
       // series: driver-unrolled coefficient literals shared with the
@@ -2814,6 +2819,25 @@ object SparkEntry {
                 (sum(CASE WHEN ms > wm.wm_ms - 86400000 THEN 1 ELSE 0 END)
                   = 0) AS stale
          FROM r CROSS JOIN wm GROUP BY k""",
+    "ev_seasonal_anomaly" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                           count(*)::BIGINT AS cnt
+                    FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                    GROUP BY 1, 2),
+         s AS (SELECT event_type, extract(hour FROM b)::INT AS hod,
+                      count(*)::BIGINT AS n_buckets,
+                      sum(cnt)::BIGINT AS events,
+                      round(sum(cnt)::DOUBLE / count(*)::DOUBLE, 6)
+                        AS mean_per_bucket
+               FROM b GROUP BY 1, 2)
+        SELECT b.event_type, epoch_ms(b.b) AS bucket_ms,
+               extract(hour FROM b.b)::INT AS hod, b.cnt,
+               s.mean_per_bucket,
+               round(b.cnt::DOUBLE / s.mean_per_bucket, 6) AS ratio
+        FROM b JOIN s ON b.event_type = s.event_type
+                     AND extract(hour FROM b.b)::INT = s.hod
+        WHERE b.cnt * s.n_buckets * 2 >= 3 * s.events""",
     "ev_seasonal" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS b,
                            count(*)::BIGINT AS cnt

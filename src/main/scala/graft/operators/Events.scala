@@ -563,6 +563,42 @@ object Events {
     (l, b)
   }
 
+  /** Seasonal-baseline rate anomalies — hourly buckets whose event
+    * count clears `ratioNum/ratioDen` times their type's SAME-CLOCK-HOUR
+    * baseline ([[seasonalProfile]]'s slot mean): "is this burst just
+    * the daily peak" answered against the right reference (a plain
+    * mean/σ monitor pages on every lunchtime spike). The flag compares
+    * exact integers — cnt·n_buckets·ratioDen ≥ ratioNum·events — so no
+    * float boundary flips it; the reported ratio is one 6-dp division
+    * for the human read. The bucket's own count is part of its slot
+    * baseline (standard for profile audits; at ~30 days of buckets one
+    * slot contributes ~1/30 of its own mean). Shape: the profile
+    * rollup + one (type, hod) equi-join of bucket counts against the
+    * tiny slot table — broadcast, no windows. */
+  def seasonalAnomalies(
+      events: DataFrame,
+      ratioNum: Long = 2L,
+      ratioDen: Long = 1L,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(ratioNum > 0 && ratioDen > 0, "ratio must be positive")
+    val buckets = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hod", hour(col("b")).cast("int"))
+    val slots = seasonalProfile(events, typeCol, tsCol)
+      .select(col(typeCol), col("hod"), col("n_buckets"), col("events"),
+        col("mean_per_bucket"))
+    buckets.join(broadcast(slots), Seq(typeCol, "hod"))
+      .filter(col("cnt") * col("n_buckets") * lit(ratioDen) >=
+        lit(ratioNum) * col("events"))
+      .select(col(typeCol), unix_millis(col("b")).as("bucket_ms"),
+        col("hod"), col("cnt"), col("mean_per_bucket"),
+        round(col("cnt").cast("double") / col("mean_per_bucket"), 6)
+          .as("ratio"))
+  }
+
   /**
    * Holt–Winters ADDITIVE seasonal smoothing + h-step forecast of each
    * event type's zero-densified hourly rate series — the seasonal rung
