@@ -78,12 +78,17 @@ object Bench {
     //
     // Each spine query runs at BASE then at 10× back to back, so both
     // timings of a pair see the same JVM/GC/machine state. The (base,
-    // x10) pair repeats SPARK_GRAFT_PROBE_REPS times (default 2) and the
-    // recorded ratio is the MIN over reps of the PER-PAIR ratio
-    // x10_i/base_i — pairing cancels ambient load that hits both
+    // x10) pair repeats SPARK_GRAFT_PROBE_REPS times (default 3) and the
+    // recorded ratio is the MIN over the NON-FIRST reps of the PER-PAIR
+    // ratio x10_i/base_i — pairing cancels ambient load that hits both
     // measurements of a rep, which min(x10)/min(base) does not when the
-    // load lands asymmetrically (exactly the r9 failure). base/x10 are
-    // still reported as per-scale mins for absolute-time reads.
+    // load lands asymmetrically (exactly the r9 failure), and the first
+    // pair is DISCARDED from the ratio because probe-first-on-a-cold-JVM
+    // means rep 1's base pays the query's whole-pipeline JIT while its
+    // x10 runs warm — a measured 1.1 for a true ~2.8 (the opposite-sign
+    // artifact of the one this ordering fixed). base/x10 are still
+    // reported as per-scale mins over all reps for absolute-time reads
+    // (min naturally discards the JIT-inflated first base).
     val probe = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
         && new java.io.File(s"$sfDir/documents.parquet").exists()
@@ -92,7 +97,7 @@ object Bench {
       // version bump invalidates v3 marker dirs that lack them
       val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR",
         s"tmp/scale_probe_v4_${new java.io.File(sfDir).getName}")
-      val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt.max(1)
+      val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt.max(1)
       val t0 = System.nanoTime()
       ScaleProbe.ensureFixture(spark, sfDir, probeDir, factor = 10)
       probe += "gen" -> f"${(System.nanoTime() - t0) / 1e9}%.3f"
@@ -109,7 +114,8 @@ object Bench {
           }
           val base = pairs.map(_._1).min
           val x10 = pairs.map(_._2).min
-          val ratio = pairs.map { case (b, x) => x / b }.min
+          val measured = if (pairs.size > 1) pairs.tail else pairs
+          val ratio = measured.map { case (b, x) => x / b }.min
           probe += name -> f"""{"base":$base%.3f,"x10":$x10%.3f,"ratio":$ratio%.1f}"""
         } catch { case e: Throwable => System.err.println(s"[bench] scale10 $name: $e") }
       }
