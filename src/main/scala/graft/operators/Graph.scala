@@ -460,13 +460,26 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxOuterRounds: Int = 20,
-      maxInnerRounds: Int = 40): DataFrame = {
+      maxInnerRounds: Int = 40,
+      maxLocalEdges: Long = 400000L): DataFrame = {
     import graft.ops.Scratch
     val spark = edges.sparkSession
     var (e, me, ePath) = Scratch.materializeObservedAt(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .filter(col("src") =!= col("dst")).distinct(),
       "scc_edges", count(lit(1)).as("n"))
+    // observed-gated local fast path (the louvain/union-find
+    // switchover): SCC output is CANONICAL (min member id), so a
+    // driver Tarjan reproduces the FW-BW result exactly — and at
+    // bench scale the FW-BW loop's ~40 write jobs are pure stage
+    // scheduling. Long ids only; maxLocalEdges=0 forces distributed.
+    if (maxLocalEdges > 0 &&
+        me("n").asInstanceOf[Long] <= maxLocalEdges &&
+        e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      val result = sccLocal(collectEdgePairs(e))
+      Scratch.drop(spark, ePath)
+      return longPairFrame(spark, result, "node", "scc_id")
+    }
     var (nodes, mn, nodesPath) = Scratch.materializeObservedAt(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct(),
@@ -736,12 +749,24 @@ object Graph {
     * (no new sources) stops the loop without a second scan. Rounds cost
     * O(remaining edges) each; total work is O(maxRounds · |E|) worst
     * case, O(|E| · avg-depth) typically. */
-  def topoLayers(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
+  def topoLayers(edges: DataFrame, maxRounds: Int = 8,
+      maxLocalEdges: Long = 400000L): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
-    var (e, ePath) = Scratch.materializeAt(
-      edges.select(col("src"), col("dst")).distinct(), "topo_edges")
+    var (e, em, ePath) = Scratch.materializeObservedAt(
+      edges.select(col("src"), col("dst")).distinct(), "topo_edges",
+      count(lit(1)).as("n"))
+    // observed-gated local Kahn replay (the louvain switchover): layer
+    // = earliest wave is canonical up to the cap, and the peel loop's
+    // per-wave write jobs are pure stage scheduling at bench scale
+    if (maxLocalEdges > 0 &&
+        em("n").asInstanceOf[Long] <= maxLocalEdges &&
+        e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      val result = topoLocal(collectEdgePairs(e), maxRounds)
+      Scratch.drop(spark, ePath)
+      return longNullableFrame(spark, result, "node", "layer")
+    }
     val (nodes, nodesPath) = Scratch.materializeAt(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct(), "topo_nodes")
@@ -842,12 +867,23 @@ object Graph {
     * uncolored neighbor (everyone else colors), one anti-join each
     * shrinks the edge and node tables; all scratch-backed, the colored
     * count OBSERVED on each round's write. */
-  def greedyColoring(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
+  def greedyColoring(edges: DataFrame, maxRounds: Int = 8,
+      maxLocalEdges: Long = 400000L): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
-    var (e, ePath) = Scratch.materializeAt(
-      canonicalEdges(edges), "color_edges")
+    var (e, em, ePath) = Scratch.materializeObservedAt(
+      canonicalEdges(edges), "color_edges", count(lit(1)).as("n"))
+    // observed-gated local Jones-Plassmann replay (the louvain
+    // switchover): identical waves, identical mex fold, and the
+    // differential spec + sf0.01 oracle pin the equality
+    if (maxLocalEdges > 0 &&
+        em("n").asInstanceOf[Long] <= maxLocalEdges &&
+        e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      val result = coloringLocal(collectEdgePairs(e), maxRounds)
+      Scratch.drop(spark, ePath)
+      return longNullableFrame(spark, result, "node", "color")
+    }
     // full symmetric adjacency — the COLOR lookup runs against all
     // edges, not just the shrinking remainder
     val (adj, adjPath) = Scratch.materializeAt(
@@ -981,12 +1017,34 @@ object Graph {
     * non-maximality is visible in-band, matched rows filter
     * `round IS NOT NULL`). Escape route: raise `maxRounds` (rounds
     * are O(log n) expected on non-adversarial orderings). */
-  def maximalMatching(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 8,
+      maxLocalEdges: Long = 400000L): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
-    var (e, ePath) = Scratch.materializeAt(
-      canonicalEdges(edges), "match_edges")
+    var (e, em0, ePath) = Scratch.materializeObservedAt(
+      canonicalEdges(edges), "match_edges", count(lit(1)).as("n"))
+    // observed-gated local replay of the synchronous rounds (the
+    // louvain switchover): same both-ends-minimal waves under the
+    // canonical order, same null-round residual contract
+    if (maxLocalEdges > 0 &&
+        em0("n").asInstanceOf[Long] <= maxLocalEdges &&
+        e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      val result = matchingLocal(collectEdgePairs(e), maxRounds)
+      Scratch.drop(spark, ePath)
+      val jrows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(result.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2,
+            r._3.map(Long.box).orNull)): _*)
+      return spark.createDataFrame(jrows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("round",
+            org.apache.spark.sql.types.LongType, nullable = true))))
+    }
     val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var done = false
@@ -2553,6 +2611,217 @@ object Graph {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("label",
         org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Collect a (src, dst) scratch edge table for a driver-local graph
+    * fast path — callers gate on the OBSERVED edge count first. */
+  private def collectEdgePairs(e: DataFrame): Array[(Long, Long)] =
+    e.select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  private def longPairFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, Long)],
+      c1: String, c2: String): DataFrame = {
+    val jrows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)): _*)
+    spark.createDataFrame(jrows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(c1,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(c2,
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  private def longNullableFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, Option[Long])],
+      c1: String, c2: String): DataFrame = {
+    val jrows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2.map(Long.box).orNull)): _*)
+    spark.createDataFrame(jrows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(c1,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(c2,
+        org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
+  /** Driver-local SCC (iterative Tarjan) — reachable only under the
+    * observed edge gate. The OUTPUT is canonical (every node labeled
+    * with its strongly connected component's minimum member id), so any
+    * correct SCC algorithm reproduces the distributed FW-BW result
+    * exactly; the sf0.01 oracle gate and the differential spec both
+    * enforce it. */
+  private def sccLocal(edgeRows: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val nodesSet = mutable.LongMap.empty[Unit]
+    for ((s, d) <- edgeRows) {
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      nodesSet(s) = (); nodesSet(d) = ()
+    }
+    val nodes = nodesSet.keys.toArray
+    val indexOf = mutable.LongMap.empty[Int]
+    val lowOf = mutable.LongMap.empty[Int]
+    val onStk = mutable.HashSet.empty[Long]
+    val stk = mutable.ArrayBuffer.empty[Long]
+    var counter = 0
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    val empty = mutable.ArrayBuffer.empty[Long]
+    for (root <- nodes if !indexOf.contains(root)) {
+      val dfs = mutable.ArrayBuffer.empty[Array[Long]] // [node, childIdx]
+      def push(v: Long): Unit = {
+        indexOf(v) = counter; lowOf(v) = counter; counter += 1
+        stk += v; onStk += v; dfs += Array(v, 0L)
+      }
+      push(root)
+      while (dfs.nonEmpty) {
+        val fr = dfs.last
+        val v = fr(0)
+        val nbrs = adj.getOrElse(v, empty)
+        if (fr(1) < nbrs.length) {
+          val w = nbrs(fr(1).toInt)
+          fr(1) += 1
+          if (!indexOf.contains(w)) push(w)
+          else if (onStk(w)) lowOf(v) = math.min(lowOf(v), indexOf(w))
+        } else {
+          dfs.remove(dfs.length - 1)
+          if (dfs.nonEmpty) {
+            val p = dfs.last(0)
+            lowOf(p) = math.min(lowOf(p), lowOf(v))
+          }
+          if (lowOf(v) == indexOf(v)) {
+            val members = mutable.ArrayBuffer.empty[Long]
+            var w = 0L
+            do {
+              w = stk.remove(stk.length - 1); onStk -= w; members += w
+            } while (w != v)
+            val m = members.min
+            members.foreach(x => out += ((x, m)))
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Driver-local Kahn-wave replay of [[topoLayers]] — identical
+    * semantics: wave r assigns layer r to the zero-in-degree remainder,
+    * capped at maxRounds; unresolved (deeper or cyclic) stay null. */
+  private def topoLocal(
+      edgeRows: Array[(Long, Long)], maxRounds: Int)
+      : Seq[(Long, Option[Long])] = {
+    import scala.collection.mutable
+    val outAdj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val indeg = mutable.LongMap.empty[Long]
+    val nodesSet = mutable.LongMap.empty[Unit]
+    for ((s, d) <- edgeRows.distinct) {
+      outAdj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      indeg(d) = indeg.getOrElse(d, 0L) + 1L
+      nodesSet(s) = (); nodesSet(d) = ()
+    }
+    val layer = mutable.LongMap.empty[Long]
+    var remaining = nodesSet.keys.toSet
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val srcs = remaining.filter(n => indeg.getOrElse(n, 0L) == 0L)
+      if (srcs.isEmpty) done = true
+      else {
+        srcs.foreach { n => layer(n) = round.toLong }
+        remaining --= srcs
+        for (s <- srcs; d <- outAdj.getOrElse(s, mutable.ArrayBuffer.empty))
+          indeg(d) = indeg(d) - 1L
+        round += 1
+      }
+    }
+    nodesSet.keys.toSeq.map(n => n -> layer.get(n))
+  }
+
+  /** Driver-local Jones–Plassmann replay of [[greedyColoring]] —
+    * identical waves: round r colors every remaining node with no
+    * remaining smaller-id neighbor, color = the same sorted-distinct
+    * mex fold over the PRE-WAVE colored full neighborhood. */
+  private def coloringLocal(
+      canonical: Array[(Long, Long)], maxRounds: Int)
+      : Seq[(Long, Option[Long])] = {
+    import scala.collection.mutable
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    // remaining smaller-neighbor count per node (canonical src < dst:
+    // exactly the dst side waits)
+    val waitCnt = mutable.LongMap.empty[Long]
+    val smallerOf = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val nodesSet = mutable.LongMap.empty[Unit]
+    for ((s, d) <- canonical) {
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+      waitCnt(d) = waitCnt.getOrElse(d, 0L) + 1L
+      smallerOf.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      nodesSet(s) = (); nodesSet(d) = ()
+    }
+    def mexOf(cs: Seq[Long]): Long = {
+      var acc = 0L
+      cs.distinct.sorted.foreach(x => if (x == acc) acc += 1)
+      acc
+    }
+    val color = mutable.LongMap.empty[Long]
+    var remaining = nodesSet.keys.toSet
+    var round = 0
+    var done = false
+    val empty = mutable.ArrayBuffer.empty[Long]
+    while (!done && round < maxRounds) {
+      val winners = remaining.filter(n => waitCnt.getOrElse(n, 0L) == 0L)
+      if (winners.isEmpty) done = true
+      else {
+        // colors from BEFORE this wave only (the waveC snapshot)
+        val newColors = winners.toSeq.map { n =>
+          n -> mexOf(adj.getOrElse(n, empty).toSeq
+            .filter(color.contains).map(color(_)))
+        }
+        newColors.foreach { case (n, c) => color(n) = c }
+        remaining --= winners
+        for (w <- winners; d <- smallerOf.getOrElse(w, empty)
+             if remaining(d)) waitCnt(d) = waitCnt(d) - 1L
+        round += 1
+      }
+    }
+    nodesSet.keys.toSeq.map(n => n -> color.get(n))
+  }
+
+  /** Driver-local replay of [[maximalMatching]]'s synchronous rounds:
+    * round r matches every edge that is the minimum incident edge of
+    * BOTH endpoints under the canonical (src, dst) order, peels the
+    * endpoints, repeats; a bound-exhausted residual surfaces with null
+    * round exactly like the distributed loop. */
+  private def matchingLocal(
+      canonical: Array[(Long, Long)], maxRounds: Int)
+      : Seq[(Long, Long, Option[Long])] = {
+    import scala.collection.mutable
+    var edges = canonical.toVector
+    val out = mutable.ArrayBuffer.empty[(Long, Long, Option[Long])]
+    var round = 0
+    var done = false
+    val ord = Ordering.Tuple2[Long, Long]
+    while (!done && round < maxRounds && edges.nonEmpty) {
+      val minOf = mutable.LongMap.empty[(Long, Long)]
+      for (e <- edges; n <- Seq(e._1, e._2)) {
+        val cur = minOf.get(n)
+        if (cur.isEmpty || ord.lt(e, cur.get)) minOf(n) = e
+      }
+      val wave = edges.filter(e => minOf(e._1) == e && minOf(e._2) == e)
+      if (wave.isEmpty) done = true
+      else {
+        wave.foreach { case (s, d) => out += ((s, d, Some(round.toLong))) }
+        val matchedNodes = wave.flatMap(e => Seq(e._1, e._2)).toSet
+        edges = edges.filterNot(e =>
+          matchedNodes(e._1) || matchedNodes(e._2))
+        round += 1
+      }
+    }
+    if (round == maxRounds && edges.nonEmpty)
+      edges.foreach { case (s, d) => out += ((s, d, None)) }
+    out.toSeq
   }
 
   /**

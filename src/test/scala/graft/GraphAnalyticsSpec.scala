@@ -674,6 +674,40 @@ class GraphAnalyticsSpec extends SparkTestBase {
         .collect().toSet)
   }
 
+  test("peel-loop local fast paths equal the distributed loops " +
+      "(scc / topo / coloring / matching)") {
+    // the gated-query fixtures: co-purchase edges, and the parity-
+    // directed rendition for SCC; local (default gate) vs distributed
+    // (maxLocalEdges = 0) — exact set equality, the louvain discipline
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .filter(col("l_partkey") % 4 === 0)
+    val e = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val even = (col("src") + col("dst")) % 2 === 0
+    val directed = e.select(
+      when(even, col("src")).otherwise(col("dst")).as("src"),
+      when(even, col("dst")).otherwise(col("src")).as("dst"))
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq).toSet
+    assert(sets(Graph.stronglyConnectedComponents(directed)) ==
+      sets(Graph.stronglyConnectedComponents(directed, maxLocalEdges = 0L)),
+      "scc local/distributed divergence")
+    assert(sets(Graph.topoLayers(e, maxRounds = 8)) ==
+      sets(Graph.topoLayers(e, maxRounds = 8, maxLocalEdges = 0L)),
+      "topo local/distributed divergence")
+    assert(sets(Graph.greedyColoring(e, maxRounds = 8)) ==
+      sets(Graph.greedyColoring(e, maxRounds = 8, maxLocalEdges = 0L)),
+      "coloring local/distributed divergence")
+    assert(sets(Graph.maximalMatching(e, maxRounds = 8)) ==
+      sets(Graph.maximalMatching(e, maxRounds = 8, maxLocalEdges = 0L)),
+      "matching local/distributed divergence")
+    // a low maxRounds exercises the unresolved/null-residual contract
+    // on both paths identically
+    assert(sets(Graph.topoLayers(e, maxRounds = 2)) ==
+      sets(Graph.topoLayers(e, maxRounds = 2, maxLocalEdges = 0L)))
+    assert(sets(Graph.maximalMatching(e, maxRounds = 1)) ==
+      sets(Graph.maximalMatching(e, maxRounds = 1, maxLocalEdges = 0L)))
+  }
+
   test("pageRank conserves mass on the fixture co-purchase graph") {
     val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .filter(col("l_partkey") % 4 === 0)
