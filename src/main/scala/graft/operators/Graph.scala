@@ -461,7 +461,7 @@ object Graph {
       dstCol: String = "dst",
       maxOuterRounds: Int = 20,
       maxInnerRounds: Int = 40,
-      maxLocalEdges: Long = 400000L): DataFrame = {
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     import graft.ops.Scratch
     val spark = edges.sparkSession
     var (e, me, ePath) = Scratch.materializeObservedAt(
@@ -750,7 +750,7 @@ object Graph {
     * O(remaining edges) each; total work is O(maxRounds · |E|) worst
     * case, O(|E| · avg-depth) typically. */
   def topoLayers(edges: DataFrame, maxRounds: Int = 8,
-      maxLocalEdges: Long = 400000L): DataFrame = {
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
@@ -868,7 +868,7 @@ object Graph {
     * shrinks the edge and node tables; all scratch-backed, the colored
     * count OBSERVED on each round's write. */
   def greedyColoring(edges: DataFrame, maxRounds: Int = 8,
-      maxLocalEdges: Long = 400000L): DataFrame = {
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
@@ -1018,7 +1018,7 @@ object Graph {
     * `round IS NOT NULL`). Escape route: raise `maxRounds` (rounds
     * are O(log n) expected on non-adversarial orderings). */
   def maximalMatching(edges: DataFrame, maxRounds: Int = 8,
-      maxLocalEdges: Long = 400000L): DataFrame = {
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
@@ -2291,7 +2291,7 @@ object Graph {
       maxRounds: Int = 4,
       weightCol: Option[String] = None,
       levels: Int = 1,
-      maxLocalEdges: Long = 400000L): DataFrame = {
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     require(levels >= 1, "levels must be >= 1")
