@@ -1458,10 +1458,8 @@ object Graph {
   def harmonicCentrality(
       edges: DataFrame,
       maxHops: Int = 3,
-      sources: Option[DataFrame] = None,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
-    val (dist, _, adjPath) =
-      bfsDistances(edges, maxHops, sources, "harm", maxLocalEdges)
+      sources: Option[DataFrame] = None): DataFrame = {
+    val (dist, _, adjPath) = bfsDistances(edges, maxHops, sources, "harm")
     graft.ops.Scratch.drop(edges.sparkSession, adjPath)
     dist.filter(col("dist") > 0)
       .groupBy(col("s").as("node"))
@@ -1483,10 +1481,8 @@ object Graph {
   def closenessCentrality(
       edges: DataFrame,
       maxHops: Int = 3,
-      sources: Option[DataFrame] = None,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
-    val (dist, _, adjPath) =
-      bfsDistances(edges, maxHops, sources, "close", maxLocalEdges)
+      sources: Option[DataFrame] = None): DataFrame = {
+    val (dist, _, adjPath) = bfsDistances(edges, maxHops, sources, "close")
     graft.ops.Scratch.drop(edges.sparkSession, adjPath)
     dist.filter(col("dist") > 0)
       .groupBy(col("s").as("node"))
@@ -1589,55 +1585,15 @@ object Graph {
       edges: DataFrame,
       maxHops: Int,
       sources: Option[DataFrame],
-      prefix: String,
-      maxLocalEdges: Long = 1000000L): (DataFrame, DataFrame, String) = {
+      prefix: String): (DataFrame, DataFrame, String) = {
     import graft.ops.Scratch
     require(maxHops >= 1, "maxHops must be >= 1")
     val spark = edges.sparkSession
     val e0 = canonicalEdges(edges)
-    // observed-gated local BFS (the louvain switchover): the (s, node,
-    // dist) ball table is computed by a driver BFS replay (first
-    // discovery level ≡ the loop's min-over-rounds) and handed back as
-    // a LocalRelation — every CALLER aggregation (harmonic sums,
-    // closeness division, distance histograms) still runs through the
-    // same Spark plan over it, so downstream semantics are untouched
-    // by construction. The ball table itself is |S|·ball rows — the
-    // landmark dial keeps it driver-sized exactly where the edge gate
-    // admits the graph.
-    val (eTbl, em, ePath) = Scratch.materializeObservedAt(
-      e0.select(col("src"), col("dst")), s"${prefix}_edges",
-      count(lit(1)).as("n"))
-    if (maxLocalEdges > 0 &&
-        em("n").asInstanceOf[Long] <= maxLocalEdges &&
-        eTbl.schema("src").dataType ==
-          org.apache.spark.sql.types.LongType) {
-      val pairs = collectEdgePairs(eTbl)
-      val seeds: Option[Array[Long]] = sources.map(df =>
-        df.select(col(df.columns.head).cast("long").as("s")).distinct()
-          .collect().map(_.getLong(0)))
-      val ball = bfsLocal(pairs, seeds, maxHops)
-      val jrows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(ball.map(r =>
-          org.apache.spark.sql.Row(r._1, r._2, r._3)): _*)
-      val tbl = spark.createDataFrame(jrows,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("s",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("dist",
-            org.apache.spark.sql.types.IntegerType, nullable = false))))
-      // the adjacency frame is unused by callers beyond retiring its
-      // path — hand back the edge scratch instead
-      return (tbl, eTbl, ePath)
-    }
-    // distributed path: symmetrize from the already-materialized
-    // canonical edge scratch (no second source scan), then retire it
     val (adj, adjPath) = Scratch.materializeAt(
-      eTbl.select(col("src"), col("dst"))
-        .union(eTbl.select(col("dst").as("src"), col("src").as("dst"))),
+      e0.select(col("src"), col("dst"))
+        .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
       s"${prefix}_adj")
-    Scratch.drop(spark, ePath)
     val seed = sources match {
       case None => adj.select(col("src").as("s")).distinct()
       case Some(df) =>
@@ -1783,10 +1739,8 @@ object Graph {
   def distanceDistribution(
       edges: DataFrame,
       maxHops: Int = 3,
-      sources: Option[DataFrame] = None,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
-    val (dist, _, adjPath) =
-      bfsDistances(edges, maxHops, sources, "dd", maxLocalEdges)
+      sources: Option[DataFrame] = None): DataFrame = {
+    val (dist, _, adjPath) = bfsDistances(edges, maxHops, sources, "dd")
     graft.ops.Scratch.drop(edges.sparkSession, adjPath)
     dist.filter(col("dist") > 0)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
@@ -2691,49 +2645,6 @@ object Graph {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField(c2,
         org.apache.spark.sql.types.LongType, nullable = true))))
-  }
-
-  /** Driver-local multi-source BFS over the symmetrized canonical
-    * edges — the [[bfsDistances]] fast-path engine: (s, node, dist)
-    * for every node within maxHops of each seed, dist 0 = the seed;
-    * first-discovery level ≡ the distributed loop's min-over-rounds.
-    * Seeds absent from the graph drop (no edges ⇒ no ball), matching
-    * the distributed left-semi. */
-  private def bfsLocal(
-      canonical: Array[(Long, Long)],
-      seedsIn: Option[Array[Long]],
-      maxHops: Int): Seq[(Long, Long, Int)] = {
-    import scala.collection.mutable
-    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
-    for ((s, d) <- canonical) {
-      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
-      adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
-    }
-    val seeds = seedsIn match {
-      case None => adj.keys.toArray
-      case Some(a) => a.distinct.filter(adj.contains)
-    }
-    val out = mutable.ArrayBuffer.empty[(Long, Long, Int)]
-    val empty = mutable.ArrayBuffer.empty[Long]
-    for (s <- seeds) {
-      val dist = mutable.LongMap.empty[Int]
-      dist(s) = 0
-      out += ((s, s, 0))
-      var frontier = Array(s)
-      var h = 1
-      while (h <= maxHops && frontier.nonEmpty) {
-        val next = mutable.ArrayBuffer.empty[Long]
-        for (v <- frontier; w <- adj.getOrElse(v, empty))
-          if (!dist.contains(w)) {
-            dist(w) = h
-            out += ((s, w, h))
-            next += w
-          }
-        frontier = next.toArray
-        h += 1
-      }
-    }
-    out.toSeq
   }
 
   /** Driver-local SCC (iterative Tarjan) — reachable only under the

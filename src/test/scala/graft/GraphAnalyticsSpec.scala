@@ -706,17 +706,6 @@ class GraphAnalyticsSpec extends SparkTestBase {
       sets(Graph.topoLayers(e, maxRounds = 2, maxLocalEdges = 0L)))
     assert(sets(Graph.maximalMatching(e, maxRounds = 1)) ==
       sets(Graph.maximalMatching(e, maxRounds = 1, maxLocalEdges = 0L)))
-    // the shared BFS engine's local ball table feeds the SAME Spark
-    // aggregations — harmonic / closeness / distance-distribution
-    // must be value-identical on both paths, landmarked and full
-    val lm = Some(e.select(col("src").as("node"))
-      .filter(col("node") % 7 === 0).distinct())
-    assert(sets(Graph.harmonicCentrality(e, 3, lm)) ==
-      sets(Graph.harmonicCentrality(e, 3, lm, maxLocalEdges = 0L)))
-    assert(sets(Graph.closenessCentrality(e, 3, lm)) ==
-      sets(Graph.closenessCentrality(e, 3, lm, maxLocalEdges = 0L)))
-    assert(sets(Graph.distanceDistribution(e, 2, None)) ==
-      sets(Graph.distanceDistribution(e, 2, None, maxLocalEdges = 0L)))
   }
 
   test("pageRank conserves mass on the fixture co-purchase graph") {
