@@ -461,7 +461,7 @@ object Graph {
       dstCol: String = "dst",
       maxOuterRounds: Int = 20,
       maxInnerRounds: Int = 40,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     val spark = edges.sparkSession
     var (e, me, ePath) = Scratch.materializeObservedAt(
@@ -473,8 +473,9 @@ object Graph {
     // driver Tarjan reproduces the FW-BW result exactly — and at
     // bench scale the FW-BW loop's ~40 write jobs are pure stage
     // scheduling. Long ids only; maxLocalEdges=0 forces distributed.
-    if (maxLocalEdges > 0 &&
-        me("n").asInstanceOf[Long] <= maxLocalEdges &&
+    val sccCap = localEdgeCap(spark, maxLocalEdges)
+    if (sccCap > 0 &&
+        me("n").asInstanceOf[Long] <= sccCap &&
         e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
       val result = sccLocal(collectEdgePairs(e))
       Scratch.drop(spark, ePath)
@@ -750,7 +751,7 @@ object Graph {
     * O(remaining edges) each; total work is O(maxRounds · |E|) worst
     * case, O(|E| · avg-depth) typically. */
   def topoLayers(edges: DataFrame, maxRounds: Int = 8,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
@@ -760,8 +761,9 @@ object Graph {
     // observed-gated local Kahn replay (the louvain switchover): layer
     // = earliest wave is canonical up to the cap, and the peel loop's
     // per-wave write jobs are pure stage scheduling at bench scale
-    if (maxLocalEdges > 0 &&
-        em("n").asInstanceOf[Long] <= maxLocalEdges &&
+    val topoCap = localEdgeCap(spark, maxLocalEdges)
+    if (topoCap > 0 &&
+        em("n").asInstanceOf[Long] <= topoCap &&
         e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
       val result = topoLocal(collectEdgePairs(e), maxRounds)
       Scratch.drop(spark, ePath)
@@ -868,7 +870,7 @@ object Graph {
     * shrinks the edge and node tables; all scratch-backed, the colored
     * count OBSERVED on each round's write. */
   def greedyColoring(edges: DataFrame, maxRounds: Int = 8,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
@@ -877,8 +879,9 @@ object Graph {
     // observed-gated local Jones-Plassmann replay (the louvain
     // switchover): identical waves, identical mex fold, and the
     // differential spec + sf0.01 oracle pin the equality
-    if (maxLocalEdges > 0 &&
-        em("n").asInstanceOf[Long] <= maxLocalEdges &&
+    val colorCap = localEdgeCap(spark, maxLocalEdges)
+    if (colorCap > 0 &&
+        em("n").asInstanceOf[Long] <= colorCap &&
         e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
       val result = coloringLocal(collectEdgePairs(e), maxRounds)
       Scratch.drop(spark, ePath)
@@ -1018,7 +1021,7 @@ object Graph {
     * `round IS NOT NULL`). Escape route: raise `maxRounds` (rounds
     * are O(log n) expected on non-adversarial orderings). */
   def maximalMatching(edges: DataFrame, maxRounds: Int = 8,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val spark = edges.sparkSession
@@ -1027,8 +1030,9 @@ object Graph {
     // observed-gated local replay of the synchronous rounds (the
     // louvain switchover): same both-ends-minimal waves under the
     // canonical order, same null-round residual contract
-    if (maxLocalEdges > 0 &&
-        em0("n").asInstanceOf[Long] <= maxLocalEdges &&
+    val matchCap = localEdgeCap(spark, maxLocalEdges)
+    if (matchCap > 0 &&
+        em0("n").asInstanceOf[Long] <= matchCap &&
         e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
       val result = matchingLocal(collectEdgePairs(e), maxRounds)
       Scratch.drop(spark, ePath)
@@ -2291,7 +2295,7 @@ object Graph {
       maxRounds: Int = 4,
       weightCol: Option[String] = None,
       levels: Int = 1,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(maxRounds >= 1, "maxRounds must be >= 1")
     require(levels >= 1, "levels must be >= 1")
@@ -2340,8 +2344,9 @@ object Graph {
     // scratch-table loop.
     def phase(e: DataFrame, sw: DataFrame,
         nEdges: Long, nSelf: Long): (DataFrame, String) = {
-      if (maxLocalEdges > 0 && nEdges <= maxLocalEdges &&
-          nSelf <= maxLocalEdges &&
+      val phaseCap = localEdgeCap(spark, maxLocalEdges)
+      if (phaseCap > 0 && nEdges <= phaseCap &&
+          nSelf <= phaseCap &&
           e.schema("src").dataType ==
             org.apache.spark.sql.types.LongType)
         return (louvainLocalPhase(e, sw, m2, maxRounds), null)
@@ -2612,6 +2617,29 @@ object Graph {
       org.apache.spark.sql.types.StructField("label",
         org.apache.spark.sql.types.LongType, nullable = false))))
   }
+
+  /** Default edge bound for the driver-local graph fast paths (SCC /
+    * toposort / coloring / matching / Louvain phases): a graph whose
+    * OBSERVED edge count fits the bound is collected and solved on the
+    * driver (~16 bytes/edge → ≈16 MB of driver heap at the default),
+    * which at bench scale replaces dozens of pure-stage-scheduling
+    * write jobs. DRIVER-MEMORY IMPLICATION: callers with small driver
+    * heaps — or deployments that never want driver-local execution —
+    * tune it globally via the session conf `spark.graft.maxLocalEdges`
+    * (`0` disables every fast path); an explicit per-call
+    * `maxLocalEdges` argument that differs from this default always
+    * wins over the conf. The distributed loops remain the semantics of
+    * record either way (differential specs pin local ≡ distributed). */
+  val DefaultMaxLocalEdges: Long = 1000000L
+
+  /** Resolve a call's effective driver-local edge cap: the explicit
+    * argument if the caller changed it, else the session conf
+    * `spark.graft.maxLocalEdges`, else [[DefaultMaxLocalEdges]]. */
+  private def localEdgeCap(
+      spark: org.apache.spark.sql.SparkSession, requested: Long): Long =
+    if (requested != DefaultMaxLocalEdges) requested
+    else spark.conf.getOption("spark.graft.maxLocalEdges")
+      .map(_.toLong).getOrElse(DefaultMaxLocalEdges)
 
   /** Collect a (src, dst) scratch edge table for a driver-local graph
     * fast path — callers gate on the OBSERVED edge count first. */

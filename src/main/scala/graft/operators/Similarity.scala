@@ -714,6 +714,28 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x)
 
+  /** Per-subspace ADC table as a Column: squared distance from the
+    * query slice to EACH codebook centroid, at the array position of
+    * its CELL ID (1-based lookup via `element_at(qt, code + 1)`).
+    * Lloyd can return non-contiguous cell ids — a seed centroid that
+    * loses every member is dropped by the update's groupBy — so the
+    * table is sized to the max cell id, with emptied positions filled
+    * by a +huge sentinel: no code ever references an emptied cell, but
+    * a position-compacted table would silently shift every later
+    * cell's distance one slot left (null adist past the end at best, a
+    * WRONG small distance at worst). */
+  private def adcTable(book: Seq[(Int, Seq[Double])], qSlice: Column): Column =
+    if (book.isEmpty) array()
+    else {
+      val byCell = book.toMap
+      array((0 to book.map(_._1).max).map { c =>
+        byCell.get(c) match {
+          case Some(cv) => sqDist(qSlice, array(cv.map(lit(_)): _*))
+          case None => lit(Double.MaxValue)
+        }
+      }: _*)
+    }
+
   /**
    * K-means clustering (the GDS `kmeans` surface, Euclidean): `iters`
    * deterministic Lloyd rounds — k-smallest-id init, 6-dp-pinned
@@ -851,10 +873,7 @@ object Similarity {
     // centroid of its subspace, as an array indexed by code
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qTabs = (0 until m).foldLeft(q0) { (df, j) =>
-      val dists = books(j).sortBy(_._1).map { case (_, cv) =>
-        sqDist(sliceD(col("qv"), j), array(cv.map(lit(_)): _*))
-      }
-      df.withColumn(s"qt$j", array(dists: _*))
+      df.withColumn(s"qt$j", adcTable(books(j), sliceD(col("qv"), j)))
     }.select(col("query_id") +: (0 until m).map(j => col(s"qt$j")): _*)
 
     val adist = round(
@@ -948,10 +967,7 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("crn") <= nProbe)
     val qTabs = (0 until m).foldLeft(probed) { (df, j) =>
-      val dists = books(j).sortBy(_._1).map { case (_, cv) =>
-        sqDist(sliceD(col("qv"), j), array(cv.map(lit(_)): _*))
-      }
-      df.withColumn(s"qt$j", array(dists: _*))
+      df.withColumn(s"qt$j", adcTable(books(j), sliceD(col("qv"), j)))
     }.select(col("query_id") +: col("cell") +:
       (0 until m).map(j => col(s"qt$j")): _*)
 

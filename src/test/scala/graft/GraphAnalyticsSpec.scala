@@ -708,6 +708,31 @@ class GraphAnalyticsSpec extends SparkTestBase {
       sets(Graph.maximalMatching(e, maxRounds = 1, maxLocalEdges = 0L)))
   }
 
+  test("spark.graft.maxLocalEdges conf globally disables the local fast paths") {
+    // the ADVICE deployment dial: a small-driver-heap deployment turns
+    // the driver-local fast paths off in ONE place instead of threading
+    // maxLocalEdges = 0 through every call; an explicit argument that
+    // differs from the default still wins over the conf
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    def isDriverLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(isDriverLocal(Graph.stronglyConnectedComponents(e)),
+      "tiny Long-id graph must take the driver-local path by default")
+    spark.conf.set("spark.graft.maxLocalEdges", "0")
+    try {
+      assert(!isDriverLocal(Graph.stronglyConnectedComponents(e)),
+        "conf = 0 must force the distributed loop")
+      assert(!isDriverLocal(Graph.topoLayers(e)) &&
+        !isDriverLocal(Graph.greedyColoring(e)) &&
+        !isDriverLocal(Graph.maximalMatching(e)),
+        "conf = 0 must cover every fast-path operator")
+      assert(isDriverLocal(
+        Graph.stronglyConnectedComponents(e, maxLocalEdges = 10L)),
+        "an explicit non-default argument must win over the conf")
+    } finally spark.conf.unset("spark.graft.maxLocalEdges")
+  }
+
   test("pageRank conserves mass on the fixture co-purchase graph") {
     val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
       .filter(col("l_partkey") % 4 === 0)

@@ -117,6 +117,28 @@ class PqSpec extends SparkTestBase {
     assert(rHigh >= rLow)
   }
 
+  test("pqTopK: survives a codebook cell emptied during Lloyd (dense ADC table)") {
+    // two identical seed points make cells 0 and 1 start at the same
+    // centroid; the tie-to-lowest assignment empties cell 1, whose row
+    // the Lloyd update's groupBy then DROPS — the surviving codebook is
+    // {0, 2}, non-contiguous. The ADC table must stay indexed BY CELL
+    // ID: a position-compacted table would look code 2 up one slot
+    // left (cell 2's distance at position 3 is null), ranking every
+    // far-cluster vector by a null adist.
+    val df = Seq(
+      (0L, Array(0.0f)), (1L, Array(0.0f)), (2L, Array(100.0f)),
+      (3L, Array(0.5f)), (4L, Array(99.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(df, df.filter(col("vec_id") === 4),
+      k = 4, dims = 1, m = 1, ksub = 3, iters = 1)
+      .orderBy(col("rank")).collect()
+    assert(out.length == 4)
+    assert(out.forall(!_.isNullAt(2)), "null adist = compacted ADC lookup")
+    // query [99] sits in the far cluster: its cluster-mate (vid 2,
+    // code 2) must rank first, then the near-cluster ids by tie-break
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 0L, 1L, 3L))
+  }
+
   test("pqTopK: rejects dims not divisible by m") {
     val df = clustered
     intercept[IllegalArgumentException] {

@@ -1,28 +1,36 @@
 #!/usr/bin/env bash
-# One-command correctness gate: Verify dump at sf0.01 → DuckDB oracle
-# compare → CORRECTNESS_SELF.json (driver per-query schema) at HEAD.
+# One-command correctness gate: Verify dump → DuckDB oracle compare →
+# a CORRECTNESS record (driver per-query schema) at HEAD.
 #
 # Three consecutive rounds of empty driver-side CORRECTNESS_r{N}.json
 # records made this reproducible path the de-facto gate; running it
 # through one script removes any drift between builder / judge / driver
 # invocations. Usage:
 #
-#   tools/gate.sh [sf_dir] [out_dir] [record]
+#   tools/gate.sh [sf_dir] [out_dir] [record] [query_filter]
 #
-# Defaults: /root/testdata/sf0.01, tmp/verify_gate, CORRECTNESS_SELF.json.
+# Defaults: /root/testdata/sf0.01, tmp/verify_gate, CORRECTNESS_SELF.json,
+# all queries. `query_filter` is a comma-separated query-name list,
+# forwarded to graft.Verify — the sf0.1 heavy-query tier runs
+#   tools/gate.sh /root/testdata/sf0.1 tmp/verify_sf01 \
+#     CORRECTNESS_SELF_SF01.json "corpus_prepare,graph_betweenness,..."
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT_DIR="${2:-tmp/verify_gate}"
 RECORD="${3:-CORRECTNESS_SELF.json}"
+FILTER="${4:-}"
 
 echo "[gate] verify dump: $SF_DIR -> $OUT_DIR"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
-  sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+  sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $FILTER"
 
 echo "[gate] duckdb oracle compare -> $RECORD"
-python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR" "$RECORD"
-rc=$?
+# `|| rc=$?` keeps the script alive under set -e so the trailing
+# record-written message and explicit exit run on BOTH paths (the old
+# bare-invocation form skipped them whenever the compare failed).
+rc=0
+python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR" "$RECORD" || rc=$?
 echo "[gate] record written to $RECORD (exit $rc)"
 exit $rc
