@@ -121,16 +121,30 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Reps are INTERLEAVED across the query list: pass 1 runs every
+    // query once, then pass 2, then pass 3 — not reps-back-to-back per
+    // query. The round-10 driver record inflated 7 queries 1.8-2.8×
+    // (flat in the quiet record at identical code) because one ambient
+    // contention window on the shared box covered ALL back-to-back reps
+    // of a query, which the per-query min cannot cancel. Interleaving
+    // spreads a query's reps ~minutes apart, so a contention window now
+    // costs each query at most ONE rep and min-of-reps recovers the
+    // quiet value.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val reps0 = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { run(fn(spark, sfDir)); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+    val timed = scala.collection.mutable.LinkedHashMap(
+      named.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+      }: _*)
+    for (_ <- 1 to reps; (name, fn) <- named) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { run(fn(spark, sfDir)); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      timed(name) += (((System.nanoTime() - t0) / 1e9, ok))
+    }
+    val results = named.map { case (name, _) =>
+      val reps0 = timed(name).toSeq
       (name, reps0.filter(_._2).map(_._1).sorted, reps0.count(!_._2))
     }
     def median(ts: Seq[Double]): Double = ts(ts.size / 2)
