@@ -327,11 +327,14 @@ object Corpus {
       return gh.select(col("g").as(groupCol), col("v").as(valueCol),
         col("cnt").as("n"), col("v").as("v_norm"))
     val nn = ghMeta("nn").asInstanceOf[Long]
-    val (p0, phMeta) = graft.ops.Scratch.materializeObserved(
+    val (p0, phMeta, phPath) = graft.ops.Scratch.materializeObservedAt(
       gh.groupBy(col("v").as("pv")).agg(sum(col("cnt")).as("pcnt")),
       "qnorm_ph", count(lit(1)).as("n_hist"))
     val nPh = phMeta("n_hist").asInstanceOf[Long]
-    require(nPh <= maxPooledRows,
+    // enforce the broadcast bound AND record it: markBounded performs
+    // the require and only then drops the _GRAFT_BOUNDED marker that
+    // makes this table's broadcast acceptable to BnljBoundedSpec
+    graft.ops.Scratch.markBounded(df.sparkSession, phPath, nPh, maxPooledRows,
       s"quantileNormalize: pooled value histogram has $nPh rows > " +
         s"maxPooledRows=$maxPooledRows - the 6-dp bucketing does not " +
         s"bound this column; pre-round/bin '$valueCol' coarser")

@@ -63,6 +63,37 @@ object Scratch {
     * table written WITHOUT observation never picks up the marker. */
   val observedMarker = "_GRAFT_OBSERVED"
 
+  /** Marker file recording that a scratch table's observed row count
+    * was CHECKED against an enforced bound — the only marker the
+    * broadcast-hygiene spec (`BnljBoundedSpec`) accepts. The
+    * `_GRAFT_OBSERVED` marker alone proves the count was MEASURED;
+    * iterative loops observe corpus-scale tables (louvain_edges,
+    * scc_edges, ...) for their convergence witnesses without any size
+    * enforcement, so "observed" must not read as "broadcast bounded".
+    * Only [[markBounded]] drops this marker, and it requires the bound
+    * to actually hold first — a site cannot claim enforcement without
+    * performing it. */
+  val boundedMarker = "_GRAFT_BOUNDED"
+
+  /** Enforce `observed <= bound` for a scratch table written at `path`
+    * (failing with the caller's message — name the escape route), then
+    * drop the [[boundedMarker]] that makes the table broadcast-eligible
+    * under `BnljBoundedSpec`. The require and the marker are one
+    * operation by design: the marker physically cannot appear on a
+    * table whose bound was not checked. */
+  def markBounded(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      observed: Long,
+      bound: Long,
+      message: => String): Unit = {
+    require(observed <= bound, message)
+    val marker = new org.apache.hadoop.fs.Path(path, boundedMarker)
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .create(marker, true).close()
+    ()
+  }
+
   def materializeObservedAt(
       df: DataFrame,
       prefix: String,

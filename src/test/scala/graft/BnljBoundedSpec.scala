@@ -18,19 +18,22 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
  */
 class BnljBoundedSpec extends SparkTestBase {
 
-  /** A scan of a scratch table written via
-    * `Scratch.materializeObservedAt` — recognized by the
-    * [[graft.ops.Scratch.observedMarker]] file the writer drops into
-    * the directory. Its row count was MEASURED during the write (the
-    * decontaminate / quantileNormalize gate discipline), so a broadcast
-    * of it is bounded by observation, not hope; every future
-    * `materializeObserved` site is covered with no whitelist edit. A
-    * scratch table written WITHOUT observation never has the marker. */
+  /** A scan of a scratch table whose observed row count was ENFORCED
+    * under a bound — recognized by the
+    * [[graft.ops.Scratch.boundedMarker]] file that only
+    * `Scratch.markBounded` drops, and markBounded performs the
+    * `require(observed <= bound)` itself, so the marker cannot appear
+    * without the check. The weaker `_GRAFT_OBSERVED` marker is
+    * deliberately NOT accepted here: iterative loops observe
+    * corpus-scale tables (louvain_edges, scc_edges, topo_edges, ...)
+    * for convergence witnesses with no size enforcement, and a future
+    * plan broadcasting one of those must fail this spec, not pass it
+    * because its row count happened to be measured. */
   private def isGatedScratchScan(p: SparkPlan): Boolean = p match {
     case f: FileSourceScanLike =>
       f.relation.location.rootPaths.exists { rp =>
         val marker = new org.apache.hadoop.fs.Path(
-          rp, graft.ops.Scratch.observedMarker)
+          rp, graft.ops.Scratch.boundedMarker)
         try marker.getFileSystem(spark.sessionState.newHadoopConf())
           .exists(marker)
         catch { case scala.util.control.NonFatal(_) => false }
@@ -92,14 +95,8 @@ class BnljBoundedSpec extends SparkTestBase {
     val dir = sf() // sf0.001 — plan shapes, tiny data
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     val sawAllowed = scala.collection.mutable.Set.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df =
-        try fn(spark, dir)
-        catch {
-          case e: Throwable =>
-            fail(s"query $name failed to BUILD at $dir: ${e.getMessage}")
-        }
-      df.queryExecution.sparkPlan.foreach {
+    walked.foreach { case (name, plan) =>
+      plan.foreach {
         case b: BroadcastNestedLoopJoinExec =>
           val build = if (b.buildSide == BuildLeft) b.left else b.right
           if (!bounded(build)) {
@@ -118,5 +115,93 @@ class BnljBoundedSpec extends SparkTestBase {
     val stale = allowedByDataSemantics.keySet -- sawAllowed
     assert(stale.isEmpty,
       s"stale allowedByDataSemantics entries (no unbounded BNLJ found): $stale")
+  }
+
+  /** Every gated query's physical plan, built ONCE and shared by the
+    * BNLJ and global-Window walks (building all queries materializes
+    * their scratch tables — the expensive part of this suite). */
+  private lazy val walked: Seq[(String, SparkPlan)] = {
+    val dir = sf()
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df =
+        try fn(spark, dir)
+        catch {
+          case e: Throwable =>
+            fail(s"query $name failed to BUILD at $dir: ${e.getMessage}")
+        }
+      name -> df.queryExecution.sparkPlan
+    }
+  }
+
+  /** Queries whose UN-PARTITIONED Window (all rows into one task) runs
+    * over a frame bounded by DATA SEMANTICS rather than plan shape —
+    * each entry is a reviewed exception naming the bound. The
+    * discipline this mechanizes: a global Window is fine over a
+    * histogram / hypothesis / k-row frame (bhFdr's per-group
+    * hypothesis table, ranked-stats' distinct-value histograms) and a
+    * 100 TB scale-killer over corpus rows; a future operator shipping
+    * a corpus-scale global sort now fails THIS spec instead of
+    * shipping. */
+  private val windowAllowedByDataSemantics: Map[String, String] = Map(
+    "stats_fdr" ->
+      ("bhFdr: step-up ordering over the HYPOTHESIS table — one row " +
+        "per tested group, bounded by the grouping's construction"),
+    "stats_ks_test" ->
+      ("ksTest: CDF walk over the DISTINCT 6-dp-value histogram " +
+        "(<= 1e6 values per unit range by the rounding discipline)"),
+    "stats_mannwhitney" ->
+      "mannWhitneyU: mid-ranks on the 6-dp score histogram (ksTest trade)",
+    "stats_auc" ->
+      "aucRoc: rank-sum identity over the same 6-dp score histogram",
+    "stats_pr_curve" ->
+      "prCurve: threshold walk over the DISTINCT-score histogram",
+    "stats_gains" ->
+      "gainsTable: decile walk over the DISTINCT-score histogram",
+    "stats_spearman" ->
+      ("spearmanCorr: doubled mid-ranks over each column's " +
+        "distinct-value histogram, never the joint rows"),
+    "stats_wasserstein" ->
+      "wasserstein1: CDF-difference walk over the pooled value histogram",
+    "stats_kaplan_meier" ->
+      ("kaplanMeier: survival product over the DISTINCT event-time " +
+        "table (risk sets per distinct time, not per subject)"),
+    "dq_skew_report" ->
+      ("keySkewReport: Gini from the count-of-counts histogram — the " +
+        "window orders distinct COUNT values, never keys"),
+    "vocab_zipf" ->
+      ("zipfFit: min-rank cumulative over the count-VALUE histogram " +
+        "(distinct frequency values, not the vocabulary)"))
+
+  test("every gated query's un-partitioned Window runs over a bounded frame") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val sawAllowed = scala.collection.mutable.Set.empty[String]
+    walked.foreach { case (name, plan) =>
+      plan.foreach {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty =>
+          if (!bounded(w.child)) {
+            if (windowAllowedByDataSemantics.contains(name)) sawAllowed += name
+            else offenders +=
+              s"$name: un-partitioned Window over an unbounded frame:\n" +
+                w.child.treeString
+          }
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty =>
+          if (!bounded(w.child)) {
+            if (windowAllowedByDataSemantics.contains(name)) sawAllowed += name
+            else offenders +=
+              s"$name: un-partitioned WindowGroupLimit over an unbounded frame:\n" +
+                w.child.treeString
+          }
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"\n${offenders.size} unbounded global Window(s):\n" +
+        offenders.mkString("\n---\n"))
+    val stale = windowAllowedByDataSemantics.keySet -- sawAllowed
+    assert(stale.isEmpty,
+      s"stale windowAllowedByDataSemantics entries (no unbounded global " +
+        s"Window found): $stale")
   }
 }
