@@ -2257,6 +2257,26 @@ object SparkEntry {
         Similarity.ivfPqTopK(e, q, k = 5, cells = 8, nProbe = 2,
           dims = 64, m = 4, ksub = 4, iters = 2, shortlist = 20), k = 5)
     }),
+    "sim_ivfpq_persisted" -> ((s, dir) => {
+      // the complete ANN index LIFECYCLE: build → persist (cell-
+      // partitioned codes + centroids + per-subspace codebooks) →
+      // load → probe against the PRE-BUILT index, the way a 100 TB
+      // serving pass runs (build amortized across query batches; the
+      // loaded probe scan prunes to the probed cell= dirs via DPP).
+      // Value-identical to sim_ivfpq_topk: doubles round-trip parquet
+      // exactly, so the oracle is the same IVF-PQ re-derivation.
+      val e = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvfPq(e, cells = 8, dims = 64, m = 4,
+        ksub = 4, iters = 2)
+      val out = graft.ops.Scratch.dir(
+        s.conf.getOption("spark.graft.scratchDir"), "ivfpq_index")
+      Similarity.writeIvfPqIndex(idx, out)
+      val (codes, cents, books) = Similarity.loadIvfPqIndex(s, out)
+      Similarity.ivfPqProbe(codes, cents, books,
+        e.select(col("vec_id").as("vid"), col("embedding").as("v")),
+        e.filter(col("vec_id") < 8),
+        k = 5, nProbe = 2, shortlist = 20, dims = 64)
+    }),
     "cdc_merge" -> ((s, dir) => {
       // MERGE/upsert snapshot maintenance: target = latest per-user
       // state from even-id events, change batch = odd-id events
@@ -3790,6 +3810,11 @@ object SparkEntry {
       cells = 8, iters = 2, nProbe = 2, dims = 64, m = 4, ksub = 4,
       maxQueryId = 8, k = 5, shortlist = 20),
     "sim_ivfpq_recall" -> OracleFragments.simIvfPqRecall(
+      cells = 8, iters = 2, nProbe = 2, dims = 64, m = 4, ksub = 4,
+      maxQueryId = 8, k = 5, shortlist = 20),
+    // persisted-index round trip is value-identical to the in-session
+    // build (binary64 parquet round-trip) — same oracle re-derivation
+    "sim_ivfpq_persisted" -> OracleFragments.simIvfPqTopK(
       cells = 8, iters = 2, nProbe = 2, dims = 64, m = 4, ksub = 4,
       maxQueryId = 8, k = 5, shortlist = 20),
     "sim_pq_topk" -> OracleFragments.simPqTopK(

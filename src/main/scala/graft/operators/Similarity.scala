@@ -926,8 +926,36 @@ object Similarity {
       ksub: Int = 4,
       iters: Int = 2,
       shortlist: Int = 20): DataFrame = {
+    val idx = buildIvfPq(corpus, idCol, vecCol, cells, dims, m, ksub, iters)
+    ivfPqProbe(idx.encoded, idx.centroids, idx.books,
+      idx.assigned.select(col("vid"), col("v")), queries,
+      idCol, vecCol, k, nProbe, shortlist, dims)
+  }
+
+  /** A built IVF-PQ index held in-session: coarse assignments
+    * (vid, v, cell) + the centroid frame from [[ivfIndex]], the M
+    * per-subspace PQ codebooks (pinned 6-dp driver-side literals), and
+    * the scored index (vid, cell, code0..code{M-1}) — M small ints per
+    * vector, raw vectors do NOT ride. */
+  final case class IvfPqIndex(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]],
+      encoded: DataFrame)
+
+  /** Build the IVF-PQ index over `corpus`: the coarse half of
+    * [[ivfPqTopK]] (cosine cells) plus the fine half (per-subspace L2
+    * Lloyd codebooks + one map-side encode pass). */
+  def buildIvfPq(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      cells: Int = 8,
+      dims: Int = 64,
+      m: Int = 4,
+      ksub: Int = 4,
+      iters: Int = 2): IvfPqIndex = {
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
-    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
     val sub = dims / m
     def sliceD(vec: Column, j: Int): Column =
       transform(slice(vec, j * sub + 1, sub), _.cast("double"))
@@ -956,6 +984,36 @@ object Similarity {
       df.withColumn(s"code$j", array_min(array(scored: _*)).getField("cell"))
     }.select(col("vid") +: col("cell") +:
       (0 until m).map(j => col(s"code$j")): _*)
+    IvfPqIndex(assigned, centroids, books, encoded)
+  }
+
+  /** Probe an IVF-PQ index — built this session ([[buildIvfPq]]) or
+    * loaded from a written one ([[loadIvfPqIndex]]): coarse-probe the
+    * `nProbe` most-similar cells per query, ADC-score only those
+    * cells' codes, shortlist by approximate distance, exact-cosine
+    * re-rank the shortlist against `raw` (vid, v) vectors — the
+    * query-time half of [[ivfPqTopK]], runnable against a PRE-BUILT
+    * index the way a 100 TB serving pass actually runs (the index
+    * build is amortized across query batches; only codes + the
+    * broadcast ADC tables move at query time). */
+  def ivfPqProbe(
+      encoded: DataFrame,
+      centroids: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]],
+      raw: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nProbe: Int = 2,
+      shortlist: Int = 20,
+      dims: Int = 64): DataFrame = {
+    val m = books.size
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val sub = dims / m
+    def sliceD(vec: Column, j: Int): Column =
+      transform(slice(vec, j * sub + 1, sub), _.cast("double"))
 
     // query side: probe the nProbe most-similar cells (coarse, cosine)
     // and attach the per-subspace ADC tables (fine, L2) to each probe
@@ -971,7 +1029,10 @@ object Similarity {
     }.select(col("query_id") +: col("cell") +:
       (0 until m).map(j => col(s"qt$j")): _*)
 
-    // ADC over probed cells only; shortlist by approximate distance
+    // ADC over probed cells only; shortlist by approximate distance.
+    // Over a LOADED cell-partitioned index the broadcast probe side
+    // prunes this scan to the probed cell= directories (dynamic
+    // partition pruning — plan-asserted in IvfSpec).
     val adist = round(
       (0 until m).map(j => element_at(col(s"qt$j"), col(s"code$j") + 1))
         .reduce(_ + _), 6)
@@ -987,7 +1048,7 @@ object Similarity {
     // exact cosine re-rank on the shortlist: originals fetched for
     // shortlist-bounded rows only (AQE broadcasts the tiny side)
     val rer = short
-      .join(assigned.select(col("vid").as("neighbor_id"), col("v")),
+      .join(raw.select(col("vid").as("neighbor_id"), col("v")),
         Seq("neighbor_id"))
       .join(q0, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -996,6 +1057,43 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Persist an IVF-PQ index as tables — the complete ANN index
+    * lifecycle (`writeIvfIndex` covered the coarse level only): codes
+    * partitioned by cell so probes touch only the probed cells'
+    * files, the coarse centroids, and the M per-subspace codebooks as
+    * (subspace, cell, cv) rows. Doubles round-trip parquet exactly
+    * (binary64), so a loaded probe is value-identical to an in-session
+    * probe over the same build. */
+  def writeIvfPqIndex(idx: IvfPqIndex, dir: String): Unit = {
+    val spark = idx.encoded.sparkSession
+    idx.encoded.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    import spark.implicits._
+    idx.books.zipWithIndex
+      .flatMap { case (book, j) => book.map { case (c, cv) => (j, c, cv) } }
+      .toDF("subspace", "cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Load a written IVF-PQ index: (encoded codes, centroid frame,
+    * per-subspace codebooks). The codebooks are collected back to
+    * driver literals (m×ksub rows — the same pinned-constant shape the
+    * build produced) so probe plans embed them exactly as
+    * [[ivfPqTopK]] does. */
+  def loadIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, Seq[Seq[(Int, Seq[Double])]]) = {
+    val bookRows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("subspace"), col("cell"), col("cv")).collect()
+    val books = bookRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (_, rows) =>
+        rows.map(r => (r.getInt(1), r.getSeq[Double](2))).sortBy(_._1).toSeq
+    }
+    (spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/centroids"), books)
   }
 
   /** Per-label centroid profile of the embedding corpus: for each

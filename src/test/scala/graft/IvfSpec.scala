@@ -61,6 +61,51 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("written IVF-PQ index round-trips: loaded probe equals in-session, " +
+      "probes prune to probed cell= dirs") {
+    val idx = Similarity.buildIvfPq(embs, cells = 8, dims = 64, m = 4,
+      ksub = 4, iters = 2)
+    val queries = embs.filter(col("vec_id") < 8)
+    val raw = idx.assigned.select(col("vid"), col("v"))
+    def collectSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = collectSet(Similarity.ivfPqProbe(idx.encoded, idx.centroids,
+      idx.books, raw, queries, nProbe = 3, shortlist = 20))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    try {
+      Similarity.writeIvfPqIndex(idx, dir)
+      // cell-partitioned code layout on disk; codebooks = m×ksub rows
+      val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length == 8)
+      val (codes, cents, books) = Similarity.loadIvfPqIndex(spark, dir)
+      assert(books == idx.books, "codebooks must round-trip bit-exactly")
+      val loadedProbe = Similarity.ivfPqProbe(codes, cents, books, raw,
+        queries, nProbe = 3, shortlist = 20)
+      assert(collectSet(loadedProbe) == direct && direct.nonEmpty)
+      // the probe's code scan is pruned to the probed cell= dirs: the
+      // broadcast probe side drives dynamic partition pruning on the
+      // partition column (a serving pass never reads unprobed cells).
+      // Dig through the AQE wrapper/stages to reach the actual scan.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(scans)
+      val scan = scans(loadedProbe.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+        .getOrElse(fail("no FileSourceScan of the codes table in the plan"))
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"codes scan carries no cell partition filter:\n${scan.treeString}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ivf topk: k rows per query, sims match brute-force values, decent recall") {
     val queries = embs.filter(col("vec_id") < 8)
     val ivf = Similarity.ivfTopK(embs, queries, k = 5, cells = 8, nProbe = 4)
