@@ -121,6 +121,66 @@ object Bench {
       }
     }
 
+    // ---- skew probe: SkewAgg.saltedJoin vs the plain shuffle join on
+    // a HOT-KEY fixture (90% of the fact rows carry ONE join key —
+    // lineitem replicated 16×, partkeys collapsed onto a hub). This is
+    // the scenario the salted path exists for: the dim side too big or
+    // too mid-plan to broadcast and AQE's skew split unavailable —
+    // both pinned off for BOTH paths, so the comparison isolates the
+    // salt. Paired reps (plain, salted) back to back like the scale
+    // probe; reported speedup = MIN over non-first pairs of
+    // plain_i/salted_i (the conservative paired statistic). The salted
+    // path is the one tfidfTopTerms(dfSaltBuckets>0) routes its
+    // stopword-skewed tf ⨝ df join through (gate: tfidf_terms_salted).
+    var skewJson = ""
+    if (sys.env.getOrElse("SPARK_GRAFT_SKEW_PROBE", "1") != "0"
+        && new java.io.File(s"$sfDir/lineitem.parquet").exists()
+        && only.isEmpty) {
+      import org.apache.spark.sql.functions._
+      try {
+        val repN = 16
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(org.apache.spark.sql.functions.col("l_orderkey"),
+            col("l_partkey"), col("l_quantity").cast("double").as("v"))
+        val fact0 = li.crossJoin(spark.range(repN).select(col("id").as("r")))
+          .select((col("l_orderkey") * repN + col("r")).as("fact_id"),
+            when(pmod(col("l_partkey"), lit(10L)) < 9L, lit(-1L))
+              .otherwise(col("l_partkey")).as("k"),
+            col("v"))
+        val fact = graft.ops.Scratch.materialize(fact0, "skew_fact")
+        val dim = graft.ops.Scratch.materialize(
+          fact.groupBy(col("k")).agg(round(avg(col("v")), 4).as("dim_v")),
+          "skew_dim")
+        def work(j: org.apache.spark.sql.DataFrame) =
+          j.agg(round(sum(col("v") * col("dim_v")), 2).as("s"))
+        val prevBroad = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try {
+          val pairs = (1 to 3).map { _ =>
+            val t1 = System.nanoTime()
+            run(work(fact.join(dim, Seq("k"))))
+            val p = (System.nanoTime() - t1) / 1e9
+            val t2 = System.nanoTime()
+            run(work(graft.ops.SkewAgg.saltedJoin(
+              fact, dim, "k", col("fact_id"), saltBuckets = 16)))
+            val s = (System.nanoTime() - t2) / 1e9
+            (p, s)
+          }
+          val measured = if (pairs.size > 1) pairs.tail else pairs
+          val speedup = measured.map { case (p, s) => p / s }.min
+          skewJson = f""","skew":{"plain":${pairs.map(_._1).min}%.3f,""" +
+            f""""salted":${pairs.map(_._2).min}%.3f,""" +
+            f""""speedup":$speedup%.2f}"""
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroad)
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] skew probe: $e") }
+    }
+
     // Reps are INTERLEAVED across the query list: pass 1 runs every
     // query once, then pass 2, then pass 3 — not reps-back-to-back per
     // query. The round-10 driver record inflated 7 queries 1.8-2.8×
@@ -184,7 +244,7 @@ object Bench {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
-    println(s"""{"metric":"queries","queries":$qs$errs$probeJson}""")
+    println(s"""{"metric":"queries","queries":$qs$errs$probeJson$skewJson}""")
     // worst query by per-query MIN: the contention-resistant statistic
     // (a load spike on one rep cannot nominate a phantom worst query)
     val worst = results.collect { case (k, ts, _) if ts.nonEmpty => (k, ts.head) }
@@ -196,7 +256,7 @@ object Bench {
     // record survives stdout tail truncation entirely
     try {
       val w = new java.io.PrintWriter("bench_total.json")
-      try w.println(s"""{"totals":$totals,"queries":$qs,"queries_min":$mins$errs$probeJson}""") finally w.close()
+      try w.println(s"""{"totals":$totals,"queries":$qs,"queries_min":$mins$errs$probeJson$skewJson}""") finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
     println(totals)
     spark.stop()

@@ -611,6 +611,12 @@ object SparkEntry {
     }),
     "tfidf_terms" -> ((s, dir) =>
       graft.operators.Corpus.tfidfTopTerms(t(s, dir, "documents"), k = 3)),
+    "tfidf_terms_salted" -> ((s, dir) =>
+      // the tf ⨝ df join through SkewAgg.saltedJoin (stopword = hot
+      // term key): result provably identical — same oracle as
+      // tfidf_terms, hash-compared independently
+      graft.operators.Corpus.tfidfTopTerms(t(s, dir, "documents"), k = 3,
+        dfSaltBuckets = 8)),
 
     // ==== extension operators: event analytics (window functions) ====
     "ev_sessionize" -> ((s, dir) => Events.sessionize(eventsTable(s, dir))),
@@ -2979,6 +2985,9 @@ object SparkEntry {
     "pack_efficiency" ->
       OracleFragments.packEfficiency(budgetTokens = 512L, shardRows = 1024L),
     "tfidf_terms" -> OracleFragments.tfidfTerms(k = 3),
+    // salted join is value-identical to the plain join by construction;
+    // the gate proves it against the same re-derivation
+    "tfidf_terms_salted" -> OracleFragments.tfidfTerms(k = 3),
     "skew_salted_join" ->
       """WITH d AS (SELECT event_type, round(avg(value), 4) AS type_avg
                     FROM events WHERE event_type IS NOT NULL GROUP BY 1)

@@ -1210,7 +1210,8 @@ object Corpus {
       docs: DataFrame,
       k: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      dfSaltBuckets: Int = 0): DataFrame = {
     // N rides in as a broadcast 1-row frame — no driver action, the
     // whole operator stays one lazy plan
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
@@ -1219,7 +1220,22 @@ object Corpus {
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, Seq("term"))
+    // The tf ⨝ df join key is the TERM — the textbook skewed key: a
+    // stopword's tf rows number n_docs, and a web-scale vocabulary is
+    // past broadcasting, so the hot term funnels to ONE reducer.
+    // dfSaltBuckets > 0 routes the join through SkewAgg.saltedJoin
+    // (dim replicated buckets×, each tf row picks a deterministic salt
+    // from its doc id) — result PROVABLY identical to the plain join
+    // (each row meets exactly its salt's replica; the tfidf_terms and
+    // tfidf_terms_salted gates share one oracle), hot terms spread
+    // over buckets reducers. The bench's skew probe measures the win
+    // on a hot-key fixture where AQE's skew split is unavailable.
+    val joined =
+      if (dfSaltBuckets > 0)
+        graft.ops.SkewAgg.saltedJoin(tf, df, "term",
+          saltFrom = col("doc_id"), saltBuckets = dfSaltBuckets)
+      else tf.join(df, Seq("term"))
+    val scored = joined
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         round(col("tf").cast("double") *

@@ -196,6 +196,38 @@ class GraphLawsSpec extends SparkTestBase {
     })
   }
 
+  test("property: local fast paths equal the distributed loops under " +
+      "randomized TRUNCATED round budgets") {
+    // the differential specs pin fixed maxRounds; this pins the
+    // TRUNCATION contract itself — at every (graph, budget) the local
+    // replay must leave exactly the rows the distributed loop leaves
+    // unresolved (null layer/round residuals included), not merely
+    // agree at convergence. Parity-oriented edges put cycles in the
+    // topo input so truncation actually bites.
+    check(Prop.forAll(graphGen, Gen.choose(1, 3)) { (es, rounds) =>
+      es.isEmpty || {
+        val e = es.toSeq.toDF("src", "dst")
+        val directed = es.toSeq.map { case (a, b) =>
+          if ((a + b) % 2 == 0) (a, b) else (b, a)
+        }.toDF("src", "dst")
+        def sets(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toSeq).toSet
+        sets(Graph.topoLayers(directed, maxRounds = rounds)) ==
+          sets(Graph.topoLayers(directed, maxRounds = rounds,
+            maxLocalEdges = 0L)) &&
+        sets(Graph.greedyColoring(e, maxRounds = rounds)) ==
+          sets(Graph.greedyColoring(e, maxRounds = rounds,
+            maxLocalEdges = 0L)) &&
+        sets(Graph.maximalMatching(e, maxRounds = rounds)) ==
+          sets(Graph.maximalMatching(e, maxRounds = rounds,
+            maxLocalEdges = 0L)) &&
+        sets(Graph.louvain(e, maxRounds = rounds.min(2))) ==
+          sets(Graph.louvain(e, maxRounds = rounds.min(2),
+            maxLocalEdges = 0L))
+      }
+    })
+  }
+
   test("property: assortativity is a correlation (|r| <= 1); distance histogram is consistent with closeness") {
     check(Prop.forAll(graphGen) { es =>
       es.isEmpty || {
