@@ -1462,13 +1462,43 @@ object Graph {
   def harmonicCentrality(
       edges: DataFrame,
       maxHops: Int = 3,
-      sources: Option[DataFrame] = None): DataFrame = {
-    val (dist, _, adjPath) = bfsDistances(edges, maxHops, sources, "harm")
-    graft.ops.Scratch.drop(edges.sparkSession, adjPath)
-    dist.filter(col("dist") > 0)
-      .groupBy(col("s").as("node"))
-      .agg(sum(round(lit(1.0d) / col("dist"), 9).cast("decimal(18,9)"))
-        .cast("double").as("centrality"))
+      sources: Option[DataFrame] = None,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges.sparkSession
+    val (adj, nAdj, adjPath) = symAdjacency(edges, "harm")
+    tryLocalBalls(adj, nAdj, sources, maxLocalEdges) match {
+      case Some(g) =>
+        // driver-local replay: Σ over reached t of the SAME 9-dp term
+        // under an exact decimal sum, one accumulator per source —
+        // never a ball table (see tryLocalBalls)
+        graft.ops.Scratch.drop(spark, adjPath)
+        val dist = Array.fill(g.ids.length)(-1)
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(g.seeds.map { s =>
+            val order = localBfs(g, s, maxHops, dist)
+            var acc = java.math.BigDecimal.ZERO
+            order.foreach { v =>
+              if (dist(v) > 0)
+                acc = acc.add(decTerm(roundD(1.0d / dist(v), 9), 9))
+            }
+            order.foreach(dist(_) = -1)
+            org.apache.spark.sql.Row(g.ids(s), acc.doubleValue)
+          }: _*)
+        spark.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("centrality",
+              org.apache.spark.sql.types.DoubleType, nullable = true))))
+      case None =>
+        val dist = bfsDistances(adj, maxHops, sources, "harm")
+        graft.ops.Scratch.drop(spark, adjPath)
+        dist.filter(col("dist") > 0)
+          .groupBy(col("s").as("node"))
+          .agg(sum(round(lit(1.0d) / col("dist"), 9).cast("decimal(18,9)"))
+            .cast("double").as("centrality"))
+    }
   }
 
   /**
@@ -1485,16 +1515,48 @@ object Graph {
   def closenessCentrality(
       edges: DataFrame,
       maxHops: Int = 3,
-      sources: Option[DataFrame] = None): DataFrame = {
-    val (dist, _, adjPath) = bfsDistances(edges, maxHops, sources, "close")
-    graft.ops.Scratch.drop(edges.sparkSession, adjPath)
-    dist.filter(col("dist") > 0)
-      .groupBy(col("s").as("node"))
-      .agg(count(lit(1)).as("reached"),
-        sum(col("dist")).cast("long").as("sum_dist"))
-      .select(col("node"), col("reached"),
-        round(col("reached").cast("double") / col("sum_dist").cast("double"), 6)
-          .as("closeness"))
+      sources: Option[DataFrame] = None,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges.sparkSession
+    val (adj, nAdj, adjPath) = symAdjacency(edges, "close")
+    tryLocalBalls(adj, nAdj, sources, maxLocalEdges) match {
+      case Some(g) =>
+        // driver-local replay: integer reached/dist sums + the same
+        // one 6-dp division — bit-exact by construction
+        graft.ops.Scratch.drop(spark, adjPath)
+        val dist = Array.fill(g.ids.length)(-1)
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(g.seeds.map { s =>
+            val order = localBfs(g, s, maxHops, dist)
+            var reached = 0L
+            var sumDist = 0L
+            order.foreach { v =>
+              if (dist(v) > 0) { reached += 1L; sumDist += dist(v) }
+            }
+            order.foreach(dist(_) = -1)
+            org.apache.spark.sql.Row(g.ids(s), reached,
+              roundD(reached.toDouble / sumDist.toDouble, 6))
+          }: _*)
+        spark.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("reached",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("closeness",
+              org.apache.spark.sql.types.DoubleType, nullable = true))))
+      case None =>
+        val dist = bfsDistances(adj, maxHops, sources, "close")
+        graft.ops.Scratch.drop(spark, adjPath)
+        dist.filter(col("dist") > 0)
+          .groupBy(col("s").as("node"))
+          .agg(count(lit(1)).as("reached"),
+            sum(col("dist")).cast("long").as("sum_dist"))
+          .select(col("node"), col("reached"),
+            round(col("reached").cast("double") / col("sum_dist").cast("double"), 6)
+              .as("closeness"))
+    }
   }
 
   /**
@@ -1532,15 +1594,30 @@ object Graph {
   def betweennessCentrality(
       edges: DataFrame,
       maxHops: Int = 3,
-      sources: Option[DataFrame] = None): DataFrame = {
+      sources: Option[DataFrame] = None,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges.sparkSession
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val (adj, nAdj, adjPath) = symAdjacency(edges, "btw")
+    tryLocalBalls(adj, nAdj, sources, maxLocalEdges) match {
+      case Some(g) =>
+        // driver-local Brandes replay: per source, forward BFS with
+        // integer σ then backward δ levels using the SAME IEEE term
+        // (1/σw)·(1+δw), the same 9-dp round, and the same order-exact
+        // decimal sums as the distributed plan — state is O(V + E) per
+        // source, never a ball table
+        Scratch.drop(spark, adjPath)
+        return betweennessLocal(spark, g, maxHops)
+      case None => ()
+    }
     // forward pass: distances AND path counts in ONE frontier-
     // incremental loop (σ rides the BFS — every shortest path to a
     // first-discovered node enters through the previous level); each
     // per-level σ table below is a filtered scan of the one result,
     // not a separate materialization
-    val (tbl, adj, _) = bfsSigma(edges, maxHops, sources, "btw")
+    val tbl = bfsSigma(adj, maxHops, sources, "btw")
     def sigma(h: Int): DataFrame =
       tbl.filter(col("dist") === h).select(col("s"), col("node"), col("sigma"))
     // backward: δ at the deepest level is 0; each level pulls from the
@@ -1569,6 +1646,7 @@ object Graph {
     }
     // score(v) = Σ_s δ(s, v), source endpoints excluded (δ at the
     // source is accumulated but a node is not "between" for itself)
+    Scratch.drop(spark, adjPath) // δ/σ scratch backs the plan; adj done
     deltas.map(_.filter(col("node") =!= col("s"))
       .select(col("node"), col("delta")))
       .reduce(_ union _)
@@ -1576,28 +1654,215 @@ object Graph {
       .agg(round(sum(col("delta").cast(dec)).cast("double"), 6).as("betweenness"))
   }
 
-  /** Shared multi-source BFS: (s, node, dist) for every node within
-    * `maxHops` of each source (dist 0 = the source itself), over the
-    * symmetrized graph. `sources` = None scores every node; a frame
-    * restricts to the sampled landmark set (ids absent from the graph
-    * are dropped — no edges means no ball). Each round is one
-    * adjacency×frontier equi-join plus a (s, node) min-aggregate
-    * materialized as a scratch table ([[pageRank]] loop discipline);
-    * the final table backs the caller's plan, the adjacency path is
-    * returned for the caller to retire. */
-  private def bfsDistances(
-      edges: DataFrame,
-      maxHops: Int,
-      sources: Option[DataFrame],
-      prefix: String): (DataFrame, DataFrame, String) = {
+  /** Driver-local Brandes for [[betweennessCentrality]]'s gated fast
+    * path: replays the distributed plan's arithmetic term for term —
+    * integer σ summed along the BFS levels, backward dependency
+    * dep(v) = Σ_{w ∈ N(v), dist(w)=h+1} round9((1/σw)·(1+δw)) under an
+    * exact DECIMAL(·,12) sum, δ(v) = round9(σv · dep), per-node scores
+    * as order-exact decimal sums of the 9-dp δ terms, 6-dp output. A
+    * node appears in the output iff it sits in some source's ball at a
+    * level BELOW maxHops (deepest-level nodes carry δ = 0 and emit no
+    * row), exactly like the distributed per-level delta union. */
+  private def betweennessLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      g: LocalBalls,
+      maxHops: Int): DataFrame = {
+    val n = g.ids.length
+    val dist = Array.fill(n)(-1)
+    val sigma = new Array[Long](n)
+    val delta = new Array[Double](n)
+    val score = new java.util.HashMap[Int, java.math.BigDecimal]()
+    g.seeds.foreach { s =>
+      // forward: level-synchronous BFS; σw sums every level-(h-1)
+      // predecessor's σ (first discovery seeds it, re-discovery at the
+      // same level adds — the distributed keyed sum)
+      sigma(s) = 1L
+      val order = scala.collection.mutable.ArrayBuffer[Int](s)
+      dist(s) = 0
+      var lo = 0
+      while (lo < order.length) {
+        val v = order(lo); lo += 1
+        if (dist(v) < maxHops) {
+          val ns = g.adj(v)
+          var i = 0
+          while (i < ns.length) {
+            val w = ns(i)
+            if (dist(w) < 0) {
+              dist(w) = dist(v) + 1; sigma(w) = sigma(v); order += w
+            } else if (dist(w) == dist(v) + 1) {
+              sigma(w) += sigma(v)
+            }
+            i += 1
+          }
+        }
+      }
+      // backward: δ levels from maxHops-1 down; δ at maxHops stays 0
+      val byLevel = order.groupBy(dist(_))
+      for (h <- maxHops - 1 to 0 by -1) {
+        byLevel.getOrElse(h, Nil).foreach { v =>
+          var dep = java.math.BigDecimal.ZERO
+          val ns = g.adj(v)
+          var i = 0
+          while (i < ns.length) {
+            val w = ns(i)
+            if (dist(w) == h + 1)
+              dep = dep.add(decTerm(
+                roundD(1.0d / sigma(w).toDouble * (1.0d + delta(w)), 9), 12))
+            i += 1
+          }
+          delta(v) = roundD(sigma(v).toDouble * dep.doubleValue, 9)
+          if (v != s) {
+            val prev = score.getOrDefault(v, java.math.BigDecimal.ZERO)
+            score.put(v, prev.add(decTerm(delta(v), 12)))
+          }
+        }
+      }
+      order.foreach { v => dist(v) = -1; sigma(v) = 0L; delta(v) = 0.0d }
+    }
+    val keys = score.keySet().toArray(Array.empty[Integer]).map(_.intValue).sorted
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(keys.map { v =>
+        org.apache.spark.sql.Row(g.ids(v),
+          roundD(score.get(v).doubleValue, 6))
+      }: _*)
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("betweenness",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+
+  /** Materialize the symmetrized adjacency of the landmark-BFS family
+    * with its row count OBSERVED on the write — the count gates the
+    * driver-local ball engine ([[tryLocalBalls]]); the caller retires
+    * the path. */
+  private def symAdjacency(
+      edges: DataFrame, prefix: String): (DataFrame, Long, String) = {
     import graft.ops.Scratch
-    require(maxHops >= 1, "maxHops must be >= 1")
-    val spark = edges.sparkSession
     val e0 = canonicalEdges(edges)
-    val (adj, adjPath) = Scratch.materializeAt(
+    val (adj, am, path) = Scratch.materializeObservedAt(
       e0.select(col("src"), col("dst"))
         .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
-      s"${prefix}_adj")
+      s"${prefix}_adj", count(lit(1)).as("n"))
+    (adj, am("n").asInstanceOf[Long], path)
+  }
+
+  /** Driver-local rendition of the landmark-ball family's graph:
+    * int-indexed adjacency (both directions present, mirroring the
+    * symmetrized scratch table row for row) + the seed indexes. */
+  private final case class LocalBalls(
+      ids: Array[Long], adj: Array[Array[Int]], seeds: Array[Int])
+
+  /** Observed-gated driver-local switchover for the landmark-ball
+    * family (harmonic / closeness / distance-distribution /
+    * betweenness) — the peel/louvain fast-path discipline applied to
+    * the shared BFS engine, with the round-10 negative result designed
+    * OUT: that attempt materialized the |S|·|ball| (s, node, dist)
+    * table as a driver LocalRelation (millions of rows at sf0.1 —
+    * measured REGRESSION, reverted, STATUS.md). Here NO ball ever
+    * materializes: each source's BFS accumulates straight into
+    * node-sized sums, so driver state stays O(V + E) — exactly the
+    * peel paths' footprint — and the collect is bounded by the
+    * OBSERVED adjacency row count, never by hope.
+    *
+    * Gate: adjacency rows ≤ the [[localEdgeCap]] (conf-overridable,
+    * 0 disables), Long ids, an EXPLICIT landmark frame (`sources` =
+    * None keeps the distributed loop — all-sources on a dense graph is
+    * the documented Θ(V·V) ball regime either way), ≤ 100k seeds, and
+    * a |S|·|adj| work budget so a large landmark set on a near-cap
+    * graph cannot pin the driver for minutes single-threaded. */
+  private def tryLocalBalls(
+      adjDf: DataFrame,
+      nAdj: Long,
+      sources: Option[DataFrame],
+      maxLocalEdges: Long): Option[LocalBalls] = {
+    val spark = adjDf.sparkSession
+    val cap = localEdgeCap(spark, maxLocalEdges)
+    if (cap <= 0 || nAdj > cap || sources.isEmpty ||
+        adjDf.schema("src").dataType != org.apache.spark.sql.types.LongType)
+      return None
+    val src = sources.get
+    val seeds0 = src.select(col(src.columns.head).as("s")).distinct()
+    if (seeds0.schema("s").dataType != org.apache.spark.sql.types.LongType)
+      return None
+    val seedCap = 100000
+    val seedArr = seeds0.limit(seedCap + 1).collect().map(_.getLong(0))
+    if (seedArr.length > seedCap) return None
+    if (seedArr.length.toLong * nAdj > 512000000L) return None
+    val pairs = collectEdgePairs(adjDf)
+    val ids = pairs.flatMap(p => Array(p._1, p._2)).distinct.sorted
+    val idx = new java.util.HashMap[Long, Int](ids.length * 2)
+    ids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+    val deg = new Array[Int](ids.length)
+    pairs.foreach { case (a, _) => deg(idx.get(a)) += 1 }
+    val adj = Array.tabulate(ids.length)(i => new Array[Int](deg(i)))
+    val fill = new Array[Int](ids.length)
+    pairs.foreach { case (a, b) =>
+      val i = idx.get(a); adj(i)(fill(i)) = idx.get(b); fill(i) += 1
+    }
+    // landmark ids absent from the graph drop (no edges → no ball),
+    // matching the distributed seed semi-join; sorted for reproducible
+    // processing order (the sums are order-exact regardless)
+    val seeds = seedArr.filter(idx.containsKey(_)).sorted.map(idx.get(_))
+    Some(LocalBalls(ids, adj, seeds))
+  }
+
+  /** Spark's `round(x, scale)` on a double, bit-for-bit
+    * (BigDecimal.valueOf → HALF_UP → doubleValue — the codegen'd
+    * expression); the local ball replays use it so every term matches
+    * the distributed plan's exactly. */
+  private def roundD(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Exact decimal image of a ≤`scale`-dp double term — the replay of
+    * `cast(round(...) as decimal(p, scale))` feeding an order-exact
+    * DECIMAL sum. */
+  private def decTerm(x: Double, scale: Int): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(scale)
+
+  /** One BFS from `s` over the local adjacency: fills `dist` (-1 =
+    * unreached) up to `maxHops` and returns the visited indexes in
+    * discovery order (s first). Caller resets `dist` at the visited
+    * indexes afterwards — O(ball), not O(V), per source. */
+  private def localBfs(
+      g: LocalBalls, s: Int, maxHops: Int, dist: Array[Int]): Array[Int] = {
+    val order = scala.collection.mutable.ArrayBuffer[Int](s)
+    dist(s) = 0
+    var lo = 0
+    while (lo < order.length) {
+      val v = order(lo); lo += 1
+      if (dist(v) < maxHops) {
+        val ns = g.adj(v)
+        var i = 0
+        while (i < ns.length) {
+          val w = ns(i)
+          if (dist(w) < 0) { dist(w) = dist(v) + 1; order += w }
+          i += 1
+        }
+      }
+    }
+    order.toArray
+  }
+
+  /** Shared multi-source BFS: (s, node, dist) for every node within
+    * `maxHops` of each source (dist 0 = the source itself), over the
+    * pre-materialized symmetrized adjacency ([[symAdjacency]]).
+    * `sources` = None scores every node; a frame restricts to the
+    * sampled landmark set (ids absent from the graph are dropped — no
+    * edges means no ball). Each round is one adjacency×frontier
+    * equi-join plus a (s, node) min-aggregate materialized as a
+    * scratch table ([[pageRank]] loop discipline); the final table
+    * backs the caller's plan. */
+  private def bfsDistances(
+      adj: DataFrame,
+      maxHops: Int,
+      sources: Option[DataFrame],
+      prefix: String): DataFrame = {
+    import graft.ops.Scratch
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = adj.sparkSession
     val seed = sources match {
       case None => adj.select(col("src").as("s")).distinct()
       case Some(df) =>
@@ -1626,7 +1891,7 @@ object Graph {
       dist = next
       distPath = nextPath
     }
-    (dist, adj, adjPath)
+    dist
   }
 
   /** [[bfsDistances]] fused with the Brandes forward pass: each round
@@ -1636,18 +1901,13 @@ object Graph {
     * level). Same frontier-incremental shape: one adjacency×frontier
     * equi-join, one anti-join, one keyed integer sum per round. */
   private def bfsSigma(
-      edges: DataFrame,
+      adj: DataFrame,
       maxHops: Int,
       sources: Option[DataFrame],
-      prefix: String): (DataFrame, DataFrame, String) = {
+      prefix: String): DataFrame = {
     import graft.ops.Scratch
     require(maxHops >= 1, "maxHops must be >= 1")
-    val spark = edges.sparkSession
-    val e0 = canonicalEdges(edges)
-    val (adj, adjPath) = Scratch.materializeAt(
-      e0.select(col("src"), col("dst"))
-        .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
-      s"${prefix}_adj")
+    val spark = adj.sparkSession
     val seed = sources match {
       case None => adj.select(col("src").as("s")).distinct()
       case Some(df) =>
@@ -1671,7 +1931,7 @@ object Graph {
       tbl = next
       tblPath = nextPath
     }
-    (tbl, adj, adjPath)
+    tbl
   }
 
   /**
@@ -1743,11 +2003,38 @@ object Graph {
   def distanceDistribution(
       edges: DataFrame,
       maxHops: Int = 3,
-      sources: Option[DataFrame] = None): DataFrame = {
-    val (dist, _, adjPath) = bfsDistances(edges, maxHops, sources, "dd")
-    graft.ops.Scratch.drop(edges.sparkSession, adjPath)
-    dist.filter(col("dist") > 0)
-      .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+      sources: Option[DataFrame] = None,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges.sparkSession
+    val (adj, nAdj, adjPath) = symAdjacency(edges, "dd")
+    tryLocalBalls(adj, nAdj, sources, maxLocalEdges) match {
+      case Some(g) =>
+        // driver-local replay: an all-integer hop histogram — only
+        // hop values that actually occur emit rows, like the groupBy
+        graft.ops.Scratch.drop(spark, adjPath)
+        val dist = Array.fill(g.ids.length)(-1)
+        val hist = new Array[Long](maxHops + 1)
+        g.seeds.foreach { s =>
+          val order = localBfs(g, s, maxHops, dist)
+          order.foreach { v => if (dist(v) > 0) hist(dist(v)) += 1L }
+          order.foreach(dist(_) = -1)
+        }
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList((1 to maxHops).filter(hist(_) > 0L)
+            .map(h => org.apache.spark.sql.Row(h, hist(h))): _*)
+        spark.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("dist",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_pairs",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      case None =>
+        val dist = bfsDistances(adj, maxHops, sources, "dd")
+        graft.ops.Scratch.drop(spark, adjPath)
+        dist.filter(col("dist") > 0)
+          .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+    }
   }
 
   /**

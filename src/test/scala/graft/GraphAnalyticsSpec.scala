@@ -708,6 +708,40 @@ class GraphAnalyticsSpec extends SparkTestBase {
       sets(Graph.maximalMatching(e, maxRounds = 1, maxLocalEdges = 0L)))
   }
 
+  test("landmark-ball local fast paths equal the distributed BFS loops " +
+      "(harmonic / closeness / distance-distribution / betweenness)") {
+    // the gated-query fixture: co-purchase edges + the mod-50 landmark
+    // sample; local (default gate, accumulate-per-source — never a
+    // ball table, the r10 revert's failure mode) vs distributed
+    // (maxLocalEdges = 0) — exact value equality including the 9-dp
+    // decimal-sum and 6-dp division replays
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .filter(col("l_partkey") % 4 === 0)
+    val e = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val marks = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .filter(pmod(col("node"), lit(50)) === 0).distinct()
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq).toSet
+    assert(sets(Graph.harmonicCentrality(e, 3, Some(marks))) ==
+      sets(Graph.harmonicCentrality(e, 3, Some(marks), maxLocalEdges = 0L)),
+      "harmonic local/distributed divergence")
+    assert(sets(Graph.closenessCentrality(e, 3, Some(marks))) ==
+      sets(Graph.closenessCentrality(e, 3, Some(marks), maxLocalEdges = 0L)),
+      "closeness local/distributed divergence")
+    assert(sets(Graph.distanceDistribution(e, 3, Some(marks))) ==
+      sets(Graph.distanceDistribution(e, 3, Some(marks), maxLocalEdges = 0L)),
+      "distance-distribution local/distributed divergence")
+    assert(sets(Graph.betweennessCentrality(e, 3, Some(marks))) ==
+      sets(Graph.betweennessCentrality(e, 3, Some(marks), maxLocalEdges = 0L)),
+      "betweenness local/distributed divergence")
+    // sources = None keeps the distributed loop (the documented
+    // all-sources Θ(V·V) regime is an executor problem either way)
+    val ddAll = Graph.distanceDistribution(e, maxHops = 1)
+    assert(!ddAll.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+  }
+
   test("spark.graft.maxLocalEdges conf globally disables the local fast paths") {
     // the ADVICE deployment dial: a small-driver-heap deployment turns
     // the driver-local fast paths off in ONE place instead of threading
