@@ -218,6 +218,11 @@ object SparkEntry {
     "dedup_lsh_jaccard" -> ((s, dir) =>
       // the scalable near-dup pipeline: LSH candidates -> exact verify
       Dedup.lshJaccard(t(s, dir, "documents"), minJaccard = 0.20)),
+    "dedup_minhash_estimate" -> ((s, dir) =>
+      // signature-agreement Jaccard ESTIMATE next to the exact value
+      // (Broder): what a 100 TB pass ranks candidates by before any
+      // shingle arrays ship; the estimator itself is hash-gated
+      Dedup.minhashEstimatePairs(t(s, dir, "documents"))),
     "dedup_ppjoin" -> ((s, dir) =>
       // EXACT token-set similarity join via rarest-first prefix
       // filtering (AllPairs/PPJoin) - no LSH false negatives. Gated on
@@ -2263,6 +2268,16 @@ object SparkEntry {
         Similarity.ivfPqTopK(e, q, k = 5, cells = 8, nProbe = 2,
           dims = 64, m = 4, ksub = 4, iters = 2, shortlist = 20), k = 5)
     }),
+    "sim_ivfpq_residual" -> ((s, dir) => {
+      // the production IVFPQ refinement (Jégou 2011 §III): PQ codes
+      // over (v − coarse centroid), ADC tables per (query, probed
+      // cell) — residuals are centered within a cell, so the codebook
+      // spends its precision on local structure
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8),
+        k = 5, cells = 8, nProbe = 2, dims = 64, m = 4, ksub = 4,
+        iters = 2, shortlist = 20, residual = true)
+    }),
     "sim_ivfpq_persisted" -> ((s, dir) => {
       // the complete ANN index LIFECYCLE: build → persist (cell-
       // partitioned codes + centroids + per-subspace codebooks) →
@@ -2809,6 +2824,8 @@ object SparkEntry {
     "dedup_ppjoin" -> OracleFragments.dedupPpjoin(minJaccard = 0.9),
     "dedup_lsh_jaccard" -> OracleFragments.dedupLshJaccard(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
+    "dedup_minhash_estimate" -> OracleFragments.dedupMinhashEstimate(
+      bands = 4, rowsPerBand = 4),
     "dedup_clusters" -> OracleFragments.dedupClusters(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
     "split_assign_clustered" -> OracleFragments.splitAssignClustered(
@@ -3826,6 +3843,9 @@ object SparkEntry {
     "sim_ivfpq_persisted" -> OracleFragments.simIvfPqTopK(
       cells = 8, iters = 2, nProbe = 2, dims = 64, m = 4, ksub = 4,
       maxQueryId = 8, k = 5, shortlist = 20),
+    "sim_ivfpq_residual" -> OracleFragments.simIvfPqTopK(
+      cells = 8, iters = 2, nProbe = 2, dims = 64, m = 4, ksub = 4,
+      maxQueryId = 8, k = 5, shortlist = 20, residual = true),
     "sim_pq_topk" -> OracleFragments.simPqTopK(
       dims = 64, m = 4, ksub = 4, iters = 2, k = 5, queryMod = 100),
     "ev_sliding_window" ->
@@ -4941,6 +4961,43 @@ object OracleFragments {
         SELECT a, b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
         FROM scored
         WHERE round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) >= $minJaccard"""
+  }
+
+  /** Mirror of Dedup.minhashEstimatePairs: same banded candidates,
+    * then the per-component signature-agreement count next to the
+    * exact shingle Jaccard — every term the same md5 hash family, so
+    * the ESTIMATOR itself hash-compares (no tolerance contract). */
+  def dedupMinhashEstimate(bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    val mh = Seq.tabulate(k)(i => s"${minhashExpr(5, i)} AS mh$i").mkString(", ")
+    val bandSelects = Seq.tabulate(bands) { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM sigs"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sigs AS (SELECT doc_id, $mh FROM documents),
+          bandkeys AS ($bandSelects),
+          cands AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bandkeys l JOIN bandkeys r
+              ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+          agr AS (
+            SELECT a, b, ($agree)::INT AS matches
+            FROM cands JOIN sigs sa ON cands.a = sa.doc_id
+                       JOIN sigs sb ON cands.b = sb.doc_id),
+          gs AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM documents),
+          ex AS (
+            SELECT a, b, len(list_intersect(ga.g, gb.g)) AS inter,
+                   len(ga.g) AS sa, len(gb.g) AS sb
+            FROM cands JOIN gs ga ON cands.a = ga.gid
+                       JOIN gs gb ON cands.b = gb.gid)
+        SELECT agr.a, agr.b, agr.matches,
+               round(agr.matches::DOUBLE / ${k}.0::DOUBLE, 6) AS est_jaccard,
+               round(ex.inter::DOUBLE / (ex.sa + ex.sb - ex.inter)::DOUBLE, 6)
+                 AS jaccard
+        FROM agr JOIN ex ON agr.a = ex.a AND agr.b = ex.b"""
   }
 
   /** Mirror of Dedup.crossLshJaccard over the decontaminate benchmark
@@ -8866,7 +8923,8 @@ object OracleFragments {
     * and the final code assignment e$j (vid → cell). Shared between
     * [[simPqTopK]] and [[simIvfPqTopK]]; the CTE names never collide
     * with [[ivfLloydCtes]]' c0../a1../af namespace. */
-  private def pqSliceCtes(dims: Int, m: Int, ksub: Int, iters: Int): String = {
+  private def pqSliceCtes(dims: Int, m: Int, ksub: Int, iters: Int,
+      src: String = "v"): String = {
     val sub = dims / m
     def sliceCtes(j: Int): String = {
       val lo = j * sub + 1
@@ -8891,7 +8949,7 @@ object OracleFragments {
         Seq(assign(s"a$j$i", s"c$j${i - 1}"), update(s"c$j$i", s"a$j$i"))
       }
       s"""s$j AS (SELECT vid, list_transform(v[$lo:$hi], x -> x::DOUBLE) AS v
-                  FROM v),
+                  FROM $src),
           c${j}0 AS (SELECT (row_number() OVER (ORDER BY vid) - 1)::INT AS cell,
                             list_transform(v, x -> round(x, 6)) AS cv
                      FROM s$j QUALIFY row_number() OVER (ORDER BY vid) <= $ksub),
@@ -8911,12 +8969,14 @@ object OracleFragments {
 
   /** The ADC distance expression Σ_j l2(q-slice_j, codebook_j) against
     * query alias `q`; left-assoc + matches the Spark reduce order. */
-  private def pqAdcExpr(dims: Int, m: Int, qAlias: String): String = {
+  private def pqAdcExpr(dims: Int, m: Int, qAlias: String,
+      qField: String = "qv"): String = {
     val sub = dims / m
     (0 until m).map { j =>
       val lo = j * sub + 1
       val hi = (j + 1) * sub
-      l2Of(s"list_transform($qAlias.qv[$lo:$hi], x -> x::DOUBLE)", s"cc$j.cv")
+      l2Of(s"list_transform($qAlias.$qField[$lo:$hi], x -> x::DOUBLE)",
+        s"cc$j.cv")
     }.mkString(" + ")
   }
 
@@ -8942,21 +9002,40 @@ object OracleFragments {
     * top-nProbe cells by centroid cosine, ADC only against probed
     * cells' members, shortlist by (adist, id), exact cosine re-rank. */
   def simIvfPqTopK(cells: Int, iters: Int, nProbe: Int, dims: Int,
-      m: Int, ksub: Int, maxQueryId: Int, k: Int, shortlist: Int): String =
-    s"""WITH ${ivfLloydCtes(cells, iters)},
-          ${pqSliceCtes(dims, m, ksub, iters)},
+      m: Int, ksub: Int, maxQueryId: Int, k: Int, shortlist: Int,
+      residual: Boolean = false): String = {
+    // residual mode: codes are over (v − coarse centroid) and the ADC
+    // table is per (query, probed cell) — rv/rqv mirror the Spark
+    // side's IEEE-identical float→double subtraction of the 6-dp
+    // pinned centroid
+    val sliceSrc = if (residual) "rv" else "v"
+    val rvCte = if (!residual) ""
+      else s""",
+          rv AS (
+            SELECT af.vid, list_transform(list_zip(af.v, cc.cv),
+                     z -> z[1]::DOUBLE - z[2]::DOUBLE) AS v
+            FROM af JOIN c$iters cc USING (cell))"""
+    val probeVec =
+      if (residual)
+        s""", list_transform(list_zip(q.qv, cc.cv),
+             z -> z[1]::DOUBLE - z[2]::DOUBLE) AS rqv"""
+      else ""
+    val probeCols = if (residual) "query_id, qv, rqv, cell" else "query_id, qv, cell"
+    val qField = if (residual) "rqv" else "qv"
+    s"""WITH ${ivfLloydCtes(cells, iters)}$rvCte,
+          ${pqSliceCtes(dims, m, ksub, iters, sliceSrc)},
           q AS (SELECT vid AS query_id, v AS qv FROM v
                 WHERE vid < $maxQueryId),
           probed AS (
-            SELECT query_id, qv, cell FROM (
-              SELECT q.query_id, q.qv, cc.cell,
+            SELECT $probeCols FROM (
+              SELECT q.query_id, q.qv, cc.cell$probeVec,
                      row_number() OVER (PARTITION BY q.query_id
                        ORDER BY ${cosineOf("q.qv", "cc.cv")} DESC,
                                 cc.cell ASC) AS crn
               FROM q CROSS JOIN c$iters cc) WHERE crn <= $nProbe),
           adc AS (
             SELECT p.query_id, x.vid AS neighbor_id,
-                   round(${pqAdcExpr(dims, m, "p")}, 6) AS adist
+                   round(${pqAdcExpr(dims, m, "p", qField)}, 6) AS adist
             FROM probed p JOIN af x ON x.cell = p.cell
             ${pqCodeJoins(m, iters)}
             WHERE x.vid <> p.query_id),
@@ -8976,6 +9055,7 @@ object OracleFragments {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM rer) WHERE rank <= $k"""
+  }
 
   /** Mirror of the sim_ivfpq_recall composition: [[simCosineTopK]] and
     * [[simIvfPqTopK]] nested as subqueries (own WITH scopes),

@@ -398,6 +398,62 @@ object Dedup {
     * jaccard filter back into the join condition, where it would
     * re-evaluate the intersect per reference ahead of the cheap pruning
     * conjuncts — the measured round-2 regression. */
+  /** MinHash Jaccard ESTIMATION over the LSH candidate pairs: the
+    * signature-agreement fraction est = |{i : sigA[i] = sigB[i]}| / k,
+    * whose expectation IS the Jaccard similarity (Broder 1997) — the
+    * statistic a 100 TB pass ranks candidates by INSTEAD of shipping
+    * shingle arrays through a verify join (k ints per doc ride the
+    * pair join; the exact verify then runs only on the estimate's
+    * survivors). Emits the estimate NEXT TO the exact Jaccard so the
+    * estimator itself is value-gated: every component is the same
+    * deterministic md5 hash family, so the DuckDB oracle re-derives
+    * est and exact bit-for-bit — no tolerance contract needed. Scale
+    * shape = [[lshJaccard]]: one scan into the scratch signature
+    * table, banded candidates under the enforced bucket guard, ids +
+    * signatures only through the join. */
+  def minhashEstimatePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
+    val k = bands * rowsPerBand
+    val base = Scratch.materialize(
+      Par.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(
+          col("id"),
+          graft.functions.MinHashSignature
+            .minhashSignature(col("t"), shingleK, k).as("sig"),
+          shingles(col("t"), shingleK).as("gs"))
+        .withColumn("sz", size(col("gs"))),
+      "mh_est_signatures")
+    val candidates = candidatePairs(
+      bandedKeys(base.select(col("id"), col("sig")), bands, rowsPerBand),
+      "minhashEstimatePairs", maxBucketRows)
+    val withSigs = candidates
+      .join(base.select(col("id").as("a"), col("sig").as("sig_a"),
+        col("gs").as("gs_a"), col("sz").as("sz_a")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("sig").as("sig_b"),
+        col("gs").as("gs_b"), col("sz").as("sz_b")), Seq("b"))
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+    val inter = fence(graft.functions.ArrayIntersectSize
+      .arrayIntersectSize(col("gs_a"), col("gs_b")))
+    withSigs
+      .select(col("a"), col("b"), matches.as("matches"), inter.as("inter"),
+        col("sz_a"), col("sz_b"))
+      .select(col("a"), col("b"), col("matches"),
+        round(col("matches").cast("double") / lit(k.toDouble), 6)
+          .as("est_jaccard"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   private def exactJaccard(pairs: DataFrame, minJaccard: Double): DataFrame =
     pairs
       .select(col("a"), col("b"), col("sz_a"), col("sz_b"),

@@ -925,11 +925,13 @@ object Similarity {
       m: Int = 4,
       ksub: Int = 4,
       iters: Int = 2,
-      shortlist: Int = 20): DataFrame = {
-    val idx = buildIvfPq(corpus, idCol, vecCol, cells, dims, m, ksub, iters)
+      shortlist: Int = 20,
+      residual: Boolean = false): DataFrame = {
+    val idx = buildIvfPq(corpus, idCol, vecCol, cells, dims, m, ksub, iters,
+      residual)
     ivfPqProbe(idx.encoded, idx.centroids, idx.books,
       idx.assigned.select(col("vid"), col("v")), queries,
-      idCol, vecCol, k, nProbe, shortlist, dims)
+      idCol, vecCol, k, nProbe, shortlist, dims, residual)
   }
 
   /** A built IVF-PQ index held in-session: coarse assignments
@@ -954,7 +956,8 @@ object Similarity {
       dims: Int = 64,
       m: Int = 4,
       ksub: Int = 4,
-      iters: Int = 2): IvfPqIndex = {
+      iters: Int = 2,
+      residual: Boolean = false): IvfPqIndex = {
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
     def sliceD(vec: Column, j: Int): Column =
@@ -963,10 +966,37 @@ object Similarity {
     // coarse cells (the sim_ivf_topk discipline)
     val (assigned, centroids) = ivfIndex(corpus, idCol, vecCol, cells, iters)
 
+    // residual = true encodes (v − coarse centroid) instead of raw v —
+    // the production IVFPQ refinement (Jégou et al. 2011 §III): within
+    // a cell the residuals are centered, so the ksub codewords spend
+    // their precision on local structure instead of re-describing the
+    // cell's position. The centroid rides into the plan as a pinned
+    // per-cell literal CASE (one map-side subtraction, zero joins);
+    // both engines subtract the same 6-dp centroid from the same
+    // float→double coordinates, so the residual is IEEE-identical and
+    // the oracle re-derives it exactly.
+    val vEnc: Column =
+      if (!residual) col("v")
+      else {
+        val cents = centroids.collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+        if (cents.isEmpty) col("v")
+        else {
+          val cvExpr = cents.tail.foldLeft(
+            when(col("cell") === cents.head._1,
+              array(cents.head._2.map(lit(_)): _*))) {
+            case (acc, (c, cv)) =>
+              acc.when(col("cell") === c, array(cv.map(lit(_)): _*))
+          }
+          zip_with(transform(col("v"), _.cast("double")), cvExpr,
+            (a, b) => a - b)
+        }
+      }
+
     // per-subspace codebooks over the full corpus (the sim_pq_topk
     // discipline; same documented persist window for the Lloyd collects)
     val sliced = assigned.select(col("vid") +: col("cell") +:
-      (0 until m).map(j => sliceD(col("v"), j).as(s"s$j")): _*)
+      (0 until m).map(j => sliceD(vEnc, j).as(s"s$j")): _*)
     if (iters > 0) sliced.persist()
     val books: Seq[Seq[(Int, Seq[Double])]] =
       (0 until m).map { j =>
@@ -1007,7 +1037,8 @@ object Similarity {
       k: Int = 5,
       nProbe: Int = 2,
       shortlist: Int = 20,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      residual: Boolean = false): DataFrame = {
     val m = books.size
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
@@ -1016,16 +1047,24 @@ object Similarity {
       transform(slice(vec, j * sub + 1, sub), _.cast("double"))
 
     // query side: probe the nProbe most-similar cells (coarse, cosine)
-    // and attach the per-subspace ADC tables (fine, L2) to each probe
+    // and attach the per-subspace ADC tables (fine, L2) to each probe.
+    // Under residual coding the ADC tables are PER (query, probed
+    // cell) — the query residual depends on the cell's centroid, which
+    // the probe row already carries from the centroid cross join.
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probed = q0.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cell"),
+      .select(col("query_id"), col("qv"), col("cell"), col("cv"),
         round(cosine(col("qv"), col("cv")), 6).as("csim"))
       .withColumn("crn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("crn") <= nProbe)
+    val qEnc: Column =
+      if (residual)
+        zip_with(transform(col("qv"), _.cast("double")), col("cv"),
+          (a, b) => a - b)
+      else col("qv")
     val qTabs = (0 until m).foldLeft(probed) { (df, j) =>
-      df.withColumn(s"qt$j", adcTable(books(j), sliceD(col("qv"), j)))
+      df.withColumn(s"qt$j", adcTable(books(j), sliceD(qEnc, j)))
     }.select(col("query_id") +: col("cell") +:
       (0 until m).map(j => col(s"qt$j")): _*)
 

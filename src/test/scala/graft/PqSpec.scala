@@ -82,6 +82,26 @@ class PqSpec extends SparkTestBase {
     assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
   }
 
+  test("ivfPqTopK residual: full probe budget + corpus shortlist equals " +
+      "brute force; residual ADC is well-formed when pruned") {
+    // the nProbe=cells ≡ brute-force law must survive residual coding
+    // (the exact re-rank sees raw vectors either way); the pruned run
+    // checks the per-(query, cell) ADC tables produce a clean ranking
+    val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(e, q, k = 4)
+      .select("query_id", "neighbor_id", "sim", "rank")
+    val full = Similarity.ivfPqTopK(e, q, k = 4, cells = 4, nProbe = 4,
+      dims = 64, m = 4, ksub = 4, iters = 1, shortlist = 100000,
+      residual = true)
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+    val pruned = Similarity.ivfPqTopK(e, q, k = 4, cells = 4, nProbe = 2,
+      dims = 64, m = 4, ksub = 4, iters = 1, shortlist = 12, residual = true)
+      .collect()
+    assert(pruned.groupBy(_.getLong(0)).forall(_._2.length == 4))
+    assert(pruned.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("ivfPqTopK: pruned output is well-formed and deterministic") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)
