@@ -1790,7 +1790,18 @@ object Graph {
     val seedArr = seeds0.limit(seedCap + 1).collect().map(_.getLong(0))
     if (seedArr.length > seedCap) return None
     if (seedArr.length.toLong * nAdj > 512000000L) return None
-    val pairs = collectEdgePairs(adjDf)
+    val (ids, adj, idx) = indexPairs(collectEdgePairs(adjDf))
+    // landmark ids absent from the graph drop (no edges → no ball),
+    // matching the distributed seed semi-join; sorted for reproducible
+    // processing order (the sums are order-exact regardless)
+    val seeds = seedArr.filter(idx.containsKey(_)).sorted.map(idx.get(_))
+    Some(LocalBalls(ids, adj, seeds))
+  }
+
+  /** Int-index a collected (src, dst) pair table: (sorted node ids,
+    * out-adjacency arrays mirroring the pairs row for row, id→index). */
+  private def indexPairs(pairs: Array[(Long, Long)])
+      : (Array[Long], Array[Array[Int]], java.util.HashMap[Long, Int]) = {
     val ids = pairs.flatMap(p => Array(p._1, p._2)).distinct.sorted
     val idx = new java.util.HashMap[Long, Int](ids.length * 2)
     ids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
@@ -1801,11 +1812,77 @@ object Graph {
     pairs.foreach { case (a, b) =>
       val i = idx.get(a); adj(i)(fill(i)) = idx.get(b); fill(i) += 1
     }
-    // landmark ids absent from the graph drop (no edges → no ball),
-    // matching the distributed seed semi-join; sorted for reproducible
-    // processing order (the sums are order-exact regardless)
-    val seeds = seedArr.filter(idx.containsKey(_)).sorted.map(idx.get(_))
-    Some(LocalBalls(ids, adj, seeds))
+    (ids, adj, idx)
+  }
+
+  /** Observed-gated driver-local collect of a (src, dst) pair scratch
+    * for the power-iteration replays (eigenvector / HITS / Katz): the
+    * [[tryLocalBalls]] gate minus the landmark dial — the iteration
+    * count bounds the work, so only the pair count and Long ids gate.
+    * State is O(V + E); nothing O(iterations·E) ever materializes. */
+  private def tryLocalPairs(
+      adjDf: DataFrame,
+      nPairs: Long,
+      maxLocalEdges: Long): Option[(Array[Long], Array[Array[Int]])] = {
+    val cap = localEdgeCap(adjDf.sparkSession, maxLocalEdges)
+    if (cap <= 0 || nPairs > cap ||
+        adjDf.schema("src").dataType != org.apache.spark.sql.types.LongType)
+      return None
+    val (ids, adj, _) = indexPairs(collectEdgePairs(adjDf))
+    Some((ids, adj))
+  }
+
+  /** Reversed adjacency (v → u for every u → v) over int indexes. */
+  private def reverse(adj: Array[Array[Int]], n: Int): Array[Array[Int]] = {
+    val deg = new Array[Int](n)
+    adj.foreach(_.foreach(deg(_) += 1))
+    val rev = Array.tabulate(n)(i => new Array[Int](deg(i)))
+    val fill = new Array[Int](n)
+    var u = 0
+    while (u < adj.length) {
+      val ns = adj(u)
+      var i = 0
+      while (i < ns.length) {
+        val v = ns(i); rev(v)(fill(v)) = u; fill(v) += 1; i += 1
+      }
+      u += 1
+    }
+    rev
+  }
+
+  /** One decimal-exact contribution round of a power iteration:
+    * contrib(v) = Σ over edges (u → v) of the 9-dp-rounded score of u
+    * as an exact DECIMAL(·,12) image — the replay of
+    * `sum(round(score, 9).cast(dec))` grouped by destination. Returns
+    * (per-node contribution or null when v received none — the
+    * left-join distinction, and the exact L1 total). Only nodes
+    * PRESENT in the score table contribute (the join semantics). */
+  private def localContribRound(
+      adj: Array[Array[Int]],
+      score: Array[Double],
+      present: Array[Boolean]): (Array[java.math.BigDecimal], java.math.BigDecimal) = {
+    val contrib = new Array[java.math.BigDecimal](score.length)
+    var u = 0
+    while (u < score.length) {
+      if (present(u)) {
+        val term = decTerm(roundD(score(u), 9), 12)
+        val ns = adj(u)
+        var i = 0
+        while (i < ns.length) {
+          val v = ns(i)
+          contrib(v) = if (contrib(v) == null) term else contrib(v).add(term)
+          i += 1
+        }
+      }
+      u += 1
+    }
+    var l1 = java.math.BigDecimal.ZERO
+    var v = 0
+    while (v < contrib.length) {
+      if (contrib(v) != null) l1 = l1.add(contrib(v))
+      v += 1
+    }
+    (contrib, l1)
   }
 
   /** Spark's `round(x, scale)` on a double, bit-for-bit
@@ -2061,16 +2138,45 @@ object Graph {
    * superseded tables retired eagerly, nothing broadcast that is
    * O(graph).
    */
-  def eigenvectorCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def eigenvectorCentrality(edges: DataFrame, iters: Int = 3,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(iters >= 1, "iters must be >= 1")
     val spark = edges.sparkSession
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val e0 = canonicalEdges(edges)
-    val (adj, adjPath) = Scratch.materializeAt(
-      e0.select(col("src"), col("dst"))
-        .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
-      "eig_adj")
+    val (adj, nAdj, adjPath) = symAdjacency(edges, "eig")
+    tryLocalPairs(adj, nAdj, maxLocalEdges).foreach { case (ids, ladj) =>
+      // driver-local replay of the L1-normalized rounds: same 9-dp
+      // terms under exact decimal sums, same normalizer, same one
+      // IEEE division + 9-dp round per node per round
+      Scratch.drop(spark, adjPath)
+      val score = Array.fill(ids.length)(1.0d)
+      val present = Array.fill(ids.length)(true)
+      for (_ <- 1 to iters) {
+        val (contrib, l1b) = localContribRound(ladj, score, present)
+        val l1 = l1b.doubleValue
+        if (l1 == 0.0d)
+          return e0.select(col("src").as("node"),
+            lit(0.0d).as("eigenvector")).limit(0)
+        var v = 0
+        while (v < ids.length) {
+          present(v) = contrib(v) != null
+          if (present(v)) score(v) = roundD(contrib(v).doubleValue / l1, 9)
+          v += 1
+        }
+      }
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(ids.indices.filter(present(_)).map { v =>
+          org.apache.spark.sql.Row(ids(v), score(v))
+        }: _*)
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("eigenvector",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    }
     var scores = adj.select(col("src").as("node")).distinct()
       .withColumn("score", lit(1.0d))
     var scoresPath: String = null // round 0 is a projection of adj
@@ -2120,15 +2226,73 @@ object Graph {
    * + keyed aggregate of 9-dp-rounded terms under a DECIMAL(28,12)
    * sum, materialized with the L1 normalizer riding the write.
    */
-  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def hits(edges: DataFrame, iters: Int = 3,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(iters >= 1, "iters must be >= 1")
     val spark = edges.sparkSession
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-    val (adj, adjPath) = Scratch.materializeAt(
+    val (adj, am, adjPath) = Scratch.materializeObservedAt(
       edges.filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct(),
-      "hits_adj")
+      "hits_adj", count(lit(1)).as("n"))
+    tryLocalPairs(adj, am("n").asInstanceOf[Long], maxLocalEdges)
+      .foreach { case (ids, fwd) =>
+        // driver-local replay of the mutual half-rounds: auth pulls
+        // through forward edges from hub, hub pulls through REVERSED
+        // edges from auth — same decimal terms, normalizers, rounds.
+        // Presence tracks the half-round output tables (a node absent
+        // from auth/hub contributes nothing next half and reads 0.0
+        // in the final coalesce).
+        Scratch.drop(spark, adjPath)
+        val rev = reverse(fwd, ids.length)
+        var authS = Array.fill(ids.length)(1.0d)
+        var authP = Array.fill(ids.length)(true)
+        var hubS = Array.fill(ids.length)(1.0d)
+        var hubP = Array.fill(ids.length)(true)
+        def half(adjDir: Array[Array[Int]], from: Array[Double],
+            fromP: Array[Boolean]): Option[(Array[Double], Array[Boolean])] = {
+          val (contrib, l1b) = localContribRound(adjDir, from, fromP)
+          val l1 = l1b.doubleValue
+          if (l1 == 0.0d) None
+          else {
+            val s = new Array[Double](ids.length)
+            val p = new Array[Boolean](ids.length)
+            var v = 0
+            while (v < ids.length) {
+              p(v) = contrib(v) != null
+              if (p(v)) s(v) = roundD(contrib(v).doubleValue / l1, 9)
+              v += 1
+            }
+            Some((s, p))
+          }
+        }
+        for (_ <- 1 to iters) {
+          half(fwd, hubS, hubP) match {
+            case None =>
+              return edges.select(col("src").as("node"),
+                lit(0.0d).as("hub"), lit(0.0d).as("authority")).limit(0)
+            case Some((s, p)) => authS = s; authP = p
+          }
+          half(rev, authS, authP).foreach { case (s, p) =>
+            hubS = s; hubP = p
+          }
+        }
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(ids.indices.map { v =>
+            org.apache.spark.sql.Row(ids(v),
+              if (hubP(v)) hubS(v) else 0.0d,
+              if (authP(v)) authS(v) else 0.0d)
+          }: _*)
+        return spark.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("hub",
+              org.apache.spark.sql.types.DoubleType, nullable = true),
+            org.apache.spark.sql.types.StructField("authority",
+              org.apache.spark.sql.types.DoubleType, nullable = true))))
+      }
     val nodes = adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct()
     // one L1-normalized half-round: scores(over) joined through adj
@@ -3675,17 +3839,42 @@ object Graph {
    * O(graph).
    */
   def katzCentrality(
-      edges: DataFrame, alpha: Double = 0.05, iters: Int = 3): DataFrame = {
+      edges: DataFrame, alpha: Double = 0.05, iters: Int = 3,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(iters >= 1, "iters must be >= 1")
     require(alpha > 0.0d && alpha < 1.0d, "alpha must be in (0, 1)")
     val spark = edges.sparkSession
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val e0 = canonicalEdges(edges)
-    val (adj, adjPath) = Scratch.materializeAt(
-      e0.select(col("src"), col("dst"))
-        .union(e0.select(col("dst").as("src"), col("src").as("dst"))),
-      "katz_adj")
+    val (adj, nAdj, adjPath) = symAdjacency(edges, "katz")
+    tryLocalPairs(adj, nAdj, maxLocalEdges).foreach { case (ids, ladj) =>
+      // driver-local replay: same decimal contribution rounds; every
+      // node keeps a score each round (the left-join semantics —
+      // no-contribution nodes take coalesce(·, 0.0))
+      Scratch.drop(spark, adjPath)
+      val score = Array.fill(ids.length)(1.0d)
+      val all = Array.fill(ids.length)(true)
+      for (_ <- 1 to iters) {
+        val (contrib, _) = localContribRound(ladj, score, all)
+        var v = 0
+        while (v < ids.length) {
+          val c = if (contrib(v) == null) 0.0d else contrib(v).doubleValue
+          score(v) = roundD(1.0d + alpha * c, 9)
+          v += 1
+        }
+      }
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(ids.indices.map { v =>
+          org.apache.spark.sql.Row(ids(v), roundD(score(v), 6))
+        }: _*)
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("katz",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    }
     val nodes = adj.select(col("src").as("node")).distinct()
     var scores = nodes.withColumn("score", lit(1.0d))
     var scoresPath: String = null // round 0 is a projection of adj

@@ -742,6 +742,31 @@ class GraphAnalyticsSpec extends SparkTestBase {
       _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
   }
 
+  test("power-iteration local replays equal the distributed loops " +
+      "(eigenvector / hits / katz)") {
+    // same fixture as the gated queries; exact value equality — the
+    // decimal contribution sums are order-free, so the replay must be
+    // bit-identical, not approximately equal
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .filter(col("l_partkey") % 4 === 0)
+    val e = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val even = (col("src") + col("dst")) % 2 === 0
+    val directed = e.select(
+      when(even, col("src")).otherwise(col("dst")).as("src"),
+      when(even, col("dst")).otherwise(col("src")).as("dst"))
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq).toSet
+    assert(sets(Graph.eigenvectorCentrality(e, iters = 3)) ==
+      sets(Graph.eigenvectorCentrality(e, iters = 3, maxLocalEdges = 0L)),
+      "eigenvector local/distributed divergence")
+    assert(sets(Graph.hits(directed, iters = 3)) ==
+      sets(Graph.hits(directed, iters = 3, maxLocalEdges = 0L)),
+      "hits local/distributed divergence")
+    assert(sets(Graph.katzCentrality(e, iters = 3)) ==
+      sets(Graph.katzCentrality(e, iters = 3, maxLocalEdges = 0L)),
+      "katz local/distributed divergence")
+  }
+
   test("spark.graft.maxLocalEdges conf globally disables the local fast paths") {
     // the ADVICE deployment dial: a small-driver-heap deployment turns
     // the driver-local fast paths off in ONE place instead of threading

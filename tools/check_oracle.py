@@ -8,7 +8,7 @@ The committed record (CORRECTNESS_SELF.json) uses the driver's own
 per-query schema — {rows_match, schema_match, hash_match, spark_rows,
 oracle_rows, err} — so an empty driver-side CORRECTNESS_r{N}.json diffs
 mechanically against the self-record."""
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -36,9 +36,14 @@ def main(sf_dir, out_dir, record_path=None):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # ORACLE_THREADS caps DuckDB's parallelism so a heavy sf0.1-tier
+    # compare doesn't starve the box running the Spark work beside it
+    if os.environ.get("ORACLE_THREADS"):
+        con.execute(f"PRAGMA threads={int(os.environ['ORACLE_THREADS'])}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"MISSING  {name}: no spark output")
@@ -61,7 +66,7 @@ def main(sf_dir, out_dir, record_path=None):
                                spark_rows=len(got), oracle_rows=len(want))
             n_bad += 1; continue
         if got.equals(want):
-            print(f"OK       {name} ({len(got)} rows)")
+            print(f"OK       {name} ({len(got)} rows, {time.time() - t0:.1f}s)")
             record[name] = rec(rows_match=True, schema_match=True, hash_match=True,
                                spark_rows=len(got), oracle_rows=len(want))
             n_ok += 1; continue
