@@ -636,7 +636,8 @@ object Graph {
   def labelPropagation(
       edges: DataFrame,
       rounds: Int = 3,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(rounds >= 1, "rounds must be >= 1")
     val spark = edges.sparkSession
@@ -649,10 +650,37 @@ object Graph {
           .agg(sum(col(wc).cast("double")).as("w"))
           .filter(col("w") > 0.0d)
     }
-    val (adj, adjPath) = Scratch.materializeAt(
+    val (adj, am, adjPath) = Scratch.materializeObservedAt(
       e0.select(col("src").as("n"), col("dst").as("x"), col("w"))
         .union(e0.select(col("dst").as("n"), col("src").as("x"), col("w"))),
-      "lpa_adj")
+      "lpa_adj", count(lit(1)).as("n_rows"), sum(col("w")).as("wsum"))
+    // driver-local replay gate (the power-family switchover): vote
+    // tallies are DOUBLE sums, which are only order-free when every
+    // weight is integer-valued and the total stays under 2^52 — then
+    // the double sum equals the exact Long sum regardless of shuffle
+    // order, and a Long-tally replay is bit-identical (unweighted w≡1
+    // always qualifies; co-occurrence counts qualify; fractional
+    // weights keep the distributed loop).
+    locally {
+      val cap = localEdgeCap(spark, maxLocalEdges)
+      val nRows = am("n_rows").asInstanceOf[Long]
+      val wsumOk = am("wsum") match {
+        case null => true
+        case d: java.lang.Double =>
+          d.doubleValue <= 4503599627370496.0d // 2^52
+        case _ => false
+      }
+      if (cap > 0 && nRows <= cap && wsumOk &&
+          adj.schema("n").dataType == org.apache.spark.sql.types.LongType) {
+        val triples = adj.select(col("n"), col("x"), col("w")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        if (triples.forall(t => t._3 == math.floor(t._3) &&
+            math.abs(t._3) < 4503599627370496.0d)) {
+          Scratch.drop(spark, adjPath)
+          return lpaLocal(spark, triples, rounds)
+        }
+      }
+    }
     var labels = adj.select(col("n").as("node")).distinct()
       .withColumn("label", col("node"))
     var labelsPath: String = null // round 0 is a projection of adj
@@ -1832,6 +1860,146 @@ object Graph {
     Some((ids, adj))
   }
 
+  /** Driver-local synchronous LPA replay for [[labelPropagation]]'s
+    * gated fast path: Long vote tallies (exactly the distributed
+    * double sums — the gate proved every weight integer-valued and the
+    * total under 2^52), max-vote then min-label tie-break per round,
+    * every adjacency node relabeled each round (sym adjacency ⇒ every
+    * node receives votes). */
+  private def lpaLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      triples: Array[(Long, Long, Double)],
+      rounds: Int): DataFrame = {
+    val (ids, _, idx) = indexPairs(triples.map(t => (t._1, t._2)))
+    val n = ids.length
+    val srcI = new Array[Int](triples.length)
+    val dstI = new Array[Int](triples.length)
+    val wL = new Array[Long](triples.length)
+    var i = 0
+    while (i < triples.length) {
+      srcI(i) = idx.get(triples(i)._1)
+      dstI(i) = idx.get(triples(i)._2)
+      wL(i) = triples(i)._3.toLong
+      i += 1
+    }
+    var label = Array.tabulate(n)(v => ids(v))
+    for (_ <- 1 to rounds) {
+      // per-node vote histogram: label -> summed weight
+      val votes = Array.fill(n)(
+        new java.util.HashMap[java.lang.Long, java.lang.Long]())
+      var e = 0
+      while (e < triples.length) {
+        val node = srcI(e)
+        val l = java.lang.Long.valueOf(label(dstI(e)))
+        val m = votes(node)
+        val prev = m.get(l)
+        m.put(l, if (prev == null) wL(e) else prev + wL(e))
+        e += 1
+      }
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        val m = votes(v)
+        if (m.isEmpty) next(v) = label(v) // unreachable under sym adj
+        else {
+          var mc = Long.MinValue
+          var ml = Long.MaxValue
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            val c = en.getValue.longValue
+            val l = en.getKey.longValue
+            if (c > mc || (c == mc && l < ml)) {
+              if (c > mc) { mc = c; ml = l }
+              else if (l < ml) ml = l
+            }
+          }
+          next(v) = ml
+        }
+        v += 1
+      }
+      label = next
+    }
+    longPairFrame(spark, ids.indices.map(v => (ids(v), label(v))),
+      "node", "label")
+  }
+
+  /** Driver-local FastRP replay for [[fastRP]]'s gated fast path:
+    * identical md5-coin Achlioptas init, neighbor averages as exact
+    * decimal sums divided by the integer degree, L2 normalization via
+    * 12-dp squared terms + one IEEE sqrt, and the 9-dp weighted
+    * cross-iteration sum — every constant and rounding matches the
+    * distributed plan expression for expression. */
+  private def fastRpLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(Long, Long)],
+      dims: Int,
+      iterations: Int,
+      iterationWeights: Seq[Double],
+      salt: String): DataFrame = {
+    val (ids, ladj, _) = indexPairs(pairs)
+    val n = ids.length
+    def coin(node: Long, dim: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$salt:$node:$dim"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    }
+    var h = Array.tabulate(n, dims) { (v, d) =>
+      val c = coin(ids(v), d)
+      if (c < 1073741824L) 1.0d else if (c < 2147483648L) -1.0d else 0.0d
+    }
+    val acc = Array.fill(n, dims)(java.math.BigDecimal.ZERO)
+    for (k <- 1 to iterations) {
+      val avg = Array.ofDim[Double](n, dims)
+      var v = 0
+      while (v < n) {
+        val ns = ladj(v)
+        var d = 0
+        while (d < dims) {
+          var s = java.math.BigDecimal.ZERO
+          var i = 0
+          while (i < ns.length) { s = s.add(decTerm(h(ns(i))(d), 12)); i += 1 }
+          avg(v)(d) = roundD(s.doubleValue / ns.length.toDouble, 9)
+          d += 1
+        }
+        v += 1
+      }
+      val hk = Array.ofDim[Double](n, dims)
+      v = 0
+      while (v < n) {
+        var s = java.math.BigDecimal.ZERO
+        var d = 0
+        while (d < dims) {
+          s = s.add(decTerm(roundD(avg(v)(d) * avg(v)(d), 12), 12)); d += 1
+        }
+        val nrm = math.sqrt(s.doubleValue)
+        d = 0
+        while (d < dims) {
+          hk(v)(d) = if (nrm > 0.0d) roundD(avg(v)(d) / nrm, 9) else 0.0d
+          acc(v)(d) = acc(v)(d).add(
+            decTerm(roundD(iterationWeights(k - 1) * hk(v)(d), 9), 12))
+          d += 1
+        }
+        v += 1
+      }
+      h = hk
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList((for (v <- 0 until n; d <- 0 until dims)
+        yield org.apache.spark.sql.Row(ids(v), d,
+          roundD(acc(v)(d).doubleValue, 6))): _*)
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dim",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+
   /** Reversed adjacency (v → u for every u → v) over int indexes. */
   private def reverse(adj: Array[Array[Int]], n: Int): Array[Array[Int]] = {
     val deg = new Array[Int](n)
@@ -2622,7 +2790,8 @@ object Graph {
       dims: Int = 8,
       iterations: Int = 2,
       iterationWeights: Seq[Double] = Seq(1.0, 1.0),
-      salt: String = "frp"): DataFrame = {
+      salt: String = "frp",
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(dims >= 1, "dims must be >= 1")
     require(iterations >= 1, "iterations must be >= 1")
@@ -2636,8 +2805,25 @@ object Graph {
     // degree of the AVERAGING node rides the adjacency rows (groupBy +
     // equi-join, AQE-skew-splittable — see pageRank)
     val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("degree"))
-    val (adj, adjPath) = Scratch.materializeAt(
-      sym.join(deg, Seq("n")), "frp_adj")
+    val (adj, am, adjPath) = Scratch.materializeObservedAt(
+      sym.join(deg, Seq("n")), "frp_adj", count(lit(1)).as("n_rows"))
+    // driver-local replay gate (the power-family switchover): every
+    // stage is 9/12-dp terms under order-exact DECIMAL sums plus fixed
+    // IEEE ops (one division by the integer degree, one sqrt, the
+    // md5-coin init) — all bit-replayable; budget counts edge·dim work
+    locally {
+      val cap = localEdgeCap(spark, maxLocalEdges)
+      val nRows = am("n_rows").asInstanceOf[Long]
+      if (cap > 0 && nRows <= cap &&
+          nRows * dims * iterations <= 512000000L &&
+          adj.schema("n").dataType == org.apache.spark.sql.types.LongType) {
+        val pairs = adj.select(col("n"), col("x")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        Scratch.drop(spark, adjPath)
+        return fastRpLocal(spark, pairs, dims, iterations,
+          iterationWeights, salt)
+      }
+    }
     val coin = conv(substring(md5(concat_ws(":", lit(salt),
       col("node").cast("string"), col("dim").cast("string"))), 1, 8), 16, 10)
       .cast("long")

@@ -765,6 +765,30 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(sets(Graph.katzCentrality(e, iters = 3)) ==
       sets(Graph.katzCentrality(e, iters = 3, maxLocalEdges = 0L)),
       "katz local/distributed divergence")
+    // LPA: Long-tally replay is gated on integer-valued weights (w≡1
+    // here and summed co-occurrence counts both qualify)
+    assert(sets(Graph.labelPropagation(e, rounds = 3)) ==
+      sets(Graph.labelPropagation(e, rounds = 3, maxLocalEdges = 0L)),
+      "lpa local/distributed divergence")
+    val we = Graph.coOccurrenceWeightedEdges(li, "l_orderkey", "l_partkey")
+    assert(sets(Graph.labelPropagation(we, rounds = 3,
+        weightCol = Some("weight"))) ==
+      sets(Graph.labelPropagation(we, rounds = 3,
+        weightCol = Some("weight"), maxLocalEdges = 0L)),
+      "weighted lpa local/distributed divergence")
+    // fractional weights must refuse the local path (double vote sums
+    // are order-dependent there)
+    val frac = we.withColumn("weight", col("weight") + lit(0.25d))
+    assert(!Graph.labelPropagation(frac, rounds = 1,
+        weightCol = Some("weight"))
+      .queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    // fastRP: md5-coin init + decimal rounds replay bit-exactly
+    assert(sets(Graph.fastRP(e, dims = 8, iterations = 2,
+        iterationWeights = Seq(1.0, 1.0))) ==
+      sets(Graph.fastRP(e, dims = 8, iterations = 2,
+        iterationWeights = Seq(1.0, 1.0), maxLocalEdges = 0L)),
+      "fastrp local/distributed divergence")
   }
 
   test("spark.graft.maxLocalEdges conf globally disables the local fast paths") {
