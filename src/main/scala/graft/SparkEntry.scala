@@ -1870,6 +1870,10 @@ object SparkEntry {
         graft.operators.TextAnalysis.syntheticHashedWeights(s, dims = 4096))),
     "text_ttr" -> ((s, dir) =>
       graft.operators.TextAnalysis.lexicalDiversity(t(s, dir, "documents"))),
+    "text_entropy" -> ((s, dir) =>
+      // token-distribution Shannon entropy per doc: the graded
+      // template/degenerate-text read TTR misses (map-side only)
+      graft.operators.TextAnalysis.lexicalEntropy(t(s, dir, "documents"))),
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: k-means cells from the deterministic Lloyd build, then
       // drop every vector with a smaller-id within-cell twin at >= 0.40
@@ -3703,6 +3707,7 @@ object SparkEntry {
     "text_bm25" -> OracleFragments.textBm25(
       terms = Seq("join", "vector", "stream", "window"), k1 = 1.2, b = 0.75),
     "text_ttr" -> OracleFragments.textTtr,
+    "text_entropy" -> OracleFragments.textLexicalEntropy,
     "dedup_semantic" -> OracleFragments.dedupSemantic(
       cells = 8, iters = 2, threshold = 0.40),
     "ev_anomaly" -> OracleFragments.evAnomaly(zThreshold = 2.5),
@@ -4781,6 +4786,25 @@ object OracleFragments {
     s"""SELECT doc_id, ${markers.map { case (l, _) => s"hits_$l" }.mkString(", ")},
           CASE $caseChain ELSE 'und' END AS lang_pred
         FROM (SELECT doc_id, ${hitExprs.mkString(", ")} FROM documents)"""
+  }
+
+  /** Lexical token-distribution entropy (TextAnalysis.lexicalEntropy):
+    * same 9-dp p·ln(p) terms per distinct token under a DECIMAL(28,12)
+    * list sum (order-free), same 6-dp finals. */
+  val textLexicalEntropy: String = {
+    val cnt = s"len(list_filter($toks, x -> x = t))::DOUBLE"
+    val n = s"len($toks)::DOUBLE"
+    val sum = s"""coalesce(list_aggregate(list_transform(list_distinct($toks),
+        t -> round(($cnt / $n) * ln($cnt / $n), 9)::DECIMAL(28,12)),
+        'sum'), 0)"""
+    s"""SELECT doc_id,
+          len($toks)::BIGINT AS n_tokens,
+          len(list_distinct($toks))::BIGINT AS n_types,
+          round((-$sum)::DOUBLE, 6) AS entropy,
+          CASE WHEN len(list_distinct($toks)) > 1 THEN
+            round((-$sum)::DOUBLE / ln(len(list_distinct($toks))::DOUBLE), 6)
+          ELSE NULL END AS norm_entropy
+        FROM documents"""
   }
 
   /** Repetition ratio (TextAnalysis.repetitionRatio): same distinct

@@ -859,6 +859,47 @@ object TextAnalysis {
       round(size(array_distinct(tokens(col(textCol)))).cast("double") /
         tokenCountWs(col(textCol)).cast("double"), 6).as("ttr"))
 
+  /** Lexical (token-distribution Shannon) ENTROPY per document — the
+    * graded companion to [[lexicalDiversity]]'s type-token ratio: TTR
+    * ignores HOW unevenly tokens repeat, entropy reads it (a doc that
+    * is 95% one token and a doc with a flat vocabulary can share a
+    * TTR; their entropies differ by bits). Low entropy flags
+    * template/boilerplate/degenerate-generation text; the normalized
+    * form (entropy / ln(types)) is corpus-length-comparable in [0,1].
+    *
+    * Determinism: per-type terms p·ln(p) are 9-dp-rounded and summed
+    * under a DECIMAL(28,12) `aggregate` fold — decimal addition is
+    * associative-exact, so the type ORDER (array_distinct's
+    * first-occurrence order vs any other) cannot move the sum; ln at
+    * 9 dp is the [[adamicAdarTopK]] cross-libm precedent. Scale
+    * shape: the token array binds ONCE as a column (the per-element
+    * lambda re-evaluation pitfall), everything is one map-side
+    * projection — zero shuffles, scan-speed at any corpus size. */
+  def lexicalEntropy(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .withColumn("tk", graft.functions.TextFunctions.tokens(col(textCol)))
+      .withColumn("n", size(col("tk")).cast("double"))
+      .withColumn("types", array_distinct(col("tk")))
+      .withColumn("ent", (-aggregate(
+        transform(col("types"), t => {
+          val p = size(filter(col("tk"), x => x === t)).cast("double") / col("n")
+          round(p * log(p), 9).cast(dec)
+        }),
+        lit(0).cast(dec), (acc, x) => (acc + x).cast(dec)).cast("double")).as("ent"))
+      .select(
+        col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("types")).cast("long").as("n_types"),
+        round(col("ent"), 6).as("entropy"),
+        when(size(col("types")) > 1,
+          round(col("ent") / log(size(col("types")).cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("norm_entropy"))
+  }
+
   /** Document fingerprints: exact (md5 of normalized text) and
     * rolling-hash (min shingle hash, winnowing-style) via the native
     * one-pass MinShingleMd5 expression — no explode, no shuffle; both
