@@ -1107,14 +1107,26 @@ object Similarity {
     * probe over the same build. */
   def writeIvfPqIndex(idx: IvfPqIndex, dir: String): Unit = {
     val spark = idx.encoded.sparkSession
+    val maxSide = 1048576L // a >1M-centroid "coarse" quantizer is a bug
     idx.encoded.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
     idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    // the centroid/codebook sides are k- and m·ksub-row by
+    // construction; checking + marking them bounded at write time is
+    // what lets a LOADED probe broadcast them under the plan-hygiene
+    // spec (the _GRAFT_BOUNDED contract: the require travels with the
+    // marker)
+    graft.ops.Scratch.markBounded(spark, s"$dir/centroids",
+      idx.centroids.count(), maxSide,
+      s"writeIvfPqIndex: centroid table exceeds $maxSide rows")
     import spark.implicits._
-    idx.books.zipWithIndex
+    val books = idx.books.zipWithIndex
       .flatMap { case (book, j) => book.map { case (c, cv) => (j, c, cv) } }
-      .toDF("subspace", "cell", "cv")
+    books.toDF("subspace", "cell", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    graft.ops.Scratch.markBounded(spark, s"$dir/codebooks",
+      books.size.toLong, maxSide,
+      s"writeIvfPqIndex: codebook table exceeds $maxSide rows")
   }
 
   /** Load a written IVF-PQ index: (encoded codes, centroid frame,
@@ -1125,7 +1137,15 @@ object Similarity {
   def loadIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame, Seq[Seq[(Int, Seq[Double])]]) = {
-    val bookRows = spark.read.parquet(s"$dir/codebooks")
+    // the codebook collect is bounded BEFORE it happens — an index dir
+    // with a corrupted/foreign codebook table must fail fast, not OOM
+    // the driver
+    val bookDf = spark.read.parquet(s"$dir/codebooks")
+    val nBooks = bookDf.count()
+    require(nBooks <= 1048576L,
+      s"loadIvfPqIndex: codebook table has $nBooks rows - not a written " +
+        "graft IVF-PQ index (expected m x ksub rows)")
+    val bookRows = bookDf
       .select(col("subspace"), col("cell"), col("cv")).collect()
     val books = bookRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
       case (_, rows) =>
