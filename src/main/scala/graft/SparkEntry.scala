@@ -149,6 +149,10 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    "text_winnow" -> ((s, dir) =>
+      // winnowing (MOSS) fingerprints: min-hash-per-window with the
+      // rightmost-tie rule riding one string key
+      TextAnalysis.winnowing(t(s, dir, "documents"), k = 5, w = 4)),
     "text_repetition" -> ((s, dir) =>
       // boilerplate / degenerate-generation signal: repeated 3-token
       // windows within a document
@@ -165,6 +169,18 @@ object SparkEntry {
 
     // ==== extension operators: deduplication ====
     "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunking (Rabin-boundary storage dedup at
+      // token granularity): map-side chunking, hash-keyed frequency
+      Dedup.cdcChunks(t(s, dir, "documents"))),
+    "corpus_span_corruption" -> ((s, dir) =>
+      // T5-style denoising mask plan: block-aligned spans (never
+      // overlap by construction), one md5 per block for all 3 coins
+      graft.operators.Corpus.spanCorruptionPlan(t(s, dir, "documents"))),
+    "vocab_kn_bigram" -> ((s, dir) =>
+      // interpolated Kneser-Ney bigram LM, fixed discount 0.75: the
+      // continuation-count smoothing over the observed-bigram table
+      TextAnalysis.knBigramLm(t(s, dir, "documents"))),
     "dedup_url" -> ((s, dir) =>
       // FineWeb-style URL-level dedup over the canonical key; noisy URL
       // fixture (the corpus ships none): case jitter, default port,
@@ -328,6 +344,23 @@ object SparkEntry {
       // corpus-wide kNN graph (GDS K-Nearest Neighbors): every node's
       // top-3 in-bucket cosine neighbors via the bucket self-join
       Similarity.knnGraph(t(s, dir, "embeddings"), k = 3)),
+    "sim_nsw_topk" -> ((s, dir) => {
+      // graph-based ANN (NSW greedy descent over the knn graph): the
+      // full trajectory is gated, so every hop's argmax is pinned
+      val e = t(s, dir, "embeddings")
+      Similarity.graphGreedyTopK(e, e.filter(col("vec_id") < 8),
+        degree = 3, maxHops = 3)
+    }),
+    "sim_nsw_recall" -> ((s, dir) => {
+      // the graph index's tuning readout: does the greedy terminus hit
+      // the exact cosine top-1? (recall@1 per anchor query)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val term = Similarity.graphGreedyTopK(e, q, degree = 3, maxHops = 3)
+        .filter(col("hop") === 3)
+        .select(col("query_id"), col("node_id").as("neighbor_id"))
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, k = 1), term, k = 1)
+    }),
     "sim_ivf_topk" -> ((s, dir) => { // full oracle: unrolled Lloyd steps
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), nProbe = 4)
@@ -2109,6 +2142,43 @@ object SparkEntry {
       graft.operators.Quality.welchTTest(
         eventsTable(s, dir).withColumn("variant", pmod(col("user_id"), lit(2))),
         "event_type", "variant", "value")),
+    "stats_anova" -> ((s, dir) =>
+      // one-way ANOVA F across ALL event types (the k-ary jump from
+      // the pairwise t-test): decimal-exact moment sums per group,
+      // order-free cross-group reduce
+      graft.operators.Quality.oneWayAnova(
+        eventsTable(s, dir), "event_type", "value")),
+    "stats_permutation" -> ((s, dir) =>
+      // nonparametric permutation test on the ttest fixture: 32
+      // md5-coin reshuffles, add-one Monte-Carlo p
+      graft.operators.Quality.permutationTest(
+        eventsTable(s, dir)
+          .withColumn("variant", pmod(col("user_id"), lit(2))),
+        "event_id", "variant", "value", nPerms = 32)),
+    "dq_kanonymity" -> ((s, dir) =>
+      // privacy audit: equivalence classes over (lang, source,
+      // 100-char length bucket), at-risk mass per k threshold
+      graft.operators.Quality.kAnonymity(
+        t(s, dir, "documents")
+          .withColumn("len_bucket", (col("n_chars") / 100).cast("long")),
+        Seq("lang", "source", "len_bucket"))),
+    "dq_ldiversity" -> ((s, dir) =>
+      // the k-anonymity companion: within (source, length-bucket)
+      // classes, how many distinct langs shield the sensitive value
+      graft.operators.Quality.lDiversity(
+        t(s, dir, "documents")
+          .withColumn("len_bucket", (col("n_chars") / 100).cast("long")),
+        Seq("source", "len_bucket"), "lang")),
+    "stats_levene" -> ((s, dir) =>
+      // homoscedasticity check feeding stats_anova: ANOVA F over
+      // |x - group mean| (mean-centered Levene)
+      graft.operators.Quality.leveneTest(
+        eventsTable(s, dir), "event_type", "value")),
+    "mm_audio_energy" -> ((s, dir) =>
+      // windowed PCM energy profile: integer frame energies, integer
+      // silence verdicts, one 6-dp ratio per clip
+      Multimodal.audioEnergy(s,
+        Multimodal.synthesizeMedia(t(s, dir, "documents"))).toDF()),
     "stats_winsorize" -> ((s, dir) =>
       // robust clipped mean per type over the heavy-tailed event metric
       graft.operators.Quality.winsorize(
@@ -2813,11 +2883,33 @@ object SparkEntry {
     "text_stats" -> OracleFragments.textStats,
     "text_langid" -> OracleFragments.textLangid,
     "text_fingerprint" -> OracleFragments.textFingerprint,
+    "text_winnow" -> OracleFragments.textWinnow(k = 5, w = 4),
     "text_repetition" -> OracleFragments.textRepetition(n = 3),
     "text_repetition_profile" ->
       OracleFragments.textRepetitionProfile(topNs = Seq(2, 3, 4), dupNs = Seq(5, 10)),
     "corpus_report" -> OracleFragments.corpusReport,
     "dedup_exact" -> OracleFragments.dedupExact,
+    "dedup_cdc_chunks" -> OracleFragments.dedupCdcChunks(divisor = 64),
+    "corpus_span_corruption" ->
+      """WITH tkx AS (
+           SELECT doc_id,
+                  len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n
+           FROM documents),
+         blocks AS (SELECT doc_id, n,
+                           unnest(range(0, (n - 1) // 8 + 1)) AS b
+                    FROM tkx),
+         h AS (SELECT doc_id, b, least(8, n - b * 8) AS bl,
+                      ('0x' || substr(md5('span:' || doc_id::VARCHAR
+                        || ':' || b::VARCHAR), 1, 15))::BIGINT AS hv
+               FROM blocks),
+         spans AS (SELECT doc_id, b, bl, hv,
+                          1 + ((hv // 1000) % least(3, bl)) AS len
+                   FROM h WHERE hv % 1000 < 150)
+         SELECT doc_id, b::INT AS block,
+                (b * 8 + ((hv // 100000) % (bl - len + 1)))::INT AS start_tok,
+                len::INT AS len_tok
+         FROM spans""",
+    "vocab_kn_bigram" -> OracleFragments.vocabKnBigram(topN = 50),
     "dedup_url" -> OracleFragments.dedupUrl,
     "dedup_spans" -> OracleFragments.dedupSpans(spanTokens = 8),
     "dedup_strip_spans" -> OracleFragments.dedupStripSpans(spanTokens = 8),
@@ -3040,6 +3132,10 @@ object SparkEntry {
     "sim_lsh_topk" -> OracleFragments.simLshTopK(
       numPlanes = 8, dim = 64, maxQueryId = 8, k = 5),
     "sim_knn_graph" -> OracleFragments.simKnnGraph(numPlanes = 8, dim = 64, k = 3),
+    "sim_nsw_topk" -> OracleFragments.simNswTopK(numPlanes = 8, dim = 64,
+      degree = 3, maxHops = 3, maxQueryId = 8),
+    "sim_nsw_recall" -> OracleFragments.simNswRecall(numPlanes = 8, dim = 64,
+      degree = 3, maxHops = 3, maxQueryId = 8),
     "sim_kmeans" -> OracleFragments.simKmeans(k = 8, iters = 2),
     "sim_ivf_topk" -> OracleFragments.simIvfTopK(
       cells = 8, iters = 2, nProbe = 4, maxQueryId = 8, k = 5),
@@ -3173,6 +3269,28 @@ object SparkEntry {
     "mm_decode_meta" -> OracleFragments.mmDecodeMeta,
     "mm_sample_frames" -> OracleFragments.mmSampleFrames(stride = 2),
     "mm_features" -> OracleFragments.mmFeatures(dims = 8),
+    "mm_audio_energy" ->
+      """WITH x AS (SELECT doc_id, text, strlen(text)::BIGINT AS mb
+                    FROM documents),
+         fr AS (SELECT doc_id, text, mb,
+                       unnest(range(0, (mb + 63) // 64)) AS f
+                FROM x),
+         fe AS (SELECT doc_id,
+                       least((f + 1) * 64, mb) - f * 64 AS flen,
+                       list_aggregate(list_transform(
+                         range(f * 64 + 1, least((f + 1) * 64, mb) + 1),
+                         i -> ascii(substr(text, i::INT, 1))
+                              * ascii(substr(text, i::INT, 1))), 'sum') AS e
+                FROM fr),
+         agg AS (SELECT doc_id, count(*)::INT AS n_frames,
+                        sum(CASE WHEN e < flen * 3600 THEN 1 ELSE 0 END)
+                          ::INT AS silent_frames,
+                        sum(e)::BIGINT AS energy_sq
+                 FROM fe GROUP BY doc_id)
+         SELECT doc_id, n_frames, silent_frames,
+                round(silent_frames::DOUBLE / n_frames, 6) AS silence_ratio,
+                energy_sq
+         FROM agg""",
     "dedup_simhash" -> OracleFragments.dedupSimhash(bits = 32, prefixBits = 8),
     "dedup_simhash_pairs" -> OracleFragments.dedupSimhashPairs(bits = 32, maxHamming = 3),
     "mm_resize" ->
@@ -4087,6 +4205,134 @@ object SparkEntry {
                           ((v0 / n0) * (v0 / n0) / (n0 - 1)
                            + (v1 / n1) * (v1 / n1) / (n1 - 1)), 2) END AS df_welch
          FROM w""",
+    "stats_anova" ->
+      """WITH per AS (
+           SELECT event_type AS g, count(*)::BIGINT AS ng,
+                  sum(round("value", 6)::DECIMAL(28,6)) AS sg,
+                  sum((round("value", 6) * round("value", 6))
+                      ::DECIMAL(38,12)) AS qg
+           FROM events GROUP BY 1),
+         terms AS (
+           SELECT ng, qg, sg,
+                  round(sg::DOUBLE * sg::DOUBLE / ng, 6)::DECIMAL(28,6) AS tg
+           FROM per),
+         a AS (
+           SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+                  sum(sg)::DOUBLE AS s, sum(qg)::DOUBLE AS q,
+                  sum(tg)::DOUBLE AS t
+           FROM terms)
+         SELECT k AS n_groups, n,
+                round(t - s * s / n, 4) AS ss_between,
+                round(q - t, 4) AS ss_within,
+                (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2,
+                CASE WHEN k > 1 AND n > k AND q - t > 0
+                     THEN round(((t - s * s / n) / (k - 1))
+                                / ((q - t) / (n - k)), 4) END AS f_stat
+         FROM a""",
+    "stats_permutation" ->
+      """WITH base AS (
+           SELECT event_id::VARCHAR AS rk, (user_id % 2 = 1) AS b0,
+                  round("value", 6) AS vr
+           FROM events),
+         obs AS (
+           SELECT round(
+                    sum(CASE WHEN b0 THEN vr END::DECIMAL(28,6))::DOUBLE
+                      / sum(CASE WHEN b0 THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN NOT b0 THEN vr END::DECIMAL(28,6))::DOUBLE
+                      / sum(CASE WHEN NOT b0 THEN 1 ELSE 0 END), 6) AS t_obs
+           FROM base),
+         coins AS (
+           SELECT p, vr, ((h >> p) & 1 = 1) AS b
+           FROM (SELECT vr,
+                   ('0x' || substr(md5('perm:' || rk), 1, 15))::BIGINT AS h
+                 FROM base)
+           CROSS JOIN generate_series(0, 31) AS t(p)),
+         perms AS (
+           SELECT p, round(
+                    sum(CASE WHEN b THEN vr END::DECIMAL(28,6))::DOUBLE
+                      / sum(CASE WHEN b THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN NOT b THEN vr END::DECIMAL(28,6))::DOUBLE
+                      / sum(CASE WHEN NOT b THEN 1 ELSE 0 END), 6) AS t_p
+           FROM coins GROUP BY p)
+         SELECT t_obs, count(*)::BIGINT AS n_perms,
+                sum(CASE WHEN abs(t_p) >= abs(t_obs) THEN 1 ELSE 0 END)
+                  ::BIGINT AS n_ge,
+                round((sum(CASE WHEN abs(t_p) >= abs(t_obs) THEN 1 ELSE 0 END)
+                       + 1)::DOUBLE / (count(*) + 1), 6) AS p_value
+         FROM perms, obs GROUP BY t_obs""",
+    "dq_kanonymity" ->
+      """WITH cls AS (
+           SELECT lang, source, (n_chars // 100)::BIGINT AS len_bucket,
+                  count(*)::BIGINT AS class_size
+           FROM documents GROUP BY 1, 2, 3),
+         hist AS (
+           SELECT class_size, count(*)::BIGINT AS n_classes
+           FROM cls GROUP BY 1),
+         t AS (SELECT k, class_size, n_classes
+               FROM hist CROSS JOIN (VALUES (2), (5), (10)) AS th(k))
+         SELECT k::INT AS k, sum(n_classes)::BIGINT AS n_classes,
+                sum(class_size * n_classes)::BIGINT AS n_rows,
+                min(class_size)::BIGINT AS min_class_size,
+                sum(CASE WHEN class_size < k THEN n_classes ELSE 0 END)
+                  ::BIGINT AS at_risk_classes,
+                sum(CASE WHEN class_size < k
+                    THEN class_size * n_classes ELSE 0 END)
+                  ::BIGINT AS at_risk_rows
+         FROM t GROUP BY 1""",
+    "dq_ldiversity" ->
+      """WITH l1 AS (
+           SELECT source, (n_chars // 100)::BIGINT AS len_bucket, lang,
+                  count(*)::BIGINT AS nrows
+           FROM documents GROUP BY 1, 2, 3),
+         cls AS (
+           SELECT source, len_bucket, count(*)::BIGINT AS diversity,
+                  sum(nrows)::BIGINT AS class_size
+           FROM l1 GROUP BY 1, 2),
+         hist AS (
+           SELECT diversity, count(*)::BIGINT AS n_classes,
+                  sum(class_size)::BIGINT AS n_rows
+           FROM cls GROUP BY 1),
+         t AS (SELECT l, diversity, n_classes, n_rows
+               FROM hist CROSS JOIN (VALUES (2), (3)) AS th(l))
+         SELECT l::INT AS l, sum(n_classes)::BIGINT AS n_classes,
+                sum(n_rows)::BIGINT AS n_rows,
+                min(diversity)::BIGINT AS min_diversity,
+                sum(CASE WHEN diversity < l THEN n_classes ELSE 0 END)
+                  ::BIGINT AS at_risk_classes,
+                sum(CASE WHEN diversity < l THEN n_rows ELSE 0 END)
+                  ::BIGINT AS at_risk_rows
+         FROM t GROUP BY 1""",
+    "stats_levene" ->
+      """WITH b AS (
+           SELECT event_type AS g, round("value", 6) AS v0 FROM events),
+         m AS (
+           SELECT g, round(sum(v0::DECIMAL(28,6))::DOUBLE / count(*), 6)
+                    AS gmean
+           FROM b GROUP BY 1),
+         zt AS (SELECT b.g, round(abs(b.v0 - m.gmean), 6) AS vr
+                FROM b JOIN m USING (g)),
+         per AS (
+           SELECT g, count(*)::BIGINT AS ng,
+                  sum(vr::DECIMAL(28,6)) AS sg,
+                  sum((vr * vr)::DECIMAL(38,12)) AS qg
+           FROM zt GROUP BY 1),
+         terms AS (
+           SELECT ng, qg, sg,
+                  round(sg::DOUBLE * sg::DOUBLE / ng, 6)::DECIMAL(28,6) AS tg
+           FROM per),
+         a AS (
+           SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+                  sum(sg)::DOUBLE AS s, sum(qg)::DOUBLE AS q,
+                  sum(tg)::DOUBLE AS t
+           FROM terms)
+         SELECT k AS n_groups, n,
+                round(t - s * s / n, 4) AS ss_between,
+                round(q - t, 4) AS ss_within,
+                (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2,
+                CASE WHEN k > 1 AND n > k AND q - t > 0
+                     THEN round(((t - s * s / n) / (k - 1))
+                                / ((q - t) / (n - k)), 4) END AS f_stat
+         FROM a""",
     "stats_winsorize" ->
       """WITH f AS (
            SELECT event_type,
@@ -4891,10 +5137,100 @@ object OracleFragments {
           list_aggregate(list_transform(${shingles(8)}, g -> md5(g)), 'min') AS fp_rolling
         FROM documents"""
 
+  /** Mirror of TextAnalysis.winnowing: the same positional k-token
+    * grams (normalized-text whitespace tokens, truncating slices), the
+    * same 60-bit (15-hex-char) md5 gram hash, the same combined
+    * hash ++ descending-position string key, and the same
+    * min-over-w-window selection restricted to complete-window start
+    * positions (a short document keeps its single truncated window at
+    * pos 0). */
+  def textWinnow(k: Int, w: Int): String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS tok FROM documents),
+          p0 AS (SELECT doc_id, tok,
+                        greatest(len(tok) - ${k - 1}, 1) AS ng FROM tk),
+          pos AS (SELECT doc_id, ng, tok,
+                         unnest(generate_series(1, ng)) AS i FROM p0),
+          keyed AS (
+            SELECT doc_id, ng, i - 1 AS pos,
+                   substr(md5(array_to_string(tok[i:i+${k - 1}], ' ')), 1, 15)
+                     || lpad((9999999 - (i - 1))::VARCHAR, 7, '0') AS key
+            FROM pos),
+          wmin AS (
+            SELECT doc_id, ng, pos,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wk
+            FROM keyed),
+          sel AS (SELECT DISTINCT doc_id, wk FROM wmin
+                  WHERE pos <= greatest(ng - $w, 0))
+        SELECT doc_id, (9999999 - substr(wk, 16, 7)::INT)::INT AS fp_pos,
+               substr(wk, 1, 15) AS fp
+        FROM sel"""
+
   val dedupExact: String =
     s"""SELECT md5($norm) AS fingerprint, min(doc_id) AS keep_id,
           count(*) AS n_dups
         FROM documents GROUP BY 1"""
+
+  /** Mirror of Dedup.cdcChunks: the same bigram-hash boundary rule
+    * (60-bit md5 of "tokᵢ tokᵢ₊₁" ≡ 0 mod divisor), the same
+    * [0]+bpos+[n] bounds list, the same md5 chunk keys, the same
+    * corpus-wide frequency join. */
+  def dedupCdcChunks(divisor: Int): String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS tok FROM documents),
+          bx AS (SELECT doc_id, tok, len(tok) AS n,
+                        list_filter(range(1, greatest(len(tok) - 1, 1) + 1),
+                          i -> i < len(tok) AND
+                               ('0x' || substr(md5(tok[i] || ' ' || tok[i + 1]),
+                                 1, 15))::BIGINT % $divisor = 0) AS bpos
+                 FROM tk),
+          bd AS (SELECT doc_id, tok,
+                        list_concat(list_concat([0], bpos), [n]) AS bounds
+                 FROM bx),
+          ch AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(bounds)), j ->
+                          {'chash': md5(array_to_string(
+                             tok[bounds[j] + 1 : bounds[j + 1]], ' ')),
+                           'clen': bounds[j + 1] - bounds[j]})) AS c
+                 FROM bd),
+          cf AS (SELECT doc_id, c.chash AS chash, c.clen::BIGINT AS clen
+                 FROM ch),
+          freq AS (SELECT chash, count(*)::BIGINT AS occ FROM cf GROUP BY 1)
+        SELECT doc_id, count(*)::BIGINT AS n_chunks,
+               sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+               sum(clen)::BIGINT AS n_tokens,
+               sum(CASE WHEN occ > 1 THEN clen ELSE 0 END)::BIGINT
+                 AS dup_tokens,
+               round(sum(CASE WHEN occ > 1 THEN clen ELSE 0 END)::DOUBLE
+                     / sum(clen), 6) AS dup_token_frac
+        FROM cf JOIN freq USING (chash) GROUP BY doc_id"""
+
+  /** Mirror of TextAnalysis.knBigramLm: same bigram stream
+    * (tokenWindows(2) with the 1-token truncated gram dropped), same
+    * count tables, same fixed-order double P_kn with every literal
+    * forced ::DOUBLE (a bare 0.75 would be DECIMAL and reroute the
+    * arithmetic). */
+  def vocabKnBigram(topN: Int): String =
+    s"""WITH tk AS (SELECT $toks AS tok FROM documents),
+          gr AS (SELECT unnest(list_transform(
+                   range(1, greatest(len(tok) - 1, 1) + 1),
+                   i -> array_to_string(tok[i:i+1], ' '))) AS g
+                 FROM tk),
+          bg AS (SELECT split_part(g, ' ', 1) AS w1,
+                        split_part(g, ' ', 2) AS w2
+                 FROM gr WHERE contains(g, ' ')),
+          c AS (SELECT w1, w2, count(*)::BIGINT AS c_big FROM bg GROUP BY 1, 2),
+          cw1 AS (SELECT w1, sum(c_big)::BIGINT AS c_w1,
+                         count(*)::BIGINT AS n1p_w1
+                  FROM c GROUP BY 1),
+          cw2 AS (SELECT w2, count(*)::BIGINT AS n1p_w2 FROM c GROUP BY 1),
+          tot AS (SELECT count(*)::BIGINT AS n1p_all FROM c),
+          top AS (SELECT w1, w2, c_big FROM c
+                  ORDER BY c_big DESC, w1 ASC, w2 ASC LIMIT $topN)
+        SELECT t.w1, t.w2, t.c_big, a.c_w1,
+               round(greatest(t.c_big - 0.75::DOUBLE, 0.0::DOUBLE) / a.c_w1
+                     + 0.75::DOUBLE * a.n1p_w1 / a.c_w1
+                       * (b.n1p_w2::DOUBLE / x.n1p_all), 6) AS p_kn
+        FROM top t JOIN cw1 a USING (w1) JOIN cw2 b USING (w2), tot x"""
 
   /** Mirror of Corpus.urlDedup over the same noisy-URL fixture: the
     * canonicalization rules step by step (fragment strip, lowercase
@@ -6457,6 +6793,74 @@ object OracleFragments {
             FROM scored)
         SELECT src, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= $k"""
   }
+
+  /** Mirror of Similarity.graphGreedyTopK: the [[simKnnGraph]]
+    * re-derivation as the edge CTE, then the greedy descent UNROLLED
+    * hop by hop — candidates = out-edges of the current node ∪ the
+    * current node itself, argmax of the 6-dp-rounded cosine with ties
+    * to the lowest id, entry = lowest corpus id (second-lowest for
+    * that node's own query). Emits the full trajectory. */
+  def simNswTopK(numPlanes: Int, dim: Int, degree: Int, maxHops: Int,
+      maxQueryId: Int): String = {
+    val hopCtes = (1 to maxHops).map { h =>
+      val p = if (h == 1) "h0" else s"h${h - 1}"
+      s"""c$h AS (SELECT p.query_id, p.qv, k.neighbor_id AS cnode
+                  FROM $p p JOIN knn k ON k.src = p.node
+                               AND k.neighbor_id <> p.query_id
+                  UNION ALL SELECT query_id, qv, node FROM $p),
+          s$h AS (SELECT c.query_id, c.qv, c.cnode,
+                         ${cosineOf("c.qv", "vv.v")} AS csim
+                  FROM c$h c JOIN v vv ON vv.id = c.cnode),
+          h$h AS (SELECT query_id, qv, cnode AS node, csim AS sim FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY csim DESC, cnode ASC) AS rn FROM s$h)
+                  WHERE rn = 1)"""
+    }.mkString(",\n")
+    val traj = (0 to maxHops)
+      .map(h => s"SELECT query_id, $h::INT AS hop, node AS node_id, sim FROM h$h")
+      .mkString("\nUNION ALL ")
+    s"""WITH knn AS (${simKnnGraph(numPlanes, dim, degree)}),
+          v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < $maxQueryId),
+          ent AS (SELECT min(id) AS m1, max(id) AS m2
+                  FROM (SELECT id FROM v ORDER BY id LIMIT 2)),
+          h0 AS (SELECT qq.query_id, qq.qv, vv.node,
+                        ${cosineOf("qq.qv", "vv.v")} AS sim
+                 FROM (SELECT q.query_id, q.qv,
+                              CASE WHEN q.query_id = e.m1 THEN e.m2
+                                   ELSE e.m1 END AS node
+                       FROM q, ent e) qq
+                 JOIN (SELECT v.id AS node, v.v AS v FROM v) vv USING (node)),
+          $hopCtes
+        $traj"""
+  }
+
+  /** Mirror of the sim_nsw_recall composition: [[simNswTopK]]'s
+    * terminal hop vs the exact brute-force cosine top-1 per anchor
+    * (Similarity.recallAtK at k = 1). */
+  def simNswRecall(numPlanes: Int, dim: Int, degree: Int, maxHops: Int,
+      maxQueryId: Int): String =
+    s"""WITH nsw AS (${simNswTopK(numPlanes, dim, degree, maxHops, maxQueryId)}),
+          term AS (SELECT query_id, node_id AS neighbor_id FROM nsw
+                   WHERE hop = $maxHops),
+          bf AS (SELECT query_id, neighbor_id FROM (
+                   SELECT q.query_id, c.neighbor_id,
+                          row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY $cosineExpr DESC, c.neighbor_id ASC) AS rn
+                   FROM (SELECT vec_id AS neighbor_id, embedding AS cv
+                         FROM embeddings) c,
+                        (SELECT vec_id AS query_id, embedding AS qv
+                         FROM embeddings WHERE vec_id < $maxQueryId) q
+                   WHERE c.neighbor_id <> q.query_id) WHERE rn = 1),
+          hits AS (SELECT t.query_id, count(*)::BIGINT AS hits
+                   FROM term t JOIN bf b ON b.query_id = t.query_id
+                     AND b.neighbor_id = t.neighbor_id
+                   GROUP BY 1)
+        SELECT q.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+               round(coalesce(h.hits, 0)::DOUBLE, 6) AS recall
+        FROM (SELECT DISTINCT query_id FROM bf) q
+        LEFT JOIN hits h USING (query_id)"""
 
   /** Sign-LSH ANN top-k re-derived in full: the SAME md5-derived
     * hyperplane matrix (Similarity.planeMatrix — computed here in Scala

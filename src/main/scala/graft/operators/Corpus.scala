@@ -661,6 +661,51 @@ object Corpus {
       .select(col("doc_id"), col("cluster_id"), col("split"))
   }
 
+  /** T5/UL2-style SPAN-CORRUPTION plan (Raffel et al. 2020 §3.1.4):
+    * the deterministic mask layout a denoising-objective batch builder
+    * consumes — which token spans of each document get replaced by
+    * sentinel tokens. Spans are BLOCK-ALIGNED: each `blockTokens`-token
+    * block carries at most one candidate span, fully inside the block,
+    * so spans can never overlap BY CONSTRUCTION — no sequential
+    * conflict resolution, no window, and the whole plan is one
+    * map-side block explode replayable in SQL. ONE md5 per block
+    * supplies all three coins as integer fields of the 60-bit hash
+    * (mask? = h mod 1000, length = h÷1000, offset = h÷100000 — the
+    * retry-safe salted-coin discipline). Masked-block rate is
+    * maskPermille/1000; expected masked-token fraction ≈ that times
+    * E[len]/blockTokens. */
+  def spanCorruptionPlan(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      blockTokens: Int = 8,
+      maxSpan: Int = 3,
+      maskPermille: Int = 150): DataFrame = {
+    require(blockTokens >= 1 && maxSpan >= 1 && maxSpan <= blockTokens,
+      "need 1 <= maxSpan <= blockTokens")
+    require(maskPermille >= 0 && maskPermille <= 1000,
+      "maskPermille must be in [0, 1000]")
+    val blocks = graft.ops.Par
+      .fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), size(tokens(col(textCol))).as("n"))
+      .select(col(idCol), col("n"),
+        explode(sequence(lit(0),
+          ((col("n") - 1) / blockTokens).cast("int"))).as("b"))
+      .withColumn("bl", least(lit(blockTokens), col("n") - col("b") * blockTokens))
+      .withColumn("h", conv(substring(md5(concat(
+        lit("span:"), col(idCol).cast("string"), lit(":"),
+        col("b").cast("string"))), 1, 15), 16, 10).cast("long"))
+    blocks
+      .filter(pmod(col("h"), lit(1000)) < maskPermille)
+      .withColumn("len_tok",
+        (expr("(h div 1000)") % least(lit(maxSpan), col("bl")) + 1).cast("int"))
+      .withColumn("start_tok",
+        (col("b") * blockTokens +
+          expr("(h div 100000)") % (col("bl") - col("len_tok") + 1)).cast("int"))
+      .select(col(idCol), col("b").cast("int").as("block"),
+        col("start_tok"), col("len_tok"))
+  }
+
   /** Greedy token-budget packing: within each `partCol` stream (ordered
     * by id), documents are concatenated and split into chunks of
     * ~`targetTokens` — chunk k holds the docs whose cumulative token

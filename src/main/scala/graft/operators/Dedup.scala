@@ -45,6 +45,58 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** CONTENT-DEFINED CHUNKING dedup report (the Rabin-boundary storage
+    * dedup classic — LBFS/Venti lineage — at token granularity): a
+    * chunk boundary falls between tokens i and i+1 wherever the 60-bit
+    * md5 hash of that (tokenᵢ, tokenᵢ₊₁) bigram ≡ 0 (mod `divisor`) —
+    * boundaries move WITH the content, so an insertion reflows only
+    * its own chunk where fixed windows would shift every downstream
+    * chunk (the whole point of CDC). Per-document chunking is entirely
+    * MAP-SIDE: the boundary list and the chunk slices are higher-order
+    * array ops with the token array bound once; the only shuffles are
+    * the corpus-wide chunk-hash frequency aggregate and the hash-keyed
+    * join back (chunk text never rides the join — md5 keys only).
+    * Per doc: chunk count, chunks whose hash repeats anywhere in the
+    * corpus, and the duplicated-token fraction — the ExactSubstr-style
+    * signal at storage granularity, at expected chunk length
+    * ≈ `divisor` tokens. */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      divisor: Int = 64): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2")
+    val chunksCol = transform(array(tokens(col(textCol))), t => {
+      val n = size(t)
+      val bpos = filter(sequence(lit(1), greatest(n - 1, lit(1))), i =>
+        (i < n) && (conv(substring(md5(concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1))), 1, 15), 16, 10)
+          .cast("long") % divisor === 0))
+      val bounds = concat(array(lit(0)), bpos, array(n))
+      transform(sequence(lit(1), size(bounds) - 1), j =>
+        struct(
+          md5(concat_ws(" ", slice(t, element_at(bounds, j) + 1,
+            element_at(bounds, j + 1) - element_at(bounds, j)))).as("chash"),
+          (element_at(bounds, j + 1) - element_at(bounds, j)).as("clen")))
+    }).getItem(0)
+    val ch = Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(chunksCol).as("c"))
+      .select(col(idCol), col("c.chash").as("chash"),
+        col("c.clen").cast("long").as("clen"))
+    val freq = ch.groupBy(col("chash")).agg(count(lit(1)).as("occ"))
+    ch.join(freq, "chash")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(col("clen")).as("n_tokens"),
+        sum(when(col("occ") > 1, col("clen")).otherwise(0L)).as("dup_tokens"))
+      .select(col(idCol), col("n_chunks"), col("dup_chunks"),
+        col("n_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"))
+  }
+
   /** Incremental (cross-batch) exact dedup — the continuous-ingest
     * shape: an arriving batch is deduplicated against the compact
     * fingerprint HISTORY table maintained across ingests (never against

@@ -110,6 +110,49 @@ object Multimodal {
     Dedup.hammingPairs(fp, bits, maxHamming)
   }
 
+  final case class AudioEnergy(doc_id: Long, n_frames: Int,
+      silent_frames: Int, silence_ratio: Double, energy_sq: Long)
+
+  /** Frame-level AUDIO ENERGY profile over the binary payload treated
+    * as 8-bit PCM (the codec stub's convention; a real decoder swaps
+    * in behind the same partition-wise loop, the plan shape stays):
+    * fixed `frameLen`-byte frames (final partial frame kept), each
+    * frame's INTEGER energy Σ s², silent iff
+    * energy < frame_len · thr² (integer cross-multiply — no float
+    * boundary anywhere), plus the clip's total energy and silence
+    * ratio. The training-pipeline read: silence/VAD pre-filter and
+    * loudness features computed where the bytes live — waveforms
+    * never ride a shuffle, only the 5-column profile does. */
+  def audioEnergy(spark: SparkSession, media: DataFrame,
+      frameLen: Int = 64, silenceThr: Int = 60): Dataset[AudioEnergy] = {
+    import spark.implicits._
+    val thr2 = silenceThr.toLong * silenceThr
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .map { r =>
+        val n = r.media.length
+        val nf = (n + frameLen - 1) / frameLen
+        var silent = 0
+        var total = 0L
+        var f = 0
+        while (f < nf) {
+          val lo = f * frameLen
+          val hi = math.min(lo + frameLen, n)
+          var e = 0L
+          var i = lo
+          while (i < hi) { val s = (r.media(i) & 0xff).toLong; e += s * s; i += 1 }
+          total += e
+          if (e < (hi - lo) * thr2) silent += 1
+          f += 1
+        }
+        val ratio =
+          if (nf > 0)
+            java.math.BigDecimal.valueOf(silent.toDouble / nf)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+          else 0.0
+        AudioEnergy(r.doc_id, nf, silent, ratio, total)
+      }
+  }
+
   /** Fixed-width feature vector from the payload (stub: bucketed byte
     * sums normalized to [0,1]) — the shape of an embedding-extraction
     * stage: binary in, dense Array[Float] out, schema declared. */

@@ -309,6 +309,193 @@ object Quality {
         .as("df_welch"))
   }
 
+  /** k-ANONYMITY audit over quasi-identifier columns — the privacy
+    * governance readout a corpus runs before shipping: every row's
+    * equivalence class is the set of rows sharing its QI tuple, and
+    * classes smaller than k are re-identification risks (Sweeney
+    * 2002). One groupBy pass to class sizes, then a HISTOGRAM of
+    * class sizes (rows = distinct sizes — tiny by construction), which
+    * each threshold reads with all-long arithmetic: the corpus is
+    * scanned once no matter how many thresholds are audited. */
+  def kAnonymity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      thresholds: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val hist = classes.groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+    hist.select(explode(array(thresholds.map(lit(_)): _*)).as("k"),
+        col("class_size"), col("n_classes"))
+      .groupBy(col("k"))
+      .agg(
+        sum(col("n_classes")).as("n_classes"),
+        sum(col("class_size") * col("n_classes")).as("n_rows"),
+        min(col("class_size")).as("min_class_size"),
+        sum(when(col("class_size") < col("k"), col("n_classes"))
+          .otherwise(0L)).as("at_risk_classes"),
+        sum(when(col("class_size") < col("k"),
+          col("class_size") * col("n_classes"))
+          .otherwise(0L)).as("at_risk_rows"))
+  }
+
+  /** Deterministic PERMUTATION TEST for a difference in group means —
+    * the nonparametric significance readout when [[welchTTest]]'s
+    * normality assumption is suspect: `nPerms` md5-coin label
+    * reshuffles of the rows, the mean-difference statistic under each,
+    * and the add-one Monte-Carlo p-value
+    * (1 + #{|T_p| ≥ |T_obs|}) / (nPerms + 1) (Phipson & Smyth 2010 —
+    * never exactly zero, as a sampled p must not be). The coin is a
+    * per-(permutation, row-key) md5 bit: retry-safe,
+    * partition-independent, replayable in SQL. Statistics are mean
+    * differences of 6-dp-rounded values off exact decimal sums,
+    * rounded to 6 dp BEFORE the ≥ compare, so the verdict is
+    * cross-engine exact. Scale shape: ONE md5 per row (its 60 bits
+    * supply every permutation's coin — bit p is permutation p's
+    * assignment, so the hash never rides the explode), then the
+    * rows × nPerms explode is map-side bit-tests with partial
+    * aggregation onto 2·nPerms keys — no corpus-scale shuffle, and
+    * the observed pass is one aggregate. */
+  def permutationTest(
+      df: DataFrame,
+      keyCol: String,
+      variantCol: String,
+      valueCol: String,
+      nPerms: Int = 32): DataFrame = {
+    require(nPerms >= 1 && nPerms <= 60,
+      "nPerms must be in [1, 60]: one 60-bit md5 supplies all coins")
+    val vr = round(col(valueCol).cast("double"), 6)
+    val base = df.select(col(keyCol).cast("string").as("rk"),
+      (col(variantCol) === 1).as("b0"), vr.as("vr"))
+    def armAgg(b: Column) = Seq(
+      sum(when(!b, 1L).otherwise(0L)).as("n0"),
+      sum(when(b, 1L).otherwise(0L)).as("n1"),
+      sum(when(!b, col("vr")).cast("decimal(28,6)")).cast("double").as("s0"),
+      sum(when(b, col("vr")).cast("decimal(28,6)")).cast("double").as("s1"))
+    val diff = round(col("s1") / col("n1") - col("s0") / col("n0"), 6)
+    val obs = base.agg(armAgg(col("b0")).head, armAgg(col("b0")).tail: _*)
+      .select(diff.as("t_obs"))
+    val perms = base
+      .withColumn("h", conv(substring(md5(
+        concat(lit("perm:"), col("rk"))), 1, 15), 16, 10).cast("long"))
+      .select(col("vr"), col("h"),
+        explode(sequence(lit(0), lit(nPerms - 1))).as("p"))
+      .withColumn("b", expr("(shiftright(h, p) & 1) = 1"))
+      .groupBy(col("p"))
+      .agg(armAgg(col("b")).head, armAgg(col("b")).tail: _*)
+      .select(col("p"), diff.as("t_p"))
+    perms.crossJoin(broadcast(obs))
+      .groupBy(col("t_obs"))
+      .agg(
+        count(lit(1)).cast("long").as("n_perms"),
+        sum(when(abs(col("t_p")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .as("n_ge"))
+      .select(col("t_obs"), col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double") / (col("n_perms") + 1), 6)
+          .as("p_value"))
+  }
+
+  /** One-way ANOVA F — the k-group generalization of [[welchTTest]]
+    * (equal-variance form): the between/within sum-of-squares
+    * decomposition from ONE aggregate pass over the corpus. Per-group
+    * exact decimal moment sums of the 6-dp-rounded metric; every
+    * cross-group reduction (Σ sg²/ng, the grand sums) is a DECIMAL sum
+    * of 6-dp-ROUNDED per-group terms, so no double sum is ever
+    * order-dependent — the [[welchTTest]] discipline extended to the
+    * k-ary reduce. The final F is fixed-order double arithmetic on the
+    * exact aggregates of a ONE-ROW frame. Degenerate inputs (k < 2,
+    * N ≤ k, or zero within-variance) yield null F, never a crash. */
+  def oneWayAnova(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val vr = round(col(valueCol).cast("double"), 6)
+    val per = df
+      .select(col(groupCol).as("g"), vr.as("vr"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("ng"),
+        sum(col("vr").cast("decimal(28,6)")).as("sg"),
+        sum((col("vr") * col("vr")).cast("decimal(38,12)")).as("qg"))
+    // per-group term rounded THEN decimal-summed: order-free across
+    // groups (the frame is |groups| rows — tiny by construction)
+    val terms = per.select(
+      col("ng"), col("qg"), col("sg"),
+      round(col("sg").cast("double") * col("sg").cast("double") /
+        col("ng"), 6).cast("decimal(28,6)").as("tg"))
+    val agg = terms.agg(
+      count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).cast("double").as("s"),
+      sum(col("qg")).cast("double").as("q"),
+      sum(col("tg")).cast("double").as("t"))
+    val ssb = col("t") - col("s") * col("s") / col("n")
+    val ssw = col("q") - col("t")
+    val f = (ssb / (col("k") - 1)) / (ssw / (col("n") - col("k")))
+    agg.select(
+      col("k").cast("long").as("n_groups"),
+      col("n").cast("long").as("n"),
+      round(ssb, 4).as("ss_between"),
+      round(ssw, 4).as("ss_within"),
+      (col("k") - 1).cast("long").as("df1"),
+      (col("n") - col("k")).cast("long").as("df2"),
+      when(col("k") > 1 && col("n") > col("k") && ssw > 0, round(f, 4))
+        .as("f_stat"))
+  }
+
+  /** Levene's test (mean-centered form) for equality of group
+    * variances — the homoscedasticity check one runs BEFORE trusting
+    * [[oneWayAnova]]'s pooled-variance F: per-group 6-dp-rounded means
+    * off exact decimal sums (one tiny aggregate, broadcast back), then
+    * the one-way ANOVA F over the absolute deviations z = |x − mean_g|.
+    * Everything downstream IS [[oneWayAnova]] — same decimal
+    * disciplines, same degenerate-input nulls. */
+  def leveneTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val vr = round(col(valueCol).cast("double"), 6)
+    val base = df.select(col(groupCol).as("g"), vr.as("v0"))
+    val means = base.groupBy(col("g"))
+      .agg(round(sum(col("v0").cast("decimal(28,6)")).cast("double") /
+        count(lit(1)), 6).as("gmean"))
+    val z = base.join(broadcast(means), "g")
+      .select(col("g"), round(abs(col("v0") - col("gmean")), 6).as("z"))
+    oneWayAnova(z, "g", "z")
+  }
+
+  /** l-DIVERSITY audit — [[kAnonymity]]'s companion (Machanavajjhala
+    * et al. 2007): a class can be k-anonymous yet expose everyone in
+    * it if the SENSITIVE attribute is constant within the class. Per
+    * QI class, the number of distinct sensitive values (the two-level
+    * aggregate form, so no count-distinct Expand ever rides the
+    * corpus); then the same histogram treatment as [[kAnonymity]] —
+    * per l threshold, the classes and rows whose diversity is below
+    * it, all-long arithmetic off one corpus pass. */
+  def lDiversity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      thresholds: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val lvl1 = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("nrows"))
+    val classes = lvl1.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("diversity"), sum(col("nrows")).as("class_size"))
+    val hist = classes.groupBy(col("diversity"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("class_size")).as("n_rows"))
+    hist.select(explode(array(thresholds.map(lit(_)): _*)).as("l"),
+        col("diversity"), col("n_classes"), col("n_rows"))
+      .groupBy(col("l"))
+      .agg(
+        sum(col("n_classes")).as("n_classes"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("diversity")).as("min_diversity"),
+        sum(when(col("diversity") < col("l"), col("n_classes"))
+          .otherwise(0L)).as("at_risk_classes"),
+        sum(when(col("diversity") < col("l"), col("n_rows"))
+          .otherwise(0L)).as("at_risk_rows"))
+  }
+
   /** Winsorized (clipped) robust statistics per group: exact
     * pLo/pHi fences, values clipped into `[lo, hi]`, clip counts and
     * the decimal-exact clipped sum — the robust-mean treatment for

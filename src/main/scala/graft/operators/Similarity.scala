@@ -1589,4 +1589,84 @@ object Similarity {
       .map { case ((vid, _, rel, score), i) => (i + 1, vid, rel, score) }
       .toDF("rank", "vec_id", "rel", "score")
   }
+
+  /** GRAPH-BASED ANN (the NSW / HNSW-layer-0 search shape, Malkov &
+    * Yashunin 2016): greedy best-first descent over the prebuilt
+    * [[knnGraph]] — from a deterministic entry node, repeatedly hop to
+    * the best-cosine node among the current node's graph out-edges,
+    * keeping the current node as a candidate so a local optimum is a
+    * fixed point (the walk provably never worsens). This completes the
+    * ANN family (brute / sign-LSH / IVF / PQ / IVF-PQ / graph): the
+    * graph index's serving trade is that a query touches
+    * O(maxHops · degree) vectors, independent of cell populations.
+    *
+    * Scale shape: the edge table is built ONCE and materialized — that
+    * is the corpus-scale part, and it reuses [[knnGraph]]'s enforced
+    * per-bucket bound. The walk is `maxHops` constant-size rounds:
+    * each hop broadcasts the |queries|-row frontier against the edge
+    * and vector tables (per-hop candidate volume = |queries| · degree,
+    * never corpus-sized), and each hop is materialized to scratch so
+    * hop plans stay constant-size (the power-iteration discipline).
+    *
+    * Determinism (the oracle contract): 6-dp-rounded cosine, ties to
+    * the lowest node id, entry = the lowest corpus id (the
+    * second-lowest for that node's own query). Returns the FULL
+    * trajectory — (query_id, hop, node_id, sim) for hop 0..maxHops —
+    * so the gate pins every step, not just the terminus. */
+  def graphGreedyTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      numPlanes: Int = 8,
+      degree: Int = 5,
+      maxHops: Int = 3,
+      maxBucketRows: Long = 100000L): DataFrame = {
+    import graft.ops.Scratch
+    val edges = Scratch.materialize(
+      knnGraph(corpus, idCol, vecCol, numPlanes, degree, maxBucketRows)
+        .select(col("src"), col("neighbor_id")),
+      "nsw_edges")
+    val vecs = Scratch.materialize(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "nsw_vecs")
+    // entry node: a 2-row sort-limit collapsed to one broadcast row —
+    // never a corpus × queries join
+    val ent = vecs.select(col("id")).orderBy(col("id").asc).limit(2)
+      .agg(min(col("id")).as("m1"), max(col("id")).as("m2"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    var cur = Scratch.materialize(
+      q.crossJoin(broadcast(ent))
+        .select(col("query_id"), col("qv"),
+          when(col("query_id") === col("m1"), col("m2"))
+            .otherwise(col("m1")).as("node"))
+        .join(vecs, col("node") === col("id"))
+        .select(col("query_id"), col("qv"), col("node"),
+          round(cosine(col("qv"), col("v")), 6).as("sim")),
+      "nsw_hop0")
+    val hops = scala.collection.mutable.ArrayBuffer[DataFrame](
+      cur.select(col("query_id"), lit(0).as("hop"),
+        col("node").as("node_id"), col("sim")))
+    for (h <- 1 to maxHops) {
+      val frontier = edges.join(broadcast(cur), col("node") === col("src"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("qv"), col("neighbor_id").as("cnode"))
+      val scored = vecs.join(broadcast(frontier), col("cnode") === col("id"))
+        .select(col("query_id"), col("qv"), col("cnode"),
+          round(cosine(col("qv"), col("v")), 6).as("csim"))
+        .unionByName(cur.select(col("query_id"), col("qv"),
+          col("node").as("cnode"), col("sim").as("csim")))
+      // per-query argmax over ≤ degree+1 candidate rows — bounded by
+      // the graph degree, never by corpus size
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("csim").desc, col("cnode").asc)
+      cur = Scratch.materialize(
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("query_id"), col("qv"), col("cnode").as("node"),
+            col("csim").as("sim")),
+        s"nsw_hop$h")
+      hops += cur.select(col("query_id"), lit(h).as("hop"),
+        col("node").as("node_id"), col("sim"))
+    }
+    hops.reduce(_ unionByName _)
+  }
 }

@@ -911,6 +911,104 @@ object TextAnalysis {
         md5Fingerprint(col(textCol)).as("fp_exact"),
         graft.functions.MinShingleMd5.minShingleMd5(col(textCol), shingleK).as("fp_rolling"))
 
+  /** Interpolated KNESER-NEY bigram language model (Kneser & Ney 1995;
+    * the fixed-discount form of Chen & Goodman 1999, D = 0.75) — the
+    * standard n-gram smoothing, and the classic demonstration of why:
+    * the continuation probability P_cont(w₂) = N₁₊(·w₂)/N₁₊(··) counts
+    * how many DISTINCT contexts precede w₂, so "Francisco" (frequent
+    * but only ever after "San") scores low where raw unigram backoff
+    * would score it high. P_kn(w₂|w₁) = max(c−D,0)/c(w₁·) +
+    * D·N₁₊(w₁·)/c(w₁·) · P_cont(w₂).
+    *
+    * Scale shape: one bigram explode → the observed-bigram count table
+    * (≤ corpus token count rows); every KN statistic is a keyed
+    * aggregate OF that table (c(w₁·) and N₁₊(w₁·) by w₁, N₁₊(·w₂) by
+    * w₂, N₁₊(··) one row) — the corpus is scanned once. The gated
+    * output is the top-`topN` bigrams (count desc, then lexicographic
+    * — a deterministic total order) with their integer counts and the
+    * 6-dp-rounded fixed-order-double P_kn; the tiny top-N side is what
+    * broadcasts into the statistic joins. */
+  def knBigramLm(
+      docs: DataFrame,
+      textCol: String = "text",
+      topN: Int = 50,
+      discountCenti: Int = 75): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    require(discountCenti >= 0 && discountCenti <= 100,
+      "discountCenti must be in [0, 100]")
+    val d = discountCenti.toDouble / 100.0
+    val g = Par.fanOut(docs.select(col(textCol)))
+      .select(explode(tokenWindows(col(textCol), 2)).as("g"))
+      .filter(col("g").contains(" ")) // drop the 1-token-doc truncated gram
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+    val c = g.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+    val cw1 = c.groupBy("w1")
+      .agg(sum(col("c_big")).as("c_w1"), count(lit(1)).as("n1p_w1"))
+    val cw2 = c.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
+    val tot = c.agg(count(lit(1)).as("n1p_all"))
+    val top = c.orderBy(col("c_big").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+    cw2.join(broadcast(cw1.join(broadcast(top), "w1")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_big"), col("c_w1"),
+        round(
+          greatest(col("c_big") - lit(d), lit(0.0d)) / col("c_w1") +
+            lit(d) * col("n1p_w1") / col("c_w1") *
+              (col("n1p_w2").cast("double") / col("n1p_all")), 6).as("p_kn"))
+  }
+
+  /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * algorithm): per document, the positional k-token gram hashes, a
+    * sliding window of `w` consecutive hashes, and from each window
+    * the minimum hash (rightmost on ties — the original paper's rule,
+    * which maximizes fingerprint reuse across overlapping windows);
+    * the distinct selected (position, hash) pairs are the document's
+    * fingerprints. Winnowing's guarantee — any shared run of
+    * w + k − 1 tokens between two documents yields at least one
+    * SHARED fingerprint — is what makes it the standard local
+    * plagiarism/overlap sketch, denser than one global min
+    * ([[fingerprints]]'s fp_rolling) but far sparser than all grams.
+    *
+    * Scale shape: winnowing is per-document LOCAL, and the plan says
+    * so — the gram keys, the per-window minima, and the distinct
+    * selection are all higher-order array functions inside one
+    * map-side projection (grams bind once per row via
+    * [[graft.functions.TextFunctions.tokenWindows]]); the only
+    * exchange in the plan is whatever consumes the output. The
+    * min-with-rightmost-tie selection rides a single string key
+    * (15-hex-char 60-bit md5 gram hash ++ zero-padded DESCENDING
+    * position), so one `array_min` per window implements the full tie
+    * rule; documents shorter than w grams contribute their single
+    * truncated window (pos 0). */
+  def winnowing(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      w: Int = 4): DataFrame = {
+    val arr = Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokenWindows(col(textCol), k).as("gs"))
+    val keyed = arr.select(col(idCol),
+      transform(col("gs"), (g, i) =>
+        concat(substring(md5(g), 1, 15),
+          lpad((lit(9999999) - i).cast("string"), 7, "0"))).as("keys"))
+    // bind the key array ONCE via the single-element outer transform
+    // (the shingles trick): projection collapse would otherwise inline
+    // `keys` into every window's slice — O(grams²) md5 re-evaluation
+    val sel = keyed.select(col(idCol),
+      array_distinct(transform(array(col("keys")), ks =>
+        transform(
+          sequence(lit(0), greatest(size(ks) - w, lit(0))),
+          s => array_min(slice(ks, s + 1, lit(w))))).getItem(0)).as("fps"))
+    sel.select(col(idCol), explode(col("fps")).as("wk"))
+      .select(col(idCol),
+        (lit(9999999) - substring(col("wk"), 16, 7).cast("int"))
+          .cast("int").as("fp_pos"),
+        substring(col("wk"), 1, 15).as("fp"))
+  }
+
   /** Flesch-style readability profile per document (the grade-level
     * curation dial: training mixes tune on it, and it flags both
     * word-salad and legalese): whitespace words, sentence count

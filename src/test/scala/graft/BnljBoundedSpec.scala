@@ -80,6 +80,9 @@ class BnljBoundedSpec extends SparkTestBase {
     "sim_ivfpq_recall" ->
       ("build = 8 query vectors (vec_id < 8 key filter) in the exact " +
         "bruteForceTopK side of the recall compare"),
+    "sim_nsw_recall" ->
+      ("build = 8 query vectors (vec_id < 8 key filter) in the exact " +
+        "bruteForceTopK side of the NSW recall compare"),
     "sim_int8_topk" ->
       "build = 8 quantized query vectors (vec_id < 8 key filter)",
     "emb_hard_negatives" ->
