@@ -181,6 +181,19 @@ object SparkEntry {
       // interpolated Kneser-Ney bigram LM, fixed discount 0.75: the
       // continuation-count smoothing over the observed-bigram table
       TextAnalysis.knBigramLm(t(s, dir, "documents"))),
+    "shard_rendezvous" -> ((s, dir) =>
+      // highest-random-weight placement: shard removal remaps only
+      // that shard's docs (spec-pinned), zero shuffle
+      graft.operators.Corpus.rendezvousShards(t(s, dir, "documents"))),
+    "corpus_fim_plan" -> ((s, dir) =>
+      // fill-in-the-middle split plan: one md5 per doc carries the
+      // apply coin and both cut points, 0 <= a <= b <= n guaranteed
+      graft.operators.Corpus.fimPlan(t(s, dir, "documents"))),
+    "dq_dp_counts" -> ((s, dir) =>
+      // epsilon-DP Laplace count release over (lang, source) with the
+      // deterministic inverse-CDF draw (quantized uniform)
+      graft.operators.Quality.dpCounts(
+        t(s, dir, "documents"), Seq("lang", "source"))),
     "dedup_url" -> ((s, dir) =>
       // FineWeb-style URL-level dedup over the canonical key; noisy URL
       // fixture (the corpus ships none): case jitter, default port,
@@ -350,6 +363,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.graphGreedyTopK(e, e.filter(col("vec_id") < 8),
         degree = 3, maxHops = 3)
+    }),
+    "sim_hnsw_topk" -> ((s, dir) => {
+      // hierarchical graph ANN (the full HNSW search shape): sparse
+      // upper layer navigates, layer 0 refines from its terminus
+      val e = t(s, dir, "embeddings")
+      Similarity.hnswTopK(e, e.filter(col("vec_id") < 8),
+        degree = 3, maxHops1 = 2, maxHops0 = 3)
     }),
     "sim_nsw_recall" -> ((s, dir) => {
       // the graph index's tuning readout: does the greedy terminus hit
@@ -2910,6 +2930,45 @@ object SparkEntry {
                 len::INT AS len_tok
          FROM spans""",
     "vocab_kn_bigram" -> OracleFragments.vocabKnBigram(topN = 50),
+    "shard_rendezvous" ->
+      """SELECT doc_id,
+           substr(list_aggregate(list_transform(range(0, 16), s ->
+             substr(md5('hrw:' || s::VARCHAR || ':' || doc_id::VARCHAR),
+               1, 15) || lpad(s::VARCHAR, 4, '0')), 'max'), 16, 4)::INT
+             AS shard
+         FROM documents""",
+    "corpus_fim_plan" ->
+      """WITH x AS (
+           SELECT doc_id,
+                  len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n,
+                  ('0x' || substr(md5('fim:' || doc_id::VARCHAR), 1, 15))
+                    ::BIGINT AS h
+           FROM documents),
+         cuts AS (
+           SELECT doc_id, n, h, (h // 1000) % (n + 1) AS a
+           FROM x WHERE h % 1000 < 900),
+         ab AS (
+           SELECT doc_id, n, a, a + (h // 1000000) % (n - a + 1) AS b
+           FROM cuts)
+         SELECT doc_id, a::INT AS prefix_len, (b - a)::INT AS middle_len,
+                (n - b)::INT AS suffix_len
+         FROM ab""",
+    "dq_dp_counts" ->
+      """WITH g AS (SELECT lang, source, count(*)::BIGINT AS n
+                    FROM documents GROUP BY 1, 2),
+         k AS (SELECT lang, source, n,
+                      ('0x' || substr(md5('dp:' || lang || '|' || source
+                        || '|'), 1, 15))::BIGINT AS h
+               FROM g),
+         u AS (SELECT lang, source, n,
+                      ((h % 1000000000000) + 0.5::DOUBLE)
+                        / 1000000000000.0::DOUBLE AS u
+               FROM k)
+         SELECT lang, source, n,
+                round(n + -(1.0::DOUBLE) * sign(u - 0.5::DOUBLE)
+                      * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(u - 0.5::DOUBLE)),
+                  4) AS n_dp
+         FROM u""",
     "dedup_url" -> OracleFragments.dedupUrl,
     "dedup_spans" -> OracleFragments.dedupSpans(spanTokens = 8),
     "dedup_strip_spans" -> OracleFragments.dedupStripSpans(spanTokens = 8),
@@ -3136,6 +3195,8 @@ object SparkEntry {
       degree = 3, maxHops = 3, maxQueryId = 8),
     "sim_nsw_recall" -> OracleFragments.simNswRecall(numPlanes = 8, dim = 64,
       degree = 3, maxHops = 3, maxQueryId = 8),
+    "sim_hnsw_topk" -> OracleFragments.simHnswTopK(numPlanes = 8, dim = 64,
+      degree = 3, maxHops1 = 2, maxHops0 = 3, layerMod = 8, maxQueryId = 8),
     "sim_kmeans" -> OracleFragments.simKmeans(k = 8, iters = 2),
     "sim_ivf_topk" -> OracleFragments.simIvfTopK(
       cells = 8, iters = 2, nProbe = 4, maxQueryId = 8, k = 5),
@@ -6774,7 +6835,8 @@ object OracleFragments {
   /** Mirror of Similarity.knnGraph: the [[simLshTopK]] re-derivation
     * with the broadcast query join replaced by the bucket-key
     * self-join — every node ranked against its bucket mates. */
-  def simKnnGraph(numPlanes: Int, dim: Int, k: Int): String = {
+  def simKnnGraph(numPlanes: Int, dim: Int, k: Int,
+      src: String = "embeddings"): String = {
     def bucketExpr(vcol: String): String =
       graft.operators.Similarity.planeMatrix(numPlanes, dim).zipWithIndex.map {
         case (plane, p) =>
@@ -6783,7 +6845,7 @@ object OracleFragments {
           s"CASE WHEN round($proj, 6) > 0 THEN ${1L << p} ELSE 0 END"
       }.mkString("(", " + ", ")")
     s"""WITH c AS (SELECT vec_id AS id, embedding AS v,
-                          ${bucketExpr("embedding")} AS bucket FROM embeddings),
+                          ${bucketExpr("embedding")} AS bucket FROM $src),
           scored AS (
             SELECT a.id AS src, b.id AS neighbor_id, ${cosineOf("a.v", "b.v")} AS sim
             FROM c a JOIN c b ON a.bucket = b.bucket AND a.id <> b.id),
@@ -6833,6 +6895,61 @@ object OracleFragments {
                        FROM q, ent e) qq
                  JOIN (SELECT v.id AS node, v.v AS v FROM v) vv USING (node)),
           $hopCtes
+        $traj"""
+  }
+
+  /** Mirror of Similarity.hnswTopK: two [[simKnnGraph]] edge CTEs
+    * (layer 1 = the md5-mod-layerMod node subset, layer 0 = full
+    * corpus), the layer-1 greedy hops unrolled from the upper-layer
+    * entry point, then the layer-0 hops unrolled from the layer-1
+    * terminus. Same candidate rule (out-edges ∪ current, query node
+    * excluded), same 6-dp cosine argmax, same tie-break. */
+  def simHnswTopK(numPlanes: Int, dim: Int, degree: Int, maxHops1: Int,
+      maxHops0: Int, layerMod: Int, maxQueryId: Int): String = {
+    val upperSrc = "(SELECT vec_id, embedding FROM embeddings " +
+      s"WHERE ('0x' || substr(md5('hnsw:' || vec_id::VARCHAR), 1, 15))" +
+      s"::BIGINT % $layerMod = 0)"
+    def hopChain(edge: String, tag: String, start: String, n: Int): String =
+      (1 to n).map { h =>
+        val p = if (h == 1) start else s"$tag${h - 1}"
+        s"""c$tag$h AS (SELECT p.query_id, p.qv, k.neighbor_id AS cnode
+                    FROM $p p JOIN $edge k ON k.src = p.node
+                                 AND k.neighbor_id <> p.query_id
+                    UNION ALL SELECT query_id, qv, node FROM $p),
+            s$tag$h AS (SELECT c.query_id, c.qv, c.cnode,
+                           ${cosineOf("c.qv", "vv.v")} AS csim
+                    FROM c$tag$h c JOIN v vv ON vv.id = c.cnode),
+            $tag$h AS (SELECT query_id, qv, cnode AS node, csim AS sim FROM (
+                      SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY csim DESC, cnode ASC) AS rn FROM s$tag$h)
+                    WHERE rn = 1)"""
+      }.mkString(",\n")
+    val l1 = hopChain("knn1", "g", "h0", maxHops1)
+    val l0 = hopChain("knn0", "z", s"g$maxHops1", maxHops0)
+    val traj =
+      (Seq(s"SELECT query_id, 1::INT AS layer, 0::INT AS hop, node AS node_id, sim FROM h0") ++
+        (1 to maxHops1).map(h =>
+          s"SELECT query_id, 1::INT, $h::INT, node, sim FROM g$h") ++
+        (1 to maxHops0).map(h =>
+          s"SELECT query_id, 0::INT, $h::INT, node, sim FROM z$h"))
+        .mkString("\nUNION ALL ")
+    s"""WITH knn1 AS (${simKnnGraph(numPlanes, dim, degree, upperSrc)}),
+          knn0 AS (${simKnnGraph(numPlanes, dim, degree)}),
+          v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < $maxQueryId),
+          ent AS (SELECT min(id) AS m1, max(id) AS m2
+                  FROM (SELECT vec_id AS id FROM $upperSrc uu
+                        ORDER BY vec_id LIMIT 2)),
+          h0 AS (SELECT qq.query_id, qq.qv, vv.node,
+                        ${cosineOf("qq.qv", "vv.v")} AS sim
+                 FROM (SELECT q.query_id, q.qv,
+                              CASE WHEN q.query_id = e.m1 THEN e.m2
+                                   ELSE e.m1 END AS node
+                       FROM q, ent e) qq
+                 JOIN (SELECT v.id AS node, v.v AS v FROM v) vv USING (node)),
+          $l1,
+          $l0
         $traj"""
   }
 

@@ -706,6 +706,57 @@ object Corpus {
         col("start_tok"), col("len_tok"))
   }
 
+  /** RENDEZVOUS (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): every (doc, shard) pair gets a deterministic
+    * md5 weight and the document goes to the argmax shard. The
+    * property fixed-bucket mod hashing lacks — removing a shard remaps
+    * ONLY that shard's documents (spec-pinned) — which is what lets a
+    * shard count change without a full-corpus reshuffle. Map-side
+    * only: the weight list is a per-row higher-order array op over a
+    * literal shard sequence, and the argmax rides one string key
+    * (weight-hex ++ shard id), so there is no shuffle anywhere. */
+  def rendezvousShards(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      nShards: Int = 16): DataFrame = {
+    require(nShards >= 1 && nShards <= 9999, "nShards must be in [1, 9999]")
+    val keys = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      concat(substring(md5(concat(lit("hrw:"), s.cast("string"), lit(":"),
+        col(idCol).cast("string"))), 1, 15),
+        lpad(s.cast("string"), 4, "0")))
+    graft.ops.Par.fanOut(docs.select(col(idCol)))
+      .select(col(idCol),
+        substring(array_max(keys), 16, 4).cast("int").as("shard"))
+  }
+
+  /** FILL-IN-THE-MIDDLE transform plan (Bavarian et al. 2022): per
+    * document, the deterministic (prefix, middle, suffix) token split
+    * whose pieces the FIM objective rearranges to (prefix, suffix,
+    * middle). ONE md5 per document supplies all three coins as integer
+    * fields of the 60-bit hash (apply? = h mod 1000 vs `fimPermille`,
+    * cut a = h÷1000 mod (n+1), cut b = a + h÷10⁶ mod (n−a+1), so
+    * 0 ≤ a ≤ b ≤ n always). Map-side only — the batch builder joins
+    * this plan to the tokenized text by id. */
+  def fimPlan(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fimPermille: Int = 900): DataFrame = {
+    require(fimPermille >= 0 && fimPermille <= 1000,
+      "fimPermille must be in [0, 1000]")
+    graft.ops.Par.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), size(tokens(col(textCol))).as("n"),
+        conv(substring(md5(concat(lit("fim:"), col(idCol).cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      .filter(pmod(col("h"), lit(1000)) < fimPermille)
+      .withColumn("a", (expr("(h div 1000)") % (col("n") + 1)).cast("int"))
+      .withColumn("b", (col("a") +
+        expr("(h div 1000000)") % (col("n") - col("a") + 1)).cast("int"))
+      .select(col(idCol), col("a").as("prefix_len"),
+        (col("b") - col("a")).cast("int").as("middle_len"),
+        (col("n") - col("b")).cast("int").as("suffix_len"))
+  }
+
   /** Greedy token-budget packing: within each `partCol` stream (ordered
     * by id), documents are concatenated and split into chunks of
     * ~`targetTokens` — chunk k holds the docs whose cumulative token

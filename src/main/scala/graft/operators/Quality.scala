@@ -443,6 +443,37 @@ object Quality {
         .as("f_stat"))
   }
 
+  /** Differentially-private group-count release (the ε-DP Laplace
+    * mechanism, Dwork et al. 2006): exact per-group counts plus
+    * Laplace(Δ/ε) noise with sensitivity Δ = 1, drawn DETERMINISTICALLY
+    * from a per-group md5 uniform through the inverse CDF
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). The uniform is quantized
+    * to a 10⁻¹² grid ((h mod 10¹²)+½)/10¹², so both engines evaluate
+    * ln on the identical argument, and the release rounds to 4 dp.
+    * The deterministic draw is what makes the release reproducible and
+    * oracle-gateable; a production deployment swaps in a real RNG and
+    * the plan shape — one keyed aggregate, map-side noise on the tiny
+    * group frame — stays exactly as tested. Completes the privacy
+    * family: [[kAnonymity]] / [[lDiversity]] audit, this releases. */
+  def dpCounts(
+      df: DataFrame,
+      groupCols: Seq[String],
+      epsCenti: Int = 100): DataFrame = {
+    require(epsCenti >= 1, "epsCenti must be >= 1 (epsilon = epsCenti/100)")
+    val b = 100.0 / epsCenti
+    val g = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val key = concat(lit("dp:") +:
+      groupCols.flatMap(c => Seq(col(c).cast("string"), lit("|"))): _*)
+    val h = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val u = (pmod(h, lit(1000000000000L)).cast("double") + lit(0.5d)) /
+      lit(1.0e12d)
+    val v = u - lit(0.5d)
+    val noise = -lit(b) * signum(v) *
+      log(lit(1.0d) - lit(2.0d) * abs(v))
+    g.select(groupCols.map(col) :+ col("n") :+
+      round(col("n") + noise, 4).as("n_dp"): _*)
+  }
+
   /** Levene's test (mean-centered form) for equality of group
     * variances — the homoscedasticity check one runs BEFORE trusting
     * [[oneWayAnova]]'s pooled-variance F: per-group 6-dp-rounded means

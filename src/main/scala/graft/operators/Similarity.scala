@@ -1643,10 +1643,33 @@ object Similarity {
         .select(col("query_id"), col("qv"), col("node"),
           round(cosine(col("qv"), col("v")), 6).as("sim")),
       "nsw_hop0")
-    val hops = scala.collection.mutable.ArrayBuffer[DataFrame](
-      cur.select(col("query_id"), lit(0).as("hop"),
-        col("node").as("node_id"), col("sim")))
-    for (h <- 1 to maxHops) {
+    val (_, hopFrames) = greedyWalk(cur, edges, vecs, maxHops, "nsw")
+    val hops = cur.select(col("query_id"), lit(0).as("hop"),
+      col("node").as("node_id"), col("sim")) +:
+      hopFrames.zipWithIndex.map { case (f, i) =>
+        f.select(col("query_id"), lit(i + 1).as("hop"),
+          col("node").as("node_id"), col("sim"))
+      }
+    hops.reduce(_ unionByName _)
+  }
+
+  /** The greedy-descent loop shared by [[graphGreedyTopK]] and
+    * [[hnswTopK]]: from the (query_id, qv, node, sim) frontier `cur`,
+    * `hops` rounds of hop-to-best-neighbor-or-stay over `edges`
+    * (src, neighbor_id) with vectors from `vecs` (id, v). Each round's
+    * candidate volume is |queries| · degree — corpus-size-independent —
+    * and each round is materialized to scratch so hop plans stay
+    * constant-size. Returns (final frontier, one frame per hop). */
+  private def greedyWalk(
+      start: DataFrame,
+      edges: DataFrame,
+      vecs: DataFrame,
+      hops: Int,
+      tag: String): (DataFrame, Seq[DataFrame]) = {
+    import graft.ops.Scratch
+    var cur = start
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (h <- 1 to hops) {
       val frontier = edges.join(broadcast(cur), col("node") === col("src"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("qv"), col("neighbor_id").as("cnode"))
@@ -1663,10 +1686,77 @@ object Similarity {
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("query_id"), col("qv"), col("cnode").as("node"),
             col("csim").as("sim")),
-        s"nsw_hop$h")
-      hops += cur.select(col("query_id"), lit(h).as("hop"),
-        col("node").as("node_id"), col("sim"))
+        s"${tag}_hop$h")
+      frames += cur
     }
-    hops.reduce(_ unionByName _)
+    (cur, frames.toSeq)
+  }
+
+  /** HIERARCHICAL graph ANN — the full HNSW search shape (Malkov &
+    * Yashunin 2016): a sparse UPPER layer (nodes where the 60-bit md5
+    * of "hnsw:id" ≡ 0 mod `layerMod` — the deterministic stand-in for
+    * HNSW's geometric level draw) is searched first from a global
+    * entry point; its terminus seeds the LAYER-0 search over the full
+    * knn graph. The upper layer's long-range edges carry the query
+    * across the corpus in O(maxHops1) cheap steps so layer 0 starts
+    * near the answer — the log-navigation idea that makes graph ANN
+    * competitive at billion scale. Both layers' edge tables are built
+    * once ([[knnGraph]] with its enforced bucket bound) and every hop
+    * is a |queries|-row broadcast. Returns the full two-layer
+    * trajectory (query_id, layer, hop, node_id, sim): layer 1 hops
+    * 0..maxHops1, then layer 0 hops 1..maxHops0 continuing from the
+    * layer-1 terminus. */
+  def hnswTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      numPlanes: Int = 8,
+      degree: Int = 5,
+      maxHops1: Int = 2,
+      maxHops0: Int = 3,
+      layerMod: Int = 8,
+      maxBucketRows: Long = 100000L): DataFrame = {
+    import graft.ops.Scratch
+    require(layerMod >= 2, "layerMod must be >= 2")
+    val upper = corpus.filter(
+      conv(substring(md5(concat(lit("hnsw:"), col(idCol).cast("string"))),
+        1, 15), 16, 10).cast("long") % layerMod === 0)
+    val edges1 = Scratch.materialize(
+      knnGraph(upper, idCol, vecCol, numPlanes, degree, maxBucketRows)
+        .select(col("src"), col("neighbor_id")),
+      "hnsw_edges1")
+    val edges0 = Scratch.materialize(
+      knnGraph(corpus, idCol, vecCol, numPlanes, degree, maxBucketRows)
+        .select(col("src"), col("neighbor_id")),
+      "hnsw_edges0")
+    val vecs = Scratch.materialize(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "hnsw_vecs")
+    val ent = upper.select(col(idCol).as("id")).orderBy(col("id").asc)
+      .limit(2).agg(min(col("id")).as("m1"), max(col("id")).as("m2"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cur1 = Scratch.materialize(
+      q.crossJoin(broadcast(ent))
+        .select(col("query_id"), col("qv"),
+          when(col("query_id") === col("m1"), col("m2"))
+            .otherwise(col("m1")).as("node"))
+        .join(vecs, col("node") === col("id"))
+        .select(col("query_id"), col("qv"), col("node"),
+          round(cosine(col("qv"), col("v")), 6).as("sim")),
+      "hnsw_l1h0")
+    val (term1, l1Frames) = greedyWalk(cur1, edges1, vecs, maxHops1, "hnsw_l1")
+    val (_, l0Frames) = greedyWalk(term1, edges0, vecs, maxHops0, "hnsw_l0")
+    val rows =
+      (cur1.select(col("query_id"), lit(1).as("layer"), lit(0).as("hop"),
+        col("node").as("node_id"), col("sim")) +:
+        l1Frames.zipWithIndex.map { case (f, i) =>
+          f.select(col("query_id"), lit(1).as("layer"), lit(i + 1).as("hop"),
+            col("node").as("node_id"), col("sim"))
+        }) ++
+        l0Frames.zipWithIndex.map { case (f, i) =>
+          f.select(col("query_id"), lit(0).as("layer"), lit(i + 1).as("hop"),
+            col("node").as("node_id"), col("sim"))
+        }
+    rows.reduce(_ unionByName _)
   }
 }

@@ -216,6 +216,82 @@ class Round17OpsSpec extends SparkTestBase {
     assert(out.values.forall { case (_, _, p) => p > 0 && p <= 1.0 })
   }
 
+  test("hnswTopK: two-layer trajectory laws (upper nodes in upper set, monotone)") {
+    import graft.operators.Similarity
+    // enough vectors that the md5-mod-4 upper layer is non-empty
+    def v(cl: Int, j: Int): Array[Float] = {
+      val base = Array.fill(4)(0.05f * (j + 1)); base(cl) = 1.0f; base
+    }
+    val e = (0 until 40).map(i => (i.toLong, v(i % 4, i / 4)))
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 2)
+    val out = Similarity.hnswTopK(e, q, numPlanes = 2, degree = 2,
+      maxHops1 = 2, maxHops0 = 2, layerMod = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    val upper = (0 until 40).filter { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"hnsw:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 4 == 0
+    }.map(_.toLong).toSet
+    assert(upper.nonEmpty)
+    for (qid <- Seq(0L, 1L)) {
+      val t = out.filter(_._1 == qid).sortBy(s => (-s._2, s._3))
+      // rows: layer1 hops 0..2 then layer0 hops 1..2
+      assert(t.map(s => (s._2, s._3)).toSeq ==
+        Seq((1, 0), (1, 1), (1, 2), (0, 1), (0, 2)))
+      // every layer-1 node is an upper-layer node
+      assert(t.filter(_._2 == 1).forall(s => upper.contains(s._4)))
+      // greedy-with-self never worsens, across the layer switch too
+      assert(t.map(_._5).toSeq.sliding(2).forall { case Seq(a, b) => b >= a })
+      assert(t.forall(_._4 != qid))
+    }
+  }
+
+  test("rendezvousShards: removing the last shard remaps only its docs") {
+    import graft.operators.Corpus
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val at8 = Corpus.rendezvousShards(docs, nShards = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val at7 = Corpus.rendezvousShards(docs, nShards = 7).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(at8.values.toSet.subsetOf((0 until 8).toSet))
+    for ((d, s8) <- at8 if s8 < 7) assert(at7(d) == s8,
+      s"doc $d moved from $s8 to ${at7(d)} when shard 7 was removed")
+    // docs on shard 7 land somewhere in 0..6
+    for ((d, s8) <- at8 if s8 == 7) assert(at7(d) < 7)
+  }
+
+  test("fimPlan: cuts bounded 0 <= a <= b <= n; permille 0 empty") {
+    import graft.operators.Corpus
+    val docs = (1L to 50L).map(i => (i, ("w " * (3 + i.toInt % 9)).trim))
+      .toDF("doc_id", "text")
+    val out = Corpus.fimPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    val lens = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    for ((d, p, m, s) <- out) {
+      assert(p >= 0 && m >= 0 && s >= 0)
+      assert(p + m + s == lens(d))
+    }
+    assert(Corpus.fimPlan(docs, fimPermille = 0).count() == 0)
+  }
+
+  test("dpCounts: exact count released alongside, noise bounded by the CDF tail") {
+    val df = Seq.tabulate(100)(i => (s"g${i % 3}", i)).toDF("g", "x")
+    val out = Quality.dpCounts(df, Seq("g"), epsCenti = 100).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("g0")._1 == 34 && out("g1")._1 == 33 && out("g2")._1 == 33)
+    // |noise| <= ln(2e12) ~ 28.4 at eps=1 (quantized-uniform tail)
+    for ((_, (n, ndp)) <- out) assert(math.abs(ndp - n) <= 29.0)
+    // deterministic release
+    val again = Quality.dpCounts(df, Seq("g"), epsCenti = 100).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.forall { case (g, (_, ndp)) => again(g) == ndp })
+  }
+
   test("permutationTest: observed stat exact, p-value add-one form") {
     val df = (1 to 40).map(i =>
       (i.toLong, i % 2, if (i % 2 == 1) 10.0 + i else 1.0 + i))
