@@ -79,8 +79,13 @@ object Dedup {
             element_at(bounds, j + 1) - element_at(bounds, j)))).as("chash"),
           (element_at(bounds, j + 1) - element_at(bounds, j)).as("clen")))
     }).getItem(0)
+    // fence + two-step projection: the fenced chunk array is computed
+    // ONCE in its own Project (Generate's implicit non-empty pre-filter
+    // would otherwise inline and double-evaluate the chunking
+    // pipeline), and the explode consumes the plain column
     val ch = Par.fanOut(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(chunksCol).as("c"))
+      .select(col(idCol), fence(chunksCol).as("chunks"))
+      .select(col(idCol), explode(col("chunks")).as("c"))
       .select(col(idCol), col("c.chash").as("chash"),
         col("c.clen").cast("long").as("clen"))
     val freq = ch.groupBy(col("chash")).agg(count(lit(1)).as("occ"))

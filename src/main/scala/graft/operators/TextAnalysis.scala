@@ -997,11 +997,14 @@ object TextAnalysis {
     // bind the key array ONCE via the single-element outer transform
     // (the shingles trick): projection collapse would otherwise inline
     // `keys` into every window's slice — O(grams²) md5 re-evaluation
+    // fence: Generate's implicit non-empty pre-filter would otherwise
+    // inline this whole md5 pipeline and evaluate it twice per row
     val sel = keyed.select(col(idCol),
-      array_distinct(transform(array(col("keys")), ks =>
-        transform(
-          sequence(lit(0), greatest(size(ks) - w, lit(0))),
-          s => array_min(slice(ks, s + 1, lit(w))))).getItem(0)).as("fps"))
+      graft.functions.OptimizerFence.fence(
+        array_distinct(transform(array(col("keys")), ks =>
+          transform(
+            sequence(lit(0), greatest(size(ks) - w, lit(0))),
+            s => array_min(slice(ks, s + 1, lit(w))))).getItem(0))).as("fps"))
     sel.select(col(idCol), explode(col("fps")).as("wk"))
       .select(col(idCol),
         (lit(9999999) - substring(col("wk"), 16, 7).cast("int"))
