@@ -512,6 +512,12 @@ object SparkEntry {
     }),
     "pack_chunks" -> ((s, dir) =>
       graft.operators.Corpus.packChunks(t(s, dir, "documents"), targetTokens = 512)),
+    "corpus_shard_plan" -> ((s, dir) =>
+      // the END-TO-END shard chain: packChunks -> rendezvousShards
+      // (per chunk) -> epoch-1 order coin; oracle pins (shard, chunk,
+      // doc order) for every document
+      graft.operators.Corpus.shardPlan(t(s, dir, "documents"),
+        targetTokens = 512, nShards = 16, epoch = 1)),
     "pack_greedy" -> ((s, dir) =>
       // doc-boundary greedy next-fit packing per (source, shard) — the
       // padding-paying alternative to pack_chunks' split-at-boundary
@@ -1932,6 +1938,18 @@ object SparkEntry {
       // drop every vector with a smaller-id within-cell twin at >= 0.40
       Similarity.semanticDedup(t(s, dir, "embeddings"),
         threshold = 0.40, cells = 8, iters = 2)),
+    "decontaminate_semantic" -> ((s, dir) => {
+      // the EMBEDDING rung of the decontamination ladder (exact 8-gram
+      // -> fuzzy lexical LSH -> semantic): corpus docs whose vector
+      // sits at >= 0.40 cosine to any benchmark vector; bench side
+      // probes its top-2 cells of the corpus IVF index so boundary
+      // pairs are caught
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(20)) === 0),
+        threshold = 0.40, cells = 8, nProbe = 2, iters = 2)
+    }),
     "ev_anomaly" -> ((s, dir) =>
       graft.operators.Events.anomalies(eventsTable(s, dir), zThreshold = 2.5)),
     "stats_corr" -> ((s, dir) =>
@@ -2315,6 +2333,26 @@ object SparkEntry {
       graft.operators.Dedup.incrementalExactBloom(
         d.filter(pmod(col("doc_id"), lit(3)) =!= 1), history)
     }),
+    "dedup_index_persisted" -> ((s, dir) => {
+      // the dedup STATE lifecycle (the IVF-PQ persistence parity):
+      // build fingerprint history -> persist as a bucketed-by-fp index
+      // -> load via the catalog -> incremental batch against the
+      // LOADED index. Value-identical to dedup_incremental's in-memory
+      // history (same oracle); the loaded anti-join co-locates on the
+      // history side — Exchange on the batch side only, plan-asserted
+      // in DedupIndexSpec
+      val d = t(s, dir, "documents")
+      val history = graft.operators.Dedup.exact(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0))
+        .select(col("fingerprint").as("fp"))
+      val out = graft.ops.Scratch.dir(
+        s.conf.getOption("spark.graft.scratchDir"), "fp_index")
+      graft.operators.Dedup.writeFpIndex(history, "graft_fp_history",
+        buckets = 8, path = Some(out))
+      graft.operators.Dedup.incrementalExact(
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        graft.operators.Dedup.loadFpIndex(s, "graft_fp_history"))
+    }),
     "dedup_rate_report" -> ((s, dir) =>
       // per-source duplicate-rate report card: one keyed agg over
       // fingerprints, the corpus-health metric per crawl/source
@@ -2327,6 +2365,14 @@ object SparkEntry {
       // sliding windows via the built-in window(size, slide): constant
       // map-side Expand then one keyed agg; streaming-compatible form
       graft.operators.Events.slidingCounts(eventsTable(s, dir))),
+    "corpus_anneal_plan" -> ((s, dir) =>
+      // two-phase anneal allocation sheet: phase-1 natural token
+      // shares, phase-2 quality^2-boosted shares, integer per-phase
+      // budgets, oversampling flags
+      graft.operators.Corpus.annealPlan(
+        t(s, dir, "documents").withColumn("quality",
+          graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
+        budgetTokens = 1000000L, phase2Permille = 100)),
     "sample_neyman" -> ((s, dir) =>
       // variance-optimal stratified sampling: budget split per source
       // by n_h*sigma_h from one tiny decimal-exact moment aggregate,
@@ -2965,9 +3011,9 @@ object SparkEntry {
                         / 1000000000000.0::DOUBLE AS u
                FROM k)
          SELECT lang, source, n,
-                round(n + -(1.0::DOUBLE) * sign(u - 0.5::DOUBLE)
+                round(n + round(-(1.0::DOUBLE) * sign(u - 0.5::DOUBLE)
                       * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(u - 0.5::DOUBLE)),
-                  4) AS n_dp
+                  3), 4) AS n_dp
          FROM u""",
     "dedup_url" -> OracleFragments.dedupUrl,
     "dedup_spans" -> OracleFragments.dedupSpans(spanTokens = 8),
@@ -3152,6 +3198,8 @@ object SparkEntry {
     "emb_pca_scores" -> OracleFragments.embPcaScores(iters = 4),
     "emb_quantize" -> OracleFragments.embQuantize,
     "pack_chunks" -> OracleFragments.packChunks(targetTokens = 512),
+    "corpus_shard_plan" -> OracleFragments.shardPlan(
+      targetTokens = 512, nShards = 16, epoch = 1),
     "pack_greedy" ->
       OracleFragments.packGreedy(budgetTokens = 512L, shardRows = 1024L),
     "pack_efficiency" ->
@@ -3330,6 +3378,13 @@ object SparkEntry {
     "mm_decode_meta" -> OracleFragments.mmDecodeMeta,
     "mm_sample_frames" -> OracleFragments.mmSampleFrames(stride = 2),
     "mm_features" -> OracleFragments.mmFeatures(dims = 8),
+    // The oracle reads the synthesized media payload back out of the
+    // TEXT column: strlen counts BYTES while substr/ascii walk
+    // CHARACTERS, so byte≡character only holds because the documents
+    // fixture is ASCII (shared assumption with mm_features/mm_resize —
+    // a non-ASCII fixture needs an encode()-based oracle). Zero-frame
+    // docs (empty media) are kept total via the LEFT JOIN: Spark emits
+    // an n_frames=0 row with ratio 0.0, so must the oracle.
     "mm_audio_energy" ->
       """WITH x AS (SELECT doc_id, text, strlen(text)::BIGINT AS mb
                     FROM documents),
@@ -3348,10 +3403,14 @@ object SparkEntry {
                           ::INT AS silent_frames,
                         sum(e)::BIGINT AS energy_sq
                  FROM fe GROUP BY doc_id)
-         SELECT doc_id, n_frames, silent_frames,
-                round(silent_frames::DOUBLE / n_frames, 6) AS silence_ratio,
-                energy_sq
-         FROM agg""",
+         SELECT x.doc_id,
+                coalesce(agg.n_frames, 0)::INT AS n_frames,
+                coalesce(agg.silent_frames, 0)::INT AS silent_frames,
+                CASE WHEN agg.n_frames IS NULL THEN 0.0::DOUBLE
+                     ELSE round(agg.silent_frames::DOUBLE / agg.n_frames, 6)
+                END AS silence_ratio,
+                coalesce(agg.energy_sq, 0)::BIGINT AS energy_sq
+         FROM x LEFT JOIN agg USING (doc_id)""",
     "dedup_simhash" -> OracleFragments.dedupSimhash(bits = 32, prefixBits = 8),
     "dedup_simhash_pairs" -> OracleFragments.dedupSimhashPairs(bits = 32, maxHamming = 3),
     "mm_resize" ->
@@ -3889,6 +3948,8 @@ object SparkEntry {
     "text_entropy" -> OracleFragments.textLexicalEntropy,
     "dedup_semantic" -> OracleFragments.dedupSemantic(
       cells = 8, iters = 2, threshold = 0.40),
+    "decontaminate_semantic" -> OracleFragments.decontaminateSemantic(
+      cells = 8, iters = 2, nProbe = 2, threshold = 0.40, benchMod = 20),
     "ev_anomaly" -> OracleFragments.evAnomaly(zThreshold = 2.5),
     "stats_corr" ->
       """SELECT l_returnflag, count(*) AS n,
@@ -4042,6 +4103,8 @@ object SparkEntry {
                 sum("value"::DECIMAL(18,2))::DOUBLE AS total_value
          FROM w GROUP BY 1, 2, 3""",
     "sample_neyman" -> OracleFragments.sampleNeyman(budget = 600L),
+    "corpus_anneal_plan" -> OracleFragments.corpusAnnealPlan(
+      budgetTokens = 1000000L, phase2Permille = 100),
     "mm_phash_pairs" -> OracleFragments.mmPhashPairs(bits = 32, maxHamming = 3),
     "mm_phash_clusters" ->
       OracleFragments.mmPhashClusters(bits = 32, maxHamming = 3),
@@ -4320,7 +4383,7 @@ object SparkEntry {
                   ::BIGINT AS n_ge,
                 round((sum(CASE WHEN abs(t_p) >= abs(t_obs) THEN 1 ELSE 0 END)
                        + 1)::DOUBLE / (count(*) + 1), 6) AS p_value
-         FROM perms, obs GROUP BY t_obs""",
+         FROM perms, obs WHERE t_p IS NOT NULL GROUP BY t_obs""",
     "dq_kanonymity" ->
       """WITH cls AS (
            SELECT lang, source, (n_chars // 100)::BIGINT AS len_bucket,
@@ -4453,6 +4516,18 @@ object SparkEntry {
                     ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)::BIGINT)
          SELECT c AS "constraint", n AS n_violations, n = 0 AS ok FROM v""",
     "dedup_incremental" -> {
+      val norm = OracleFragments.norm
+      s"""WITH h AS (SELECT DISTINCT md5($norm) AS fp FROM documents
+                     WHERE doc_id % 3 = 0),
+            b AS (SELECT doc_id, md5($norm) AS fp FROM documents
+                  WHERE doc_id % 3 <> 0)
+          SELECT b.fp, min(b.doc_id) AS keep_id, count(*) AS n_batch
+          FROM b ANTI JOIN h ON b.fp = h.fp
+          GROUP BY 1"""
+    },
+    // identical oracle to dedup_incremental: the persisted-index path
+    // must be value-identical to the in-memory history path
+    "dedup_index_persisted" -> {
       val norm = OracleFragments.norm
       s"""WITH h AS (SELECT DISTINCT md5($norm) AS fp FROM documents
                      WHERE doc_id % 3 = 0),
@@ -6141,6 +6216,44 @@ object OracleFragments {
                    ROWS UNBOUNDED PRECEDING) - n_tokens) // $targetTokens)::BIGINT AS chunk_id
         FROM t"""
 
+  /** Mirror of Corpus.shardPlan: packChunks' cumulative window, then
+    * per-CHUNK rendezvous placement (the shard_rendezvous HRW argmax
+    * over the chunk key part:chunk_id) and the epoch-salted order coin
+    * (corpus_epoch_shuffle's md5 prefix), joined back to the packed
+    * docs with the in-chunk doc sequence pinned by row_number. */
+  def shardPlan(targetTokens: Int, nShards: Int, epoch: Int): String =
+    s"""WITH t AS (SELECT lang AS part, doc_id,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT part, doc_id, n_tokens,
+                 ((sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) // $targetTokens)::BIGINT AS chunk_id
+          FROM t),
+        chunks AS (
+          SELECT part, chunk_id, part || ':' || chunk_id::VARCHAR AS ck,
+                 count(*)::BIGINT AS n_docs,
+                 sum(n_tokens)::BIGINT AS chunk_tokens
+          FROM packed GROUP BY 1, 2, 3),
+        placed AS (
+          SELECT ck,
+                 substr(list_aggregate(list_transform(range(0, $nShards), s ->
+                   substr(md5('hrw:' || s::VARCHAR || ':' || ck), 1, 15)
+                     || lpad(s::VARCHAR, 4, '0')), 'max'), 16, 4)::INT AS shard
+          FROM chunks),
+        ordered AS (
+          SELECT ck, ('0x' || substr(md5('epoch$epoch:' || ck), 1, 8))::BIGINT
+                   AS order_key
+          FROM chunks)
+        SELECT p.shard, o.order_key, c.part, c.chunk_id,
+               row_number() OVER (PARTITION BY c.part, c.chunk_id
+                                  ORDER BY k.doc_id)::INT AS doc_seq,
+               k.doc_id, k.n_tokens, c.chunk_tokens, c.n_docs
+        FROM packed k
+        JOIN chunks c USING (part, chunk_id)
+        JOIN placed p USING (ck)
+        JOIN ordered o USING (ck)"""
+
   /** Mirror of Corpus.packGreedyBins: the greedy next-fit fold as a
     * recursive CTE stepping one ordered row per (group, shard) —
     * recursion depth = rows per shard, bounded by shardRows. The step
@@ -7101,6 +7214,34 @@ object OracleFragments {
   /** SemDeDup verdicts (Similarity.semanticDedup): the same unrolled
     * Lloyd assignment; dropped = any vector with a SMALLER-id within-cell
     * neighbor at >= threshold (6-dp-rounded cosine, as cosineOf rounds). */
+  /** Mirror of Similarity.semanticDecontaminate: the corpus-built
+    * Lloyd unroll (corpus = vec_id % benchMod <> 0), bench vectors
+    * ranked against the FINAL centroid table keeping top nProbe cells,
+    * one bipartite cell join, hits at >= threshold — LEFT JOIN keeps
+    * clean docs with n_bench_hits 0 and null max_sim. */
+  def decontaminateSemantic(cells: Int, iters: Int, nProbe: Int,
+      threshold: Double, benchMod: Int): String =
+    s"""WITH ${ivfLloydCtes(cells, iters,
+          src = s"embeddings WHERE vec_id % $benchMod <> 0")},
+          bench AS (SELECT vec_id AS bench_id, embedding AS bv
+                    FROM embeddings WHERE vec_id % $benchMod = 0),
+          bp AS (SELECT bench_id, bv, cell FROM (
+                   SELECT b.bench_id, b.bv, cc.cell,
+                          row_number() OVER (PARTITION BY b.bench_id
+                            ORDER BY ${cosineOf("b.bv", "cc.cv")} DESC,
+                                     cc.cell ASC) AS rn
+                   FROM bench b CROSS JOIN c$iters cc) WHERE rn <= $nProbe),
+          hits AS (SELECT a.vid, count(*)::BIGINT AS n_bench_hits,
+                          max(${cosineOf("a.v", "p.bv")}) AS max_sim
+                   FROM af a JOIN bp p USING (cell)
+                   WHERE ${cosineOf("a.v", "p.bv")} >= $threshold
+                   GROUP BY 1)
+        SELECT af.vid AS vec_id, af.cell,
+               (h.vid IS NOT NULL) AS contaminated,
+               coalesce(h.n_bench_hits, 0)::BIGINT AS n_bench_hits,
+               h.max_sim
+        FROM af LEFT JOIN hits h ON af.vid = h.vid"""
+
   def dedupSemantic(cells: Int, iters: Int, threshold: Double): String =
     s"""WITH ${ivfLloydCtes(cells, iters)},
           dropped AS (
@@ -8808,9 +8949,35 @@ object OracleFragments {
     * — each an argmax over the not-yet-covered component sizes with
     * chosen-node exclusion, exactly the Spark loop's rule (gain DESC,
     * node ASC). All arithmetic integer-exact. */
-  def graphInfluenceMax(k: Int, p: Double, samples: Int): String = {
+  /** The per-sample component labels are derived by `ccRounds` UNROLLED
+    * min-label + pointer-jump rounds (the kCore fixed-unroll
+    * discipline: idempotent past the fixpoint, and an UNDER-unrolled
+    * oracle diverges from Spark's exactly-converged labels and fails
+    * the compare loudly — never a silent pass) instead of the previous
+    * all-pairs reachability closure, whose |component|² row count OOMed
+    * DuckDB at sf0.1 (the one heavy query the sf0.1 tier had to
+    * exclude). Each round is two linear joins over (samples × nodes)
+    * rows; pointer jumping doubles label-propagation distance per
+    * round, so 10 rounds cover any diameter ≤ 2¹⁰. */
+  def graphInfluenceMax(k: Int, p: Double, samples: Int,
+      ccRounds: Int = 10): String = {
     val threshold = (p * 4294967296.0).toLong
     val sampleVals = (0 until samples).map(r => s"($r)").mkString(",")
+    val ccChain = new StringBuilder
+    for (i <- 1 to ccRounds) {
+      val prev = s"l${i - 1}"
+      ccChain.append(s""",
+          l$i AS MATERIALIZED (
+            SELECT l.s, l.node,
+                   least(l.lab, coalesce(nm.mn, l.lab),
+                         coalesce(jj.lab, l.lab)) AS lab
+            FROM $prev l
+            LEFT JOIN (SELECT e.s, e.a AS node, min(x.lab) AS mn
+                       FROM ed e JOIN $prev x ON e.s = x.s AND e.b = x.node
+                       GROUP BY 1, 2) nm
+              ON nm.s = l.s AND nm.node = l.node
+            LEFT JOIN $prev jj ON jj.s = l.s AND jj.node = l.lab)""")
+    }
     val rounds = new StringBuilder
     for (i <- 1 to k) {
       val notCovered =
@@ -8833,32 +9000,25 @@ object OracleFragments {
     }
     val res = (1 to k).map(i => s"SELECT $i AS rank, node, gain FROM s$i")
       .mkString(" UNION ALL ")
-    s"""WITH RECURSIVE e0 AS ($coPurchase),
+    s"""WITH e0 AS ($coPurchase),
           smp(s) AS (VALUES $sampleVals),
           live AS (SELECT t.s, e.src, e.dst FROM e0 e CROSS JOIN smp t
                    WHERE ('0x' || substr(md5('icm:' || t.s || ':' ||
                             e.src || ':' || e.dst), 1, 8))::BIGINT
                          < $threshold),
-          ed AS (SELECT s, src AS a, dst AS b FROM live
+          ed AS MATERIALIZED (
+                 SELECT s, src AS a, dst AS b FROM live
                  UNION SELECT s, dst AS a, src AS b FROM live),
-          reach AS (
-            SELECT s, a AS x, a AS y FROM (SELECT DISTINCT s, a FROM ed)
-            UNION
-            SELECT r.s, r.x, e.b AS y FROM reach r
-            JOIN ed e ON r.s = e.s AND r.y = e.a),
-          ccc AS (SELECT s, x AS node, min(y) AS comp0
-                  FROM reach GROUP BY 1, 2),
-          -- explicit outer DISTINCT: inside WITH RECURSIVE, DuckDB does
-          -- NOT dedup a plain UNION of a non-self-referencing CTE
-          nodes AS (SELECT DISTINCT node FROM
+          nodes AS MATERIALIZED (
+                    SELECT DISTINCT node FROM
                     (SELECT src AS node FROM e0
                      UNION ALL SELECT dst AS node FROM e0)),
-          asgn AS (SELECT t.s, n.node, coalesce(c.comp0, n.node) AS comp
-                   FROM nodes n CROSS JOIN smp t
-                   LEFT JOIN ccc c ON c.s = t.s AND c.node = n.node),
+          l0 AS MATERIALIZED (SELECT t.s, n.node, n.node AS lab
+                 FROM nodes n CROSS JOIN smp t)${ccChain},
+          asgn AS MATERIALIZED (SELECT s, node, lab AS comp FROM l$ccRounds),
           sizes AS (SELECT s, comp, count(*) AS csize
                     FROM asgn GROUP BY 1, 2),
-          a2 AS (SELECT a.s, a.node, a.comp, z.csize
+          a2 AS MATERIALIZED (SELECT a.s, a.node, a.comp, z.csize
                  FROM asgn a JOIN sizes z USING (s, comp))${rounds}
         SELECT rank::INT AS rank, node, gain,
                (sum(gain) OVER (ORDER BY rank))::BIGINT AS cum_spread
@@ -9157,6 +9317,45 @@ object OracleFragments {
     * same 6-dp quality score, decimal-exact per-stratum moment sums,
     * round(n_h·σ_h, 6) weights summed as decimal, double-order rate
     * arithmetic, and the salted `ney:` integer coin. */
+  /** Mirror of Corpus.annealPlan: same quality expression, decimal-
+    * exact per-source moments, 1-row totals, quality² phase-2 weight,
+    * integer per-phase budgets computed here exactly as the Scala
+    * side computes them. */
+  def corpusAnnealPlan(budgetTokens: Long, phase2Permille: Int): String = {
+    val p1Budget = budgetTokens * (1000L - phase2Permille) / 1000L
+    val p2Budget = budgetTokens * phase2Permille / 1000L
+    val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
+    val nToks = s"len($toks)"
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    val stopRaw = s"len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE / greatest($nToks, 1)::DOUBLE"
+    val quality = s"""round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.4
+              + (1.0 - least(($punctRaw) * 5.0, 1.0)) * 0.3
+              + least(($stopRaw) * 4.0, 1.0) * 0.3, 6)"""
+    s"""WITH d AS (SELECT source, $quality AS q, $nToks::BIGINT AS nt
+                   FROM documents),
+          per AS (SELECT source, count(*)::BIGINT AS n_docs,
+                         sum(nt)::BIGINT AS n_tokens,
+                         round(sum(q::DECIMAL(28,6))::DOUBLE / count(*), 6)
+                           AS q_mean
+                  FROM d GROUP BY 1),
+          pw AS (SELECT source, n_docs, n_tokens, q_mean,
+                        round(n_tokens * q_mean * q_mean, 6) AS w
+                 FROM per),
+          tot AS (SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+                         sum(w::DECIMAL(28,6))::DOUBLE AS tot_w FROM pw),
+          sh AS (SELECT source, n_docs, n_tokens, q_mean,
+                        round(n_tokens::DOUBLE / tot_tokens, 6) AS share_phase1,
+                        round(w / tot_w, 6) AS share_phase2
+                 FROM pw, tot)
+        SELECT source, n_docs, n_tokens, q_mean, share_phase1, share_phase2,
+               round(share_phase2 / share_phase1, 6) AS anneal_boost,
+               round($p1Budget * share_phase1, 0)::BIGINT AS tokens_phase1,
+               round($p2Budget * share_phase2, 0)::BIGINT AS tokens_phase2,
+               (round($p2Budget * share_phase2, 0)::BIGINT > n_tokens)
+                 AS oversampled
+        FROM sh"""
+  }
+
   def sampleNeyman(budget: Long): String = {
     val punctRaw = s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text), 1)::DOUBLE"
     val nToks = s"len($toks)"

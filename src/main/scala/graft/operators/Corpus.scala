@@ -779,6 +779,114 @@ object Corpus {
       .select("part", "doc_id", "n_tokens", "chunk_id")
   }
 
+  /** TWO-PHASE (anneal / midtraining) mixture plan — the allocation
+    * sheet behind the now-standard practice of spending the FINAL
+    * fraction of the token budget on a quality-upweighted mix (the
+    * "annealing" phase reported for several frontier recipes): phase 1
+    * samples sources in NATURAL proportion (their token mass), phase 2
+    * reweights each source by the SQUARE of its mean quality — an
+    * integer exponent, so the boost is one exact double multiply (no
+    * pow/exp at query time, the engine-exactness discipline
+    * [[mixturePlan]] set with its single IEEE sqrt). Per source: the
+    * document/token mass, the 6-dp decimal-exact mean quality, both
+    * phase shares, the anneal boost ratio share₂/share₁, the token
+    * allocations under (budgetTokens, phase2Permille) — the per-phase
+    * budgets are INTEGER Scala-side constants, so only one rounded
+    * double multiply separates a share from its allocation — and an
+    * `oversampled` flag marking sources phase 2 wants more tokens from
+    * than they own (an epoch-1 anneal would repeat them).
+    *
+    * Plan shape (the [[mixturePlan]] discipline): ONE tiny per-source
+    * aggregate off one corpus scan, totals as a 1-row broadcast cross
+    * join; everything downstream is |sources|-row arithmetic. */
+  def annealPlan(
+      docs: DataFrame,
+      budgetTokens: Long,
+      phase2Permille: Int = 100,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      qualityCol: String = "quality"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(phase2Permille >= 0 && phase2Permille <= 1000,
+      "phase2Permille must be in [0, 1000]")
+    val p1Budget = budgetTokens * (1000L - phase2Permille) / 1000L
+    val p2Budget = budgetTokens * phase2Permille / 1000L
+    val per = docs
+      .select(col(sourceCol).as("source"),
+        tokenCountWs(col(textCol)).cast("long").as("nt"),
+        round(col(qualityCol).cast("double"), 6).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        round(sum(col("q").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("q_mean"))
+      .withColumn("w", round(col("n_tokens") * col("q_mean") * col("q_mean"), 6))
+    val tot = per.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w").cast("decimal(28,6)")).cast("double").as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("q_mean"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("share_phase1"),
+        round(col("w") / col("tot_w"), 6).as("share_phase2"))
+      .withColumn("anneal_boost",
+        round(col("share_phase2") / col("share_phase1"), 6))
+      .withColumn("tokens_phase1",
+        round(lit(p1Budget) * col("share_phase1"), 0).cast("long"))
+      .withColumn("tokens_phase2",
+        round(lit(p2Budget) * col("share_phase2"), 0).cast("long"))
+      .withColumn("oversampled", col("tokens_phase2") > col("n_tokens"))
+  }
+
+  /** END-TO-END training-shard production plan — the one chained flow
+    * the curation compositors stop short of (the LLM-data analogue of
+    * the reference's single end-to-end pipeline: its whole 722-line
+    * flow is one source→transform→sink chain, `pipeline.py`): pack
+    * documents into token-budget chunks ([[packChunks]]), place each
+    * CHUNK on a shard by rendezvous hashing ([[rendezvousShards]] —
+    * shard-count changes remap only the removed shard's chunks), and
+    * give each chunk its epoch-salted training order
+    * ([[epochShuffle]]'s coin — a different pseudo-random order per
+    * epoch, reproducible across engines/runs). One row per document:
+    * (shard, order_key, part, chunk_id, doc_seq, doc_id, n_tokens,
+    * chunk_tokens, n_docs) — a writer realizes the shards with
+    * `repartition(shard)` + `sortWithinPartitions(order_key, doc_seq)`.
+    *
+    * Plan shape: packChunks carries the one corpus-scale keyed window;
+    * everything downstream runs on the CHUNK table (|chunks| ≈
+    * Σtokens/targetTokens, ~1/100th of the docs at 512-token budgets) —
+    * the HRW argmax and the epoch coin are map-side over it, the two
+    * chunk-key joins and the doc_seq window ride the (part, chunk_id)
+    * partitioning AQE sizes off the tiny side. Nothing here rescans
+    * text: the token counts computed by packChunks flow through. */
+  def shardPlan(
+      docs: DataFrame,
+      targetTokens: Int = 512,
+      nShards: Int = 16,
+      epoch: Int = 1,
+      partCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val packed = packChunks(docs, targetTokens, partCol, idCol, textCol)
+    val chunks = packed.groupBy(col("part"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .withColumn("ck", concat(col("part"), lit(":"), col("chunk_id").cast("string")))
+    val placed = rendezvousShards(chunks, idCol = "ck", nShards = nShards)
+    val ordered = epochShuffle(chunks, epoch, nShards = nShards, idCol = "ck")
+      .select(col("ck"), col("order_key"))
+    val meta = chunks.join(placed, Seq("ck")).join(ordered, Seq("ck"))
+    val w = Window.partitionBy(col("part"), col("chunk_id"))
+      .orderBy(col("doc_id"))
+    packed
+      .join(meta.select(col("part"), col("chunk_id"), col("shard"),
+        col("order_key"), col("chunk_tokens"), col("n_docs")),
+        Seq("part", "chunk_id"))
+      .withColumn("doc_seq", row_number().over(w).cast("int"))
+      .select(col("shard"), col("order_key"), col("part"), col("chunk_id"),
+        col("doc_seq"), col("doc_id"), col("n_tokens"), col("chunk_tokens"),
+        col("n_docs"))
+  }
+
   /** Sliding-window chunking with overlap: each document becomes
     * ceil(n_tokens / (chunk - overlap)) windows of up to `chunkTokens`
     * whitespace tokens, consecutive windows sharing `overlapTokens` —

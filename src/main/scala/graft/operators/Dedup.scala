@@ -186,6 +186,51 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
   }
 
+  /** Persist the exact-dedup fingerprint HISTORY as a BUCKETED on-disk
+    * index — the state half of [[incrementalExact]]'s continuous-ingest
+    * contract, and the dedup analogue of
+    * [[graft.operators.Similarity.writeIvfPqIndex]]'s lifecycle: at
+    * 100 TB the history is the accumulated fingerprint set of every
+    * prior ingest, and re-shuffling it for every arriving batch's
+    * anti-join is the scale killer. `bucketBy(buckets, fp)` +
+    * `sortBy(fp)` writes hash-clustered files whose SCAN reports
+    * `HashPartitioning(fp, buckets)` to Catalyst, so the per-batch
+    * anti-join plans its Exchange on the (small) BATCH side only — the
+    * history buckets are read in place, zero history movement
+    * (plan-asserted in DedupIndexSpec; the loaded round-trip is
+    * value-identical to the in-memory path under the
+    * `dedup_index_persisted` gate, same oracle as `dedup_incremental`).
+    * Maintenance is append-shaped by construction:
+    * [[incrementalExact]]'s output (fp, keep_id, n_batch) IS the
+    * history delta, and a bucketed table appends new files per bucket
+    * without touching existing ones. `path` makes the catalog entry
+    * EXTERNAL (the index directory is the durable artifact; the
+    * catalog entry is per-session bookkeeping). */
+  def writeFpIndex(
+      historyFps: DataFrame,
+      table: String,
+      buckets: Int = 32,
+      path: Option[String] = None,
+      fpCol: String = "fp"): Unit = {
+    require(buckets >= 1 && buckets <= 100000,
+      s"writeFpIndex: buckets=$buckets outside [1, 100000] - size buckets" +
+        " so one bucket's fingerprints fit an executor (history_rows/buckets)")
+    val w = historyFps.select(col(fpCol).as("fp"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Catalog scan of a [[writeFpIndex]] table. Must go through
+    * `spark.table` (NOT `read.parquet` on the directory): only the
+    * catalog carries the bucket spec that lets [[incrementalExact]]'s
+    * anti-join co-locate on the history side. */
+  def loadFpIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    spark.table(table)
+
   /** Per-source duplicate-rate report card: document count, distinct
     * fingerprints, and the duplicate fraction — the corpus-health
     * metric an ingest pipeline tracks per crawl/source. One pass, one

@@ -339,14 +339,21 @@ object Quality {
           .otherwise(0L)).as("at_risk_rows"))
   }
 
-  /** Deterministic PERMUTATION TEST for a difference in group means —
-    * the nonparametric significance readout when [[welchTTest]]'s
-    * normality assumption is suspect: `nPerms` md5-coin label
-    * reshuffles of the rows, the mean-difference statistic under each,
-    * and the add-one Monte-Carlo p-value
-    * (1 + #{|T_p| ≥ |T_obs|}) / (nPerms + 1) (Phipson & Smyth 2010 —
-    * never exactly zero, as a sampled p must not be). The coin is a
-    * per-(permutation, row-key) md5 bit: retry-safe,
+  /** Deterministic RANDOMIZATION TEST (Bernoulli random relabeling)
+    * for a difference in group means — the nonparametric significance
+    * readout when [[welchTTest]]'s normality assumption is suspect.
+    * Each of the `nPerms` draws relabels every row with an independent
+    * Bernoulli(½) md5 coin, so group SIZES are not preserved across
+    * draws — this is the random-relabeling variant of the permutation
+    * test (asymptotically equivalent; an exact size-preserving
+    * permutation would need a distributed sort per draw). A degenerate
+    * draw that lands every row in one arm has no defined statistic and
+    * is EXCLUDED from both `n_perms` and `n_ge` (it is not evidence in
+    * either direction; at corpus row counts such a draw has
+    * probability 2^−rows and never occurs). p-value is add-one
+    * Monte-Carlo (1 + #{|T_p| ≥ |T_obs|}) / (n_perms + 1)
+    * (Phipson & Smyth 2010 — never exactly zero, as a sampled p must
+    * not be). The coin is a per-(draw, row-key) md5 bit: retry-safe,
     * partition-independent, replayable in SQL. Statistics are mean
     * differences of 6-dp-rounded values off exact decimal sums,
     * rounded to 6 dp BEFORE the ≥ compare, so the verdict is
@@ -384,6 +391,9 @@ object Quality {
       .groupBy(col("p"))
       .agg(armAgg(col("b")).head, armAgg(col("b")).tail: _*)
       .select(col("p"), diff.as("t_p"))
+      // an all-one-arm draw yields a null statistic: excluded from the
+      // denominator too, or it would silently deflate the p-value
+      .filter(col("t_p").isNotNull)
     perms.crossJoin(broadcast(obs))
       .groupBy(col("t_obs"))
       .agg(
@@ -449,7 +459,14 @@ object Quality {
     * from a per-group md5 uniform through the inverse CDF
     * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). The uniform is quantized
     * to a 10⁻¹² grid ((h mod 10¹²)+½)/10¹², so both engines evaluate
-    * ln on the identical argument, and the release rounds to 4 dp.
+    * ln on the identical argument; the NOISE is then quantized to a
+    * 3-dp grid BEFORE the 4-dp release round — a 3-dp addend makes the
+    * 4-dp round an exact identity, so the release has exactly ONE
+    * rounding whose boundary a cross-engine ln disagreement could
+    * straddle (neither JVM Math.log nor DuckDB ln is guaranteed
+    * correctly rounded; a 1-ulp flip now has to land within ~1e-12 of
+    * a 5·10⁻⁴ half-grid point — residual flip risk ~4e-9 per group,
+    * accepted and documented rather than pretending it is zero).
     * The deterministic draw is what makes the release reproducible and
     * oracle-gateable; a production deployment swaps in a real RNG and
     * the plan shape — one keyed aggregate, map-side noise on the tiny
@@ -468,8 +485,8 @@ object Quality {
     val u = (pmod(h, lit(1000000000000L)).cast("double") + lit(0.5d)) /
       lit(1.0e12d)
     val v = u - lit(0.5d)
-    val noise = -lit(b) * signum(v) *
-      log(lit(1.0d) - lit(2.0d) * abs(v))
+    val noise = round(-lit(b) * signum(v) *
+      log(lit(1.0d) - lit(2.0d) * abs(v)), 3)
     g.select(groupCols.map(col) :+ col("n") :+
       round(col("n") + noise, 4).as("n_dp"): _*)
   }

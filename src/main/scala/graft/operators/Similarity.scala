@@ -253,6 +253,65 @@ object Similarity {
         coalesce(col("_dropped"), lit(false)).unary_!.as("kept"))
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding rung of the
+    * decontamination ladder (exact 8-gram overlap `decontaminate` →
+    * lexical near-dup `decontaminate_fuzzy` → THIS): a paraphrased
+    * eval-set leak can share no 8-gram and no shingle band with its
+    * source, but its embedding still sits next to the benchmark
+    * item's. A corpus document is flagged when its vector has cosine ≥
+    * `threshold` to ANY benchmark vector.
+    *
+    * Cell-blocked like [[semanticDedup]] (the SemDeDup within-cell
+    * reading), but BIPARTITE and with the boundary failure mode
+    * addressed: the BENCH side — tiny by construction, it is an eval
+    * set — probes its `nProbe` nearest cells of the CORPUS-built IVF
+    * index, so a near pair straddling a cell boundary is caught
+    * whenever the bench vector ranks the corpus vector's cell in its
+    * top `nProbe` (`nProbe = cells` degrades to the exact bipartite
+    * scan). Corpus side: one assignment projection (centroids ride as
+    * pinned literals — zero shuffle), then ONE guarded cell equi-join
+    * against the broadcast probed bench frame; the corpus never
+    * self-joins and each (corpus doc, bench item) pair appears at most
+    * once (a doc lives in exactly one cell). Per corpus doc:
+    * contaminated flag, hit count, best 6-dp similarity (null when
+    * clean). */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      cells: Int = 8,
+      nProbe: Int = 2,
+      iters: Int = 2,
+      maxBlockRows: Long = 100000L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cells, "need 1 <= nProbe <= cells")
+    val (assigned, centroids) = ivfIndex(corpus, idCol, vecCol, cells, iters)
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+    val probed = b.crossJoin(broadcast(centroids))
+      .select(col("bench_id"), col("bv"), col("cell"),
+        round(cosine(col("bv"), col("cv")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("bench_id").orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("crn") <= nProbe)
+      .select(col("bench_id"), col("bv"), col("cell"))
+    val a = Blocks.guardBlockSize(
+      assigned.select(col("cell"), col("vid"), col("v")),
+      "cell", maxBlockRows, "semanticDecontaminate")
+    val hits = a.join(broadcast(probed), "cell")
+      .select(col("vid"),
+        round(cosine(col("v"), col("bv")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("nh"), max(col("sim")).as("max_sim"))
+    assigned.select(col("vid").as(idCol), col("cell"))
+      .join(hits.withColumnRenamed("vid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        col("nh").isNotNull.as("contaminated"),
+        coalesce(col("nh"), lit(0L)).as("n_bench_hits"),
+        col("max_sim"))
+  }
+
   /** IVF (inverted-file) index: deterministic k-means-lite — centroids
     * initialized from the first K vectors by id RANK (top-k by id, so
     * sparse / non-zero-based id spaces still yield exactly K centroids;

@@ -980,7 +980,15 @@ object TextAnalysis {
     * (15-hex-char 60-bit md5 gram hash ++ zero-padded DESCENDING
     * position), so one `array_min` per window implements the full tie
     * rule; documents shorter than w grams contribute their single
-    * truncated window (pos 0). */
+    * truncated window (pos 0).
+    *
+    * Bound contract: the combined key encodes the position as
+    * lpad(9999999 − i, 7), so a document past 10⁷ grams would produce
+    * negative, misordered suffixes and a downstream cast error — the
+    * guard FAILS FAST at size(grams) ≥ 10⁷ with the pre-split escape
+    * route (the [[graft.operators.Corpus.rendezvousShards]]
+    * nShards ≤ 9999 contract style). 10⁷ whitespace tokens is a
+    * ≥ 50 MB single document — over any sane per-doc size cap. */
   def winnowing(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -1002,9 +1010,15 @@ object TextAnalysis {
     val sel = keyed.select(col(idCol),
       graft.functions.OptimizerFence.fence(
         array_distinct(transform(array(col("keys")), ks =>
-          transform(
-            sequence(lit(0), greatest(size(ks) - w, lit(0))),
-            s => array_min(slice(ks, s + 1, lit(w))))).getItem(0))).as("fps"))
+          when(size(ks) < lit(10000000),
+            transform(
+              sequence(lit(0), greatest(size(ks) - w, lit(0))),
+              s => array_min(slice(ks, s + 1, lit(w)))))
+            .otherwise(raise_error(concat(
+              lit("winnowing: document "), col(idCol).cast("string"),
+              lit(" has "), size(ks).cast("string"),
+              lit(" grams >= 1e7 - the 7-digit positional key pad would" +
+                " misorder; pre-split the document"))))).getItem(0))).as("fps"))
     sel.select(col(idCol), explode(col("fps")).as("wk"))
       .select(col(idCol),
         (lit(9999999) - substring(col("wk"), 16, 7).cast("int"))

@@ -7,7 +7,13 @@ graft.Verify. Columns sorted by name, rows sorted, exact value compare
 The committed record (CORRECTNESS_SELF.json) uses the driver's own
 per-query schema — {rows_match, schema_match, hash_match, spark_rows,
 oracle_rows, err} — so an empty driver-side CORRECTNESS_r{N}.json diffs
-mechanically against the self-record."""
+mechanically against the self-record.
+
+The record is written INCREMENTALLY (atomic tmp+rename after every
+query), so a compare killed at any point still leaves every completed
+query's row — the all-at-the-end form is why five consecutive driver
+rounds recorded {} when the runner died. A partial record carries
+"partial": true; the final write drops it."""
 import json, sys, glob, os, time
 import duckdb
 
@@ -29,6 +35,18 @@ def rec(rows_match=None, schema_match=None, hash_match=None,
         r["jitter_ok"] = jitter_ok
     return r
 
+def write_record(record_path, sf_dir, n_ok, n_bad, record, partial):
+    if not record_path:
+        return
+    body = {"sf_dir": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
+            "queries": dict(sorted(record.items()))}
+    if partial:
+        body["partial"] = True
+    tmp = record_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(body, f, indent=1)
+    os.replace(tmp, record_path)
+
 def main(sf_dir, out_dir, record_path=None):
     record = {}
     con = duckdb.connect()
@@ -42,34 +60,37 @@ def main(sf_dir, out_dir, record_path=None):
         con.execute(f"PRAGMA threads={int(os.environ['ORACLE_THREADS'])}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # incremental flush closure: reads the CURRENT n_ok/n_bad/record at
+    # call time; called after every per-query verdict
+    flush = lambda: write_record(record_path, sf_dir, n_ok, n_bad, record, True)
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"MISSING  {name}: no spark output")
-            record[name] = rec(err="missing: no spark output"); n_bad += 1; continue
+            record[name] = rec(err="missing: no spark output"); n_bad += 1; flush(); continue
         try:
             got = canon(con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df())
             want = canon(con.sql(sql).df())
         except Exception as e:
             print(f"ERROR    {name}: {e}")
-            record[name] = rec(err=f"error: {e}"[:300]); n_bad += 1; continue
+            record[name] = rec(err=f"error: {e}"[:300]); n_bad += 1; flush(); continue
         if list(got.columns) != list(want.columns):
             print(f"SCHEMA   {name}: spark={list(got.columns)} oracle={list(want.columns)}")
             record[name] = rec(rows_match=len(got) == len(want), schema_match=False,
                                spark_rows=len(got), oracle_rows=len(want),
                                err=f"schema: spark={list(got.columns)} oracle={list(want.columns)}"[:300])
-            n_bad += 1; continue
+            n_bad += 1; flush(); continue
         if len(got) != len(want):
             print(f"ROWS     {name}: spark={len(got)} oracle={len(want)}")
             record[name] = rec(rows_match=False, schema_match=True,
                                spark_rows=len(got), oracle_rows=len(want))
-            n_bad += 1; continue
+            n_bad += 1; flush(); continue
         if got.equals(want):
             print(f"OK       {name} ({len(got)} rows, {time.time() - t0:.1f}s)")
             record[name] = rec(rows_match=True, schema_match=True, hash_match=True,
                                spark_rows=len(got), oracle_rows=len(want))
-            n_ok += 1; continue
+            n_ok += 1; flush(); continue
         # tolerate tiny float jitter, flag everything else
         import pandas as pd
         diff_cols = []
@@ -93,7 +114,7 @@ def main(sf_dir, out_dir, record_path=None):
             record[name] = rec(rows_match=True, schema_match=True, hash_match=False,
                                spark_rows=len(got), oracle_rows=len(want),
                                err=f"value_mismatch: {hard}"[:300])
-            n_bad += 1
+            n_bad += 1; flush()
         else:
             print(f"OK~      {name} (float jitter only: {[c for c,_ in diff_cols]})")
             # hash_match=False: the values are NOT bit-identical, only
@@ -102,7 +123,7 @@ def main(sf_dir, out_dir, record_path=None):
                                jitter_ok=True,
                                spark_rows=len(got), oracle_rows=len(want),
                                err=f"float_jitter: {[c for c,_ in diff_cols]}"[:300])
-            n_ok += 1
+            n_ok += 1; flush()
     # queries with no oracle: rows-only check
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
@@ -113,11 +134,10 @@ def main(sf_dir, out_dir, record_path=None):
             record[name] = rec(rows_match=n > 0, spark_rows=n,
                                err=None if n > 0 else "empty")
             if n == 0: n_bad += 1
+            flush()
     print(f"\n{n_ok} ok, {n_bad} bad")
-    if record_path:
-        json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
-                   "queries": dict(sorted(record.items()))},
-                  open(record_path, "w"), indent=1)
+    # final write drops the partial flag
+    write_record(record_path, sf_dir, n_ok, n_bad, record, False)
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
