@@ -391,6 +391,21 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(Similarity.l2Normalize(col("embedding"))))
         .select(col("vec_id"), col("pos").cast("int").as("pos"),
           round(col("col"), 6).as("val"))),
+    "emb_standardize" -> ((s, dir) =>
+      // per-dimension z-scores: dim stats pinned as literal arrays
+      // (bounded collect), scaling is a zero-shuffle map-side transform
+      t(s, dir, "embeddings")
+        .transform(e => Similarity.standardize(e))
+        .select(col("vec_id"), posexplode(col("z")))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          col("col").as("val"))),
+    "emb_random_projection" -> ((s, dir) =>
+      // JL sketch: 8 md5-literal hyperplane projections per vector,
+      // map-side sequential folds, no shuffle
+      Similarity.randomProjection(t(s, dir, "embeddings"), outDims = 8)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          col("col").as("val"))),
     "emb_pca" -> ((s, dir) =>
       // top principal component via power iteration on the d×d
       // covariance: two map-side corpus passes, then constant-size
@@ -3194,6 +3209,9 @@ object SparkEntry {
     "split_assign" -> OracleFragments.assignSplits(
       Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)),
     "emb_normalize" -> OracleFragments.embNormalize,
+    "emb_standardize" -> OracleFragments.embStandardize,
+    "emb_random_projection" ->
+      OracleFragments.embRandomProjection(outDims = 8, dim = 64),
     "emb_pca" -> OracleFragments.embPca(iters = 4),
     "emb_pca_scores" -> OracleFragments.embPcaScores(iters = 4),
     "emb_quantize" -> OracleFragments.embQuantize,
@@ -6431,6 +6449,49 @@ object OracleFragments {
              unnest(list_transform(embedding,
                x -> round(CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END, 6))) AS val
       FROM t"""
+
+  /** Mirror of Similarity.standardize: identical decimal-exact per-dim
+    * moments (x rounded to 6 dp FIRST — the dimStats contract), mean
+    * rounded 6 dp, σ = IEEE sqrt of the 8-dp population variance
+    * clamped at 0; the Spark side pins the same values as literals, so
+    * recomputing them here lands on the identical doubles. */
+  val embStandardize: String =
+    """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE, 6)) AS v
+           FROM embeddings),
+        xp AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+               FROM e),
+        d AS (SELECT pos, count(*)::BIGINT AS n,
+                     sum(x::DECIMAL(28,6))::DOUBLE AS s1,
+                     sum((x*x)::DECIMAL(38,12))::DOUBLE AS s2
+              FROM xp GROUP BY pos),
+        st AS (SELECT pos, round(s1 / n, 6) AS m,
+                      sqrt(greatest(round((s2 - s1*s1/n) / n, 8),
+                                    0.0::DOUBLE)) AS s
+               FROM d),
+        ls AS (SELECT list(m ORDER BY pos) AS ml,
+                      list(s ORDER BY pos) AS sl FROM st)
+      SELECT e.vec_id,
+             (unnest(range(len(e.v))))::INT AS pos,
+             unnest(list_transform(list_zip(e.v, ls.ml, ls.sl),
+               t -> CASE WHEN t[3] > 0 THEN round((t[1] - t[2]) / t[3], 6)
+                    ELSE 0.0 END)) AS val
+      FROM e, ls"""
+
+  /** Mirror of Similarity.randomProjection: the same md5 plane matrix
+    * as literal arrays, 6-dp-rounded zip-multiply folds. */
+  def embRandomProjection(outDims: Int, dim: Int): String = {
+    val comps = graft.operators.Similarity.planeMatrix(outDims, dim)
+      .map { plane =>
+        val planeLit = plane.map(_.toString).mkString("[", ", ", "]")
+        s"round(list_aggregate(list_transform(list_zip(embedding, $planeLit)," +
+          s" z -> z[1]::DOUBLE * z[2]), 'sum'), 6)"
+      }.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT vec_id, $comps AS l FROM embeddings)
+       SELECT vec_id, (unnest(range(len(l))))::INT AS pos,
+              unnest(l) AS val
+       FROM t"""
+  }
 
   /** Top principal component (Similarity.pcaTopComponent): the same
     * two-pass mean/covariance build (9-dp terms under DECIMAL(28,12)

@@ -517,6 +517,81 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Per-dimension Z-SCORE standardization of an embedding corpus —
+    * the feature-scaling pass before distance-based work when
+    * dimensions carry wildly different variances (k-means and L2-ANN
+    * both degrade when one dimension dominates the metric). Stats come
+    * from [[dimStats]]'s decimal-exact aggregate and are PINNED as
+    * literal arrays (the centroid-pin discipline: dims ≤ `maxDims`
+    * rows collected, bounded BEFORE the collect), so the scaling
+    * itself is a pure map-side transform — zero shuffle, scan-speed at
+    * any corpus size; z = round((round(x,6) − mean)/σ, 6) with σ =
+    * IEEE sqrt of the 8-dp population variance (correctly rounded, so
+    * both engines derive the identical divisor), zero-variance
+    * dimensions map to 0. Fixed-dim contract as everywhere in this
+    * module. */
+  def standardize(
+      vecs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxDims: Int = 65536): DataFrame = {
+    val stats = dimStats(vecs, vecCol)
+      .select(col("dim"), col("mean"), col("var_pop"))
+    val nDims = stats.limit(maxDims + 1).count()
+    require(nDims <= maxDims,
+      s"standardize: vector dimensionality exceeds maxDims=$maxDims - " +
+        "the stats pin would not be a bounded collect")
+    val rows = stats.collect().sortBy(_.getInt(0))
+    if (rows.isEmpty)
+      return vecs.select(col(idCol),
+        array().cast("array<double>").as("z")).limit(0)
+    val means = array(rows.map(r => lit(r.getDouble(1))): _*)
+    val stds = array(rows.map(r =>
+      lit(math.sqrt(math.max(r.getDouble(2), 0.0)))): _*)
+    val z = transform(col(vecCol), (x, i) => {
+      val vr = round(x.cast("double"), 6)
+      val s = element_at(stds, i + 1)
+      when(s > 0, round((vr - element_at(means, i + 1)) / s, 6))
+        .otherwise(lit(0.0d))
+    })
+    Par.fanOut(vecs.select(col(idCol), col(vecCol)))
+      .select(col(idCol), z.as("z"))
+  }
+
+  /** JOHNSON–LINDENSTRAUSS random projection sketch: project every
+    * vector onto `outDims` deterministic md5-derived hyperplanes (the
+    * [[planeMatrix]] family [[lshBucket]] signs — here the 6-dp-rounded
+    * projections themselves are kept). THE dimensionality-reduction
+    * rung before brute-force or ANN scoring: pairwise distances are
+    * preserved within (1±ε) for outDims = O(ln n / ε²) (JL lemma), so
+    * a 64-dim corpus can pre-filter candidates in 8 dims at 1/8 the
+    * dot-product cost and re-rank survivors exactly. Map-side ONLY —
+    * the plane matrix rides the plan as literal arrays (and the DuckDB
+    * oracle as the same literals), each component a sequential
+    * zip-multiply fold; no per-row hashing, no shuffle. */
+  def randomProjection(
+      vecs: DataFrame,
+      outDims: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDims >= 1 && outDims <= 4096,
+      "outDims must be in [1, 4096]: each plane is a literal array in the plan")
+    val dimOpt = vecs.select(size(col(vecCol)).as("d"))
+      .head(1).headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty)
+      return vecs.select(col(idCol),
+        array().cast("array<double>").as("proj")).limit(0)
+    val dim = dimOpt.get
+    val dv = transform(col(vecCol), _.cast("double"))
+    val comps = planeMatrix(outDims, dim).map { plane =>
+      round(aggregate(
+        zip_with(dv, array(plane.map(lit(_)): _*), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x), 6)
+    }
+    Par.fanOut(vecs.select(col(idCol), col(vecCol)))
+      .select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** kNN GRAPH construction (the GDS "K-Nearest Neighbors" mutate
     * surface): for EVERY node, its top `k` cosine neighbors among its
     * sign-LSH bucket mates — the corpus-scale form of [[lshTopK]],

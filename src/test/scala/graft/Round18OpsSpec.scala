@@ -94,6 +94,64 @@ class Round18OpsSpec extends SparkTestBase {
     assert(out.count() == 50)
   }
 
+  // ---- standardize / randomProjection ----
+
+  test("standardize: z-scores have ~zero mean and ~unit variance per " +
+      "dimension; a constant dimension maps to all zeros") {
+    val base = (1L to 40L).map { i =>
+      (i, Array(i.toFloat, 7.5f, (i % 5).toFloat)) // dim 1 is constant
+    }.toDF("vec_id", "embedding")
+    val z = Similarity.standardize(base).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(z.length == 40 && z.forall(_._2.length == 3))
+    for (d <- Seq(0, 2)) {
+      val vs = z.map(_._2(d))
+      assert(math.abs(vs.sum / vs.length) < 1e-4, s"dim $d mean")
+      val m = vs.sum / vs.length
+      val v = vs.map(x => (x - m) * (x - m)).sum / vs.length
+      assert(math.abs(v - 1.0) < 1e-3, s"dim $d variance $v")
+    }
+    assert(z.forall(_._2(1) == 0.0), "constant dimension must z-score to 0")
+  }
+
+  test("randomProjection: linear (proj(a)+proj(b) ~ proj(a+b)), " +
+      "deterministic, and shaped (outDims per vector)") {
+    val a = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    val b = Array(0.5f, -1.0f, 2.5f, 0.0f)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val df = Seq((1L, a), (2L, b), (3L, ab)).toDF("vec_id", "embedding")
+    val p = Similarity.randomProjection(df, outDims = 6).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p.values.forall(_.length == 6))
+    for (j <- 0 until 6)
+      assert(math.abs(p(1L)(j) + p(2L)(j) - p(3L)(j)) < 1e-5,
+        s"component $j not linear")
+    val p2 = Similarity.randomProjection(df, outDims = 6).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p == p2)
+  }
+
+  test("randomProjection matches an independent driver-side matrix " +
+      "multiply on fixture vectors (indexing/ordering differential)") {
+    val corpus = embs.limit(5)
+    val got = Similarity.randomProjection(corpus, outDims = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val planes = Similarity.planeMatrix(16, 64)
+    corpus.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      planes.zipWithIndex.foreach { case (p, j) =>
+        // the operator folds left-to-right; replicate exactly, then
+        // compare the 6-dp value
+        var acc = 0.0
+        for (d <- v.indices) acc += v(d) * p(d)
+        val want = BigDecimal(acc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(id)(j) == want, s"vec $id component $j")
+      }
+    }
+  }
+
   // ---- annealPlan ----
 
   test("annealPlan: shares sum to ~1 per phase, boost = share ratio, " +

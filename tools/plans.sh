@@ -8,7 +8,9 @@ cd "$(dirname "$0")/.."
 
 sbt -batch "runMain graft.PlanDump" > PLANS.md
 
-SECTIONS=$(grep -c '^========== ' PLANS.md)
+# sbt prefixes program stdout with "[info] " — match the marker anywhere
+# on the line but require the full ====== name ====== shape
+SECTIONS=$(grep -c '========== [a-z0-9_]* ==========$' PLANS.md)
 REGISTRY=$(grep -o 'registry_size=[0-9]*' PLANS.md | head -1 | cut -d= -f2 || true)
 echo "[plans] ${SECTIONS} plan sections written to PLANS.md"
 if [ -n "${REGISTRY:-}" ] && [ "$SECTIONS" != "$REGISTRY" ]; then
