@@ -126,6 +126,56 @@ object EventStreams {
       .join(blocklist.select(col(fpCol).as("_fp")), Seq("_fp"), joinType)
       .drop("_fp")
 
+  /** CONTINUOUS-INGEST dedup as a SELF-MAINTAINING stream — the
+    * streaming rendition of the [[graft.operators.Dedup.writeFpIndex]]
+    * lifecycle (where [[filterBlocklistStream]] filters against a
+    * STATIC list, this one grows its own history): every micro-batch
+    * runs [[graft.operators.Dedup.incrementalExact]] against the
+    * bucketed on-disk fingerprint index and appends its own output
+    * delta back with the same bucket spec, so a duplicate arriving in
+    * micro-batch N of a document first seen in batch 1 collapses —
+    * across batches and across restarts (the index is durable).
+    *
+    * `foreachBatch` — not `mapGroupsWithState` — because the history
+    * does not belong in the state store: at 100 TB the fingerprint set
+    * is index-scale, and the whole point of the bucketed table is that
+    * the per-batch anti-join co-locates against it with zero history
+    * movement. State stores hold watermark-bounded windows; unbounded
+    * ingest history lives as a TABLE.
+    *
+    * Delivery contract: at-least-once batch replays are fp-idempotent —
+    * re-appending a fingerprint only makes the anti-join drop MORE,
+    * never resurrects a duplicate; a replayed batch's delta is empty
+    * because its own first run's append already covers it. `sink`
+    * receives each batch's delta (fp, keep_id, n_batch) AFTER it is
+    * durably appended; consume it eagerly — its backing scratch table
+    * is dropped when the callback returns. */
+  def incrementalDedupStream(
+      docs: DataFrame,
+      table: String,
+      buckets: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sink: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Dedup.incrementalExact(
+          batch, graft.operators.Dedup.loadFpIndex(spark, table),
+          idCol, textCol)
+        // materialize BEFORE appending: the delta's plan reads the very
+        // table the append mutates
+        val (mat, path) = graft.ops.Scratch.materializeAt(
+          delta, "stream_dedup_delta")
+        mat.select(col("fp")).write.mode("append")
+          .bucketBy(buckets, "fp").sortBy("fp").format("parquet")
+          .saveAsTable(table)
+        sink(mat, batchId)
+        graft.ops.Scratch.drop(spark, path)
+        ()
+      }
+      .start()
+
   /** Streaming de-duplication by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
