@@ -18,12 +18,25 @@ import org.apache.spark.sql.SparkSession
   *  - `bench_total.json` / `bench_detail.json` are flushed after EVERY
   *    measured query (atomic tmp+rename, ~30 KB — microseconds next to
   *    any query), so pass-1 data survives a kill at any later point.
-  *  - SPARK_GRAFT_TIME_BUDGET_S (0 = unbounded) degrades instead of
-  *    dying: when elapsed time approaches the budget the remaining
-  *    passes stop (whatever reps completed stand), and the probes are
-  *    skipped unless enough headroom remains. The record carries
-  *    `budget_hit` / `probes_skipped` flags so a degraded record is
-  *    never mistaken for a complete one.
+  *  - SPARK_GRAFT_TIME_BUDGET_S degrades instead of dying: when
+  *    elapsed time approaches the budget the remaining passes stop
+  *    (whatever reps completed stand), and the probes are skipped
+  *    unless enough headroom remains. The record carries `budget_hit`
+  *    / `probes_skipped` flags so a degraded record is never mistaken
+  *    for a complete one. The budget is ON BY DEFAULT (1350 s) — the
+  *    round-12 lesson: every protection that is opt-in via an env var
+  *    the driver never sets protects nothing, and the driver's
+  *    un-parameterized run ran to its external `timeout` and recorded
+  *    rc 124 / null. `0` stays as the explicit unbounded override for
+  *    quiet builder records.
+  *  - The totals JSON line is RE-EMITTED to stdout (with a
+  *    `"partial":true` marker) after every completed pass and every
+  *    25 measured queries, and the run log level is ERROR: the
+  *    round-12 driver tail was 100% benign WindowExec WARN spam and
+  *    the single end-of-run totals line never reached the bounded
+  *    stdout tail the driver parses. The last line of ANY prefix of
+  *    this program's stdout (past the first 25 queries) is now a
+  *    parseable totals record; the final line is the complete one.
   *
   * Reps are TIERED to bound quiet wall-time as the surface grows
   * (325+ queries × 3 reps + probes outgrew the driver's window):
@@ -70,7 +83,8 @@ object Bench {
     val lightReps = sys.env.getOrElse("SPARK_GRAFT_REPS_LIGHT", "2")
       .toInt.max(1).min(reps)
     val lightThrS = sys.env.getOrElse("SPARK_GRAFT_LIGHT_S", "1.0").toDouble
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "0").toDouble
+    // default ON (see scaladoc); "0" is the explicit unbounded override
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "1350").toDouble
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,7 +102,10 @@ object Bench {
       }
     })
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the walker-reviewed un-partitioned histogram
+    // windows each log a benign WindowExec WARN, and ~300 of those
+    // drowned the round-12 driver's bounded stdout tail
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warmup: JIT + codegen + parquet footer caches, not measured.
     // Tolerant of partial fixture dirs (e.g. a documents-only probe dir
@@ -163,18 +180,25 @@ object Bench {
       (qs, mins, errs, probeJson, flags)
     }
 
-    def totalsLine: String = {
+    def totalsLine(partial: Boolean = false): String = {
       val rs = results
       val (_, _, _, _, flags) = jsonParts
       val total = rs.flatMap { case (_, ts, _) =>
         if (ts.isEmpty) None else Some(median(ts)) }.sum
       val totalMin = rs.flatMap { case (_, ts, _) => ts.headOption }.sum
       val nErr = rs.count(_._3 > 0)
+      // tier split in the record: the light tier's 2-rep "median" is
+      // the per-query MIN, so round-over-round comparisons must use
+      // total_min (stable semantics) — n_light makes the rep regime
+      // visible instead of reading as a phantom speedup
+      val nLight = rs.count { case (_, ts, _) =>
+        ts.nonEmpty && ts.head < lightThrS }
       val worst = rs.collect { case (k, ts, _) if ts.nonEmpty => (k, ts.head) }
         .sortBy(-_._2).headOption
       val worstJson = worst.map { case (k, v) =>
         f""","worst_query":"$k","worst_sec":$v%.3f""" }.getOrElse("")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${rs.size},"n_errors":$nErr$worstJson,"reps":$reps$flags,"sf":"$sfDir"}"""
+      val partialJson = if (partial) ""","partial":true""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${rs.size},"n_errors":$nErr$worstJson,"reps":$reps,"reps_light":$lightReps,"n_light":$nLight$flags$partialJson,"sf":"$sfDir"}"""
     }
 
     // atomic side-file flush: tmp + rename, so a kill mid-write can
@@ -199,7 +223,7 @@ object Bench {
         f"""{"spread":$spread,"queries":$qs,"queries_min":$mins,"reps":$reps,"cpus":"$cpus","sf":"$sfDir"}"""
       })
       writeAtomic("bench_total.json",
-        s"""{"totals":$totalsLine,"queries":$qs,"queries_min":$mins$errs$probeJson$skewJson}""")
+        s"""{"totals":${totalsLine()},"queries":$qs,"queries_min":$mins$errs$probeJson$skewJson}""")
     }
 
     // reserve a shutdown margin: stop measuring 30 s before the budget
@@ -208,6 +232,7 @@ object Bench {
       budgetS > 0 && elapsedS > budgetS - marginS
 
     var pass = 1
+    var nMeasured = 0
     while (pass <= reps && !budgetHit) {
       for ((name, fn) <- named if !budgetHit) {
         val soFar = timed(name)
@@ -228,8 +253,15 @@ object Bench {
               System.err.println(s"[bench] $name: $e"); false }
           soFar += (((System.nanoTime() - t0) / 1e9, ok))
           flush()
+          nMeasured += 1
+          // stdout-tail insurance: a partial-marked totals line every
+          // 25 measured queries keeps the driver's bounded tail
+          // parseable even if the run is killed mid-pass-1
+          if (nMeasured % 25 == 0) println(totalsLine(partial = true))
         }
       }
+      // a completed pass re-emits the current totals (see scaladoc)
+      println(totalsLine(partial = pass < reps))
       pass += 1
     }
 
@@ -370,7 +402,7 @@ object Bench {
     }
     System.err.println(s"[bench-detail] $detail")
     println(s"""{"metric":"queries","queries":$qs$errs$probeJson$skewJson}""")
-    println(totalsLine)
+    println(totalsLine())
     spark.stop()
   }
 

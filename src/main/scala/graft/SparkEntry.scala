@@ -2368,6 +2368,59 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
         graft.operators.Dedup.loadFpIndex(s, "graft_fp_history"))
     }),
+    "dedup_stream_replay" -> ((s, dir) => {
+      // the STREAMING incremental-dedup loop, gate-checked by
+      // deterministic batch replay: three doc_id%3 micro-batches run
+      // through the exact foreachBatch body (durable delta-log append
+      // -> bucketed history append), and the returned delta log is the
+      // per-batch first-seen collapse the oracle re-derives — batch N
+      // dedups against everything batches 0..N-1 appended. Stream ≡
+      // replay is spec-proven (DedupStreamSpec); replay ≡ oracle is
+      // this gate
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.writeFpIndex(
+        d.select(graft.functions.TextFunctions
+          .md5Fingerprint(col("text")).as("fp")).limit(0),
+        "graft_stream_fp_history", buckets = 8,
+        path = Some(graft.ops.Scratch.dir(
+          s.conf.getOption("spark.graft.scratchDir"), "stream_fp_index")))
+      // the delta log is EXTERNAL on a fresh scratch path: a managed
+      // table's warehouse directory outlives the session catalog, and
+      // the orphan location fails the NEXT session's create
+      // (LOCATION_ALREADY_EXISTS) — a fresh UUID dir per run cannot
+      s.sql("DROP TABLE IF EXISTS graft_stream_fp_delta")
+      d.select(graft.functions.TextFunctions
+          .md5Fingerprint(col("text")).as("fp"),
+          col("doc_id").as("keep_id"), col("doc_id").as("n_batch"),
+          col("doc_id").as("batch_id")).limit(0)
+        .write.option("path", graft.ops.Scratch.dir(
+          s.conf.getOption("spark.graft.scratchDir"), "stream_fp_delta"))
+        .format("parquet").saveAsTable("graft_stream_fp_delta")
+      graft.streaming.EventStreams.replayIncrementalDedup(
+        (0 to 2).map(i => d.filter(pmod(col("doc_id"), lit(3)) === i)),
+        "graft_stream_fp_history", "graft_stream_fp_delta", buckets = 8)
+    }),
+    "dedup_lsh_index_persisted" -> ((s, dir) => {
+      // the NEAR-dup state lifecycle (writeFpIndex parity for MinHash
+      // band keys — the last index asymmetry): band-key history written
+      // bucketed by (band, h) -> loaded via the catalog -> an arriving
+      // batch probes it for cross-batch candidates (Exchange-free on
+      // the history side, plan-asserted in DedupLshIndexSpec) and
+      // self-joins for within-batch ones, exact-Jaccard verified on
+      // candidates only
+      val d = t(s, dir, "documents")
+      val hist = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val batch = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      graft.operators.Dedup.writeLshBandIndex(
+        graft.operators.Dedup.lshBandKeys(hist),
+        "graft_lsh_band_history", buckets = 8,
+        path = Some(graft.ops.Scratch.dir(
+          s.conf.getOption("spark.graft.scratchDir"), "lsh_band_index")))
+      graft.operators.Dedup.incrementalLshJaccard(
+        batch,
+        graft.operators.Dedup.loadLshBandIndex(s, "graft_lsh_band_history"),
+        d, minJaccard = 0.20)
+    }),
     "dedup_rate_report" -> ((s, dir) =>
       // per-source duplicate-rate report card: one keyed agg over
       // fingerprints, the corpus-health metric per crawl/source
@@ -4555,6 +4608,33 @@ object SparkEntry {
           FROM b ANTI JOIN h ON b.fp = h.fp
           GROUP BY 1"""
     },
+    // per-batch first-seen collapse: a fp's delta row lands in the
+    // FIRST doc_id%3 micro-batch containing it, keyed stats within
+    // that batch — the replay driver's durable delta log re-derived
+    "dedup_stream_replay" -> {
+      val norm = OracleFragments.norm
+      s"""WITH b AS (SELECT doc_id, doc_id % 3 AS batch_id,
+                            md5($norm) AS fp
+                     FROM documents),
+            fb AS (SELECT fp, min(batch_id) AS batch_id FROM b GROUP BY 1)
+          SELECT b.fp, min(b.doc_id) AS keep_id, count(*) AS n_batch,
+                 fb.batch_id
+          FROM b JOIN fb ON b.fp = fb.fp AND b.batch_id = fb.batch_id
+          GROUP BY b.fp, fb.batch_id"""
+    },
+    // bipartite batch×history LSH-Jaccard (the decontaminateFuzzy
+    // fragment with the history split as the bench side) unioned with
+    // the within-batch pairs — the persisted band index must be
+    // value-identical to re-deriving both joins from text
+    "dedup_lsh_index_persisted" ->
+      s"""SELECT doc_id AS a, b, jaccard FROM (
+            ${OracleFragments.decontaminateFuzzy(4, 4, 0.20,
+              corpusSrc = "(SELECT * FROM documents WHERE doc_id % 3 <> 0)",
+              benchWhere = "doc_id % 3 = 0", rightName = "b")})
+          UNION ALL
+          SELECT a, b, jaccard FROM (
+            ${OracleFragments.dedupLshJaccard(4, 4, 0.20,
+              src = "(SELECT * FROM documents WHERE doc_id % 3 <> 0)")})""",
     "dedup_incremental_bloom" -> {
       val norm = OracleFragments.norm
       s"""WITH h AS (SELECT DISTINCT md5($norm) AS fp FROM documents
@@ -4806,7 +4886,7 @@ object SparkEntry {
          tt AS (SELECT sum(cxy)::BIGINT AS n,
                        count(DISTINCT x)::BIGINT AS nx,
                        count(DISTINCT y)::BIGINT AS ny FROM j),
-         sp AS (SELECT coalesce(j.cxy, 0)::BIGINT AS o,
+         sp AS MATERIALIZED (SELECT coalesce(j.cxy, 0)::BIGINT AS o,
                        cx::DOUBLE * cy::DOUBLE / n::DOUBLE AS e,
                        n, nx, ny
                 FROM mx CROSS JOIN my CROSS JOIN tt
@@ -4825,7 +4905,7 @@ object SparkEntry {
          tt AS (SELECT sum(cxy)::BIGINT AS n,
                        count(DISTINCT x)::BIGINT AS nx,
                        count(DISTINCT y)::BIGINT AS ny FROM j),
-         sp AS (SELECT coalesce(j.cxy, 0)::BIGINT AS o,
+         sp AS MATERIALIZED (SELECT coalesce(j.cxy, 0)::BIGINT AS o,
                        cx::DOUBLE * cy::DOUBLE / n::DOUBLE AS e,
                        n, nx, ny
                 FROM mx CROSS JOIN my CROSS JOIN tt
@@ -5459,13 +5539,15 @@ object OracleFragments {
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH sigs AS (SELECT doc_id, $mh FROM $src),
-          bandkeys AS ($bandSelects),
-          cands AS (
+    // sigs feeds every per-band select and bandkeys self-joins:
+    // MATERIALIZED, or DuckDB inlines the k-minhash scan once per band
+    s"""WITH sigs AS MATERIALIZED (SELECT doc_id, $mh FROM $src),
+          bandkeys AS MATERIALIZED ($bandSelects),
+          cands AS MATERIALIZED (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bandkeys l JOIN bandkeys r
               ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
-          gs AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM $src),
+          gs AS MATERIALIZED (SELECT doc_id AS gid, ${shingles(5)} AS g FROM $src),
           scored AS (
             SELECT a, b,
                    len(list_intersect(ga.g, gb.g)) AS inter,
@@ -5491,9 +5573,9 @@ object OracleFragments {
     val agree = (0 until k)
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH sigs AS (SELECT doc_id, $mh FROM documents),
-          bandkeys AS ($bandSelects),
-          cands AS (
+    s"""WITH sigs AS MATERIALIZED (SELECT doc_id, $mh FROM documents),
+          bandkeys AS MATERIALIZED ($bandSelects),
+          cands AS MATERIALIZED (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bandkeys l JOIN bandkeys r
               ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
@@ -5501,7 +5583,7 @@ object OracleFragments {
             SELECT a, b, ($agree)::INT AS matches
             FROM cands JOIN sigs sa ON cands.a = sa.doc_id
                        JOIN sigs sb ON cands.b = sb.doc_id),
-          gs AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM documents),
+          gs AS MATERIALIZED (SELECT doc_id AS gid, ${shingles(5)} AS g FROM documents),
           ex AS (
             SELECT a, b, len(list_intersect(ga.g, gb.g)) AS inter,
                    len(ga.g) AS sa, len(gb.g) AS sb
@@ -5528,16 +5610,16 @@ object OracleFragments {
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i::VARCHAR")
       s"SELECT $idc, $b AS band, md5(concat_ws('|', ${slice.mkString(", ")})) AS h FROM $src"
     }.mkString(" UNION ALL ")
-    s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE $bw),
-          sigsl AS (SELECT doc_id, $mh FROM $corpusSrc),
-          sigsr AS (SELECT bench_id, $mh FROM bench),
-          bkl AS (${bandSelects("sigsl", "doc_id")}),
-          bkr AS (${bandSelects("sigsr", "bench_id")}),
-          cands AS (
+    s"""WITH bench AS MATERIALIZED (SELECT doc_id AS bench_id, text FROM documents WHERE $bw),
+          sigsl AS MATERIALIZED (SELECT doc_id, $mh FROM $corpusSrc),
+          sigsr AS MATERIALIZED (SELECT bench_id, $mh FROM bench),
+          bkl AS MATERIALIZED (${bandSelects("sigsl", "doc_id")}),
+          bkr AS MATERIALIZED (${bandSelects("sigsr", "bench_id")}),
+          cands AS MATERIALIZED (
             SELECT DISTINCT l.doc_id AS a, r.bench_id AS b
             FROM bkl l JOIN bkr r ON l.band = r.band AND l.h = r.h),
-          gsl AS (SELECT doc_id AS gid, ${shingles(5)} AS g FROM $corpusSrc),
-          gsr AS (SELECT bench_id AS gid, ${shingles(5)} AS g FROM bench),
+          gsl AS MATERIALIZED (SELECT doc_id AS gid, ${shingles(5)} AS g FROM $corpusSrc),
+          gsr AS MATERIALIZED (SELECT bench_id AS gid, ${shingles(5)} AS g FROM bench),
           scored AS (
             SELECT a, b,
                    len(list_intersect(ga.g, gb.g)) AS inter,
@@ -5554,14 +5636,14 @@ object OracleFragments {
     * re-derived with a recursive CTE (transitive closure over
     * both-direction edges; cluster id = min reachable id). */
   def dedupClusters(bands: Int, rowsPerBand: Int, minJaccard: Double): String =
-    s"""WITH RECURSIVE pairs AS (${dedupLshJaccard(bands, rowsPerBand, minJaccard)}),
-          edges AS (SELECT a AS s, b AS d FROM pairs
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${dedupLshJaccard(bands, rowsPerBand, minJaccard)}),
+          edges AS MATERIALIZED (SELECT a AS s, b AS d FROM pairs
                     UNION SELECT b AS s, a AS d FROM pairs),
           reach AS (
             SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM edges)
             UNION
             SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
-          cc AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x)
+          cc AS MATERIALIZED (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x)
         SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
 
@@ -6105,34 +6187,34 @@ object OracleFragments {
     // quality formula otherwise
     val qvCte = classifierDims match {
       case Some(dims) =>
-        s"""cw AS (SELECT b, (('0x' || substr(md5('qw:' || b::VARCHAR), 1, 8))::BIGINT
+        s"""cw AS MATERIALIZED (SELECT b, (('0x' || substr(md5('qw:' || b::VARCHAR), 1, 8))::BIGINT
                      % 2001 - 1000) AS wm
                   FROM (SELECT unnest(range(0, $dims)) AS b)),
-          cf AS (SELECT doc_id, (('0x' || substr(md5(tk), 1, 8))::BIGINT % $dims) AS b
+          cf AS MATERIALIZED (SELECT doc_id, (('0x' || substr(md5(tk), 1, 8))::BIGINT % $dims) AS b
                  FROM (SELECT doc_id, unnest($toks) AS tk FROM documents)),
-          cs AS (SELECT doc_id, count(*) AS n, sum(wm)::BIGINT AS sm
+          cs AS MATERIALIZED (SELECT doc_id, count(*) AS n, sum(wm)::BIGINT AS sm
                  FROM cf JOIN cw USING (b) GROUP BY 1),
-          qv AS (SELECT d.doc_id, d.source,
+          qv AS MATERIALIZED (SELECT d.doc_id, d.source,
                         round(sm::DOUBLE / (1000.0 * n::DOUBLE), 6) AS quality
                  FROM documents d JOIN cs USING (doc_id)),"""
       case None =>
-        s"""qv AS (SELECT doc_id, source, $quality AS quality FROM documents),"""
+        s"""qv AS MATERIALIZED (SELECT doc_id, source, $quality AS quality FROM documents),"""
     }
     val (qualityCtes, corpusSrc) = qualityKeep match {
       case None => ("", "documents")
       case Some(f) =>
         (s"""$qvCte
-          qbyval AS (SELECT source, quality, count(*) AS nv FROM qv GROUP BY 1, 2),
-          qcum AS (SELECT source, quality,
+          qbyval AS MATERIALIZED (SELECT source, quality, count(*) AS nv FROM qv GROUP BY 1, 2),
+          qcum AS MATERIALIZED (SELECT source, quality,
                           coalesce(sum(nv) OVER (PARTITION BY source ORDER BY quality DESC
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
                           sum(nv) OVER (PARTITION BY source) AS tot
                    FROM qbyval),
-          qkeep AS (SELECT source, quality FROM qcum
+          qkeep AS MATERIALIZED (SELECT source, quality FROM qcum
                     WHERE cum_before::DOUBLE < $f * tot::DOUBLE),
-          qids AS (SELECT qv.doc_id FROM qv
+          qids AS MATERIALIZED (SELECT qv.doc_id FROM qv
                    JOIN qkeep ON qv.source = qkeep.source AND qv.quality = qkeep.quality),
-          qdocs AS (SELECT d.* FROM documents d JOIN qids USING (doc_id)),
+          qdocs AS MATERIALIZED (SELECT d.* FROM documents d JOIN qids USING (doc_id)),
           """, "qdocs")
     }
     // optional fuzzy decontamination (Dedup.crossLshJaccard over the
@@ -6142,7 +6224,7 @@ object OracleFragments {
       case None => ("", "")
       case Some(fj) =>
         (s"""
-          fuzzybad AS (SELECT DISTINCT doc_id FROM
+          fuzzybad AS MATERIALIZED (SELECT DISTINCT doc_id FROM
             (${decontaminateFuzzy(bands, rowsPerBand, fj, corpusSrc = "reps", benchMod = benchMod)})),""",
           " AND NOT EXISTS (SELECT 1 FROM fuzzybad f WHERE f.doc_id = r.doc_id)")
     }
@@ -6153,16 +6235,16 @@ object OracleFragments {
       case None => ("", "")
       case Some((n, frac)) =>
         (s"""
-          sdg AS (SELECT DISTINCT doc_id,
+          sdg AS MATERIALIZED (SELECT DISTINCT doc_id,
                          ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
                   FROM (SELECT doc_id, unnest(${tokenShingles(n)}) AS g
                         FROM $corpusSrc)
                   WHERE length(g) > 0),
-          sp AS (SELECT gram, count(*) AS n_docs FROM sdg GROUP BY 1),
-          spanstat AS (SELECT sdg.doc_id, count(*) AS n_spans,
+          sp AS MATERIALIZED (SELECT gram, count(*) AS n_docs FROM sdg GROUP BY 1),
+          spanstat AS MATERIALIZED (SELECT sdg.doc_id, count(*) AS n_spans,
                               sum(CASE WHEN sp.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
                        FROM sdg JOIN sp USING (gram) GROUP BY 1),
-          spanbad AS (SELECT doc_id FROM spanstat
+          spanbad AS MATERIALIZED (SELECT doc_id FROM spanstat
                       WHERE n_dup::DOUBLE >= $frac * n_spans::DOUBLE),""",
           " AND NOT EXISTS (SELECT 1 FROM spanbad sb WHERE sb.doc_id = r.doc_id)")
     }
@@ -6176,7 +6258,7 @@ object OracleFragments {
         (s"""
           ${ivfLloydCtes(8, 2,
             src = s"embeddings e JOIN $corpusSrc d ON e.vec_id = d.doc_id")},
-          sembad AS (SELECT DISTINCT y.vid AS doc_id
+          sembad AS MATERIALIZED (SELECT DISTINCT y.vid AS doc_id
                      FROM af x JOIN af y ON x.cell = y.cell AND x.vid < y.vid
                      WHERE ${cosineOf("x.v", "y.v")} >= $thr),""",
           " AND NOT EXISTS (SELECT 1 FROM sembad sm WHERE sm.doc_id = r.doc_id)")
@@ -6188,38 +6270,45 @@ object OracleFragments {
       case None => ("", "kept")
       case Some(_) =>
         (s""",
-          kdocs AS (SELECT d.doc_id, d.source FROM $corpusSrc d JOIN kept USING (doc_id)),
-          srcn AS (SELECT source, count(*) AS n FROM kdocs GROUP BY 1),
-          minn AS (SELECT min(n) AS mn FROM srcn),
-          rates AS (SELECT source, sqrt(mn::DOUBLE / n::DOUBLE) AS keep_rate
+          kdocs AS MATERIALIZED (SELECT d.doc_id, d.source FROM $corpusSrc d JOIN kept USING (doc_id)),
+          srcn AS MATERIALIZED (SELECT source, count(*) AS n FROM kdocs GROUP BY 1),
+          minn AS MATERIALIZED (SELECT min(n) AS mn FROM srcn),
+          rates AS MATERIALIZED (SELECT source, sqrt(mn::DOUBLE / n::DOUBLE) AS keep_rate
                     FROM srcn, minn),
-          mixed AS (SELECT kdocs.doc_id FROM kdocs JOIN rates USING (source)
+          mixed AS MATERIALIZED (SELECT kdocs.doc_id FROM kdocs JOIN rates USING (source)
                     WHERE ${coinSql("tmix:")} < floor(keep_rate * 4294967296.0)::BIGINT)""",
           "mixed")
     }
+    // every non-recursive CTE is MATERIALIZED: DuckDB inlines plain
+    // CTEs, and reps (which embeds the recursive closure) is referenced
+    // by dg, kept, and every optional decontamination stage — inlined,
+    // the closure re-evaluates once per reference and the sf0.1 oracle
+    // ran 30-60 MIN; materialized it runs once (~20x at sf0.01, same
+    // treatment that took graph_influence_max's oracle from OOM to
+    // 1.4 s). `reach` is the recursive member and must stay plain.
     s"""WITH RECURSIVE $qualityCtes
-          pairs AS (${dedupLshJaccard(bands, rowsPerBand, minJaccard, src = corpusSrc)}),
-          edges AS (SELECT a AS s, b AS d FROM pairs
+          pairs AS MATERIALIZED (${dedupLshJaccard(bands, rowsPerBand, minJaccard, src = corpusSrc)}),
+          edges AS MATERIALIZED (SELECT a AS s, b AS d FROM pairs
                     UNION SELECT b AS s, a AS d FROM pairs),
           reach AS (
             SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM edges)
             UNION
             SELECT r.x, e.d AS y FROM reach r JOIN edges e ON r.y = e.s),
-          cc AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x),
-          reps AS (SELECT d.doc_id, d.text FROM $corpusSrc d
+          cc AS MATERIALIZED (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x),
+          reps AS MATERIALIZED (SELECT d.doc_id, d.text FROM $corpusSrc d
                    LEFT JOIN cc ON d.doc_id = cc.id
                    WHERE coalesce(cc.cluster_id, d.doc_id) = d.doc_id),
-          bg AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+          bg AS MATERIALIZED (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
                  FROM (SELECT unnest(${tokenShingles(nTokens)}) AS g
                        FROM documents WHERE doc_id % $benchMod = 0)
                  WHERE length(g) > 0),
-          dg AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+          dg AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
                  FROM (SELECT doc_id, unnest(${tokenShingles(nTokens)}) AS g
                        FROM reps)
                  WHERE length(g) > 0),
-          hits AS (SELECT dg.doc_id, count(DISTINCT dg.gram) AS n_gram_hits
+          hits AS MATERIALIZED (SELECT dg.doc_id, count(DISTINCT dg.gram) AS n_gram_hits
                    FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id),$fuzzyCtes$spanCtes$semCtes
-          kept AS (SELECT r.doc_id FROM reps r LEFT JOIN hits h USING (doc_id)
+          kept AS MATERIALIZED (SELECT r.doc_id FROM reps r LEFT JOIN hits h USING (doc_id)
                    WHERE coalesce(h.n_gram_hits, 0) < $minHits$fuzzyPred$spanPred$semPred)$mixtureCtes
         SELECT doc_id, CASE $whens ELSE '${splits.last._1}' END AS split
         FROM $finalSrc"""
@@ -7198,15 +7287,18 @@ object OracleFragments {
     * final cell assignment) — mirroring Similarity.ivfIndex exactly. */
   private def ivfLloydCtes(cells: Int, iters: Int,
       src: String = "embeddings"): String = {
+    // MATERIALIZED throughout: v is scanned by every unrolled Lloyd
+    // round and af by every downstream pair join — inlined they
+    // re-evaluate per reference
     def assign(name: String, centsCte: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
             SELECT vid, v, cell FROM (
               SELECT vv.vid, vv.v, cc.cell,
                      row_number() OVER (PARTITION BY vv.vid
                        ORDER BY ${cosineOf("vv.v", "cc.cv")} DESC, cc.cell ASC) AS rn
               FROM v vv CROSS JOIN $centsCte cc) WHERE rn = 1)"""
     def update(name: String, assignCte: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
             SELECT cell, list(mr ORDER BY pos) AS cv FROM (
               SELECT cell, pos, round(avg(x), 6) AS mr FROM (
                 SELECT cell, unnest(v)::DOUBLE AS x, generate_subscripts(v, 1) AS pos
@@ -7215,8 +7307,8 @@ object OracleFragments {
     val steps = (1 to iters).flatMap { i =>
       Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i"))
     }
-    s"""v AS (SELECT vec_id AS vid, embedding AS v FROM $src),
-          c0 AS (SELECT (row_number() OVER (ORDER BY vid) - 1)::INT AS cell,
+    s"""v AS MATERIALIZED (SELECT vec_id AS vid, embedding AS v FROM $src),
+          c0 AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vid) - 1)::INT AS cell,
                         list_transform(v, x -> round(x::DOUBLE, 6)) AS cv
                  FROM v QUALIFY row_number() OVER (ORDER BY vid) <= $cells),
           ${steps.mkString(",\n          ")},
@@ -8597,38 +8689,43 @@ object OracleFragments {
     * claiming sides, then a min-label recursive-CTE closure over the
     * selected component pairs re-labels the merged components. */
   def graphMst(rounds: Int): String = {
+    // every non-recursive CTE MATERIALIZED: e0 (a lineitem self-join)
+    // is referenced by EVERY Boruvka round and each comp_i chains on
+    // comp_{i-1} — inlined, the edge build re-evaluates once per round
+    // per reference and the sf0.01 oracle ran ~10 min (the
+    // graph_influence_max OOM lesson, round 13 edition)
     val steps = (1 to rounds).map { i =>
-      s"""ce$i AS (SELECT e.src, e.dst, e.w, a.comp AS cs, b.comp AS cd
+      s"""ce$i AS MATERIALIZED (SELECT e.src, e.dst, e.w, a.comp AS cs, b.comp AS cd
                    FROM e0 e JOIN comp${i - 1} a ON e.src = a.node
                              JOIN comp${i - 1} b ON e.dst = b.node
                    WHERE a.comp <> b.comp),
-          pick$i AS (SELECT c, oc, w, src, dst,
+          pick$i AS MATERIALIZED (SELECT c, oc, w, src, dst,
                             row_number() OVER (PARTITION BY c
                               ORDER BY w, src, dst) AS rn
                      FROM (SELECT cs AS c, cd AS oc, w, src, dst FROM ce$i
                            UNION ALL
                            SELECT cd AS c, cs AS oc, w, src, dst FROM ce$i)),
-          sel$i AS (SELECT DISTINCT src, dst, w FROM pick$i WHERE rn = 1),
-          pe$i AS (SELECT c AS s, oc AS d FROM pick$i WHERE rn = 1
+          sel$i AS MATERIALIZED (SELECT DISTINCT src, dst, w FROM pick$i WHERE rn = 1),
+          pe$i AS MATERIALIZED (SELECT c AS s, oc AS d FROM pick$i WHERE rn = 1
                    UNION SELECT oc AS s, c AS d FROM pick$i WHERE rn = 1),
           reach$i AS (SELECT s AS x, s AS y FROM (SELECT DISTINCT s FROM pe$i)
                       UNION
                       SELECT r.x, e2.d AS y
                       FROM reach$i r JOIN pe$i e2 ON r.y = e2.s),
-          lab$i AS (SELECT x AS comp, min(y) AS lab FROM reach$i GROUP BY 1),
-          comp$i AS (SELECT c.node, coalesce(l.lab, c.comp) AS comp
+          lab$i AS MATERIALIZED (SELECT x AS comp, min(y) AS lab FROM reach$i GROUP BY 1),
+          comp$i AS MATERIALIZED (SELECT c.node, coalesce(l.lab, c.comp) AS comp
                      FROM comp${i - 1} c LEFT JOIN lab$i l ON c.comp = l.comp)"""
     }.mkString(",\n")
     val out = (1 to rounds).map { i =>
       s"SELECT src, dst, w, $i AS round FROM sel$i"
     }.mkString("\n        UNION ALL ")
-    s"""WITH RECURSIVE e0 AS (
+    s"""WITH RECURSIVE e0 AS MATERIALIZED (
             SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
             FROM lineitem a JOIN lineitem b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
             GROUP BY 1, 2),
-          comp0 AS (SELECT node, node AS comp FROM (
+          comp0 AS MATERIALIZED (SELECT node, node AS comp FROM (
                       SELECT src AS node FROM e0
                       UNION SELECT dst AS node FROM e0)),
           $steps
@@ -9406,10 +9503,13 @@ object OracleFragments {
                          sum(w::DECIMAL(28,6))::DOUBLE AS tot_w FROM pw),
           sh AS (SELECT source, n_docs, n_tokens, q_mean,
                         round(n_tokens::DOUBLE / tot_tokens, 6) AS share_phase1,
-                        round(w / tot_w, 6) AS share_phase2
+                        CASE WHEN tot_w > 0 THEN round(w / tot_w, 6) END
+                          AS share_phase2
                  FROM pw, tot)
         SELECT source, n_docs, n_tokens, q_mean, share_phase1, share_phase2,
-               round(share_phase2 / share_phase1, 6) AS anneal_boost,
+               CASE WHEN share_phase1 > 0
+                    THEN round(share_phase2 / share_phase1, 6) END
+                 AS anneal_boost,
                round($p1Budget * share_phase1, 0)::BIGINT AS tokens_phase1,
                round($p2Budget * share_phase2, 0)::BIGINT AS tokens_phase2,
                (round($p2Budget * share_phase2, 0)::BIGINT > n_tokens)

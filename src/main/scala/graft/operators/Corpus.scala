@@ -824,13 +824,20 @@ object Corpus {
     val tot = per.agg(
       sum(col("n_tokens")).as("tot_tokens"),
       sum(col("w").cast("decimal(28,6)")).cast("double").as("tot_w"))
+    // null-guarded divisions: an all-zero-quality corpus (tot_w = 0) or
+    // an all-empty source (share_phase1 rounds to 0) must yield NULL in
+    // BOTH engines — unguarded, Spark (non-ANSI) yields NULL while
+    // DuckDB under ieee_floating_point_ops yields inf, a silent
+    // cross-engine divergence outside the fixture
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("q_mean"),
         round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
           .as("share_phase1"),
-        round(col("w") / col("tot_w"), 6).as("share_phase2"))
+        when(col("tot_w") > 0, round(col("w") / col("tot_w"), 6))
+          .as("share_phase2"))
       .withColumn("anneal_boost",
-        round(col("share_phase2") / col("share_phase1"), 6))
+        when(col("share_phase1") > 0,
+          round(col("share_phase2") / col("share_phase1"), 6)))
       .withColumn("tokens_phase1",
         round(lit(p1Budget) * col("share_phase1"), 0).cast("long"))
       .withColumn("tokens_phase2",

@@ -231,6 +231,122 @@ object Dedup {
       table: String): DataFrame =
     spark.table(table)
 
+  /** Flat `(id, band, h)` MinHash band-key rows for a corpus — the
+    * NEAR-dup analogue of the exact-fp history row: two docs are LSH
+    * candidates iff they share a `(band, h)` key. One corpus scan
+    * (native one-pass signatures, no shingle materialization); this is
+    * the frame [[writeLshBandIndex]] persists and the delta an ingest
+    * batch appends after [[incrementalLshJaccard]]. */
+  def lshBandKeys(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame =
+    bandedKeys(
+      minhashSignatures(docs, idCol, textCol, shingleK, bands * rowsPerBand),
+      bands, rowsPerBand)
+      .select(col("id"), col("bk.band").as("band"), col("bk.h").as("h"))
+
+  /** Persist the MinHash BAND-KEY history as a BUCKETED on-disk index —
+    * [[writeFpIndex]]'s contract extended to NEAR-dup state (the one
+    * index asymmetry left after round 12: exact-fp history persisted,
+    * band tables rebuilt per run). `bucketBy(buckets, band, h)` +
+    * `sortBy(band, h)` hash-clusters the keys so a per-batch candidate
+    * join equi-joins on `(band, h)` with the Exchange planned on the
+    * (small) BATCH side only — the accumulated history buckets are
+    * read in place, zero history movement per ingest
+    * (plan-asserted in DedupLshIndexSpec). Maintenance is append-shaped:
+    * the arriving batch's own [[lshBandKeys]] rows ARE the delta;
+    * append them with the SAME bucket spec
+    * (`write.mode("append").bucketBy(buckets, "band", "h")
+    * .sortBy("band", "h").saveAsTable(table)`) and the next batch
+    * dedups against history ∪ delta. `path` makes the catalog entry
+    * EXTERNAL (the directory is the durable artifact). */
+  def writeLshBandIndex(
+      keys: DataFrame,
+      table: String,
+      buckets: Int = 32,
+      path: Option[String] = None): Unit = {
+    require(buckets >= 1 && buckets <= 100000,
+      s"writeLshBandIndex: buckets=$buckets outside [1, 100000] - size " +
+        "buckets so one bucket's band keys fit an executor")
+    val w = keys.select(col("id"), col("band"), col("h"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "h").sortBy("band", "h")
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Catalog scan of a [[writeLshBandIndex]] table ([[loadFpIndex]]
+    * rationale: only `spark.table` carries the bucket spec). */
+  def loadLshBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    spark.table(table)
+
+  /** Incremental (cross-batch) NEAR-dup — [[incrementalExact]]'s
+    * continuous-ingest shape for MinHash-LSH: an arriving batch's band
+    * keys probe the persisted band-key history ([[writeLshBandIndex]])
+    * for cross-batch candidates AND self-join for within-batch
+    * candidates, then exact shingle Jaccard verifies — computed ONLY
+    * for candidate ids (a semi-join prunes `corpusText` before any
+    * shingle array exists, so the verify cost scales with the
+    * candidate set, never the accumulated corpus). Output
+    * `(a = batch id, b = matched history id | smaller batch id,
+    * jaccard)`; the batch's own key rows are the history delta to
+    * append. The batch side is bucket-guarded (both the probe and the
+    * self-join fan out quadratically per hot bucket); the history side
+    * inherits the same bound from ITS ingest-time guards — exact dedup
+    * first remains the pipeline contract. */
+  def incrementalLshJaccard(
+      batch: DataFrame,
+      bandIndex: DataFrame,
+      corpusText: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.0,
+      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
+    val bk = Scratch.materialize(
+      lshBandKeys(batch, idCol, textCol, shingleK, bands, rowsPerBand),
+      "lshidx_batch_keys")
+    val guarded = Blocks.guardBlockSize(
+      bk.select(col("id"), struct(col("band"), col("h")).as("bk")),
+      "bk", maxBucketRows, "incrementalLshJaccard",
+      hint = "a mass-duplicate band bucket yields quadratic candidate "
+        + "pairs - run exact dedup first or raise maxBucketRows deliberately",
+      boundName = "maxBucketRows")
+    // cross-batch candidates: equi-join on the index's bucket columns
+    // (band, h) — the Exchange lands on the batch side only
+    val cross = guarded
+      .select(col("id").as("a"), col("bk.band").as("band"), col("bk.h").as("h"))
+      .join(bandIndex.select(col("id").as("b"), col("band"), col("h")),
+        Seq("band", "h"))
+      .select(col("a"), col("b")).distinct()
+    // within-batch candidates: the standard guarded self-join (a < b)
+    val within = candidatePairs(
+      bk.select(col("id"), struct(col("band"), col("h")).as("bk")),
+      "incrementalLshJaccard", maxBucketRows)
+    val pairs = cross.unionByName(within)
+    val ids = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id"))).distinct()
+    val gsets = Scratch.materialize(
+      Par.fanOut(corpusText.select(col(idCol).as("id"), col(textCol).as("t")))
+        .join(ids, Seq("id"), "left_semi")
+        .select(col("id"), shingles(col("t"), shingleK).as("gs"))
+        .withColumn("sz", size(col("gs"))),
+      "lshidx_gsets")
+    val withA = pairs.join(gsets.select(col("id").as("a"),
+      col("gs").as("gs_a"), col("sz").as("sz_a")), Seq("a"))
+    val withB = withA.join(gsets.select(col("id").as("b"),
+      col("gs").as("gs_b"), col("sz").as("sz_b")), Seq("b"))
+    exactJaccard(withB, minJaccard)
+  }
+
   /** Per-source duplicate-rate report card: document count, distinct
     * fingerprints, and the duplicate fraction — the corpus-health
     * metric an ingest pipeline tracks per crawl/source. One pass, one

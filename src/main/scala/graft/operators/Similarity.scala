@@ -537,11 +537,13 @@ object Similarity {
       maxDims: Int = 65536): DataFrame = {
     val stats = dimStats(vecs, vecCol)
       .select(col("dim"), col("mean"), col("var_pop"))
-    val nDims = stats.limit(maxDims + 1).count()
-    require(nDims <= maxDims,
+    // ONE corpus-scale pass: collect with the bound already applied —
+    // maxDims+1 rows is the same driver-memory ceiling as a separate
+    // count(), without running the posexplode+groupBy scan twice
+    val rows = stats.limit(maxDims + 1).collect().sortBy(_.getInt(0))
+    require(rows.length <= maxDims,
       s"standardize: vector dimensionality exceeds maxDims=$maxDims - " +
         "the stats pin would not be a bounded collect")
-    val rows = stats.collect().sortBy(_.getInt(0))
     if (rows.isEmpty)
       return vecs.select(col(idCol),
         array().cast("array<double>").as("z")).limit(0)

@@ -146,35 +146,102 @@ object EventStreams {
     * Delivery contract: at-least-once batch replays are fp-idempotent —
     * re-appending a fingerprint only makes the anti-join drop MORE,
     * never resurrects a duplicate; a replayed batch's delta is empty
-    * because its own first run's append already covers it. `sink`
-    * receives each batch's delta (fp, keep_id, n_batch) AFTER it is
-    * durably appended; consume it eagerly — its backing scratch table
-    * is dropped when the callback returns. */
+    * because its own first run's append already covers it.
+    *
+    * Two delta-consumption surfaces, with DIFFERENT replay guarantees:
+    *
+    *  - `sink` receives each batch's delta (fp, keep_id, n_batch) AFTER
+    *    it is durably appended; consume it eagerly — its backing
+    *    scratch table is dropped when the callback returns. The
+    *    callback is AT-MOST-ONCE under replay: a crash after the
+    *    history append but before the callback means the replayed
+    *    batch's recomputed delta is EMPTY (its fps already sit in the
+    *    index), so that batch's rows never reach the callback again.
+    *  - `deltaTable` (when set) is the AT-LEAST-ONCE durable delta log:
+    *    each batch's delta rows append as (fp, keep_id, n_batch,
+    *    batch_id) BEFORE the history append, so no crash point loses
+    *    them. A crash between the two appends replays the identical
+    *    delta once more — byte-identical rows under the same batch_id —
+    *    so consumers read `SELECT DISTINCT` (or dedup on (batch_id,
+    *    fp)). Downstream systems that must not lose deltas read this
+    *    table, not the callback. */
   def incrementalDedupStream(
       docs: DataFrame,
       table: String,
       buckets: Int = 32,
       idCol: String = "doc_id",
       textCol: String = "text",
-      sink: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+      sink: (DataFrame, Long) => Unit = (_, _) => (),
+      deltaTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val delta = graft.operators.Dedup.incrementalExact(
-          batch, graft.operators.Dedup.loadFpIndex(spark, table),
-          idCol, textCol)
-        // materialize BEFORE appending: the delta's plan reads the very
-        // table the append mutates
-        val (mat, path) = graft.ops.Scratch.materializeAt(
-          delta, "stream_dedup_delta")
-        mat.select(col("fp")).write.mode("append")
-          .bucketBy(buckets, "fp").sortBy("fp").format("parquet")
-          .saveAsTable(table)
-        sink(mat, batchId)
-        graft.ops.Scratch.drop(spark, path)
-        ()
+        processDedupBatch(batch, table, buckets, idCol, textCol,
+          deltaTable, batchId, sink)
       }
       .start()
+
+  /** The per-micro-batch body of [[incrementalDedupStream]], shared
+    * with the batch-replay driver [[replayIncrementalDedup]] so the
+    * gate query and the spec exercise the EXACT code the stream runs.
+    * Order matters for the replay contract (see the stream scaladoc):
+    * durable delta append FIRST, then the history append, then the
+    * eager callback. */
+  private[graft] def processDedupBatch(
+      batch: DataFrame,
+      table: String,
+      buckets: Int,
+      idCol: String,
+      textCol: String,
+      deltaTable: Option[String],
+      batchId: Long,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val delta = graft.operators.Dedup.incrementalExact(
+      batch, graft.operators.Dedup.loadFpIndex(spark, table),
+      idCol, textCol)
+    // materialize BEFORE appending: the delta's plan reads the very
+    // table the append mutates
+    val (mat, path) = graft.ops.Scratch.materializeAt(
+      delta, "stream_dedup_delta")
+    deltaTable.foreach { dt =>
+      mat.withColumn("batch_id", lit(batchId))
+        .write.mode("append").format("parquet").saveAsTable(dt)
+    }
+    mat.select(col("fp")).write.mode("append")
+      .bucketBy(buckets, "fp").sortBy("fp").format("parquet")
+      .saveAsTable(table)
+    sink(mat, batchId)
+    graft.ops.Scratch.drop(spark, path)
+    ()
+  }
+
+  /** DETERMINISTIC batch replay of the [[incrementalDedupStream]] loop —
+    * the correctness-gate surface for the streaming path: feed the
+    * given frames through [[processDedupBatch]] in order (batch N sees
+    * the history index as batches 0..N-1 left it, exactly like the
+    * stream's micro-batches) and return the durable delta log. The
+    * caller owns table lifecycle: `table` must exist as a
+    * [[graft.operators.Dedup.writeFpIndex]]-shaped index (seed it
+    * empty for a from-scratch run) and `deltaTable` as an empty
+    * parquet table. Value-identity with the REAL MemoryStream run is
+    * spec-proven in DedupStreamSpec; identity with the one-shot batch
+    * [[graft.operators.Dedup.incrementalExact]] semantics is
+    * oracle-gated (`dedup_stream_replay`). */
+  def replayIncrementalDedup(
+      batches: Seq[DataFrame],
+      table: String,
+      deltaTable: String,
+      buckets: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(batches.nonEmpty, "replayIncrementalDedup: no batches")
+    val spark = batches.head.sparkSession
+    batches.zipWithIndex.foreach { case (b, i) =>
+      processDedupBatch(b, table, buckets, idCol, textCol,
+        Some(deltaTable), i.toLong, (_, _) => ())
+    }
+    spark.table(deltaTable)
+  }
 
   /** Streaming de-duplication by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =

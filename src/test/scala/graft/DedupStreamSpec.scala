@@ -75,4 +75,70 @@ class DedupStreamSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("durable delta log: the deltaTable carries every batch's rows " +
+      "with its batch_id, and the batch-replay driver reproduces the " +
+      "stream's log exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpstream_").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_fpstream_").toString
+    def emptyHistory = Dedup.exact(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .select(col("fingerprint").as("fp"))
+    val b1 = Seq((10L, "alpha text"), (11L, "delta text"), (12L, "delta text"))
+    val b2 = Seq((20L, "delta text"), (21L, "epsilon text"))
+    def logSet(t: String) = spark.table(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // EXTERNAL delta tables on fresh temp paths (a managed table's
+    // warehouse dir would orphan across killed JVMs and fail the next
+    // run's create with LOCATION_ALREADY_EXISTS)
+    def seedDeltaTable(name: String): Unit = {
+      import spark.implicits._
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("fp", "keep_id", "n_batch", "batch_id")
+        .write.option("path",
+          java.nio.file.Files.createTempDirectory("graft_fpdelta_").toString)
+        .format("parquet").saveAsTable(name)
+    }
+    try {
+      // STREAM over two micro-batches, delta log enabled
+      Dedup.writeFpIndex(emptyHistory, "graft_fp_stream_dl", buckets = 4,
+        path = Some(dir))
+      seedDeltaTable("graft_fp_delta_dl")
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.incrementalDedupStream(
+        input.toDF().toDF("doc_id", "text"), "graft_fp_stream_dl",
+        buckets = 4, deltaTable = Some("graft_fp_delta_dl"))
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = logSet("graft_fp_delta_dl")
+      // batch 0 kept alpha(10) + delta(11, n=2); batch 1 kept epsilon(21)
+      // (delta text collapsed against batch 0's append)
+      assert(streamed.map(t => (t._2, t._4)) == Set((10L, 0L), (11L, 0L), (21L, 1L)))
+      assert(streamed.find(_._2 == 11L).get._3 == 2L)
+
+      // REPLAY the same batches through the shared per-batch body into
+      // fresh tables: the durable log must match the stream's exactly
+      Dedup.writeFpIndex(emptyHistory, "graft_fp_replay_dl", buckets = 4,
+        path = Some(dir2))
+      seedDeltaTable("graft_fp_delta_rp")
+      val replayed = EventStreams.replayIncrementalDedup(
+        Seq(b1.toDF("doc_id", "text"), b2.toDF("doc_id", "text")),
+        "graft_fp_replay_dl", "graft_fp_delta_rp", buckets = 4)
+      assert(replayed.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet == streamed)
+    } finally {
+      Seq("graft_fp_stream_dl", "graft_fp_delta_dl",
+        "graft_fp_replay_dl", "graft_fp_delta_rp")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
 }

@@ -19,13 +19,23 @@ T="${2:-900}"
 mkdir -p tmp
 rm -f bench_total.json bench_detail.json
 
-echo "[smoke] timeout $T sbt runMain graft.Bench @ $SF (REPS=30 — unfinishable)"
+echo "[smoke] staging jar, then timeout $T graft.Bench @ $SF (REPS=30 — unfinishable)"
+STAGE_BUILD=1 tools/run_staged.sh
+# prove recompile-immunity: a compile loop hammers target/classes for
+# the whole smoke — the round-12 driver bench lost a 19-query block to
+# exactly this; the staged jar must not care
+( while :; do touch src/main/scala/graft/Bench.scala 2>/dev/null; \
+    sbt -batch compile >/dev/null 2>&1 || true; done ) &
+COMPILE_LOOP=$!
+trap 'kill $COMPILE_LOOP 2>/dev/null || true' EXIT
 set +e
 timeout "$T" env SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPS=30 \
+  SPARK_GRAFT_TIME_BUDGET_S=0 \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
-  sbt -batch "runMain graft.Bench" >tmp/bench_smoke.out 2>tmp/bench_smoke.err
+  tools/run_staged.sh graft.Bench >tmp/bench_smoke.out 2>tmp/bench_smoke.err
 rc=$?
 set -e
+kill $COMPILE_LOOP 2>/dev/null || true
 echo "[smoke] bench exited rc=$rc (124 = killed by timeout, the point)"
 
 # sbt forwards the forked program's stderr to ITS stdout tagged
@@ -47,9 +57,10 @@ print(f"[smoke] bench_total.json parses: n_queries={t['n_queries']}, "
 assert t['n_queries'] == len(qmin), "totals/queries_min disagree"
 assert with_rep == len(qmin), \
     f"{len(qmin) - with_rep} attempted queries have zero successful reps"
-# NOTE: do not run sbt compile in parallel with the smoke — a
-# recompile rewrites target/classes under the running JVM and fails a
-# contiguous alphabetical range of reps (observed in round 12)
+# the smoke runs a parallel sbt-compile loop on purpose: the staged
+# jar makes the round-12 recompile-clobber failure (a contiguous
+# alphabetical block of failed reps) impossible, and zero errors
+# here proves it
 assert t['n_errors'] == 0, f"{t['n_errors']} queries had a failed rep"
 if registered is not None:
     assert t['n_queries'] == registered, \

@@ -25,7 +25,8 @@ def canon(df):
     return df
 
 def rec(rows_match=None, schema_match=None, hash_match=None,
-        spark_rows=None, oracle_rows=None, err=None, jitter_ok=None):
+        spark_rows=None, oracle_rows=None, err=None, jitter_ok=None,
+        sec=None):
     r = {"rows_match": rows_match, "schema_match": schema_match,
          "hash_match": hash_match, "spark_rows": spark_rows,
          "oracle_rows": oracle_rows, "err": err}
@@ -33,6 +34,11 @@ def rec(rows_match=None, schema_match=None, hash_match=None,
     # repr round-trip tolerance, counted ok but NOT hash-identical
     if jitter_ok is not None:
         r["jitter_ok"] = jitter_ok
+    # per-query compare wall-seconds (oracle SQL + compare): the slow-
+    # oracle watchlist — round-13 found 30-60 min compositor oracles
+    # were starving every driver correctness window
+    if sec is not None:
+        r["sec"] = round(sec, 2)
     return r
 
 def write_record(record_path, sf_dir, n_ok, n_bad, record, partial):
@@ -89,7 +95,8 @@ def main(sf_dir, out_dir, record_path=None):
         if got.equals(want):
             print(f"OK       {name} ({len(got)} rows, {time.time() - t0:.1f}s)")
             record[name] = rec(rows_match=True, schema_match=True, hash_match=True,
-                               spark_rows=len(got), oracle_rows=len(want))
+                               spark_rows=len(got), oracle_rows=len(want),
+                               sec=time.time() - t0)
             n_ok += 1; flush(); continue
         # tolerate tiny float jitter, flag everything else
         import pandas as pd
@@ -113,7 +120,7 @@ def main(sf_dir, out_dir, record_path=None):
                 print(f"   {c}: spark={got[c][neq].head(3).tolist()} oracle={want[c][neq].head(3).tolist()}")
             record[name] = rec(rows_match=True, schema_match=True, hash_match=False,
                                spark_rows=len(got), oracle_rows=len(want),
-                               err=f"value_mismatch: {hard}"[:300])
+                               err=f"value_mismatch: {hard}"[:300], sec=time.time() - t0)
             n_bad += 1; flush()
         else:
             print(f"OK~      {name} (float jitter only: {[c for c,_ in diff_cols]})")
@@ -122,7 +129,8 @@ def main(sf_dir, out_dir, record_path=None):
             record[name] = rec(rows_match=True, schema_match=True, hash_match=False,
                                jitter_ok=True,
                                spark_rows=len(got), oracle_rows=len(want),
-                               err=f"float_jitter: {[c for c,_ in diff_cols]}"[:300])
+                               err=f"float_jitter: {[c for c,_ in diff_cols]}"[:300],
+                               sec=time.time() - t0)
             n_ok += 1; flush()
     # queries with no oracle: rows-only check
     for d in sorted(glob.glob(f"{out_dir}/*/")):

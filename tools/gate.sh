@@ -22,9 +22,15 @@ OUT_DIR="${2:-tmp/verify_gate}"
 RECORD="${3:-CORRECTNESS_SELF.json}"
 FILTER="${4:-}"
 
-echo "[gate] verify dump: $SF_DIR -> $OUT_DIR"
+echo "[gate] verify dump: $SF_DIR -> $OUT_DIR (staged jar)"
+# staged jar (round-12 lesson): a concurrent `sbt compile` rewriting
+# target/classes under the running JVM failed a contiguous block of
+# queries in the driver's record; the gate now runs off a private jar
+# copy that no recompile can clobber. STAGE_BUILD=0 reuses the last
+# staged jar (parallel gate tiers share one build).
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
-  sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $FILTER"
+STAGE_BUILD="${STAGE_BUILD:-1}" \
+  tools/run_staged.sh graft.Verify "$SF_DIR" "$OUT_DIR" $FILTER
 
 echo "[gate] duckdb oracle compare -> $RECORD"
 # `|| rc=$?` keeps the script alive under set -e so the trailing

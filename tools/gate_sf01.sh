@@ -8,11 +8,19 @@
 # component labels now come from unrolled MATERIALIZED min-label +
 # pointer-jump rounds instead of the all-pairs reachability closure
 # that OOMed DuckDB at this scale — no exclusions remain.
+#
+# Round 13: the corpus_prepare* compositor oracles got the same
+# MATERIALIZED treatment (30-60 min each at sf0.1 -> seconds: `reps`
+# embeds the recursive closure and every downstream stage re-inlined
+# it), so the tier runs COMPLETE in one session window — no more
+# "partial": true. dedup_lsh_index_persisted (persisted band-key
+# index) joined the tier.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 TIER="corpus_prepare,corpus_prepare_classifier,corpus_prepare_mixed,corpus_prepare_semantic,\
-decontaminate,dedup_cdc_chunks,dedup_lsh_jaccard,dedup_minhash_estimate,dedup_minhash_lsh,\
+decontaminate,dedup_cdc_chunks,dedup_lsh_index_persisted,dedup_lsh_jaccard,\
+dedup_minhash_estimate,dedup_minhash_lsh,\
 dq_approx_distinct,dq_audit,emb_pca,graph_adamic_adar,graph_betweenness,graph_closeness,\
 graph_common_neighbors,graph_conductance,graph_distance_distribution,graph_eigenvector,\
 graph_fastrp,graph_harmonic,graph_hits,graph_influence_max,graph_kcore,graph_ktruss,\
