@@ -718,6 +718,50 @@ object SparkEntry {
     }),
     "ev_window_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedCounts(eventsTable(s, dir))),
+    "ev_session_stream_replay" -> ((s, dir) => {
+      // the incremental-sessionize LOOP (persisted open-session
+      // frontier, the third table-state streaming loop), gate-checked
+      // by deterministic replay: three contiguous event-time slices run
+      // through the exact foreachBatch body (frontier merge →
+      // close-at-watermark → append), the final flush closes the rest,
+      // and the closed log must equal the one-shot batch sessionize
+      // the oracle re-derives — cross-slice sessions prove the
+      // frontier carry. Slice cutoffs come from the observed [min,max]
+      // span (one 1-row aggregate), so the split is fixture-scale-free.
+      val ev = eventsTable(s, dir)
+      val span = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+        max(unix_millis(col("ts"))).as("hi")).head
+      val (lo, hi) = (span.getLong(0), span.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * ((hi - lo) / 3)
+      val scratch = s.conf.getOption("spark.graft.scratchDir")
+      graft.streaming.EventStreams.seedSessionTables(s,
+        "graft_sess_open", "graft_sess_closed",
+        graft.ops.Scratch.dir(scratch, "sess_open"),
+        graft.ops.Scratch.dir(scratch, "sess_closed"))
+      val ms = unix_millis(col("ts"))
+      graft.streaming.EventStreams.replaySessionize(
+        Seq(ev.filter(ms <= c1), ev.filter(ms > c1 && ms <= c2),
+          ev.filter(ms > c2)),
+        "graft_sess_open", "graft_sess_closed")
+        .select(col("user_id"), col("session_start_ms"),
+          col("session_end_ms"), col("n_events"),
+          round(col("total_raw"), 4).as("total_value"))
+    }),
+    "ev_window_pane_replay" -> ((s, dir) => {
+      // the durable-pane rollup loop under an ARBITRARY split (pmod of
+      // event_id — deliberately NOT time-ordered: the pane merge is a
+      // commutative monoid, so unlike the sessionize replay above the
+      // result is split-order-free, which is exactly what this gate
+      // proves against the one-shot windowed-agg oracle)
+      val ev = eventsTable(s, dir)
+      graft.streaming.EventStreams.seedPaneTable(s, "graft_ev_panes",
+        graft.ops.Scratch.dir(
+          s.conf.getOption("spark.graft.scratchDir"), "ev_panes"))
+      graft.streaming.EventStreams.replayWindowPanes(
+        (0 to 2).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)),
+        "graft_ev_panes")
+    }),
     "ev_session_window" -> ((s, dir) => Events.sessionWindows(eventsTable(s, dir))),
     "ev_running_totals" -> ((s, dir) => Events.runningTotals(eventsTable(s, dir))),
     "ev_rank_funcs" -> ((s, dir) => {
@@ -3322,6 +3366,20 @@ object SparkEntry {
     "sim_ivf_pairs" -> OracleFragments.simIvfPairs(
       cells = 8, iters = 2, threshold = 0.40),
     "ev_sessionize" -> OracleFragments.evSessionize(gapMinutes = 30),
+    "ev_session_stream_replay" ->
+      // same sessionization, minus the per-user ordinal the incremental
+      // loop does not (and need not) reproduce — sessions are already
+      // uniquely keyed by (user_id, session_start_ms)
+      s"""WITH sess AS (${OracleFragments.evSessionize(gapMinutes = 30)})
+          SELECT user_id, n_events, session_start_ms, session_end_ms,
+                 total_value
+          FROM sess""",
+    "ev_window_pane_replay" ->
+      // identical to ev_window_agg: the pane loop's merged rollup IS
+      // the one-shot windowed aggregate
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+                count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2""",
     "ev_retention" -> OracleFragments.evRetention(periodSeconds = 7L * 86400L),
     "ev_interval_join" -> OracleFragments.evIntervalJoin(gapMinutes = 30),
     "ev_session_window" ->

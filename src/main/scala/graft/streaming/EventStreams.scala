@@ -243,6 +243,286 @@ object EventStreams {
     spark.table(deltaTable)
   }
 
+  // ==== incremental sessionization over a persisted open-sessions table ====
+
+  /** Seed the two tables the incremental-sessionize loop maintains:
+    * `openTable` (one row per still-open session: user_id, start_ms,
+    * end_ms, n_events, total_raw) and `closedTable` (the append-only
+    * closed-session log, + batch_id). Both are EXTERNAL parquet tables
+    * on caller-supplied fresh paths — a managed table's warehouse dir
+    * would orphan across killed JVMs and fail the next run's create
+    * (the dedup-gate lesson, SparkEntry `dedup_stream_replay`). */
+  def seedSessionTables(
+      spark: SparkSession,
+      openTable: String,
+      closedTable: String,
+      openPath: String,
+      closedPath: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $openTable")
+    Seq.empty[(Long, Long, Long, Long, Double)]
+      .toDF("user_id", "start_ms", "end_ms", "n_events", "total_raw")
+      .write.option("path", openPath).format("parquet")
+      .saveAsTable(openTable)
+    spark.sql(s"DROP TABLE IF EXISTS $closedTable")
+    Seq.empty[(Long, Long, Long, Long, Double, Long)]
+      .toDF("user_id", "session_start_ms", "session_end_ms",
+        "n_events", "total_raw", "batch_id")
+      .write.option("path", closedPath).format("parquet")
+      .saveAsTable(closedTable)
+  }
+
+  /** CONTINUOUS-INGEST sessionization as a self-maintaining stream —
+    * the [[incrementalDedupStream]] shape applied to gap-based
+    * sessions: the open-session frontier lives in a persisted TABLE
+    * (not the state store), every micro-batch merges its events into
+    * that frontier with the same gap rule the batch
+    * [[graft.operators.Events.sessionize]] applies, closes every
+    * session no future event can extend, and writes the rest back.
+    *
+    * Why a table and not `flatMapGroupsWithState`
+    * ([[sessionizeStream]] above): the state store bounds state by
+    * ACTIVE keys inside the watermark, which is right for exactly-once
+    * session emission but couples the frontier's lifetime to one
+    * query's checkpoint. The table form makes the frontier a first-
+    * class dataset — restartable from any reader, auditable, and
+    * mergeable into downstream batch jobs — which is the shape a
+    * 100 TB log pipeline actually operates (the frontier is bounded by
+    * concurrently-active users, orders of magnitude below the log).
+    *
+    * Correctness contract: micro-batches must partition the stream in
+    * event-time order (batch N's min ts ≥ batch N-1's max ts — what a
+    * log ingest with bounded disorder provides after its staging sort;
+    * in-batch order is free). Under that contract a session CLOSES
+    * when `end_ms + gap ≤ batch max ts`: every unseen event has
+    * ts > that watermark, so none can land within the gap — closure is
+    * exact, not heuristic. The closed log then equals the one-shot
+    * batch sessionize output, which is what the `ev_session_stream_
+    * replay` gate hash-checks against the DuckDB oracle.
+    *
+    * Crash/replay: the closed append (keyed by batch_id) runs BEFORE
+    * the frontier replacement, so a crash between them replays the
+    * batch against the OLD frontier and re-appends byte-identical rows
+    * under the same batch_id — consumers dedup on (batch_id, user_id,
+    * session_start_ms), i.e. at-least-once on the log, exactly-once
+    * after the keyed dedup. Superseded frontier dirs are retired by
+    * the scratch lifecycle. */
+  def sessionizeIncrementalStream(
+      events: DataFrame,
+      openTable: String,
+      closedTable: String,
+      gapMinutes: Int = 30): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSessionBatch(batch, openTable, closedTable,
+          gapMinutes * 60000L, batchId)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[sessionizeIncrementalStream]],
+    * shared with [[replaySessionize]] so gate and spec exercise the
+    * exact code the stream runs. One keyed window + one keyed agg per
+    * batch over (frontier ∪ batch) — batch-sized work; the frontier
+    * side is one row per open session. */
+  private[graft] def processSessionBatch(
+      batch: DataFrame,
+      openTable: String,
+      closedTable: String,
+      gapMs: Long,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val open = spark.table(openTable)
+    val asIntervals = batch.select(
+      col("user_id"),
+      unix_millis(col("ts")).as("start_ms"),
+      unix_millis(col("ts")).as("end_ms"),
+      lit(1L).as("n_events"),
+      col("value").as("total_raw"))
+    // merge-intervals-with-gap per user: prev_end is the RUNNING MAX of
+    // earlier interval ends (the frontier row is an interval, events
+    // are points), so the rule degrades to the batch sessionizer's
+    // lag(ts) on pure points and still merges correctly against the
+    // carried-in open session
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("start_ms"), col("end_ms"))
+    val merged = open
+      .select("user_id", "start_ms", "end_ms", "n_events", "total_raw")
+      .unionByName(asIntervals)
+      .withColumn("prev_end",
+        max(col("end_ms")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_session",
+        when(col("prev_end").isNull ||
+          col("start_ms") - col("prev_end") > gapMs, 1L).otherwise(0L))
+      .withColumn("seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("seq"))
+      .agg(
+        min("start_ms").as("start_ms"), max("end_ms").as("end_ms"),
+        sum("n_events").as("n_events"), sum("total_raw").as("total_raw"))
+    // the batch watermark: its max event time. A grouping-free (1-row)
+    // aggregate — broadcast-attach, bounded by plan shape. An EMPTY
+    // batch yields a null watermark; `<=` null is null → nothing closes.
+    val wmRow = broadcast(batch.agg(
+      max(unix_millis(col("ts"))).as("graft_wm_ms")))
+    // coalesce: the empty-batch null watermark must read "closes
+    // nothing", not null — a bare null predicate would fail BOTH the
+    // closed filter and its negation and silently wipe the frontier
+    val scored = merged.crossJoin(wmRow)
+      .withColumn("closed", coalesce(
+        col("end_ms") + lit(gapMs) <= col("graft_wm_ms"), lit(false)))
+    // materialize before mutating either table the plan reads
+    val (mat, path) = graft.ops.Scratch.materializeAt(scored, "session_state")
+    mat.filter(col("closed"))
+      .select(col("user_id"), col("start_ms").as("session_start_ms"),
+        col("end_ms").as("session_end_ms"), col("n_events"),
+        col("total_raw"), lit(batchId).as("batch_id"))
+      .write.mode("append").format("parquet").saveAsTable(closedTable)
+    replaceOpenSessions(spark,
+      mat.filter(!col("closed"))
+        .select("user_id", "start_ms", "end_ms", "n_events", "total_raw"),
+      openTable)
+    graft.ops.Scratch.drop(spark, path)
+    ()
+  }
+
+  /** Swap the open-session frontier to `df`'s rows: write a fresh
+    * scratch snapshot, then re-point the table at it (drop + external
+    * create keeps the catalog schema explicit even for an empty
+    * frontier). `df` must not read `openTable` — callers pass a
+    * materialized scan. */
+  private def replaceOpenSessions(
+      spark: SparkSession, df: DataFrame, openTable: String): Unit = {
+    val newPath = graft.ops.Scratch.dir(
+      spark.conf.getOption("spark.graft.scratchDir"), "open_sessions")
+    spark.sql(s"DROP TABLE IF EXISTS $openTable")
+    df.write.option("path", newPath).format("parquet").saveAsTable(openTable)
+  }
+
+  /** Close EVERY still-open session (end-of-stream / end-of-replay
+    * flush) into the closed log under `batchId`, leaving an empty
+    * frontier. */
+  def flushOpenSessions(
+      spark: SparkSession,
+      openTable: String,
+      closedTable: String,
+      batchId: Long): Unit = {
+    val (mat, path) = graft.ops.Scratch.materializeAt(
+      spark.table(openTable), "session_flush")
+    mat.select(col("user_id"), col("start_ms").as("session_start_ms"),
+        col("end_ms").as("session_end_ms"), col("n_events"),
+        col("total_raw"), lit(batchId).as("batch_id"))
+      .write.mode("append").format("parquet").saveAsTable(closedTable)
+    replaceOpenSessions(spark, mat.limit(0)
+      .select("user_id", "start_ms", "end_ms", "n_events", "total_raw"),
+      openTable)
+    graft.ops.Scratch.drop(spark, path)
+  }
+
+  /** DETERMINISTIC batch replay of [[sessionizeIncrementalStream]] —
+    * the correctness-gate surface: run the given event-time-ordered
+    * frames through [[processSessionBatch]] in order, flush the
+    * frontier, and return the closed-session log. The caller seeds the
+    * tables ([[seedSessionTables]]). Value-identity with the one-shot
+    * batch [[graft.operators.Events.sessionize]] is oracle-gated
+    * (`ev_session_stream_replay`); identity with the real MemoryStream
+    * run is spec-proven (IncrementalSessionSpec). */
+  def replaySessionize(
+      batches: Seq[DataFrame],
+      openTable: String,
+      closedTable: String,
+      gapMinutes: Int = 30,
+      flush: Boolean = true): DataFrame = {
+    require(batches.nonEmpty, "replaySessionize: no batches")
+    val spark = batches.head.sparkSession
+    val gapMs = gapMinutes * 60000L
+    batches.zipWithIndex.foreach { case (b, i) =>
+      processSessionBatch(b, openTable, closedTable, gapMs, i.toLong)
+    }
+    if (flush)
+      flushOpenSessions(spark, openTable, closedTable, batches.size.toLong)
+    spark.table(closedTable)
+  }
+
+  // ==== incremental windowed rollup over a persisted pane table ====
+
+  /** Seed the pane table [[windowPaneStream]] appends to (external
+    * parquet on a caller-supplied fresh path, like the other loops). */
+  def seedPaneTable(
+      spark: SparkSession, paneTable: String, path: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $paneTable")
+    Seq.empty[(Long, String, Long, Double, Long)]
+      .toDF("window_start_ms", "event_type", "n", "total_raw", "batch_id")
+      .write.option("path", path).format("parquet").saveAsTable(paneTable)
+  }
+
+  /** CONTINUOUS windowed rollup as durable PANES — the third loop of
+    * the family: each micro-batch appends its own map-side-combined
+    * hourly partials (window × event_type × batch_id), and the rollup
+    * any reader wants is [[mergePanes]] — a re-aggregation of the pane
+    * table. Count and sum are commutative monoids, so the merge is
+    * EXACT under any batch split (no event-time ordering contract, in
+    * contrast to the sessionize loop) — the incremental form of
+    * [[windowedCounts]] without a state store: panes are a dataset,
+    * not checkpoint state, so the rollup is restartable, auditable,
+    * and cheap to re-slice. At 100 TB the pane table is
+    * |windows| × |types| × |batches| — log-scale input reduced at the
+    * map side before anything persists.
+    *
+    * Replay contract: an at-least-once re-run of a batch re-appends
+    * its panes under the SAME batch_id; [[mergePanes]] collapses them
+    * (one row per (pane, batch_id)) before summing, so the rollup is
+    * idempotent under replay. */
+  def windowPaneStream(
+      events: DataFrame,
+      paneTable: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPaneBatch(batch, paneTable, batchId)
+      }
+      .start()
+
+  /** Per-micro-batch body of [[windowPaneStream]], shared with
+    * [[replayWindowPanes]]. */
+  private[graft] def processPaneBatch(
+      batch: DataFrame, paneTable: String, batchId: Long): Unit = {
+    batch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_raw"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("total_raw"),
+        lit(batchId).as("batch_id"))
+      .write.mode("append").format("parquet").saveAsTable(paneTable)
+    ()
+  }
+
+  /** The reader-side rollup of the pane table: collapse replayed
+    * duplicates (at-least-once appends are keyed by batch_id — the
+    * recomputed rows are semantically identical, so any survivor is
+    * correct), then merge the monoid partials. Output matches
+    * [[windowedCounts]] column-for-column. */
+  def mergePanes(spark: SparkSession, paneTable: String): DataFrame =
+    spark.table(paneTable)
+      .dropDuplicates("window_start_ms", "event_type", "batch_id")
+      .groupBy(col("window_start_ms"), col("event_type"))
+      .agg(sum("n").as("n"), round(sum("total_raw"), 4).as("total_value"))
+
+  /** Batch replay of [[windowPaneStream]] — feed the frames through
+    * [[processPaneBatch]] and return the merged rollup. Identity with
+    * the one-shot [[windowedCounts]] is oracle-gated
+    * (`ev_window_pane_replay`) under an arbitrary (non-time-ordered)
+    * split — the monoid-merge guarantee. */
+  def replayWindowPanes(
+      batches: Seq[DataFrame], paneTable: String): DataFrame = {
+    require(batches.nonEmpty, "replayWindowPanes: no batches")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      processPaneBatch(b, paneTable, i.toLong)
+    }
+    mergePanes(batches.head.sparkSession, paneTable)
+  }
+
   /** Streaming de-duplication by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
