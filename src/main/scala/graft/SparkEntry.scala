@@ -2465,6 +2465,28 @@ object SparkEntry {
         graft.operators.Dedup.loadLshBandIndex(s, "graft_lsh_band_history"),
         d, minJaccard = 0.20)
     }),
+    "dedup_lsh_stream_replay" -> ((s, dir) => {
+      // the streaming NEAR-dup loop (band-key index + corpus store +
+      // pair log, the fourth table-state loop), gate-checked by
+      // deterministic replay: three doc_id%3 micro-batches run through
+      // the exact foreachBatch body, each unordered pair discovered
+      // once by the batch that completes it — the union of per-batch
+      // pair logs must equal the one-shot full-corpus lshJaccard the
+      // oracle re-derives
+      val d = t(s, dir, "documents")
+      val scratch = s.conf.getOption("spark.graft.scratchDir")
+      graft.streaming.EventStreams.seedLshStreamTables(s,
+        "graft_lsh_stream_bands", "graft_lsh_stream_corpus",
+        "graft_lsh_stream_pairs",
+        graft.ops.Scratch.dir(scratch, "lsh_stream_bands"),
+        graft.ops.Scratch.dir(scratch, "lsh_stream_corpus"),
+        graft.ops.Scratch.dir(scratch, "lsh_stream_pairs"), buckets = 8)
+      graft.streaming.EventStreams.replayLshDedup(
+        (0 to 2).map(i => d.filter(pmod(col("doc_id"), lit(3)) === i)),
+        "graft_lsh_stream_bands", "graft_lsh_stream_corpus",
+        "graft_lsh_stream_pairs", buckets = 8, minJaccard = 0.20)
+        .select(col("a"), col("b"), col("jaccard"))
+    }),
     "dedup_rate_report" -> ((s, dir) =>
       // per-source duplicate-rate report card: one keyed agg over
       // fingerprints, the corpus-health metric per crawl/source
@@ -3137,6 +3159,12 @@ object SparkEntry {
     "dedup_ppjoin" -> OracleFragments.dedupPpjoin(minJaccard = 0.9),
     "dedup_lsh_jaccard" -> OracleFragments.dedupLshJaccard(
       bands = 4, rowsPerBand = 4, minJaccard = 0.20),
+    "dedup_lsh_stream_replay" ->
+      // the replayed pair log must equal the ONE-SHOT full-corpus
+      // near-dup pass — same oracle as dedup_lsh_jaccard, checked
+      // against the streaming loop's accumulated log
+      OracleFragments.dedupLshJaccard(
+        bands = 4, rowsPerBand = 4, minJaccard = 0.20),
     "dedup_minhash_estimate" -> OracleFragments.dedupMinhashEstimate(
       bands = 4, rowsPerBand = 4),
     "dedup_clusters" -> OracleFragments.dedupClusters(

@@ -523,6 +523,145 @@ object EventStreams {
     mergePanes(batches.head.sparkSession, paneTable)
   }
 
+  // ==== continuous NEAR-dup: the streaming MinHash band-index loop ====
+
+  /** Seed the three tables the streaming near-dup loop maintains: the
+    * bucketed band-key index (via an empty
+    * [[graft.operators.Dedup.lshBandKeys]] pass, so the schema is the
+    * operator's own), the corpus text store, and the candidate-pair
+    * log. External parquet on caller paths, like the other loops. */
+  def seedLshStreamTables(
+      spark: SparkSession,
+      bandTable: String,
+      corpusTable: String,
+      pairsTable: String,
+      bandPath: String,
+      corpusPath: String,
+      pairsPath: String,
+      buckets: Int = 32): Unit = {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    graft.operators.Dedup.writeLshBandIndex(
+      graft.operators.Dedup.lshBandKeys(emptyDocs), bandTable,
+      buckets = buckets, path = Some(bandPath))
+    spark.sql(s"DROP TABLE IF EXISTS $corpusTable")
+    emptyDocs.write.option("path", corpusPath).format("parquet")
+      .saveAsTable(corpusTable)
+    spark.sql(s"DROP TABLE IF EXISTS $pairsTable")
+    Seq.empty[(Long, Long, Double, Long)]
+      .toDF("a", "b", "jaccard", "batch_id")
+      .write.option("path", pairsPath).format("parquet")
+      .saveAsTable(pairsTable)
+  }
+
+  /** CONTINUOUS-INGEST NEAR-dup as a self-maintaining stream — the
+    * [[incrementalDedupStream]] lifecycle for MinHash-LSH: every
+    * micro-batch probes the persisted band-key index
+    * ([[graft.operators.Dedup.writeLshBandIndex]]) for cross-batch
+    * candidates, self-joins for within-batch ones, exact-Jaccard
+    * verifies against the corpus store, then appends its own band keys
+    * (same bucket spec — the index stays Exchange-free on the history
+    * side) and its text. Each unordered near-dup pair is discovered
+    * exactly once, by the batch that completes it, so the union of the
+    * per-batch pair logs equals the one-shot
+    * [[graft.operators.Dedup.lshJaccard]] over the accumulated corpus —
+    * which is what the `dedup_lsh_stream_replay` gate hash-checks.
+    *
+    * The history probe anti-joins away the batch's OWN ids first: a
+    * no-op in normal operation (stream ids are unique, the dedup-loop
+    * contract), but under an at-least-once replay that crashed after
+    * the band append it keeps the recomputed pairs byte-identical
+    * instead of self-matching the batch's already-appended keys.
+    * Remaining replay residue (duplicate pair rows / band keys from a
+    * crash mid-append-sequence) is absorbed downstream: consumers read
+    * the pair log `DISTINCT` on (batch_id, a, b), and the candidate
+    * probe itself de-duplicates band collisions, so duplicate index
+    * keys cost a little index size, never correctness. */
+  def lshDedupStream(
+      docs: DataFrame,
+      bandTable: String,
+      corpusTable: String,
+      pairsTable: String,
+      buckets: Int = 32,
+      shingleK: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.0): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processLshDedupBatch(batch, bandTable, corpusTable, pairsTable,
+          batchId, buckets, shingleK, bands, rowsPerBand, minJaccard)
+      }
+      .start()
+
+  /** Per-micro-batch body of [[lshDedupStream]], shared with
+    * [[replayLshDedup]]. Pair rows are normalized to `a < b` (`least`/
+    * `greatest`) so the log's orientation matches the one-shot batch
+    * path regardless of which side of a pair arrived first. */
+  private[graft] def processLshDedupBatch(
+      batch: DataFrame,
+      bandTable: String,
+      corpusTable: String,
+      pairsTable: String,
+      batchId: Long,
+      buckets: Int,
+      shingleK: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccard: Double): Unit = {
+    val spark = batch.sparkSession
+    val hist = graft.operators.Dedup.loadLshBandIndex(spark, bandTable)
+      .join(broadcast(batch.select(col("doc_id").as("id"))),
+        Seq("id"), "left_anti")
+    val corpus = spark.table(corpusTable).select("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text"))
+    val pairs = graft.operators.Dedup.incrementalLshJaccard(
+      batch, hist, corpus, shingleK = shingleK, bands = bands,
+      rowsPerBand = rowsPerBand, minJaccard = minJaccard)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("jaccard"))
+    // materialize before the appends: the pair plan reads BOTH tables
+    // the appends mutate
+    val (mat, path) = graft.ops.Scratch.materializeAt(pairs, "lsh_stream_pairs")
+    mat.withColumn("batch_id", lit(batchId))
+      .write.mode("append").format("parquet").saveAsTable(pairsTable)
+    graft.operators.Dedup
+      .lshBandKeys(batch, shingleK = shingleK, bands = bands,
+        rowsPerBand = rowsPerBand)
+      .write.mode("append")
+      .bucketBy(buckets, "band", "h").sortBy("band", "h")
+      .format("parquet").saveAsTable(bandTable)
+    batch.select("doc_id", "text")
+      .write.mode("append").format("parquet").saveAsTable(corpusTable)
+    graft.ops.Scratch.drop(spark, path)
+    ()
+  }
+
+  /** DETERMINISTIC batch replay of [[lshDedupStream]] — the
+    * correctness-gate surface: run the frames through
+    * [[processLshDedupBatch]] in order and return the accumulated pair
+    * log. Identity with the one-shot batch
+    * [[graft.operators.Dedup.lshJaccard]] over the full corpus is
+    * oracle-gated (`dedup_lsh_stream_replay`); identity with the real
+    * MemoryStream run is spec-proven (LshStreamSpec). */
+  def replayLshDedup(
+      batches: Seq[DataFrame],
+      bandTable: String,
+      corpusTable: String,
+      pairsTable: String,
+      buckets: Int = 32,
+      shingleK: Int = 5,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.0): DataFrame = {
+    require(batches.nonEmpty, "replayLshDedup: no batches")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      processLshDedupBatch(b, bandTable, corpusTable, pairsTable,
+        i.toLong, buckets, shingleK, bands, rowsPerBand, minJaccard)
+    }
+    batches.head.sparkSession.table(pairsTable)
+  }
+
   /** Streaming de-duplication by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")

@@ -14,14 +14,17 @@
 # embeds the recursive closure and every downstream stage re-inlined
 # it), so the tier runs COMPLETE in one session window — no more
 # "partial": true. dedup_lsh_index_persisted (persisted band-key
-# index) joined the tier.
+# index) and ev_session_stream_replay (incremental-sessionize loop,
+# ~7 s at sf0.1 — the heaviest of the round-13 replay gates) joined
+# the tier.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 TIER="corpus_prepare,corpus_prepare_classifier,corpus_prepare_mixed,corpus_prepare_semantic,\
 decontaminate,dedup_cdc_chunks,dedup_lsh_index_persisted,dedup_lsh_jaccard,\
 dedup_minhash_estimate,dedup_minhash_lsh,\
-dq_approx_distinct,dq_audit,emb_pca,graph_adamic_adar,graph_betweenness,graph_closeness,\
+dq_approx_distinct,dq_audit,emb_pca,ev_session_stream_replay,\
+graph_adamic_adar,graph_betweenness,graph_closeness,\
 graph_common_neighbors,graph_conductance,graph_distance_distribution,graph_eigenvector,\
 graph_fastrp,graph_harmonic,graph_hits,graph_influence_max,graph_kcore,graph_ktruss,\
 graph_louvain2,graph_modularity,graph_node2vec_walks,graph_pagerank,sim_hnsw_topk,\
