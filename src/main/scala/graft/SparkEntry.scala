@@ -2412,6 +2412,28 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
         graft.operators.Dedup.loadFpIndex(s, "graft_fp_history"))
     }),
+    "dedup_index_compacted" -> ((s, dir) => {
+      // the MAINTENANCE leg of the index lifecycle: write the history
+      // index, append the SAME fps again (at-least-once replay
+      // residue), COMPACT (distinct + fresh bucketed rewrite,
+      // catalog re-pointed), then run the incremental batch against
+      // the compacted index — value-identical to dedup_index_persisted
+      // (same oracle): compaction changes files, never answers
+      val d = t(s, dir, "documents")
+      val history = graft.operators.Dedup.exact(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0))
+        .select(col("fingerprint").as("fp"))
+      val scratch = s.conf.getOption("spark.graft.scratchDir")
+      graft.operators.Dedup.writeFpIndex(history, "graft_fp_compact_hist",
+        buckets = 8, path = Some(graft.ops.Scratch.dir(scratch, "fpc_index")))
+      history.write.mode("append").bucketBy(8, "fp").sortBy("fp")
+        .format("parquet").saveAsTable("graft_fp_compact_hist")
+      graft.operators.Dedup.compactFpIndex(s, "graft_fp_compact_hist",
+        buckets = 8, path = Some(graft.ops.Scratch.dir(scratch, "fpc_index2")))
+      graft.operators.Dedup.incrementalExact(
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        graft.operators.Dedup.loadFpIndex(s, "graft_fp_compact_hist"))
+    }),
     "dedup_stream_replay" -> ((s, dir) => {
       // the STREAMING incremental-dedup loop, gate-checked by
       // deterministic batch replay: three doc_id%3 micro-batches run
@@ -4685,6 +4707,18 @@ object SparkEntry {
     // identical oracle to dedup_incremental: the persisted-index path
     // must be value-identical to the in-memory history path
     "dedup_index_persisted" -> {
+      val norm = OracleFragments.norm
+      s"""WITH h AS (SELECT DISTINCT md5($norm) AS fp FROM documents
+                     WHERE doc_id % 3 = 0),
+            b AS (SELECT doc_id, md5($norm) AS fp FROM documents
+                  WHERE doc_id % 3 <> 0)
+          SELECT b.fp, min(b.doc_id) AS keep_id, count(*) AS n_batch
+          FROM b ANTI JOIN h ON b.fp = h.fp
+          GROUP BY 1"""
+    },
+    // compaction is invisible to answers: same anti-join semantics as
+    // dedup_index_persisted, so the same oracle
+    "dedup_index_compacted" -> {
       val norm = OracleFragments.norm
       s"""WITH h AS (SELECT DISTINCT md5($norm) AS fp FROM documents
                      WHERE doc_id % 3 = 0),

@@ -222,6 +222,31 @@ object Dedup {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** COMPACT a [[writeFpIndex]] index in place: collapse the appended
+    * delta files (and any at-least-once replay residue — duplicate
+    * fingerprints are harmless to the anti-join but not free to scan)
+    * into one fresh bucketed write at `path`, re-pointing the catalog
+    * entry. The maintenance half the append-shaped contract defers: a
+    * continuous-ingest index accretes one file per bucket per batch,
+    * and at 100 TB the scan-side file count — not the data — becomes
+    * the cost, so periodic compaction is part of the lifecycle, not an
+    * afterthought. The rewrite is `distinct` (history is a SET of
+    * fingerprints) and keeps the exact bucket spec, so every
+    * Exchange-free-history plan property survives verbatim
+    * (plan-asserted post-compaction in DedupIndexSpec). The snapshot
+    * is scratch-materialized first — the rewrite reads the very table
+    * it replaces; the superseded index directory is retired by the
+    * scratch lifecycle. */
+  def compactFpIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int = 32,
+      path: Option[String] = None): Unit = {
+    val snapshot = Scratch.materialize(
+      spark.table(table).select(col("fp")).distinct(), "fp_compact")
+    writeFpIndex(snapshot, table, buckets, path)
+  }
+
   /** Catalog scan of a [[writeFpIndex]] table. Must go through
     * `spark.table` (NOT `read.parquet` on the directory): only the
     * catalog carries the bucket spec that lets [[incrementalExact]]'s
@@ -277,6 +302,22 @@ object Dedup {
       .bucketBy(buckets, "band", "h").sortBy("band", "h")
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** [[compactFpIndex]] for the band-key index: distinct on the full
+    * (id, band, h) row (a replayed batch re-appends identical key rows;
+    * two DIFFERENT docs sharing a band key are distinct rows and both
+    * survive), same bucket spec, catalog re-pointed at the fresh
+    * write. */
+  def compactLshBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int = 32,
+      path: Option[String] = None): Unit = {
+    val snapshot = Scratch.materialize(
+      spark.table(table).select(col("id"), col("band"), col("h"))
+        .distinct(), "lsh_band_compact")
+    writeLshBandIndex(snapshot, table, buckets, path)
   }
 
   /** Catalog scan of a [[writeLshBandIndex]] table ([[loadFpIndex]]

@@ -115,4 +115,102 @@ class DedupIndexSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("compaction collapses appended files and replay residue, keeps " +
+      "the answer, and preserves the Exchange-free history plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpidx_").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_fpidx_").toString
+    try {
+      Dedup.writeFpIndex(history, "graft_fp_history_spec4", buckets = 4,
+        path = Some(dir))
+      // two replayed appends of the SAME fps: residue the anti-join
+      // tolerates but every future scan pays for
+      (1 to 2).foreach { _ =>
+        history.write.mode("append").bucketBy(4, "fp").sortBy("fp")
+          .format("parquet").saveAsTable("graft_fp_history_spec4")
+      }
+      val before = Dedup.incrementalExact(batch,
+        Dedup.loadFpIndex(spark, "graft_fp_history_spec4"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val filesBefore =
+        spark.table("graft_fp_history_spec4").inputFiles.length
+      val rowsBefore = spark.table("graft_fp_history_spec4").count()
+
+      Dedup.compactFpIndex(spark, "graft_fp_history_spec4", buckets = 4,
+        path = Some(dir2))
+
+      val compacted = spark.table("graft_fp_history_spec4")
+      // rows collapsed to the distinct fp set; files back to one write
+      assert(compacted.count() == rowsBefore / 3)
+      assert(compacted.inputFiles.length < filesBefore)
+      // answers unchanged
+      val after = Dedup.incrementalExact(batch,
+        Dedup.loadFpIndex(spark, "graft_fp_history_spec4"))
+      assert(after.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet == before)
+      // the co-location contract survives the rewrite: history side of
+      // the anti-join still shuffle-free on a bucketed scan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def collectNodes[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++
+          kids.flatMap(c => collectNodes(c)(pf))
+      }
+      val plan = after.queryExecution.executedPlan
+      val j = collectNodes(plan) {
+        case jn: BaseJoinExec if jn.joinType.toString.contains("LeftAnti") => jn
+      }.head
+      assert(collectNodes(j.right) { case s: ShuffleExchangeLike => s }.isEmpty,
+        s"compacted history side re-shuffles:\n${j.right.treeString}")
+      assert(collectNodes(j.right) { case s: FileSourceScanExec => s }
+        .exists(_.bucketedScan),
+        s"compacted history side is not a bucketed scan:\n${j.right.treeString}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_fp_history_spec4")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
+
+  test("band-index compaction: distinct (id, band, h) rows survive, " +
+      "replay-duplicated keys collapse, probe results unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshc_").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_lshc_").toString
+    try {
+      val hist = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val keys = Dedup.lshBandKeys(hist)
+      Dedup.writeLshBandIndex(keys, "graft_lsh_compact_spec", buckets = 4,
+        path = Some(dir))
+      keys.write.mode("append").bucketBy(4, "band", "h")
+        .sortBy("band", "h").format("parquet")
+        .saveAsTable("graft_lsh_compact_spec")
+      val b = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val before = Dedup.incrementalLshJaccard(b,
+        Dedup.loadLshBandIndex(spark, "graft_lsh_compact_spec"), docs,
+        minJaccard = 0.20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val rowsBefore = spark.table("graft_lsh_compact_spec").count()
+      Dedup.compactLshBandIndex(spark, "graft_lsh_compact_spec",
+        buckets = 4, path = Some(dir2))
+      assert(spark.table("graft_lsh_compact_spec").count() == rowsBefore / 2)
+      val after = Dedup.incrementalLshJaccard(b,
+        Dedup.loadLshBandIndex(spark, "graft_lsh_compact_spec"), docs,
+        minJaccard = 0.20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(after == before && before.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lsh_compact_spec")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
 }
