@@ -748,6 +748,33 @@ object SparkEntry {
           col("session_end_ms"), col("n_events"),
           round(col("total_raw"), 4).as("total_value"))
     }),
+    "ev_attribution_stream_replay" -> ((s, dir) => {
+      // the two-sided-state loop (live-views table within the click
+      // horizon), gate-checked by deterministic replay over the same
+      // three event-time slices as the sessionize gate: matched pairs
+      // emit in the click's batch, unconverted views emit one
+      // null-click row at expiry/flush — the accumulated log must
+      // equal the one-shot LEFT-OUTER attribution the oracle
+      // re-derives (same oracle as ev_attribution_outer)
+      val ev = eventsTable(s, dir)
+      val span = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+        max(unix_millis(col("ts"))).as("hi")).head
+      val (lo, hi) = (span.getLong(0), span.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * ((hi - lo) / 3)
+      val scratch = s.conf.getOption("spark.graft.scratchDir")
+      graft.streaming.EventStreams.seedAttributionTables(s,
+        "graft_attrib_live", "graft_attrib_log",
+        graft.ops.Scratch.dir(scratch, "attrib_live"),
+        graft.ops.Scratch.dir(scratch, "attrib_log"))
+      val ms = unix_millis(col("ts"))
+      graft.streaming.EventStreams.replayAttribution(
+        Seq(ev.filter(ms <= c1), ev.filter(ms > c1 && ms <= c2),
+          ev.filter(ms > c2)),
+        "graft_attrib_live", "graft_attrib_log", horizonMinutes = 60)
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("view_ms"), col("click_ms"))
+    }),
     "ev_window_pane_replay" -> ((s, dir) => {
       // the durable-pane rollup loop under an ARBITRARY split (pmod of
       // event_id — deliberately NOT time-ordered: the pane merge is a
@@ -3424,6 +3451,18 @@ object SparkEntry {
           SELECT user_id, n_events, session_start_ms, session_end_ms,
                  total_value
           FROM sess""",
+    "ev_attribution_stream_replay" ->
+      // identical to ev_attribution_outer: the loop's accumulated log
+      // IS the one-shot LEFT-OUTER attribution
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                    FROM events WHERE event_type = 'view'),
+            c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click')
+         SELECT v.user_id, view_id, click_id,
+                epoch_ms(view_ts) AS view_ms, epoch_ms(click_ts) AS click_ms
+         FROM v LEFT JOIN c ON v.user_id = c.c_user_id
+          AND click_ts >= view_ts
+          AND click_ts <= view_ts + INTERVAL 60 MINUTE""",
     "ev_window_pane_replay" ->
       // identical to ev_window_agg: the pane loop's merged rollup IS
       // the one-shot windowed aggregate

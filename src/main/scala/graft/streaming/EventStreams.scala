@@ -294,9 +294,10 @@ object EventStreams {
     * event-time order (batch N's min ts ≥ batch N-1's max ts — what a
     * log ingest with bounded disorder provides after its staging sort;
     * in-batch order is free). Under that contract a session CLOSES
-    * when `end_ms + gap ≤ batch max ts`: every unseen event has
-    * ts > that watermark, so none can land within the gap — closure is
-    * exact, not heuristic. The closed log then equals the one-shot
+    * when `end_ms + gap < batch max ts` (strict, so a boundary-tie
+    * event in the next batch at exactly end + gap still merges):
+    * every unseen event has ts ≥ that watermark, so none can land
+    * within the gap — closure is exact, not heuristic. The closed log then equals the one-shot
     * batch sessionize output, which is what the `ev_session_stream_
     * replay` gate hash-checks against the DuckDB oracle.
     *
@@ -367,10 +368,15 @@ object EventStreams {
       max(unix_millis(col("ts"))).as("graft_wm_ms")))
     // coalesce: the empty-batch null watermark must read "closes
     // nothing", not null — a bare null predicate would fail BOTH the
-    // closed filter and its negation and silently wipe the frontier
+    // closed filter and its negation and silently wipe the frontier.
+    // STRICT <: the ordering contract allows a tie at the batch
+    // boundary (next batch's min ts == this batch's max), and an event
+    // at exactly end + gap still merges under the gap rule — closing
+    // at equality would split that session; under < it waits one batch
+    // and closes correctly
     val scored = merged.crossJoin(wmRow)
       .withColumn("closed", coalesce(
-        col("end_ms") + lit(gapMs) <= col("graft_wm_ms"), lit(false)))
+        col("end_ms") + lit(gapMs) < col("graft_wm_ms"), lit(false)))
     // materialize before mutating either table the plan reads
     val (mat, path) = graft.ops.Scratch.materializeAt(scored, "session_state")
     mat.filter(col("closed"))
@@ -378,25 +384,27 @@ object EventStreams {
         col("end_ms").as("session_end_ms"), col("n_events"),
         col("total_raw"), lit(batchId).as("batch_id"))
       .write.mode("append").format("parquet").saveAsTable(closedTable)
-    replaceOpenSessions(spark,
+    replaceTableAt(spark,
       mat.filter(!col("closed"))
         .select("user_id", "start_ms", "end_ms", "n_events", "total_raw"),
-      openTable)
+      openTable, "open_sessions")
     graft.ops.Scratch.drop(spark, path)
     ()
   }
 
-  /** Swap the open-session frontier to `df`'s rows: write a fresh
+  /** Swap a state table's contents to `df`'s rows: write a fresh
     * scratch snapshot, then re-point the table at it (drop + external
     * create keeps the catalog schema explicit even for an empty
-    * frontier). `df` must not read `openTable` — callers pass a
-    * materialized scan. */
-  private def replaceOpenSessions(
-      spark: SparkSession, df: DataFrame, openTable: String): Unit = {
+    * state). `df` must not read `table` — callers pass a materialized
+    * scan. Superseded state dirs are retired by the scratch
+    * lifecycle. */
+  private def replaceTableAt(
+      spark: SparkSession, df: DataFrame, table: String,
+      prefix: String): Unit = {
     val newPath = graft.ops.Scratch.dir(
-      spark.conf.getOption("spark.graft.scratchDir"), "open_sessions")
-    spark.sql(s"DROP TABLE IF EXISTS $openTable")
-    df.write.option("path", newPath).format("parquet").saveAsTable(openTable)
+      spark.conf.getOption("spark.graft.scratchDir"), prefix)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.option("path", newPath).format("parquet").saveAsTable(table)
   }
 
   /** Close EVERY still-open session (end-of-stream / end-of-replay
@@ -413,9 +421,9 @@ object EventStreams {
         col("end_ms").as("session_end_ms"), col("n_events"),
         col("total_raw"), lit(batchId).as("batch_id"))
       .write.mode("append").format("parquet").saveAsTable(closedTable)
-    replaceOpenSessions(spark, mat.limit(0)
+    replaceTableAt(spark, mat.limit(0)
       .select("user_id", "start_ms", "end_ms", "n_events", "total_raw"),
-      openTable)
+      openTable, "open_sessions")
     graft.ops.Scratch.drop(spark, path)
   }
 
@@ -442,6 +450,168 @@ object EventStreams {
     if (flush)
       flushOpenSessions(spark, openTable, closedTable, batches.size.toLong)
     spark.table(closedTable)
+  }
+
+  // ==== incremental attribution over a persisted live-views table ====
+
+  /** Seed the attribution loop's tables: the live-view state (views
+    * still inside the click horizon, with a matched flag) and the
+    * attribution log (matched pairs + null-click rows for views that
+    * expired unconverted — the LEFT-OUTER output shape). External
+    * parquet on caller paths, like the other loops. */
+  def seedAttributionTables(
+      spark: SparkSession,
+      viewsTable: String,
+      logTable: String,
+      viewsPath: String,
+      logPath: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $viewsTable")
+    Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("user_id", "view_id", "view_ms", "matched")
+      .write.option("path", viewsPath).format("parquet")
+      .saveAsTable(viewsTable)
+    spark.sql(s"DROP TABLE IF EXISTS $logTable")
+    Seq.empty[(Long, Long, Option[Long], Long, Option[Long], Long)]
+      .toDF("user_id", "view_id", "click_id", "view_ms", "click_ms",
+        "batch_id")
+      .write.option("path", logPath).format("parquet")
+      .saveAsTable(logTable)
+  }
+
+  /** CONTINUOUS stream-stream attribution as a table-state loop — the
+    * two-sided-state shape ([[attributeClicksOuter]]'s watermarked
+    * stream-stream OUTER join, re-expressed the way the other loops
+    * hold state): live views sit in a persisted table bounded by the
+    * horizon (every view is dropped once the watermark proves no
+    * future click can reach it), each micro-batch's clicks join
+    * (live ∪ this batch's views), matched pairs append to the log, and
+    * a view that expires unconverted appends exactly one null-click
+    * row — the funnel-loss side an inner join can't see.
+    *
+    * Contracts, matching the family: micro-batches partition the event
+    * stream in event-time order, with equal-ts events never split
+    * across batches (a `≤ cutoff` range partition, as the replay gate
+    * slices); a view EXPIRES under the strict `view_ms + horizon <
+    * batch max ts` (a boundary-tie click at exactly the horizon edge
+    * still matches). Each (view, click) pair is emitted exactly once —
+    * by the click's batch — and each unconverted view exactly once, at
+    * expiry or final flush. Log appends are keyed by batch_id and run
+    * before the state replacement, so replays are at-least-once with
+    * byte-identical rows; consumers dedup on (batch_id, view_id,
+    * click_id). */
+  def attributionIncrementalStream(
+      events: DataFrame,
+      viewsTable: String,
+      logTable: String,
+      horizonMinutes: Int = 60): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAttributionBatch(batch, viewsTable, logTable,
+          horizonMinutes * 60000L, batchId)
+      }
+      .start()
+
+  /** Per-micro-batch body of [[attributionIncrementalStream]], shared
+    * with [[replayAttribution]]. The batch carries raw events
+    * (event_id, user_id, event_type, ts); views and clicks are split
+    * here so one stream feeds both sides. */
+  private[graft] def processAttributionBatch(
+      batch: DataFrame,
+      viewsTable: String,
+      logTable: String,
+      horizonMs: Long,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val live = spark.table(viewsTable)
+    val nv = batch.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_millis(col("ts")).as("view_ms"), lit(false).as("matched"))
+    val nc = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"),
+        unix_millis(col("ts")).as("click_ms"))
+    val allViews = live.unionByName(nv)
+    // this batch's pairs: every live-or-new view × this batch's clicks
+    // inside the horizon — an equi-join on user with the range residual
+    val pairs = allViews.join(nc,
+        col("user_id") === col("c_user_id") &&
+          col("click_ms") >= col("view_ms") &&
+          col("click_ms") <= col("view_ms") + lit(horizonMs))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ms"), col("click_ms"))
+    val (matPairs, pPath) = graft.ops.Scratch.materializeAt(
+      pairs, "attrib_pairs")
+    val wmRow = broadcast(batch.agg(
+      max(unix_millis(col("ts"))).as("graft_wm_ms")))
+    val scoredViews = allViews
+      .join(matPairs.select(col("view_id")).distinct()
+        .withColumn("m_now", lit(true)), Seq("view_id"), "left_outer")
+      .select(col("user_id"), col("view_id"), col("view_ms"),
+        (col("matched") || coalesce(col("m_now"), lit(false))).as("matched"))
+      .crossJoin(wmRow)
+      .withColumn("expired", coalesce(
+        col("view_ms") + lit(horizonMs) < col("graft_wm_ms"), lit(false)))
+    val (matViews, vPath) = graft.ops.Scratch.materializeAt(
+      scoredViews, "attrib_views")
+    matPairs.withColumn("batch_id", lit(batchId))
+      .write.mode("append").format("parquet").saveAsTable(logTable)
+    matViews.filter(col("expired") && !col("matched"))
+      .select(col("user_id"), col("view_id"),
+        lit(null).cast("long").as("click_id"), col("view_ms"),
+        lit(null).cast("long").as("click_ms"), lit(batchId).as("batch_id"))
+      .write.mode("append").format("parquet").saveAsTable(logTable)
+    replaceTableAt(spark,
+      matViews.filter(!col("expired"))
+        .select("user_id", "view_id", "view_ms", "matched"),
+      viewsTable, "attrib_live")
+    graft.ops.Scratch.drop(spark, pPath)
+    graft.ops.Scratch.drop(spark, vPath)
+    ()
+  }
+
+  /** Emit every still-live unconverted view as a null-click row under
+    * `batchId` (end-of-stream flush), leaving empty state. Views that
+    * already matched leave silently — their pairs are in the log. */
+  def flushAttribution(
+      spark: SparkSession,
+      viewsTable: String,
+      logTable: String,
+      batchId: Long): Unit = {
+    val (mat, path) = graft.ops.Scratch.materializeAt(
+      spark.table(viewsTable), "attrib_flush")
+    mat.filter(!col("matched"))
+      .select(col("user_id"), col("view_id"),
+        lit(null).cast("long").as("click_id"), col("view_ms"),
+        lit(null).cast("long").as("click_ms"), lit(batchId).as("batch_id"))
+      .write.mode("append").format("parquet").saveAsTable(logTable)
+    replaceTableAt(spark, mat.limit(0)
+      .select("user_id", "view_id", "view_ms", "matched"),
+      viewsTable, "attrib_live")
+    graft.ops.Scratch.drop(spark, path)
+  }
+
+  /** DETERMINISTIC batch replay of [[attributionIncrementalStream]]:
+    * run the event-time-ordered frames through the shared body, flush,
+    * return the attribution log — the LEFT-OUTER attribution output
+    * (matched pairs + null-click funnel loss), oracle-gated as
+    * `ev_attribution_stream_replay` against the same oracle as the
+    * one-shot `ev_attribution_outer`. */
+  def replayAttribution(
+      batches: Seq[DataFrame],
+      viewsTable: String,
+      logTable: String,
+      horizonMinutes: Int = 60,
+      flush: Boolean = true): DataFrame = {
+    require(batches.nonEmpty, "replayAttribution: no batches")
+    val spark = batches.head.sparkSession
+    batches.zipWithIndex.foreach { case (b, i) =>
+      processAttributionBatch(b, viewsTable, logTable,
+        horizonMinutes * 60000L, i.toLong)
+    }
+    if (flush)
+      flushAttribution(spark, viewsTable, logTable, batches.size.toLong)
+    spark.table(logTable)
   }
 
   // ==== incremental windowed rollup over a persisted pane table ====
@@ -576,7 +746,13 @@ object EventStreams {
     * crash mid-append-sequence) is absorbed downstream: consumers read
     * the pair log `DISTINCT` on (batch_id, a, b), and the candidate
     * probe itself de-duplicates band collisions, so duplicate index
-    * keys cost a little index size, never correctness. */
+    * keys cost a little index size, never correctness.
+    *
+    * Scale note: the anti-join broadcasts the batch's ID COLUMN only —
+    * micro-batch-sized by the streaming contract (a bulk backfill is a
+    * batch job, not a micro-batch), and the alternative would shuffle
+    * the accumulated history, the exact movement the bucketed index
+    * exists to avoid. */
   def lshDedupStream(
       docs: DataFrame,
       bandTable: String,
