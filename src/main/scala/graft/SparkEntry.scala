@@ -2536,6 +2536,28 @@ object SparkEntry {
         "graft_lsh_stream_pairs", buckets = 8, minJaccard = 0.20)
         .select(col("a"), col("b"), col("jaccard"))
     }),
+    "ev_window_pane_compacted" -> ((s, dir) => {
+      // pane-table MAINTENANCE mid-stream: two batches append, the
+      // table COMPACTS (one raw-sum pane row per window×type under the
+      // reserved epoch -1), a third batch appends on top — the merged
+      // rollup must still equal the one-shot windowed agg (same oracle
+      // as ev_window_pane_replay): compaction is an epoch boundary,
+      // never a value change
+      val ev = eventsTable(s, dir)
+      graft.streaming.EventStreams.seedPaneTable(s, "graft_ev_panes_cmp",
+        graft.ops.Scratch.dir(
+          s.conf.getOption("spark.graft.scratchDir"), "ev_panes_cmp"))
+      val batches = (0 to 2).map(i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i))
+      graft.streaming.EventStreams.processPaneBatch(
+        batches(0), "graft_ev_panes_cmp", 0L)
+      graft.streaming.EventStreams.processPaneBatch(
+        batches(1), "graft_ev_panes_cmp", 1L)
+      graft.streaming.EventStreams.compactPanes(s, "graft_ev_panes_cmp")
+      graft.streaming.EventStreams.processPaneBatch(
+        batches(2), "graft_ev_panes_cmp", 2L)
+      graft.streaming.EventStreams.mergePanes(s, "graft_ev_panes_cmp")
+    }),
     "dedup_rate_report" -> ((s, dir) =>
       // per-source duplicate-rate report card: one keyed agg over
       // fingerprints, the corpus-health metric per crawl/source
@@ -3466,6 +3488,12 @@ object SparkEntry {
     "ev_window_pane_replay" ->
       // identical to ev_window_agg: the pane loop's merged rollup IS
       // the one-shot windowed aggregate
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+                count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "ev_window_pane_compacted" ->
+      // compaction preserves the monoid partials raw, so the rollup is
+      // unchanged — same oracle as the replay gate
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
                 count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY 1, 2""",

@@ -679,6 +679,28 @@ object EventStreams {
       .groupBy(col("window_start_ms"), col("event_type"))
       .agg(sum("n").as("n"), round(sum("total_raw"), 4).as("total_value"))
 
+  /** COMPACT the pane table: collapse the per-batch partials (and any
+    * replayed duplicates) into one pane row per (window, event_type)
+    * under the reserved epoch `batch_id = -1`, re-pointing the table at
+    * a fresh write — the [[graft.operators.Dedup.compactFpIndex]]
+    * maintenance leg for the rollup loop. The stored partials stay RAW
+    * (unrounded) monoid sums, so [[mergePanes]] over the compacted
+    * table is value-identical to the uncompacted read, and subsequent
+    * batches keep appending under their own batch_ids — compaction is
+    * an epoch boundary, not a freeze. */
+  def compactPanes(spark: SparkSession, paneTable: String): Unit = {
+    val merged = graft.ops.Scratch.materialize(
+      spark.table(paneTable)
+        .dropDuplicates("window_start_ms", "event_type", "batch_id")
+        .groupBy(col("window_start_ms"), col("event_type"))
+        .agg(sum("n").as("n"), sum("total_raw").as("total_raw"))
+        .withColumn("batch_id", lit(-1L)),
+      "pane_compact")
+    replaceTableAt(spark, merged
+      .select("window_start_ms", "event_type", "n", "total_raw", "batch_id"),
+      paneTable, "ev_panes")
+  }
+
   /** Batch replay of [[windowPaneStream]] — feed the frames through
     * [[processPaneBatch]] and return the merged rollup. Identity with
     * the one-shot [[windowedCounts]] is oracle-gated

@@ -171,6 +171,33 @@ class IncrementalSessionSpec extends SparkTestBase {
       EventStreams.processPaneBatch(batches(1), "graft_panes_spec", 1L)
       assert(rows(EventStreams.mergePanes(spark, "graft_panes_spec")) ==
         rows(oneShot))
+      // COMPACT: one raw-sum row per pane under epoch -1 (the replayed
+      // duplicate collapses too), rollup unchanged, and a post-compact
+      // batch appends on top without disturbing it
+      EventStreams.compactPanes(spark, "graft_panes_spec")
+      val t = spark.table("graft_panes_spec")
+      assert(t.count() ==
+        t.select("window_start_ms", "event_type").distinct().count())
+      assert(t.select("batch_id").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(-1L))
+      assert(rows(EventStreams.mergePanes(spark, "graft_panes_spec")) ==
+        rows(oneShot))
+      EventStreams.processPaneBatch(batches(1), "graft_panes_spec", 10L)
+      EventStreams.processPaneBatch(batches(1), "graft_panes_spec", 11L)
+      val twice = EventStreams.mergePanes(spark, "graft_panes_spec")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // two more real epochs of batch-1 events: counts grow by exactly
+      // two extra batch-1 contributions — the epoch boundary is open
+      val base = oneShot.collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+      val b1Counts = batches(1)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")), col("event_type"), col("n"))
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+        .toMap
+      twice.foreach { case (w, ty, n) =>
+        assert(n == base((w, ty)) + 2 * b1Counts.getOrElse((w, ty), 0L)) }
     } finally spark.sql("DROP TABLE IF EXISTS graft_panes_spec")
   }
 }
