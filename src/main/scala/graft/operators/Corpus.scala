@@ -1336,12 +1336,19 @@ object Corpus {
     // source; materialized, every consumer re-reads the (smaller)
     // deduped table. At warehouse scale this is the table you'd persist
     // between the dedup job and the decontamination job anyway.
+    //
+    // Keep-one is an ANTI-join against the NON-representative members
+    // (cluster label smaller than own id) — set-identical to joining
+    // the `cluster_id === doc_id` closure of dupClusters, but the probe
+    // side is |duplicate members| instead of |kept corpus|, and base is
+    // scanned once here instead of twice (the dupClusters closure
+    // re-scans base for its id spine).
     val (reps, repsPath) = graft.ops.Scratch.materializeAt(
       base.join(
-        dupClusters(base, pairs, idCol)
-          .filter(col("doc_id") === col("cluster_id"))
-          .select(col("doc_id").as(idCol)),
-        Seq(idCol)),
+        connectedComponents(pairs)
+          .filter(col("id") =!= col("label"))
+          .select(col("id").as(idCol)),
+        Seq(idCol), "left_anti"),
       "corpus_reps")
     // the reps write was the last reader of the quality-filtered base
     basePath.foreach(graft.ops.Scratch.drop(docs.sparkSession, _))
@@ -1351,11 +1358,17 @@ object Corpus {
     // gate proves full value equality), but the corpus gram stream is
     // cut map-side BEFORE the shuffle, which at 100 TB is the difference
     // between shuffling every gram and shuffling the ~fpp tail.
+    //
+    // Drop-the-flagged is likewise an ANTI-join against the CONTAMINATED
+    // ids (under the `contaminated` filter Catalyst rewrites
+    // decontaminateBloom's per-doc left-join closure to an inner join —
+    // null-extended rows can't satisfy it), so the join probe is
+    // |contaminated|, not |clean|.
     val clean0 = reps.join(
       decontaminateBloom(reps, benchmark, idCol = idCol)
-        .filter(!col("contaminated"))
+        .filter(col("contaminated"))
         .select(col("doc_id").as(idCol)),
-      Seq(idCol))
+      Seq(idCol), "left_anti")
     // optional fuzzy pass: anti-join the near-dup-contaminated ids out.
     // Same machinery as decontaminate_fuzzy's standalone query; both
     // sides of the bipartite LSH scan once into scratch signature

@@ -355,24 +355,59 @@ object Dedup {
     val bk = Scratch.materialize(
       lshBandKeys(batch, idCol, textCol, shingleK, bands, rowsPerBand),
       "lshidx_batch_keys")
+    incrementalLshJaccardFromKeys(bk, bandIndex, corpusText, idCol, textCol,
+      shingleK, minJaccard, maxBucketRows)
+  }
+
+  /** The CANDIDATE half of [[incrementalLshJaccard]] as one lazy plan —
+    * cross-batch probe (equi-join on the index's bucket columns
+    * (band, h), Exchange planned on the batch side only — the plan
+    * shape DedupLshIndexSpec asserts) unioned with the guarded
+    * within-batch self-join. [[incrementalLshJaccardFromKeys]]
+    * materializes exactly this plan once per batch. */
+  private[graft] def incrementalLshCandidates(
+      bk: DataFrame,
+      bandIndex: DataFrame,
+      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
     val guarded = Blocks.guardBlockSize(
       bk.select(col("id"), struct(col("band"), col("h")).as("bk")),
       "bk", maxBucketRows, "incrementalLshJaccard",
       hint = "a mass-duplicate band bucket yields quadratic candidate "
         + "pairs - run exact dedup first or raise maxBucketRows deliberately",
       boundName = "maxBucketRows")
-    // cross-batch candidates: equi-join on the index's bucket columns
-    // (band, h) — the Exchange lands on the batch side only
     val cross = guarded
       .select(col("id").as("a"), col("bk.band").as("band"), col("bk.h").as("h"))
       .join(bandIndex.select(col("id").as("b"), col("band"), col("h")),
         Seq("band", "h"))
       .select(col("a"), col("b")).distinct()
-    // within-batch candidates: the standard guarded self-join (a < b)
     val within = candidatePairs(
       bk.select(col("id"), struct(col("band"), col("h")).as("bk")),
       "incrementalLshJaccard", maxBucketRows)
-    val pairs = cross.unionByName(within)
+    cross.unionByName(within)
+  }
+
+  /** [[incrementalLshJaccard]] against PRE-COMPUTED (already
+    * materialized) batch band keys `(id, band, h)` — the streaming loop
+    * computes the batch's keys exactly once and feeds them both here
+    * (probe + self-join) and to the history append, instead of
+    * re-scanning and re-hashing the batch text for the append
+    * (one full MinHash signature pass saved per micro-batch). */
+  private[graft] def incrementalLshJaccardFromKeys(
+      bk: DataFrame,
+      bandIndex: DataFrame,
+      corpusText: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 5,
+      minJaccard: Double = 0.0,
+      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
+    // the candidate table is a STAGE ARTIFACT: left lazy it would
+    // evaluate its probe + self-join subtree three times (twice under
+    // the ids union, once more in the verify join) — materialized, the
+    // (tiny, 2-column) pair list is computed once and every consumer
+    // re-reads it
+    val pairs = Scratch.materialize(
+      incrementalLshCandidates(bk, bandIndex, maxBucketRows), "lshidx_cands")
     val ids = pairs.select(col("a").as("id"))
       .unionByName(pairs.select(col("b").as("id"))).distinct()
     val gsets = Scratch.materialize(

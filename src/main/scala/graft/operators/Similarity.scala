@@ -935,6 +935,76 @@ object Similarity {
     cents
   }
 
+  /** FUSED per-subspace Lloyd over a pre-sliced frame
+    * `(vid, s0..s{m-1})`: the M independent subspace k-means loops of
+    * [[pqTopK]] / [[buildIvfPq]] share ONE job per round instead of
+    * running M separate loops. Value-identical to calling [[lloydL2]]
+    * per subspace — the init is the same k smallest-vid rows (every
+    * subspace seeds from the same rows, so one collect carries all M
+    * seed slices), and each round's update computes the same per-(cell,
+    * pos) `avg` per subspace, only keyed by (subspace, cell, pos) in a
+    * single aggregate instead of M aggregates in M jobs. Rounding
+    * stays in the Spark projection (`round(x, 6)`, the [[pin]]
+    * discipline) so the pinned literals are the exact values the
+    * per-subspace path would pin.
+    *
+    * Why: M×(iters+1) collect-driven passes over the corpus become
+    * (iters+1) — at m=4, iters=2 that is 12 jobs → 3 jobs, and at
+    * 100 TB it is the difference between scanning the (cached) sliced
+    * corpus M×iters times and iters times per build. */
+  private def lloydL2MultiSub(
+      sliced: DataFrame,
+      m: Int,
+      k: Int,
+      iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val empty: Seq[Seq[(Int, Seq[Double])]] = Seq.fill(m)(Seq.empty)
+    // init: ONE ordered-limit collect seeds all M books (cell = vid rank)
+    val initRows = sliced.orderBy(col("vid").asc).limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("vid").asc)) - 1).cast("int"))
+      .select(col("cell") +:
+        (0 until m).map(j =>
+          transform(col(s"s$j"), x => round(x, 6)).as(s"s$j")): _*)
+      .collect().sortBy(_.getInt(0))
+    if (initRows.isEmpty) return empty
+    var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
+      initRows.toSeq.map(r => (r.getInt(0), r.getSeq[Double](j + 1).toSeq))
+    }
+    for (_ <- 0 until iters) {
+      // one exploded (subspace, cell, coordinate) stream: per-subspace
+      // argmin assignment (the assignL2 expression) rides inside the
+      // struct array, so one scan of the cached slices feeds all M
+      // subspaces' mean updates
+      val perSub = (0 until m).map { j =>
+        val scored = books(j).map { case (cell, cv) =>
+          struct(
+            round(sqDist(col(s"s$j"), array(cv.map(lit(_)): _*)), 6).as("d"),
+            lit(cell).as("cell"))
+        }
+        struct(lit(j).as("sub"),
+          array_min(array(scored: _*)).getField("cell").as("cell"),
+          col(s"s$j").as("v"))
+      }
+      val updated = sliced
+        .select(explode(array(perSub: _*)).as("a"))
+        .select(col("a.sub").as("sub"), col("a.cell").as("cell"),
+          posexplode(col("a.v")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("col")).as("mn"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"))
+        .select(col("sub"), col("cell"),
+          transform(col("pm"), p => round(p.getField("mn"), 6)).as("cv"))
+        .collect()
+      books = (0 until m).map { j =>
+        updated.filter(_.getInt(0) == j)
+          .map(r => (r.getInt(1), r.getSeq[Double](2).toSeq))
+          .sortBy(_._1).toSeq
+      }
+    }
+    books
+  }
+
   /** Map-side Euclidean code assignment against pinned centroid
     * literals: argmin of 6-dp-rounded squared distance, ties to the
     * lowest code (min over struct(dist, cell)) — ONE projection, NO
@@ -989,10 +1059,11 @@ object Similarity {
     val sliced = base.select(col("vid") +:
       (0 until m).map(j => sliceD(col("v"), j).as(s"s$j")): _*)
     if (iters > 0) sliced.persist()
+    // fused per-subspace Lloyd: one job per round for all M books
+    // (value-identical to M independent lloydL2 loops — see
+    // lloydL2MultiSub)
     val books: Seq[Seq[(Int, Seq[Double])]] =
-      (0 until m).map { j =>
-        lloydL2(sliced.select(col("vid"), col(s"s$j").as("v")), ksub, iters)
-      }
+      lloydL2MultiSub(sliced, m, ksub, iters)
     if (iters > 0) sliced.unpersist(blocking = false)
 
     // encode: M argmin projections in one pass over the corpus
@@ -1134,10 +1205,11 @@ object Similarity {
     val sliced = assigned.select(col("vid") +: col("cell") +:
       (0 until m).map(j => sliceD(vEnc, j).as(s"s$j")): _*)
     if (iters > 0) sliced.persist()
+    // fused per-subspace Lloyd: one job per round for all M books
+    // (value-identical to M independent lloydL2 loops — see
+    // lloydL2MultiSub)
     val books: Seq[Seq[(Int, Seq[Double])]] =
-      (0 until m).map { j =>
-        lloydL2(sliced.select(col("vid"), col(s"s$j").as("v")), ksub, iters)
-      }
+      lloydL2MultiSub(sliced, m, ksub, iters)
     if (iters > 0) sliced.unpersist(blocking = false)
 
     // the scored index: (vid, cell, M codes) — vectors do NOT ride

@@ -813,25 +813,31 @@ object EventStreams {
         Seq("id"), "left_anti")
     val corpus = spark.table(corpusTable).select("doc_id", "text")
       .unionByName(batch.select("doc_id", "text"))
-    val pairs = graft.operators.Dedup.incrementalLshJaccard(
-      batch, hist, corpus, shingleK = shingleK, bands = bands,
-      rowsPerBand = rowsPerBand, minJaccard = minJaccard)
+    // the batch's band keys are computed (and scratch-materialized)
+    // ONCE: the probe/self-join reads them here and the history append
+    // below re-reads the same scratch table — previously the append
+    // re-ran the full MinHash signature pass over the batch text
+    val (bk, bkPath) = graft.ops.Scratch.materializeAt(
+      graft.operators.Dedup.lshBandKeys(batch, shingleK = shingleK,
+        bands = bands, rowsPerBand = rowsPerBand), "lsh_stream_keys")
+    val pairs = graft.operators.Dedup.incrementalLshJaccardFromKeys(
+      bk, hist, corpus, shingleK = shingleK, minJaccard = minJaccard)
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"), col("jaccard"))
-    // materialize before the appends: the pair plan reads BOTH tables
-    // the appends mutate
-    val (mat, path) = graft.ops.Scratch.materializeAt(pairs, "lsh_stream_pairs")
-    mat.withColumn("batch_id", lit(batchId))
+    // the pair append runs FIRST, while every table its plan reads
+    // (bandTable via hist, corpusTable via corpus) is still unmutated —
+    // one direct write, no intermediate scratch round-trip (the append
+    // is the plan's ONLY consumer; the band/corpus appends below read
+    // the bk scratch table and the raw batch, never this plan)
+    pairs.withColumn("batch_id", lit(batchId))
       .write.mode("append").format("parquet").saveAsTable(pairsTable)
-    graft.operators.Dedup
-      .lshBandKeys(batch, shingleK = shingleK, bands = bands,
-        rowsPerBand = rowsPerBand)
+    bk.select(col("id"), col("band"), col("h"))
       .write.mode("append")
       .bucketBy(buckets, "band", "h").sortBy("band", "h")
       .format("parquet").saveAsTable(bandTable)
     batch.select("doc_id", "text")
       .write.mode("append").format("parquet").saveAsTable(corpusTable)
-    graft.ops.Scratch.drop(spark, path)
+    graft.ops.Scratch.drop(spark, bkPath)
     ()
   }
 

@@ -56,9 +56,13 @@ class DedupLshIndexSpec extends SparkTestBase {
     try {
       Dedup.writeLshBandIndex(Dedup.lshBandKeys(split(0)),
         "graft_lsh_band_spec2", buckets = 4, path = Some(dir))
-      val out = Dedup.incrementalLshJaccard(batch,
-        Dedup.loadLshBandIndex(spark, "graft_lsh_band_spec2"),
-        docs, minJaccard = 0.20)
+      // the probe join lives in the CANDIDATE plan — the exact lazy
+      // plan incrementalLshJaccardFromKeys scratch-materializes once
+      // per batch (the verify joins downstream read the materialized
+      // pair table, so the returned frame no longer carries the probe)
+      val out = Dedup.incrementalLshCandidates(
+        Dedup.lshBandKeys(batch),
+        Dedup.loadLshBandIndex(spark, "graft_lsh_band_spec2"))
       out.collect() // execute so AQE finalizes the plan
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.FileSourceScanExec
