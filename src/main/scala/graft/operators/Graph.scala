@@ -363,8 +363,13 @@ object Graph {
     // wedge (u; v1, v2) with v1 < v2 in orientation order; closes iff
     // oriented edge (v1, v2) exists — orientation is total, so the
     // closing edge can only be stored as (v1, v2).
-    val w1 = o.select(col("u"), col("v").as("v1"), col("vdeg").as("v1deg"))
-    val w2 = o.select(col("u"), col("v").as("v2"), col("vdeg").as("v2deg"))
+    // fanOutByKey(u): the quadratic wedge expansion must not run at
+    // the byte-small post-shuffle parallelism AQE would coalesce it to
+    // (see Par.fanOutByKey — measured 1–2-task wedge stages); the
+    // explicit hash exchange IS the wedge join's exchange, pinned
+    val oK = graft.ops.Par.fanOutByKey(o, col("u"))
+    val w1 = oK.select(col("u"), col("v").as("v1"), col("vdeg").as("v1deg"))
+    val w2 = oK.select(col("u"), col("v").as("v2"), col("vdeg").as("v2deg"))
     val wedges = w1.join(w2, Seq("u"))
       .filter(ord(col("v1deg"), col("v1")) < ord(col("v2deg"), col("v2")))
     val closed = wedges.join(
@@ -395,8 +400,13 @@ object Graph {
     import graft.ops.Scratch
     // backs the returned lazy plan (adjacency twice + closing join)
     val e = Scratch.materialize(canonicalEdges(edges), "lcc_edges")
-    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
-      .union(e.select(col("dst").as("n"), col("src").as("x")))
+    // fanOutByKey(n) — see Par.fanOutByKey: the wedge expansion below
+    // must not run at the 1–2-task parallelism AQE's byte-based
+    // coalescing gives a byte-small adjacency (no-op on well-split
+    // inputs); the keyed aggregates on n reuse the pinned exchange
+    val adj0 = graft.ops.Par.fanOutByKey(
+      e.select(col("src").as("n"), col("dst").as("x"))
+        .union(e.select(col("dst").as("n"), col("src").as("x"))), col("n"))
     val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
       "localClusteringCoefficient",
       hint = "the wedge fanout is quadratic in node degree - truncate "
@@ -1336,8 +1346,12 @@ object Graph {
       metric: String = "jaccard"): DataFrame = {
     import graft.ops.Scratch
     val e = Scratch.materialize(canonicalEdges(edges), "ns_edges")
-    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
-      .union(e.select(col("dst").as("n"), col("src").as("x")))
+    // fanOutByKey(n) — see Par.fanOutByKey: the wedge expansion must
+    // not run at the 1–2-task parallelism AQE's byte-based coalescing
+    // gives a byte-small adjacency; keyed aggregates on n reuse it
+    val adj0 = graft.ops.Par.fanOutByKey(
+      e.select(col("src").as("n"), col("dst").as("x"))
+        .union(e.select(col("dst").as("n"), col("src").as("x"))), col("n"))
     val deg = adj0.groupBy(col("n")).agg(count(lit(1)).as("d"))
     val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
       "nodeSimilarityTopK",
@@ -1390,8 +1404,12 @@ object Graph {
     // the scratch edge table backs the returned lazy plan (read three
     // times by it); session shutdown reclaims it.
     val e = Scratch.materialize(canonicalEdges(edges), "cn_edges")
-    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
-      .union(e.select(col("dst").as("n"), col("src").as("x")))
+    // fanOutByKey(n) — see Par.fanOutByKey: the wedge expansion must
+    // not run at the 1–2-task parallelism AQE's byte-based coalescing
+    // gives a byte-small adjacency; keyed aggregates on n reuse it
+    val adj0 = graft.ops.Par.fanOutByKey(
+      e.select(col("src").as("n"), col("dst").as("x"))
+        .union(e.select(col("dst").as("n"), col("src").as("x"))), col("n"))
     val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
       "commonNeighborsTopK",
       hint = "the wedge fanout is quadratic in node degree - truncate "
@@ -1434,8 +1452,13 @@ object Graph {
     // backs the returned lazy plan (read three times); session
     // shutdown reclaims it.
     val e = Scratch.materialize(canonicalEdges(edges), "aa_edges")
-    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
-      .union(e.select(col("dst").as("n"), col("src").as("x")))
+    // fanOutByKey(n) — see Par.fanOutByKey: the wedge expansion below
+    // must not run at the 1–2-task parallelism AQE's byte-based
+    // coalescing gives a byte-small adjacency (no-op on well-split
+    // inputs); the keyed aggregates on n reuse the pinned exchange
+    val adj0 = graft.ops.Par.fanOutByKey(
+      e.select(col("src").as("n"), col("dst").as("x"))
+        .union(e.select(col("dst").as("n"), col("src").as("x"))), col("n"))
     val deg = adj0.groupBy(col("n")).agg(count(lit(1)).as("d"))
     val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
       "adamicAdarTopK",
@@ -4105,8 +4128,12 @@ object Graph {
     import graft.ops.Scratch
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val e = Scratch.materialize(canonicalEdges(edges), "c4_edges")
-    val adj0 = e.select(col("src").as("n"), col("dst").as("x"))
-      .union(e.select(col("dst").as("n"), col("src").as("x")))
+    // fanOutByKey(n) — see Par.fanOutByKey: the wedge expansion must
+    // not run at the 1–2-task parallelism AQE's byte-based coalescing
+    // gives a byte-small adjacency; keyed aggregates on n reuse it
+    val adj0 = graft.ops.Par.fanOutByKey(
+      e.select(col("src").as("n"), col("dst").as("x"))
+        .union(e.select(col("dst").as("n"), col("src").as("x"))), col("n"))
     val adj = Blocks.guardBlockSize(adj0, "n", maxDegree,
       "rectangleCount",
       hint = "the wedge fanout is quadratic in node degree - truncate "

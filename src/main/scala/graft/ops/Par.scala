@@ -39,6 +39,58 @@ object Par {
     if (underSplit) df.repartition(target) else df
   }
 
+  /** [[fanOut]] for inputs feeding a QUADRATIC-OUTPUT equi-join on
+    * `cols` (wedge/self joins): hash-repartition by the join key with
+    * an explicit partition count instead of round-robin.
+    *
+    * Why round-robin is not enough there: the join re-shuffles by its
+    * key, and AQE coalesces that post-shuffle read by INPUT bytes —
+    * blind to the join's quadratic OUTPUT, so a byte-small adjacency
+    * collapses the whole expansion onto 1–2 tasks (measured on the
+    * wedge operators: one 3.6 s task computing 2M wedge pairs from a
+    * 1.9 MB shuffle read). An EXPLICIT user repartition is exempt from
+    * AQE coalescing, satisfies the join's distribution requirement (so
+    * it costs no additional Exchange — it IS the join's exchange, with
+    * a pinned count), and any keyed aggregate on the same columns
+    * reuses it.
+    *
+    * Same no-op contract as [[fanOut]]: only fires for under-split
+    * inputs (byte-small scans), where the pinned defaultParallelism is
+    * the right order; a well-split 100 TB input keeps its planner
+    * exchanges and AQE sizing, whose byte heuristic is correct once
+    * input bytes are output-proportional. */
+  def fanOutByKey(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    val maxTarget = spark.sparkContext.defaultParallelism
+    // bytes-proportional target, capped at the cluster parallelism: an
+    // iterative peel (kTruss) calls this every round on a SHRINKING
+    // input — pinning every round at full parallelism costs more in
+    // per-task overhead than the late tiny rounds' expansion saves, so
+    // rounds scale down with their input (~64 KB of compressed
+    // adjacency per task of quadratic expansion, measured crossover)
+    val target = fileBytesEstimate(df) match {
+      case Some(bytes) =>
+        math.min(maxTarget.toLong, math.max(1L, bytes / 65536L + 1L)).toInt
+      case None => maxTarget
+    }
+    val underSplit = fileSplitEstimate(df) match {
+      case Some(estSplits) => estSplits < target
+      case None => df.rdd.getNumPartitions < target
+    }
+    if (underSplit) df.repartition(target, cols: _*) else df
+  }
+
+  /** Total bytes across the frame's file relations (`None` when it has
+    * no file relation — in-memory test data). */
+  def fileBytesEstimate(df: DataFrame): Option[Long] = {
+    val fileRels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (fileRels.isEmpty) None else Some(fileRels.map(_.location.sizeInBytes).sum)
+  }
+
   /** Estimated FileScan split count for a file-backed frame, from the
     * scan relations' FILE INDEX (total bytes → Spark's own
     * FilePartition.maxSplitBytes packing formula) — no physical
