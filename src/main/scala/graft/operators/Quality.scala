@@ -68,7 +68,12 @@ object Quality {
               lit(null).cast("double").as(s"${c}__sum"))
         base ++ numeric
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // fanOut the audited-column projection: the multi-distinct Expand
+    // multiplies every row by the distinct-agg count, and a byte-small
+    // (single-digit-split) scan runs that whole pipeline on 1-3 tasks
+    // (no-op on well-split inputs — the Par.fanOut contract)
+    val one = graft.ops.Par.fanOut(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
       struct(
         lit(c).as("column"),
@@ -372,8 +377,11 @@ object Quality {
     require(nPerms >= 1 && nPerms <= 60,
       "nPerms must be in [1, 60]: one 60-bit md5 supplies all coins")
     val vr = round(col(valueCol).cast("double"), 6)
-    val base = df.select(col(keyCol).cast("string").as("rk"),
-      (col(variantCol) === 1).as("b0"), vr.as("vr"))
+    // fanOut: the nPerms-way explode + per-row md5 below is the hot
+    // map stage and must not run at a 1-split scan's parallelism
+    val base = graft.ops.Par.fanOut(
+      df.select(col(keyCol).cast("string").as("rk"),
+        (col(variantCol) === 1).as("b0"), vr.as("vr")))
     def armAgg(b: Column) = Seq(
       sum(when(!b, 1L).otherwise(0L)).as("n0"),
       sum(when(b, 1L).otherwise(0L)).as("n1"),
@@ -1219,9 +1227,11 @@ object Quality {
         when(col("c") < t, lit(k.toLong)).otherwise(acc)
       }
     val v = round(col(valueCol).cast("double"), 6).cast("decimal(28,6)")
-    val reps = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(idCol), v.as("v"),
+    // fanOut: the b-way explode + per-(row, replica) md5 coin is the
+    // hot map stage (measured: ONE 4.5 s task on a 1-split scan)
+    val reps = graft.ops.Par.fanOut(
+      df.filter(col(valueCol).isNotNull).select(col(idCol), v.as("v")))
+      .select(col(idCol), col("v"),
         explode(sequence(lit(0), lit(b - 1))).as("r"))
       .withColumn("c", coin)
       .withColumn("w", weight)
@@ -1258,6 +1268,10 @@ object Quality {
       groupCol: String,
       rsd: Double = 0.01,
       maxRelError: Double = 0.04): DataFrame =
+    // NO fanOut here (measured 3.5× regression): the multi-distinct
+    // rewrite evaluates the HLL partial per EXPANDED key, so widening
+    // the partial-agg stage multiplies ~22 KB HLL buffers across every
+    // task's (group, value) keys — 256 MB spill PER TASK at 32-way
     df.groupBy(col(groupCol))
       .agg(count_distinct(col(valueCol)).as("n_exact"),
         approx_count_distinct(col(valueCol), rsd).as("_n_approx"))
