@@ -557,7 +557,10 @@ object SparkEntry {
       val out = graft.ops.Scratch.dir(
         s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare")
       graft.operators.Corpus.prepareTrainingSet(
-          docs.withColumn("quality",
+          // fanOut BELOW the regex-heavy score projection: the byte-
+          // small documents scan is one split, and an exchange above
+          // the expression would still evaluate it on that one task
+          graft.ops.Par.fanOut(docs).withColumn("quality",
             graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
           bench, out,
           splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
@@ -597,7 +600,10 @@ object SparkEntry {
       val out = graft.ops.Scratch.dir(
         s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare_spans")
       graft.operators.Corpus.prepareTrainingSet(
-          docs.withColumn("quality",
+          // fanOut BELOW the regex-heavy score projection: the byte-
+          // small documents scan is one split, and an exchange above
+          // the expression would still evaluate it on that one task
+          graft.ops.Par.fanOut(docs).withColumn("quality",
             graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
           bench, out,
           splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
@@ -617,7 +623,10 @@ object SparkEntry {
       val out = graft.ops.Scratch.dir(
         s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare_fuzzy")
       graft.operators.Corpus.prepareTrainingSet(
-          docs.withColumn("quality",
+          // fanOut BELOW the regex-heavy score projection: the byte-
+          // small documents scan is one split, and an exchange above
+          // the expression would still evaluate it on that one task
+          graft.ops.Par.fanOut(docs).withColumn("quality",
             graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
           bench, out,
           splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
@@ -637,7 +646,10 @@ object SparkEntry {
       val out = graft.ops.Scratch.dir(
         s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare_semantic")
       graft.operators.Corpus.prepareTrainingSet(
-          docs.withColumn("quality",
+          // fanOut BELOW the regex-heavy score projection: the byte-
+          // small documents scan is one split, and an exchange above
+          // the expression would still evaluate it on that one task
+          graft.ops.Par.fanOut(docs).withColumn("quality",
             graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
           bench, out,
           splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
@@ -679,7 +691,10 @@ object SparkEntry {
       val out = graft.ops.Scratch.dir(
         s.conf.getOption("spark.graft.scratchDir"), "corpus_prepare_mixed")
       graft.operators.Corpus.prepareTrainingSet(
-          docs.withColumn("quality",
+          // fanOut BELOW the regex-heavy score projection: the byte-
+          // small documents scan is one split, and an exchange above
+          // the expression would still evaluate it on that one task
+          graft.ops.Par.fanOut(docs).withColumn("quality",
             graft.functions.TextFunctions.qualityScore(col("text"), col("n_chars"))),
           bench, out,
           splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),

@@ -1031,9 +1031,12 @@ object Corpus {
     val bgSide =
       if (bgMeta("n_grams").asInstanceOf[Long] <= maxBroadcastGrams) broadcast(bg)
       else bg
-    val dg = docs
-      .select(col(idCol).as("doc_id"),
-        explode(tokenShingles(col(textCol), nTokens)).as("g"))
+    // fanOut: the per-row token-shingle explode + gram hashing is the
+    // corpus-side hot map stage (single-split scans would serialize it)
+    val dg = graft.ops.Par.fanOut(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__t")))
+      .select(col("doc_id"),
+        explode(tokenShingles(col("__t"), nTokens)).as("g"))
       .filter(length(col("g")) > 0)
       .select(col("doc_id"), gramHash(col("g")).as("gram"))
     val hits = dg.join(bgSide, Seq("gram"))
@@ -1122,9 +1125,11 @@ object Corpus {
           org.apache.spark.sql.GraftExpr.expression(gram)))
     val bgSide =
       if (nGrams <= maxBroadcastGrams) broadcast(bg) else bg
-    val dg = docs
-      .select(col(idCol).as("doc_id"),
-        explode(tokenShingles(col(textCol), nTokens)).as("g"))
+    // fanOut: same hot-map-stage rationale as the exact path above
+    val dg = graft.ops.Par.fanOut(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__t")))
+      .select(col("doc_id"),
+        explode(tokenShingles(col("__t"), nTokens)).as("g"))
       .filter(length(col("g")) > 0)
       .select(col("doc_id"), gramHash(col("g")).as("gram"))
       .filter(mightContain(col("gram"))) // scan-speed pre-gate
