@@ -1842,7 +1842,7 @@ object Similarity {
     val ent = vecs.select(col("id")).orderBy(col("id").asc).limit(2)
       .agg(min(col("id")).as("m1"), max(col("id")).as("m2"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    var cur = Scratch.materialize(
+    var cur = pinFrontier(
       q.crossJoin(broadcast(ent))
         .select(col("query_id"), col("qv"),
           when(col("query_id") === col("m1"), col("m2"))
@@ -1874,8 +1874,7 @@ object Similarity {
       vecs: DataFrame,
       hops: Int,
       tag: String): (DataFrame, Seq[DataFrame]) = {
-    import graft.ops.Scratch
-    var cur = start
+    var cur = pinFrontier(start, tag)
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (h <- 1 to hops) {
       val frontier = edges.join(broadcast(cur), col("node") === col("src"))
@@ -1890,14 +1889,36 @@ object Similarity {
       // the graph degree, never by corpus size
       val w = Window.partitionBy("query_id")
         .orderBy(col("csim").desc, col("cnode").asc)
-      cur = Scratch.materialize(
+      cur = pinFrontier(
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("query_id"), col("qv"), col("cnode").as("node"),
             col("csim").as("sim")),
-        s"${tag}_hop$h")
+        tag)
       frames += cur
     }
     (cur, frames.toSeq)
+  }
+
+  /** Pin a greedy-walk frontier on the driver: ONE bounded collect per
+    * hop instead of a scratch parquet write + read-back. The frontier
+    * is ≤ |queries| rows by construction (one argmax row per query —
+    * the broadcast-the-queries contract this whole operator family
+    * assumes), the same bounded-driver-state class as the pinned
+    * centroid/codebook collects; values round-trip exactly (binary64
+    * rows into a local relation, no re-rounding). The bound is
+    * ENFORCED, not assumed: past `spark.graft.maxLocalEdges` (default
+    * 1M — the shared driver-local gate) the hop falls back to the
+    * scratch-table materialization, the distributed shape. */
+  private def pinFrontier(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val bound = spark.conf.getOption("spark.graft.maxLocalEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    val fetch = (bound + 1L).min(Int.MaxValue.toLong).toInt
+    val rows = df.limit(fetch).collect()
+    if (rows.length <= bound) {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, df.schema)
+    } else graft.ops.Scratch.materialize(df, s"${tag}_frontier")
   }
 
   /** HIERARCHICAL graph ANN — the full HNSW search shape (Malkov &
@@ -1943,7 +1964,7 @@ object Similarity {
     val ent = upper.select(col(idCol).as("id")).orderBy(col("id").asc)
       .limit(2).agg(min(col("id")).as("m1"), max(col("id")).as("m2"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cur1 = Scratch.materialize(
+    val cur1 = pinFrontier(
       q.crossJoin(broadcast(ent))
         .select(col("query_id"), col("qv"),
           when(col("query_id") === col("m1"), col("m2"))
