@@ -389,21 +389,22 @@ object Bench {
     // final flush picks up the probes_skipped/budget_hit flags
     flush()
     val (qs, _, errs, probeJson, _) = jsonParts
-    val detail = {
-      val spread = results.map { case (k, ts, _) =>
-        val v = if (ts.isEmpty) "[]" else f"[${ts.head}%.3f,${ts.last}%.3f]"
-        "\"" + k + "\":" + v
-      }.mkString("{", ",", "}")
-      val mins = results.map { case (k, ts, _) =>
-        val v = if (ts.isEmpty) "null" else f"${ts.head}%.3f"
-        "\"" + k + "\":" + v
-      }.mkString("{", ",", "}")
-      f"""{"spread":$spread,"queries":$qs,"queries_min":$mins,"reps":$reps,"cpus":"$cpus","sf":"$sfDir"}"""
-    }
-    System.err.println(s"[bench-detail] $detail")
+    // The fat per-query line is printed BEFORE the compact totals line,
+    // and the old ~15 KB "[bench-detail]" stderr emission is GONE (its
+    // content is already flushed to bench_detail.json after every
+    // query): the driver records a bounded TAIL of MERGED stdout+stderr,
+    // and for 13 straight rounds a fat line emitted after — or, being
+    // stderr, interleaved past — the compact totals line pushed the only
+    // parseable record out of that window. The LAST bytes this program
+    // writes to either stream must be the ~400 B totals line.
     println(s"""{"metric":"queries","queries":$qs$errs$probeJson$skewJson}""")
-    println(totalsLine())
+    System.out.flush()
+    // stop() BEFORE the totals line: any synchronous shutdown logging it
+    // produces must not land after the record the driver parses
     spark.stop()
+    System.err.flush()
+    println(totalsLine())
+    System.out.flush()
   }
 
   private def run(df: org.apache.spark.sql.DataFrame): Unit =
