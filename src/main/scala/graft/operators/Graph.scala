@@ -147,8 +147,12 @@ object Graph {
     }
     var ranks = nodes.withColumn("rank", lit(1.0d / n))
     var ranksPath = nodesPath
+    // per-round rank state is one fixed-width row per node — driver-
+    // pinned under the Pin row/byte gate (one collect instead of a
+    // scratch write+read per round); past the gate the round falls back
+    // to the scratch table, retired eagerly as before
     for (_ <- 1 to iters) {
-      val (next, nextPath) = Scratch.materializeAt(
+      val (next, nextPath) = graft.ops.Pin.stateAt(
         adj.join(ranks, adj("src") === ranks("node"))
           .groupBy(adj("dst").as("node"))
           .agg((lit((1.0d - damping) / n)
@@ -160,8 +164,8 @@ object Graph {
       ranksPath = nextPath
     }
     Scratch.drop(spark, adjPath)
-    // the final ranks table stays on disk for the caller's consumption;
-    // session shutdown (or the configured scratchDir owner) reclaims it.
+    // a final scratch-fallback ranks table stays on disk for the
+    // caller's consumption; session shutdown reclaims it.
     ranks
   }
 
@@ -214,17 +218,24 @@ object Graph {
       Scratch.drop(spark, seedsPath)
       return e0.select(col("src").as("node"), lit(0.0d).as("rank")).limit(0)
     }
-    val seeded = nodeIds
-      .join(seeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    // pinned ONCE (node universe × seed flag is per-round-invariant):
+    // left lazy, every round's update job re-derived the distinct node
+    // universe from the adjacency and re-joined the seed table — two
+    // wasted subtrees per round (§1.2)
+    val (seeded, seededPath) = graft.ops.Pin.stateAt(
+      nodeIds
+        .join(seeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed")),
+      "ppr_seeded")
     var ranks = seeded.withColumn("rank",
       when(col("is_seed"), lit(1.0d / ns)).otherwise(lit(0.0d)))
     var ranksPath: String = null // r_0 is a projection of in-flight frames
+    // driver-pinned per-round state under the Pin gate (see pageRank)
     for (_ <- 1 to iters) {
       val contrib = adj.join(ranks, adj("src") === ranks("node"))
         .groupBy(adj("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
-      val (next, nextPath) = Scratch.materializeAt(
+      val (next, nextPath) = graft.ops.Pin.stateAt(
         seeded.join(contrib, Seq("node"), "left")
           .select(col("node"), col("is_seed"),
             (when(col("is_seed"), lit((1.0d - damping) / ns))
@@ -237,6 +248,7 @@ object Graph {
     }
     Scratch.drop(spark, adjPath)
     Scratch.drop(spark, seedsPath)
+    Scratch.drop(spark, seededPath)
     ranks.select(col("node"), col("rank"))
   }
 
@@ -310,13 +322,14 @@ object Graph {
     }
     var ranks = nodes.withColumn("rank", lit(1.0d / n))
     var ranksPath: String = null // r_0 is a projection of the nodes table
+    // driver-pinned per-round state under the Pin gate (see pageRank)
     for (_ <- 1 to iters) {
       val contrib = adj.join(ranks, adj("src") === ranks("node"))
         .groupBy(adj("dst").as("node"))
         .agg(sum(ranks("rank") * adj("w") / adj("strength")).as("contrib"))
       val dangling = ranks.filter(col("strength") === 0.0d)
         .agg(coalesce(sum(col("rank")), lit(0.0d)).as("dm"))
-      val (next, nextPath) = Scratch.materializeAt(
+      val (next, nextPath) = graft.ops.Pin.stateAt(
         nodes.join(contrib, Seq("node"), "left")
           .crossJoin(dangling)
           .select(col("node"), col("strength"),
@@ -736,7 +749,8 @@ object Graph {
    * past the fixpoint, which is what makes the unrolled-round oracle
    * exact regardless of when each side stops.
    */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
@@ -744,6 +758,17 @@ object Graph {
     var (e, nE, ePath) = Scratch.materializeObservedAt(
       canonicalEdges(edges), "kcore_edges", count(lit(1)).as("n"))
     var n = nE("n").asInstanceOf[Long]
+    // observed-gated driver-local peel (the topoLocal switchover): the
+    // peel is all-integer — degrees, the <k cut, the same round cap —
+    // so the local replay is value-exact, and each distributed round's
+    // TWO jobs (degree+anti-join write) collapse to array passes
+    val kcoreCap = localEdgeCap(spark, maxLocalEdges)
+    if (kcoreCap > 0 && n <= kcoreCap &&
+        e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      val result = kCoreLocal(collectEdgePairs(e), k, maxRounds)
+      Scratch.drop(spark, ePath)
+      return longPairFrame(spark, result, "node", "degree")
+    }
     var rounds = 0
     var converged = n == 0L
     while (!converged && rounds < maxRounds) {
@@ -2243,8 +2268,9 @@ object Graph {
     val avgDeg = am("n_ends").asInstanceOf[Long].toDouble / n
     var ranks = nodes.withColumn("rank", lit(1.0d / n))
     var ranksPath = nodesPath
+    // driver-pinned per-round state under the Pin gate (see pageRank)
     for (_ <- 1 to iters) {
-      val (next, nextPath) = Scratch.materializeAt(
+      val (next, nextPath) = graft.ops.Pin.stateAt(
         adj.join(ranks, adj("src") === ranks("node"))
           .groupBy(adj("dst").as("node"))
           .agg((lit((1.0d - damping) / n) + lit(damping)
@@ -2758,8 +2784,12 @@ object Graph {
       e0.select(col("src").as("n"), col("dst").as("x"))
         .union(e0.select(col("dst").as("n"), col("src").as("x"))),
       "rw_adj")
+    // per-step frontier state is ONE row per walk (fixed-width longs) —
+    // driver-pinned with the enforced row/byte gate (Pin.state) instead
+    // of a scratch write+read per step; past the bound each step falls
+    // back to the scratch table, the distributed shape
     val tables = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    var cur = Scratch.materialize(
+    var cur = graft.ops.Pin.state(
       adj.select(col("n").as("walk")).distinct()
         .select(col("walk"), lit(0).as("step"), col("walk").as("node")),
       "rw_step0")
@@ -2767,7 +2797,7 @@ object Graph {
     for (i <- 1 to steps) {
       val coin = md5(concat_ws(":", lit(salt), col("walk").cast("string"),
         lit(i).cast("string"), col("x").cast("string")))
-      cur = Scratch.materialize(
+      cur = graft.ops.Pin.state(
         adj.join(cur, adj("n") === cur("node"))
           .select(cur("walk"), adj("x"), coin.as("h"))
           .groupBy(col("walk"))
@@ -3427,6 +3457,40 @@ object Graph {
     nodesSet.keys.toSeq.map(n => n -> layer.get(n))
   }
 
+  /** Driver-local replay of the [[kCore]] peel — identical rounds:
+    * degrees over the surviving canonical edges, the <k node cut, the
+    * same maxRounds/convergence contract (n unchanged or zero), and
+    * the final (node, degree) readout over what survives. All-integer,
+    * so value-exact against the distributed loop. */
+  private def kCoreLocal(
+      canonical: Array[(Long, Long)], k: Int, maxRounds: Int)
+      : Seq[(Long, Long)] = {
+    import scala.collection.mutable
+    var edges = canonical
+    var n = edges.length.toLong
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged && rounds < maxRounds) {
+      val deg = mutable.LongMap.empty[Long]
+      edges.foreach { case (s, d) =>
+        deg(s) = deg.getOrElse(s, 0L) + 1L
+        deg(d) = deg.getOrElse(d, 0L) + 1L
+      }
+      val e2 = edges.filter { case (s, d) => deg(s) >= k && deg(d) >= k }
+      val n2 = e2.length.toLong
+      edges = e2
+      converged = n2 == n || n2 == 0L
+      n = n2
+      rounds += 1
+    }
+    val deg = mutable.LongMap.empty[Long]
+    edges.foreach { case (s, d) =>
+      deg(s) = deg.getOrElse(s, 0L) + 1L
+      deg(d) = deg.getOrElse(d, 0L) + 1L
+    }
+    deg.toSeq
+  }
+
   /** Driver-local Jones–Plassmann replay of [[greedyColoring]] —
     * identical waves: round r colors every remaining node with no
     * remaining smaller-id neighbor, color = the same sorted-distinct
@@ -3559,8 +3623,11 @@ object Graph {
       e0.select(col("src").as("n"), col("dst").as("x"))
         .union(e0.select(col("dst").as("n"), col("src").as("x"))),
       "n2v_adj")
+    // per-step state is ONE fixed-width row per walk — driver-pinned
+    // (Pin.state, enforced row/byte gate) instead of a per-step scratch
+    // write+read; the over-bound fallback is the scratch table
     val tables = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    var cur = Scratch.materialize(
+    var cur = graft.ops.Pin.state(
       adj.select(col("n").as("walk")).distinct()
         .select(col("walk"), lit(0).as("step"), col("walk").as("node"),
           lit(null).cast("long").as("prev")),
@@ -3585,7 +3652,7 @@ object Graph {
       val coin = conv(substring(md5(concat_ws(":", lit(salt),
         col("walk").cast("string"), lit(i).cast("string"))), 1, 8), 16, 10)
         .cast("long")
-      cur = Scratch.materialize(
+      cur = graft.ops.Pin.state(
         weighted
           .withColumn("cum", sum(col("wt")).over(wCum))
           .withColumn("tw", sum(col("wt")).over(wAll))
@@ -3632,8 +3699,9 @@ object Graph {
       e0.select(col("src").as("n"), col("dst").as("x"), col("w"))
         .union(e0.select(col("dst").as("n"), col("src").as("x"), col("w"))),
       "wwalk_adj")
+    // same driver-pinned per-step state as randomWalks/node2vecWalks
     val tables = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    var cur = Scratch.materialize(
+    var cur = graft.ops.Pin.state(
       adj.select(col("n").as("walk")).distinct()
         .select(col("walk"), lit(0).as("step"), col("walk").as("node")),
       "wwalk_step0")
@@ -3645,7 +3713,7 @@ object Graph {
       val coin = conv(substring(md5(concat_ws(":", lit(salt),
         col("walk").cast("string"), lit(i).cast("string"))), 1, 8), 16, 10)
         .cast("long")
-      cur = Scratch.materialize(
+      cur = graft.ops.Pin.state(
         adj.join(cur, adj("n") === cur("node"))
           .select(cur("walk"), adj("x").as("cx"), adj("w").as("wt"))
           .withColumn("cum", sum(col("wt")).over(wCum))

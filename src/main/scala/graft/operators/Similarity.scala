@@ -1906,20 +1906,13 @@ object Similarity {
     * assumes), the same bounded-driver-state class as the pinned
     * centroid/codebook collects; values round-trip exactly (binary64
     * rows into a local relation, no re-rounding). The bound is
-    * ENFORCED, not assumed: past `spark.graft.maxLocalEdges` (default
-    * 1M — the shared driver-local gate) the hop falls back to the
-    * scratch-table materialization, the distributed shape. */
-  private def pinFrontier(df: DataFrame, tag: String): DataFrame = {
-    val spark = df.sparkSession
-    val bound = spark.conf.getOption("spark.graft.maxLocalEdges")
-      .map(_.toLong).getOrElse(1000000L)
-    val fetch = (bound + 1L).min(Int.MaxValue.toLong).toInt
-    val rows = df.limit(fetch).collect()
-    if (rows.length <= bound) {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.toSeq.asJava, df.schema)
-    } else graft.ops.Scratch.materialize(df, s"${tag}_frontier")
-  }
+    * ENFORCED, not assumed — and BYTE-aware, because frontier rows
+    * carry the full query vector: [[graft.ops.Pin.state]] gates on
+    * `spark.graft.maxLocalEdges` rows AND
+    * `spark.graft.maxLocalStateBytes` (default 64 MB), falling back to
+    * the scratch-table materialization, the distributed shape. */
+  private def pinFrontier(df: DataFrame, tag: String): DataFrame =
+    graft.ops.Pin.state(df, s"${tag}_frontier")
 
   /** HIERARCHICAL graph ANN — the full HNSW search shape (Malkov &
     * Yashunin 2016): a sparse UPPER layer (nodes where the 60-bit md5

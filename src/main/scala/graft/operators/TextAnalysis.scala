@@ -351,6 +351,22 @@ object TextAnalysis {
       .select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // Driver-local replay gate (the driverUnionFind / fastRpLocal
+    // switchover): classic BPE training is vocabulary-sized, not
+    // corpus-sized — under the shared Pin row/byte gate the whole merge
+    // loop runs on the collected (word, cnt) table in exact long
+    // arithmetic with Spark's own orderings replicated (UTF-8 byte
+    // order for the pair tie-break, code-point symbol splitting), so
+    // the merge sequence and final state are value-identical to the
+    // scratch-table loop below; rounds cost zero jobs instead of two
+    // (pair argmax + state write) each. Past the gate — the 100 TB
+    // vocabulary — the distributed loop is unchanged.
+    graft.ops.Pin.collectBounded(words) match {
+      case Some(rows) =>
+        return bpeLearnLocal(spark,
+          rows.map(r => (r.getString(0), r.getLong(1))), rounds)
+      case None => ()
+    }
     val sym0 = words.select(col("word"), col("cnt"),
       transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("sym"))
@@ -387,6 +403,87 @@ object TextAnalysis {
       }
     }
     (merges.toSeq, state, statePath)
+  }
+
+  /** Spark's string sort order is unsigned UTF-8 byte order — Java's
+    * String.compareTo (UTF-16 units) differs above the BMP, so the
+    * driver-local tie-break compares encoded bytes. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local BPE merge loop over the collected word table —
+    * value-identical to the distributed scratch loop: exact long pair
+    * counts, argmax by (count desc, left asc, right asc) in UTF-8 byte
+    * order (Spark's string order), symbols split per CODE POINT
+    * (Spark's substr/length unit), and the same greedy left-to-right
+    * merge fold. Returns the final state as a local relation (its join
+    * consumers broadcast it) and a null path (nothing to retire). */
+  private def bpeLearnLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      words: Array[(String, Long)],
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame, String) = {
+    def charSyms(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var state: Array[(String, Long, Array[String])] =
+      words.map { case (w, c) => (w, c, charSyms(w)) }
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      state.foreach { case (_, c, sym) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val k = (sym(i), sym(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.reduceLeft { (a, b) =>
+          val cmp =
+            if (a._2 != b._2) a._2 > b._2
+            else if (a._1._1 != b._1._1) utf8Lt(a._1._1, b._1._1)
+            else utf8Lt(a._1._2, b._1._2)
+          if (cmp) a else b
+        }
+        merges += ((round, l, r, n))
+        val lr = l + r
+        state = state.map { case (w, c, sym) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          sym.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r) {
+              acc.remove(acc.size - 1); acc += lr
+            } else acc += x
+          }
+          (w, c, acc.toArray)
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sym",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false),
+        nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(state.map { case (w, c, s) =>
+        org.apache.spark.sql.Row(w, c, s.toSeq)
+      }: _*)
+    (merges.toSeq, spark.createDataFrame(rows, schema), null)
   }
 
   /** Out-of-vocabulary rate per source against the corpus's own top-N
@@ -1175,12 +1272,19 @@ object TextAnalysis {
       .select(col("word"), col("cnt"), col("n"), col("o.s").as("s"),
         col("o.k").as("k"),
         col("word").substr(col("o.s"), col("o.k")).as("piece"))
-    // integer-exact occurrence-weighted seed counts
-    val seedCounts = occ.groupBy(col("piece")).agg(sum(col("cnt")).as("c0"))
+    // integer-exact occurrence-weighted seed counts. Pinned (or scratch
+    // past the Pin gate) BEFORE the single-char/top-k union: left lazy,
+    // both union branches re-run the occurrence explode + aggregate —
+    // one full pass wasted (§1.2). Same below for each round's ec.
+    val seedCounts = graft.ops.Pin.state(
+      occ.groupBy(col("piece")).agg(sum(col("cnt")).as("c0")), "ulm_seed")
     val seed = seedCounts.filter(length(col("piece")) === 1)
       .unionByName(seedCounts.filter(length(col("piece")) > 1)
         .orderBy(col("c0").desc, col("piece").asc).limit(seedMulti))
-    var (vocab, vocabPath) = Scratch.materializeAt(
+    // the vocabulary state is keepMulti + |chars| rows — driver-pinned
+    // per round (enforced row/byte gate; the over-bound fallback is the
+    // scratch table, reclaimed at session end)
+    var vocab = graft.ops.Pin.state(
       seed.crossJoin(broadcast(seed.agg(sum(col("c0")).as("tot"))))
         .select(col("piece"),
           greatest(
@@ -1234,8 +1338,13 @@ object TextAnalysis {
             element_at(col("alpha"), (col("n") + 1).cast("int")), 12)
             .as("term"))
         .filter(col("p") > 0.0d)
-      val ec = terms.groupBy(col("piece"))
-        .agg(sum(col("term").cast("decimal(38,12)")).as("ec"))
+      // ec pinned FIRST: the total, both keep branches, and the next
+      // vocab state all read the (vocab-sized) expectation table — left
+      // lazy, each reader re-runs the forward-backward explode over the
+      // whole word table (the expensive subtree of the round)
+      val ec = graft.ops.Pin.state(
+        terms.groupBy(col("piece"))
+          .agg(sum(col("term").cast("decimal(38,12)")).as("ec")), "ulm_ec")
       val scored = ec
         .crossJoin(broadcast(ec.agg(sum(col("ec")).as("tot"))))
         .select(col("piece"), col("ec"),
@@ -1245,11 +1354,8 @@ object TextAnalysis {
       val kept = scored.filter(length(col("piece")) === 1)
         .unionByName(scored.filter(length(col("piece")) > 1)
           .orderBy(col("ec").desc, col("piece").asc).limit(keepMulti))
-      val (next, nextPath) = Scratch.materializeAt(
+      vocab = graft.ops.Pin.state(
         kept.select(col("piece"), col("p"), col("ec")), "ulm_vocab")
-      Scratch.drop(spark, vocabPath)
-      vocab = next
-      vocabPath = nextPath
     }
     Scratch.drop(spark, wordsPath)
     vocab.select(col("piece"), length(col("piece")).cast("int").as("piece_len"),

@@ -700,6 +700,13 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(sets(Graph.maximalMatching(e, maxRounds = 8)) ==
       sets(Graph.maximalMatching(e, maxRounds = 8, maxLocalEdges = 0L)),
       "matching local/distributed divergence")
+    assert(sets(Graph.kCore(e, k = 3, maxRounds = 30)) ==
+      sets(Graph.kCore(e, k = 3, maxRounds = 30, maxLocalEdges = 0L)),
+      "kcore local/distributed divergence")
+    // a tight round cap exercises the unconverged residual identically
+    assert(sets(Graph.kCore(e, k = 3, maxRounds = 1)) ==
+      sets(Graph.kCore(e, k = 3, maxRounds = 1, maxLocalEdges = 0L)),
+      "kcore capped-rounds local/distributed divergence")
     // a low maxRounds exercises the unresolved/null-residual contract
     // on both paths identically
     assert(sets(Graph.topoLayers(e, maxRounds = 2)) ==
