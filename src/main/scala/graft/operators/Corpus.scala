@@ -72,21 +72,27 @@ object Corpus {
       maxIters: Int = 30,
       smallGraphThreshold: Long = 1000000L): DataFrame = {
     import graft.ops.Scratch
-    // one scratch write of the (possibly expensive) pair producer; both
-    // union branches below re-read the cheap 2-column table, not the
-    // producing plan. The edge count rides the write job.
+    // Small-graph fast path FIRST, as one bounded collect of the pair
+    // producer (Pin gate: rows AND bytes): a near-dup pair list is
+    // usually TINY relative to its corpus (it already survived LSH +
+    // verification), and the previous shape paid a scratch WRITE of the
+    // producer plus a second collect job for the union-find — the
+    // driver-local replay now costs exactly one job. Under the
+    // threshold (16 bytes/edge → ≤16 MB at the default) the union-find
+    // replaces O(diameter) distributed rounds — the same switchover
+    // production CC implementations use. Past either gate, the
+    // scratch-table loop below is the unchanged scale path (the pair
+    // producer is re-materialized there with the observed edge count
+    // riding the write, exactly as before).
+    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    graft.ops.Pin.collectBounded(p0) match {
+      case Some(rows) if rows.length <= smallGraphThreshold =>
+        return driverUnionFindRows(pairs.sparkSession, rows, p0.schema)
+      case _ => ()
+    }
     val (p, pm, pPath) = Scratch.materializeObservedAt(
-      pairs.select(col(aCol).as("a"), col(bCol).as("b")), "cc_pairs",
-      count(lit(1)).as("n_edges"))
+      p0, "cc_pairs", count(lit(1)).as("n_edges"))
     val nEdges = pm("n_edges").asInstanceOf[Long]
-    // Small-graph fast path: a near-dup pair list is usually TINY
-    // relative to its corpus (it already survived LSH + verification).
-    // Under the threshold (16 bytes/edge → ≤16 MB at the default) a
-    // driver union-find replaces O(diameter) distributed rounds with
-    // one bounded collect — the same switchover production CC
-    // implementations use. Beyond it, the scratch-table loop below is
-    // the scale path. The collect is bounded by the OBSERVED count,
-    // never by hope.
     if (nEdges <= smallGraphThreshold) {
       val labels = driverUnionFind(p) // collects eagerly: p is done with
       Scratch.drop(pairs.sparkSession, pPath)
@@ -162,16 +168,20 @@ object Corpus {
     * columns carry the INPUT id type, never a coerced long. A non-numeric
     * id corpus therefore takes the same semantics on both sides of the
     * small-graph threshold. Only reachable under the observed-size bound. */
-  private def driverUnionFind(p: DataFrame): DataFrame = {
-    val spark = p.sparkSession
-    val dt = p.schema.fields(0).dataType
+  private def driverUnionFind(p: DataFrame): DataFrame =
+    driverUnionFindRows(p.sparkSession, p.collect(), p.schema)
+
+  private def driverUnionFindRows(
+      spark: org.apache.spark.sql.SparkSession,
+      raw: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dt = schema.fields(0).dataType
     // boxed external row values (Long, String, Timestamp, BigDecimal, …)
     // are Comparable with exactly the ordering Spark's min aggregates use
     val ord: Ordering[Any] = new Ordering[Any] {
       def compare(x: Any, y: Any): Int =
         x.asInstanceOf[Comparable[Any]].compareTo(y)
     }
-    val raw = p.collect()
     val index = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
     def idOf(v: Any): Int = index.getOrElseUpdate(v, index.size)
     val edges = raw.map(r => (idOf(r.get(0)), idOf(r.get(1))))
@@ -1020,17 +1030,26 @@ object Corpus {
     // the scratch write, the broadcast hint is applied only under the
     // measured bound (see scaladoc) — the one contract here that has a
     // graceful degradation (shuffle join), not a fail-fast guard
-    val (bg, bgMeta, _) = graft.ops.Scratch.materializeObservedAt(
-      benchmark
-        .select(col(benchIdCol).as("bench_id"),
-          explode(tokenShingles(col(textCol), nTokens)).as("g"))
-        .filter(length(col("g")) > 0)
-        .select(col("bench_id"), gramHash(col("g")).as("gram"))
-        .distinct(),
-      "decon_bg", count(lit(1)).as("n_grams"))
-    val bgSide =
-      if (bgMeta("n_grams").asInstanceOf[Long] <= maxBroadcastGrams) broadcast(bg)
-      else bg
+    val bgPlan = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(tokenShingles(col(textCol), nTokens)).as("g"))
+      .filter(length(col("g")) > 0)
+      .select(col("bench_id"), gramHash(col("g")).as("gram"))
+      .distinct()
+    // gram table driver-pinned under the Pin gate (one collect; the
+    // count is the collected length) — the observed scratch write is
+    // the unchanged fallback past it
+    val (bg, nGrams) = graft.ops.Pin.collectBounded(bgPlan) match {
+      case Some(rows) =>
+        import scala.jdk.CollectionConverters._
+        (benchmark.sparkSession.createDataFrame(rows.toSeq.asJava, bgPlan.schema),
+          rows.length.toLong)
+      case None =>
+        val (b, m, _) = graft.ops.Scratch.materializeObservedAt(
+          bgPlan, "decon_bg", count(lit(1)).as("n_grams"))
+        (b, m("n_grams").asInstanceOf[Long])
+    }
+    val bgSide = if (nGrams <= maxBroadcastGrams) broadcast(bg) else bg
     // fanOut: the per-row token-shingle explode + gram hashing is the
     // corpus-side hot map stage (single-split scans would serialize it)
     val dg = graft.ops.Par.fanOut(docs.select(col(idCol).as("doc_id"),
@@ -1092,15 +1111,25 @@ object Corpus {
       maxSketchGrams: Long = 50000000L): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0,1)")
     def gramHash(gram: Column) = gramHash60(gram)
-    val (bg, bgMeta, _) = graft.ops.Scratch.materializeObservedAt(
-      benchmark
-        .select(col(benchIdCol).as("bench_id"),
-          explode(tokenShingles(col(textCol), nTokens)).as("g"))
-        .filter(length(col("g")) > 0)
-        .select(col("bench_id"), gramHash(col("g")).as("gram"))
-        .distinct(),
-      "deconb_bg", count(lit(1)).as("n_grams"))
-    val nGrams = bgMeta("n_grams").asInstanceOf[Long]
+    val bgPlan = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(tokenShingles(col(textCol), nTokens)).as("g"))
+      .filter(length(col("g")) > 0)
+      .select(col("bench_id"), gramHash(col("g")).as("gram"))
+      .distinct()
+    // gram table driver-pinned under the Pin gate (the sketch path is
+    // already driver-bounded by maxSketchGrams); observed scratch write
+    // unchanged past the gate
+    val (bg, nGrams) = graft.ops.Pin.collectBounded(bgPlan) match {
+      case Some(rows) =>
+        import scala.jdk.CollectionConverters._
+        (benchmark.sparkSession.createDataFrame(rows.toSeq.asJava, bgPlan.schema),
+          rows.length.toLong)
+      case None =>
+        val (b, m, _) = graft.ops.Scratch.materializeObservedAt(
+          bgPlan, "deconb_bg", count(lit(1)).as("n_grams"))
+        (b, m("n_grams").asInstanceOf[Long])
+    }
     require(nGrams <= maxSketchGrams,
       s"decontaminateBloom: observed $nGrams benchmark grams exceeds " +
         s"maxSketchGrams=$maxSketchGrams — the Bloom sketch would cost " +
@@ -1307,7 +1336,7 @@ object Corpus {
     // soon as the dedup reps are written; the ids are consumed by the
     // kept chain during the shard write.
     val spanBad = spanDedup.map { case (n, frac) =>
-      graft.ops.Scratch.materializeAt(
+      graft.ops.Pin.stateAt(
         Dedup.spanDuplicates(base, spanTokens = n, idCol = idCol)
           // span-less (empty-text) docs carry no duplication signal —
           // 0 >= frac·0 would flag them all
@@ -1325,7 +1354,7 @@ object Corpus {
     // table materializes now for the same artifact-lifetime reason as
     // the span cut above.
     val semBad = semanticDedup.map { case (embeddings, thr) =>
-      graft.ops.Scratch.materializeAt(
+      graft.ops.Pin.stateAt(
         graft.operators.Similarity.semanticDedup(
           embeddings.join(base.select(col(idCol).as("vec_id")),
             Seq("vec_id"), "left_semi"),

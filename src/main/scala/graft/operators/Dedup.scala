@@ -352,7 +352,10 @@ object Dedup {
       rowsPerBand: Int = 4,
       minJaccard: Double = 0.0,
       maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
-    val bk = Scratch.materialize(
+    // the batch's key table is micro-batch-sized by the ingest contract:
+    // driver-pinned under the Pin row/byte gate (probe + self-join then
+    // broadcast it — zero exchange on either side), scratch past it
+    val bk = graft.ops.Pin.state(
       lshBandKeys(batch, idCol, textCol, shingleK, bands, rowsPerBand),
       "lshidx_batch_keys")
     incrementalLshJaccardFromKeys(bk, bandIndex, corpusText, idCol, textCol,
@@ -403,10 +406,10 @@ object Dedup {
       maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
     // the candidate table is a STAGE ARTIFACT: left lazy it would
     // evaluate its probe + self-join subtree three times (twice under
-    // the ids union, once more in the verify join) — materialized, the
-    // (tiny, 2-column) pair list is computed once and every consumer
-    // re-reads it
-    val pairs = Scratch.materialize(
+    // the ids union, once more in the verify join) — computed once and
+    // driver-pinned (candidate-bounded 2-column pairs; scratch past the
+    // Pin gate) so every consumer re-reads it
+    val pairs = graft.ops.Pin.state(
       incrementalLshCandidates(bk, bandIndex, maxBucketRows), "lshidx_cands")
     val ids = pairs.select(col("a").as("id"))
       .unionByName(pairs.select(col("b").as("id"))).distinct()

@@ -1240,7 +1240,8 @@ object Graph {
    * no windows, no driver iteration, constant-size plans. Peeling is
    * idempotent past the fixpoint (the unrolled-round oracle contract).
    */
-  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 30,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     import graft.ops.Scratch
     require(k >= 3, "k must be >= 3")
     require(maxRounds >= 1, "maxRounds must be >= 1")
@@ -1249,6 +1250,31 @@ object Graph {
     var (e, em, ePath) = Scratch.materializeObservedAt(
       canonicalEdges(edges), "truss_edges", count(lit(1)).as("n"))
     var n = em("n").asInstanceOf[Long]
+    // observed-gated driver-local peel (the kCoreLocal switchover):
+    // per-edge support is the all-integer triangle count |N(u)∩N(v)|,
+    // the peel and round cap replicate exactly, so the local replay is
+    // value-exact; each distributed round's wedge-join + two observed
+    // writes collapse to in-memory set intersections. Round 13 measured
+    // the per-round fanOutByKey variant a net LOSS here (shrinking peel
+    // rounds); the local replay removes the rounds altogether.
+    val trussCap = localEdgeCap(spark, maxLocalEdges)
+    if (trussCap > 0 && n <= trussCap &&
+        e.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      val result = kTrussLocal(collectEdgePairs(e), minSup, maxRounds)
+      Scratch.drop(spark, ePath)
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(result.map { case (s, d, sup) =>
+          org.apache.spark.sql.Row(s, d, sup)
+        }: _*)
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("support",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     var rounds = 0
     var converged = n == 0L
     while (!converged && rounds < maxRounds) {
@@ -3457,6 +3483,49 @@ object Graph {
     nodesSet.keys.toSeq.map(n => n -> layer.get(n))
   }
 
+  /** Driver-local replay of the [[kTruss]] peel — identical rounds:
+    * per-edge support = the triangle count |N(u)∩N(v)| over the
+    * surviving canonical edges, edges under `minSup` peel, same
+    * maxRounds/convergence contract, final (src, dst, support) readout
+    * (support 0 for triangle-less survivors — the left-join coalesce).
+    * All-integer, value-exact against the distributed loop. */
+  private def kTrussLocal(
+      canonical: Array[(Long, Long)], minSup: Long, maxRounds: Int)
+      : Seq[(Long, Long, Long)] = {
+    import scala.collection.mutable
+    def supportOf(es: Array[(Long, Long)]): mutable.Map[(Long, Long), Long] = {
+      val adj = mutable.LongMap.empty[mutable.Set[Long]]
+      es.foreach { case (s, d) =>
+        adj.getOrElseUpdate(s, mutable.Set.empty) += d
+        adj.getOrElseUpdate(d, mutable.Set.empty) += s
+      }
+      val sup = mutable.Map.empty[(Long, Long), Long]
+      es.foreach { case (s, d) =>
+        val (a, b) =
+          if (adj(s).size <= adj(d).size) (adj(s), adj(d)) else (adj(d), adj(s))
+        var c = 0L
+        a.foreach(w => if (b.contains(w)) c += 1L)
+        sup((s, d)) = c
+      }
+      sup
+    }
+    var edges = canonical
+    var n = edges.length.toLong
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged && rounds < maxRounds) {
+      val sup = supportOf(edges)
+      val e2 = edges.filter(e => sup(e) >= minSup)
+      val n2 = e2.length.toLong
+      edges = e2
+      converged = n2 == n || n2 == 0L
+      n = n2
+      rounds += 1
+    }
+    val sup = supportOf(edges)
+    edges.toSeq.map { case (s, d) => (s, d, sup((s, d))) }
+  }
+
   /** Driver-local replay of the [[kCore]] peel — identical rounds:
     * degrees over the surviving canonical edges, the <k node cut, the
     * same maxRounds/convergence contract (n unchanged or zero), and
@@ -3853,7 +3922,11 @@ object Graph {
     // must stay readable after the edge table is retired below
     val empty = e0.select(col("src"), col("dst"), col("w"),
       lit(1).as("round")).filter(lit(false))
-    var (comp, compPath) = Scratch.materializeAt(
+    // per-round state (node→component labels, selected edges) is one
+    // fixed-width row per node / per component — driver-pinned under
+    // the Pin gate with the convergence count taken from the collected
+    // length; the observed scratch write is the unchanged fallback
+    var (comp, compPath) = graft.ops.Pin.stateAt(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct().select(col("node"), col("node").as("comp")),
       "mst_comp")
@@ -3870,16 +3943,24 @@ object Graph {
           col("dst"), col("cd"))
         .unionByName(cross.select(col("cd").as("c"), col("w"), col("src"),
           col("dst"), col("cs").as("cd")))
-      val (sel, m, _) = Scratch.materializeObservedAt(
-        sides.groupBy(col("c"))
-          .agg(min(struct(col("w"), col("src"), col("dst"), col("c").as("ca"),
-            col("cd").as("cb"))).as("m"))
-          .select(col("m.w").as("w"), col("m.src").as("src"),
-            col("m.dst").as("dst"), col("m.ca").as("ca"), col("m.cb").as("cb"))
-          .groupBy(col("src"), col("dst"), col("w"))
-          .agg(min(col("ca")).as("ca"), max(col("cb")).as("cb")),
-        s"mst_sel_$r", count(lit(1)).as("n"))
-      if (m("n").asInstanceOf[Long] == 0L) done = true
+      val selPlan = sides.groupBy(col("c"))
+        .agg(min(struct(col("w"), col("src"), col("dst"), col("c").as("ca"),
+          col("cd").as("cb"))).as("m"))
+        .select(col("m.w").as("w"), col("m.src").as("src"),
+          col("m.dst").as("dst"), col("m.ca").as("ca"), col("m.cb").as("cb"))
+        .groupBy(col("src"), col("dst"), col("w"))
+        .agg(min(col("ca")).as("ca"), max(col("cb")).as("cb"))
+      val (sel, nSel) = graft.ops.Pin.collectBounded(selPlan) match {
+        case Some(rows) =>
+          import scala.jdk.CollectionConverters._
+          (spark.createDataFrame(rows.toSeq.asJava, selPlan.schema),
+            rows.length.toLong)
+        case None =>
+          val (s2, m, _) = Scratch.materializeObservedAt(
+            selPlan, s"mst_sel_$r", count(lit(1)).as("n"))
+          (s2, m("n").asInstanceOf[Long])
+      }
+      if (nSel == 0L) done = true
       else {
         out = out.unionByName(
           sel.select(col("src"), col("dst"), col("w"), lit(r).as("round")))
@@ -3888,7 +3969,7 @@ object Graph {
         val merged = Corpus.connectedComponents(
           sel.select(col("ca"), col("cb")), aCol = "ca", bCol = "cb")
           .select(col("id").as("comp"), col("label"))
-        val (nextComp, nextPath) = Scratch.materializeAt(
+        val (nextComp, nextPath) = graft.ops.Pin.stateAt(
           comp.join(merged, Seq("comp"), "left")
             .select(col("node"), coalesce(col("label"), col("comp")).as("comp")),
           s"mst_comp_$r")
@@ -3975,10 +4056,12 @@ object Graph {
     var st = sources.select(col(sources.columns.head).as("node"))
       .distinct().withColumn("d", lit(0.0d))
     var stPath: String = null
+    // per-hop state is ≤ k fixed-width rows per reached node —
+    // driver-pinned under the Pin gate (see pageRank), scratch past it
     for (_ <- 1 to maxHops) {
       val relaxed = adj.join(st, adj("src") === st("node"))
         .select(adj("dst").as("node"), (st("d") + adj("w")).as("d"))
-      val (next, nextPath) = Scratch.materializeAt(
+      val (next, nextPath) = graft.ops.Pin.stateAt(
         st.select(col("node"), col("d"))
           .union(relaxed)
           .groupBy(col("node"))
@@ -4054,11 +4137,14 @@ object Graph {
         .select(lit(r).as("sample"), col("node"),
           coalesce(col("label"), col("node")).as("comp"))
     }
+    // the assignment table is samples × |nodes| fixed-width rows —
+    // driver-pinned under the Pin gate (every greedy round scans it),
+    // scratch past it
     val assignAll = perSample.reduce(_ unionByName _)
-    val (asgn0, aPath) = Scratch.materializeAt(assignAll, "icm_assign")
+    val (asgn0, aPath) = graft.ops.Pin.stateAt(assignAll, "icm_assign")
     val sizes = asgn0.groupBy(col("sample"), col("comp"))
       .agg(count(lit(1)).as("csize"))
-    val (asgn, a2Path) = Scratch.materializeAt(
+    val (asgn, a2Path) = graft.ops.Pin.stateAt(
       asgn0.join(sizes, Seq("sample", "comp")), "icm_scored")
     Scratch.drop(spark, aPath)
     var covered = Seq.empty[(Int, Long)] // (sample, comp) pairs, <= k*samples

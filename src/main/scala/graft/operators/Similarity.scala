@@ -724,31 +724,72 @@ object Similarity {
       mu.groupBy()
         .agg(sort_array(collect_list(struct(col("i"), col("mu")))).as("im"))
         .select(transform(col("im"), s => s.getField("mu")).as("muarr")))
-    // pass 2: centered outer-product cells -> the d×d covariance table
-    val centered = (x: Column, i: Column) =>
-      x.cast("double") - element_at(col("muarr"), (i + 1).cast("int"))
-    val (cov, covPath) = Scratch.materializeAt(
+    // pass 2: centered outer-product cells -> the d×d covariance table.
+    // The centered vector is computed ONCE per row (not re-derived per
+    // cell), and only UPPER-TRIANGLE cells (i <= j) are emitted: the
+    // per-row term round(c_i·c_j, 9) is commutative-exact, so (i,j) and
+    // (j,i) aggregate identical term sequences over identical row sets —
+    // mirroring the aggregated upper half is value-identical to the
+    // full d² emission at half the explode/round volume (the measured
+    // hot stage of this operator).
+    val cArr = transform(col("v"), (x, i) =>
+      x.cast("double") - element_at(col("muarr"), (i + 1).cast("int")))
+    val upperAgg =
       Par.fanOut(vecs.select(col(vecCol).as("v"))).crossJoin(muRow)
-        .select(explode(flatten(transform(col("v"), (x, i) =>
-          transform(col("v"), (y, j) =>
-            struct(i.as("i"), j.as("j"),
-              round(centered(x, i) * centered(y, j), 9).as("t")))))).as("s"))
+        .select(cArr.as("c"))
+        .select(explode(flatten(transform(
+          sequence(lit(0), size(col("c")) - 1), i =>
+            transform(sequence(i, size(col("c")) - 1), j =>
+              struct(i.as("i"), j.as("j"),
+                round(element_at(col("c"), (i + 1).cast("int")) *
+                  element_at(col("c"), (j + 1).cast("int")), 9).as("t")))))).as("s"))
         .groupBy(col("s.i").as("i"), col("s.j").as("j"))
-        .agg(round(sum(col("s.t").cast(dec)).cast("double") / count(lit(1)), 9).as("c")),
-      "pca_cov")
-    // power rounds over the tiny covariance table
+        .agg(round(sum(col("s.t").cast(dec)).cast("double") / count(lit(1)), 9).as("c"))
+    // mirror on the driver when the upper half fits the Pin gate (one
+    // local relation — a plan-side union of two local scans costs a
+    // doubled-partition shuffle every power round); past the gate the
+    // mirror is the plan-side union over the scratch table
+    val (cov, covPath) = graft.ops.Pin.collectBounded(upperAgg) match {
+      case Some(rows) =>
+        import scala.jdk.CollectionConverters._
+        val full = rows ++ rows.iterator.filter(r => r.getInt(0) != r.getInt(1))
+          .map(r => org.apache.spark.sql.Row(r.getInt(1), r.getInt(0), r.get(2)))
+        (spark.createDataFrame(full.toSeq.asJava, upperAgg.schema),
+          null: String)
+      case None =>
+        val (cu, p) = Scratch.materializeAt(upperAgg, "pca_cov")
+        (cu.unionByName(cu.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c"))), p)
+    }
+    // power rounds over the tiny covariance table: the per-round
+    // contribution state is ≤ d rows — driver-pinned under the Pin gate
+    // with the L1 normalizer summed from the collected exact decimals
+    // (identical to the observed write-job sum); past the gate the
+    // round falls back to the observed scratch write, unchanged
     var v = cov.select(col("j").as("vj")).distinct().withColumn("vv", lit(1.0d))
     var vPath: String = null
     for (_ <- 1 to iters) {
-      val (contrib, cm, cPath) = Scratch.materializeObservedAt(
-        cov.join(v, cov("j") === v("vj"))
-          .groupBy(cov("i"))
-          .agg(sum(round(col("c") * col("vv"), 9).cast(dec)).as("u")),
-        "pca_v", sum(abs(col("u"))).as("l1"))
-      val l1 = cm("l1") match {
-        case null => 0.0d
-        case bd: java.math.BigDecimal => bd.doubleValue
-        case d: java.lang.Number => d.doubleValue
+      val contribPlan = cov.join(v, cov("j") === v("vj"))
+        .groupBy(cov("i"))
+        .agg(sum(round(col("c") * col("vv"), 9).cast(dec)).as("u"))
+      val (contrib, l1, cPath) = graft.ops.Pin.collectBounded(contribPlan) match {
+        case Some(rows) =>
+          import scala.jdk.CollectionConverters._
+          val l1b = rows.foldLeft(java.math.BigDecimal.ZERO) { (acc, r) =>
+            val u = r.getDecimal(1)
+            if (u == null) acc else acc.add(u.abs)
+          }
+          (spark.createDataFrame(rows.toSeq.asJava, contribPlan.schema),
+            l1b.doubleValue, null: String)
+        case None =>
+          val (c, cm, p) = Scratch.materializeObservedAt(contribPlan, "pca_v",
+            sum(abs(col("u"))).as("l1"))
+          val l1v = cm("l1") match {
+            case null => 0.0d
+            case bd: java.math.BigDecimal => bd.doubleValue
+            case d: java.lang.Number => d.doubleValue
+          }
+          (c, l1v, p)
       }
       if (vPath != null) Scratch.drop(spark, vPath)
       if (l1 == 0.0d) {

@@ -199,10 +199,12 @@ object EventStreams {
     val delta = graft.operators.Dedup.incrementalExact(
       batch, graft.operators.Dedup.loadFpIndex(spark, table),
       idCol, textCol)
-    // materialize BEFORE appending: the delta's plan reads the very
-    // table the append mutates
-    val (mat, path) = graft.ops.Scratch.materializeAt(
-      delta, "stream_dedup_delta")
+    // pin (or scratch past the Pin gate) BEFORE appending: the delta's
+    // plan reads the very table the append mutates; a pinned
+    // micro-batch-sized delta also appends from one task instead of
+    // leaf-node parallelism
+    val (mat0, path) = graft.ops.Pin.stateAt(delta, "stream_dedup_delta")
+    val mat = if (path == null) mat0.coalesce(1) else mat0
     deltaTable.foreach { dt =>
       mat.withColumn("batch_id", lit(batchId))
         .write.mode("append").format("parquet").saveAsTable(dt)
@@ -377,8 +379,13 @@ object EventStreams {
     val scored = merged.crossJoin(wmRow)
       .withColumn("closed", coalesce(
         col("end_ms") + lit(gapMs) < col("graft_wm_ms"), lit(false)))
-    // materialize before mutating either table the plan reads
-    val (mat, path) = graft.ops.Scratch.materializeAt(scored, "session_state")
+    // pin (or scratch past the Pin gate) before mutating either table
+    // the plan reads; frontier-and-batch state is gap-horizon-bounded
+    // by the sessionization contract. A pinned state writes its two
+    // tiny outputs from one task each (a local scan defaults to
+    // leaf-node parallelism — 32 near-empty files per micro-batch).
+    val (mat0, path) = graft.ops.Pin.stateAt(scored, "session_state")
+    val mat = if (path == null) mat0.coalesce(1) else mat0
     mat.filter(col("closed"))
       .select(col("user_id"), col("start_ms").as("session_start_ms"),
         col("end_ms").as("session_end_ms"), col("n_events"),
@@ -540,8 +547,8 @@ object EventStreams {
           col("click_ms") <= col("view_ms") + lit(horizonMs))
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ms"), col("click_ms"))
-    val (matPairs, pPath) = graft.ops.Scratch.materializeAt(
-      pairs, "attrib_pairs")
+    val (matPairs0, pPath) = graft.ops.Pin.stateAt(pairs, "attrib_pairs")
+    val matPairs = if (pPath == null) matPairs0.coalesce(1) else matPairs0
     val wmRow = broadcast(batch.agg(
       max(unix_millis(col("ts"))).as("graft_wm_ms")))
     val scoredViews = allViews
@@ -552,8 +559,11 @@ object EventStreams {
       .crossJoin(wmRow)
       .withColumn("expired", coalesce(
         col("view_ms") + lit(horizonMs) < col("graft_wm_ms"), lit(false)))
-    val (matViews, vPath) = graft.ops.Scratch.materializeAt(
-      scoredViews, "attrib_views")
+    // both state tables are horizon-bounded by the attribution contract:
+    // driver-pinned under the Pin gate (scratch fallback past it), with
+    // single-task appends for the pinned micro-batch-sized deltas
+    val (matViews0, vPath) = graft.ops.Pin.stateAt(scoredViews, "attrib_views")
+    val matViews = if (vPath == null) matViews0.coalesce(1) else matViews0
     matPairs.withColumn("batch_id", lit(batchId))
       .write.mode("append").format("parquet").saveAsTable(logTable)
     matViews.filter(col("expired") && !col("matched"))
@@ -813,11 +823,13 @@ object EventStreams {
         Seq("id"), "left_anti")
     val corpus = spark.table(corpusTable).select("doc_id", "text")
       .unionByName(batch.select("doc_id", "text"))
-    // the batch's band keys are computed (and scratch-materialized)
-    // ONCE: the probe/self-join reads them here and the history append
-    // below re-reads the same scratch table — previously the append
-    // re-ran the full MinHash signature pass over the batch text
-    val (bk, bkPath) = graft.ops.Scratch.materializeAt(
+    // the batch's band keys are computed ONCE: the probe/self-join reads
+    // them here and the history append below re-reads the same frame —
+    // previously the append re-ran the full MinHash signature pass over
+    // the batch text. Micro-batch-sized by the ingest contract, so the
+    // keys are driver-PINNED under the Pin row/byte gate (one collect,
+    // no parquet round-trip; scratch fallback past the gate).
+    val (bk, bkPath) = graft.ops.Pin.stateAt(
       graft.operators.Dedup.lshBandKeys(batch, shingleK = shingleK,
         bands = bands, rowsPerBand = rowsPerBand), "lsh_stream_keys")
     val pairs = graft.operators.Dedup.incrementalLshJaccardFromKeys(
@@ -831,7 +843,13 @@ object EventStreams {
     // the bk scratch table and the raw batch, never this plan)
     pairs.withColumn("batch_id", lit(batchId))
       .write.mode("append").format("parquet").saveAsTable(pairsTable)
-    bk.select(col("id"), col("band"), col("h"))
+    // a pinned (bkPath == null) key table writes its bucket files from
+    // ONE task: a local scan defaults to leaf-node parallelism, and 32
+    // tasks × ≤buckets files per micro-batch explodes the index's file
+    // count for a batch-sized delta. The scratch fallback keeps its
+    // natural parallelism (that path exists for the too-big batch).
+    (if (bkPath == null) bk.coalesce(1) else bk)
+      .select(col("id"), col("band"), col("h"))
       .write.mode("append")
       .bucketBy(buckets, "band", "h").sortBy("band", "h")
       .format("parquet").saveAsTable(bandTable)

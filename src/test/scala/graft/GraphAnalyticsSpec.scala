@@ -703,10 +703,16 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(sets(Graph.kCore(e, k = 3, maxRounds = 30)) ==
       sets(Graph.kCore(e, k = 3, maxRounds = 30, maxLocalEdges = 0L)),
       "kcore local/distributed divergence")
+    assert(sets(Graph.kTruss(e, k = 3, maxRounds = 30)) ==
+      sets(Graph.kTruss(e, k = 3, maxRounds = 30, maxLocalEdges = 0L)),
+      "ktruss local/distributed divergence")
     // a tight round cap exercises the unconverged residual identically
     assert(sets(Graph.kCore(e, k = 3, maxRounds = 1)) ==
       sets(Graph.kCore(e, k = 3, maxRounds = 1, maxLocalEdges = 0L)),
       "kcore capped-rounds local/distributed divergence")
+    assert(sets(Graph.kTruss(e, k = 4, maxRounds = 1)) ==
+      sets(Graph.kTruss(e, k = 4, maxRounds = 1, maxLocalEdges = 0L)),
+      "ktruss capped-rounds local/distributed divergence")
     // a low maxRounds exercises the unresolved/null-residual contract
     // on both paths identically
     assert(sets(Graph.topoLayers(e, maxRounds = 2)) ==
